@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorSql._
+
+/** Oracle-checkable relational formulations of every SOM algebra step
+  * (SURVEY.md §7.4 B1/B2): BMU assignment, quantization cost, per-cell
+  * aggregation and one neighborhood-weighted update step, all against a
+  * deterministic fixed prototype table (embeddings rows vec_id < 9 → a 3×3
+  * map) so correctness never depends on sampling.
+  *
+  * These are the SQL-expressible twins of the reference's RDD pipeline
+  * (reference `som/SOM.scala:192-244`, `som/SOMModel.scala:76-97`): the
+  * broadcast of the model becomes a broadcast hash join of a 9-row prototypes
+  * DataFrame, the hand-rolled mapPartitions+reduceByKey partial aggregation
+  * becomes `groupBy().agg()` (Catalyst already does partial+final hash
+  * aggregation), and the accumulator-based cost becomes an exact agg column.
+  *
+  * Scale notes (100 TB stance):
+  *  - prototypes side is always tiny (K rows) → `broadcast()` hint keeps the
+  *    big embeddings scan shuffle-free for assignment/cost.
+  *  - the per-point argmin is a map-side `min(struct(d2, proto_id))` partial
+  *    aggregate over vec_id: with K·N join rows the partial agg collapses to N
+  *    rows before any exchange; the only shuffle is on vec_id (or none for the
+  *    global cost sum).
+  */
+object SomQueries {
+  val K = 9       // 3×3 map
+  val Width = 3
+  val Dim = 64    // embeddings dimensionality (TESTDATA)
+  val T = 2.0     // fixed temperature for the single update step
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** points: (vec_id, v: array<double>) */
+  def points(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+
+  /** prototypes: (proto_id, c: array<double>) — 9 deterministic rows. */
+  def protos(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).where(col("vec_id") < K)
+      .select(col("vec_id").cast("long").as("proto_id"), asDouble(col("embedding")).as("c"))
+
+  /** point × prototype distances; prototype side broadcast (no shuffle). */
+  private def dists(s: SparkSession, dir: String): DataFrame =
+    points(s, dir).crossJoin(broadcast(protos(s, dir)))
+      .select(col("vec_id"), col("proto_id"), sqDist(col("v"), col("c")).as("d2"))
+
+  /** (vec_id, bmu, d2) best-matching-unit per point, min-id tie-break —
+    * relational twin of reference `findClosest` (`som/SOM.scala:306-326`). */
+  def assign(s: SparkSession, dir: String): DataFrame =
+    dists(s, dir)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("proto_id"))).as("m"))
+      .select(col("vec_id"), col("m.proto_id").as("bmu"), round(col("m.d2"), 4).as("d2r"))
+
+  /** Unrounded assignment for internal reuse. */
+  private def assignRaw(s: SparkSession, dir: String): DataFrame =
+    dists(s, dir)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("proto_id"))).as("m"))
+      .select(col("vec_id"), col("m.proto_id").as("bmu"), col("m.d2").as("d2"))
+
+  /** Global quantization error — reference `computeCost`
+    * (`som/SOMModel.scala:92-97`) as one exact aggregate (no accumulator). */
+  def cost(s: SparkSession, dir: String): DataFrame =
+    assignRaw(s, dir).agg(count(lit(1)).as("n"), round(sum(col("d2")), 2).as("cost"))
+
+  /** Per-cell componentwise sums + counts — the partial-agg step of training
+    * (reference `som/SOM.scala:192-212`) as groupBy over (bmu, dim). */
+  def cellStats(s: SparkSession, dir: String): DataFrame = {
+    val a = assignRaw(s, dir).join(points(s, dir), "vec_id")
+    a.select(col("bmu"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("bmu"), col("dim"))
+      .agg(round(sum(col("x")), 4).as("s"), count(lit(1)).as("n"))
+  }
+
+  /** One neighborhood-weighted update step at fixed temperature T: the
+    * k-means-with-topology update (reference `som/SOM.scala:219-244`).
+    * new_k[dim] = Σ_j w(k,j)·S_j[dim] / Σ_j w(k,j)·n_j,
+    * w(k,j) = exp(-cellDist(k,j)² / T²), Manhattan dist on the 3×3 grid. */
+  def updateStep(s: SparkSession, dir: String): DataFrame = {
+    val a = assignRaw(s, dir).join(points(s, dir), "vec_id")
+    val sums = a.select(col("bmu"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("bmu"), col("dim"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+    // K×K weight table as a tiny literal DataFrame (driver-side compute,
+    // exactly like the reference's Array.tabulate — K is always small).
+    val w = {
+      import s.implicits._
+      val rows = for (k <- 0 until K; j <- 0 until K)
+        yield (k.toLong, j.toLong, graft.som.Grid.kernelWeight("gaussian", graft.som.Grid.cellDist(Width)(k, j), T))
+      rows.toDF("k", "j", "w")
+    }
+    sums.join(broadcast(w), sums("bmu") === w("j"))
+      .groupBy(col("k"), col("dim"))
+      .agg((sum(col("w") * col("s")) / sum(col("w") * col("n"))).as("nv"))
+      .select(col("k").as("cell"), col("dim"), round(col("nv"), 4).as("nv"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "som_assign"     -> assign _,
+    "som_cost"       -> cost _,
+    "som_cell_stats" -> cellStats _,
+    "som_update"     -> updateStep _,
+  )
+
+  // ---- DuckDB oracle SQL (ANSI-ish; bare table names are driver-registered
+  // views over the same parquet). list_sum(list_transform(...)) folds in the
+  // same order as Spark's aggregate(zip_with(...)) → bit-identical doubles.
+  private val ptsCte =
+    "pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+  private val protosCte =
+    "protos AS (SELECT CAST(vec_id AS BIGINT) AS proto_id, CAST(embedding AS DOUBLE[]) AS c FROM embeddings WHERE vec_id < 9)"
+  private val distCte =
+    s"""d AS (SELECT vec_id, proto_id,
+       | list_sum(list_transform(range(1, ${Dim + 1}), i -> (v[i]-c[i])*(v[i]-c[i]))) AS d2
+       | FROM pts CROSS JOIN protos)""".stripMargin
+  private val bmuCte =
+    """a AS (SELECT vec_id, proto_id AS bmu, d2 FROM
+      | (SELECT vec_id, proto_id, d2,
+      |   row_number() OVER (PARTITION BY vec_id ORDER BY d2, proto_id) AS rn FROM d)
+      | WHERE rn = 1)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "som_assign" ->
+      s"""WITH $ptsCte, $protosCte, $distCte, $bmuCte
+         |SELECT vec_id, bmu, round(d2, 4) AS d2r FROM a""".stripMargin,
+    "som_cost" ->
+      s"""WITH $ptsCte, $protosCte, $distCte, $bmuCte
+         |SELECT CAST(count(*) AS BIGINT) AS n, round(sum(d2), 2) AS cost FROM a""".stripMargin,
+    "som_cell_stats" ->
+      s"""WITH $ptsCte, $protosCte, $distCte, $bmuCte
+         |SELECT a.bmu, CAST(t.i - 1 AS INT) AS dim, round(sum(p.v[t.i]), 4) AS s,
+         |       CAST(count(*) AS BIGINT) AS n
+         |FROM a JOIN pts p USING (vec_id)
+         |CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS i) t
+         |GROUP BY 1, 2""".stripMargin,
+    "som_update" ->
+      s"""WITH $ptsCte, $protosCte, $distCte, $bmuCte,
+         |sums AS (
+         |  SELECT a.bmu, CAST(t.i - 1 AS INT) AS dim, sum(p.v[t.i]) AS s,
+         |         CAST(count(*) AS BIGINT) AS n
+         |  FROM a JOIN pts p USING (vec_id)
+         |  CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS i) t
+         |  GROUP BY 1, 2),
+         |w AS (
+         |  SELECT k.k, j.j,
+         |    exp(-((abs(k.k // 3 - j.j // 3) + abs(k.k % 3 - j.j % 3)) ** 2) / (${T} * ${T})) AS w
+         |  FROM (SELECT unnest(range(0, 9)) AS k) k
+         |  CROSS JOIN (SELECT unnest(range(0, 9)) AS j) j)
+         |SELECT w.k AS cell, sums.dim,
+         |       round(sum(w.w * sums.s) / sum(w.w * sums.n), 4) AS nv
+         |FROM sums JOIN w ON sums.bmu = w.j
+         |GROUP BY 1, 2""".stripMargin,
+  )
+}

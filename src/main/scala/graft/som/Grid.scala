@@ -1,0 +1,48 @@
+package graft.som
+
+/** Pure driver-side scalar kernels of the SOM algorithm: grid distance,
+  * temperature decay schedule and neighborhood kernel.
+  *
+  * Semantics match the reference (reference `som/SOM.scala:272-290`):
+  *  - cellDist: Manhattan distance on a rectangular height×width grid where
+  *    cell id k has row = k / width, col = k % width (`som/SOM.scala:288-290`).
+  *  - temperature: exponential `tMax*(tMin/tMax)^(iter/(maxIter-1))` or linear
+  *    interpolation (`som/SOM.scala:272-275`). The reference divides by
+  *    maxIter-1 and NaNs at maxIter=1 (SURVEY.md §7.3.1); we guard that edge
+  *    by pinning T = tMin when maxIter <= 1.
+  *  - kernel: gaussian `exp(-d²/T²)` or rectangular window `1 if d<=T else 0`
+  *    (`som/SOM.scala:280-283`).
+  */
+object Grid {
+
+  /** Manhattan distance between cells k1, k2 on a rectangular `width`-wide grid. */
+  def cellDist(width: Int)(k1: Int, k2: Int): Double = {
+    val r1 = k1 / width; val c1 = k1 % width
+    val r2 = k2 / width; val c2 = k2 % width
+    (math.abs(r2 - r1) + math.abs(c2 - c1)).toDouble
+  }
+
+  /** Temperature at `iter` (0-based) of `maxIter` total iterations. */
+  def temperature(decay: String, iter: Int, maxIter: Int, tMax: Double, tMin: Double): Double = {
+    if (maxIter <= 1) return tMin
+    val frac = iter.toDouble / (maxIter - 1).toDouble
+    decay match {
+      case "exponential" => tMax * math.pow(tMin / tMax, frac)
+      case "linear"      => tMax + frac * (tMin - tMax)
+      case other         => throw new IllegalArgumentException(s"unknown decay: $other")
+    }
+  }
+
+  /** Neighborhood weight for grid distance `d` at temperature `t`. */
+  def kernelWeight(kernel: String, d: Double, t: Double): Double = kernel match {
+    case "gaussian"    => math.exp(-(d * d) / (t * t))
+    case "rectangular" => if (d <= t) 1.0 else 0.0
+    case other         => throw new IllegalArgumentException(s"unknown kernel: $other")
+  }
+
+  /** Dense K×K neighborhood weight table for one iteration.
+    * K = height*width is small (≤ a few hundred) so this stays on the driver,
+    * exactly like the reference's `Array.tabulate` (`som/SOM.scala:219-224`). */
+  def weightTable(kernel: String, width: Int, k: Int, t: Double): Array[Array[Double]] =
+    Array.tabulate(k, k)((i, j) => kernelWeight(kernel, cellDist(width)(i, j), t))
+}
