@@ -1,0 +1,36 @@
+package graft.queries
+
+import graft.som.{SOM, SOMModel, Distance, VectorWithNorm}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Queries that exercise the full SOM Estimator/Model API end-to-end.
+  * The iterative fit is not ANSI-expressible, so these get the driver's
+  * weaker rows-only check — but they are made fully deterministic anyway:
+  * warm-start init from the fixed prototype table (embeddings vec_id < 9)
+  * removes all sampling.
+  */
+object MlQueries {
+
+  /** Fit a 3×3 SOM on the embeddings table (warm-started from the fixed
+    * prototypes), score the same table: (vec_id, prediction, cost-bearing
+    * iteration count). */
+  def somFitPredict(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").as("features"))
+    val init = SomQueries.protos(s, dir).orderBy("proto_id").collect()
+      .map(r => org.apache.spark.ml.linalg.Vectors.dense(r.getAs[Seq[Double]]("c").toArray))
+    val warm = new SOMModel("som_init", init).setGrid(3, 3)
+    val model = new SOM().setHeight(3).setWidth(3)
+      .setMaxIter(5).setTMax(2.0).setTMin(0.5).setSeed(42)
+      .setInitialModel(warm)
+      .fit(emb)
+    model.transform(emb).select(col("vec_id"), col("prediction"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "som_fit_predict" -> somFitPredict _,
+  )
+
+  val oracleSql: Map[String, String] = Map.empty
+}

@@ -1,0 +1,195 @@
+package graft.som
+
+import org.apache.spark.ml.Estimator
+import org.apache.spark.ml.linalg.{DenseVector, Vector, Vectors}
+import org.apache.spark.ml.param.ParamMap
+import org.apache.spark.ml.stat.Summarizer
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.storage.StorageLevel
+
+/** A point with its cached L2 norm, used for triangle-inequality pruning in
+  * the BMU search (reference `som/SOM.scala:351-359`). */
+private[graft] case class VectorWithNorm(vector: Vector, norm: Double)
+
+private[graft] object Distance {
+  /** Squared-distance lower bound from norms: (‖a‖−‖b‖)². Lets the BMU scan
+    * skip the O(d) distance for most prototypes (reference
+    * `som/SOM.scala:312-316`). */
+  @inline def lowerBound(a: VectorWithNorm, b: VectorWithNorm): Double = {
+    val diff = a.norm - b.norm
+    diff * diff
+  }
+
+  /** Argmin over prototypes with min-index tie-break (strict `<`, reference
+    * `som/SOM.scala:306-326`). Returns (bmuIndex, squaredDistance). */
+  def findClosest(protos: Array[VectorWithNorm], p: VectorWithNorm): (Int, Double) = {
+    var best = Double.PositiveInfinity
+    var bestIdx = 0
+    var k = 0
+    while (k < protos.length) {
+      val c = protos(k)
+      if (lowerBound(c, p) < best) {
+        val d = Vectors.sqdist(c.vector, p.vector)
+        if (d < best) { best = d; bestIdx = k }
+      }
+      k += 1
+    }
+    (bestIdx, best)
+  }
+}
+
+/** Batch Self-Organizing Map estimator — Kohonen map trained with the
+  * k-means-style batch update plus topological neighborhood smoothing
+  * (reference `som/SOM.scala`).
+  *
+  * Spark-first rework of the reference's RDD pipeline:
+  *  - the per-iteration assign+aggregate is one DataFrame job:
+  *    `groupBy(bmu).agg(Summarizer.sum(features), count, sum(d2))` — Catalyst
+  *    performs the map-side partial aggregation the reference hand-rolled
+  *    with `mapPartitions` + `reduceByKey` (reference `som/SOM.scala:192-212`);
+  *  - the quantization cost rides the same aggregate as an exact column
+  *    instead of an at-least-once accumulator (reference `som/SOM.scala:181`);
+  *  - the O(K²·d) neighborhood smoothing stays on the driver, exactly like
+  *    the reference (`som/SOM.scala:219-234`) — K is always tiny relative to N.
+  *
+  * Scale: per iteration, one scan of N rows (no shuffle of the data — the
+  * shuffle moves only ≤K partial aggregates), one ≤K-row collect. The model
+  * (K·d doubles) is broadcast each iteration and destroyed after.
+  */
+class SOM(override val uid: String) extends Estimator[SOMModel] with SOMParams {
+
+  def this() = this(org.apache.spark.ml.util.Identifiable.randomUID("som"))
+
+  def setFeaturesCol(v: String): this.type = set(featuresCol, v)
+  def setPredictionCol(v: String): this.type = set(predictionCol, v)
+  def setHeight(v: Int): this.type = set(height, v)
+  def setWidth(v: Int): this.type = set(width, v)
+  def setTMax(v: Double): this.type = set(tMax, v)
+  def setTMin(v: Double): this.type = set(tMin, v)
+  def setMaxIter(v: Int): this.type = set(maxIter, v)
+  def setTol(v: Double): this.type = set(tol, v)
+  def setKernel(v: String): this.type = set(kernel, v)
+  def setDecay(v: String): this.type = set(decay, v)
+  def setTopology(v: String): this.type = set(topology, v)
+  def setSeed(v: Long): this.type = set(seed, v)
+
+  private var initialModel: Option[SOMModel] = None
+
+  /** Warm-start from an existing model's prototypes (reference
+    * `som/SOM.scala:124-131`; fixes its `Int == Param` comparison bug —
+    * SURVEY.md §7.3.2 — by comparing param *values*). */
+  def setInitialModel(model: SOMModel): this.type = {
+    require(model.prototypes.length == numCells,
+      s"initial model has ${model.prototypes.length} prototypes, expected $numCells")
+    initialModel = Some(model)
+    this
+  }
+
+  override def fit(dataset: Dataset[_]): SOMModel = {
+    transformSchema(dataset.schema, logging = true)
+    val spark = dataset.sparkSession
+    val sc = spark.sparkContext
+    val k = numCells
+
+    // Column pruning + normalization to VectorUDT, norm computed once.
+    // (reference selects featuresCol then exits to RDD, `som/SOM.scala:84-86`;
+    // we stay in DataFrame space.)
+    val fcol = SOMModel.toVectorCol(dataset.schema($(featuresCol)).dataType, col($(featuresCol))).as("f")
+    val data = dataset.select(fcol)
+    val alreadyCached = dataset.storageLevel != StorageLevel.NONE
+    if (!alreadyCached) data.persist(StorageLevel.MEMORY_AND_DISK)
+
+    // --- init: K seeded random rows (reference uses seeded XORShift takeSample,
+    // `som/SOM.scala:295-298`); warm start takes precedence.
+    var prototypes: Array[VectorWithNorm] = initialModel match {
+      case Some(m) => m.prototypes.map(v => VectorWithNorm(v, Vectors.norm(v, 2.0)))
+      case None =>
+        val sample = data.rdd.takeSample(withReplacement = true, num = k, seed = $(seed))
+          .map(_.getAs[Vector](0))
+        require(sample.length == k, s"not enough data to sample $k prototypes")
+        sample.map(v => VectorWithNorm(Vectors.dense(v.toArray), Vectors.norm(v, 2.0)))
+    }
+
+    val kern = $(kernel); val dec = $(decay); val w = $(width)
+    val tMx = $(tMax); val tMn = $(tMin); val iters = $(maxIter); val eps = $(tol)
+    val history = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var iter = 0
+    var converged = false
+
+    while (iter < iters && !converged) {
+      val bc = sc.broadcast(prototypes)
+      val assign = udf { (v: Vector) =>
+        Distance.findClosest(bc.value, VectorWithNorm(v, Vectors.norm(v, 2.0)))
+      }
+      // One job: partial+final hash aggregation; ≤K rows collected.
+      val rows = data
+        .select(assign(col("f")).as("a"), col("f"))
+        .groupBy(col("a._1").as("bmu"))
+        .agg(Summarizer.sum(col("f")).as("s"), count(lit(1)).as("n"), sum(col("a._2")).as("cost"))
+        .collect()
+      bc.destroy()
+
+      val sums = Array.fill(k)(null: Vector)
+      val counts = new Array[Double](k)
+      var totalCost = 0.0
+      rows.foreach { r =>
+        val cell = r.getInt(0)
+        sums(cell) = r.getAs[Vector](1)
+        counts(cell) = r.getLong(2).toDouble
+        totalCost += r.getDouble(3)
+      }
+
+      // Driver-side neighborhood smoothing (the one difference from k-means,
+      // reference `som/SOM.scala:219-244`): weighted sums over *all* cells.
+      val t = Grid.temperature(dec, iter, iters, tMx, tMn)
+      val dim = prototypes(0).vector.size
+      val next = new Array[VectorWithNorm](k)
+      var moved = false
+      var cell = 0
+      while (cell < k) {
+        val acc = new Array[Double](dim)
+        var wn = 0.0
+        var j = 0
+        while (j < k) {
+          if (counts(j) > 0) {
+            val wgt = Grid.kernelWeight(kern, Grid.cellDist(w)(cell, j), t)
+            if (wgt != 0.0) {
+              val sj = sums(j).toArray
+              var d = 0
+              while (d < dim) { acc(d) += wgt * sj(d); d += 1 }
+              wn += wgt * counts(j)
+            }
+          }
+          j += 1
+        }
+        val nv =
+          if (wn > 0) { var d = 0; while (d < dim) { acc(d) /= wn; d += 1 }; Vectors.dense(acc) }
+          else prototypes(cell).vector // no mass anywhere near: keep
+        if (Vectors.sqdist(nv, prototypes(cell).vector) > eps * eps) moved = true
+        next(cell) = VectorWithNorm(nv, Vectors.norm(nv, 2.0))
+        cell += 1
+      }
+      prototypes = next
+      converged = !moved
+      history += totalCost
+      iter += 1
+    }
+
+    if (!alreadyCached) data.unpersist()
+
+    val model = copyValues(new SOMModel(uid, prototypes.map(_.vector)).setParent(this))
+    val summary = new SOMTrainingSummary(
+      model.transform(dataset), $(featuresCol), $(predictionCol),
+      $(height), $(width), $(maxIter), iter,
+      if (history.nonEmpty) history.last else 0.0, history.toArray)
+    model.setSummary(Some(summary))
+    model
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    validateAndTransformSchema(schema)
+
+  override def copy(extra: ParamMap): SOM = defaultCopy(extra)
+}

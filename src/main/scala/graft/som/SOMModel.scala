@@ -1,0 +1,110 @@
+package graft.som
+
+import org.apache.spark.ml.Model
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.ml.param.ParamMap
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, StructType}
+
+/** Fitted SOM: K = height×width prototype vectors + scoring/cost operators
+  * (reference `som/SOMModel.scala`).
+  *
+  * Scoring keeps the reference's UDF form (`som/SOMModel.scala:76-82`): the
+  * prototypes array (K·d doubles) rides the task closure, each row gets its
+  * BMU from the pruned linear scan — an embarrassingly parallel map, no
+  * shuffle, survives any scale-out. `computeCost` is one exact aggregate
+  * (`som/SOMModel.scala:92-97`, minus the RDD detour).
+  *
+  * Persistence (absent in the reference, `README.md:91`): prototypes ↔
+  * parquet `(cell, prototype: array<double>)` via [[SOMModel.save]] /
+  * [[SOMModel.load]] — the same layout feeds oracle queries as a fixed
+  * prototype table.
+  */
+class SOMModel(override val uid: String, val prototypes: Array[Vector])
+    extends Model[SOMModel] with SOMParams {
+
+  private val protosWithNorm: Array[VectorWithNorm] =
+    prototypes.map(v => VectorWithNorm(v, Vectors.norm(v, 2.0)))
+
+  def setFeaturesCol(v: String): this.type = set(featuresCol, v)
+  def setPredictionCol(v: String): this.type = set(predictionCol, v)
+
+  private var trainingSummary: Option[SOMTrainingSummary] = None
+  private[graft] def setSummary(s: Option[SOMTrainingSummary]): this.type = { trainingSummary = s; this }
+  def hasSummary: Boolean = trainingSummary.isDefined
+  def summary: SOMTrainingSummary = trainingSummary.getOrElse(
+    throw new RuntimeException(s"No training summary available for $uid"))
+  /** Final training cost (throws if the model wasn't trained here —
+    * reference `som/SOMModel.scala:32-52`). */
+  def cost: Double = summary.cost
+  def objectiveHistory: Array[Double] = summary.objectiveHistory
+
+  private[graft] def setGrid(h: Int, w: Int): this.type = { set(height, h); set(width, w); this }
+
+  /** BMU index for a single point (reference `som/SOMModel.scala:88-90`). */
+  def predict(features: Vector): Int =
+    Distance.findClosest(protosWithNorm, VectorWithNorm(features, Vectors.norm(features, 2.0)))._1
+
+  override def transform(dataset: Dataset[_]): DataFrame = {
+    transformSchema(dataset.schema, logging = true)
+    val protos = protosWithNorm
+    val predictUdf = udf { (v: Vector) =>
+      Distance.findClosest(protos, VectorWithNorm(v, Vectors.norm(v, 2.0)))._1
+    }
+    val f = SOMModel.toVectorCol(dataset.schema($(featuresCol)).dataType, col($(featuresCol)))
+    dataset.withColumn($(predictionCol), predictUdf(f))
+  }
+
+  /** Total quantization error: Σ min-squared-distance, one aggregate job. */
+  def computeCost(dataset: Dataset[_]): Double = {
+    val protos = protosWithNorm
+    val costUdf = udf { (v: Vector) =>
+      Distance.findClosest(protos, VectorWithNorm(v, Vectors.norm(v, 2.0)))._2
+    }
+    val f = SOMModel.toVectorCol(dataset.schema($(featuresCol)).dataType, col($(featuresCol)))
+    dataset.select(sum(costUdf(f)).as("cost")).head().getDouble(0)
+  }
+
+  /** Prototypes as a small DataFrame `(cell, prototype)` — the broadcastable
+    * dimension side for SQL-expressible scoring. */
+  def prototypesDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    prototypes.zipWithIndex
+      .map { case (v, i) => (i, v.toArray) }.toSeq.toDF("cell", "prototype")
+  }
+
+  def save(spark: SparkSession, path: String): Unit =
+    prototypesDF(spark).repartition(1).write.mode("overwrite").parquet(path)
+
+  override def transformSchema(schema: StructType): StructType =
+    validateAndTransformSchema(schema)
+
+  override def copy(extra: ParamMap): SOMModel = {
+    val copied = new SOMModel(uid, prototypes)
+    copyValues(copied, extra).setSummary(trainingSummary).setParent(parent)
+  }
+}
+
+object SOMModel {
+  /** Normalize a features column (VectorUDT or array<float|double>) to
+    * VectorUDT (SURVEY.md §7.3.6 conversion layer). */
+  private[graft] def toVectorCol(dt: DataType, c: Column): Column = dt match {
+    case t if t == org.apache.spark.ml.linalg.SQLDataTypes.VectorType => c
+    case ArrayType(DoubleType, _) => org.apache.spark.ml.functions.array_to_vector(c)
+    case ArrayType(FloatType, _) => org.apache.spark.ml.functions.array_to_vector(c.cast("array<double>"))
+    case other => throw new IllegalArgumentException(s"unsupported features type $other")
+  }
+
+  /** Load a model saved by [[SOMModel.save]]; cells must form a full
+    * height×width grid. */
+  def load(spark: SparkSession, path: String, height: Int, width: Int): SOMModel = {
+    val rows = spark.read.parquet(path).select("cell", "prototype").collect()
+    require(rows.length == height * width,
+      s"expected ${height * width} prototypes, found ${rows.length}")
+    val protos = new Array[Vector](rows.length)
+    rows.foreach(r => protos(r.getInt(0)) = Vectors.dense(r.getAs[Seq[Double]](1).toArray))
+    new SOMModel(org.apache.spark.ml.util.Identifiable.randomUID("som"), protos)
+      .setGrid(height, width)
+  }
+}

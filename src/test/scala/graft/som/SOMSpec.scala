@@ -1,0 +1,132 @@
+package graft.som
+
+import graft.SparkSpec
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+import scala.util.Random
+
+class SOMSpec extends SparkSpec {
+
+  private def demoDF(n: Int = 2000, d: Int = 3, seed: Long = 7) = {
+    // Seeded version of the reference's demo fixture (reference
+    // `som/SOM.scala:409-413`): uniform random d-dim points.
+    val rnd = new Random(seed)
+    val rows = Seq.fill(n)((0.0, Vectors.dense(Array.fill(d)(rnd.nextDouble()))))
+    import spark.implicits._
+    rows.toDF("label", "features")
+  }
+
+  test("findClosest equals naive argmin with min-index tie-break") {
+    val rnd = new Random(1)
+    val protos = Array.fill(25)(Vectors.dense(Array.fill(8)(rnd.nextDouble())))
+      .map(v => VectorWithNorm(v, Vectors.norm(v, 2.0)))
+    for (_ <- 0 until 200) {
+      val p = Vectors.dense(Array.fill(8)(rnd.nextDouble()))
+      val pw = VectorWithNorm(p, Vectors.norm(p, 2.0))
+      val (bmu, d2) = Distance.findClosest(protos, pw)
+      val naive = protos.map(c => Vectors.sqdist(c.vector, p)).zipWithIndex.minBy { case (d, i) => (d, i) }
+      assert(bmu == naive._2)
+      assert(math.abs(d2 - naive._1) < 1e-12)
+    }
+    // exact tie: duplicate prototypes -> lowest index wins
+    val dup = Array(protos(3), protos(3), protos(3))
+    assert(Distance.findClosest(dup, protos(3))._1 == 0)
+  }
+
+  test("fit produces a full grid model with decreasing-ish objective") {
+    val df = demoDF()
+    // Mild temperatures: with a cooled schedule the quantization error must
+    // improve on the random init. (With large tMax the early wide-neighborhood
+    // iterations legitimately *raise* quantization error — topology first.)
+    val som = new SOM().setHeight(3).setWidth(3).setMaxIter(15)
+      .setTMax(2.0).setTMin(0.5).setSeed(42)
+    val model = som.fit(df)
+    assert(model.prototypes.length == 9)
+    assert(model.hasSummary)
+    val hist = model.objectiveHistory
+    assert(hist.nonEmpty && hist.length <= 15)
+    assert(hist.forall(_ > 0))
+    assert(hist.last < hist.head)
+    assert(model.summary.numIter == hist.length)
+  }
+
+  test("fit is deterministic for a fixed seed") {
+    val df = demoDF()
+    val m1 = new SOM().setHeight(3).setWidth(3).setMaxIter(5).setSeed(42).fit(df)
+    val m2 = new SOM().setHeight(3).setWidth(3).setMaxIter(5).setSeed(42).fit(df)
+    m1.prototypes.zip(m2.prototypes).foreach { case (a, b) =>
+      assert(Vectors.sqdist(a, b) == 0.0)
+    }
+  }
+
+  test("transform appends an IntegerType prediction in [0, K)") {
+    val df = demoDF(500)
+    val model = new SOM().setHeight(3).setWidth(4).setMaxIter(3).setSeed(1).fit(df)
+    val out = model.transform(df)
+    assert(out.columns.toSeq == Seq("label", "features", "prediction"))
+    assert(out.schema("prediction").dataType == org.apache.spark.sql.types.IntegerType)
+    val preds = out.select("prediction").distinct().collect().map(_.getInt(0))
+    assert(preds.forall(p => p >= 0 && p < 12))
+  }
+
+  test("transform refuses an existing prediction column") {
+    val df = demoDF(50).withColumnRenamed("label", "prediction")
+    val model = new SOM().setHeight(2).setWidth(2).setMaxIter(1).setSeed(1).fit(demoDF(50))
+    intercept[IllegalArgumentException](model.transform(df))
+  }
+
+  test("computeCost equals sum of per-point min squared distances") {
+    val df = demoDF(300)
+    val model = new SOM().setHeight(2).setWidth(2).setMaxIter(3).setSeed(5).fit(df)
+    val cost = model.computeCost(df)
+    val protos = model.prototypes
+    val naive = df.select("features").collect().map { r =>
+      val v = r.getAs[Vector](0)
+      protos.map(c => Vectors.sqdist(c, v)).min
+    }.sum
+    assert(math.abs(cost - naive) / naive < 1e-9)
+    assert(cost >= 0)
+  }
+
+  test("maxIter=0 skips training and keeps the sampled init (reference edge)") {
+    val df = demoDF(100)
+    val model = new SOM().setHeight(2).setWidth(2).setMaxIter(0).setSeed(9).fit(df)
+    assert(model.prototypes.length == 4)
+    assert(model.objectiveHistory.isEmpty)
+  }
+
+  test("warm start via setInitialModel reuses prototypes") {
+    val df = demoDF(200)
+    val m0 = new SOM().setHeight(2).setWidth(2).setMaxIter(2).setSeed(3).fit(df)
+    val m1 = new SOM().setHeight(2).setWidth(2).setMaxIter(0).setInitialModel(m0).fit(df)
+    m0.prototypes.zip(m1.prototypes).foreach { case (a, b) => assert(Vectors.sqdist(a, b) == 0.0) }
+    // grid-size mismatch is rejected (reference bug fixed, SURVEY §7.3.2)
+    intercept[IllegalArgumentException](new SOM().setHeight(3).setWidth(3).setInitialModel(m0))
+  }
+
+  test("array<float> and array<double> feature columns work end-to-end") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .withColumnRenamed("embedding", "features")
+    val model = new SOM().setHeight(3).setWidth(3).setMaxIter(3).setSeed(11).fit(emb)
+    val out = model.transform(emb)
+    assert(out.where(org.apache.spark.sql.functions.col("prediction").isNotNull).count() == emb.count())
+    val cost = model.computeCost(emb)
+    assert(cost > 0)
+  }
+
+  test("model save/load round-trips prototypes") {
+    val df = demoDF(100)
+    val m = new SOM().setHeight(2).setWidth(3).setMaxIter(2).setSeed(4).fit(df)
+    val path = java.nio.file.Files.createTempDirectory("sommodel").toString + "/m"
+    m.save(spark, path)
+    val loaded = SOMModel.load(spark, path, 2, 3)
+    m.prototypes.zip(loaded.prototypes).foreach { case (a, b) => assert(Vectors.sqdist(a, b) == 0.0) }
+  }
+
+  test("param validators reject bad values") {
+    intercept[IllegalArgumentException](new SOM().setHeight(1))
+    intercept[IllegalArgumentException](new SOM().setKernel("triangular"))
+    intercept[IllegalArgumentException](new SOM().setDecay("cosine"))
+    intercept[IllegalArgumentException](new SOM().setTopology("hexagonal"))
+    intercept[IllegalArgumentException](new SOM().setMaxIter(-1))
+  }
+}

@@ -31,6 +31,17 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # rows-only check for query dumps without an oracle entry
+    for d in sorted(glob.glob(f"{outdir}/*/")):
+        name = os.path.basename(d.rstrip("/"))
+        if name in oracle:
+            continue
+        files = glob.glob(f"{d}/*.parquet")
+        n = con.execute(f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0] if files else 0
+        if n > 0:
+            print(f"PASS {name} (rows-only, {n} rows)"); n_pass += 1
+        else:
+            print(f"FAIL {name}: rows-only check, 0 rows"); n_fail += 1
     for name, sql in sorted(oracle.items()):
         spark_files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not spark_files:
