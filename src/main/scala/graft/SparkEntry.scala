@@ -18,11 +18,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.SomQueries.queries ++
-    graft.queries.MlQueries.queries
+    graft.queries.MlQueries.queries ++
+    graft.queries.RelationalQueries.queries ++
+    graft.queries.EventQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.SomQueries.oracleSql ++
-    graft.queries.MlQueries.oracleSql
+    graft.queries.MlQueries.oracleSql ++
+    graft.queries.RelationalQueries.oracleSql ++
+    graft.queries.EventQueries.oracleSql
 }

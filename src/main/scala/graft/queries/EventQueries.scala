@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series / event-stream capability queries over the `events` table:
+  * tumbling-window aggregation, gaps-and-islands sessionization, and
+  * JSON-ish property extraction. The same transformations run unchanged
+  * under Structured Streaming (see `graft.streaming.EventStream`) — here
+  * they're expressed in batch so DuckDB can oracle-check them.
+  *
+  * Determinism: all session logic runs on exact integer epoch-microseconds
+  * (`unix_micros` / DuckDB `epoch_us`), never float timestamps; window keys
+  * are formatted strings (parquet ns-vs-us timestamp types differ between
+  * engines, strings don't).
+  */
+object EventQueries {
+
+  /** events.parquet stores `timestamp[ns]`, which Spark 4's vectorized reader
+    * refuses (PARQUET_TYPE_ILLEGAL). Read nanos as a plain long and convert
+    * explicitly — integer arithmetic, no precision surprises; DuckDB's
+    * `epoch_us` on its native ns read floors identically. */
+  private def ev(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_us", expr("ts div 1000"))
+  }
+
+  /** Tumbling 1-hour window per event type: count + value sum.
+    * Streaming twin: `groupBy(window($"ts", "1 hour"), $"event_type")`. */
+  def hourly(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(
+        date_format(date_trunc("hour", timestamp_micros(col("ts_us"))), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+
+  /** Sessionization: per-user sessions split on >30-minute inactivity gaps
+    * (gaps-and-islands via lag + running sum). Streaming twin:
+    * `session_window($"ts", "30 minutes")` / flatMapGroupsWithState. */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    ev(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+      .withColumn("new_session",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) > 1800L * 1000000L, 1)
+          .when(lag(col("ts_us"), 1).over(byUser).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        ((max(col("ts_us")) - min(col("ts_us"))) / lit(1000000L)).cast("long").as("duration_s"),
+        round(sum(col("value")), 4).as("sum_value"))
+  }
+
+  /** JSON-ish property extraction (regexp — engine-portable) + histogram. */
+  def propsHistogram(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .select(regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int").as("k"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Event funnel: per user, first 'view' followed by a later 'purchase'. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("user_id"), col("event_type"), col("ts_us"))
+    val firstView = e.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("first_view_us"))
+    val purchases = e.where(col("event_type") === "purchase")
+    firstView.join(purchases, "user_id")
+      .where(col("ts_us") > col("first_view_us"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases_after_view"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_hourly" -> hourly _,
+    "events_sessionize" -> sessionize _,
+    "events_props_histogram" -> propsHistogram _,
+    "events_funnel" -> funnel _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        | event_type, CAST(count(*) AS BIGINT) AS n,
+        | round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_props_histogram" ->
+      """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 10 AS k_mod,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    "events_funnel" ->
+      """WITH fv AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS first_view_us
+        |  FROM events WHERE event_type = 'view' GROUP BY 1)
+        |SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_purchases_after_view
+        |FROM events e JOIN fv ON e.user_id = fv.user_id
+        |WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > fv.first_view_us
+        |GROUP BY 1""".stripMargin,
+  ) + ("events_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts_us, value,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+        |         WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+        |         ELSE 0 END AS new_session
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |numbered AS (
+        |  SELECT user_id, ts_us, value,
+        |    sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST((max(ts_us) - min(ts_us)) // 1000000 AS BIGINT) AS duration_s,
+        |  round(sum(value), 4) AS sum_value
+        |FROM numbered GROUP BY 1, 2""".stripMargin)
+}

@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational capability queries over the TPC-H-ish star schema — the
+  * operator categories the reference lacks (SURVEY.md §2.3 "ABSENT" rows):
+  * scans, filters, multi-way joins, hash aggregation, rollup, window
+  * functions, global top-k, set ops, distinct aggregation, date/string
+  * scalar functions. Each is paired with a DuckDB oracle.
+  *
+  * Scale stance (100 TB): dimension sides (region/nation/supplier/customer)
+  * are always `broadcast()` so the lineitem scan never shuffles for joins;
+  * aggregations group on low-cardinality keys (partial agg collapses before
+  * the exchange); top-k is `orderBy+limit` (Spark runs TakeOrderedAndProject
+  * — no global sort materialization). Float aggregates are rounded in both
+  * engines; ORDER BY uses the rounded value so ordering can't flip on
+  * last-ulp differences.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** TPC-H Q1-style pricing summary: filter + hash agg + scalar math. */
+  def q1Pricing(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3-style: 3-way join + agg + deterministic top-10. */
+  def q3TopRevenue(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+    val ord = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: region→nation→supplier→lineitem chain, revenue per nation. */
+  def q5NationRevenue(s: SparkSession, dir: String): DataFrame = {
+    val reg = t(s, dir, "region").where(col("r_name") === "ASIA")
+    val nat = t(s, dir, "nation")
+    val sup = t(s, dir, "supplier")
+    val li = t(s, dir, "lineitem")
+    li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Window function: top-3 orders per customer by price (row_number). */
+  def qWindowRank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rn"),
+        round(col("o_totalprice"), 2).as("price"))
+  }
+
+  /** Global deterministic top-20 (TakeOrderedAndProject, no full sort). */
+  def qTop20(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 2).as("price"))
+      .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(20)
+
+  /** Set operation: customers with both a finished and an open order. */
+  def qSetIntersect(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    ord.where(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .intersect(ord.where(col("o_orderstatus") === "O").select(col("o_custkey")))
+  }
+
+  /** Distinct aggregation + HAVING: parts sourced from ≥3 suppliers. */
+  def qDistinctHaving(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"))
+      .where(col("n_supp") >= 3)
+
+  /** Date + conditional aggregation: monthly discounted-sales summary. */
+  def qMonthly(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(when(col("l_discount") > 0.05, col("l_extendedprice")).otherwise(lit(0.0))), 2)
+          .as("discounted_sales"))
+
+  /** Rollup: subtotals + grand total over two grouping columns. */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing" -> q1Pricing _,
+    "q3_top_revenue" -> q3TopRevenue _,
+    "q5_nation_revenue" -> q5NationRevenue _,
+    "q_window_rank" -> qWindowRank _,
+    "q_top20" -> qTop20 _,
+    "q_set_intersect" -> qSetIntersect _,
+    "q_distinct_having" -> qDistinctHaving _,
+    "q_monthly" -> qMonthly _,
+    "q_rollup" -> qRollup _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_discount), 6) AS avg_disc,
+        | CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2""".stripMargin,
+    "q3_top_revenue" ->
+      """SELECT l_orderkey,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_nation_revenue" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rn, round(o_totalprice, 2) AS price
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |       CAST(row_number() OVER (PARTITION BY o_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3""".stripMargin,
+    "q_top20" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+        |FROM lineitem
+        |ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
+    "q_set_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
+    "q_distinct_having" ->
+      """SELECT l_partkey, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+        |FROM lineitem GROUP BY 1 HAVING count(DISTINCT l_suppkey) >= 3""".stripMargin,
+    "q_monthly" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS month,
+        | CAST(count(*) AS BIGINT) AS n,
+        | round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END), 2)
+        |   AS discounted_sales
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+  )
+}
