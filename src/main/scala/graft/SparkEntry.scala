@@ -20,7 +20,9 @@ object SparkEntry {
     graft.queries.SomQueries.queries ++
     graft.queries.MlQueries.queries ++
     graft.queries.RelationalQueries.queries ++
-    graft.queries.EventQueries.queries
+    graft.queries.EventQueries.queries ++
+    graft.queries.TextDedupQueries.queries ++
+    graft.queries.SimilarityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +30,7 @@ object SparkEntry {
     graft.queries.SomQueries.oracleSql ++
     graft.queries.MlQueries.oracleSql ++
     graft.queries.RelationalQueries.oracleSql ++
-    graft.queries.EventQueries.oracleSql
+    graft.queries.EventQueries.oracleSql ++
+    graft.queries.TextDedupQueries.oracleSql ++
+    graft.queries.SimilarityQueries.oracleSql
 }

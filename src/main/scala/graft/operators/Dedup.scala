@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorSql.md5Hash60
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and inverted-index n-gram Jaccard. Everything is expressed as
+  * declarative DataFrame transforms over exact integer hashing (portable
+  * md5-prefix hash, see [[graft.functions.VectorSql.md5Hash60]]) so the
+  * DuckDB oracle reproduces results bit-for-bit.
+  *
+  * Scale notes (100 TB):
+  *  - exact dedup is one hash-shuffle on the digest — the canonical pattern.
+  *  - MinHash: per-doc signatures are a single groupBy over exploded
+  *    shingles; LSH banding turns the quadratic pair search into an
+  *    equi-join on (band, key); exact Jaccard runs only on candidates.
+  *  - the shingle-join (inverted index) and band-join are both skew-prone on
+  *    pathological corpora (a shingle present in every doc): production runs
+  *    add a document-frequency cap on shingles before the join; the capped
+  *    variant is `jaccardPairs(maxShingleDf = ...)`.
+  *  - SimHash pair search uses the pigeonhole banding (4 chunks of 15 bits —
+  *    hamming ≤ 3 guarantees one exact chunk match), again an equi-join.
+  */
+object Dedup {
+
+  val NumMinhash = 16
+  val MinhashP = 1000000007L // 30-bit prime: a*h+b stays < 2^63 exactly
+
+  /** Exact dedup survivors: min id per md5(text) group. */
+  def exactSurvivors(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.groupBy(md5(col(text)).as("digest"))
+      .agg(min(col(id)).as("survivor_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct (id, shingle) pairs — the inverted-index base relation. */
+  def docShingles(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id).as("doc"), explode(TextOps.shingles3(col(text))).as("sh")).distinct()
+
+  /** MinHash signatures: (doc, h ∈ [0,16), minhash). Affine permutations
+    * h_i(x) = (a_i·(x mod p) + b_i) mod p over the 60-bit shingle hash. */
+  def minhashSignatures(docShingles: DataFrame): DataFrame = {
+    val hashes = explode(sequence(lit(0), lit(NumMinhash - 1))).as("h")
+    docShingles
+      .select(col("doc"), (md5Hash60(col("sh")) % MinhashP).as("x"))
+      .select(col("doc"), col("x"), hashes)
+      .select(col("doc"), col("h"),
+        (((col("h") * 2 + 3) * col("x") + col("h") * 97 + 1) % MinhashP).as("hx"))
+      .groupBy(col("doc"), col("h"))
+      .agg(min(col("hx")).as("minhash"))
+  }
+
+  /** LSH candidate pairs: docs sharing any band (4 bands × 4 rows). */
+  def lshCandidates(signatures: DataFrame): DataFrame = {
+    // collect_list is unordered — sort by (h, minhash) struct before keying.
+    val banded = signatures
+      .groupBy(col("doc"), (col("h") / 4).cast("int").as("band"))
+      .agg(concat_ws(",",
+        transform(sort_array(collect_list(struct(col("h"), col("minhash")))),
+          s => s.getField("minhash").cast("string"))).as("key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard via the inverted-index join, optionally restricted to
+    * candidate pairs, with a document-frequency cap for skew resistance. */
+  def jaccardPairs(docShingles: DataFrame, minJaccard: Double,
+                   candidates: Option[DataFrame] = None,
+                   maxShingleDf: Option[Int] = None): DataFrame = {
+    val ds = maxShingleDf match {
+      case Some(cap) =>
+        val rare = docShingles.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .where(col("df") <= cap).select(col("sh"))
+        docShingles.join(rare, "sh")
+      case None => docShingles
+    }
+    val sizes = ds.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    val inter = ds.as("a").join(ds.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val withCand = candidates match {
+      case Some(c) => inter.join(c, Seq("doc_a", "doc_b"))
+      case None => inter
+    }
+    withCand
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  val SimhashBits = 60
+
+  /** 60-bit SimHash over distinct whitespace tokens: bit b is the sign of the
+    * vote Σ_tokens (2·bit_b(hash)−1); ties (vote 0) resolve to 0. */
+  def simhash(docs: DataFrame, id: String, text: String): DataFrame = {
+    val toks = docs
+      .select(col(id).as("doc"), explode(TextOps.tokens(col(text))).as("tok")).distinct()
+      .select(col("doc"), md5Hash60(col("tok")).as("x"))
+    toks
+      .select(col("doc"), col("x"), explode(sequence(lit(0), lit(SimhashBits - 1))).as("b"))
+      .groupBy(col("doc"), col("b"))
+      .agg(sum(expr("shiftright(x, b) % 2 * 2 - 1")).as("vote"))
+      .groupBy(col("doc"))
+      .agg(sum(when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L))
+        .as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash hamming distance ≤ maxHamming (≤3 with 4
+    * chunks): pigeonhole banding on 15-bit chunks → equi-join, then exact
+    * hamming via bit_count(xor). */
+  def simhashPairs(simhashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunks = simhashes.select(col("doc"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("chunk"))
+      .withColumn("ckey", expr("shiftright(simhash, chunk * 15) % 32768"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+        col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorSql._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two tiers (as the build target demands):
+  *  - [[bruteTopK]]: exact cosine top-k — probe set broadcast against the
+  *    full corpus, per-probe partial top-k via window argmin. The baseline.
+  *  - [[ivfTopK]]: IVF-style: corpus pre-partitioned into cells by nearest
+  *    centroid (the SOM prototype table doubles as the coarse quantizer);
+  *    probes scan only the `nprobe` nearest cells. At 100 TB the cell
+  *    assignment is the only full pass; each query touches ~nprobe/K of the
+  *    data, and the cell-assigned corpus can be bucketed/partitioned by cell
+  *    on disk so a probe reads only its cells' files (partition pruning).
+  *
+  * Cosines are bit-identical with the DuckDB oracle (same left-to-right
+  * folds) so top-k ordering with id tie-break needs no tolerance.
+  */
+object Similarity {
+
+  /** (vec_id, v) against (probe_id, p): exact top-k by cosine, per probe.
+    * Self-pairs excluded. */
+  def bruteTopK(points: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+    points.crossJoin(broadcast(probes))
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), cosine(col("v"), col("p")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** IVF top-k: points pre-assigned to `cell` (nearest centroid), probes scan
+    * the nprobe nearest cells only.
+    * @param assigned (vec_id, v, cell)
+    * @param centroids (cell, c) — small, broadcast
+    * @param probes (probe_id, p) */
+  def ivfTopK(assigned: DataFrame, centroids: DataFrame, probes: DataFrame,
+              k: Int, nprobe: Int): DataFrame = {
+    // probe → nprobe nearest cells (tiny cross join, all broadcast-side)
+    val cellRank = Window.partitionBy(col("probe_id")).orderBy(col("cd2"), col("cell"))
+    val probeCells = probes.crossJoin(broadcast(centroids))
+      .select(col("probe_id"), col("p"), col("cell"), sqDist(col("p"), col("c")).as("cd2"))
+      .withColumn("crn", row_number().over(cellRank))
+      .where(col("crn") <= nprobe)
+      .select(col("probe_id"), col("p"), col("cell"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(probeCells), "cell")
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), cosine(col("v"), col("p")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Embedding near-dup: each vector's nearest neighbor within its IVF cell
+    * (blocked all-pairs — never the global N² join), kept if cosine ≥
+    * minCos. @param assigned (vec_id, v, cell) */
+  def nearestInCell(assigned: DataFrame, minCos: Double): DataFrame = {
+    val w = Window.partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id"))
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        cosine(col("a.v"), col("b.v")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && col("cos") >= minCos)
+      .select(col("a_id").as("vec_id"), col("b_id").as("nn_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+}

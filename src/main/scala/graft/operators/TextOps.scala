@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenization, quality
+  * stats, BPE-ish token counting, n-gram shingling, language-ID scoring and
+  * fingerprinting. All pure Catalyst column expressions (codegen-friendly, no
+  * UDFs) with exact DuckDB-oracle twins.
+  *
+  * These extend the reference's surface (it has no string ops — SURVEY.md
+  * §2.3): they're the LLM-data-pipeline tier demanded by the build target.
+  */
+object TextOps {
+
+  /** Whitespace tokens, empties dropped. DuckDB twin:
+    * `list_filter(string_split(text, ' '), x -> x != '')`. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), x => x =!= "")
+
+  /** 3-token shingles joined by spaces; whole text if fewer than 3 tokens.
+    * DuckDB twin uses `list_transform(range(1, len-1), ...)`. */
+  def shingles3(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) < 3, array(text)).otherwise(
+      transform(sequence(lit(0), size(t) - 3), i =>
+        concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
+  }
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single other
+    * non-space chars — the shape a byte-pair pretokenizer produces. */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+  def bpeTokenCount(text: Column): Column = regexp_count(text, lit(BpePattern))
+
+  /** Letters-only ratio of the text (quality signal). */
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") / length(text)
+
+  /** Count of tokens present in a literal stopword list (non-distinct —
+    * every hit counts). Portable: membership test per token. */
+  def stopwordHits(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(stopwords: _*)))
+
+  /** Language-ID stopword tables (tiny, per-language function words). */
+  val StopwordTable: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "他"),
+  )
+}

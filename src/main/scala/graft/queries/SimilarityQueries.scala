@@ -1,0 +1,111 @@
+package graft.queries
+
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search catalog: exact brute-force cosine top-k, IVF-bucketed
+  * approximate top-k (SOM prototypes as the coarse quantizer), and
+  * nearest-neighbor-in-cell embedding near-dup. All oracle-checkable: the
+  * IVF approximation is *deterministically* defined (nearest-2-cells), so
+  * DuckDB reproduces the same approximate result set exactly.
+  */
+object SimilarityQueries {
+  val K = 10
+  val NProbe = 2
+  val NumProbes = 5
+  val MinCos = 0.3
+
+  private def pts(s: SparkSession, dir: String): DataFrame =
+    SomQueries.points(s, dir)
+
+  private def probes(s: SparkSession, dir: String): DataFrame =
+    pts(s, dir).where(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("p"))
+
+  /** (vec_id, v, cell): corpus with IVF cell assignment (nearest prototype). */
+  private def assigned(s: SparkSession, dir: String): DataFrame = {
+    val protos = SomQueries.protos(s, dir)
+    pts(s, dir).crossJoin(broadcast(protos))
+      .select(col("vec_id"), col("v"), col("proto_id"),
+        graft.functions.VectorSql.sqDist(col("v"), col("c")).as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("proto_id"))).as("m"), first(col("v")).as("v"))
+      .select(col("vec_id"), col("v"), col("m.proto_id").as("cell"))
+  }
+
+  def annBrute(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteTopK(pts(s, dir), probes(s, dir), K)
+
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val centroids = SomQueries.protos(s, dir)
+      .select(col("proto_id").as("cell"), col("c"))
+    Similarity.ivfTopK(assigned(s, dir), centroids, probes(s, dir), K, NProbe)
+  }
+
+  def nearDupNN(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearestInCell(assigned(s, dir), MinCos)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_brute" -> annBrute _,
+    "ann_ivf" -> annIvf _,
+    "dedup_embedding_nn" -> nearDupNN _,
+  )
+
+  // ---- oracle CTEs ----
+  private val base =
+    s"""pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |protos AS (SELECT CAST(vec_id AS BIGINT) AS cell, CAST(embedding AS DOUBLE[]) AS c
+       |  FROM embeddings WHERE vec_id < 9),
+       |probes AS (SELECT vec_id AS probe_id, v AS p FROM pts WHERE vec_id < $NumProbes)""".stripMargin
+  private def dotE(a: String, b: String) =
+    s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
+  private def cosE(a: String, b: String) =
+    s"${dotE(a, b)} / (sqrt(${dotE(a, a)}) * sqrt(${dotE(b, b)}))"
+  private val assignedCte =
+    s"""d0 AS (SELECT p.vec_id, p.v, pr.cell,
+       |  list_sum(list_transform(range(1, 65), i -> (p.v[i]-pr.c[i])*(p.v[i]-pr.c[i]))) AS d2
+       | FROM pts p CROSS JOIN protos pr),
+       |asg AS (SELECT vec_id, v, cell FROM
+       |  (SELECT vec_id, v, cell, row_number() OVER
+       |    (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM d0)
+       |  WHERE rn = 1)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "ann_brute" ->
+      s"""WITH $base,
+         |d AS (SELECT probe_id, vec_id, ${cosE("v", "p")} AS cos
+         |  FROM pts CROSS JOIN probes WHERE vec_id != probe_id),
+         |r AS (SELECT probe_id, vec_id, cos, row_number() OVER
+         |  (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn FROM d)
+         |SELECT probe_id, CAST(rn AS INT) AS rank, vec_id AS neighbor_id,
+         | round(cos, 6) AS cos_sim
+         |FROM r WHERE rn <= $K""".stripMargin,
+    "ann_ivf" ->
+      s"""WITH $base, $assignedCte,
+         |pc AS (SELECT probe_id, p, cell FROM
+         |  (SELECT pb.probe_id, pb.p, pr.cell, row_number() OVER
+         |    (PARTITION BY pb.probe_id ORDER BY
+         |      list_sum(list_transform(range(1, 65), i -> (pb.p[i]-pr.c[i])*(pb.p[i]-pr.c[i]))),
+         |      pr.cell) AS crn
+         |   FROM probes pb CROSS JOIN protos pr)
+         |  WHERE crn <= $NProbe),
+         |d AS (SELECT pc.probe_id, a.vec_id, ${cosE("a.v", "pc.p")} AS cos
+         |  FROM asg a JOIN pc ON a.cell = pc.cell
+         |  WHERE a.vec_id != pc.probe_id),
+         |r AS (SELECT probe_id, vec_id, cos, row_number() OVER
+         |  (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn FROM d)
+         |SELECT probe_id, CAST(rn AS INT) AS rank, vec_id AS neighbor_id,
+         | round(cos, 6) AS cos_sim
+         |FROM r WHERE rn <= $K""".stripMargin,
+    "dedup_embedding_nn" ->
+      s"""WITH $base, $assignedCte,
+         |pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |   ${cosE("a.v", "b.v")} AS cos
+         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id != b.vec_id),
+         |r AS (SELECT a_id, b_id, cos, row_number() OVER
+         |  (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn FROM pairs)
+         |SELECT a_id AS vec_id, b_id AS nn_id, round(cos, 6) AS cos_sim
+         |FROM r WHERE rn = 1 AND cos >= $MinCos""".stripMargin,
+  )
+}

@@ -1,0 +1,188 @@
+package graft.queries
+
+import graft.operators.{Dedup, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication catalog entries over `documents`, each with
+  * a DuckDB oracle. The hashing is the portable md5-prefix integer hash so
+  * both engines agree exactly; float ratios come from exact-integer division
+  * (bit-identical) and are rounded in both engines.
+  */
+object TextDedupQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Per-document quality stats: token counts, BPE-ish token count, alpha
+    * ratio, average token length. */
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    val t = TextOps.tokens(col("text"))
+    docs(s, dir).select(
+      col("doc_id"),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_distinct"),
+      TextOps.bpeTokenCount(col("text")).cast("int").as("bpe_tokens"),
+      round(TextOps.alphaRatio(col("text")), 6).as("alpha_ratio"),
+      round(aggregate(transform(t, x => length(x)), lit(0), _ + _).cast("double") / size(t), 4)
+        .as("avg_tok_len"))
+  }
+
+  /** Heuristic language ID: stopword-hit scores per language, fixed-priority
+    * argmax. */
+  def textLangId(s: SparkSession, dir: String): DataFrame = {
+    val scored = docs(s, dir).select(
+      col("doc_id") +: TextOps.StopwordTable.map { case (lang, words) =>
+        TextOps.stopwordHits(col("text"), words).as(s"s_$lang")
+      }: _*)
+    val Seq(en, de, es, fr, zh) = TextOps.StopwordTable.map(p => col(s"s_${p._1}"))
+    scored.withColumn("pred",
+      when(en >= de && en >= es && en >= fr && en >= zh, "en")
+        .when(de >= es && de >= fr && de >= zh, "de")
+        .when(es >= fr && es >= zh, "es")
+        .when(fr >= zh, "fr")
+        .otherwise("zh"))
+  }
+
+  /** Document fingerprints: mod-64-selected shingle hashes (winnowing-style
+    * content signature). */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    Dedup.docShingles(docs(s, dir), "doc_id", "text")
+      .select(col("doc"), graft.functions.VectorSql.md5Hash60(col("sh")).as("fp"))
+      .where(col("fp") % 64 === 0)
+      .distinct()
+
+  /** 60-bit SimHash per document. */
+  def textSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(docs(s, dir), "doc_id", "text")
+
+  /** Exact dedup: survivor (min doc_id) per content digest. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactSurvivors(docs(s, dir), "doc_id", "text")
+
+  /** MinHash signatures (16 affine permutations over 3-token shingles). */
+  def dedupMinhashSig(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSignatures(Dedup.docShingles(docs(s, dir), "doc_id", "text"))
+
+  /** Near-dup pairs: LSH band candidates → exact Jaccard ≥ 0.8. */
+  def dedupMinhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val ds = Dedup.docShingles(docs(s, dir), "doc_id", "text")
+    val cand = Dedup.lshCandidates(Dedup.minhashSignatures(ds))
+    Dedup.jaccardPairs(ds, 0.8, candidates = Some(cand))
+  }
+
+  /** Near-dup pairs by SimHash hamming ≤ 3 (pigeonhole band join). */
+  def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Dedup.simhash(docs(s, dir), "doc_id", "text"))
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> textStats _,
+    "text_langid" -> textLangId _,
+    "text_fingerprint" -> textFingerprint _,
+    "text_simhash" -> textSimhash _,
+    "dedup_exact" -> dedupExact _,
+    "dedup_minhash_sig" -> dedupMinhashSig _,
+    "dedup_minhash_pairs" -> dedupMinhashPairs _,
+    "dedup_simhash_pairs" -> dedupSimhashPairs _,
+  )
+
+  // ---- shared oracle CTE fragments ----
+  private val toksCte =
+    """toks AS (SELECT doc_id, text,
+      | list_filter(string_split(text, ' '), x -> x != '') AS t FROM documents)""".stripMargin
+  private val shinglesCte =
+    """shs AS (SELECT doc_id AS doc, unnest(
+      |   CASE WHEN len(t) < 3 THEN [text]
+      |        ELSE list_transform(range(1, len(t) - 1),
+      |               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS sh
+      | FROM toks),
+      |dsh AS (SELECT DISTINCT doc, sh FROM shs)""".stripMargin
+  private def h60(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+  private val sigCte =
+    s"""hx AS (SELECT doc, ${h60("sh")} % 1000000007 AS x FROM dsh),
+       |sig AS (SELECT doc, CAST(h.h AS INT) AS h,
+       |  min(((h.h * 2 + 3) * x + h.h * 97 + 1) % 1000000007) AS minhash
+       | FROM hx CROSS JOIN (SELECT unnest(range(0, 16)) AS h) h
+       | GROUP BY 1, 2)""".stripMargin
+  private val simhashCte =
+    s"""dt AS (SELECT DISTINCT doc_id AS doc, tok
+       |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
+       |hv AS (SELECT doc, ${h60("tok")} AS x FROM dt),
+       |votes AS (SELECT doc, b.b, sum((x >> b.b) % 2 * 2 - 1) AS vote
+       |  FROM hv CROSS JOIN (SELECT unnest(range(0, 60)) AS b) b GROUP BY 1, 2),
+       |sh64 AS (SELECT doc, CAST(sum(CASE WHEN vote > 0
+       |    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY 1)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "text_stats" ->
+      s"""WITH $toksCte
+         |SELECT doc_id,
+         | CAST(len(t) AS INT) AS n_tokens,
+         | CAST(len(list_distinct(t)) AS INT) AS n_distinct,
+         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT) AS bpe_tokens,
+         | round(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / len(text), 6) AS alpha_ratio,
+         | round(list_sum(list_transform(t, x -> len(x))) * 1.0 / len(t), 4) AS avg_tok_len
+         |FROM toks""".stripMargin,
+    "text_langid" -> {
+      val scores = TextOps.StopwordTable.map { case (lang, words) =>
+        val lits = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"CAST(len(list_filter(t, x -> list_contains($lits, x))) AS INT) AS s_$lang"
+      }.mkString(",\n ")
+      s"""WITH $toksCte,
+         |scored AS (SELECT doc_id, $scores FROM toks)
+         |SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh,
+         | CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |      WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |      WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |      WHEN s_fr >= s_zh THEN 'fr'
+         |      ELSE 'zh' END AS pred
+         |FROM scored""".stripMargin
+    },
+    "text_fingerprint" ->
+      s"""WITH $toksCte, $shinglesCte
+         |SELECT DISTINCT doc, ${h60("sh")} AS fp FROM dsh
+         |WHERE ${h60("sh")} % 64 = 0""".stripMargin,
+    "text_simhash" ->
+      s"""WITH $toksCte, $simhashCte
+         |SELECT doc, simhash FROM sh64""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS digest, min(doc_id) AS survivor_id,
+        | CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_minhash_sig" ->
+      s"""WITH $toksCte, $shinglesCte, $sigCte
+         |SELECT doc, h, minhash FROM sig""".stripMargin,
+    "dedup_minhash_pairs" ->
+      s"""WITH $toksCte, $shinglesCte, $sigCte,
+         |banded AS (SELECT doc, h // 4 AS band,
+         |   string_agg(minhash::VARCHAR, ',' ORDER BY h, minhash) AS key
+         |  FROM sig GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc < b.doc),
+         |sizes AS (SELECT doc, count(*) AS n FROM dsh GROUP BY 1),
+         |inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS c
+         |  FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc < b.doc
+         |  GROUP BY 1, 2),
+         |jac AS (SELECT i.doc_a, i.doc_b,
+         |   i.c * 1.0 / (sa.n + sb.n - i.c) AS jaccard
+         |  FROM inter i
+         |  JOIN cand USING (doc_a, doc_b)
+         |  JOIN sizes sa ON i.doc_a = sa.doc
+         |  JOIN sizes sb ON i.doc_b = sb.doc)
+         |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+         |FROM jac WHERE jaccard >= 0.8""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""WITH $toksCte, $simhashCte,
+         |chunks AS (SELECT doc, simhash, c.c AS chunk,
+         |   (simhash >> (c.c * 15)) % 32768 AS ckey
+         |  FROM sh64 CROSS JOIN (SELECT unnest(range(0, 4)) AS c) c)
+         |SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+         | CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM chunks a JOIN chunks b
+         |  ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc < b.doc
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+  )
+}
