@@ -22,7 +22,8 @@ object SparkEntry {
     graft.queries.RelationalQueries.queries ++
     graft.queries.EventQueries.queries ++
     graft.queries.TextDedupQueries.queries ++
-    graft.queries.SimilarityQueries.queries
+    graft.queries.SimilarityQueries.queries ++
+    graft.queries.MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
     graft.queries.RelationalQueries.oracleSql ++
     graft.queries.EventQueries.oracleSql ++
     graft.queries.TextDedupQueries.oracleSql ++
-    graft.queries.SimilarityQueries.oracleSql
+    graft.queries.SimilarityQueries.oracleSql ++
+    graft.queries.MultimodalQueries.oracleSql
 }

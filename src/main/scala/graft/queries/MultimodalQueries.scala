@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal catalog entries. The testdata ships no real media table, so the
+  * binary column is manufactured deterministically (ASCII-filtered text cast
+  * to bytes) — which keeps the metadata/digest path oracle-checkable
+  * end-to-end; the decode path is exercised by unit tests (stubbed codec, see
+  * `graft.operators.Multimodal`).
+  */
+object MultimodalQueries {
+
+  /** Byte-level metadata over a binary payload column: size + digest +
+    * a 4-bucket shard key. Pure column expressions, no decode. */
+  def mmByteStats(s: SparkSession, dir: String): DataFrame = {
+    val media = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("media_id"), col("text").cast("binary").as("payload"))
+    Multimodal.byteStats(media)
+      .select(col("media_id"), col("n_bytes").cast("int").as("n_bytes"), col("digest"),
+        (col("media_id") % 4).as("shard"))
+  }
+
+  /** Decoded-feature aggregate: stub-decode the payload into a 16-bin
+    * byte-value histogram, aggregate per bin. Payload is ASCII-filtered so
+    * the DuckDB oracle's codepoint histogram equals the byte histogram —
+    * exact integer arithmetic in both engines. */
+  def mmFeatureAgg(s: SparkSession, dir: String): DataFrame = {
+    val media = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("media_id"),
+        regexp_replace(col("text"), "[^\\x00-\\x7F]", "").cast("binary").as("payload"))
+    Multimodal.extractFeatures(media)
+      .select(col("media_id"), posexplode(col("features")).as(Seq("bin", "cnt")))
+      .where(col("cnt") > 0)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_media"), sum(col("cnt")).cast("long").as("total"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_byte_stats" -> mmByteStats _,
+    "mm_feature_agg" -> mmFeatureAgg _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "mm_byte_stats" ->
+      """SELECT doc_id AS media_id,
+        | CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+        | md5(text) AS digest,
+        | doc_id % 4 AS shard
+        |FROM documents""".stripMargin,
+    "mm_feature_agg" ->
+      """WITH cleaned AS (
+        |  SELECT doc_id AS media_id,
+        |    regexp_replace(text, '[^\x00-\x7F]', '', 'g') AS clean
+        |  FROM documents),
+        |chars AS (
+        |  SELECT media_id, ascii(substr(clean, CAST(i AS INT), 1)) // 16 AS bin
+        |  FROM (SELECT media_id, clean, unnest(range(1, len(clean) + 1)) AS i
+        |        FROM cleaned)),
+        |per_media AS (
+        |  SELECT media_id, bin, count(*) AS cnt FROM chars GROUP BY 1, 2)
+        |SELECT CAST(bin AS INT) AS bin, CAST(count(*) AS BIGINT) AS n_media,
+        |  CAST(sum(cnt) AS BIGINT) AS total
+        |FROM per_media GROUP BY 1""".stripMargin,
+  )
+}

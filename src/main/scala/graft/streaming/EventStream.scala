@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch event queries
+  * (`graft.queries.EventQueries`): the same transformations expressed over an
+  * unbounded source. Batch is the oracle-checkable form; these run the
+  * identical logic with watermarks + state so the engine's streaming claim is
+  * real, not aspirational.
+  *
+  * Source contract: a streaming DataFrame with (event_id long, ts timestamp,
+  * user_id long, event_type string, value double) — e.g.
+  * `spark.readStream.format("rate")` remapped in tests, or a Kafka/file
+  * source in production.
+  *
+  * Scale notes: both queries shuffle once per trigger on the grouping key;
+  * state size is bounded by the watermark (hourly windows age out after the
+  * delay; sessions time out via [[GroupStateTimeout.EventTimeTimeout]]).
+  */
+object EventStream {
+
+  /** Tumbling 1-hour windowed counts/sums per event type with a 10-minute
+    * watermark — streaming twin of `EventQueries.hourly`. */
+  def hourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Int, sum: Double)
+  case class Session(user_id: Long, n_events: Int, duration_s: Long, sum_value: Double)
+
+  /** 30-minute-gap sessionization with explicit state — streaming twin of
+    * `EventQueries.sessionize`, emitting a row when a session times out. */
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = 30L * 60 * 1000
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.n, (s.last - s.start) / 1000, s.sum))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  out += Session(userId, s.n, (s.last - s.start) / 1000, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            out.iterator
+          }
+      }
+  }
+}

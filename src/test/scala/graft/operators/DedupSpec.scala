@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 0
+      (2L, "the quick brown fox jumps over the lazy cat again and again"), // near dup
+      (3L, "completely different content about spark query engines at scale"),
+      (4L, "tiny"),
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps min-id survivor per digest") {
+    val out = Dedup.exactSurvivors(docs, "doc_id", "text").collect()
+    assert(out.length == 4) // 0 and 1 collapse
+    val dupGroup = out.find(_.getLong(2) == 2L).get
+    assert(dupGroup.getLong(1) == 0L)
+  }
+
+  test("shingles: L-2 of them for L>=3 tokens, whole text below") {
+    val sh = Dedup.docShingles(docs, "doc_id", "text")
+    val counts = sh.groupBy("doc").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts(3L) == 9 - 2) // 9 tokens -> 7 3-shingles
+    assert(counts(4L) == 1) // "tiny" -> the text itself
+    val first = sh.where(col("doc") === 3L).select("sh").collect().map(_.getString(0))
+    assert(first.contains("completely different content"))
+  }
+
+  test("minhash: identical docs share all signatures; near-dups share most") {
+    val sig = Dedup.minhashSignatures(Dedup.docShingles(docs, "doc_id", "text"))
+    val byDoc = sig.collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => r.getInt(1) -> r.getLong(2)).toMap).toMap
+    assert(byDoc(0L) == byDoc(1L))
+    val shared23 = (0 until 16).count(h => byDoc(0L)(h) == byDoc(2L)(h))
+    assert(shared23 >= 8, s"near-dups shared only $shared23/16 minhashes")
+    val shared03 = (0 until 16).count(h => byDoc(0L)(h) == byDoc(3L)(h))
+    assert(shared03 <= 4, s"unrelated docs shared $shared03/16 minhashes")
+  }
+
+  test("LSH candidates + exact jaccard find the planted dup pairs only") {
+    val ds = Dedup.docShingles(docs, "doc_id", "text")
+    val cand = Dedup.lshCandidates(Dedup.minhashSignatures(ds))
+    val pairs = Dedup.jaccardPairs(ds, 0.5, candidates = Some(cand)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("jaccard df-cap drops ubiquitous shingles") {
+    val ds = Dedup.docShingles(docs, "doc_id", "text")
+    val capped = Dedup.jaccardPairs(ds, 0.0, maxShingleDf = Some(1)).collect()
+    assert(capped.isEmpty) // every shared shingle has df >= 2 and is dropped
+  }
+
+  test("simhash: equal for identical docs, close for near-dups, 60-bit range") {
+    val sh = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(1L))
+    assert(sh.values.forall(v => v >= 0 && v < (1L << 60)))
+    val hamming02 = java.lang.Long.bitCount(sh(0L) ^ sh(2L))
+    val hamming03 = java.lang.Long.bitCount(sh(0L) ^ sh(3L))
+    assert(hamming02 < hamming03)
+  }
+
+  test("simhash pair search finds identical pair at hamming 0") {
+    val pairs = Dedup.simhashPairs(Dedup.simhash(docs, "doc_id", "text"), maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((0L, 1L)).contains(0))
+  }
+}
