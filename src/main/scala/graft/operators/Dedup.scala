@@ -32,31 +32,48 @@ object Dedup {
     docs.groupBy(md5(col(text)).as("digest"))
       .agg(min(col(id)).as("survivor_id"), count(lit(1)).as("n_copies"))
 
+  /** (id, shingle) occurrences, duplicates included — the cheap base
+    * relation. MinHash is duplicate-insensitive (min over a multiset equals
+    * min over its set), so signatures consume this directly with NO distinct
+    * shuffle; only exact-Jaccard set sizes need dedup, and [[jaccardPairs]]
+    * distincts after restricting to candidate docs. */
+  def docShinglesRaw(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id).as("doc"), explode(TextOps.shingles3(col(text))).as("sh"))
+
   /** Distinct (id, shingle) pairs — the inverted-index base relation. */
   def docShingles(docs: DataFrame, id: String, text: String): DataFrame =
-    docs.select(col(id).as("doc"), explode(TextOps.shingles3(col(text))).as("sh")).distinct()
+    docShinglesRaw(docs, id, text).distinct()
 
   /** MinHash signatures: (doc, h ∈ [0,16), minhash). Affine permutations
-    * h_i(x) = (a_i·(x mod p) + b_i) mod p over the 60-bit shingle hash. */
+    * h_i(x) = (a_i·(x mod p) + b_i) mod p over the 60-bit shingle hash.
+    *
+    * Plan shape: 16 `min` aggregates in ONE hash aggregation over the
+    * shingle stream (map-side partial min per doc), then a zero-shuffle
+    * `stack` unpivot — instead of exploding every shingle 16× before the
+    * shuffle (16× less aggregation input at scale). */
   def minhashSignatures(docShingles: DataFrame): DataFrame = {
-    val hashes = explode(sequence(lit(0), lit(NumMinhash - 1))).as("h")
-    docShingles
-      .select(col("doc"), (md5Hash60(col("sh")) % MinhashP).as("x"))
-      .select(col("doc"), col("x"), hashes)
-      .select(col("doc"), col("h"),
-        (((col("h") * 2 + 3) * col("x") + col("h") * 97 + 1) % MinhashP).as("hx"))
-      .groupBy(col("doc"), col("h"))
-      .agg(min(col("hx")).as("minhash"))
+    val hashed = docShingles.select(col("doc"), (md5Hash60(col("sh")) % MinhashP).as("x"))
+    val mins = (0 until NumMinhash).map { h =>
+      min((lit(h.toLong * 2 + 3) * col("x") + lit(h.toLong * 97 + 1)) % MinhashP).as(s"m$h")
+    }
+    val stackArgs = (0 until NumMinhash).map(h => s"$h, m$h").mkString(", ")
+    hashed.groupBy(col("doc"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc"), expr(s"stack($NumMinhash, $stackArgs) AS (h, minhash)"))
   }
 
   /** LSH candidate pairs: docs sharing any band (4 bands × 4 rows). */
   def lshCandidates(signatures: DataFrame): DataFrame = {
     // collect_list is unordered — sort by (h, minhash) struct before keying.
+    // Persisted: the self-join below would otherwise recompute the whole
+    // signature pipeline (full-corpus shingle scan) once per side. The banded
+    // table is 4 rows/doc of (int, string) — the cheap materialization point.
     val banded = signatures
       .groupBy(col("doc"), (col("h") / 4).cast("int").as("band"))
       .agg(concat_ws(",",
         transform(sort_array(collect_list(struct(col("h"), col("minhash")))),
           s => s.getField("minhash").cast("string"))).as("key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc") < col("b.doc"))
@@ -65,10 +82,20 @@ object Dedup {
   }
 
   /** Exact Jaccard via the inverted-index join, optionally restricted to
-    * candidate pairs, with a document-frequency cap for skew resistance. */
-  def jaccardPairs(docShingles: DataFrame, minJaccard: Double,
+    * candidate pairs, with a document-frequency cap for skew resistance.
+    * Accepts raw (non-distinct) shingles: when candidates are given, the
+    * distinct runs only on the candidate docs' shingles (tiny), never the
+    * full corpus. */
+  def jaccardPairs(docShinglesIn: DataFrame, minJaccard: Double,
                    candidates: Option[DataFrame] = None,
                    maxShingleDf: Option[Int] = None): DataFrame = {
+    val docShingles = (candidates match {
+      case Some(c) =>
+        val candDocs = c.select(col("doc_a").as("doc"))
+          .union(c.select(col("doc_b").as("doc"))).distinct()
+        docShinglesIn.join(broadcast(candDocs), "doc")
+      case None => docShinglesIn
+    }).distinct()
     val ds = maxShingleDf match {
       case Some(cap) =>
         val rare = docShingles.groupBy(col("sh")).agg(count(lit(1)).as("df"))
@@ -77,13 +104,23 @@ object Dedup {
       case None => docShingles
     }
     val sizes = ds.groupBy(col("doc")).agg(count(lit(1)).as("n"))
-    val inter = ds.as("a").join(ds.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+    // With a candidate list the intersection is computed ONLY for candidate
+    // pairs (broadcast the small pair list, join each side's shingles) —
+    // never the full inverted-index self-join. Without candidates, fall back
+    // to the classic shingle self-join (pairs sharing ≥1 shingle).
     val withCand = candidates match {
-      case Some(c) => inter.join(c, Seq("doc_a", "doc_b"))
-      case None => inter
+      case Some(c) =>
+        broadcast(c)
+          .join(ds.as("a"), col("doc_a") === col("a.doc"))
+          .join(ds.as("b"),
+            col("doc_b") === col("b.doc") && col("a.sh") === col("b.sh"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+      case None =>
+        ds.as("a").join(ds.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
+          .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+          .agg(count(lit(1)).as("inter"))
     }
     withCand
       .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n", "na"), "doc_a")
@@ -115,9 +152,12 @@ object Dedup {
     * chunks): pigeonhole banding on 15-bit chunks → equi-join, then exact
     * hamming via bit_count(xor). */
   def simhashPairs(simhashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // persist: the chunk self-join would recompute the simhash pipeline
+    // (token explode + 60-bit votes) once per side otherwise.
     val chunks = simhashes.select(col("doc"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("chunk"))
       .withColumn("ckey", expr("shiftright(simhash, chunk * 15) % 32768"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     chunks.as("a").join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
         col("a.doc") < col("b.doc"))

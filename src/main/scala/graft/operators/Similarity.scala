@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorSql._
@@ -22,13 +22,22 @@ import graft.functions.VectorSql._
   */
 object Similarity {
 
+  /** Norms are precomputed per side — one O(d) fold per VECTOR instead of
+    * two per PAIR; the value is bit-identical to computing sqrt(dot(v,v))
+    * inside the pair (same expression, same input), so the oracle needs no
+    * change. */
+  private def cosFromNorms(v: Column, p: Column, nv: Column, np: Column): Column =
+    dotFast(v, p) / (nv * np)
+
   /** (vec_id, v) against (probe_id, p): exact top-k by cosine, per probe.
     * Self-pairs excluded. */
   def bruteTopK(points: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
-    points.crossJoin(broadcast(probes))
+    points.withColumn("nv", norm2Fast(col("v")))
+      .crossJoin(broadcast(probes.withColumn("np", norm2Fast(col("p")))))
       .where(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"), cosine(col("v"), col("p")).as("cos"))
+      .select(col("probe_id"), col("vec_id"),
+        cosFromNorms(col("v"), col("p"), col("nv"), col("np")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
@@ -45,14 +54,16 @@ object Similarity {
     // probe → nprobe nearest cells (tiny cross join, all broadcast-side)
     val cellRank = Window.partitionBy(col("probe_id")).orderBy(col("cd2"), col("cell"))
     val probeCells = probes.crossJoin(broadcast(centroids))
-      .select(col("probe_id"), col("p"), col("cell"), sqDist(col("p"), col("c")).as("cd2"))
+      .select(col("probe_id"), col("p"), col("cell"), sqDistFast(col("p"), col("c")).as("cd2"))
       .withColumn("crn", row_number().over(cellRank))
       .where(col("crn") <= nprobe)
       .select(col("probe_id"), col("p"), col("cell"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
-    assigned.join(broadcast(probeCells), "cell")
+    assigned.withColumn("nv", norm2Fast(col("v")))
+      .join(broadcast(probeCells.withColumn("np", norm2Fast(col("p")))), "cell")
       .where(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"), cosine(col("v"), col("p")).as("cos"))
+      .select(col("probe_id"), col("vec_id"),
+        cosFromNorms(col("v"), col("p"), col("nv"), col("np")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
@@ -64,10 +75,14 @@ object Similarity {
     * minCos. @param assigned (vec_id, v, cell) */
   def nearestInCell(assigned: DataFrame, minCos: Double): DataFrame = {
     val w = Window.partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id"))
-    assigned.as("a").join(assigned.as("b"),
+    // persist: the cell self-join would recompute the centroid assignment
+    // once per side otherwise.
+    val an = assigned.withColumn("nrm", norm2Fast(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    an.as("a").join(an.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        cosine(col("a.v"), col("b.v")).as("cos"))
+        cosFromNorms(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")).as("cos"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1 && col("cos") >= minCos)
       .select(col("a_id").as("vec_id"), col("b_id").as("nn_id"),

@@ -28,7 +28,7 @@ object SimilarityQueries {
     val protos = SomQueries.protos(s, dir)
     pts(s, dir).crossJoin(broadcast(protos))
       .select(col("vec_id"), col("v"), col("proto_id"),
-        graft.functions.VectorSql.sqDist(col("v"), col("c")).as("d2"))
+        graft.functions.VectorSql.sqDistFast(col("v"), col("c")).as("d2"))
       .groupBy(col("vec_id"))
       .agg(min(struct(col("d2"), col("proto_id"))).as("m"), first(col("v")).as("v"))
       .select(col("vec_id"), col("v"), col("m.proto_id").as("cell"))

@@ -46,7 +46,7 @@ object SomQueries {
   /** point × prototype distances; prototype side broadcast (no shuffle). */
   private def dists(s: SparkSession, dir: String): DataFrame =
     points(s, dir).crossJoin(broadcast(protos(s, dir)))
-      .select(col("vec_id"), col("proto_id"), sqDist(col("v"), col("c")).as("d2"))
+      .select(col("vec_id"), col("proto_id"), sqDistFast(col("v"), col("c")).as("d2"))
 
   /** (vec_id, bmu, d2) best-matching-unit per point, min-id tie-break —
     * relational twin of reference `findClosest` (`som/SOM.scala:306-326`). */

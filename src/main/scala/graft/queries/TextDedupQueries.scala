@@ -47,7 +47,11 @@ object TextDedupQueries {
   /** Document fingerprints: mod-64-selected shingle hashes (winnowing-style
     * content signature). */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
-    Dedup.docShingles(docs(s, dir), "doc_id", "text")
+    // filter-before-distinct: hash every shingle occurrence, keep the mod-64
+    // selected ~1/64, distinct only the survivors (one shuffle of a tiny set
+    // instead of a distinct over the full shingle stream).
+    docs(s, dir)
+      .select(col("doc_id").as("doc"), explode(TextOps.shingles3(col("text"))).as("sh"))
       .select(col("doc"), graft.functions.VectorSql.md5Hash60(col("sh")).as("fp"))
       .where(col("fp") % 64 === 0)
       .distinct()
@@ -60,15 +64,26 @@ object TextDedupQueries {
   def dedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exactSurvivors(docs(s, dir), "doc_id", "text")
 
-  /** MinHash signatures (16 affine permutations over 3-token shingles). */
+  /** MinHash signatures (16 affine permutations over 3-token shingles).
+    * Raw occurrences feed the signature directly — min() is
+    * duplicate-insensitive, so the distinct shuffle is skipped. */
   def dedupMinhashSig(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashSignatures(Dedup.docShingles(docs(s, dir), "doc_id", "text"))
+    Dedup.minhashSignatures(Dedup.docShinglesRaw(docs(s, dir), "doc_id", "text"))
 
-  /** Near-dup pairs: LSH band candidates → exact Jaccard ≥ 0.8. */
+  /** Near-dup pairs: LSH band candidates → exact Jaccard ≥ 0.8.
+    * The candidate set (tiny: only near-dup suspects) is persisted so its
+    * minhash subtree computes once, and the exact-Jaccard confirm re-shingles
+    * ONLY candidate docs — the full corpus is touched exactly once, by the
+    * signature scan. */
   def dedupMinhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val ds = Dedup.docShingles(docs(s, dir), "doc_id", "text")
-    val cand = Dedup.lshCandidates(Dedup.minhashSignatures(ds))
-    Dedup.jaccardPairs(ds, 0.8, candidates = Some(cand))
+    val d = docs(s, dir)
+    val raw = Dedup.docShinglesRaw(d, "doc_id", "text")
+    val cand = Dedup.lshCandidates(Dedup.minhashSignatures(raw))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val rawCand = Dedup.docShinglesRaw(d.join(broadcast(candDocs), "doc_id"), "doc_id", "text")
+    Dedup.jaccardPairs(rawCand, 0.8, candidates = Some(cand))
   }
 
   /** Near-dup pairs by SimHash hamming ≤ 3 (pigeonhole band join). */
