@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+class SimilaritySpec extends SparkSpec {
+
+  private def vecs(n: Int, d: Int, seed: Long) = {
+    val rnd = new Random(seed)
+    import spark.implicits._
+    (0L until n).map(i => (i, Array.fill(d)(rnd.nextDouble()))).toDF("vec_id", "v")
+  }
+
+  test("bruteTopK returns exact cosine ranking, self excluded") {
+    val pts = vecs(100, 8, 1)
+    val probes = pts.where(col("vec_id") < 2).select(col("vec_id").as("probe_id"), col("v").as("p"))
+    val out = Similarity.bruteTopK(pts, probes, 5).collect()
+    assert(out.length == 10)
+    assert(!out.exists(r => r.getLong(0) == r.getLong(2)))
+    // verify against a driver-side naive ranking for probe 0
+    val data = pts.collect().map(r => r.getLong(0) -> r.getAs[Seq[Double]](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val naive = data.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(data(0L), v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+    val got = out.filter(_.getLong(0) == 0L).sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+    assert(got == naive)
+  }
+
+  test("ivfTopK recall: nearest-2-cell candidates contain most true top-k") {
+    val pts = vecs(300, 8, 2)
+    val protos = pts.where(col("vec_id") < 4)
+      .select(col("vec_id").as("cell"), col("v").as("c"))
+    val assigned = pts.crossJoin(broadcast(protos))
+      .select(col("vec_id"), col("v"), col("cell"),
+        graft.functions.VectorSql.sqDistFast(col("v"), col("c")).as("d2"))
+      .groupBy("vec_id").agg(min(struct(col("d2"), col("cell"))).as("m"), first(col("v")).as("v"))
+      .select(col("vec_id"), col("v"), col("m.cell").as("cell"))
+    val probes = pts.where(col("vec_id") < 2).select(col("vec_id").as("probe_id"), col("v").as("p"))
+    val ivf = Similarity.ivfTopK(assigned, protos.select(col("cell"), col("c")), probes, 10, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brute = Similarity.bruteTopK(pts, probes, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (ivf intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall too low for nprobe=2 of 4 cells")
+  }
+
+  test("nearestInCell yields one best neighbor per vector above threshold") {
+    val pts = vecs(50, 4, 3)
+    val protos = pts.where(col("vec_id") < 2)
+      .select(col("vec_id").as("cell"), col("v").as("c"))
+    val assigned = pts.crossJoin(broadcast(protos))
+      .select(col("vec_id"), col("v"), col("cell"),
+        graft.functions.VectorSql.sqDistFast(col("v"), col("c")).as("d2"))
+      .groupBy("vec_id").agg(min(struct(col("d2"), col("cell"))).as("m"), first(col("v")).as("v"))
+      .select(col("vec_id"), col("v"), col("m.cell").as("cell"))
+    val out = Similarity.nearestInCell(assigned, minCos = -1.0).collect()
+    assert(out.map(_.getLong(0)).distinct.length == out.length, "one row per vector")
+    assert(out.length == 50)
+    assert(out.forall(r => r.getLong(0) != r.getLong(1)))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private def one(text: String) = {
+    import spark.implicits._
+    Seq((0L, text)).toDF("doc_id", "text")
+  }
+
+  test("tokens drops empties from repeated/leading/trailing spaces") {
+    val t = one("  a  b c ").select(TextOps.tokens(col("text"))).head().getSeq[String](0)
+    assert(t == Seq("a", "b", "c"))
+  }
+
+  test("shingles3: sliding 3-grams, whole text when short") {
+    val s = one("a b c d").select(TextOps.shingles3(col("text"))).head().getSeq[String](0)
+    assert(s == Seq("a b c", "b c d"))
+    val short = one("a b").select(TextOps.shingles3(col("text"))).head().getSeq[String](0)
+    assert(short == Seq("a b"))
+  }
+
+  test("bpeTokenCount splits letter runs, digit runs, single punct") {
+    val n = one("hello world42 x!?").select(TextOps.bpeTokenCount(col("text"))).head().getInt(0)
+    // hello | world | 42 | x | ! | ?
+    assert(n == 6)
+  }
+
+  test("alphaRatio counts letters over total chars") {
+    val r = one("ab12").select(TextOps.alphaRatio(col("text"))).head().getDouble(0)
+    assert(r == 0.5)
+  }
+
+  test("stopwordHits counts every occurrence, not distinct") {
+    val n = one("the cat the dog the").select(
+      TextOps.stopwordHits(col("text"), Seq("the", "a"))).head().getInt(0)
+    assert(n == 3)
+  }
+
+  test("langid stopword tables are disjoint enough to discriminate") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the cat and the dog of a house is big"),
+      (1L, "der hund und die katze ist ein tier"),
+    ).toDF("doc_id", "text")
+    val en = docs.select(col("doc_id"), TextOps.stopwordHits(col("text"), TextOps.StopwordTable.toMap.apply("en")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val de = docs.select(col("doc_id"), TextOps.stopwordHits(col("text"), TextOps.StopwordTable.toMap.apply("de")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(en(0L) > de(0L))
+    assert(de(1L) > en(1L))
+  }
+}

@@ -1,0 +1,55 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan audit: asserts the scale-critical plan properties so a
+  * regression (lost broadcast, lost pushdown, accidental global sort or
+  * cartesian blow-up) fails CI — the "would this survive 100×?" checklist
+  * from SURVEY.md §4, made mechanical. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("som_assign: prototype side broadcast, filter pushed, partial agg before shuffle") {
+    val p = plan(SomQueries.assign(spark, dir))
+    assert(p.contains("BroadcastExchange"), "prototypes must broadcast")
+    assert(p.contains("LessThan(vec_id,9)"), "proto filter must reach parquet scan")
+    assert(p.contains("partial_min"), "argmin must partial-aggregate map-side")
+    assert(!p.contains("CartesianProduct"), "cross join must build on the broadcast side")
+  }
+
+  test("som_assign: scan reads only the needed columns") {
+    val p = plan(SomQueries.assign(spark, dir))
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
+      "column pruning must reach the parquet scan")
+  }
+
+  test("q3: dimension filter pushed to parquet, joins broadcast, top-k without global sort") {
+    val p = plan(RelationalQueries.q3TopRevenue(spark, dir))
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), "segment filter must push down")
+    assert(p.contains("BroadcastHashJoin"), "dimension joins must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must not globally sort")
+  }
+
+  test("q1: aggregation is partial+final hash agg (map-side combine)") {
+    val p = plan(RelationalQueries.q1Pricing(spark, dir))
+    assert(p.contains("partial_sum") || p.contains("partial_"),
+      "group-by must combine map-side before the exchange")
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("ann queries: probe side broadcast, no shuffle of the corpus for brute top-k") {
+    val p = plan(SimilarityQueries.annBrute(spark, dir))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "probes must broadcast")
+  }
+
+  test("dedup exact: single hash aggregation over the digest") {
+    val p = plan(TextDedupQueries.dedupExact(spark, dir))
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "exact dedup must not join")
+  }
+}
