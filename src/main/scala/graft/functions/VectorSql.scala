@@ -47,29 +47,19 @@ object VectorSql {
   // ---- hot-path twins ----------------------------------------------------
   // Spark's higher-order array functions (aggregate/zip_with) are
   // CodegenFallback — interpreted per element — which dominates runtime when
-  // the vector op sits inside a pair join. These UDFs run the identical
-  // left-to-right fold as a JIT-compiled while loop: same IEEE operation
-  // order, bit-identical results, ~10-100x faster per row. Use them in hot
-  // paths; the declarative forms above remain the readable spec.
+  // the vector op sits inside a pair join. The native codegen expressions in
+  // [[ArrayVectorExpressions]] run the identical left-to-right fold as a
+  // generated Java loop over ArrayData (no materialization, no boxing,
+  // fused into whole-stage codegen): same IEEE operation order,
+  // bit-identical results. Use them in hot paths; the declarative forms
+  // above remain the readable spec.
 
-  private val sqDistUdf = udf { (a: Array[Double], b: Array[Double]) =>
-    var i = 0; var s = 0.0
-    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
-    s
-  }
+  /** Bit-identical fast twin of [[sqDist]] (native codegen expression). */
+  def sqDistFast(a: Column, b: Column): Column = ArrayVectorExpressions.arraySqDist(a, b)
 
-  private val dotUdf = udf { (a: Array[Double], b: Array[Double]) =>
-    var i = 0; var s = 0.0
-    while (i < a.length) { s += a(i) * b(i); i += 1 }
-    s
-  }
-
-  /** Bit-identical fast twin of [[sqDist]]. */
-  def sqDistFast(a: Column, b: Column): Column = sqDistUdf(a, b)
-
-  /** Bit-identical fast twin of [[dot]]. */
-  def dotFast(a: Column, b: Column): Column = dotUdf(a, b)
+  /** Bit-identical fast twin of [[dot]] (native codegen expression). */
+  def dotFast(a: Column, b: Column): Column = ArrayVectorExpressions.arrayDot(a, b)
 
   /** Bit-identical fast twin of [[norm2]]. */
-  def norm2Fast(a: Column): Column = sqrt(dotUdf(a, a))
+  def norm2Fast(a: Column): Column = sqrt(dotFast(a, a))
 }

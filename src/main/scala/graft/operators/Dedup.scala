@@ -74,6 +74,8 @@ object Dedup {
         transform(sort_array(collect_list(struct(col("h"), col("minhash")))),
           s => s.getField("minhash").cast("string"))).as("key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    banded.count() // eager: both self-join map stages run concurrently and
+                   // would each recompute the pipeline before the cache fills
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc") < col("b.doc"))
@@ -158,6 +160,7 @@ object Dedup {
         explode(sequence(lit(0), lit(3))).as("chunk"))
       .withColumn("ckey", expr("shiftright(simhash, chunk * 15) % 32768"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    chunks.count() // eager-materialize before the concurrent self-join stages
     chunks.as("a").join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
         col("a.doc") < col("b.doc"))

@@ -79,6 +79,7 @@ object Similarity {
     // once per side otherwise.
     val an = assigned.withColumn("nrm", norm2Fast(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    an.count() // eager-materialize before the concurrent self-join stages
     an.as("a").join(an.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
