@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink layer (a category the reference lacks entirely — its input is
+  * a caller-provided Dataset, and it has no write path, SURVEY.md §2.3).
+  *
+  * Scale conventions baked in:
+  *  - always pass an explicit schema to semi-structured readers (schema
+  *    inference is a full extra pass over the data);
+  *  - parquet sinks partition by a low-cardinality column so downstream
+  *    filters prune whole directories, and cap records per file to bound
+  *    task memory on the 1000-executor read side;
+  *  - the embeddings sink writes the IVF cell id as a partition column —
+  *    an ANN probe then reads only `cell=X/` paths (partition pruning is the
+  *    disk-level form of the nprobe search).
+  */
+object Sources {
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** CSV with explicit schema — no inference pass, malformed rows quarantined
+    * rather than failing the job. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
+  /** JSON-lines with explicit schema. */
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Partitioned parquet sink: directory-prunable layout + bounded files. */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String,
+                       maxRecordsPerFile: Long = 5000000L): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCol)
+      .parquet(path)
+
+  /** Embeddings laid out for ANN: partitioned by IVF cell so a probe's
+    * nprobe cells map to directory reads. */
+  def writeIvfLayout(assigned: DataFrame, path: String): Unit =
+    writePartitioned(assigned.select(col("vec_id"), col("v"), col("cell")), path, "cell")
+}

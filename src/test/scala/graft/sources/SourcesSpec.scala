@@ -1,0 +1,63 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+class SourcesSpec extends SparkSpec {
+
+  private def tmp(): String = Files.createTempDirectory("graft_sources").toString
+
+  test("csv round-trip with explicit schema, malformed rows tolerated") {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in.csv"),
+      "id,name,score\n1,alpha,0.5\n2,beta,0.75\nnot_a_number,gamma,oops\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val df = Sources.readCsv(spark, s"$dir/in.csv", schema)
+    assert(df.count() == 3)
+    assert(df.where(col("id").isNull).count() == 1) // quarantined, not fatal
+    assert(df.where(col("id") === 1).head().getString(1) == "alpha")
+  }
+
+  test("json-lines round-trip with explicit schema") {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in.json"),
+      """{"id": 1, "tags": ["a", "b"]}
+        |{"id": 2, "tags": []}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("tags", ArrayType(StringType))))
+    val df = Sources.readJson(spark, s"$dir/in.json", schema)
+    assert(df.count() == 2)
+    assert(df.where(col("id") === 1).head().getSeq[String](1) == Seq("a", "b"))
+  }
+
+  test("partitioned sink produces prunable directories and prunes them on read") {
+    val dir = tmp() + "/out"
+    import spark.implicits._
+    val df = (0 until 100).map(i => (i.toLong, i % 4)).toDF("id", "bucket")
+    Sources.writePartitioned(df, dir, "bucket")
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("bucket=0", "bucket=1", "bucket=2", "bucket=3"))
+    val back = spark.read.parquet(dir).where(col("bucket") === 2)
+    assert(back.count() == 25)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(bucket"),
+      "partition filter must prune directories, not scan+filter")
+  }
+
+  test("IVF layout: cell partition column prunes ANN probe reads") {
+    val dir = tmp() + "/ivf"
+    import spark.implicits._
+    val assigned = (0 until 60)
+      .map(i => (i.toLong, Array.fill(4)(i.toDouble), i % 3L)).toDF("vec_id", "v", "cell")
+    Sources.writeIvfLayout(assigned, dir)
+    val probe = spark.read.parquet(dir).where(col("cell").isin(0L, 2L))
+    assert(probe.count() == 40)
+    assert(probe.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+  }
+}
