@@ -23,7 +23,8 @@ object SparkEntry {
     graft.queries.EventQueries.queries ++
     graft.queries.TextDedupQueries.queries ++
     graft.queries.SimilarityQueries.queries ++
-    graft.queries.MultimodalQueries.queries
+    graft.queries.MultimodalQueries.queries ++
+    graft.queries.AdvancedQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +35,6 @@ object SparkEntry {
     graft.queries.EventQueries.oracleSql ++
     graft.queries.TextDedupQueries.oracleSql ++
     graft.queries.SimilarityQueries.oracleSql ++
-    graft.queries.MultimodalQueries.oracleSql
+    graft.queries.MultimodalQueries.oracleSql ++
+    graft.queries.AdvancedQueries.oracleSql
 }

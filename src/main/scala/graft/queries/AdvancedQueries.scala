@@ -1,0 +1,82 @@
+package graft.queries
+
+import graft.operators.{AsOfJoin, Salting}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Advanced-operator catalog entries: as-of join, skew-salted aggregation
+  * (output-identical to the plain plan → still oracle-checkable), and an
+  * approximate-distinct sketch (rows-only: HLL implementations differ across
+  * engines by design; the spec asserts the 5%-of-exact envelope instead).
+  */
+object AdvancedQueries {
+
+  private def ev(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet").withColumn("ts_us", expr("ts div 1000"))
+  }
+
+  /** For each purchase, the same user's most recent at-or-before view:
+    * (purchase event_id, user_id, seconds since that view; null if none). */
+  def eventsAsof(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val views = e.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us"), col("ts_us").as("view_ts"))
+    AsOfJoin.asOfLast(purchases, views, "user_id", "ts_us", "view_ts", "last_view_ts")
+      .select(col("event_id"), col("user_id"),
+        expr("(ts_us - last_view_ts) div 1000000").as("gap_s"))
+  }
+
+  /** Revenue per supplier via two-phase salted aggregation — identical output
+    * to a plain GROUP BY (the oracle is exactly that). */
+  def qSkewAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    Salting.saltedSumAgg(li, "l_suppkey",
+      pmod(col("l_orderkey"), lit(8)),
+      Seq((col("l_extendedprice") * (lit(1) - col("l_discount"))) -> "revenue"),
+      countName = Some("n_items"))
+      .select(col("l_suppkey"), round(col("revenue"), 2).as("revenue"), col("n_items"))
+  }
+
+  /** HLL approx distinct parts per return flag — rows-only (sketches are
+    * engine-specific); accuracy asserted in AdvancedSpec. */
+  def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        count(lit(1)).as("n"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_asof" -> eventsAsof _,
+    "q_skew_agg" -> qSkewAgg _,
+    "q_approx_distinct" -> qApproxDistinct _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "events_asof" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, 1 AS m,
+        |    CAST(NULL AS BIGINT) AS pv
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT CAST(NULL AS BIGINT) AS event_id, user_id, epoch_us(ts) AS ts_us,
+        |    0 AS m, epoch_us(ts) AS pv
+        |  FROM events WHERE event_type = 'view'),
+        |u AS (SELECT * FROM p UNION ALL SELECT * FROM v),
+        |wv AS (
+        |  SELECT event_id, user_id, ts_us, m,
+        |    last_value(pv IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, m
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv
+        |  FROM u)
+        |SELECT event_id, user_id, CAST((ts_us - lv) // 1000000 AS BIGINT) AS gap_s
+        |FROM wv WHERE m = 1""".stripMargin,
+    "q_skew_agg" ->
+      """SELECT l_suppkey,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem GROUP BY 1""".stripMargin,
+  )
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AdvancedOpsSpec extends SparkSpec {
+
+  test("asOfLast picks the latest at-or-before payload per key") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "p1"), (1L, 50L, "p2"), (2L, 10L, "p3"))
+      .toDF("k", "t", "id")
+    val right = Seq((1L, 40L, "a"), (1L, 100L, "b"), (1L, 101L, "c"), (3L, 1L, "z"))
+      .toDF("k", "t", "v")
+    val out = AsOfJoin.asOfLast(left, right, "k", "t", "v", "asof_v")
+      .collect().map(r => r.getAs[String]("id") -> r.getAs[String]("asof_v")).toMap
+    assert(out("p1") == "b")   // right row at the same t counts (at-or-before)
+    assert(out("p2") == "a")
+    assert(out("p3") == null)  // no right row for key 2 at or before t=10
+  }
+
+  test("asOfLast result matches a naive per-row scan on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val left = Seq.fill(200)((rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
+      .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }.toDF("k", "t", "id")
+    val right = Seq.fill(300)((rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, rnd.nextInt(100).toLong))
+      .toDF("k", "t", "v")
+    val got = AsOfJoin.asOfLast(left, right, "k", "t", "v", "asof_v")
+      .collect().map(r => r.getLong(2) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    val rrows = right.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    left.collect().foreach { lr =>
+      val (k, t, id) = (lr.getLong(0), lr.getLong(1), lr.getLong(2))
+      val cands = rrows.filter(r => r._1 == k && r._2 <= t)
+      if (cands.isEmpty) assert(got(id).isEmpty)
+      else {
+        val maxT = cands.map(_._2).max
+        val expected = cands.filter(_._2 == maxT).map(_._3)
+        assert(expected.contains(got(id).get))
+      }
+    }
+  }
+
+  test("salted sum aggregation equals plain groupBy exactly on integer data") {
+    import spark.implicits._
+    val df = (0 until 10000).map(i => (i % 7, (i % 13).toLong)).toDF("k", "x")
+    val salted = Salting.saltedSumAgg(df, "k", pmod(col("x"), lit(4)),
+      Seq(col("x") -> "sx"), countName = Some("n"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val plain = df.groupBy("k").agg(sum("x").as("sx"), count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(salted == plain)
+  }
+
+  test("salted join returns exactly the plain join rows") {
+    import spark.implicits._
+    val big = (0 until 1000).map(i => (i % 10, i.toLong)).toDF("k", "payload")
+    val small = (0 until 10).map(i => (i, s"dim$i")).toDF("k", "name")
+    val salted = Salting.saltedJoin(big, small, "k", 4, col("payload"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+    val plain = big.join(small, "k")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("approx_count_distinct lands within 5% of exact") {
+    val li = spark.read.parquet(sf("sf0.01") + "/lineitem.parquet")
+    val approx = li.agg(approx_count_distinct(col("l_partkey"))).head().getLong(0)
+    val exact = li.agg(countDistinct(col("l_partkey"))).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx=$approx exact=$exact")
+  }
+}
