@@ -109,7 +109,23 @@ object RelationalQueries {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
 
+  /** Anti join: parts that never shipped in high-quantity lines. */
+  def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val hi = t(s, dir, "lineitem").where(col("l_quantity") >= 48).select(col("l_partkey"))
+    t(s, dir, "part").join(hi, col("p_partkey") === col("l_partkey"), "left_anti")
+      .select(col("p_partkey"), col("p_brand"))
+  }
+
+  /** Semi join: suppliers with at least one deep-discount line. */
+  def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val disc = t(s, dir, "lineitem").where(col("l_discount") > 0.09).select(col("l_suppkey"))
+    t(s, dir, "supplier").join(disc, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anti_join" -> qAntiJoin _,
+    "q_semi_join" -> qSemiJoin _,
     "q1_pricing" -> q1Pricing _,
     "q3_top_revenue" -> q3TopRevenue _,
     "q5_nation_revenue" -> q5NationRevenue _,
@@ -122,6 +138,14 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_anti_join" ->
+      """SELECT p_partkey, p_brand FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_partkey = p_partkey AND l_quantity >= 48)""".stripMargin,
+    "q_semi_join" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_suppkey = s_suppkey AND l_discount > 0.09)""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

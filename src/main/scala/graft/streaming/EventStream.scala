@@ -30,6 +30,14 @@ object EventStream {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exactly-once event dedup: drop replayed event_ids within the
+    * watermark horizon (state bounded by the watermark — the streaming twin
+    * of exact dedup for at-least-once sources). */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, sum: Double)

@@ -122,6 +122,17 @@ class SOMSpec extends SparkSpec {
     m.prototypes.zip(loaded.prototypes).foreach { case (a, b) => assert(Vectors.sqdist(a, b) == 0.0) }
   }
 
+  test("SOM composes into an org.apache.spark.ml.Pipeline") {
+    import org.apache.spark.ml.Pipeline
+    val df = demoDF(300)
+    val pipe = new Pipeline().setStages(Array(
+      new SOM().setHeight(2).setWidth(2).setMaxIter(3).setSeed(21)))
+    val model = pipe.fit(df)
+    val out = model.transform(df)
+    assert(out.columns.contains("prediction"))
+    assert(out.count() == 300)
+  }
+
   test("param validators reject bad values") {
     intercept[IllegalArgumentException](new SOM().setHeight(1))
     intercept[IllegalArgumentException](new SOM().setKernel("triangular"))

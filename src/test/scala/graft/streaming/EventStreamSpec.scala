@@ -31,6 +31,25 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops replayed event ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.dedupEvents(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        EventStream.Event(1, ts(0), 100, "view", 1.0),
+        EventStream.Event(1, ts(0), 100, "view", 1.0), // exact replay
+        EventStream.Event(2, ts(1), 100, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData(EventStream.Event(1, ts(2), 100, "view", 1.0)) // late replay
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits sessions after timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
