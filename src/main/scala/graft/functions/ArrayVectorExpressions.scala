@@ -86,4 +86,10 @@ object ArrayVectorExpressions {
 
   def arraySqDist(a: Column, b: Column): Column =
     ColumnBridge.column(ArraySqDist(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Make `array_dot` / `array_sqdist` callable from `spark.sql(...)` text. */
+  def registerSqlFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
+    ColumnBridge.registerFunction(spark, "array_dot", args => ArrayDot(args(0), args(1)))
+    ColumnBridge.registerFunction(spark, "array_sqdist", args => ArraySqDist(args(0), args(1)))
+  }
 }

@@ -100,8 +100,28 @@ object SomQueries {
       .select(col("k").as("cell"), col("dim"), round(col("nv"), 4).as("nv"))
   }
 
+  /** Same BMU assignment expressed as pure SQL text through the parser, with
+    * the registered `array_sqdist` function — exercises the spark.sql entry
+    * path end-to-end (same oracle as som_assign). */
+  def assignSql(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.ArrayVectorExpressions.registerSqlFunctions(s)
+    emb(s, dir).createOrReplaceTempView("graft_embeddings")
+    s.sql(s"""
+      WITH pts AS (SELECT vec_id, CAST(embedding AS array<double>) AS v FROM graft_embeddings),
+      protos AS (SELECT CAST(vec_id AS BIGINT) AS proto_id,
+                        CAST(embedding AS array<double>) AS c
+                 FROM graft_embeddings WHERE vec_id < $K),
+      d AS (SELECT /*+ BROADCAST(protos) */ vec_id, proto_id,
+                   array_sqdist(v, c) AS d2
+            FROM pts CROSS JOIN protos)
+      SELECT vec_id, m.proto_id AS bmu, round(m.d2, 4) AS d2r
+      FROM (SELECT vec_id, min(struct(d2, proto_id)) AS m FROM d GROUP BY vec_id)
+    """)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "som_assign"     -> assign _,
+    "som_assign_sql" -> assignSql _,
     "som_cost"       -> cost _,
     "som_cell_stats" -> cellStats _,
     "som_update"     -> updateStep _,
@@ -126,6 +146,9 @@ object SomQueries {
 
   val oracleSql: Map[String, String] = Map(
     "som_assign" ->
+      s"""WITH $ptsCte, $protosCte, $distCte, $bmuCte
+         |SELECT vec_id, bmu, round(d2, 4) AS d2r FROM a""".stripMargin,
+    "som_assign_sql" ->
       s"""WITH $ptsCte, $protosCte, $distCte, $bmuCte
          |SELECT vec_id, bmu, round(d2, 4) AS d2r FROM a""".stripMargin,
     "som_cost" ->

@@ -14,4 +14,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a Catalyst expression builder as a SQL function on an existing
+    * session (the runtime sibling of `SparkSessionExtensions.injectFunction`,
+    * for sessions we did not create). */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit = {
+    val s = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
+  }
 }
