@@ -74,8 +74,12 @@ class SOMModel(override val uid: String, val prototypes: Array[Vector])
       .map { case (v, i) => (i, v.toArray) }.toSeq.toDF("cell", "prototype")
   }
 
-  def save(spark: SparkSession, path: String): Unit =
-    prototypesDF(spark).repartition(1).write.mode("overwrite").parquet(path)
+  def save(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    prototypesDF(spark).repartition(1).write.mode("overwrite").parquet(s"$path/prototypes")
+    Seq(($(height), $(width))).toDF("height", "width")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
 
   override def transformSchema(schema: StructType): StructType =
     validateAndTransformSchema(schema)
@@ -96,10 +100,12 @@ object SOMModel {
     case other => throw new IllegalArgumentException(s"unsupported features type $other")
   }
 
-  /** Load a model saved by [[SOMModel.save]]; cells must form a full
-    * height×width grid. */
-  def load(spark: SparkSession, path: String, height: Int, width: Int): SOMModel = {
-    val rows = spark.read.parquet(path).select("cell", "prototype").collect()
+  /** Load a model saved by [[SOMModel.save]] (grid dims come from the saved
+    * metadata). */
+  def load(spark: SparkSession, path: String): SOMModel = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (height, width) = (meta.getInt(0), meta.getInt(1))
+    val rows = spark.read.parquet(s"$path/prototypes").select("cell", "prototype").collect()
     require(rows.length == height * width,
       s"expected ${height * width} prototypes, found ${rows.length}")
     val protos = new Array[Vector](rows.length)

@@ -118,7 +118,8 @@ class SOMSpec extends SparkSpec {
     val m = new SOM().setHeight(2).setWidth(3).setMaxIter(2).setSeed(4).fit(df)
     val path = java.nio.file.Files.createTempDirectory("sommodel").toString + "/m"
     m.save(spark, path)
-    val loaded = SOMModel.load(spark, path, 2, 3)
+    val loaded = SOMModel.load(spark, path)
+    assert(loaded.getHeight == 2 && loaded.getWidth == 3)
     m.prototypes.zip(loaded.prototypes).foreach { case (a, b) => assert(Vectors.sqdist(a, b) == 0.0) }
   }
 
