@@ -134,6 +134,28 @@ class SOMSpec extends SparkSpec {
     assert(out.count() == 300)
   }
 
+  test("sparse feature vectors train and score (reference supports both shapes)") {
+    import spark.implicits._
+    val rnd = new Random(17)
+    val rows = Seq.fill(300) {
+      val idx = (0 until 10).filter(_ => rnd.nextBoolean()).toArray
+      (0.0, Vectors.sparse(10, idx, idx.map(_ => rnd.nextDouble())).asInstanceOf[Vector])
+    }
+    val df = rows.toDF("label", "features")
+    val model = new SOM().setHeight(2).setWidth(2).setMaxIter(3).setSeed(8).fit(df)
+    assert(model.prototypes.length == 4)
+    assert(model.transform(df).count() == 300)
+    assert(model.computeCost(df) >= 0)
+  }
+
+  test("fit on an empty dataset fails with a clear message") {
+    import spark.implicits._
+    val empty = Seq.empty[(Double, Vector)].toDF("label", "features")
+    val e = intercept[IllegalArgumentException](
+      new SOM().setHeight(2).setWidth(2).setMaxIter(1).fit(empty))
+    assert(e.getMessage.contains("not enough data"))
+  }
+
   test("param validators reject bad values") {
     intercept[IllegalArgumentException](new SOM().setHeight(1))
     intercept[IllegalArgumentException](new SOM().setKernel("triangular"))
