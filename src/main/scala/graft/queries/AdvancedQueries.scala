@@ -35,9 +35,10 @@ object AdvancedQueries {
     val li = s.read.parquet(s"$dir/lineitem.parquet")
     Salting.saltedSumAgg(li, "l_suppkey",
       pmod(col("l_orderkey"), lit(8)),
-      Seq((col("l_extendedprice") * (lit(1) - col("l_discount"))) -> "revenue"),
+      Seq((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)") -> "revenue"),
       countName = Some("n_items"))
-      .select(col("l_suppkey"), round(col("revenue"), 2).as("revenue"), col("n_items"))
+      .select(col("l_suppkey"),
+        round(col("revenue").cast("double"), 2).as("revenue"), col("n_items"))
   }
 
   /** HLL approx distinct parts per return flag — rows-only (sketches are
@@ -75,7 +76,7 @@ object AdvancedQueries {
         |FROM wv WHERE m = 1""".stripMargin,
     "q_skew_agg" ->
       """SELECT l_suppkey,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
         | CAST(count(*) AS BIGINT) AS n_items
         |FROM lineitem GROUP BY 1""".stripMargin,
   )

@@ -29,8 +29,9 @@ object RelationalQueries {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double"), 2).as("sum_base_price"),
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+          .cast("double"), 2).as("sum_disc_price"),
         round(avg(col("l_discount")), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
@@ -42,7 +43,8 @@ object RelationalQueries {
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("l_orderkey"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+        .cast("double"), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -57,7 +59,8 @@ object RelationalQueries {
       .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
       .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+        .cast("double"), 2).as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
@@ -100,8 +103,8 @@ object RelationalQueries {
     t(s, dir, "lineitem")
       .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
       .agg(count(lit(1)).as("n"),
-        round(sum(when(col("l_discount") > 0.05, col("l_extendedprice")).otherwise(lit(0.0))), 2)
-          .as("discounted_sales"))
+        round(sum(when(col("l_discount") > 0.05, col("l_extendedprice")).otherwise(lit(0.0))
+          .cast("decimal(18,4)")).cast("double"), 2).as("discounted_sales"))
 
   /** Rollup: subtotals + grand total over two grouping columns. */
   def qRollup(s: SparkSession, dir: String): DataFrame =
@@ -149,15 +152,15 @@ object RelationalQueries {
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,
-        | round(sum(l_extendedprice), 2) AS sum_base_price,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
+        | round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_disc_price,
         | round(avg(l_discount), 6) AS avg_disc,
         | CAST(count(*) AS BIGINT) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY 1, 2""".stripMargin,
     "q3_top_revenue" ->
       """SELECT l_orderkey,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        | round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -165,7 +168,7 @@ object RelationalQueries {
         |GROUP BY 1 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_nation_revenue" ->
       """SELECT n_name,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
         | CAST(count(*) AS BIGINT) AS n_items
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -194,8 +197,8 @@ object RelationalQueries {
     "q_monthly" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS month,
         | CAST(count(*) AS BIGINT) AS n,
-        | round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END), 2)
-        |   AS discounted_sales
+        | round(CAST(sum(CAST(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END
+        |   AS DECIMAL(18,4))) AS DOUBLE), 2) AS discounted_sales
         |FROM lineitem GROUP BY 1""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
