@@ -112,6 +112,16 @@ object RelationalQueries {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
 
+  /** Pivot: quantity sums per line status × return flag (exact-integer
+    * doubles, so no rounding discipline needed). */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .sum("l_quantity")
+      .select(col("l_linestatus"), col("A").as("qty_a"), col("N").as("qty_n"),
+        col("R").as("qty_r"))
+
   /** Anti join: parts that never shipped in high-quantity lines. */
   def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
     val hi = t(s, dir, "lineitem").where(col("l_quantity") >= 48).select(col("l_partkey"))
@@ -129,6 +139,7 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_anti_join" -> qAntiJoin _,
     "q_semi_join" -> qSemiJoin _,
+    "q_pivot" -> qPivot _,
     "q1_pricing" -> q1Pricing _,
     "q3_top_revenue" -> q3TopRevenue _,
     "q5_nation_revenue" -> q5NationRevenue _,
@@ -149,6 +160,12 @@ object RelationalQueries {
       """SELECT s_suppkey, s_name FROM supplier
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |  WHERE l_suppkey = s_suppkey AND l_discount > 0.09)""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_linestatus,
+        | sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS qty_a,
+        | sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS qty_n,
+        | sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS qty_r
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,
