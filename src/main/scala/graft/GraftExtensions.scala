@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.{ArrayDot, ArraySqDist}
+
+/** SparkSessionExtensions entry point: register the engine's native
+  * expressions at session-build time —
+  * `spark.sql.extensions=graft.GraftExtensions` (or
+  * `builder.withExtensions(new GraftExtensions)`). The runtime sibling for
+  * already-created sessions is
+  * `ArrayVectorExpressions.registerSqlFunctions(spark)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ArrayDot(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("array_sqdist"),
+      new ExpressionInfo(classOf[ArraySqDist].getName, "array_sqdist"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ArraySqDist(args(0), args(1))))
+  }
+}

@@ -56,6 +56,26 @@ class SOMModel(override val uid: String, val prototypes: Array[Vector])
     dataset.withColumn($(predictionCol), predictUdf(f))
   }
 
+  /** Fully codegen scoring for array-typed features: per-row distances to all
+    * K prototypes as an array of native `ArraySqDist` expressions, argmin via
+    * `array_position(d, array_min(d))` (first occurrence == min-index
+    * tie-break, same as `findClosest`). No UDF, no serialization barrier —
+    * the whole scoring projection stays inside whole-stage codegen. Works on
+    * batch and streaming DataFrames alike. */
+  def transformNative(dataset: Dataset[_]): DataFrame = {
+    transformSchema(dataset.schema, logging = true)
+    val v = dataset.schema($(featuresCol)).dataType match {
+      case ArrayType(DoubleType, _) => col($(featuresCol))
+      case ArrayType(FloatType, _) => col($(featuresCol)).cast("array<double>")
+      case other => throw new IllegalArgumentException(
+        s"transformNative requires an array feature column, got $other (use transform)")
+    }
+    val dists = array(prototypes.map(p =>
+      graft.functions.VectorSql.sqDistFast(v, typedLit(p.toArray))): _*)
+    dataset.withColumn($(predictionCol),
+      (array_position(dists, array_min(dists)) - 1).cast("int"))
+  }
+
   /** Total quantization error: Σ min-squared-distance, one aggregate job. */
   def computeCost(dataset: Dataset[_]): Double = {
     val protos = protosWithNorm

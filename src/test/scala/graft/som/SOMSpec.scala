@@ -134,6 +134,60 @@ class SOMSpec extends SparkSpec {
     assert(out.count() == 300)
   }
 
+  test("transformNative matches the UDF scoring path exactly on array features") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .withColumnRenamed("embedding", "features")
+    val model = new SOM().setHeight(3).setWidth(3).setMaxIter(3).setSeed(11).fit(emb)
+    val udfPath = model.transform(emb).select("vec_id", "prediction").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val nativePath = model.transformNative(emb).select("vec_id", "prediction").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(udfPath == nativePath)
+    // and the native plan is UDF-free
+    val plan = model.transformNative(emb).queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF("))
+  }
+
+  test("scoring a streaming DataFrame works (streaming model inference)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val df = demoDF(200)
+    val model = new SOM().setHeight(2).setWidth(2).setMaxIter(2).setSeed(6).fit(df)
+    val mem = MemoryStream[(Long, Array[Double])]
+    val scored = model.setFeaturesCol("emb").setPredictionCol("cell")
+      .transformNative(mem.toDF().toDF("id", "emb"))
+    val q = scored.writeStream.format("memory").queryName("scored_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, Array(0.1, 0.2, 0.3)), (2L, Array(0.9, 0.8, 0.7)))
+      q.processAllAvailable()
+      val rows = spark.table("scored_out").collect()
+      assert(rows.length == 2)
+      assert(rows.forall(r => r.getInt(2) >= 0 && r.getInt(2) < 4))
+    } finally {
+      q.stop()
+      model.setFeaturesCol("features").setPredictionCol("prediction")
+    }
+  }
+
+  test("GraftExtensions registers SQL functions at session build") {
+    import org.apache.spark.sql.SparkSession
+    val base = spark // force shared session/context creation first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder() // new session over the same context
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql("SELECT array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head()
+      assert(r.getDouble(0) == 11.0)
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
+
   test("sparse feature vectors train and score (reference supports both shapes)") {
     import spark.implicits._
     val rnd = new Random(17)
