@@ -13,10 +13,11 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokens, empties dropped. DuckDB twin:
-    * `list_filter(string_split(text, ' '), x -> x != '')`. */
+  /** Whitespace tokens, empties dropped; null text ⇒ no tokens (defensive —
+    * without the guard `size(split(null))` is -1, a classic silent poison).
+    * DuckDB twin: `list_filter(string_split(text, ' '), x -> x != '')`. */
   def tokens(text: Column): Column =
-    filter(split(text, " "), x => x =!= "")
+    filter(split(coalesce(text, lit("")), " "), x => x =!= "")
 
   /** 3-token shingles joined by spaces; whole text if fewer than 3 tokens.
     * DuckDB twin uses `list_transform(range(1, len-1), ...)`. */
