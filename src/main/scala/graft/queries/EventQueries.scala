@@ -54,6 +54,18 @@ object EventQueries {
         round(sum(col("value")), 4).as("sum_value"))
   }
 
+  /** Sliding 1-hour windows every 15 minutes: each event lands in exactly 4
+    * windows (slide divides width). Streaming twin:
+    * `window($"ts", "1 hour", "15 minutes")`. */
+  def sliding(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(
+        window(timestamp_micros(col("ts_us")), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
   /** JSON-ish property extraction (regexp — engine-portable) + histogram. */
   def propsHistogram(s: SparkSession, dir: String): DataFrame =
     ev(s, dir)
@@ -75,6 +87,7 @@ object EventQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_hourly" -> hourly _,
+    "events_sliding" -> sliding _,
     "events_sessionize" -> sessionize _,
     "events_props_histogram" -> propsHistogram _,
     "events_funnel" -> funnel _,
@@ -86,6 +99,15 @@ object EventQueries {
         | event_type, CAST(count(*) AS BIGINT) AS n,
         | round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_sliding" ->
+      """WITH e AS (
+        |  SELECT event_type, value, epoch_us(ts) AS tu, unnest(range(0, 4)) AS i
+        |  FROM events)
+        |SELECT strftime(make_timestamp((tu // 900000000 - i) * 900000000),
+        |         '%Y-%m-%d %H:%M:%S') AS window_start,
+        | event_type, CAST(count(*) AS BIGINT) AS n,
+        | round(sum(value), 4) AS sum_value
+        |FROM e GROUP BY 1, 2""".stripMargin,
     "events_props_histogram" ->
       """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 10 AS k_mod,
         | CAST(count(*) AS BIGINT) AS n

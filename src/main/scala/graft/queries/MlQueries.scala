@@ -28,9 +28,36 @@ object MlQueries {
     model.transform(emb).select(col("vec_id"), col("prediction"))
   }
 
+  /** Per-dimension z-score standardization of the embedding corpus — the
+    * canonical feature-preprocessing pass (mean/std per dim over the whole
+    * corpus, then normalize). Two aggregation passes + a broadcast join of
+    * the 64-row stats table; at 100 TB the stats are a tiny
+    * dimension-side. */
+  def mlStandardize(s: SparkSession, dir: String): DataFrame = {
+    val exploded = SomQueries.points(s, dir)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "x")))
+    val stats = exploded.groupBy(col("dim"))
+      .agg(avg(col("x")).as("mu"), stddev_samp(col("x")).as("sigma"))
+    exploded.join(broadcast(stats), "dim")
+      .select(col("vec_id"), col("dim"),
+        round((col("x") - col("mu")) / col("sigma"), 4).as("z"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "som_fit_predict" -> somFitPredict _,
+    "ml_standardize" -> mlStandardize _,
   )
 
-  val oracleSql: Map[String, String] = Map.empty
+  val oracleSql: Map[String, String] = Map(
+    "ml_standardize" ->
+      """WITH ex AS (
+        |  SELECT vec_id, CAST(i - 1 AS INT) AS dim, v[i] AS x FROM
+        |  (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |          unnest(range(1, 65)) AS i
+        |   FROM embeddings)),
+        |stats AS (
+        |  SELECT dim, avg(x) AS mu, stddev_samp(x) AS sigma FROM ex GROUP BY 1)
+        |SELECT vec_id, dim, round((x - mu) / sigma, 4) AS z
+        |FROM ex JOIN stats USING (dim)""".stripMargin,
+  )
 }
