@@ -123,6 +123,21 @@ class SOMSpec extends SparkSpec {
     m.prototypes.zip(loaded.prototypes).foreach { case (a, b) => assert(Vectors.sqdist(a, b) == 0.0) }
   }
 
+  test("VectorAssembler -> SOM pipeline clusters TPC-H numerics end-to-end") {
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.feature.VectorAssembler
+    val li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+      .select("l_quantity", "l_extendedprice", "l_discount")
+    val pipe = new Pipeline().setStages(Array(
+      new VectorAssembler()
+        .setInputCols(Array("l_quantity", "l_extendedprice", "l_discount"))
+        .setOutputCol("features"),
+      new SOM().setHeight(3).setWidth(3).setMaxIter(3).setSeed(2)))
+    val out = pipe.fit(li).transform(li)
+    assert(out.count() == li.count())
+    assert(out.select("prediction").distinct().count() > 1)
+  }
+
   test("SOM composes into an org.apache.spark.ml.Pipeline") {
     import org.apache.spark.ml.Pipeline
     val df = demoDF(300)
