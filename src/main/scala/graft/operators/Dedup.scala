@@ -38,7 +38,7 @@ object Dedup {
     * shuffle; only exact-Jaccard set sizes need dedup, and [[jaccardPairs]]
     * distincts after restricting to candidate docs. */
   def docShinglesRaw(docs: DataFrame, id: String, text: String): DataFrame =
-    docs.select(col(id).as("doc"), explode(TextOps.shingles3(col(text))).as("sh"))
+    docs.select(col(id).as("doc"), explode(TextOps.shingles3Fast(col(text))).as("sh"))
 
   /** Distinct (id, shingle) pairs — the inverted-index base relation. */
   def docShingles(docs: DataFrame, id: String, text: String): DataFrame =
@@ -139,7 +139,7 @@ object Dedup {
     * vote Σ_tokens (2·bit_b(hash)−1); ties (vote 0) resolve to 0. */
   def simhash(docs: DataFrame, id: String, text: String): DataFrame = {
     val toks = docs
-      .select(col(id).as("doc"), explode(TextOps.tokens(col(text))).as("tok")).distinct()
+      .select(col(id).as("doc"), explode(TextOps.tokensFast(col(text))).as("tok")).distinct()
       .select(col("doc"), md5Hash60(col("tok")).as("x"))
     toks
       .select(col("doc"), col("x"), explode(sequence(lit(0), lit(SimhashBits - 1))).as("b"))

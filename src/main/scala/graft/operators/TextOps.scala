@@ -28,6 +28,29 @@ object TextOps {
         concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
   }
 
+  // ---- hot-path twins ----------------------------------------------------
+  // The declarative tokens/shingles3 run through higher-order functions
+  // (CodegenFallback: interpreted per element). For the full-corpus explode
+  // paths (millions of shingles) these UDF twins build the identical strings
+  // in one JIT-compiled call per document.
+
+  private val tokensUdf = udf { (text: String) =>
+    if (text == null) Array.empty[String]
+    else text.split(" ").filter(_.nonEmpty)
+  }
+
+  private val shingles3Udf = udf { (text: String) =>
+    val t = if (text == null) Array.empty[String] else text.split(" ").filter(_.nonEmpty)
+    if (t.length < 3) Array(text)
+    else Array.tabulate(t.length - 2)(i => t(i) + " " + t(i + 1) + " " + t(i + 2))
+  }
+
+  /** Fast twin of [[tokens]] — identical output. */
+  def tokensFast(text: Column): Column = tokensUdf(text)
+
+  /** Fast twin of [[shingles3]] — identical output. */
+  def shingles3Fast(text: Column): Column = shingles3Udf(text)
+
   /** BPE-ish token count: runs of letters, runs of digits, or single other
     * non-space chars — the shape a byte-pair pretokenizer produces. */
   val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"

@@ -51,7 +51,7 @@ object TextDedupQueries {
     // selected ~1/64, distinct only the survivors (one shuffle of a tiny set
     // instead of a distinct over the full shingle stream).
     docs(s, dir)
-      .select(col("doc_id").as("doc"), explode(TextOps.shingles3(col("text"))).as("sh"))
+      .select(col("doc_id").as("doc"), explode(TextOps.shingles3Fast(col("text"))).as("sh"))
       .select(col("doc"), graft.functions.VectorSql.md5Hash60(col("sh")).as("fp"))
       .where(col("fp") % 64 === 0)
       .distinct()
