@@ -43,12 +43,112 @@ object MlQueries {
         round((col("x") - col("mu")) / col("sigma"), 4).as("z"))
   }
 
+  // ---- oracle-checked training loop --------------------------------------
+  // 5 full batch-SOM iterations, checkable against a generated DuckDB CTE
+  // chain. Two determinism devices make cross-engine equality exact:
+  //  - prototypes are rounded to 4 decimals after every update, so both
+  //    engines start each iteration from bit-identical prototypes (the
+  //    ~1e-13 aggregation-order drift is quantized away);
+  //  - the gaussian neighborhood weights are injected as LITERALS computed
+  //    once on the driver (no libm exp() divergence).
+  val FitIters = 5
+  private val FitTMax = 2.0; private val FitTMin = 0.5
+
+  private def fitWeights(iter: Int): Seq[(Int, Int, Double)] = {
+    val t = graft.som.Grid.temperature("exponential", iter, FitIters, FitTMax, FitTMin)
+    for (k <- 0 until SomQueries.K; j <- 0 until SomQueries.K)
+      yield (k, j, graft.som.Grid.kernelWeight("gaussian",
+        graft.som.Grid.cellDist(SomQueries.Width)(k, j), t))
+  }
+
+  /** Final prototypes after [[FitIters]] oracle-checked iterations:
+    * (cell, dim, nv). */
+  def somFit5(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pts = SomQueries.points(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // init: embeddings vec_id < 9, rounded like every later iterate
+    // HALF_UP matches both Spark's round() and DuckDB's round() (away from
+    // zero on exact halves) — math.rint would be half-even.
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var protos: Array[Array[Double]] = SomQueries.protos(s, dir)
+      .orderBy("proto_id").collect()
+      .map(_.getAs[Seq[Double]]("c").toArray.map(r4))
+    for (iter <- 0 until FitIters) {
+      val protoDF = protos.zipWithIndex
+        .map { case (c, k) => (k.toLong, c) }.toSeq.toDF("proto_id", "c")
+      val assign = pts.crossJoin(broadcast(protoDF))
+        .select(col("vec_id"),
+          graft.functions.VectorSql.sqDistFast(col("v"), col("c")).as("d2"),
+          col("proto_id"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("proto_id"))).as("m"))
+        .select(col("vec_id"), col("m.proto_id").as("bmu"))
+      val sums = assign.join(pts, "vec_id")
+        .select(col("bmu"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("bmu"), col("dim"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      val w = fitWeights(iter).toDF("k", "j", "w")
+      val next = sums.join(broadcast(w), sums("bmu") === w("j"))
+        .groupBy(col("k"), col("dim"))
+        .agg(round(sum(col("w") * col("s")) / sum(col("w") * col("n")), 4).as("nv"))
+        .collect()
+      val arr = Array.fill(SomQueries.K, SomQueries.Dim)(0.0)
+      next.foreach(r => arr(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      protos = arr
+    }
+    protos.zipWithIndex
+      .flatMap { case (c, k) => c.zipWithIndex.map { case (x, d) => (k, d, x) } }
+      .toSeq.toDF("cell", "dim", "nv")
+  }
+
+  /** Generated oracle: the same 5 iterations as one DuckDB CTE chain with
+    * literal weight tables. */
+  def somFit5Oracle: String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |px AS (SELECT vec_id, CAST(i - 1 AS INT) AS dim, v[i] AS x
+        |       FROM (SELECT vec_id, v, unnest(range(1, 65)) AS i FROM pts)),
+        |p0 AS (SELECT CAST(vec_id AS INT) AS cell, dim, round(x, 4) AS nv
+        |       FROM px WHERE vec_id < 9)""".stripMargin)
+    for (iter <- 0 until FitIters) {
+      val prev = if (iter == 0) "p0" else s"p$iter"
+      val cur = s"p${iter + 1}"
+      val wRows = fitWeights(iter)
+        .map { case (k, j, w) => s"($k, $j, ${w}::DOUBLE)" }.mkString(", ")
+      sb.append(s""",
+        |w$iter(k, j, w) AS (VALUES $wRows),
+        |d$iter AS (
+        |  SELECT px.vec_id, $prev.cell,
+        |    sum((px.x - $prev.nv) * (px.x - $prev.nv)) AS d2
+        |  FROM px JOIN $prev USING (dim) GROUP BY 1, 2),
+        |a$iter AS (
+        |  SELECT vec_id, cell AS bmu FROM
+        |  (SELECT vec_id, cell, row_number() OVER
+        |     (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM d$iter)
+        |  WHERE rn = 1),
+        |s$iter AS (
+        |  SELECT a$iter.bmu, px.dim, sum(px.x) AS s, CAST(count(*) AS BIGINT) AS n
+        |  FROM a$iter JOIN px USING (vec_id) GROUP BY 1, 2),
+        |$cur AS (
+        |  SELECT CAST(w$iter.k AS INT) AS cell, s$iter.dim,
+        |    round(sum(w$iter.w * s$iter.s) / sum(w$iter.w * s$iter.n), 4) AS nv
+        |  FROM s$iter JOIN w$iter ON s$iter.bmu = w$iter.j GROUP BY 1, 2)""".stripMargin)
+    }
+    sb.append(s"\nSELECT cell, dim, nv FROM p$FitIters")
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "som_fit_predict" -> somFitPredict _,
+    "som_fit5" -> somFit5 _,
     "ml_standardize" -> mlStandardize _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "som_fit5" -> somFit5Oracle,
     "ml_standardize" ->
       """WITH ex AS (
         |  SELECT vec_id, CAST(i - 1 AS INT) AS dim, v[i] AS x FROM
