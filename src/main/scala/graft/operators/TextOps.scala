@@ -65,6 +65,22 @@ object TextOps {
   def stopwordHits(text: Column, stopwords: Seq[String]): Column =
     size(filter(tokens(text), t => t.isin(stopwords: _*)))
 
+  /** Polynomial rolling hash over the text's Unicode codepoints:
+    * h ← (h·31 + c) mod (10⁹+7), seeded with the first codepoint (empty text
+    * ⇒ 0). Exact integer arithmetic; DuckDB twin:
+    * `list_reduce(codepoints, (a,b) -> (a*31+b) % 1000000007)`. */
+  val RollP = 1000000007L
+  private val rollingHashUdf = udf { (text: String) =>
+    if (text == null || text.isEmpty) 0L
+    else {
+      val it = text.codePoints().iterator()
+      var h = it.next().toLong
+      while (it.hasNext) h = (h * 31 + it.next()) % RollP
+      h
+    }
+  }
+  def rollingHash(text: Column): Column = rollingHashUdf(text)
+
   /** Language-ID stopword tables (tiny, per-language function words). */
   val StopwordTable: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of", "to", "is"),

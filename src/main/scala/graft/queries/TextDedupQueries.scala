@@ -56,6 +56,10 @@ object TextDedupQueries {
       .where(col("fp") % 64 === 0)
       .distinct()
 
+  /** Whole-document polynomial rolling hash (exact integer content id). */
+  def textRollingHash(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), TextOps.rollingHash(col("text")).as("rh"))
+
   /** 60-bit SimHash per document. */
   def textSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(s, dir), "doc_id", "text")
@@ -95,6 +99,7 @@ object TextDedupQueries {
     "text_stats" -> textStats _,
     "text_langid" -> textLangId _,
     "text_fingerprint" -> textFingerprint _,
+    "text_rolling_hash" -> textRollingHash _,
     "text_simhash" -> textSimhash _,
     "dedup_exact" -> dedupExact _,
     "dedup_minhash_sig" -> dedupMinhashSig _,
@@ -159,6 +164,15 @@ object TextDedupQueries {
       s"""WITH $toksCte, $shinglesCte
          |SELECT DISTINCT doc, ${h60("sh")} AS fp FROM dsh
          |WHERE ${h60("sh")} % 64 = 0""".stripMargin,
+    "text_rolling_hash" ->
+      """SELECT doc_id,
+        | CASE WHEN len(text) = 0 THEN 0
+        |      ELSE list_reduce(
+        |        list_transform(range(1, len(text) + 1),
+        |          i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)),
+        |        (a, b) -> (a * 31 + b) % 1000000007)
+        | END AS rh
+        |FROM documents""".stripMargin,
     "text_simhash" ->
       s"""WITH $toksCte, $simhashCte
          |SELECT doc, simhash FROM sh64""".stripMargin,
