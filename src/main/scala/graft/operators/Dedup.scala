@@ -133,6 +133,31 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Duplicate-cluster keep-list: given undirected near-dup pairs, assign
+    * every doc the minimum doc id reachable within `rounds` hops (min-label
+    * propagation — the bounded-iteration core of connected components) and
+    * emit (doc, canonical). Docs absent from any pair are their own
+    * canonical. With near-dup clusters of diameter ≤ rounds (the practical
+    * case: dedup clusters are small and dense) this IS the connected
+    * component. Each round is one groupBy over the edge list — scales as
+    * `rounds` shuffles of |E|, never materializing components in memory. */
+  def keepList(docs: DataFrame, id: String, pairs: DataFrame, rounds: Int = 3): DataFrame = {
+    // symmetric edge list + self-loops so isolated docs survive
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .union(docs.select(col(id).as("src"), col(id).as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count() // eager-materialize: the per-round joins scan edges repeatedly
+    var labels = edges.groupBy(col("src").as("doc")).agg(min(col("dst")).as("lbl"))
+    for (_ <- 1 until rounds) {
+      labels = edges.join(labels, edges("dst") === labels("doc"))
+        .groupBy(col("src").as("doc2"))
+        .agg(min(col("lbl")).as("lbl"))
+        .withColumnRenamed("doc2", "doc")
+    }
+    labels.select(col("doc"), col("lbl").as("canonical"))
+  }
+
   val SimhashBits = 60
 
   /** 60-bit SimHash over distinct whitespace tokens: bit b is the sign of the

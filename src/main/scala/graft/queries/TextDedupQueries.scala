@@ -90,6 +90,14 @@ object TextDedupQueries {
     Dedup.jaccardPairs(rawCand, 0.8, candidates = Some(cand))
   }
 
+  /** Dedup end-artifact: the keep-list. Near-dup pairs (MinHash, jac ≥ 0.8)
+    * → 3-round min-label propagation → (doc, canonical) for every document;
+    * keep rows where doc == canonical. */
+  def dedupKeepList(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    Dedup.keepList(docs(s, dir), "doc_id", pairs, rounds = 3)
+  }
+
   /** Near-dup pairs by SimHash hamming ≤ 3 (pigeonhole band join). */
   def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Dedup.simhash(docs(s, dir), "doc_id", "text"))
@@ -104,6 +112,7 @@ object TextDedupQueries {
     "dedup_exact" -> dedupExact _,
     "dedup_minhash_sig" -> dedupMinhashSig _,
     "dedup_minhash_pairs" -> dedupMinhashPairs _,
+    "dedup_keep_list" -> dedupKeepList _,
     "dedup_simhash_pairs" -> dedupSimhashPairs _,
   )
 
@@ -125,6 +134,23 @@ object TextDedupQueries {
        |  min(((h.h * 2 + 3) * x + h.h * 97 + 1) % 1000000007) AS minhash
        | FROM hx CROSS JOIN (SELECT unnest(range(0, 16)) AS h) h
        | GROUP BY 1, 2)""".stripMargin
+  private val pairsCtes =
+    """banded AS (SELECT doc, h // 4 AS band,
+      |   string_agg(minhash::VARCHAR, ',' ORDER BY h, minhash) AS key
+      |  FROM sig GROUP BY 1, 2),
+      |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.key = b.key AND a.doc < b.doc),
+      |sizes AS (SELECT doc, count(*) AS n FROM dsh GROUP BY 1),
+      |inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS c
+      |  FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc < b.doc
+      |  GROUP BY 1, 2),
+      |jac AS (SELECT i.doc_a, i.doc_b,
+      |   i.c * 1.0 / (sa.n + sb.n - i.c) AS jaccard
+      |  FROM inter i
+      |  JOIN cand USING (doc_a, doc_b)
+      |  JOIN sizes sa ON i.doc_a = sa.doc
+      |  JOIN sizes sb ON i.doc_b = sb.doc)""".stripMargin
   private val simhashCte =
     s"""dt AS (SELECT DISTINCT doc_id AS doc, tok
        |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
@@ -184,25 +210,21 @@ object TextDedupQueries {
       s"""WITH $toksCte, $shinglesCte, $sigCte
          |SELECT doc, h, minhash FROM sig""".stripMargin,
     "dedup_minhash_pairs" ->
-      s"""WITH $toksCte, $shinglesCte, $sigCte,
-         |banded AS (SELECT doc, h // 4 AS band,
-         |   string_agg(minhash::VARCHAR, ',' ORDER BY h, minhash) AS key
-         |  FROM sig GROUP BY 1, 2),
-         |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-         |  FROM banded a JOIN banded b
-         |    ON a.band = b.band AND a.key = b.key AND a.doc < b.doc),
-         |sizes AS (SELECT doc, count(*) AS n FROM dsh GROUP BY 1),
-         |inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS c
-         |  FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc < b.doc
-         |  GROUP BY 1, 2),
-         |jac AS (SELECT i.doc_a, i.doc_b,
-         |   i.c * 1.0 / (sa.n + sb.n - i.c) AS jaccard
-         |  FROM inter i
-         |  JOIN cand USING (doc_a, doc_b)
-         |  JOIN sizes sa ON i.doc_a = sa.doc
-         |  JOIN sizes sb ON i.doc_b = sb.doc)
+      s"""WITH $toksCte, $shinglesCte, $sigCte, $pairsCtes
          |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
          |FROM jac WHERE jaccard >= 0.8""".stripMargin,
+    "dedup_keep_list" ->
+      s"""WITH $toksCte, $shinglesCte, $sigCte, $pairsCtes,
+         |jp AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.8),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+         |  UNION ALL SELECT doc_b, doc_a FROM jp
+         |  UNION ALL SELECT doc_id, doc_id FROM documents),
+         |l1 AS (SELECT src AS doc, min(dst) AS lbl FROM edges GROUP BY 1),
+         |l2 AS (SELECT e.src AS doc, min(l.lbl) AS lbl
+         |  FROM edges e JOIN l1 l ON e.dst = l.doc GROUP BY 1),
+         |l3 AS (SELECT e.src AS doc, min(l.lbl) AS lbl
+         |  FROM edges e JOIN l2 l ON e.dst = l.doc GROUP BY 1)
+         |SELECT doc, lbl AS canonical FROM l3""".stripMargin,
     "dedup_simhash_pairs" ->
       s"""WITH $toksCte, $simhashCte,
          |chunks AS (SELECT doc, simhash, c.c AS chunk,

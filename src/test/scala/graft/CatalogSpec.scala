@@ -1,0 +1,36 @@
+package graft
+
+/** Contract checks over the SparkEntry catalog — wiring mistakes (an oracle
+  * without a query, a duplicate name swallowed by the map merge) should fail
+  * here, not in the driver's round. */
+class CatalogSpec extends SparkSpec {
+
+  test("every oracle key has a registered query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("module maps do not collide (merge would silently drop a query)") {
+    val maps = Seq(
+      graft.queries.SomQueries.queries, graft.queries.MlQueries.queries,
+      graft.queries.RelationalQueries.queries, graft.queries.EventQueries.queries,
+      graft.queries.TextDedupQueries.queries, graft.queries.SimilarityQueries.queries,
+      graft.queries.MultimodalQueries.queries, graft.queries.AdvancedQueries.queries)
+    val total = maps.map(_.size).sum
+    assert(SparkEntry.queries.size == total,
+      s"duplicate query names across modules: merged ${SparkEntry.queries.size} of $total")
+  }
+
+  test("entry (driver smoke) returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query plans against sf0.001 (schema resolvable, no analysis error)") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf("sf0.001"))
+      assert(df.schema.fields.nonEmpty, s"$name has empty schema")
+      assert(df.schema.fieldNames.toSet.size == df.schema.fieldNames.length,
+        s"$name has duplicate output columns")
+    }
+  }
+}
