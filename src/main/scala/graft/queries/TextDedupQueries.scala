@@ -94,7 +94,10 @@ object TextDedupQueries {
     * → 3-round min-label propagation → (doc, canonical) for every document;
     * keep rows where doc == canonical. */
   def dedupKeepList(s: SparkSession, dir: String): DataFrame = {
+    // persist: the symmetric edge-list union scans the pair subtree twice
     val pairs = dedupMinhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
     Dedup.keepList(docs(s, dir), "doc_id", pairs, rounds = 3)
   }
 

@@ -40,9 +40,4 @@ object Grid {
     case other         => throw new IllegalArgumentException(s"unknown kernel: $other")
   }
 
-  /** Dense K×K neighborhood weight table for one iteration.
-    * K = height*width is small (≤ a few hundred) so this stays on the driver,
-    * exactly like the reference's `Array.tabulate` (`som/SOM.scala:219-224`). */
-  def weightTable(kernel: String, width: Int, k: Int, t: Double): Array[Array[Double]] =
-    Array.tabulate(k, k)((i, j) => kernelWeight(kernel, cellDist(width)(i, j), t))
 }
