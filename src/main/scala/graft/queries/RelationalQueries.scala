@@ -112,6 +112,31 @@ object RelationalQueries {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
 
+  /** Statistics functions: exact interpolated percentiles + correlation +
+    * sample covariance per return flag. Spark `percentile` and DuckDB
+    * `quantile_cont` share the linear-interpolation definition over exact
+    * sorted doubles. */
+  def qStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("qty_disc_cov"))
+
+  /** Date arithmetic: shipping delay (days between order and ship date) per
+    * order priority — integer datediff, exact in both engines. */
+  def qShipDelay(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val ord = t(s, dir, "orders")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(datediff(col("l_shipdate"), col("o_orderdate"))), 4).as("avg_delay_days"))
+  }
+
   /** Pivot: quantity sums per line status × return flag (exact-integer
     * doubles, so no rounding discipline needed). */
   def qPivot(s: SparkSession, dir: String): DataFrame =
@@ -140,6 +165,8 @@ object RelationalQueries {
     "q_anti_join" -> qAntiJoin _,
     "q_semi_join" -> qSemiJoin _,
     "q_pivot" -> qPivot _,
+    "q_stats" -> qStats _,
+    "q_ship_delay" -> qShipDelay _,
     "q1_pricing" -> q1Pricing _,
     "q3_top_revenue" -> q3TopRevenue _,
     "q5_nation_revenue" -> q5NationRevenue _,
@@ -160,6 +187,20 @@ object RelationalQueries {
       """SELECT s_suppkey, s_name FROM supplier
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |  WHERE l_suppkey = s_suppkey AND l_discount > 0.09)""".stripMargin,
+    "q_stats" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 4) AS p25,
+        | round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 4) AS p50,
+        | round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75), 4) AS p75,
+        | round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        | round(covar_samp(l_quantity, l_discount), 6) AS qty_disc_cov
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_ship_delay" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        | round(avg(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))), 4)
+        |   AS avg_delay_days
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
     "q_pivot" ->
       """SELECT l_linestatus,
         | sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS qty_a,
