@@ -36,8 +36,13 @@ object MlQueries {
   def mlStandardize(s: SparkSession, dir: String): DataFrame = {
     val exploded = SomQueries.points(s, dir)
       .select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "x")))
+    // Float-determinism discipline (SURVEY §8): the 64 per-dim stats come
+    // from order-dependent double partial aggregation, so quantize them to 9
+    // decimals in BOTH engines before the per-row z — after that the
+    // arithmetic is identical per row and round(z, 4) can't flip.
     val stats = exploded.groupBy(col("dim"))
-      .agg(avg(col("x")).as("mu"), stddev_samp(col("x")).as("sigma"))
+      .agg(round(avg(col("x")), 9).as("mu"),
+           round(stddev_samp(col("x")), 9).as("sigma"))
     exploded.join(broadcast(stats), "dim")
       .select(col("vec_id"), col("dim"),
         round((col("x") - col("mu")) / col("sigma"), 4).as("z"))
@@ -156,7 +161,8 @@ object MlQueries {
         |          unnest(range(1, 65)) AS i
         |   FROM embeddings)),
         |stats AS (
-        |  SELECT dim, avg(x) AS mu, stddev_samp(x) AS sigma FROM ex GROUP BY 1)
+        |  SELECT dim, round(avg(x), 9) AS mu, round(stddev_samp(x), 9) AS sigma
+        |  FROM ex GROUP BY 1)
         |SELECT vec_id, dim, round((x - mu) / sigma, 4) AS z
         |FROM ex JOIN stats USING (dim)""".stripMargin,
   )

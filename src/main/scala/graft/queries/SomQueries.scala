@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorSql._
+import graft.som.Grid
 
 /** Oracle-checkable relational formulations of every SOM algebra step
   * (SURVEY.md §7.4 B1/B2): BMU assignment, quantization cost, per-cell
@@ -161,7 +162,14 @@ object SomQueries {
          |FROM a JOIN pts p USING (vec_id)
          |CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS i) t
          |GROUP BY 1, 2""".stripMargin,
-    "som_update" ->
+    "som_update" -> {
+      // Gaussian weights injected as LITERALS computed once on the driver —
+      // the exact values the Spark side joins against. Computing exp() in
+      // DuckDB's libm drifts in the last ulp and flips round(nv, 4) on
+      // boundary rows (the som_fit5 oracle proved this discipline).
+      val wRows = (for (k <- 0 until K; j <- 0 until K)
+        yield s"($k, $j, ${Grid.kernelWeight("gaussian", Grid.cellDist(Width)(k, j), T)}::DOUBLE)")
+        .mkString(", ")
       s"""WITH $ptsCte, $protosCte, $distCte, $bmuCte,
          |sums AS (
          |  SELECT a.bmu, CAST(t.i - 1 AS INT) AS dim, sum(p.v[t.i]) AS s,
@@ -169,14 +177,11 @@ object SomQueries {
          |  FROM a JOIN pts p USING (vec_id)
          |  CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS i) t
          |  GROUP BY 1, 2),
-         |w AS (
-         |  SELECT k.k, j.j,
-         |    exp(-((abs(k.k // 3 - j.j // 3) + abs(k.k % 3 - j.j % 3)) ** 2) / (${T} * ${T})) AS w
-         |  FROM (SELECT unnest(range(0, 9)) AS k) k
-         |  CROSS JOIN (SELECT unnest(range(0, 9)) AS j) j)
-         |SELECT w.k AS cell, sums.dim,
+         |w(k, j, w) AS (VALUES $wRows)
+         |SELECT CAST(w.k AS BIGINT) AS cell, sums.dim,
          |       round(sum(w.w * sums.s) / sum(w.w * sums.n), 4) AS nv
          |FROM sums JOIN w ON sums.bmu = w.j
-         |GROUP BY 1, 2""".stripMargin,
+         |GROUP BY 1, 2""".stripMargin
+    },
   )
 }
