@@ -13,19 +13,26 @@ import org.apache.spark.sql.functions._
 object MlQueries {
 
   /** Fit a 3×3 SOM on the embeddings table (warm-started from the fixed
-    * prototypes), score the same table: (vec_id, prediction, cost-bearing
-    * iteration count). */
+    * prototypes), score the same table: (vec_id, prediction).
+    *
+    * Fully oracle-checked: with `protoDecimals = 4` the estimator quantizes
+    * every iterate exactly like the proven `som_fit5` CTE chain, so the
+    * fitted prototypes equal the chain's `p5` and the final assignment is
+    * ANSI-expressible (chain + one argmin CTE). Scoring goes through
+    * [[SOMModel.transformNative]] — whole-stage codegen, no UDF barrier. */
   def somFitPredict(s: SparkSession, dir: String): DataFrame = {
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding").as("features"))
     val init = SomQueries.protos(s, dir).orderBy("proto_id").collect()
-      .map(r => org.apache.spark.ml.linalg.Vectors.dense(r.getAs[Seq[Double]]("c").toArray))
+      .map(r => org.apache.spark.ml.linalg.Vectors.dense(
+        r.getAs[Seq[Double]]("c").toArray.map(r4)))
     val warm = new SOMModel("som_init", init).setGrid(3, 3)
     val model = new SOM().setHeight(3).setWidth(3)
-      .setMaxIter(5).setTMax(2.0).setTMin(0.5).setSeed(42)
+      .setMaxIter(FitIters).setTMax(FitTMax).setTMin(FitTMin).setTol(0.0)
+      .setSeed(42).setProtoDecimals(4)
       .setInitialModel(warm)
       .fit(emb)
-    model.transform(emb).select(col("vec_id"), col("prediction"))
+    model.transformNative(emb).select(col("vec_id"), col("prediction"))
   }
 
   /** Per-dimension z-score standardization of the embedding corpus — the
@@ -59,6 +66,11 @@ object MlQueries {
   val FitIters = 5
   private val FitTMax = 2.0; private val FitTMin = 0.5
 
+  // HALF_UP matches both Spark's round() and DuckDB's round() (away from
+  // zero on exact halves) — math.rint would be half-even.
+  private def r4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   private def fitWeights(iter: Int): Seq[(Int, Int, Double)] = {
     val t = graft.som.Grid.temperature("exponential", iter, FitIters, FitTMax, FitTMin)
     for (k <- 0 until SomQueries.K; j <- 0 until SomQueries.K)
@@ -73,10 +85,6 @@ object MlQueries {
     val pts = SomQueries.points(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // init: embeddings vec_id < 9, rounded like every later iterate
-    // HALF_UP matches both Spark's round() and DuckDB's round() (away from
-    // zero on exact halves) — math.rint would be half-even.
-    def r4(x: Double): Double =
-      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     var protos: Array[Array[Double]] = SomQueries.protos(s, dir)
       .orderBy("proto_id").collect()
       .map(_.getAs[Seq[Double]]("c").toArray.map(r4))
@@ -110,7 +118,25 @@ object MlQueries {
 
   /** Generated oracle: the same 5 iterations as one DuckDB CTE chain with
     * literal weight tables. */
-  def somFit5Oracle: String = {
+  def somFit5Oracle: String =
+    fit5Chain + s"\nSELECT cell, dim, nv FROM p$FitIters"
+
+  /** Oracle for the full Estimator→transformNative path: the fit5 chain's
+    * final prototypes plus one argmin assignment CTE (row_number tie-break ==
+    * min-index, same as `array_position(d, array_min(d))`). */
+  def somFitPredictOracle: String =
+    fit5Chain + s""",
+      |df AS (
+      |  SELECT px.vec_id, p$FitIters.cell,
+      |    sum((px.x - p$FitIters.nv) * (px.x - p$FitIters.nv)) AS d2
+      |  FROM px JOIN p$FitIters USING (dim) GROUP BY 1, 2)
+      |SELECT vec_id, CAST(cell AS INT) AS prediction FROM
+      |(SELECT vec_id, cell, row_number() OVER
+      |   (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM df)
+      |WHERE rn = 1""".stripMargin
+
+  /** The shared WITH chain: init p0 → 5 quantized iterations → p5. */
+  private def fit5Chain: String = {
     val sb = new StringBuilder
     sb.append(
       """WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -142,7 +168,6 @@ object MlQueries {
         |    round(sum(w$iter.w * s$iter.s) / sum(w$iter.w * s$iter.n), 4) AS nv
         |  FROM s$iter JOIN w$iter ON s$iter.bmu = w$iter.j GROUP BY 1, 2)""".stripMargin)
     }
-    sb.append(s"\nSELECT cell, dim, nv FROM p$FitIters")
     sb.toString
   }
 
@@ -154,6 +179,7 @@ object MlQueries {
 
   val oracleSql: Map[String, String] = Map(
     "som_fit5" -> somFit5Oracle,
+    "som_fit_predict" -> somFitPredictOracle,
     "ml_standardize" ->
       """WITH ex AS (
         |  SELECT vec_id, CAST(i - 1 AS INT) AS dim, v[i] AS x FROM

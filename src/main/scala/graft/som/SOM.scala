@@ -74,6 +74,7 @@ class SOM(override val uid: String) extends Estimator[SOMModel] with SOMParams {
   def setDecay(v: String): this.type = set(decay, v)
   def setTopology(v: String): this.type = set(topology, v)
   def setSeed(v: Long): this.type = set(seed, v)
+  def setProtoDecimals(v: Int): this.type = set(protoDecimals, v)
 
   private var initialModel: Option[SOMModel] = None
 
@@ -114,6 +115,13 @@ class SOM(override val uid: String) extends Estimator[SOMModel] with SOMParams {
 
     val kern = $(kernel); val dec = $(decay); val w = $(width)
     val tMx = $(tMax); val tMn = $(tMin); val iters = $(maxIter); val eps = $(tol)
+    val pd = $(protoDecimals)
+    // HALF_UP matches both Spark's round() and DuckDB's round() (away from
+    // zero on exact halves) — math.rint would be half-even.
+    def quantize(v: Vector): Vector =
+      if (pd < 0) v
+      else Vectors.dense(v.toArray.map(x =>
+        BigDecimal(x).setScale(pd, BigDecimal.RoundingMode.HALF_UP).toDouble))
     val history = scala.collection.mutable.ArrayBuffer.empty[Double]
     var iter = 0
     var converged = false
@@ -164,9 +172,9 @@ class SOM(override val uid: String) extends Estimator[SOMModel] with SOMParams {
           }
           j += 1
         }
-        val nv =
+        val nv = quantize(
           if (wn > 0) { var d = 0; while (d < dim) { acc(d) /= wn; d += 1 }; Vectors.dense(acc) }
-          else prototypes(cell).vector // no mass anywhere near: keep
+          else prototypes(cell).vector) // no mass anywhere near: keep
         if (Vectors.sqdist(nv, prototypes(cell).vector) > eps * eps) moved = true
         next(cell) = VectorWithNorm(nv, Vectors.norm(nv, 2.0))
         cell += 1

@@ -59,10 +59,21 @@ private[graft] trait SOMParams extends Params {
     "temperature decay schedule (exponential|linear)", ParamValidators.inArray(Array("exponential", "linear")))
   def getDecay: String = $(decay)
 
+  /** Extension beyond the reference: if >= 0, round every prototype component
+    * to this many decimals (HALF_UP) after each update. Quantizing the
+    * iterate makes the training loop bit-reproducible across engines and
+    * aggregation orders — the ~1e-13 partial-agg drift is absorbed before it
+    * can compound across iterations (SURVEY §8 float-determinism). -1 = off. */
+  final val protoDecimals = new IntParam(this, "protoDecimals",
+    "round prototype components to this many decimals after each update (-1 = off)",
+    ParamValidators.gtEq(-1))
+  def getProtoDecimals: Int = $(protoDecimals)
+
   setDefault(featuresCol -> "features", predictionCol -> "prediction",
     height -> 10, width -> 10, tMax -> 10.0, tMin -> 1.0,
     maxIter -> 20, tol -> 1e-4, kernel -> "gaussian", decay -> "exponential",
-    topology -> "rectangular", seed -> this.getClass.getName.hashCode.toLong)
+    topology -> "rectangular", protoDecimals -> -1,
+    seed -> this.getClass.getName.hashCode.toLong)
 
   /** Number of map cells K = height × width. */
   def numCells: Int = $(height) * $(width)
