@@ -65,17 +65,16 @@ object Dedup {
   /** LSH candidate pairs: docs sharing any band (4 bands × 4 rows). */
   def lshCandidates(signatures: DataFrame): DataFrame = {
     // collect_list is unordered — sort by (h, minhash) struct before keying.
-    // Persisted: the self-join below would otherwise recompute the whole
-    // signature pipeline (full-corpus shingle scan) once per side. The banded
-    // table is 4 rows/doc of (int, string) — the cheap materialization point.
+    // localCheckpoint (eager): truncates lineage so the self-join below can't
+    // recompute the signature pipeline (full-corpus shingle scan) once per
+    // side. The banded table is 4 rows/doc of (int, string) — the cheap
+    // materialization point.
     val banded = signatures
       .groupBy(col("doc"), (col("h") / 4).cast("int").as("band"))
       .agg(concat_ws(",",
         transform(sort_array(collect_list(struct(col("h"), col("minhash")))),
           s => s.getField("minhash").cast("string"))).as("key"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    banded.count() // eager: both self-join map stages run concurrently and
-                   // would each recompute the pipeline before the cache fills
+      .localCheckpoint(eager = true)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc") < col("b.doc"))
@@ -142,12 +141,12 @@ object Dedup {
     * component. Each round is one groupBy over the edge list — scales as
     * `rounds` shuffles of |E|, never materializing components in memory. */
   def keepList(docs: DataFrame, id: String, pairs: DataFrame, rounds: Int = 3): DataFrame = {
-    // symmetric edge list + self-loops so isolated docs survive
+    // symmetric edge list + self-loops so isolated docs survive;
+    // localCheckpoint: the per-round joins scan edges repeatedly
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .union(docs.select(col(id).as("src"), col(id).as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    edges.count() // eager-materialize: the per-round joins scan edges repeatedly
+      .localCheckpoint(eager = true)
     var labels = edges.groupBy(col("src").as("doc")).agg(min(col("dst")).as("lbl"))
     for (_ <- 1 until rounds) {
       labels = edges.join(labels, edges("dst") === labels("doc"))
@@ -179,13 +178,12 @@ object Dedup {
     * chunks): pigeonhole banding on 15-bit chunks → equi-join, then exact
     * hamming via bit_count(xor). */
   def simhashPairs(simhashes: DataFrame, maxHamming: Int = 3): DataFrame = {
-    // persist: the chunk self-join would recompute the simhash pipeline
-    // (token explode + 60-bit votes) once per side otherwise.
+    // localCheckpoint: the chunk self-join would recompute the simhash
+    // pipeline (token explode + 60-bit votes) once per side otherwise.
     val chunks = simhashes.select(col("doc"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("chunk"))
       .withColumn("ckey", expr("shiftright(simhash, chunk * 15) % 32768"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    chunks.count() // eager-materialize before the concurrent self-join stages
+      .localCheckpoint(eager = true)
     chunks.as("a").join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
         col("a.doc") < col("b.doc"))

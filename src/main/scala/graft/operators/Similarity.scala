@@ -75,11 +75,10 @@ object Similarity {
     * minCos. @param assigned (vec_id, v, cell) */
   def nearestInCell(assigned: DataFrame, minCos: Double): DataFrame = {
     val w = Window.partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id"))
-    // persist: the cell self-join would recompute the centroid assignment
-    // once per side otherwise.
+    // localCheckpoint: the cell self-join would recompute the centroid
+    // assignment once per side otherwise.
     val an = assigned.withColumn("nrm", norm2Fast(col("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    an.count() // eager-materialize before the concurrent self-join stages
+      .localCheckpoint(eager = true)
     an.as("a").join(an.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),

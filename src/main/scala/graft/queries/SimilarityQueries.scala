@@ -15,6 +15,7 @@ object SimilarityQueries {
   val NProbe = 2
   val NumProbes = 5
   val MinCos = 0.3
+  private val K9 = SomQueries.K // the 3×3 SOM grid used by ann_ivf
 
   private def pts(s: SparkSession, dir: String): DataFrame =
     SomQueries.points(s, dir)
@@ -23,9 +24,12 @@ object SimilarityQueries {
     pts(s, dir).where(col("vec_id") < NumProbes)
       .select(col("vec_id").as("probe_id"), col("v").as("p"))
 
-  /** (vec_id, v, cell): corpus with IVF cell assignment (nearest prototype). */
-  private def assigned(s: SparkSession, dir: String): DataFrame = {
-    val protos = SomQueries.protos(s, dir)
+  /** (vec_id, v, cell): corpus with IVF cell assignment (nearest prototype
+    * among the first `cells` embedding rows — data-sampled coarse centroids,
+    * the classic IVF quantizer). */
+  private def assigned(s: SparkSession, dir: String, cells: Int = K9): DataFrame = {
+    val protos = pts(s, dir).where(col("vec_id") < cells)
+      .select(col("vec_id").cast("long").as("proto_id"), col("v").as("c"))
     pts(s, dir).crossJoin(broadcast(protos))
       .select(col("vec_id"), col("v"), col("proto_id"),
         graft.functions.VectorSql.sqDistFast(col("v"), col("c")).as("d2"))
@@ -33,6 +37,12 @@ object SimilarityQueries {
       .agg(min(struct(col("d2"), col("proto_id"))).as("m"), first(col("v")).as("v"))
       .select(col("vec_id"), col("v"), col("m.proto_id").as("cell"))
   }
+
+  /** √N-scaled IVF cell count (never below the 3×3 SOM grid): keeps the
+    * within-cell all-pairs of [[nearDupNN]] at ~N^1.5 total work instead of
+    * O(N²/const) — the constant-cell-count variant is quadratic at 100×. */
+  def centroidCount(n: Long): Int =
+    math.max(K9, math.ceil(math.sqrt(n.toDouble)).toInt)
 
   def annBrute(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteTopK(pts(s, dir), probes(s, dir), K)
@@ -43,8 +53,13 @@ object SimilarityQueries {
     Similarity.ivfTopK(assigned(s, dir), centroids, probes(s, dir), K, NProbe)
   }
 
-  def nearDupNN(s: SparkSession, dir: String): DataFrame =
-    Similarity.nearestInCell(assigned(s, dir), MinCos)
+  /** Embedding near-dup NN with the √N-scaled quantizer: the per-corpus cell
+    * count comes from one metadata-cheap count, so the blocked all-pairs
+    * grows ~N^1.5 with corpus size instead of quadratically. */
+  def nearDupNN(s: SparkSession, dir: String): DataFrame = {
+    val cells = centroidCount(pts(s, dir).count())
+    Similarity.nearestInCell(assigned(s, dir, cells), MinCos)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute" -> annBrute _,
@@ -69,6 +84,19 @@ object SimilarityQueries {
        |asg AS (SELECT vec_id, v, cell FROM
        |  (SELECT vec_id, v, cell, row_number() OVER
        |    (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM d0)
+       |  WHERE rn = 1)""".stripMargin
+  // √N-scaled quantizer twin of [[centroidCount]]/[[assigned]]: the cell
+  // count is computed inside the oracle from the same corpus it blocks.
+  private val assignedSqrtNCte =
+    s"""protos_n AS (SELECT CAST(vec_id AS BIGINT) AS cell, CAST(embedding AS DOUBLE[]) AS c
+       |  FROM embeddings
+       |  WHERE vec_id < (SELECT GREATEST($K9, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM embeddings)),
+       |dn AS (SELECT p.vec_id, p.v, pr.cell,
+       |  list_sum(list_transform(range(1, 65), i -> (p.v[i]-pr.c[i])*(p.v[i]-pr.c[i]))) AS d2
+       | FROM pts p CROSS JOIN protos_n pr),
+       |asg_n AS (SELECT vec_id, v, cell FROM
+       |  (SELECT vec_id, v, cell, row_number() OVER
+       |    (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM dn)
        |  WHERE rn = 1)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
@@ -99,10 +127,10 @@ object SimilarityQueries {
          | round(cos, 6) AS cos_sim
          |FROM r WHERE rn <= $K""".stripMargin,
     "dedup_embedding_nn" ->
-      s"""WITH $base, $assignedCte,
+      s"""WITH $base, $assignedSqrtNCte,
          |pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          |   ${cosE("a.v", "b.v")} AS cos
-         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id != b.vec_id),
+         |  FROM asg_n a JOIN asg_n b ON a.cell = b.cell AND a.vec_id != b.vec_id),
          |r AS (SELECT a_id, b_id, cos, row_number() OVER
          |  (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn FROM pairs)
          |SELECT a_id AS vec_id, b_id AS nn_id, round(cos, 6) AS cos_sim

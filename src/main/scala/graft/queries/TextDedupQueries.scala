@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Dedup, TextOps}
+import graft.operators.{Artifacts, Dedup, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -68,38 +68,49 @@ object TextDedupQueries {
   def dedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exactSurvivors(docs(s, dir), "doc_id", "text")
 
-  /** MinHash signatures (16 affine permutations over 3-token shingles).
-    * Raw occurrences feed the signature directly — min() is
-    * duplicate-insensitive, so the distinct shuffle is skipped. */
-  def dedupMinhashSig(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashSignatures(Dedup.docShinglesRaw(docs(s, dir), "doc_id", "text"))
+  // ---- shared dedup artifacts (VERDICT r1: the sig/pairs pipeline used to
+  // be rebuilt from the raw corpus by every family member — ~4 scans of the
+  // same shingle stream per bench round). Signatures (16 rows/doc) and
+  // confirmed pairs (near-dup suspects only) are the two REDUCED artifacts
+  // worth materializing; the shingle stream itself never is.
 
-  /** Near-dup pairs: LSH band candidates → exact Jaccard ≥ 0.8.
-    * The candidate set (tiny: only near-dup suspects) is persisted so its
-    * minhash subtree computes once, and the exact-Jaccard confirm re-shingles
-    * ONLY candidate docs — the full corpus is touched exactly once, by the
+  /** MinHash signature table, materialized once per corpus. Raw occurrences
+    * feed the signature directly — min() is duplicate-insensitive, so the
+    * distinct shuffle is skipped. */
+  private def sharedSignatures(s: SparkSession, dir: String): DataFrame =
+    Artifacts.shared(s"minhash_sig:$dir") {
+      Dedup.minhashSignatures(Dedup.docShinglesRaw(docs(s, dir), "doc_id", "text"))
+    }
+
+  /** Confirmed near-dup pairs (LSH candidates → exact Jaccard ≥ 0.8),
+    * materialized once per corpus. The exact-Jaccard confirm re-shingles ONLY
+    * candidate docs — the full corpus is touched exactly once, by the
     * signature scan. */
-  def dedupMinhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    val raw = Dedup.docShinglesRaw(d, "doc_id", "text")
-    val cand = Dedup.lshCandidates(Dedup.minhashSignatures(raw))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candDocs = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val rawCand = Dedup.docShinglesRaw(d.join(broadcast(candDocs), "doc_id"), "doc_id", "text")
-    Dedup.jaccardPairs(rawCand, 0.8, candidates = Some(cand))
-  }
+  private def sharedPairs(s: SparkSession, dir: String): DataFrame =
+    Artifacts.shared(s"minhash_pairs:$dir") {
+      val cand = Dedup.lshCandidates(sharedSignatures(s, dir))
+        .localCheckpoint(eager = true) // reused: candDocs filter + pair-confirm join
+      val candDocs = cand.select(col("doc_a").as("doc_id"))
+        .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+      val rawCand = Dedup.docShinglesRaw(
+        docs(s, dir).join(broadcast(candDocs), "doc_id"), "doc_id", "text")
+      Dedup.jaccardPairs(rawCand, 0.8, candidates = Some(cand))
+    }
+
+  /** MinHash signatures (16 affine permutations over 3-token shingles). */
+  def dedupMinhashSig(s: SparkSession, dir: String): DataFrame =
+    sharedSignatures(s, dir)
+
+  /** Near-dup pairs: LSH band candidates → exact Jaccard ≥ 0.8. */
+  def dedupMinhashPairs(s: SparkSession, dir: String): DataFrame =
+    sharedPairs(s, dir)
 
   /** Dedup end-artifact: the keep-list. Near-dup pairs (MinHash, jac ≥ 0.8)
     * → 3-round min-label propagation → (doc, canonical) for every document;
     * keep rows where doc == canonical. */
-  def dedupKeepList(s: SparkSession, dir: String): DataFrame = {
-    // persist: the symmetric edge-list union scans the pair subtree twice
-    val pairs = dedupMinhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    pairs.count()
-    Dedup.keepList(docs(s, dir), "doc_id", pairs, rounds = 3)
-  }
+  def dedupKeepList(s: SparkSession, dir: String): DataFrame =
+    Dedup.keepList(docs(s, dir), "doc_id",
+      sharedPairs(s, dir).select(col("doc_a"), col("doc_b")), rounds = 3)
 
   /** Near-dup pairs by SimHash hamming ≤ 3 (pigeonhole band join). */
   def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
