@@ -40,14 +40,24 @@ object EventStream {
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
+  /** start/last are epoch MICROseconds — `Timestamp.getTime` (ms) truncates
+    * sub-ms parts and drifts the duration off the batch twin's integer-us
+    * arithmetic by up to a second on boundaries. */
   case class SessionState(start: Long, last: Long, n: Int, sum: Double)
   case class Session(user_id: Long, n_events: Int, duration_s: Long, sum_value: Double)
 
+  /** Exact epoch-us of a Timestamp: getTime gives floor-ms, getNanos the full
+    * fractional second. */
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
   /** 30-minute-gap sessionization with explicit state — streaming twin of
-    * `EventQueries.sessionize`, emitting a row when a session times out. */
+    * `EventQueries.sessionize`, emitting a row when a session times out.
+    * Gap/duration arithmetic is integer epoch-us, identical to the batch
+    * (and DuckDB-oracle) form. */
   def sessionize(events: Dataset[Event]): Dataset[Session] = {
     import events.sparkSession.implicits._
-    val gapMs = 30L * 60 * 1000
+    val gapUs = 30L * 60 * 1000000
     events
       .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
@@ -57,18 +67,18 @@ object EventStream {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(Session(userId, s.n, (s.last - s.start) / 1000, s.sum))
+            Iterator.single(Session(userId, s.n, (s.last - s.start) / 1000000, s.sum))
           } else {
-            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
             var cur = state.getOption
             val out = scala.collection.mutable.ArrayBuffer.empty[Session]
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = micros(e.ts)
               cur match {
-                case Some(s) if t - s.last <= gapMs =>
+                case Some(s) if t - s.last <= gapUs =>
                   cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
                 case Some(s) =>
-                  out += Session(userId, s.n, (s.last - s.start) / 1000, s.sum)
+                  out += Session(userId, s.n, (s.last - s.start) / 1000000, s.sum)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
@@ -76,7 +86,9 @@ object EventStream {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              // timeout clock is ms-granular; us→ms floor keeps it ≤ the
+              // exact horizon, never early-firing past it
+              state.setTimeoutTimestamp(s.last / 1000 + gapUs / 1000)
             }
             out.iterator
           }

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.queries.EventQueries
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Streaming-vs-batch equivalence on REAL testdata: the full sf0.001 events
+  * table flows through MemoryStream into the streaming operators and the
+  * sink must equal the oracle-checked batch twin row-for-row. This is the
+  * check that fails if streaming and batch semantics ever diverge — the
+  * batch side is hash-matched against DuckDB per round, so transitively the
+  * streaming path is oracle-proven too.
+  */
+class StreamBatchEquivalenceSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  /** sf0.001 events as typed rows with exact microsecond timestamps
+    * (events.parquet stores ns; Spark 4 reads them as long via
+    * nanosAsLong — same convert-then-floor as the batch reader). */
+  private def loadEvents(): Seq[EventStream.Event] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[EventStream.Event]
+      .collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+  }
+
+  test("streaming hourly equals oracle-checked batch hourly on sf0.001") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.hourly(mem.toDF())
+      .writeStream.format("memory").queryName("eq_hourly")
+      .outputMode("complete").start()
+    try {
+      mem.addData(loadEvents())
+      q.processAllAvailable()
+      val streamed = spark.table("eq_hourly")
+        .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n"), round(col("sum_value"), 4).as("sum_value"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+      val batch = EventQueries.hourly(spark, dir)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+      assert(streamed.nonEmpty)
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
+  test("streaming sessionize equals oracle-checked batch sessionize on sf0.001") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents()
+    val maxTs = events.map(_.ts.getTime).max
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("eq_sessions")
+      .outputMode("append").start()
+    try {
+      // one batch = no late rows; then a far-future sentinel advances the
+      // watermark past every open session's timeout so all sessions emit
+      mem.addData(events)
+      q.processAllAvailable()
+      mem.addData(EventStream.Event(-1L, new Timestamp(maxTs + 4L * 3600 * 1000), -1L, "view", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("eq_sessions")
+        .where(col("user_id") >= 0) // drop the sentinel's own session (if emitted)
+        .select(col("user_id"), col("n_events"), col("duration_s"),
+          round(col("sum_value"), 4).as("sum_value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sorted
+      val batch = EventQueries.sessionize(spark, dir)
+        .select(col("user_id"), col("n_events").cast("int"), col("duration_s"), col("sum_value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sorted
+      assert(streamed.nonEmpty)
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+}
