@@ -58,7 +58,8 @@ private[graft] object Distance {
   * shuffle moves only ≤K partial aggregates), one ≤K-row collect. The model
   * (K·d doubles) is broadcast each iteration and destroyed after.
   */
-class SOM(override val uid: String) extends Estimator[SOMModel] with SOMParams {
+class SOM(override val uid: String) extends Estimator[SOMModel] with SOMParams
+    with org.apache.spark.ml.util.DefaultParamsWritable {
 
   def this() = this(org.apache.spark.ml.util.Identifiable.randomUID("som"))
 
@@ -200,4 +201,10 @@ class SOM(override val uid: String) extends Estimator[SOMModel] with SOMParams {
     validateAndTransformSchema(schema)
 
   override def copy(extra: ParamMap): SOM = defaultCopy(extra)
+}
+
+/** Params-only persistence for the unfitted estimator, so `Pipeline.save`
+  * accepts a pipeline with a SOM stage. */
+object SOM extends org.apache.spark.ml.util.DefaultParamsReadable[SOM] {
+  override def load(path: String): SOM = super.load(path)
 }

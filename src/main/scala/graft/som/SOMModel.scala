@@ -2,7 +2,8 @@ package graft.som
 
 import org.apache.spark.ml.Model
 import org.apache.spark.ml.linalg.{Vector, Vectors}
-import org.apache.spark.ml.param.ParamMap
+import org.apache.spark.ml.param.{Param, ParamMap}
+import org.apache.spark.ml.util.{Identifiable, MLReadable, MLReader, MLWritable, MLWriter}
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, StructType}
@@ -22,7 +23,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, S
   * prototype table.
   */
 class SOMModel(override val uid: String, val prototypes: Array[Vector])
-    extends Model[SOMModel] with SOMParams {
+    extends Model[SOMModel] with SOMParams with MLWritable {
 
   private val protosWithNorm: Array[VectorWithNorm] =
     prototypes.map(v => VectorWithNorm(v, Vectors.norm(v, 2.0)))
@@ -108,9 +109,73 @@ class SOMModel(override val uid: String, val prototypes: Array[Vector])
     val copied = new SOMModel(uid, prototypes)
     copyValues(copied, extra).setSummary(trainingSummary).setParent(parent)
   }
+
+  /** Spark ML-native persistence: lets `PipelineModel.save/load` round-trip a
+    * pipeline containing a fitted SOM. Layout: `path/metadata` (one-line JSON
+    * in the standard stage-metadata shape, so the pipeline reader can
+    * dispatch on the `class` field) + `path/data/prototypes` parquet. */
+  override def write: MLWriter = new SOMModel.SOMModelWriter(this)
 }
 
-object SOMModel {
+object SOMModel extends MLReadable[SOMModel] {
+
+  override def read: MLReader[SOMModel] = new SOMModelReader
+  override def load(path: String): SOMModel = super.load(path)
+
+  /** Stage metadata in the layout every Spark ML reader/writer uses
+    * (`class`/`timestamp`/`sparkVersion`/`uid`/`paramMap`/`defaultParamMap`);
+    * written by hand because the built-in helpers are `private[ml]`. Params
+    * serialize through their own public `jsonEncode`/`jsonDecode`. */
+  private[som] class SOMModelWriter(instance: SOMModel) extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      import org.json4s.JsonDSL._
+      import org.json4s.jackson.JsonMethods._
+      import org.json4s.{JField, JObject, JValue}
+      def enc(pairs: Seq[(String, String)]): JValue =
+        JObject(pairs.map { case (n, j) => JField(n, parse(j)) }.toList)
+      val setParams = instance.params.toSeq.filter(instance.isSet).map(p =>
+        p.name -> p.asInstanceOf[Param[Any]].jsonEncode(instance.get(p).get))
+      val defaults = instance.params.toSeq.filter(p => instance.hasDefault(p)).map(p =>
+        p.name -> p.asInstanceOf[Param[Any]].jsonEncode(instance.getDefault(p).get))
+      val metadata = ("class" -> instance.getClass.getName) ~
+        ("timestamp" -> System.currentTimeMillis()) ~
+        ("sparkVersion" -> sparkSession.version) ~
+        ("uid" -> instance.uid) ~
+        ("paramMap" -> enc(setParams)) ~
+        ("defaultParamMap" -> enc(defaults))
+      sparkSession.createDataset(Seq(compact(render(metadata))))(
+        org.apache.spark.sql.Encoders.STRING)
+        .repartition(1).write.text(s"$path/metadata")
+      instance.prototypesDF(sparkSession)
+        .repartition(1).write.parquet(s"$path/data/prototypes")
+    }
+  }
+
+  private class SOMModelReader extends MLReader[SOMModel] {
+    override def load(path: String): SOMModel = {
+      import org.json4s.jackson.JsonMethods._
+      import org.json4s.{DefaultFormats, JObject}
+      implicit val fmt: DefaultFormats.type = DefaultFormats
+      val json = parse(sparkSession.read.text(s"$path/metadata").head().getString(0))
+      val uid = (json \ "uid").extract[String]
+      val rows = sparkSession.read.parquet(s"$path/data/prototypes")
+        .select("cell", "prototype").collect()
+      val protos = new Array[Vector](rows.length)
+      rows.foreach(r => protos(r.getInt(0)) = Vectors.dense(r.getAs[Seq[Double]](1).toArray))
+      val model = new SOMModel(uid, protos)
+      json \ "paramMap" match {
+        case JObject(fields) => fields.foreach { case (name, v) =>
+          val p = model.getParam(name)
+          model.set(p.asInstanceOf[Param[Any]], p.jsonDecode(compact(render(v))))
+        }
+        case _ =>
+      }
+      require(protos.length == model.getOrDefault(model.height) * model.getOrDefault(model.width),
+        s"prototype count ${protos.length} does not match saved grid params")
+      model
+    }
+  }
+
   /** Normalize a features column (VectorUDT or array<float|double>) to
     * VectorUDT (SURVEY.md §7.3.6 conversion layer). */
   private[graft] def toVectorCol(dt: DataType, c: Column): Column = dt match {
