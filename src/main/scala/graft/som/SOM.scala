@@ -103,12 +103,15 @@ class SOM(override val uid: String) extends Estimator[SOMModel] with SOMParams
     val alreadyCached = dataset.storageLevel != StorageLevel.NONE
     if (!alreadyCached) data.persist(StorageLevel.MEMORY_AND_DISK)
 
-    // --- init: K seeded random rows (reference uses seeded XORShift takeSample,
-    // `som/SOM.scala:295-298`); warm start takes precedence.
+    // --- init: K seeded random rows with the reference's exact seed chain —
+    // the takeSample seed is the first nextInt of an XORShift generator
+    // seeded by the user seed (`som/SOM.scala:295-298`); warm start takes
+    // precedence.
     var prototypes: Array[VectorWithNorm] = initialModel match {
       case Some(m) => m.prototypes.map(v => VectorWithNorm(v, Vectors.norm(v, 2.0)))
       case None =>
-        val sample = data.rdd.takeSample(withReplacement = true, num = k, seed = $(seed))
+        val sample = data.rdd.takeSample(withReplacement = true, num = k,
+            seed = new XORShiftRandom($(seed)).nextInt())
           .map(_.getAs[Vector](0))
         require(sample.length == k, s"not enough data to sample $k prototypes")
         sample.map(v => VectorWithNorm(Vectors.dense(v.toArray), Vectors.norm(v, 2.0)))
