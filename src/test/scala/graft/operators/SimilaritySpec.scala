@@ -49,6 +49,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall too low for nprobe=2 of 4 cells")
   }
 
+  test("sqrt-N cell scaling keeps in-cell pair growth sub-quadratic") {
+    // With cells = centroidCount(N) ≈ √N, total within-cell pairs grow
+    // ~N^1.5: quadrupling the corpus must multiply pairs by ~8, far below
+    // the 16x a fixed cell count (O(N²/const)) would give.
+    def pairCount(n: Int): Long = {
+      val pts = vecs(n, 8, 5)
+      val cells = graft.queries.SimilarityQueries.centroidCount(n)
+      val protos = pts.where(col("vec_id") < cells)
+        .select(col("vec_id").as("cell"), col("v").as("c"))
+      pts.crossJoin(broadcast(protos))
+        .select(col("vec_id"), col("cell"),
+          graft.functions.VectorSql.sqDistFast(col("v"), col("c")).as("d2"))
+        .groupBy("vec_id").agg(min(struct(col("d2"), col("cell"))).as("m"))
+        .groupBy(col("m.cell")).count()
+        .agg(sum(col("count") * (col("count") - 1)).as("pairs"))
+        .head().getLong(0)
+    }
+    val small = pairCount(200)
+    val big = pairCount(800)
+    assert(small > 0)
+    val ratio = big.toDouble / small
+    assert(ratio < 12.0, s"pair growth $ratio approaches quadratic (16x)")
+  }
+
   test("nearestInCell yields one best neighbor per vector above threshold") {
     val pts = vecs(50, 4, 3)
     val protos = pts.where(col("vec_id") < 2)
