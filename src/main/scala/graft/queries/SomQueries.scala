@@ -64,18 +64,38 @@ object SomQueries {
       .agg(min(struct(col("d2"), col("proto_id"))).as("m"))
       .select(col("vec_id"), col("m.proto_id").as("bmu"), col("m.d2").as("d2"))
 
+  /** Assignment carrying the point vector through the argmin aggregate
+    * (`first(v)` — v is constant across a point's K candidate rows), so
+    * downstream per-cell stats need no second join against `points`:
+    * one wide shuffle instead of shuffle + join. */
+  private def assignedVec(s: SparkSession, dir: String): DataFrame =
+    points(s, dir).crossJoin(broadcast(protos(s, dir)))
+      .select(col("vec_id"), col("v"), col("proto_id"),
+        sqDistFast(col("v"), col("c")).as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("proto_id"))).as("m"), first(col("v")).as("v"))
+      .select(col("vec_id"), col("m.proto_id").as("bmu"), col("v"))
+
   /** Global quantization error — reference `computeCost`
     * (`som/SOMModel.scala:92-97`) as one exact aggregate (no accumulator). */
   def cost(s: SparkSession, dir: String): DataFrame =
     assignRaw(s, dir).agg(count(lit(1)).as("n"), round(sum(col("d2")), 2).as("cost"))
 
   /** Per-cell componentwise sums + counts — the partial-agg step of training
-    * (reference `som/SOM.scala:192-212`) as groupBy over (bmu, dim). */
+    * (reference `som/SOM.scala:192-212`). Vector-valued aggregation
+    * (Summarizer) instead of posexplode+groupBy: the explode shape pushes
+    * N·d rows through the aggregate (32M at sf0.1), the vector shape does N
+    * in-place vector adds and shuffles only K partial sums. The K×d result
+    * explodes AFTER the aggregate — 576 rows, not 32M. */
   def cellStats(s: SparkSession, dir: String): DataFrame = {
-    val a = assignRaw(s, dir).join(points(s, dir), "vec_id")
-    a.select(col("bmu"), posexplode(col("v")).as(Seq("dim", "x")))
-      .groupBy(col("bmu"), col("dim"))
-      .agg(round(sum(col("x")), 4).as("s"), count(lit(1)).as("n"))
+    import org.apache.spark.ml.stat.Summarizer
+    val a = assignedVec(s, dir)
+    a.select(col("bmu"), org.apache.spark.ml.functions.array_to_vector(col("v")).as("fv"))
+      .groupBy(col("bmu"))
+      .agg(Summarizer.sum(col("fv")).as("sv"), count(lit(1)).as("n"))
+      .select(col("bmu"), col("n"),
+        posexplode(org.apache.spark.ml.functions.vector_to_array(col("sv"))).as(Seq("dim", "x")))
+      .select(col("bmu"), col("dim"), round(col("x"), 4).as("s"), col("n"))
   }
 
   /** One neighborhood-weighted update step at fixed temperature T: the
@@ -83,10 +103,16 @@ object SomQueries {
     * new_k[dim] = Σ_j w(k,j)·S_j[dim] / Σ_j w(k,j)·n_j,
     * w(k,j) = exp(-cellDist(k,j)² / T²), Manhattan dist on the 3×3 grid. */
   def updateStep(s: SparkSession, dir: String): DataFrame = {
-    val a = assignRaw(s, dir).join(points(s, dir), "vec_id")
-    val sums = a.select(col("bmu"), posexplode(col("v")).as(Seq("dim", "x")))
-      .groupBy(col("bmu"), col("dim"))
-      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+    import org.apache.spark.ml.stat.Summarizer
+    val a = assignedVec(s, dir)
+    // same vector-shaped aggregate as [[cellStats]] — K×d rows explode after
+    // the agg, never N·d before it
+    val sums = a.select(col("bmu"), org.apache.spark.ml.functions.array_to_vector(col("v")).as("fv"))
+      .groupBy(col("bmu"))
+      .agg(Summarizer.sum(col("fv")).as("sv"), count(lit(1)).as("n"))
+      .select(col("bmu"), col("n"),
+        posexplode(org.apache.spark.ml.functions.vector_to_array(col("sv"))).as(Seq("dim", "s")))
+      .select(col("bmu"), col("dim"), col("s"), col("n"))
     // K×K weight table as a tiny literal DataFrame (driver-side compute,
     // exactly like the reference's Array.tabulate — K is always small).
     val w = {
