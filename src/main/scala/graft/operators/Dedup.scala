@@ -160,18 +160,25 @@ object Dedup {
   val SimhashBits = 60
 
   /** 60-bit SimHash over distinct whitespace tokens: bit b is the sign of the
-    * vote Σ_tokens (2·bit_b(hash)−1); ties (vote 0) resolve to 0. */
+    * vote Σ_tokens (2·bit_b(hash)−1); ties (vote 0) resolve to 0.
+    *
+    * Plan shape: 60 `sum` vote aggregates in ONE hash aggregation over the
+    * token stream (the [[minhashSignatures]] trick) — exploding each token
+    * into 60 bit-rows before the aggregate would push 60× the rows through
+    * the shuffle machinery for the same integer votes. */
   def simhash(docs: DataFrame, id: String, text: String): DataFrame = {
     val toks = docs
       .select(col(id).as("doc"), explode(TextOps.tokensFast(col(text))).as("tok")).distinct()
       .select(col("doc"), md5Hash60(col("tok")).as("x"))
-    toks
-      .select(col("doc"), col("x"), explode(sequence(lit(0), lit(SimhashBits - 1))).as("b"))
-      .groupBy(col("doc"), col("b"))
-      .agg(sum(expr("shiftright(x, b) % 2 * 2 - 1")).as("vote"))
-      .groupBy(col("doc"))
-      .agg(sum(when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L))
-        .as("simhash"))
+    val votes = (0 until SimhashBits).map { b =>
+      sum(expr(s"shiftright(x, $b) % 2 * 2 - 1")).as(s"v$b")
+    }
+    val bits = (0 until SimhashBits).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    toks.groupBy(col("doc"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc"), bits.as("simhash"))
   }
 
   /** Near-dup pairs by SimHash hamming distance ≤ maxHamming (≤3 with 4
