@@ -37,9 +37,24 @@ object MultimodalQueries {
       .agg(count(lit(1)).as("n_media"), sum(col("cnt")).cast("long").as("total"))
   }
 
+  /** Frame sampling over the payload: every 2nd 64-byte chunk (the Spark-side
+    * shape of video frame extraction — a real impl would demux instead of
+    * chunking). ASCII-filtered payload keeps the first-frame digest
+    * oracle-checkable (1 byte per char, so VARCHAR substr == byte slice). */
+  def mmFrameSample(s: SparkSession, dir: String): DataFrame = {
+    val media = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("media_id"),
+        regexp_replace(col("text"), "[^\\x00-\\x7F]", "").cast("binary").as("payload"))
+    Multimodal.sampleFrames(media, frameBytes = 64, everyK = 2)
+      .select(col("media_id"), col("n_frames_sampled"),
+        when(size(col("frames")) > 0, md5(element_at(col("frames"), 1)))
+          .as("first_frame_digest"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_byte_stats" -> mmByteStats _,
     "mm_feature_agg" -> mmFeatureAgg _,
+    "mm_frame_sample" -> mmFrameSample _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -63,5 +78,16 @@ object MultimodalQueries {
         |SELECT CAST(bin AS INT) AS bin, CAST(count(*) AS BIGINT) AS n_media,
         |  CAST(sum(cnt) AS BIGINT) AS total
         |FROM per_media GROUP BY 1""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH cleaned AS (
+        |  SELECT doc_id AS media_id,
+        |    regexp_replace(text, '[^\x00-\x7F]', '', 'g') AS clean
+        |  FROM documents)
+        |SELECT media_id,
+        |  CAST(CASE WHEN len(clean) = 0 THEN 0
+        |       ELSE ((len(clean) + 63) // 64 + 1) // 2 END AS INT) AS n_frames_sampled,
+        |  CASE WHEN len(clean) = 0 THEN NULL
+        |       ELSE md5(substr(clean, 1, 64)) END AS first_frame_digest
+        |FROM cleaned""".stripMargin,
   )
 }

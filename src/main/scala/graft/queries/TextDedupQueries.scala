@@ -112,6 +112,16 @@ object TextDedupQueries {
     Dedup.keepList(docs(s, dir), "doc_id",
       sharedPairs(s, dir).select(col("doc_a"), col("doc_b")), rounds = 3)
 
+  /** Standalone exact n-gram Jaccard pairs: the inverted-index shingle
+    * self-join WITHOUT an LSH pre-filter, with the production skew guard
+    * exercised (document-frequency cap 5 — shingles present in more than 5
+    * docs are excluded from both intersection and union). The honest
+    * full-recall baseline the LSH family approximates: join cost is
+    * Σ_sh df² over capped shingles, bounded by cap·|shingle stream|. */
+  def dedupJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Dedup.docShinglesRaw(docs(s, dir), "doc_id", "text"),
+      minJaccard = 0.5, maxShingleDf = Some(5))
+
   /** Near-dup pairs by SimHash hamming ≤ 3 (pigeonhole band join). */
   def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Dedup.simhash(docs(s, dir), "doc_id", "text"))
@@ -128,6 +138,7 @@ object TextDedupQueries {
     "dedup_minhash_pairs" -> dedupMinhashPairs _,
     "dedup_keep_list" -> dedupKeepList _,
     "dedup_simhash_pairs" -> dedupSimhashPairs _,
+    "dedup_jaccard_pairs" -> dedupJaccardPairs _,
   )
 
   // ---- shared oracle CTE fragments ----
@@ -239,6 +250,17 @@ object TextDedupQueries {
          |l3 AS (SELECT e.src AS doc, min(l.lbl) AS lbl
          |  FROM edges e JOIN l2 l ON e.dst = l.doc GROUP BY 1)
          |SELECT doc, lbl AS canonical FROM l3""".stripMargin,
+    "dedup_jaccard_pairs" ->
+      s"""WITH $toksCte, $shinglesCte,
+         |freq AS (SELECT sh, count(*) AS df FROM dsh GROUP BY 1),
+         |ds AS (SELECT doc, d.sh FROM dsh d JOIN freq USING (sh) WHERE df <= 5),
+         |szs AS (SELECT doc, count(*) AS n FROM ds GROUP BY 1),
+         |itr AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS c
+         |  FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc < b.doc GROUP BY 1, 2),
+         |jacs AS (SELECT doc_a, doc_b, c * 1.0 / (sa.n + sb.n - c) AS jaccard
+         |  FROM itr JOIN szs sa ON doc_a = sa.doc JOIN szs sb ON doc_b = sb.doc)
+         |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+         |FROM jacs WHERE jaccard >= 0.5""".stripMargin,
     "dedup_simhash_pairs" ->
       s"""WITH $toksCte, $simhashCte,
          |chunks AS (SELECT doc, simhash, c.c AS chunk,

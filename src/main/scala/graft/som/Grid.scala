@@ -22,6 +22,28 @@ object Grid {
     (math.abs(r2 - r1) + math.abs(c2 - c1)).toDouble
   }
 
+  /** Hexagonal grid distance (odd-r offset rows → cube coordinates; the
+    * standard hex metric where every interior cell has 6 neighbors at
+    * distance 1). Extension beyond the reference: its README lists hexagonal
+    * topology as a to-do it never implemented (reference `README.md:89`). */
+  def cellDistHex(width: Int)(k1: Int, k2: Int): Double = {
+    def cube(k: Int): (Int, Int) = {
+      val row = k / width; val col = k % width
+      val q = col - (row - (row & 1)) / 2 // odd-r → axial q; cube x=q, z=row, y=-x-z
+      (q, row)
+    }
+    val (x1, z1) = cube(k1); val (x2, z2) = cube(k2)
+    val dx = x1 - x2; val dz = z1 - z2; val dy = -(x1 + z1) + (x2 + z2)
+    ((math.abs(dx) + math.abs(dy) + math.abs(dz)) / 2).toDouble
+  }
+
+  /** Cell-distance function for a topology param value. */
+  def cellDistFor(topology: String, width: Int): (Int, Int) => Double = topology match {
+    case "rectangular" => cellDist(width)
+    case "hexagonal"   => cellDistHex(width)
+    case other         => throw new IllegalArgumentException(s"unknown topology: $other")
+  }
+
   /** Temperature at `iter` (0-based) of `maxIter` total iterations. */
   def temperature(decay: String, iter: Int, maxIter: Int, tMax: Double, tMin: Double): Double = {
     if (maxIter <= 1) return tMin

@@ -118,6 +118,7 @@ class SOM(override val uid: String) extends Estimator[SOMModel] with SOMParams
     }
 
     val kern = $(kernel); val dec = $(decay); val w = $(width)
+    val cellD = Grid.cellDistFor($(topology), w)
     val tMx = $(tMax); val tMn = $(tMin); val iters = $(maxIter); val eps = $(tol)
     val pd = $(protoDecimals)
     // HALF_UP matches both Spark's round() and DuckDB's round() (away from
@@ -166,7 +167,7 @@ class SOM(override val uid: String) extends Estimator[SOMModel] with SOMParams
         var j = 0
         while (j < k) {
           if (counts(j) > 0) {
-            val wgt = Grid.kernelWeight(kern, Grid.cellDist(w)(cell, j), t)
+            val wgt = Grid.kernelWeight(kern, cellD(cell, j), t)
             if (wgt != 0.0) {
               val sj = sums(j).toArray
               var d = 0

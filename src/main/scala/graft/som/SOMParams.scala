@@ -47,8 +47,11 @@ private[graft] trait SOMParams extends Params {
   final val tMin = new DoubleParam(this, "tMin", "final temperature (>0)", ParamValidators.gt(0))
   def getTMin: Double = $(tMin)
 
+  /** `hexagonal` is an extension beyond the reference (its README lists hex
+    * topology as an unimplemented to-do, reference `README.md:89`). */
   final val topology = new Param[String](this, "topology",
-    "grid topology (rectangular)", ParamValidators.inArray(Array("rectangular")))
+    "grid topology (rectangular|hexagonal)",
+    ParamValidators.inArray(Array("rectangular", "hexagonal")))
   def getTopology: String = $(topology)
 
   final val kernel = new Param[String](this, "kernel",

@@ -23,6 +23,36 @@ class GridSpec extends AnyFunSuite {
     }
   }
 
+  test("cellDistHex: every interior cell has exactly 6 neighbors at distance 1") {
+    // 5x5 even-r offset grid; interior cells are rows 1-3, cols 1-3.
+    val d = Grid.cellDistHex(5) _
+    for (r <- 1 to 3; c <- 1 to 3) {
+      val k = r * 5 + c
+      val at1 = (0 until 25).count(j => j != k && d(k, j) == 1.0)
+      assert(at1 == 6, s"cell $k has $at1 hex neighbors at distance 1")
+    }
+    // rectangular Manhattan gives only 4 — the topologies genuinely differ
+    assert((0 until 25).count(j => j != 12 && Grid.cellDist(5)(12, j) == 1.0) == 4)
+  }
+
+  test("cellDistHex is a metric: symmetric, triangle inequality, 0 iff equal") {
+    val rnd = new Random(3)
+    val d = Grid.cellDistHex(7) _
+    for (_ <- 0 until 500) {
+      val (a, b, c) = (rnd.nextInt(49), rnd.nextInt(49), rnd.nextInt(49))
+      assert(d(a, b) == d(b, a))
+      assert(d(a, c) <= d(a, b) + d(b, c))
+      assert((d(a, b) == 0.0) == (a == b))
+    }
+  }
+
+  test("cellDistFor dispatches on topology and rejects unknown") {
+    assert(Grid.cellDistFor("rectangular", 5)(0, 6) == 2.0)
+    assert(Grid.cellDistFor("hexagonal", 5)(0, 5) == 1.0) // (0,0)->(1,0) is one hex step
+    assert(Grid.cellDistFor("hexagonal", 5)(0, 6) == 2.0) // (0,0)->(1,1) is two (odd-r offset)
+    intercept[IllegalArgumentException](Grid.cellDistFor("toroidal", 5))
+  }
+
   test("temperature hits tMax at iter 0 and tMin at last iter, both decays") {
     for (decay <- Seq("exponential", "linear")) {
       assert(math.abs(Grid.temperature(decay, 0, 20, 10.0, 1.0) - 10.0) < 1e-12)

@@ -49,6 +49,20 @@ class SOMSpec extends SparkSpec {
     assert(model.summary.numIter == hist.length)
   }
 
+  test("hexagonal topology trains and differs from rectangular") {
+    val df = demoDF()
+    def fitWith(topo: String) = new SOM().setHeight(3).setWidth(3).setMaxIter(8)
+      .setTMax(2.0).setTMin(0.5).setSeed(42).setTopology(topo).fit(df)
+    val hex = fitWith("hexagonal")
+    val rect = fitWith("rectangular")
+    assert(hex.prototypes.length == 9)
+    assert(hex.objectiveHistory.last < hex.objectiveHistory.head)
+    // same seed/init, different neighborhood metric -> different maps
+    assert(hex.prototypes.zip(rect.prototypes)
+      .exists { case (a, b) => Vectors.sqdist(a, b) > 0.0 })
+    intercept[IllegalArgumentException](new SOM().setTopology("toroidal"))
+  }
+
   test("fit is deterministic for a fixed seed") {
     val df = demoDF()
     val m1 = new SOM().setHeight(3).setWidth(3).setMaxIter(5).setSeed(42).fit(df)
@@ -229,7 +243,8 @@ class SOMSpec extends SparkSpec {
     intercept[IllegalArgumentException](new SOM().setHeight(1))
     intercept[IllegalArgumentException](new SOM().setKernel("triangular"))
     intercept[IllegalArgumentException](new SOM().setDecay("cosine"))
-    intercept[IllegalArgumentException](new SOM().setTopology("hexagonal"))
+    intercept[IllegalArgumentException](new SOM().setTopology("triangular"))
+    new SOM().setTopology("hexagonal") // extension: valid since round 2
     intercept[IllegalArgumentException](new SOM().setMaxIter(-1))
   }
 }
