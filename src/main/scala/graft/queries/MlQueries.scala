@@ -29,7 +29,7 @@ object MlQueries {
     val warm = new SOMModel("som_init", init).setGrid(3, 3)
     val model = new SOM().setHeight(3).setWidth(3)
       .setMaxIter(FitIters).setTMax(FitTMax).setTMin(FitTMin).setTol(0.0)
-      .setSeed(42).setProtoDecimals(4)
+      .setSeed(42).setProtoDecimals(4).setSumDecimals(6)
       .setInitialModel(warm)
       .fit(emb)
     model.transformNative(emb).select(col("vec_id"), col("prediction"))
@@ -43,13 +43,24 @@ object MlQueries {
   def mlStandardize(s: SparkSession, dir: String): DataFrame = {
     val exploded = SomQueries.points(s, dir)
       .select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "x")))
-    // Float-determinism discipline (SURVEY §8): the 64 per-dim stats come
-    // from order-dependent double partial aggregation, so quantize them to 9
-    // decimals in BOTH engines before the per-row z — after that the
-    // arithmetic is identical per row and round(z, 4) can't flip.
+    // Float-determinism discipline (SURVEY §8), structural version: Σx and
+    // Σx² are computed as DECIMAL(38,18) sums — the per-row double→decimal
+    // cast is deterministic and decimal addition is exact, so the sums are
+    // bit-identical across engines and aggregation orders BY CONSTRUCTION
+    // (round 2 rounded the already-divergent double avg/stddev, which only
+    // shrank the failure odds). The decimal→double hop goes through
+    // round(·, 9) in decimal space so both engines convert the same ≤9-scale
+    // value (exactly representable path); mu/sigma/z are then identical
+    // double arithmetic per row. The decimal agg costs ~2× the double agg and
+    // exists for cross-engine verifiability; the stats stay a 64-row
+    // broadcast side either way.
     val stats = exploded.groupBy(col("dim"))
-      .agg(round(avg(col("x")), 9).as("mu"),
-           round(stddev_samp(col("x")), 9).as("sigma"))
+      .agg(
+        round(sum(col("x").cast("decimal(38,18)")), 9).cast("double").as("sx"),
+        round(sum((col("x") * col("x")).cast("decimal(38,18)")), 9).cast("double").as("sxx"),
+        count(lit(1)).as("n"))
+      .select(col("dim"), (col("sx") / col("n")).as("mu"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("sigma"))
     exploded.join(broadcast(stats), "dim")
       .select(col("vec_id"), col("dim"),
         round((col("x") - col("mu")) / col("sigma"), 4).as("z"))
@@ -98,10 +109,13 @@ object MlQueries {
         .groupBy(col("vec_id"))
         .agg(min(struct(col("d2"), col("proto_id"))).as("m"))
         .select(col("vec_id"), col("m.proto_id").as("bmu"))
+      // round(·, 6) on the order-dependent component sums: makes every input
+      // of the weighted ratio below identical across engines and partition
+      // counts by construction (same discipline as som_update / the chain).
       val sums = assign.join(pts, "vec_id")
         .select(col("bmu"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("bmu"), col("dim"))
-        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .agg(round(sum(col("x")), 6).as("s"), count(lit(1)).as("n"))
       val w = fitWeights(iter).toDF("k", "j", "w")
       val next = sums.join(broadcast(w), sums("bmu") === w("j"))
         .groupBy(col("k"), col("dim"))
@@ -161,7 +175,7 @@ object MlQueries {
         |     (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM d$iter)
         |  WHERE rn = 1),
         |s$iter AS (
-        |  SELECT a$iter.bmu, px.dim, sum(px.x) AS s, CAST(count(*) AS BIGINT) AS n
+        |  SELECT a$iter.bmu, px.dim, round(sum(px.x), 6) AS s, CAST(count(*) AS BIGINT) AS n
         |  FROM a$iter JOIN px USING (vec_id) GROUP BY 1, 2),
         |$cur AS (
         |  SELECT CAST(w$iter.k AS INT) AS cell, s$iter.dim,
@@ -186,9 +200,16 @@ object MlQueries {
         |  (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |          unnest(range(1, 65)) AS i
         |   FROM embeddings)),
+        |sums AS (
+        |  SELECT dim,
+        |    CAST(round(sum(CAST(x AS DECIMAL(38,18))), 9) AS DOUBLE) AS sx,
+        |    CAST(round(sum(CAST(x*x AS DECIMAL(38,18))), 9) AS DOUBLE) AS sxx,
+        |    count(*) AS n
+        |  FROM ex GROUP BY 1),
         |stats AS (
-        |  SELECT dim, round(avg(x), 9) AS mu, round(stddev_samp(x), 9) AS sigma
-        |  FROM ex GROUP BY 1)
+        |  SELECT dim, sx / n AS mu,
+        |         sqrt((sxx - sx*sx/n) / (n - 1)) AS sigma
+        |  FROM sums)
         |SELECT vec_id, dim, round((x - mu) / sigma, 4) AS z
         |FROM ex JOIN stats USING (dim)""".stripMargin,
   )

@@ -112,7 +112,11 @@ object SomQueries {
       .agg(Summarizer.sum(col("fv")).as("sv"), count(lit(1)).as("n"))
       .select(col("bmu"), col("n"),
         posexplode(org.apache.spark.ml.functions.vector_to_array(col("sv"))).as(Seq("dim", "s")))
-      .select(col("bmu"), col("dim"), col("s"), col("n"))
+      // SURVEY §8 float-determinism: the component sums are the only
+      // order-dependent doubles feeding the update ratio — quantize them in
+      // BOTH engines (oracle does round(sum, 6) too) so the ratio's inputs
+      // are identical by construction, not by drift staying off a boundary.
+      .select(col("bmu"), col("dim"), round(col("s"), 6).as("s"), col("n"))
     // K×K weight table as a tiny literal DataFrame (driver-side compute,
     // exactly like the reference's Array.tabulate — K is always small).
     val w = {
@@ -198,7 +202,7 @@ object SomQueries {
         .mkString(", ")
       s"""WITH $ptsCte, $protosCte, $distCte, $bmuCte,
          |sums AS (
-         |  SELECT a.bmu, CAST(t.i - 1 AS INT) AS dim, sum(p.v[t.i]) AS s,
+         |  SELECT a.bmu, CAST(t.i - 1 AS INT) AS dim, round(sum(p.v[t.i]), 6) AS s,
          |         CAST(count(*) AS BIGINT) AS n
          |  FROM a JOIN pts p USING (vec_id)
          |  CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS i) t

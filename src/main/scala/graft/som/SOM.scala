@@ -76,6 +76,7 @@ class SOM(override val uid: String) extends Estimator[SOMModel] with SOMParams
   def setTopology(v: String): this.type = set(topology, v)
   def setSeed(v: Long): this.type = set(seed, v)
   def setProtoDecimals(v: Int): this.type = set(protoDecimals, v)
+  def setSumDecimals(v: Int): this.type = set(sumDecimals, v)
 
   private var initialModel: Option[SOMModel] = None
 
@@ -120,13 +121,16 @@ class SOM(override val uid: String) extends Estimator[SOMModel] with SOMParams
     val kern = $(kernel); val dec = $(decay); val w = $(width)
     val cellD = Grid.cellDistFor($(topology), w)
     val tMx = $(tMax); val tMn = $(tMin); val iters = $(maxIter); val eps = $(tol)
-    val pd = $(protoDecimals)
+    val pd = $(protoDecimals); val sd = $(sumDecimals)
     // HALF_UP matches both Spark's round() and DuckDB's round() (away from
-    // zero on exact halves) — math.rint would be half-even.
+    // zero on exact halves) — math.rint would be half-even. Non-finite
+    // components pass through unrounded (BigDecimal rejects NaN/Inf) so a
+    // poisoned feature row surfaces as a NaN prototype, not a crash.
+    def r(scale: Int)(x: Double): Double =
+      if (!java.lang.Double.isFinite(x)) x
+      else BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
     def quantize(v: Vector): Vector =
-      if (pd < 0) v
-      else Vectors.dense(v.toArray.map(x =>
-        BigDecimal(x).setScale(pd, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      if (pd < 0) v else Vectors.dense(v.toArray.map(r(pd)))
     val history = scala.collection.mutable.ArrayBuffer.empty[Double]
     var iter = 0
     var converged = false
@@ -147,11 +151,16 @@ class SOM(override val uid: String) extends Estimator[SOMModel] with SOMParams
       val sums = Array.fill(k)(null: Vector)
       val counts = new Array[Double](k)
       var totalCost = 0.0
-      rows.foreach { r =>
-        val cell = r.getInt(0)
-        sums(cell) = r.getAs[Vector](1)
-        counts(cell) = r.getLong(2).toDouble
-        totalCost += r.getDouble(3)
+      rows.foreach { row =>
+        val cell = row.getInt(0)
+        val s = row.getAs[Vector](1)
+        // Quantize the order-dependent per-cell sums BEFORE the weighted
+        // combine, so the update ratio's inputs are reproducible across
+        // engines and partition counts (matches the som_fit5 oracle chain's
+        // round(sum(x), sumDecimals)).
+        sums(cell) = if (sd < 0) s else Vectors.dense(s.toArray.map(r(sd)))
+        counts(cell) = row.getLong(2).toDouble
+        totalCost += row.getDouble(3)
       }
 
       // Driver-side neighborhood smoothing (the one difference from k-means,

@@ -72,10 +72,22 @@ private[graft] trait SOMParams extends Params {
     ParamValidators.gtEq(-1))
   def getProtoDecimals: Int = $(protoDecimals)
 
+  /** Companion to [[protoDecimals]] for the *per-cell sums*: if >= 0, round
+    * each component of the per-cell feature sums (and the cost) to this many
+    decimals (HALF_UP) before the neighborhood-weighted combine. The sums are
+    * the only order-dependent doubles entering the update ratio — quantizing
+    * them makes the ratio's inputs identical across engines and partition
+    * counts *by construction*, instead of relying on the drift staying clear
+    * of [[protoDecimals]]'s rounding boundary (SURVEY §8). -1 = off. */
+  final val sumDecimals = new IntParam(this, "sumDecimals",
+    "round per-cell sum components to this many decimals before the weighted update (-1 = off)",
+    ParamValidators.gtEq(-1))
+  def getSumDecimals: Int = $(sumDecimals)
+
   setDefault(featuresCol -> "features", predictionCol -> "prediction",
     height -> 10, width -> 10, tMax -> 10.0, tMin -> 1.0,
     maxIter -> 20, tol -> 1e-4, kernel -> "gaussian", decay -> "exponential",
-    topology -> "rectangular", protoDecimals -> -1,
+    topology -> "rectangular", protoDecimals -> -1, sumDecimals -> -1,
     seed -> this.getClass.getName.hashCode.toLong)
 
   /** Number of map cells K = height × width. */
