@@ -27,9 +27,14 @@ object Artifacts {
   private val cache = TrieMap.empty[String, DataFrame]
 
   /** Get-or-build: first caller pays the pipeline, later callers reuse the
-    * checkpointed partitions. Keys must include the input dir. */
-  def shared(key: String)(build: => DataFrame): DataFrame =
-    cache.getOrElseUpdate(key, build.localCheckpoint(eager = true))
+    * checkpointed partitions. Keys must include the input dir; the active
+    * SparkSession's UUID is appended automatically so an artifact checkpointed
+    * by a stopped/previous session (dead executor blocks) is never handed to a
+    * new one — the new session just rebuilds under its own key. */
+  def shared(key: String)(build: => DataFrame): DataFrame = {
+    val session = System.identityHashCode(org.apache.spark.sql.SparkSession.active)
+    cache.getOrElseUpdate(s"$session/$key", build.localCheckpoint(eager = true))
+  }
 
   /** Drop every shared artifact — bench repetitions call this so each rep
     * pays the full pipeline cost honestly. */

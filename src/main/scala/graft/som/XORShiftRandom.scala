@@ -34,10 +34,17 @@ class XORShiftRandom(init: Long) extends JavaRandom(init) {
 }
 
 object XORShiftRandom {
-  /** Avalanche a user seed: murmur the 8 seed bytes twice (second pass chained
-    * on the first) into a full 64-bit state. */
+  /** Avalanche a user seed: murmur the seed bytes twice (second pass chained
+    * on the first) into a full 64-bit state.
+    *
+    * NOTE the `Long.SIZE` (= 64) byte buffer — the seed occupies the first 8
+    * bytes and the remaining 56 are zero. That is a quirk inherited verbatim
+    * from the reference (reference `som/SOM.scala:386-391`, itself vendored
+    * from Spark): allocating `Long.BYTES` instead would produce a different
+    * avalanched state, and hence different `takeSample` prototypes, for every
+    * user seed. Bit-parity requires reproducing the quirk. */
   def hashSeed(seed: Long): Long = {
-    val bytes = ByteBuffer.allocate(java.lang.Long.BYTES).putLong(seed).array()
+    val bytes = ByteBuffer.allocate(java.lang.Long.SIZE).putLong(seed).array()
     val lowBits = MurmurHash3.bytesHash(bytes)
     val highBits = MurmurHash3.bytesHash(bytes, lowBits)
     (highBits.toLong << 32) | (lowBits.toLong & 0xFFFFFFFFL)

@@ -86,9 +86,11 @@ object EventStream {
             }
             cur.foreach { s =>
               state.update(s)
-              // timeout clock is ms-granular; us→ms floor keeps it ≤ the
-              // exact horizon, never early-firing past it
-              state.setTimeoutTimestamp(s.last / 1000 + gapUs / 1000)
+              // timeout clock is ms-granular: CEIL the µs horizon so the
+              // timeout never lands before s.last+gapUs — flooring could
+              // close a session up to 999µs early and split what the batch
+              // twin merges
+              state.setTimeoutTimestamp((s.last + gapUs + 999) / 1000)
             }
             out.iterator
           }
