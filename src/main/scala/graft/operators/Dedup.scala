@@ -62,8 +62,18 @@ object Dedup {
       .select(col("doc"), expr(s"stack($NumMinhash, $stackArgs) AS (h, minhash)"))
   }
 
-  /** LSH candidate pairs: docs sharing any band (4 bands × 4 rows). */
-  def lshCandidates(signatures: DataFrame): DataFrame = {
+  /** LSH candidate pairs: docs sharing any band (4 bands × 4 rows).
+    *
+    * `maxBandDf` is the hot-bucket skew guard: a (band, key) bucket holding
+    * df docs contributes df² join rows — one giant exact-dup cluster (or an
+    * adversarial constant band) makes a single bucket quadratic while every
+    * other key stays tiny. Buckets with df > maxBandDf switch from all-pairs
+    * to a STAR around the bucket's min doc (hub): df−1 pairs instead of
+    * df²/2, same connected component downstream — the keep-list merges the
+    * cluster through the hub and the exact-Jaccard confirm step still vets
+    * every emitted pair, so capping costs pair-level recall inside the hot
+    * bucket, never cluster-level recall. */
+  def lshCandidates(signatures: DataFrame, maxBandDf: Option[Int] = None): DataFrame = {
     // collect_list is unordered — sort by (h, minhash) struct before keying.
     // localCheckpoint (eager): truncates lineage so the self-join below can't
     // recompute the signature pipeline (full-corpus shingle scan) once per
@@ -75,11 +85,29 @@ object Dedup {
         transform(sort_array(collect_list(struct(col("h"), col("minhash")))),
           s => s.getField("minhash").cast("string"))).as("key"))
       .localCheckpoint(eager = true)
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-        col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .distinct()
+    val pairs = maxBandDf match {
+      case None =>
+        banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc") < col("b.doc"))
+          .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      case Some(cap) =>
+        // bucket stats ride the banded table's (band, key) partitioning —
+        // the join back is co-partitioned, no extra shuffle of the big side
+        val stats = banded.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("df"), min(col("doc")).as("hub"))
+        val tagged = banded.join(stats, Seq("band", "key"))
+        val cold = tagged.where(col("df") <= cap)
+        val coldPairs = cold.as("a").join(cold.as("b"),
+            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc") < col("b.doc"))
+          .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+        val hotPairs = tagged
+          .where(col("df") > cap && col("doc") =!= col("hub"))
+          .select(col("hub").as("doc_a"), col("doc").as("doc_b"))
+        coldPairs.union(hotPairs)
+    }
+    pairs.distinct()
   }
 
   /** Exact Jaccard via the inverted-index join, optionally restricted to
@@ -183,20 +211,47 @@ object Dedup {
 
   /** Near-dup pairs by SimHash hamming distance ≤ maxHamming (≤3 with 4
     * chunks): pigeonhole banding on 15-bit chunks → equi-join, then exact
-    * hamming via bit_count(xor). */
-  def simhashPairs(simhashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    * hamming via bit_count(xor).
+    *
+    * `maxChunkDf` mirrors [[lshCandidates]]'s hot-bucket guard: a (chunk,
+    * ckey) bucket with df over the cap (e.g. a giant exact-dup cluster —
+    * every copy shares all 4 chunks) emits a STAR around its min doc instead
+    * of df²/2 join rows. The exact hamming filter still applies to every
+    * emitted pair, so capping never admits a false pair; it only limits
+    * pair-level recall inside the hot bucket to hub-adjacent pairs, which
+    * the other three chunks and the downstream cluster merge recover. */
+  def simhashPairs(simhashes: DataFrame, maxHamming: Int = 3,
+                   maxChunkDf: Option[Int] = None): DataFrame = {
     // localCheckpoint: the chunk self-join would recompute the simhash
     // pipeline (token explode + 60-bit votes) once per side otherwise.
     val chunks = simhashes.select(col("doc"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("chunk"))
       .withColumn("ckey", expr("shiftright(simhash, chunk * 15) % 32768"))
       .localCheckpoint(eager = true)
-    chunks.as("a").join(chunks.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
-        col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .where(col("hamming") <= maxHamming)
-      .distinct()
+    val pairs = maxChunkDf match {
+      case None =>
+        chunks.as("a").join(chunks.as("b"),
+            col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+            col("a.doc") < col("b.doc"))
+          .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+            bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      case Some(cap) =>
+        val stats = chunks.groupBy(col("chunk"), col("ckey"))
+          .agg(count(lit(1)).as("df"),
+            min(struct(col("doc"), col("simhash"))).as("hub"))
+        val tagged = chunks.join(stats, Seq("chunk", "ckey"))
+        val cold = tagged.where(col("df") <= cap)
+        val coldPairs = cold.as("a").join(cold.as("b"),
+            col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+            col("a.doc") < col("b.doc"))
+          .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+            bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        val hotPairs = tagged
+          .where(col("df") > cap && col("doc") =!= col("hub.doc"))
+          .select(col("hub.doc").as("doc_a"), col("doc").as("doc_b"),
+            bit_count(col("hub.simhash").bitwiseXOR(col("simhash"))).as("hamming"))
+        coldPairs.union(hotPairs)
+    }
+    pairs.where(col("hamming") <= maxHamming).distinct()
   }
 }

@@ -88,7 +88,11 @@ object TextDedupQueries {
     * signature scan. */
   private def sharedPairs(s: SparkSession, dir: String): DataFrame =
     Artifacts.shared(s"minhash_pairs:$dir") {
-      val cand = Dedup.lshCandidates(sharedSignatures(s, dir))
+      // maxBandDf: hot-bucket skew guard (star fallback above 64 docs per
+      // band key — giant exact-dup clusters stay linear, see Dedup scaladoc);
+      // never binds on this corpus (clusters are ≤5 docs), so the DuckDB
+      // oracle keeps modelling plain all-pairs banding.
+      val cand = Dedup.lshCandidates(sharedSignatures(s, dir), maxBandDf = Some(64))
         .localCheckpoint(eager = true) // reused: candDocs filter + pair-confirm join
       val candDocs = cand.select(col("doc_a").as("doc_id"))
         .union(cand.select(col("doc_b").as("doc_id"))).distinct()
@@ -122,9 +126,14 @@ object TextDedupQueries {
     Dedup.jaccardPairs(Dedup.docShinglesRaw(docs(s, dir), "doc_id", "text"),
       minJaccard = 0.5, maxShingleDf = Some(5))
 
-  /** Near-dup pairs by SimHash hamming ≤ 3 (pigeonhole band join). */
+  /** Near-dup pairs by SimHash hamming ≤ 3 (pigeonhole band join).
+    * maxChunkDf = 64: hot-bucket star fallback. Unlike the minhash band cap
+    * this one BINDS on the corpus (templated docs share low chunks — the
+    * largest bucket is 77 docs at sf0.01 and grows with N), so the oracle
+    * models the same star semantics. */
   def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(Dedup.simhash(docs(s, dir), "doc_id", "text"))
+    Dedup.simhashPairs(Dedup.simhash(docs(s, dir), "doc_id", "text"),
+        maxChunkDf = Some(64))
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -262,14 +271,29 @@ object TextDedupQueries {
          |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
          |FROM jacs WHERE jaccard >= 0.5""".stripMargin,
     "dedup_simhash_pairs" ->
+      // models the maxChunkDf=64 hot-bucket star fallback (this corpus HAS
+      // chunk buckets over the cap — templated docs share low chunks), so
+      // the skew guard binds in the catalog and stays oracle-checked
       s"""WITH $toksCte, $simhashCte,
          |chunks AS (SELECT doc, simhash, c.c AS chunk,
          |   (simhash >> (c.c * 15)) % 32768 AS ckey
-         |  FROM sh64 CROSS JOIN (SELECT unnest(range(0, 4)) AS c) c)
-         |SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
-         | CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-         |FROM chunks a JOIN chunks b
-         |  ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc < b.doc
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+         |  FROM sh64 CROSS JOIN (SELECT unnest(range(0, 4)) AS c) c),
+         |stats AS (SELECT chunk, ckey, count(*) AS df, min(doc) AS hub
+         |  FROM chunks GROUP BY 1, 2),
+         |tg AS (SELECT c.doc, c.simhash, c.chunk, c.ckey, s.df, s.hub
+         |  FROM chunks c JOIN stats s USING (chunk, ckey)),
+         |cold AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
+         |   bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |  FROM tg a JOIN tg b
+         |    ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc < b.doc
+         |  WHERE a.df <= 64 AND b.df <= 64),
+         |hot AS (SELECT t.hub AS doc_a, t.doc AS doc_b,
+         |   bit_count(xor(h.simhash, t.simhash)) AS hamming
+         |  FROM tg t JOIN chunks h
+         |    ON h.doc = t.hub AND h.chunk = t.chunk AND h.ckey = t.ckey
+         |  WHERE t.df > 64 AND t.doc <> t.hub)
+         |SELECT DISTINCT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+         |FROM (SELECT * FROM cold UNION ALL SELECT * FROM hot)
+         |WHERE hamming <= 3""".stripMargin,
   )
 }
