@@ -11,9 +11,9 @@ import org.apache.spark.sql.functions._
   */
 object AdvancedQueries {
 
-  private def ev(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet").withColumn("ts_us", expr("ts div 1000"))
+  private def ev(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    fork.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    fork.read.parquet(s"$dir/events.parquet").withColumn("ts_us", expr("ts div 1000"))
   }
 
   /** For each purchase, the same user's most recent at-or-before view:

@@ -20,10 +20,11 @@ object EventQueries {
   /** events.parquet stores `timestamp[ns]`, which Spark 4's vectorized reader
     * refuses (PARQUET_TYPE_ILLEGAL). Read nanos as a plain long and convert
     * explicitly — integer arithmetic, no precision surprises; DuckDB's
-    * `epoch_us` on its native ns read floors identically. */
-  private def ev(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
+    * `epoch_us` on its native ns read floors identically. The legacy-reader
+    * flag is set on a [[Scoped]] fork, never the caller's session. */
+  private def ev(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    fork.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    fork.read.parquet(s"$dir/events.parquet")
       .withColumn("ts_us", expr("ts div 1000"))
   }
 

@@ -134,10 +134,10 @@ object SomQueries {
   /** Same BMU assignment expressed as pure SQL text through the parser, with
     * the registered `array_sqdist` function — exercises the spark.sql entry
     * path end-to-end (same oracle as som_assign). */
-  def assignSql(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.ArrayVectorExpressions.registerSqlFunctions(s)
-    emb(s, dir).createOrReplaceTempView("graft_embeddings")
-    s.sql(s"""
+  def assignSql(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    graft.functions.ArrayVectorExpressions.registerSqlFunctions(fork)
+    emb(fork, dir).createOrReplaceTempView("graft_embeddings")
+    fork.sql(s"""
       WITH pts AS (SELECT vec_id, CAST(embedding AS array<double>) AS v FROM graft_embeddings),
       protos AS (SELECT CAST(vec_id AS BIGINT) AS proto_id,
                         CAST(embedding AS array<double>) AS c
