@@ -24,7 +24,8 @@ object SparkEntry {
     graft.queries.TextDedupQueries.queries ++
     graft.queries.SimilarityQueries.queries ++
     graft.queries.MultimodalQueries.queries ++
-    graft.queries.AdvancedQueries.queries
+    graft.queries.AdvancedQueries.queries ++
+    graft.queries.SourceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +37,6 @@ object SparkEntry {
     graft.queries.TextDedupQueries.oracleSql ++
     graft.queries.SimilarityQueries.oracleSql ++
     graft.queries.MultimodalQueries.oracleSql ++
-    graft.queries.AdvancedQueries.oracleSql
+    graft.queries.AdvancedQueries.oracleSql ++
+    graft.queries.SourceQueries.oracleSql
 }

@@ -15,7 +15,8 @@ class CatalogSpec extends SparkSpec {
       graft.queries.SomQueries.queries, graft.queries.MlQueries.queries,
       graft.queries.RelationalQueries.queries, graft.queries.EventQueries.queries,
       graft.queries.TextDedupQueries.queries, graft.queries.SimilarityQueries.queries,
-      graft.queries.MultimodalQueries.queries, graft.queries.AdvancedQueries.queries)
+      graft.queries.MultimodalQueries.queries, graft.queries.AdvancedQueries.queries,
+      graft.queries.SourceQueries.queries)
     val total = maps.map(_.size).sum
     assert(SparkEntry.queries.size == total,
       s"duplicate query names across modules: merged ${SparkEntry.queries.size} of $total")

@@ -58,6 +58,14 @@ class SourcesSpec extends SparkSpec {
     Sources.writeIvfLayout(assigned, dir)
     val probe = spark.read.parquet(dir).where(col("cell").isin(0L, 2L))
     assert(probe.count() == 40)
-    assert(probe.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    // not just the PartitionFilters *label* (present even when empty): the
+    // scan must have actually selected 2 of the 3 cell directories
+    val scans = probe.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "expected a FileSourceScanExec")
+    assert(scans.head.partitionFilters.nonEmpty, "cell predicate must reach partition pruning")
+    assert(scans.head.selectedPartitions.partitionCount == 2,
+      s"expected 2 pruned cell dirs, scanned ${scans.head.selectedPartitions.partitionCount}")
   }
 }
