@@ -96,26 +96,37 @@ class SOM(override val uid: String) extends Estimator[SOMModel] with SOMParams
     val sc = spark.sparkContext
     val k = numCells
 
-    // Column pruning + normalization to VectorUDT, norm computed once.
-    // (reference selects featuresCol then exits to RDD, `som/SOM.scala:84-86`;
-    // we stay in DataFrame space.)
+    // Column pruning + normalization to VectorUDT (Catalyst prunes the scan
+    // to the features column), then ONE exit to a cached RDD[VectorWithNorm]
+    // for the iterative hot loop. The per-iteration assign+aggregate is a
+    // tiny ≤K-row result over an unchanging input: re-planning it through
+    // Catalyst every iteration (analysis + whole-stage codegen + exchange)
+    // costs more than the aggregation itself — the same reason MLlib's
+    // iterative estimators (KMeans, GMM) run their training loops on RDD
+    // aggregates. Row decode and norm compute happen once, not per
+    // iteration; the aggregation below is still map-side partial + combine,
+    // shuffling only K×d partials per partition.
     val fcol = SOMModel.toVectorCol(dataset.schema($(featuresCol)).dataType, col($(featuresCol))).as("f")
     val data = dataset.select(fcol)
-    val alreadyCached = dataset.storageLevel != StorageLevel.NONE
-    if (!alreadyCached) data.persist(StorageLevel.MEMORY_AND_DISK)
+    val points = data.rdd.map { r =>
+      val v = r.getAs[Vector](0)
+      VectorWithNorm(v, Vectors.norm(v, 2.0))
+    }
+    points.persist(StorageLevel.MEMORY_AND_DISK)
 
     // --- init: K seeded random rows with the reference's exact seed chain —
     // the takeSample seed is the first nextInt of an XORShift generator
     // seeded by the user seed (`som/SOM.scala:295-298`); warm start takes
-    // precedence.
+    // precedence. (Sampling the mapped RDD preserves partition structure and
+    // row order, so the same seed draws the same rows as sampling the
+    // DataFrame did.)
     var prototypes: Array[VectorWithNorm] = initialModel match {
       case Some(m) => m.prototypes.map(v => VectorWithNorm(v, Vectors.norm(v, 2.0)))
       case None =>
-        val sample = data.rdd.takeSample(withReplacement = true, num = k,
-            seed = new XORShiftRandom($(seed)).nextInt())
-          .map(_.getAs[Vector](0))
+        val sample = points.takeSample(withReplacement = true, num = k,
+          seed = new XORShiftRandom($(seed)).nextInt())
         require(sample.length == k, s"not enough data to sample $k prototypes")
-        sample.map(v => VectorWithNorm(Vectors.dense(v.toArray), Vectors.norm(v, 2.0)))
+        sample.map(p => VectorWithNorm(Vectors.dense(p.vector.toArray), p.norm))
     }
 
     val kern = $(kernel); val dec = $(decay); val w = $(width)
@@ -135,32 +146,50 @@ class SOM(override val uid: String) extends Estimator[SOMModel] with SOMParams
     var iter = 0
     var converged = false
 
+    val dim0 = prototypes(0).vector.size
     while (iter < iters && !converged) {
       val bc = sc.broadcast(prototypes)
-      val assign = udf { (v: Vector) =>
-        Distance.findClosest(bc.value, VectorWithNorm(v, Vectors.norm(v, 2.0)))
+      // One single-stage job per iteration: map-side partial aggregation into
+      // a K×d accumulator per partition, combined treewise when K×d is large
+      // (same partial+final shape as a hash aggregate, minus the per-
+      // iteration plan compile and exchange).
+      val partials = points.mapPartitions { it =>
+        val a = SOM.CellAgg(k, dim0)
+        it.foreach { p =>
+          val (cell, d2) = Distance.findClosest(bc.value, p)
+          a.add(cell, p.vector, d2)
+        }
+        Iterator.single(a)
       }
-      // One job: partial+final hash aggregation; ≤K rows collected.
-      val rows = data
-        .select(assign(col("f")).as("a"), col("f"))
-        .groupBy(col("a._1").as("bmu"))
-        .agg(Summarizer.sum(col("f")).as("s"), count(lit(1)).as("n"), sum(col("a._2")).as("cost"))
-        .collect()
+      // Merge partials in PARTITION-INDEX order (collect preserves it): the
+      // float sums are then reproducible run-to-run for a fixed partitioning,
+      // unlike aggregate/treeAggregate whose driver merge follows task
+      // completion order. Driver holds numPartitions×K×d doubles — fine up
+      // to ~128 MB; past that, fall back to the tree combine (order
+      // nondeterministic in the last ulp; set sumDecimals to quantize it
+      // away when cross-run bit-equality matters at that scale).
+      val agg =
+        if (points.getNumPartitions.toLong * k * dim0 > (1L << 24))
+          partials.treeReduce((a, b) => a.merge(b), depth = 2)
+        else
+          partials.collect().reduceLeft((a, b) => a.merge(b))
       bc.destroy()
 
       val sums = Array.fill(k)(null: Vector)
       val counts = new Array[Double](k)
-      var totalCost = 0.0
-      rows.foreach { row =>
-        val cell = row.getInt(0)
-        val s = row.getAs[Vector](1)
-        // Quantize the order-dependent per-cell sums BEFORE the weighted
-        // combine, so the update ratio's inputs are reproducible across
-        // engines and partition counts (matches the som_fit5 oracle chain's
-        // round(sum(x), sumDecimals)).
-        sums(cell) = if (sd < 0) s else Vectors.dense(s.toArray.map(r(sd)))
-        counts(cell) = row.getLong(2).toDouble
-        totalCost += row.getDouble(3)
+      val totalCost = agg.cost
+      var c = 0
+      while (c < k) {
+        if (agg.counts(c) > 0) {
+          // Quantize the order-dependent per-cell sums BEFORE the weighted
+          // combine, so the update ratio's inputs are reproducible across
+          // engines and partition counts (matches the som_fit5 oracle
+          // chain's round(sum(x), sumDecimals)).
+          val s = agg.sums(c)
+          sums(c) = Vectors.dense(if (sd < 0) s else s.map(r(sd)))
+          counts(c) = agg.counts(c).toDouble
+        }
+        c += 1
       }
 
       // Driver-side neighborhood smoothing (the one difference from k-means,
@@ -199,7 +228,7 @@ class SOM(override val uid: String) extends Estimator[SOMModel] with SOMParams
       iter += 1
     }
 
-    if (!alreadyCached) data.unpersist()
+    points.unpersist(blocking = false)
 
     val model = copyValues(new SOMModel(uid, prototypes.map(_.vector)).setParent(this))
     val summary = new SOMTrainingSummary(
@@ -220,4 +249,41 @@ class SOM(override val uid: String) extends Estimator[SOMModel] with SOMParams
   * accepts a pipeline with a SOM stage. */
 object SOM extends org.apache.spark.ml.util.DefaultParamsReadable[SOM] {
   override def load(path: String): SOM = super.load(path)
+
+  /** Mutable per-partition accumulator for one training iteration: per-cell
+    * component sums + counts + total quantization cost. The `sums` rows are
+    * allocated lazily so an iteration over a partition that hits few cells
+    * never materializes K×d zeros. */
+  private[som] final case class CellAgg(k: Int, dim: Int) {
+    val sums: Array[Array[Double]] = new Array[Array[Double]](k)
+    val counts: Array[Long] = new Array[Long](k)
+    var cost: Double = 0.0
+
+    def add(cell: Int, v: Vector, d2: Double): this.type = {
+      if (sums(cell) == null) sums(cell) = new Array[Double](dim)
+      val row = sums(cell)
+      v.foreachActive((i, x) => row(i) += x)
+      counts(cell) += 1
+      cost += d2
+      this
+    }
+
+    def merge(o: CellAgg): this.type = {
+      var c = 0
+      while (c < k) {
+        if (o.sums(c) != null) {
+          if (sums(c) == null) sums(c) = o.sums(c)
+          else {
+            val a = sums(c); val b = o.sums(c)
+            var i = 0
+            while (i < dim) { a(i) += b(i); i += 1 }
+          }
+          counts(c) += o.counts(c)
+        }
+        c += 1
+      }
+      cost += o.cost
+      this
+    }
+  }
 }
