@@ -1,0 +1,161 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot text kernels (tokenize, 3-gram
+  * shingle, rolling hash). The declarative forms run through higher-order
+  * functions (CodegenFallback — interpreted per element) and the round-1/2
+  * workaround was JIT Scala UDFs (compiled, but a serialization barrier:
+  * UTF8String→String→Array→ArrayData per row, and a codegen fence in the
+  * plan). These expressions work on [[UTF8String]] bytes in place and
+  * generate a single static call into whole-stage codegen — same outputs,
+  * no conversion, no fence (the `StaticInvoke` pattern Spark uses for its
+  * own object-level kernels).
+  *
+  * Null semantics replicate the declarative originals exactly:
+  * tokens(null) = [], shingles3(null) = [null], rollingHash(null|"") = 0.
+  */
+object TextExpressions {
+
+  /** Whitespace (0x20) tokens, empties dropped. Space is a single byte in
+    * UTF-8 and never a continuation byte, so byte scanning is char-safe. */
+  def tokenize(s: UTF8String): GenericArrayData = {
+    if (s == null) return new GenericArrayData(Array.empty[Any])
+    val b = s.getBytes
+    val out = new java.util.ArrayList[AnyRef]()
+    var start = 0
+    var p = 0
+    while (p <= b.length) {
+      if (p == b.length || b(p) == 0x20.toByte) {
+        if (p > start) out.add(UTF8String.fromBytes(b, start, p - start))
+        start = p + 1
+      }
+      p += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** 3-token shingles joined by single spaces; the whole text when fewer
+    * than 3 tokens (including the null/empty cases). */
+  def shingles3(s: UTF8String): GenericArrayData = {
+    if (s == null) return new GenericArrayData(Array[Any](null))
+    val toks = tokenize(s)
+    val n = toks.numElements()
+    if (n < 3) return new GenericArrayData(Array[Any](s))
+    val space = UTF8String.fromString(" ")
+    val out = new Array[Any](n - 2)
+    var i = 0
+    while (i < n - 2) {
+      out(i) = UTF8String.concat(
+        toks.getUTF8String(i), space, toks.getUTF8String(i + 1), space,
+        toks.getUTF8String(i + 2))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Polynomial rolling hash over Unicode codepoints: h ← (h·31 + c) mod
+    * (10⁹+7), seeded with the first codepoint; null/empty ⇒ 0. Decodes the
+    * UTF-8 bytes directly (UTF8String is always valid UTF-8), producing the
+    * same codepoint stream as `String.codePoints()`. */
+  def rollingHash(s: UTF8String): Long = {
+    if (s == null) return 0L
+    val b = s.getBytes
+    if (b.length == 0) return 0L
+    var h = 0L
+    var first = true
+    var i = 0
+    while (i < b.length) {
+      val x = b(i) & 0xFF
+      var c = 0
+      var n = 1
+      if (x < 0x80) { c = x }
+      else if ((x & 0xE0) == 0xC0) { c = x & 0x1F; n = 2 }
+      else if ((x & 0xF0) == 0xE0) { c = x & 0x0F; n = 3 }
+      else { c = x & 0x07; n = 4 }
+      var j = 1
+      while (j < n) { c = (c << 6) | (b(i + j) & 0x3F); j += 1 }
+      if (first) { h = c.toLong; first = false }
+      else h = (h * 31 + c) % 1000000007L
+      i += n
+    }
+    h
+  }
+}
+
+/** Shared shape: string-in, never-null-out, result produced by one static
+  * call (interpreted eval and codegen both route through the same helper,
+  * so the two paths cannot diverge). */
+abstract class TextKernelExpression extends UnaryExpression {
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${other.simpleString}")
+  }
+
+  /** Fully-qualified static helper the kernel compiles to. */
+  protected def helper: String
+  protected def evalKernel(s: UTF8String): Any
+
+  override def eval(input: InternalRow): Any =
+    evalKernel(child.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code =
+      code"""
+        ${c.code}
+        $javaType ${ev.value} = $helper(${c.isNull} ? null : ${c.value});
+      """, isNull = FalseLiteral)
+  }
+}
+
+/** Space-tokenization: `array<string>` of non-empty tokens. */
+case class SpaceTokens(child: Expression) extends TextKernelExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def helper: String = "graft.functions.TextExpressions.tokenize"
+  override protected def evalKernel(s: UTF8String): Any = TextExpressions.tokenize(s)
+  override protected def withNewChildInternal(c: Expression): SpaceTokens = copy(c)
+  override def prettyName: String = "space_tokens"
+}
+
+/** 3-gram shingles (whole text when short — may contain a null element for
+  * null input, mirroring the declarative `array(text)` branch). */
+case class Shingles3(child: Expression) extends TextKernelExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override protected def helper: String = "graft.functions.TextExpressions.shingles3"
+  override protected def evalKernel(s: UTF8String): Any = TextExpressions.shingles3(s)
+  override protected def withNewChildInternal(c: Expression): Shingles3 = copy(c)
+  override def prettyName: String = "shingles3"
+}
+
+/** Polynomial rolling hash (long). */
+case class RollingHash(child: Expression) extends TextKernelExpression {
+  override def dataType: DataType = LongType
+  override protected def helper: String = "graft.functions.TextExpressions.rollingHash"
+  override protected def evalKernel(s: UTF8String): Any = TextExpressions.rollingHash(s)
+  override protected def withNewChildInternal(c: Expression): RollingHash = copy(c)
+  override def prettyName: String = "rolling_hash"
+}
+
+object TextKernels {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  def spaceTokens(text: Column): Column =
+    ColumnBridge.column(SpaceTokens(ColumnBridge.expression(text)))
+  def shingles3(text: Column): Column =
+    ColumnBridge.column(Shingles3(ColumnBridge.expression(text)))
+  def rollingHash(text: Column): Column =
+    ColumnBridge.column(RollingHash(ColumnBridge.expression(text)))
+}

@@ -31,25 +31,17 @@ object TextOps {
   // ---- hot-path twins ----------------------------------------------------
   // The declarative tokens/shingles3 run through higher-order functions
   // (CodegenFallback: interpreted per element). For the full-corpus explode
-  // paths (millions of shingles) these UDF twins build the identical strings
-  // in one JIT-compiled call per document.
-
-  private val tokensUdf = udf { (text: String) =>
-    if (text == null) Array.empty[String]
-    else text.split(" ").filter(_.nonEmpty)
-  }
-
-  private val shingles3Udf = udf { (text: String) =>
-    val t = if (text == null) Array.empty[String] else text.split(" ").filter(_.nonEmpty)
-    if (t.length < 3) Array(text)
-    else Array.tabulate(t.length - 2)(i => t(i) + " " + t(i + 1) + " " + t(i + 2))
-  }
+  // paths (millions of shingles) these native-expression twins
+  // (graft.functions.TextExpressions) build the identical strings in one
+  // static UTF8String-level call generated INSIDE whole-stage codegen — no
+  // UDF serialization barrier, no String round-trip (the round-1/2 JIT-UDF
+  // workaround is retired; TextKernelIdentitySpec pins output identity).
 
   /** Fast twin of [[tokens]] — identical output. */
-  def tokensFast(text: Column): Column = tokensUdf(text)
+  def tokensFast(text: Column): Column = graft.functions.TextKernels.spaceTokens(text)
 
   /** Fast twin of [[shingles3]] — identical output. */
-  def shingles3Fast(text: Column): Column = shingles3Udf(text)
+  def shingles3Fast(text: Column): Column = graft.functions.TextKernels.shingles3(text)
 
   /** BPE-ish token count: runs of letters, runs of digits, or single other
     * non-space chars — the shape a byte-pair pretokenizer produces. */
@@ -70,16 +62,7 @@ object TextOps {
     * ⇒ 0). Exact integer arithmetic; DuckDB twin:
     * `list_reduce(codepoints, (a,b) -> (a*31+b) % 1000000007)`. */
   val RollP = 1000000007L
-  private val rollingHashUdf = udf { (text: String) =>
-    if (text == null || text.isEmpty) 0L
-    else {
-      val it = text.codePoints().iterator()
-      var h = it.next().toLong
-      while (it.hasNext) h = (h * 31 + it.next()) % RollP
-      h
-    }
-  }
-  def rollingHash(text: Column): Column = rollingHashUdf(text)
+  def rollingHash(text: Column): Column = graft.functions.TextKernels.rollingHash(text)
 
   /** Language-ID stopword tables (tiny, per-language function words). */
   val StopwordTable: Seq[(String, Seq[String])] = Seq(

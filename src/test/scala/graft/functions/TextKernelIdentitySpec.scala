@@ -1,0 +1,73 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.operators.TextOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Output identity of the native text kernels against (a) the declarative
+  * higher-order-function forms they replace in hot paths and (b) plain Scala
+  * reference implementations — on adversarial inputs: nulls, empties, runs
+  * of spaces, multi-byte UTF-8 (2/3/4-byte sequences incl. surrogate-pair
+  * codepoints). Both the interpreted `eval` and the codegen path route
+  * through the same static helper, and the DataFrame runs exercise codegen.
+  */
+class TextKernelIdentitySpec extends SparkSpec {
+
+  private val cases: Seq[String] = Seq(
+    null, "", " ", "   ", "a", "a b", "a b c", "a b c d e",
+    "  leading", "trailing  ", "  both  ", "a  double  space",
+    "héllo wörld déjà vu über alles", // 2-byte sequences
+    "的 是 了 在 我 他", // 3-byte sequences
+    "emoji 😀 pair 🚀 end", // 4-byte (surrogate pairs)
+    "mixed 的ascii héllo😀tail x y z")
+
+  private def df = {
+    import spark.implicits._
+    cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+  }
+
+  test("spaceTokens == declarative tokens on every case") {
+    val rows = df.select(col("id"), TextOps.tokens(col("text")).as("a"),
+      TextOps.tokensFast(col("text")).as("b")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"case ${r.getLong(0)}")
+    }
+  }
+
+  test("shingles3 == declarative shingles3 on every case") {
+    val rows = df.select(col("id"), TextOps.shingles3(col("text")).as("a"),
+      TextOps.shingles3Fast(col("text")).as("b")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"case ${r.getLong(0)}")
+    }
+  }
+
+  test("rollingHash matches a String.codePoints reference on every case") {
+    def ref(text: String): Long =
+      if (text == null || text.isEmpty) 0L
+      else {
+        val it = text.codePoints().iterator()
+        var h = it.next().toLong
+        while (it.hasNext) h = (h * 31 + it.next()) % TextOps.RollP
+        h
+      }
+    val rows = df.select(col("id"), col("text"), TextOps.rollingHash(col("text")).as("h"))
+      .collect()
+    rows.foreach { r =>
+      val t = if (r.isNullAt(1)) null else r.getString(1)
+      assert(r.getLong(2) == ref(t), s"case ${r.getLong(0)}: '$t'")
+    }
+  }
+
+  test("interpreted eval agrees with the static helpers (no codegen)") {
+    // direct helper calls — the same code eval() and doGenCode() route to
+    val s = UTF8String.fromString("a b c d")
+    assert(TextExpressions.tokenize(s).numElements() == 4)
+    assert(TextExpressions.shingles3(s).numElements() == 2)
+    assert(TextExpressions.tokenize(null).numElements() == 0)
+    assert(TextExpressions.shingles3(null).array.toSeq == Seq(null))
+    assert(TextExpressions.rollingHash(null) == 0L)
+    assert(TextExpressions.rollingHash(UTF8String.fromString("")) == 0L)
+  }
+}
