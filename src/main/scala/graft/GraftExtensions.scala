@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{ArrayDot, ArraySqDist}
+import graft.functions.{ArrayDot, ArraySqDist, Md5Prefix60, RollingHash, Shingles3, SpaceTokens}
 
 /** SparkSessionExtensions entry point: register the engine's native
   * expressions at session-build time —
@@ -24,5 +24,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ArraySqDist].getName, "array_sqdist"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ArraySqDist(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("space_tokens"),
+      new ExpressionInfo(classOf[SpaceTokens].getName, "space_tokens"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SpaceTokens(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("shingles3"),
+      new ExpressionInfo(classOf[Shingles3].getName, "shingles3"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Shingles3(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        RollingHash(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("md5_prefix60"),
+      new ExpressionInfo(classOf[Md5Prefix60].getName, "md5_prefix60"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Md5Prefix60(args(0))))
   }
 }

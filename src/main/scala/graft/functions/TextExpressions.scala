@@ -91,6 +91,48 @@ object TextExpressions {
   }
 }
 
+/** Static kernel for the portable 60-bit content hash: the top 15 hex
+  * digits of md5 as a non-negative long — numerically identical to the
+  * declarative `conv(substring(md5(s), 1, 15), 16, 10)` (and the oracle's
+  * `('0x' || substr(md5(s),1,15))::BIGINT`) but computed from the digest
+  * bytes directly: no 32-char hex string, no substring, no base-10 string
+  * from `conv` — three allocations per hashed shingle gone. */
+object HashKernels {
+  private val md = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  def md5Prefix60(s: UTF8String): Long = {
+    val d = md.get()
+    d.reset()
+    val h = d.digest(s.getBytes)
+    // first 15 hex digits == top 60 bits of the big-endian digest
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (h(i) & 0xFF); i += 1 }
+    v >>> 4
+  }
+}
+
+/** 60-bit md5-prefix hash (long, null-propagating). */
+case class Md5Prefix60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    HashKernels.md5Prefix60(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.md5Prefix60($c)")
+
+  override protected def withNewChildInternal(c: Expression): Md5Prefix60 = copy(c)
+  override def prettyName: String = "md5_prefix60"
+}
+
 /** Shared shape: string-in, never-null-out, result produced by one static
   * call (interpreted eval and codegen both route through the same helper,
   * so the two paths cannot diverge). */
@@ -158,4 +200,6 @@ object TextKernels {
     ColumnBridge.column(Shingles3(ColumnBridge.expression(text)))
   def rollingHash(text: Column): Column =
     ColumnBridge.column(RollingHash(ColumnBridge.expression(text)))
+  def md5Prefix60(text: Column): Column =
+    ColumnBridge.column(Md5Prefix60(ColumnBridge.expression(text)))
 }

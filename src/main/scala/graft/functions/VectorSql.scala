@@ -40,8 +40,14 @@ object VectorSql {
 
   /** Portable 60-bit string hash: decimal value of the first 15 hex chars of
     * md5. DuckDB twin: `('0x' || substr(md5(s), 1, 15))::BIGINT`. Always
-    * non-negative (< 2^60), exact integer arithmetic on both engines. */
-  def md5Hash60(s: Column): Column =
+    * non-negative (< 2^60), exact integer arithmetic on both engines.
+    * Runs as the native [[Md5Prefix60]] expression — top 60 digest bits
+    * taken directly, no hex/conv string round-trip per hashed shingle
+    * (identity vs this declarative form pinned in TextKernelIdentitySpec). */
+  def md5Hash60(s: Column): Column = TextKernels.md5Prefix60(s)
+
+  /** The declarative form [[md5Hash60]] replaces (kept for identity specs). */
+  private[graft] def md5Hash60Declarative(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
   // ---- hot-path twins ----------------------------------------------------

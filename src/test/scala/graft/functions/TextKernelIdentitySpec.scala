@@ -60,6 +60,18 @@ class TextKernelIdentitySpec extends SparkSpec {
     }
   }
 
+  test("md5Prefix60 == declarative conv(substring(md5)) on every case") {
+    val rows = df.select(col("id"),
+      VectorSql.md5Hash60Declarative(col("text")).as("a"),
+      TextKernels.md5Prefix60(col("text")).as("b")).collect()
+    rows.foreach { r =>
+      val a = if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1))
+      val b = if (r.isNullAt(2)) null else java.lang.Long.valueOf(r.getLong(2))
+      assert(a == b, s"case ${r.getLong(0)}")
+      if (b != null) assert(b >= 0L && b < (1L << 60))
+    }
+  }
+
   test("interpreted eval agrees with the static helpers (no codegen)") {
     // direct helper calls — the same code eval() and doGenCode() route to
     val s = UTF8String.fromString("a b c d")
