@@ -92,4 +92,15 @@ object ArrayVectorExpressions {
     ColumnBridge.registerFunction(spark, "array_dot", args => ArrayDot(args(0), args(1)))
     ColumnBridge.registerFunction(spark, "array_sqdist", args => ArraySqDist(args(0), args(1)))
   }
+
+  /** Runtime registration of EVERY graft native kernel on a live session —
+    * the post-build sibling of [[graft.GraftExtensions]] (same function
+    * names, same constructors). */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    registerSqlFunctions(spark)
+    ColumnBridge.registerFunction(spark, "space_tokens", args => SpaceTokens(args(0)))
+    ColumnBridge.registerFunction(spark, "shingles3", args => Shingles3(args(0)))
+    ColumnBridge.registerFunction(spark, "rolling_hash", args => RollingHash(args(0)))
+    ColumnBridge.registerFunction(spark, "md5_prefix60", args => Md5Prefix60(args(0)))
+  }
 }

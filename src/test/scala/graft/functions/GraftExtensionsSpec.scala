@@ -1,0 +1,38 @@
+package graft.functions
+
+import graft.SparkSpec
+
+/** The native kernels must be reachable from SQL text through both wiring
+  * paths a library user has: `spark.sql.extensions=graft.GraftExtensions`
+  * at session build (smoked against a fresh SparkSessionExtensions — the
+  * injection closures must at least construct), and
+  * `ArrayVectorExpressions.registerAll` on a live session (behavior-checked
+  * end-to-end here on a forked session, keeping the shared one clean). */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("GraftExtensions injects all six kernels without error") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions()(ext) // throws on malformed ExpressionInfo
+  }
+
+  test("registerAll exposes every kernel to SQL text with correct results") {
+    val fork = spark.newSession()
+    ArrayVectorExpressions.registerAll(fork)
+    val r = fork.sql("""
+      SELECT array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+             array_sqdist(array(0.0d, 0.0d), array(3.0d, 4.0d)) AS sq,
+             size(space_tokens('a  b c')) AS nt,
+             size(shingles3('a b c d')) AS ns,
+             rolling_hash('ab') AS rh,
+             md5_prefix60('x') AS h
+    """).head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 25.0)
+    assert(r.getInt(2) == 3)
+    assert(r.getInt(3) == 2)
+    assert(r.getLong(4) == 'a'.toLong * 31 + 'b'.toLong)
+    assert(r.getLong(5) >= 0L && r.getLong(5) < (1L << 60))
+    // the fork owns the registrations — the shared session stays clean
+    assert(!spark.catalog.functionExists("space_tokens"))
+  }
+}
