@@ -52,4 +52,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "exact dedup must not join")
   }
+
+  test("text/dedup hot paths run UDF-free (native kernels, codegen intact)") {
+    // tokensFast/shingles3Fast/rollingHash/md5Hash60 were Scala UDFs through
+    // round 2 — a serialization fence per row. Pin their native-expression
+    // replacements: no ScalaUDF node may appear in these plans.
+    Seq(
+      "text_fingerprint" -> TextDedupQueries.queries("text_fingerprint"),
+      "text_rolling_hash" -> TextDedupQueries.queries("text_rolling_hash"),
+      "dedup_minhash_sig" -> TextDedupQueries.queries("dedup_minhash_sig"),
+      "text_simhash" -> TextDedupQueries.queries("text_simhash"),
+    ).foreach { case (name, q) =>
+      assert(!plan(q(spark, dir)).contains("ScalaUDF"),
+        s"$name must not contain a ScalaUDF barrier")
+    }
+  }
 }
