@@ -118,13 +118,19 @@ object Dedup {
   def jaccardPairs(docShinglesIn: DataFrame, minJaccard: Double,
                    candidates: Option[DataFrame] = None,
                    maxShingleDf: Option[Int] = None): DataFrame = {
+    // Hash shingles to 60-bit longs BEFORE the distinct: the distinct
+    // shuffle and the inverted-index join then move 8-byte keys instead of
+    // ~30-byte strings (4-8× less shuffle volume at corpus scale). Jaccard
+    // is computed over the hashed shingle space — the oracle hashes
+    // identically, so a (cosmically rare, ~2^-60) collision changes both
+    // engines the same way, never their agreement.
     val docShingles = (candidates match {
       case Some(c) =>
         val candDocs = c.select(col("doc_a").as("doc"))
           .union(c.select(col("doc_b").as("doc"))).distinct()
         docShinglesIn.join(broadcast(candDocs), "doc")
       case None => docShinglesIn
-    }).distinct()
+    }).select(col("doc"), md5Hash60(col("sh")).as("sh")).distinct()
     val ds = maxShingleDf match {
       case Some(cap) =>
         val rare = docShingles.groupBy(col("sh")).agg(count(lit(1)).as("df"))
@@ -195,9 +201,13 @@ object Dedup {
     * into 60 bit-rows before the aggregate would push 60× the rows through
     * the shuffle machinery for the same integer votes. */
   def simhash(docs: DataFrame, id: String, text: String): DataFrame = {
+    // hash-then-distinct: the distinct shuffle moves (doc, long) pairs, not
+    // token strings — same result as distinct-then-hash in both engines
+    // (the oracle flips the order identically)
     val toks = docs
-      .select(col(id).as("doc"), explode(TextOps.tokensFast(col(text))).as("tok")).distinct()
+      .select(col(id).as("doc"), explode(TextOps.tokensFast(col(text))).as("tok"))
       .select(col("doc"), md5Hash60(col("tok")).as("x"))
+      .distinct()
     val votes = (0 until SimhashBits).map { b =>
       sum(expr(s"shiftright(x, $b) % 2 * 2 - 1")).as(s"v$b")
     }

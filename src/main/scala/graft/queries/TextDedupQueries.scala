@@ -154,16 +154,21 @@ object TextDedupQueries {
   private val toksCte =
     """toks AS (SELECT doc_id, text,
       | list_filter(string_split(text, ' '), x -> x != '') AS t FROM documents)""".stripMargin
+  // dsh carries HASHED shingles (60-bit longs): both engines hash before the
+  // distinct, so every downstream set op (sizes, intersections, jaccard)
+  // runs over the identical hashed shingle space — and the join/distinct
+  // payloads are 8-byte keys, mirroring the Spark side's shuffle shape.
   private val shinglesCte =
     """shs AS (SELECT doc_id AS doc, unnest(
       |   CASE WHEN len(t) < 3 THEN [text]
       |        ELSE list_transform(range(1, len(t) - 1),
       |               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS sh
       | FROM toks),
-      |dsh AS (SELECT DISTINCT doc, sh FROM shs)""".stripMargin
+      |dsh AS (SELECT DISTINCT doc,
+      |   ('0x' || substr(md5(sh), 1, 15))::BIGINT AS sh FROM shs)""".stripMargin
   private def h60(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
   private val sigCte =
-    s"""hx AS (SELECT doc, ${h60("sh")} % 1000000007 AS x FROM dsh),
+    s"""hx AS (SELECT doc, sh % 1000000007 AS x FROM dsh),
        |sig AS (SELECT doc, CAST(h.h AS INT) AS h,
        |  min(((h.h * 2 + 3) * x + h.h * 97 + 1) % 1000000007) AS minhash
        | FROM hx CROSS JOIN (SELECT unnest(range(0, 16)) AS h) h
@@ -186,9 +191,8 @@ object TextDedupQueries {
       |  JOIN sizes sa ON i.doc_a = sa.doc
       |  JOIN sizes sb ON i.doc_b = sb.doc)""".stripMargin
   private val simhashCte =
-    s"""dt AS (SELECT DISTINCT doc_id AS doc, tok
+    s"""hv AS (SELECT DISTINCT doc_id AS doc, ${h60("tok")} AS x
        |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
-       |hv AS (SELECT doc, ${h60("tok")} AS x FROM dt),
        |votes AS (SELECT doc, b.b, sum((x >> b.b) % 2 * 2 - 1) AS vote
        |  FROM hv CROSS JOIN (SELECT unnest(range(0, 60)) AS b) b GROUP BY 1, 2),
        |sh64 AS (SELECT doc, CAST(sum(CASE WHEN vote > 0
@@ -222,8 +226,8 @@ object TextDedupQueries {
     },
     "text_fingerprint" ->
       s"""WITH $toksCte, $shinglesCte
-         |SELECT DISTINCT doc, ${h60("sh")} AS fp FROM dsh
-         |WHERE ${h60("sh")} % 64 = 0""".stripMargin,
+         |SELECT DISTINCT doc, sh AS fp FROM dsh
+         |WHERE sh % 64 = 0""".stripMargin,
     "text_rolling_hash" ->
       """SELECT doc_id,
         | CASE WHEN len(text) = 0 THEN 0
