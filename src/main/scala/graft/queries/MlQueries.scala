@@ -102,17 +102,21 @@ object MlQueries {
     for (iter <- 0 until FitIters) {
       val protoDF = protos.zipWithIndex
         .map { case (c, k) => (k.toLong, c) }.toSeq.toDF("proto_id", "c")
+      // argmin carries the point vector through the aggregate (first(v) — v
+      // is constant across a point's K candidate rows), so the per-cell sums
+      // need no second join against pts: one shuffle per iteration instead
+      // of two plus a join (the assignedVec pattern from SomQueries).
       val assign = pts.crossJoin(broadcast(protoDF))
-        .select(col("vec_id"),
+        .select(col("vec_id"), col("v"),
           graft.functions.VectorSql.sqDistFast(col("v"), col("c")).as("d2"),
           col("proto_id"))
         .groupBy(col("vec_id"))
-        .agg(min(struct(col("d2"), col("proto_id"))).as("m"))
-        .select(col("vec_id"), col("m.proto_id").as("bmu"))
+        .agg(min(struct(col("d2"), col("proto_id"))).as("m"), first(col("v")).as("v"))
+        .select(col("m.proto_id").as("bmu"), col("v"))
       // round(·, 6) on the order-dependent component sums: makes every input
       // of the weighted ratio below identical across engines and partition
       // counts by construction (same discipline as som_update / the chain).
-      val sums = assign.join(pts, "vec_id")
+      val sums = assign
         .select(col("bmu"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("bmu"), col("dim"))
         .agg(round(sum(col("x")), 6).as("s"), count(lit(1)).as("n"))
