@@ -1,23 +1,24 @@
 package graft
 
-/** Custom planner pieces (LogicalPlan / Rule[LogicalPlan] / SparkStrategy /
-  * SparkPlan) — intentionally EMPTY, and that is a design decision, not a
-  * gap (SURVEY.md §7.2):
+/** Custom planner pieces (LogicalPlan / SparkStrategy / SparkPlan). The bar
+  * for an operator to live here is HIGH (SURVEY.md §7.2): most semantics are
+  * expressible as compositions of Catalyst's built-in operators, which the
+  * optimizer already reorders, prunes and pushes down (the 49 catalog
+  * queries), or as scalar expressions, where the custom codegen tier lives
+  * ([[graft.functions]], injected via [[graft.GraftExtensions]]). A
+  * whole-operator physical plan that duplicates what
+  * `broadcast() + groupBy + window` plans optimally — e.g. the as-of join
+  * ([[graft.operators.AsOfJoin]]), one shuffle + one window — earns nothing.
   *
-  * every operator this engine needs is expressible as either (a) compositions
-  * of Catalyst's built-in operators, which the optimizer already reorders,
-  * prunes and pushes down (all 40+ catalog queries), or (b) scalar
-  * expressions, where the custom codegen tier lives instead
-  * ([[graft.functions.ArrayDot]] / [[graft.functions.ArraySqDist]], injected
-  * via [[graft.GraftExtensions]]). Adding a whole-operator physical plan
-  * would duplicate what `broadcast() + groupBy + window` already plan
-  * optimally — e.g. the as-of join ([[graft.operators.AsOfJoin]]) compiles to
-  * one shuffle + one window, which is exactly the hand-written physical
-  * algorithm.
+  * The one resident clears that bar: [[TopKPerKeyNode]] /
+  * [[TopKPerKeyStrategy]] / [[TopKPerKeyExec]] — per-key top-k, which
+  * Catalyst can only express as a window row_number (full shuffle + full
+  * per-group sort). The custom operator pre-prunes with per-partition k-heaps
+  * BEFORE the exchange and merges heaps after, the per-key analog of
+  * `TakeOrderedAndProject` (catalog entry `q_topk_per_key`, window-rank
+  * oracle; TopKPerKeySpec).
   *
-  * If a future round adds an operator Catalyst genuinely cannot express
-  * (e.g. an index-backed ANN probe pushed into the scan), it goes here as
-  * LogicalPlan + Strategy + SparkPlan registered through
-  * `SparkSessionExtensions.injectPlannerStrategy`.
+  * A future index-backed ANN probe pushed into the scan would follow the
+  * same template.
   */
 package object plans

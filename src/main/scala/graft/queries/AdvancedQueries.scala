@@ -49,10 +49,31 @@ object AdvancedQueries {
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
         count(lit(1)).as("n"))
 
+  /** Top-3 lineitems per supplier by price — through the CUSTOM physical
+    * operator ([[graft.plans.TopKPerKeyNode]]): partial per-partition k-heaps
+    * → key-clustered exchange → final heap merge, no per-group sort. The
+    * strategy is injected per-session on a [[Scoped]] fork
+    * (`spark.experimental.extraStrategies`); the oracle is the classic
+    * window-rank formulation the operator replaces. Unique (l_orderkey,
+    * l_linenumber) tie-breaks make the top-3 deterministic. */
+  def qTopKPerKey(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    fork.experimental.extraStrategies =
+      fork.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
+    val li = fork.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+    graft.plans.TopKPerKey.topKPerKey(li,
+      keys = Seq(col("l_suppkey")),
+      order = Seq(col("l_extendedprice").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc),
+      k = 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_asof" -> eventsAsof _,
     "q_skew_agg" -> qSkewAgg _,
     "q_approx_distinct" -> qApproxDistinct _,
+    "q_topk_per_key" -> qTopKPerKey _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -79,5 +100,12 @@ object AdvancedQueries {
         | round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
         | CAST(count(*) AS BIGINT) AS n_items
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_topk_per_key" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 3""".stripMargin,
   )
 }

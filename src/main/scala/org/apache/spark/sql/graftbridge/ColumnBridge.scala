@@ -15,6 +15,38 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Eagerly convert a sort Column (`col(...).desc` / `.asc`) into a fully
+    * converted catalyst [[org.apache.spark.sql.catalyst.expressions.SortOrder]].
+    * The lazy wrapper from [[expression]] keeps the backend-agnostic
+    * `sql.internal.SortOrder` node inside — which is not serializable, so it
+    * must not be embedded in a physical operator that ships to executors. */
+  /** Eager ColumnNode→catalyst conversion. [[expression]] returns a LAZY
+    * `ColumnNodeExpression` wrapper that only standard Dataset API entry
+    * points convert; inside a custom LogicalPlan the analyzer never touches
+    * it and it reaches execution unevaluable. Custom nodes must embed the
+    * eagerly-converted tree (catalyst UnresolvedAttributes, which generic
+    * resolution handles in any node). */
+  def expressionEager(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  def sortOrder(c: Column): org.apache.spark.sql.catalyst.expressions.SortOrder =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node) match {
+      case s: org.apache.spark.sql.catalyst.expressions.SortOrder => s
+      case e => org.apache.spark.sql.catalyst.expressions.SortOrder(
+        e, org.apache.spark.sql.catalyst.expressions.Ascending)
+    }
+
+  /** Wrap a custom LogicalPlan as a DataFrame (classic-backend
+    * `Dataset.ofRows` is `private[sql]`). */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Analyzed logical plan of a DataFrame, for embedding under custom nodes. */
+  def logicalPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].logicalPlan
+
   /** Register a Catalyst expression builder as a SQL function on an existing
     * session (the runtime sibling of `SparkSessionExtensions.injectFunction`,
     * for sessions we did not create). */
