@@ -30,15 +30,28 @@ object Similarity {
     dotFast(v, p) / (nv * np)
 
   /** (vec_id, v) against (probe_id, p): exact top-k by cosine, per probe.
-    * Self-pairs excluded. */
-  def bruteTopK(points: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    * Self-pairs excluded.
+    *
+    * With `useHeapOperator` (requires [[graft.plans.TopKPerKeyStrategy]] on
+    * the session) the per-probe top-k runs through the custom heap operator:
+    * the data-scale candidate stream is pruned to k rows per (probe,
+    * partition) BEFORE any exchange, and only the ≤k·|probes| survivors pay
+    * the rank window — instead of shuffling and fully sorting every
+    * candidate row per probe. Identical output either way. */
+  def bruteTopK(points: DataFrame, probes: DataFrame, k: Int,
+                useHeapOperator: Boolean = false): DataFrame = {
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
-    points.withColumn("nv", norm2Fast(col("v")))
+    val cands = points.withColumn("nv", norm2Fast(col("v")))
       .crossJoin(broadcast(probes.withColumn("np", norm2Fast(col("p")))))
       .where(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
         cosFromNorms(col("v"), col("p"), col("nv"), col("np")).as("cos"))
-      .withColumn("rank", row_number().over(w))
+    val top =
+      if (useHeapOperator)
+        graft.plans.TopKPerKey.topKPerKey(cands, Seq(col("probe_id")),
+          Seq(col("cos").desc, col("vec_id").asc), k)
+      else cands
+    top.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
         round(col("cos"), 6).as("cos_sim"))

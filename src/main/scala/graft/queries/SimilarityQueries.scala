@@ -44,8 +44,14 @@ object SimilarityQueries {
   def centroidCount(n: Long): Int =
     math.max(K9, math.ceil(math.sqrt(n.toDouble)).toInt)
 
-  def annBrute(s: SparkSession, dir: String): DataFrame =
-    Similarity.bruteTopK(pts(s, dir), probes(s, dir), K)
+  /** Exact top-k through the custom per-key heap operator (strategy injected
+    * on a [[Scoped]] fork): candidates prune to k per (probe, partition)
+    * before the exchange; only the survivors pay the rank window. */
+  def annBrute(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    fork.experimental.extraStrategies =
+      fork.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
+    Similarity.bruteTopK(pts(fork, dir), probes(fork, dir), K, useHeapOperator = true)
+  }
 
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val centroids = SomQueries.protos(s, dir)
