@@ -189,13 +189,31 @@ object MlQueries {
     sb.toString
   }
 
+  /** Deterministic content-keyed train/test split — the reproducibility
+    * primitive of every training-data pipeline: the split must be a pure
+    * function of the example's identity (salted portable hash), never of
+    * partitioning or row order, so re-runs, engines, and backfills agree
+    * row-for-row. 80/20 by hash bucket. */
+  def mlTrainTestSplit(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        when(graft.functions.VectorSql.md5Hash60(
+          concat(lit("split:"), col("vec_id").cast("string"))) % 100 < 80, "train")
+          .otherwise("test").as("split"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "som_fit_predict" -> somFitPredict _,
     "som_fit5" -> somFit5 _,
     "ml_standardize" -> mlStandardize _,
+    "ml_train_test_split" -> mlTrainTestSplit _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ml_train_test_split" ->
+      """SELECT vec_id,
+        | CASE WHEN ('0x' || substr(md5('split:' || vec_id), 1, 15))::BIGINT % 100 < 80
+        |      THEN 'train' ELSE 'test' END AS split
+        |FROM embeddings""".stripMargin,
     "som_fit5" -> somFit5Oracle,
     "som_fit_predict" -> somFitPredictOracle,
     "ml_standardize" ->

@@ -28,6 +28,24 @@ object TextDedupQueries {
         .as("avg_tok_len"))
   }
 
+  /** Quality-filter pass — the keep/drop decision a pretraining pipeline
+    * makes per document, as one filter over pure column expressions (pushes
+    * into the scan, no UDF): length window, letters-ratio floor, English
+    * stopword-presence floor. Emits the kept docs with the signals that
+    * admitted them, so downstream stages (dedup, split) read an
+    * already-reduced corpus. */
+  def textQualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val t = TextOps.tokens(col("text"))
+    docs(s, dir).select(
+      col("doc_id"),
+      size(t).as("n_tokens"),
+      round(TextOps.alphaRatio(col("text")), 6).as("alpha_ratio"),
+      TextOps.stopwordHits(col("text"), TextOps.StopwordTable.toMap.apply("en"))
+        .as("stop_hits"))
+      .where(col("n_tokens").between(5, 5000) &&
+        col("alpha_ratio") >= 0.5 && col("stop_hits") >= 1)
+  }
+
   /** Heuristic language ID: stopword-hit scores per language, fixed-priority
     * argmax. */
   def textLangId(s: SparkSession, dir: String): DataFrame = {
@@ -138,6 +156,7 @@ object TextDedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> textStats _,
+    "text_quality_filter" -> textQualityFilter _,
     "text_langid" -> textLangId _,
     "text_fingerprint" -> textFingerprint _,
     "text_rolling_hash" -> textRollingHash _,
@@ -209,6 +228,19 @@ object TextDedupQueries {
          | round(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / len(text), 6) AS alpha_ratio,
          | round(list_sum(list_transform(t, x -> len(x))) * 1.0 / len(t), 4) AS avg_tok_len
          |FROM toks""".stripMargin,
+    "text_quality_filter" -> {
+      val en = TextOps.StopwordTable.toMap.apply("en")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH $toksCte,
+         |q AS (SELECT doc_id,
+         |  CAST(len(t) AS INT) AS n_tokens,
+         |  round(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / len(text), 6) AS alpha_ratio,
+         |  CAST(len(list_filter(t, x -> list_contains($en, x))) AS INT) AS stop_hits
+         | FROM toks)
+         |SELECT doc_id, n_tokens, alpha_ratio, stop_hits FROM q
+         |WHERE n_tokens BETWEEN 5 AND 5000
+         |  AND alpha_ratio >= 0.5 AND stop_hits >= 1""".stripMargin
+    },
     "text_langid" -> {
       val scores = TextOps.StopwordTable.map { case (lang, words) =>
         val lits = words.map(w => s"'$w'").mkString("[", ", ", "]")
