@@ -91,6 +91,14 @@ object RelationalQueries {
       .intersect(ord.where(col("o_orderstatus") === "O").select(col("o_custkey")))
   }
 
+  /** EXCEPT: customers with finished orders but no open ones (plans as a
+    * left-anti join after dedup — same shuffle count as intersect). */
+  def qSetExcept(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    ord.where(col("o_orderstatus") === "F").select(col("o_custkey"))
+      .except(ord.where(col("o_orderstatus") === "O").select(col("o_custkey")))
+  }
+
   /** Distinct aggregation + HAVING: parts sourced from ≥3 suppliers. */
   def qDistinctHaving(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -173,6 +181,7 @@ object RelationalQueries {
     "q_window_rank" -> qWindowRank _,
     "q_top20" -> qTop20 _,
     "q_set_intersect" -> qSetIntersect _,
+    "q_set_except" -> qSetExcept _,
     "q_distinct_having" -> qDistinctHaving _,
     "q_monthly" -> qMonthly _,
     "q_rollup" -> qRollup _,
@@ -248,6 +257,10 @@ object RelationalQueries {
     "q_set_intersect" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
+    "q_set_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
     "q_distinct_having" ->
       """SELECT l_partkey, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
