@@ -69,9 +69,25 @@ object AdvancedQueries {
       k = 3)
   }
 
+  /** Revenue per supplier nation through the salted-replicated join (big
+    * side salted deterministically, small side replicated ×8) — output
+    * identical to the plain join, so the oracle IS the plain join. */
+  def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    val supp = s.read.parquet(s"$dir/supplier.parquet")
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    Salting.saltedJoin(li, supp, "l_suppkey", factor = 8,
+        bigSaltSource = pmod(col("l_orderkey"), lit(8)))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double"), 2).as("revenue"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_asof" -> eventsAsof _,
     "q_skew_agg" -> qSkewAgg _,
+    "q_salted_join" -> qSaltedJoin _,
     "q_approx_distinct" -> qApproxDistinct _,
     "q_topk_per_key" -> qTopKPerKey _,
   )
@@ -100,6 +116,11 @@ object AdvancedQueries {
         | round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
         | CAST(count(*) AS BIGINT) AS n_items
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_salted_join" ->
+      """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
+        | round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1""".stripMargin,
     "q_topk_per_key" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM (
         |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,

@@ -120,6 +120,29 @@ object RelationalQueries {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
 
+  /** CUBE: all 2² grouping-set combinations in one pass (Catalyst expands to
+    * a single Expand + aggregate — one shuffle, not four). */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+
+  /** Deterministic stratified sample: per-class keep rates applied via the
+    * salted content hash — a pure function of row identity, so the sample is
+    * reproducible across runs, engines and partitionings (the class-balance
+    * primitive of training-data pipelines). */
+  def qStratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val rate = when(col("l_returnflag") === "A", 100)
+      .when(col("l_returnflag") === "R", 200).otherwise(50) // per-mille
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        graft.functions.VectorSql.md5Hash60(concat(lit("strat:"),
+          col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string"))).as("h"), rate.as("rate"))
+      .where(col("h") % 1000 < col("rate"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+  }
+
   /** Statistics functions: exact interpolated percentiles + correlation +
     * sample covariance per return flag. Spark `percentile` and DuckDB
     * `quantile_cont` share the linear-interpolation definition over exact
@@ -185,6 +208,8 @@ object RelationalQueries {
     "q_distinct_having" -> qDistinctHaving _,
     "q_monthly" -> qMonthly _,
     "q_rollup" -> qRollup _,
+    "q_cube" -> qCube _,
+    "q_stratified_sample" -> qStratifiedSample _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -275,5 +300,17 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus,
         | CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag FROM (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag,
+        |    ('0x' || substr(md5('strat:' || l_orderkey || ':' || l_linenumber), 1, 15))::BIGINT AS h,
+        |    CASE WHEN l_returnflag = 'A' THEN 100
+        |         WHEN l_returnflag = 'R' THEN 200 ELSE 50 END AS rate
+        |  FROM lineitem)
+        |WHERE h % 1000 < rate""".stripMargin,
   )
 }
