@@ -86,15 +86,40 @@ object EventQueries {
       .agg(count(lit(1)).as("n_purchases_after_view"))
   }
 
+  /** Point-in-interval range join through the binning rewrite
+    * ([[graft.operators.RangeJoin]]): event values land in overlapping value
+    * bands (21 literal ranges, [5k, 5k+12)) via a bin equi-join instead of
+    * the nested-loop theta join Spark would otherwise plan. */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = (0 to 20).map(k => (k.toLong, k * 5.0, k * 5.0 + 12.0))
+      .toDF("band_id", "lo", "hi")
+    graft.operators.RangeJoin.pointInRange(
+        ev(s, dir).select(col("value")), col("value"),
+        bands, col("lo"), col("hi"), binWidth = 12.0)
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_hourly" -> hourly _,
     "events_sliding" -> sliding _,
     "events_sessionize" -> sessionize _,
     "events_props_histogram" -> propsHistogram _,
     "events_funnel" -> funnel _,
+    "events_range_join" -> rangeJoin _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "events_range_join" -> {
+      val bands = (0 to 20)
+        .map(k => s"($k, ${k * 5.0}::DOUBLE, ${k * 5.0 + 12.0}::DOUBLE)").mkString(", ")
+      s"""WITH bands(band_id, lo, hi) AS (VALUES $bands)
+         |SELECT CAST(band_id AS BIGINT) AS band_id,
+         | CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+         |FROM events JOIN bands ON value >= lo AND value < hi
+         |GROUP BY 1""".stripMargin
+    },
     "events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         | event_type, CAST(count(*) AS BIGINT) AS n,
