@@ -136,8 +136,10 @@ object MlQueries {
 
   /** Generated oracle: the same 5 iterations as one DuckDB CTE chain with
     * literal weight tables. */
+  // `nv + 0` normalizes DuckDB's -0.0 to +0.0 (Spark's round never emits
+  // -0.0); identity for every other value. See the som_update oracle note.
   def somFit5Oracle: String =
-    fit5Chain + s"\nSELECT cell, dim, nv FROM p$FitIters"
+    fit5Chain + s"\nSELECT cell, dim, nv + 0 AS nv FROM p$FitIters"
 
   /** Oracle for the full Estimator→transformNative path: the fit5 chain's
     * final prototypes plus one argmin assignment CTE (row_number tie-break ==
@@ -232,7 +234,7 @@ object MlQueries {
         |  SELECT dim, sx / n AS mu,
         |         sqrt((sxx - sx*sx/n) / (n - 1)) AS sigma
         |  FROM sums)
-        |SELECT vec_id, dim, round((x - mu) / sigma, 4) AS z
+        |SELECT vec_id, dim, round((x - mu) / sigma, 4) + 0 AS z
         |FROM ex JOIN stats USING (dim)""".stripMargin,
   )
 }

@@ -187,7 +187,7 @@ object SomQueries {
          |SELECT CAST(count(*) AS BIGINT) AS n, round(sum(d2), 2) AS cost FROM a""".stripMargin,
     "som_cell_stats" ->
       s"""WITH $ptsCte, $protosCte, $distCte, $bmuCte
-         |SELECT a.bmu, CAST(t.i - 1 AS INT) AS dim, round(sum(p.v[t.i]), 4) AS s,
+         |SELECT a.bmu, CAST(t.i - 1 AS INT) AS dim, round(sum(p.v[t.i]), 4) + 0 AS s,
          |       CAST(count(*) AS BIGINT) AS n
          |FROM a JOIN pts p USING (vec_id)
          |CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS i) t
@@ -200,6 +200,10 @@ object SomQueries {
       val wRows = (for (k <- 0 until K; j <- 0 until K)
         yield s"($k, $j, ${Grid.kernelWeight("gaussian", Grid.cellDist(Width)(k, j), T)}::DOUBLE)")
         .mkString(", ")
+      // `+ 0` after the final round: DuckDB's round() preserves -0.0 where
+      // Spark's (BigDecimal-based) normalizes to +0.0 — Python `==` calls
+      // them equal but the driver's hash compares bits. Adding double zero
+      // is the identity everywhere except -0.0 → +0.0.
       s"""WITH $ptsCte, $protosCte, $distCte, $bmuCte,
          |sums AS (
          |  SELECT a.bmu, CAST(t.i - 1 AS INT) AS dim, round(sum(p.v[t.i]), 6) AS s,
@@ -209,7 +213,7 @@ object SomQueries {
          |  GROUP BY 1, 2),
          |w(k, j, w) AS (VALUES $wRows)
          |SELECT CAST(w.k AS BIGINT) AS cell, sums.dim,
-         |       round(sum(w.w * sums.s) / sum(w.w * sums.n), 4) AS nv
+         |       round(sum(w.w * sums.s) / sum(w.w * sums.n), 4) + 0 AS nv
          |FROM sums JOIN w ON sums.bmu = w.j
          |GROUP BY 1, 2""".stripMargin
     },

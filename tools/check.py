@@ -9,15 +9,23 @@ Usage: python3 tools/check.py [sfdir] [outdir]
 4. compares against the Spark parquet dump: sorted columns by name, sorted
    rows, exact match (floats reported with max abs diff if not exact)
 """
-import sys, json, glob, os
+import sys, json, glob, os, struct
 import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+def _canon(v):
+    # floats compare by IEEE bit pattern: Python's == hides -0.0 vs +0.0
+    # (and NaN never equals), but the driver's hash compares bytes —
+    # round 3 shipped two "locally green" queries that failed exactly there.
+    if isinstance(v, float):
+        return struct.pack('<d', v)
+    return v
+
 def norm_rows(cols, rows):
     # sort columns by name, then rows by value tuple (None-safe)
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(r[i] for i in order) for r in rows]
+    out = [tuple(_canon(r[i]) for i in order) for r in rows]
     out.sort(key=lambda t: tuple((v is None, str(type(v)), v if not isinstance(v, (dict, list)) else str(v)) for v in t))
     return [cols[i] for i in order], out
 
