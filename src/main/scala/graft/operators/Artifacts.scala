@@ -24,22 +24,32 @@ import scala.collection.concurrent.TrieMap
   * into the signature aggregation.
   */
 object Artifacts {
-  private val cache = TrieMap.empty[String, DataFrame]
+  private val cache =
+    TrieMap.empty[String, (org.apache.spark.sql.SparkSession, DataFrame)]
 
   /** Get-or-build: first caller pays the pipeline, later callers reuse the
     * checkpointed partitions. Keys must include the input dir; the active
     * SparkSession's UUID is appended automatically so an artifact checkpointed
     * by a stopped/previous session (dead executor blocks) is never handed to a
-    * new one — the new session just rebuilds under its own key. */
+    * new one — the new session just rebuilds under its own key. (The UUID, not
+    * `identityHashCode`: hash codes can be reused after a session is GC'd,
+    * which would resurrect exactly the stale-blocks hazard this key exists to
+    * prevent.) Entries whose owning session has stopped are evicted on the
+    * way in, so dead sessions don't accumulate in the registry. */
   def shared(key: String)(build: => DataFrame): DataFrame = {
-    val session = System.identityHashCode(org.apache.spark.sql.SparkSession.active)
-    cache.getOrElseUpdate(s"$session/$key", build.localCheckpoint(eager = true))
+    val active = org.apache.spark.sql.SparkSession.active
+    cache.filterInPlace((_, v) => !v._1.sparkContext.isStopped)
+    val uuid = org.apache.spark.sql.graftbridge.ColumnBridge.sessionUUID(active)
+    cache.getOrElseUpdate(s"$uuid/$key",
+      (active, build.localCheckpoint(eager = true)))._2
   }
 
   /** Drop every shared artifact — bench repetitions call this so each rep
     * pays the full pipeline cost honestly. */
   def clear(): Unit = {
-    cache.values.foreach(_.unpersist(blocking = false))
+    cache.values.foreach { case (s, df) =>
+      if (!s.sparkContext.isStopped) df.unpersist(blocking = false)
+    }
     cache.clear()
   }
 }

@@ -22,13 +22,18 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  /** Ranges replicated to their overlapping bins: adds a `_bin` column. */
+  /** Ranges replicated to their overlapping bins: adds a `_bin` column.
+    * Replicates through floor(hi/binWidth) unconditionally — when hi sits
+    * exactly on a bin edge the last replica can never match (hi is
+    * exclusive and the recheck filters it), but an epsilon-based trim
+    * would DROP matches for points within the epsilon of an edge-crossing
+    * hi, and no-op entirely once |hi| is large enough that the epsilon is
+    * below one ulp. One dead replica per edge-aligned range is free;
+    * a silently lost match is not. */
   private def binned(ranges: DataFrame, lo: Column, hi: Column, binWidth: Double): DataFrame =
     ranges.withColumn("_bin",
       explode(sequence(floor(lo / binWidth).cast("long"),
-        // hi is exclusive: a range ending exactly on a bin edge does not
-        // reach into the next bin
-        floor((hi - lit(1e-9)) / binWidth).cast("long"))))
+        floor(hi / binWidth).cast("long"))))
 
   /** Join `points` (each row one value `pointCol`) against `ranges` rows
     * satisfying `lo <= point < hi`. Overlapping ranges produce one output

@@ -20,7 +20,12 @@ import java.nio.file.{Files, Paths}
   */
 object SourceQueries {
 
-  private val FixtureDir = "/root/repo/target/fixtures"
+  // Absolute so the oracle SQL (executed by a separate DuckDB process) hits
+  // the same files, but derived from the working directory so the queries
+  // survive a different checkout location — the JVM running Verify and the
+  // driver's oracle run share a cwd (the repo root).
+  private val FixtureDir =
+    Paths.get("target", "fixtures").toAbsolutePath.toString
 
   private def nationRows(s: SparkSession, dir: String): Seq[(Long, String, Long)] =
     s.read.parquet(s"$dir/nation.parquet")

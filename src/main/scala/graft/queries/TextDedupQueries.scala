@@ -107,9 +107,9 @@ object TextDedupQueries {
   private def sharedPairs(s: SparkSession, dir: String): DataFrame =
     Artifacts.shared(s"minhash_pairs:$dir") {
       // maxBandDf: hot-bucket skew guard (star fallback above 64 docs per
-      // band key — giant exact-dup clusters stay linear, see Dedup scaladoc);
-      // never binds on this corpus (clusters are ≤5 docs), so the DuckDB
-      // oracle keeps modelling plain all-pairs banding.
+      // band key — giant exact-dup clusters stay linear, see Dedup scaladoc).
+      // The DuckDB oracle models the same hot/cold fallback, so the guard
+      // stays oracle-checked even on a corpus where it binds.
       val cand = Dedup.lshCandidates(sharedSignatures(s, dir), maxBandDf = Some(64))
         .localCheckpoint(eager = true) // reused: candDocs filter + pair-confirm join
       val candDocs = cand.select(col("doc_a").as("doc_id"))
@@ -192,13 +192,27 @@ object TextDedupQueries {
        |  min(((h.h * 2 + 3) * x + h.h * 97 + 1) % 1000000007) AS minhash
        | FROM hx CROSS JOIN (SELECT unnest(range(0, 16)) AS h) h
        | GROUP BY 1, 2)""".stripMargin
+  // cand models the SAME maxBandDf=64 hot/cold star fallback the Spark side
+  // runs (Dedup.lshCandidates): cold buckets all-pairs, hot buckets star
+  // around the min-doc hub. The cap doesn't bind on this corpus (largest
+  // band bucket ≪ 64), but modelling it means a larger corpus where it DOES
+  // bind stays hash-green instead of failing as an opaque mismatch.
   private val pairsCtes =
     """banded AS (SELECT doc, h // 4 AS band,
       |   string_agg(minhash::VARCHAR, ',' ORDER BY h, minhash) AS key
       |  FROM sig GROUP BY 1, 2),
-      |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-      |  FROM banded a JOIN banded b
-      |    ON a.band = b.band AND a.key = b.key AND a.doc < b.doc),
+      |bstats AS (SELECT band, key, count(*) AS df, min(doc) AS hub
+      |  FROM banded GROUP BY 1, 2),
+      |btag AS (SELECT b.doc, b.band, b.key, s.df, s.hub
+      |  FROM banded b JOIN bstats s USING (band, key)),
+      |cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+      |  SELECT a.doc AS doc_a, b.doc AS doc_b
+      |    FROM btag a JOIN btag b
+      |      ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
+      |   WHERE a.df <= 64 AND b.df <= 64
+      |  UNION ALL
+      |  SELECT hub AS doc_a, doc AS doc_b FROM btag
+      |   WHERE df > 64 AND doc <> hub)),
       |sizes AS (SELECT doc, count(*) AS n FROM dsh GROUP BY 1),
       |inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS c
       |  FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc < b.doc

@@ -177,7 +177,10 @@ class SOM(override val uid: String) extends Estimator[SOMModel] with SOMParams
 
       val sums = Array.fill(k)(null: Vector)
       val counts = new Array[Double](k)
-      val totalCost = agg.cost
+      // The cost drives the tol convergence check and the history — quantize
+      // it with the sums (as the sumDecimals contract documents) so iteration
+      // counts can't vary with partition count or treeReduce merge order.
+      val totalCost = if (sd < 0) agg.cost else r(sd)(agg.cost)
       var c = 0
       while (c < k) {
         if (agg.counts(c) > 0) {

@@ -47,6 +47,12 @@ object ColumnBridge {
   def logicalPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].logicalPlan
 
+  /** The session's unique id (`private[sql]` on the classic backend) —
+    * identity-hash keys can collide across a GC'd session's lifetime,
+    * a real UUID cannot. */
+  def sessionUUID(spark: org.apache.spark.sql.SparkSession): String =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
+
   /** Register a Catalyst expression builder as a SQL function on an existing
     * session (the runtime sibling of `SparkSessionExtensions.injectFunction`,
     * for sessions we did not create). */

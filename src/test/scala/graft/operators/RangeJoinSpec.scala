@@ -39,6 +39,20 @@ class RangeJoinSpec extends SparkSpec {
       s"range join must rewrite to an equi-join:\n$p")
   }
 
+  test("keeps a point just under an hi that sits just past a bin edge") {
+    import spark.implicits._
+    // hi = 5.0000000005 crosses the w=1 bin edge at 5 by less than the old
+    // 1e-9 trim; p = 5.0000000001 lives in bin 5, which the trimmed
+    // replication never produced — the match was silently dropped.
+    val r = Seq((0L, 1.0, 5.0000000005)).toDF("rid", "lo", "hi")
+    val p = Seq((0L, 5.0000000001)).toDF("pid", "v")
+    assert(RangeJoin.pointInRange(p, col("v"), r, col("lo"), col("hi"), 1.0).count() == 1)
+    // and an hi exactly on an edge still matches nothing in its dead bin
+    val r2 = Seq((0L, 1.0, 5.0)).toDF("rid", "lo", "hi")
+    val p2 = Seq((0L, 5.0)).toDF("pid", "v")
+    assert(RangeJoin.pointInRange(p2, col("v"), r2, col("lo"), col("hi"), 1.0).count() == 0)
+  }
+
   test("replication factor is ceil(span/width)+1 bins per range") {
     import spark.implicits._
     val one = Seq((0L, 0.0, 100.0)).toDF("rid", "lo", "hi")
