@@ -264,4 +264,36 @@ object Dedup {
     }
     pairs.where(col("hamming") <= maxHamming).distinct()
   }
+
+  /** Benchmark decontamination — flag corpus documents sharing any shingle
+    * with an evaluation set (the step every training pipeline runs so eval
+    * answers don't leak into training data). Production uses 13-gram
+    * shingles; the shingle construction is whatever `docShingles` carries
+    * (3-token here, matching the rest of the dedup family).
+    *
+    * Plan shape for 100 TB: the eval side is always tiny (benchmarks are
+    * ~10⁵ n-grams) — its distinct shingle set broadcasts, so the corpus-side
+    * shingle stream is consumed in a SINGLE pass with no shuffle before the
+    * per-doc aggregate, and the aggregate's input is only the matching
+    * (rare) occurrences. The corpus stream is the RAW (non-distinct)
+    * explode: duplicates survive the broadcast join and are collapsed by the
+    * `count(DISTINCT)` — never a corpus-wide distinct shuffle.
+    *
+    * @param docShingles raw (doc, sh) occurrences for the WHOLE corpus,
+    *                    eval docs included ([[docShinglesRaw]])
+    * @param evalIds     one-column (doc) eval-set membership table
+    * @return (doc, n_shared, first_eval) for contaminated non-eval docs:
+    *         how many distinct shingles overlap, and the smallest eval doc
+    *         id hit (the audit pointer). */
+  def contamination(docShingles: DataFrame, evalIds: DataFrame): DataFrame = {
+    val evalSh = docShingles.join(broadcast(evalIds), "doc")
+      .select(col("doc").as("eval_doc"), md5Hash60(col("sh")).as("sh"))
+      .groupBy(col("sh")).agg(min(col("eval_doc")).as("first_eval"))
+    docShingles.join(broadcast(evalIds), Seq("doc"), "left_anti")
+      .select(col("doc"), md5Hash60(col("sh")).as("sh"))
+      .join(broadcast(evalSh), "sh")
+      .groupBy(col("doc"))
+      .agg(countDistinct(col("sh")).as("n_shared"),
+        min(col("first_eval")).as("first_eval"))
+  }
 }

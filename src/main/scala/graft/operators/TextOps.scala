@@ -64,6 +64,17 @@ object TextOps {
   val RollP = 1000000007L
   def rollingHash(text: Column): Column = graft.functions.TextKernels.rollingHash(text)
 
+  /** Duplicate-3-gram fraction of a document (the Gopher-style repetition
+    * quality signal): 1 − distinct/total shingles. Pure column arithmetic
+    * over the in-row shingle array — no explode, no shuffle; the signal is
+    * computed inside the scan projection, so at corpus scale it costs one
+    * pass like any other per-row expression. Exact integer division →
+    * bit-identical across engines unrounded. */
+  def repetitionRatio(text: Column): Column = {
+    val sh = shingles3Fast(text)
+    lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh)
+  }
+
   /** Language-ID stopword tables (tiny, per-language function words). */
   val StopwordTable: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of", "to", "is"),

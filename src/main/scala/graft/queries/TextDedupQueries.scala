@@ -154,7 +154,35 @@ object TextDedupQueries {
         maxChunkDf = Some(64))
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
 
+  /** Within-document repetition signal: duplicate-3-gram fraction (Gopher
+    * rule). Pure projection — computed inside the scan, no shuffle. */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val sh = TextOps.shingles3Fast(col("text"))
+    docs(s, dir).select(col("doc_id"),
+      size(sh).as("n_shingles"),
+      round(TextOps.repetitionRatio(col("text")), 6).as("rep_ratio"))
+  }
+
+  /** Benchmark decontamination: docs sharing any 3-token shingle with the
+    * "eval set" (doc_id < 20 stands in for a benchmark's prompt set). */
+  def dedupContamination(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.contamination(
+      Dedup.docShinglesRaw(d, "doc_id", "text"),
+      d.where(col("doc_id") < 20).select(col("doc_id").as("doc")))
+  }
+
+  /** Sharded linear sequence packing at a 2048-token budget over 8 shards
+    * (shards ≥ cluster parallelism at real scale; 8 keeps testdata packs
+    * non-trivial). All-integer → oracle-exact with no rounding. */
+  def packSequences(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.packSequences(docs(s, dir), "doc_id",
+      size(TextOps.tokens(col("text"))), budget = 2048, shards = 8)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> textRepetition _,
+    "dedup_contamination" -> dedupContamination _,
+    "pack_sequences" -> packSequences _,
     "text_stats" -> textStats _,
     "text_quality_filter" -> textQualityFilter _,
     "text_langid" -> textLangId _,
@@ -232,7 +260,41 @@ object TextDedupQueries {
        |    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
        |  FROM votes GROUP BY 1)""".stripMargin
 
+  // shingle LISTS kept in-row (for the repetition signal — no explode)
+  private val shingleListCte =
+    """shl AS (SELECT doc_id,
+      |  CASE WHEN len(t) < 3 THEN [text]
+      |       ELSE list_transform(range(1, len(t) - 1),
+      |              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS sh
+      | FROM toks)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "text_repetition" ->
+      s"""WITH $toksCte, $shingleListCte
+         |SELECT doc_id, CAST(len(sh) AS INT) AS n_shingles,
+         | round(1.0 - len(list_distinct(sh)) * 1.0 / len(sh), 6) AS rep_ratio
+         |FROM shl""".stripMargin,
+    "dedup_contamination" ->
+      s"""WITH $toksCte, $shinglesCte,
+         |evl AS (SELECT sh, min(doc) AS first_eval FROM dsh
+         |        WHERE doc < 20 GROUP BY 1)
+         |SELECT d.doc, CAST(count(DISTINCT d.sh) AS BIGINT) AS n_shared,
+         |       min(e.first_eval) AS first_eval
+         |FROM dsh d JOIN evl e USING (sh)
+         |WHERE d.doc >= 20 GROUP BY 1""".stripMargin,
+    "pack_sequences" ->
+      s"""WITH $toksCte,
+         |t AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |  ('0x' || substr(md5('pack:' || doc_id), 1, 15))::BIGINT % 8 AS shard
+         | FROM toks),
+         |c AS (SELECT doc_id, shard, n_tokens,
+         |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+         | FROM t)
+         |SELECT doc_id, shard,
+         | CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+         | CAST((cum - n_tokens) % 2048 AS BIGINT) AS offset,
+         | n_tokens
+         |FROM c""".stripMargin,
     "text_stats" ->
       s"""WITH $toksCte
          |SELECT doc_id,

@@ -75,4 +75,26 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
     assert(pairs.get((0L, 1L)).contains(0))
   }
+
+  test("contamination flags only non-eval docs sharing shingles with the eval set") {
+    import spark.implicits._
+    // eval = doc 0; docs 1 (exact copy) and 2 (near copy) share shingles,
+    // docs 3/4 share none; eval doc itself must not be flagged
+    val hits = Dedup.contamination(
+        Dedup.docShinglesRaw(docs, "doc_id", "text"),
+        Seq(0L).toDF("doc"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(hits.keySet == Set(1L, 2L))
+    assert(hits(1L)._2 == 0L && hits(2L)._2 == 0L) // audit pointer = eval doc 0
+    assert(hits(1L)._1 > hits(2L)._1)              // exact copy shares more
+  }
+
+  test("contamination plan: eval side broadcast, corpus side never shuffled before the agg") {
+    import spark.implicits._
+    val p = Dedup.contamination(
+        Dedup.docShinglesRaw(docs, "doc_id", "text"), Seq(0L).toDF("doc"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "eval shingle set must broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus shingle stream must not shuffle for the join")
+  }
 }
