@@ -191,6 +191,42 @@ object Dedup {
     labels.select(col("doc"), col("lbl").as("canonical"))
   }
 
+  /** Convergence-checked keep-list: min-label propagation to a FIXPOINT
+    * (bounded by `maxRounds`), for corpora whose dup-cluster diameter
+    * exceeds a fixed hop budget — chained near-dups (A~B~C~…) at crawl
+    * scale form paths, not cliques, and a bounded [[keepList]] silently
+    * splits any cluster wider than its round count. Same per-round cost
+    * (one |E| shuffle); each round's labels localCheckpoint so lineage
+    * stays O(1) and the convergence count reuses the materialized frontier
+    * instead of recomputing the chain. Rounds needed = cluster diameter
+    * (min-label floods one hop per round); the large-star/small-star
+    * halving matters only for adversarial diameters — real dedup graphs
+    * converge in a handful of rounds, and the fixpoint check makes "enough
+    * rounds" a measured fact instead of a guess. */
+  def keepListConverged(docs: DataFrame, id: String, pairs: DataFrame,
+                        maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .union(docs.select(col(id).as("src"), col(id).as("dst")))
+      .localCheckpoint(eager = true)
+    var labels = edges.groupBy(col("src").as("doc")).agg(min(col("dst")).as("lbl"))
+      .localCheckpoint(eager = true)
+    var changed = 1L
+    var round = 1
+    while (changed > 0 && round < maxRounds) {
+      val next = edges.join(labels, edges("dst") === labels("doc"))
+        .groupBy(col("src").as("doc2"))
+        .agg(min(col("lbl")).as("lbl"))
+        .withColumnRenamed("doc2", "doc")
+        .localCheckpoint(eager = true)
+      changed = next.as("n").join(labels.as("o"), col("n.doc") === col("o.doc"))
+        .where(col("n.lbl") =!= col("o.lbl")).count()
+      labels = next
+      round += 1
+    }
+    labels.select(col("doc"), col("lbl").as("canonical"))
+  }
+
   val SimhashBits = 60
 
   /** 60-bit SimHash over distinct whitespace tokens: bit b is the sign of the

@@ -49,6 +49,20 @@ object AdvancedQueries {
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
         count(lit(1)).as("n"))
 
+  /** Mergeable quantile sketch per return flag (approx_percentile /
+    * Greenwald-Khanna) — rows-only like [[qApproxDistinct]] (sketch
+    * internals are engine-specific by design); AdvancedOpsSpec asserts the
+    * rank-error envelope against the exact percentiles. The sketch is the
+    * 100 TB path: exact percentiles need a full sort per group, the sketch
+    * is one pass + mergeable partials (same shuffle shape as any agg). */
+  def qApproxQuantile(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50"),
+        percentile_approx(col("l_extendedprice"), lit(0.9), lit(1000)).as("p90"),
+        count(lit(1)).as("n"))
+
   /** Top-3 lineitems per supplier by price — through the CUSTOM physical
     * operator ([[graft.plans.TopKPerKeyNode]]): partial per-partition k-heaps
     * → key-clustered exchange → final heap merge, no per-group sort. The
@@ -89,6 +103,7 @@ object AdvancedQueries {
     "q_skew_agg" -> qSkewAgg _,
     "q_salted_join" -> qSaltedJoin _,
     "q_approx_distinct" -> qApproxDistinct _,
+    "q_approx_quantile" -> qApproxQuantile _,
     "q_topk_per_key" -> qTopKPerKey _,
   )
 

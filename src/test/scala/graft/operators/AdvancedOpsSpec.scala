@@ -68,4 +68,17 @@ class AdvancedOpsSpec extends SparkSpec {
     val exact = li.agg(countDistinct(col("l_partkey"))).head().getLong(0)
     assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx=$approx exact=$exact")
   }
+
+  test("approx_percentile stays inside the 1/accuracy rank-error envelope") {
+    // accuracy 1000 guarantees rank error ≤ n/1000: the sketch's p50 must
+    // sit between the EXACT p49.8 and p50.2 values (and same at p90).
+    val li = spark.read.parquet(sf("sf0.01") + "/lineitem.parquet")
+    val Seq(a50, a90) = Seq(0.5, 0.9).map(p =>
+      li.agg(percentile_approx(col("l_extendedprice"), lit(p), lit(1000)))
+        .head().getDouble(0))
+    def exact(p: Double) =
+      li.agg(expr(s"percentile(l_extendedprice, $p)")).head().getDouble(0)
+    assert(a50 >= exact(0.498) && a50 <= exact(0.502), s"p50=$a50")
+    assert(a90 >= exact(0.898) && a90 <= exact(0.902), s"p90=$a90")
+  }
 }

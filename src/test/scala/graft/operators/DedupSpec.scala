@@ -76,6 +76,20 @@ class DedupSpec extends SparkSpec {
     assert(pairs.get((0L, 1L)).contains(0))
   }
 
+  test("converged keep-list closes a chain longer than any fixed round budget") {
+    import spark.implicits._
+    // path 0-1-2-...-9: diameter 9. A 3-round budget cannot flood doc 9's
+    // label back to 0; the fixpoint loop must.
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val ids = (0L to 9L).toDF("doc_id")
+    val bounded = Dedup.keepList(ids, "doc_id", chain, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val converged = Dedup.keepListConverged(ids, "doc_id", chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(converged == (0L to 9L).map(_ -> 0L).toMap)
+    assert(bounded(9L) != 0L, "3 rounds must NOT close a diameter-9 chain (else this test proves nothing)")
+  }
+
   test("contamination flags only non-eval docs sharing shingles with the eval set") {
     import spark.implicits._
     // eval = doc 0; docs 1 (exact copy) and 2 (near copy) share shingles,
