@@ -113,13 +113,19 @@ object MlQueries {
         .groupBy(col("vec_id"))
         .agg(min(struct(col("d2"), col("proto_id"))).as("m"), first(col("v")).as("v"))
         .select(col("m.proto_id").as("bmu"), col("v"))
-      // round(·, 6) on the order-dependent component sums: makes every input
-      // of the weighted ratio below identical across engines and partition
-      // counts by construction (same discipline as som_update / the chain).
+      // Vector-shaped aggregate (the som_update/cellStats shape): N in-place
+      // vector adds and a K-row shuffle, with the K×d explode AFTER the agg —
+      // the posexplode-first formulation pushed N·d rows (2M at sf0.1) through
+      // the aggregate every iteration. round(·, 6) on the order-dependent
+      // component sums keeps every input of the weighted ratio identical
+      // across engines and partition counts by construction.
       val sums = assign
-        .select(col("bmu"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("bmu"), col("dim"))
-        .agg(round(sum(col("x")), 6).as("s"), count(lit(1)).as("n"))
+        .select(col("bmu"), org.apache.spark.ml.functions.array_to_vector(col("v")).as("fv"))
+        .groupBy(col("bmu"))
+        .agg(org.apache.spark.ml.stat.Summarizer.sum(col("fv")).as("sv"), count(lit(1)).as("n"))
+        .select(col("bmu"), col("n"),
+          posexplode(org.apache.spark.ml.functions.vector_to_array(col("sv"))).as(Seq("dim", "x")))
+        .select(col("bmu"), col("dim"), round(col("x"), 6).as("s"), col("n"))
       val w = fitWeights(iter).toDF("k", "j", "w")
       val next = sums.join(broadcast(w), sums("bmu") === w("j"))
         .groupBy(col("k"), col("dim"))

@@ -134,6 +134,14 @@ object TextDedupQueries {
     Dedup.keepList(docs(s, dir), "doc_id",
       sharedPairs(s, dir).select(col("doc_a"), col("doc_b")), rounds = 3)
 
+  /** Keep-list via the CONVERGED (fixpoint) label propagation — exact
+    * connected components whatever the cluster diameter. Oracle is a
+    * recursive-CTE transitive closure (true CC), so this entry stays green
+    * even on a corpus where the bounded 3-round twin would split a chain. */
+  def dedupCcKeepList(s: SparkSession, dir: String): DataFrame =
+    Dedup.keepListConverged(docs(s, dir), "doc_id",
+      sharedPairs(s, dir).select(col("doc_a"), col("doc_b")))
+
   /** Standalone exact n-gram Jaccard pairs: the inverted-index shingle
     * self-join WITHOUT an LSH pre-filter, with the production skew guard
     * exercised (document-frequency cap 5 — shingles present in more than 5
@@ -193,6 +201,7 @@ object TextDedupQueries {
     "dedup_minhash_sig" -> dedupMinhashSig _,
     "dedup_minhash_pairs" -> dedupMinhashPairs _,
     "dedup_keep_list" -> dedupKeepList _,
+    "dedup_cc_keep_list" -> dedupCcKeepList _,
     "dedup_simhash_pairs" -> dedupSimhashPairs _,
     "dedup_jaccard_pairs" -> dedupJaccardPairs _,
   )
@@ -371,6 +380,19 @@ object TextDedupQueries {
          |l3 AS (SELECT e.src AS doc, min(l.lbl) AS lbl
          |  FROM edges e JOIN l2 l ON e.dst = l.doc GROUP BY 1)
          |SELECT doc, lbl AS canonical FROM l3""".stripMargin,
+    "dedup_cc_keep_list" ->
+      // TRUE connected components as a recursive transitive closure — the
+      // oracle for the fixpoint loop is exact at ANY cluster diameter
+      // (unlike the 3-round chain above, which is the bounded twin's oracle)
+      s"""WITH RECURSIVE $toksCte, $shinglesCte, $sigCte, $pairsCtes,
+         |jp AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.8),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+         |  UNION ALL SELECT doc_b, doc_a FROM jp
+         |  UNION ALL SELECT doc_id, doc_id FROM documents),
+         |reach AS (SELECT src AS doc, dst AS r FROM edges
+         |  UNION
+         |  SELECT reach.doc, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+         |SELECT doc, min(r) AS canonical FROM reach GROUP BY 1""".stripMargin,
     "dedup_jaccard_pairs" ->
       s"""WITH $toksCte, $shinglesCte,
          |freq AS (SELECT sh, count(*) AS df FROM dsh GROUP BY 1),
