@@ -127,6 +127,15 @@ object RelationalQueries {
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
 
+  /** GROUPING SETS: per-dimension subtotals only — the grouping-set shapes
+    * rollup/cube cannot express (no cross combination, no grand total).
+    * Same single Expand + one-shuffle plan as cube. */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+
   /** Deterministic stratified sample: per-class keep rates applied via the
     * salted content hash — a pure function of row identity, so the sample is
     * reproducible across runs, engines and partitionings (the class-balance
@@ -209,6 +218,7 @@ object RelationalQueries {
     "q_monthly" -> qMonthly _,
     "q_rollup" -> qRollup _,
     "q_cube" -> qCube _,
+    "q_grouping_sets" -> qGroupingSets _,
     "q_stratified_sample" -> qStratifiedSample _,
   )
 
@@ -304,6 +314,10 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus,
         | CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
     "q_stratified_sample" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag FROM (
         |  SELECT l_orderkey, l_linenumber, l_returnflag,

@@ -53,4 +53,23 @@ class TextOpsSpec extends SparkSpec {
     assert(en(0L) > de(0L))
     assert(de(1L) > en(1L))
   }
+
+  test("poison rows: null and empty text survive every text op without crashing") {
+    import spark.implicits._
+    // a crawl corpus WILL contain null/empty/whitespace docs; every signal
+    // must degrade to a well-defined value, never throw or return -1 rows
+    val poison = Seq((0L, null: String), (1L, ""), (2L, "   "), (3L, "ok doc here"))
+      .toDF("doc_id", "text")
+    val out = poison.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).as("nt"),
+      TextOps.repetitionRatio(col("text")).as("rep"),
+      TextOps.stopwordHits(col("text"), Seq("ok")).as("hits"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(0L -> 0, 1L -> 0, 2L -> 0, 3L -> 3),
+      "token counts must be 0 (never -1) for null/empty/blank text")
+    // dedup pipeline end-to-end on the poisoned corpus: no crash, sane rows
+    assert(Dedup.exactSurvivors(poison.where(col("text").isNotNull), "doc_id", "text").count() == 3)
+    assert(Dedup.minhashSignatures(
+      Dedup.docShinglesRaw(poison.where(col("text").isNotNull), "doc_id", "text")).count() == 3 * Dedup.NumMinhash)
+  }
 }
