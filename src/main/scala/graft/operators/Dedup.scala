@@ -175,21 +175,28 @@ object Dedup {
     * component. Each round is one groupBy over the edge list — scales as
     * `rounds` shuffles of |E|, never materializing components in memory. */
   def keepList(docs: DataFrame, id: String, pairs: DataFrame, rounds: Int = 3): DataFrame = {
-    // symmetric edge list + self-loops so isolated docs survive;
-    // localCheckpoint: the per-round joins scan edges repeatedly
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = symmetricEdges(docs, id, pairs)
+    var labels = edges.groupBy(col("src").as("doc")).agg(min(col("dst")).as("lbl"))
+    for (_ <- 1 until rounds) labels = propagateMinLabel(edges, labels)
+    labels.select(col("doc"), col("lbl").as("canonical"))
+  }
+
+  /** Symmetric edge list + self-loops so isolated docs survive;
+    * localCheckpoint: the per-round joins scan edges repeatedly. */
+  private def symmetricEdges(docs: DataFrame, id: String, pairs: DataFrame): DataFrame =
+    pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .union(docs.select(col(id).as("src"), col(id).as("dst")))
       .localCheckpoint(eager = true)
-    var labels = edges.groupBy(col("src").as("doc")).agg(min(col("dst")).as("lbl"))
-    for (_ <- 1 until rounds) {
-      labels = edges.join(labels, edges("dst") === labels("doc"))
-        .groupBy(col("src").as("doc2"))
-        .agg(min(col("lbl")).as("lbl"))
-        .withColumnRenamed("doc2", "doc")
-    }
-    labels.select(col("doc"), col("lbl").as("canonical"))
-  }
+
+  /** One min-label flood round: every doc takes the min label over its
+    * neighborhood. Shared by the bounded and converged keep-lists so their
+    * per-round semantics cannot diverge. */
+  private def propagateMinLabel(edges: DataFrame, labels: DataFrame): DataFrame =
+    edges.join(labels, edges("dst") === labels("doc"))
+      .groupBy(col("src").as("doc2"))
+      .agg(min(col("lbl")).as("lbl"))
+      .withColumnRenamed("doc2", "doc")
 
   /** Convergence-checked keep-list: min-label propagation to a FIXPOINT
     * (bounded by `maxRounds`), for corpora whose dup-cluster diameter
@@ -205,25 +212,28 @@ object Dedup {
     * rounds" a measured fact instead of a guess. */
   def keepListConverged(docs: DataFrame, id: String, pairs: DataFrame,
                         maxRounds: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .union(docs.select(col(id).as("src"), col(id).as("dst")))
-      .localCheckpoint(eager = true)
+    val edges = symmetricEdges(docs, id, pairs)
     var labels = edges.groupBy(col("src").as("doc")).agg(min(col("dst")).as("lbl"))
       .localCheckpoint(eager = true)
     var changed = 1L
     var round = 1
     while (changed > 0 && round < maxRounds) {
-      val next = edges.join(labels, edges("dst") === labels("doc"))
-        .groupBy(col("src").as("doc2"))
-        .agg(min(col("lbl")).as("lbl"))
-        .withColumnRenamed("doc2", "doc")
-        .localCheckpoint(eager = true)
+      val next = propagateMinLabel(edges, labels).localCheckpoint(eager = true)
       changed = next.as("n").join(labels.as("o"), col("n.doc") === col("o.doc"))
         .where(col("n.lbl") =!= col("o.lbl")).count()
+      // the previous frontier is dead once `changed` is counted — release
+      // its executor blocks now instead of holding ~maxRounds live copies
+      labels.unpersist(blocking = false)
       labels = next
       round += 1
     }
+    // Returning a silently split cluster would be indistinguishable from a
+    // converged one — the whole point of measuring the fixpoint. Fail loud;
+    // the caller raises maxRounds (rounds needed = cluster diameter).
+    require(changed == 0,
+      s"label propagation did not converge within $maxRounds rounds " +
+        s"($changed labels still changing) — raise maxRounds")
+    edges.unpersist(blocking = false)
     labels.select(col("doc"), col("lbl").as("canonical"))
   }
 
@@ -304,29 +314,33 @@ object Dedup {
   /** Benchmark decontamination — flag corpus documents sharing any shingle
     * with an evaluation set (the step every training pipeline runs so eval
     * answers don't leak into training data). Production uses 13-gram
-    * shingles; the shingle construction is whatever `docShingles` carries
+    * shingles; the shingle construction is whatever the inputs carry
     * (3-token here, matching the rest of the dedup family).
     *
-    * Plan shape for 100 TB: the eval side is always tiny (benchmarks are
-    * ~10⁵ n-grams) — its distinct shingle set broadcasts, so the corpus-side
-    * shingle stream is consumed in a SINGLE pass with no shuffle before the
-    * per-doc aggregate, and the aggregate's input is only the matching
-    * (rare) occurrences. The corpus stream is the RAW (non-distinct)
-    * explode: duplicates survive the broadcast join and are collapsed by the
-    * `count(DISTINCT)` — never a corpus-wide distinct shuffle.
+    * Takes the two shingle streams SEPARATELY so each side is scanned once:
+    * the eval stream comes from the (tiny, filter-pushed) eval doc subset
+    * and the corpus stream from its complement — deriving both from one
+    * whole-corpus stream would explode + hash the full corpus twice.
     *
-    * @param docShingles raw (doc, sh) occurrences for the WHOLE corpus,
-    *                    eval docs included ([[docShinglesRaw]])
-    * @param evalIds     one-column (doc) eval-set membership table
-    * @return (doc, n_shared, first_eval) for contaminated non-eval docs:
-    *         how many distinct shingles overlap, and the smallest eval doc
-    *         id hit (the audit pointer). */
-  def contamination(docShingles: DataFrame, evalIds: DataFrame): DataFrame = {
-    val evalSh = docShingles.join(broadcast(evalIds), "doc")
+    * Plan shape for 100 TB: the eval side is always tiny (benchmarks are
+    * ~10⁵ n-grams) — its distinct shingle set broadcasts, so the corpus
+    * stream is consumed in a SINGLE pass with no shuffle before the per-doc
+    * aggregate, whose input is only the matching (rare) occurrences. The
+    * corpus stream is the RAW (non-distinct) explode: duplicates survive the
+    * broadcast join and are collapsed by the `count(DISTINCT)` — never a
+    * corpus-wide distinct shuffle.
+    *
+    * @param corpusShingles raw (doc, sh) occurrences for the docs being
+    *                       screened (eval docs excluded), [[docShinglesRaw]]
+    * @param evalShingles   raw (doc, sh) occurrences for the eval set only
+    * @return (doc, n_shared, first_eval) per contaminated doc: how many
+    *         distinct shingles overlap, and the smallest eval doc id hit
+    *         (the audit pointer). */
+  def contamination(corpusShingles: DataFrame, evalShingles: DataFrame): DataFrame = {
+    val evalSh = evalShingles
       .select(col("doc").as("eval_doc"), md5Hash60(col("sh")).as("sh"))
       .groupBy(col("sh")).agg(min(col("eval_doc")).as("first_eval"))
-    docShingles.join(broadcast(evalIds), Seq("doc"), "left_anti")
-      .select(col("doc"), md5Hash60(col("sh")).as("sh"))
+    corpusShingles.select(col("doc"), md5Hash60(col("sh")).as("sh"))
       .join(broadcast(evalSh), "sh")
       .groupBy(col("doc"))
       .agg(countDistinct(col("sh")).as("n_shared"),

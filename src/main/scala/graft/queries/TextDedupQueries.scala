@@ -172,12 +172,14 @@ object TextDedupQueries {
   }
 
   /** Benchmark decontamination: docs sharing any 3-token shingle with the
-    * "eval set" (doc_id < 20 stands in for a benchmark's prompt set). */
+    * "eval set" (doc_id < 20 stands in for a benchmark's prompt set). Both
+    * doc_id filters push into the parquet scan, so the eval side reads ~20
+    * rows and the corpus side is scanned exactly once. */
   def dedupContamination(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     Dedup.contamination(
-      Dedup.docShinglesRaw(d, "doc_id", "text"),
-      d.where(col("doc_id") < 20).select(col("doc_id").as("doc")))
+      Dedup.docShinglesRaw(d.where(col("doc_id") >= 20), "doc_id", "text"),
+      Dedup.docShinglesRaw(d.where(col("doc_id") < 20), "doc_id", "text"))
   }
 
   /** Sharded linear sequence packing at a 2048-token budget over 8 shards

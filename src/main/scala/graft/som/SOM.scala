@@ -177,9 +177,11 @@ class SOM(override val uid: String) extends Estimator[SOMModel] with SOMParams
 
       val sums = Array.fill(k)(null: Vector)
       val counts = new Array[Double](k)
-      // The cost drives the tol convergence check and the history — quantize
-      // it with the sums (as the sumDecimals contract documents) so iteration
-      // counts can't vary with partition count or treeReduce merge order.
+      // Quantize the cost with the sums, per the sumDecimals contract: the
+      // recorded history/summary stays reproducible across partition counts
+      // and treeReduce merge order. (Convergence itself is decided by
+      // prototype MOVEMENT below — and the prototypes are already quantized
+      // via protoDecimals — so this only stabilizes the reported cost.)
       val totalCost = if (sd < 0) agg.cost else r(sd)(agg.cost)
       var c = 0
       while (c < k) {

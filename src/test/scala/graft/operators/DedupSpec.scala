@@ -90,13 +90,15 @@ class DedupSpec extends SparkSpec {
     assert(bounded(9L) != 0L, "3 rounds must NOT close a diameter-9 chain (else this test proves nothing)")
   }
 
+  private def contaminationOf(evalIds: Set[Long]) =
+    Dedup.contamination(
+      Dedup.docShinglesRaw(docs.where(!col("doc_id").isin(evalIds.toSeq: _*)), "doc_id", "text"),
+      Dedup.docShinglesRaw(docs.where(col("doc_id").isin(evalIds.toSeq: _*)), "doc_id", "text"))
+
   test("contamination flags only non-eval docs sharing shingles with the eval set") {
-    import spark.implicits._
     // eval = doc 0; docs 1 (exact copy) and 2 (near copy) share shingles,
     // docs 3/4 share none; eval doc itself must not be flagged
-    val hits = Dedup.contamination(
-        Dedup.docShinglesRaw(docs, "doc_id", "text"),
-        Seq(0L).toDF("doc"))
+    val hits = contaminationOf(Set(0L))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(hits.keySet == Set(1L, 2L))
     assert(hits(1L)._2 == 0L && hits(2L)._2 == 0L) // audit pointer = eval doc 0
@@ -104,10 +106,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("contamination plan: eval side broadcast, corpus side never shuffled before the agg") {
-    import spark.implicits._
-    val p = Dedup.contamination(
-        Dedup.docShinglesRaw(docs, "doc_id", "text"), Seq(0L).toDF("doc"))
-      .queryExecution.executedPlan.toString
+    val p = contaminationOf(Set(0L)).queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), "eval shingle set must broadcast")
     assert(!p.contains("SortMergeJoin"), "corpus shingle stream must not shuffle for the join")
   }

@@ -53,12 +53,14 @@ class RangeJoinSpec extends SparkSpec {
     assert(RangeJoin.pointInRange(p2, col("v"), r2, col("lo"), col("hi"), 1.0).count() == 0)
   }
 
-  test("replication factor is ceil(span/width)+1 bins per range") {
+  test("replication stays linear in span/width; matches stay exact") {
     import spark.implicits._
     val one = Seq((0L, 0.0, 100.0)).toDF("rid", "lo", "hi")
     val n = RangeJoin.pointInRange(
       Seq((0L, 50.0)).toDF("pid", "v"), col("v"), one,
       col("lo"), col("hi"), binWidth = 10.0).count()
-    assert(n == 1) // matched once despite 10 replicas
+    // bins 0..10 inclusive → 11 replicas (the bin-10 replica is dead, hi is
+    // exclusive); the point still matches exactly once
+    assert(n == 1)
   }
 }

@@ -12,16 +12,6 @@ import org.apache.spark.sql.functions._
   */
 class JoinStrategySpec extends SparkSpec {
 
-  private def withConf[T](pairs: (String, String)*)(body: => T): T = {
-    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally old.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
-
   test("SHUFFLE_HASH hint joins without sorting the fact side") {
     val dir = sf("sf0.001")
     withConf(

@@ -12,16 +12,6 @@ import org.apache.spark.sql.functions._
   */
 class BucketedJoinSpec extends SparkSpec {
 
-  private def withConf[T](pairs: (String, String)*)(body: => T): T = {
-    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally old.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
-
   test("join of two tables bucketed on the key plans with zero exchanges") {
     val dir = sf("sf0.001")
     spark.sql("DROP TABLE IF EXISTS graft_li_bucketed")

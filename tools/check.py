@@ -7,7 +7,8 @@ Usage: python3 tools/check.py [sfdir] [outdir]
 2. registers every testdata parquet as a DuckDB view named after the table
 3. runs each oracle_sql.json query
 4. compares against the Spark parquet dump: sorted columns by name, sorted
-   rows, exact match (floats reported with max abs diff if not exact)
+   rows, exact match (floats compared by IEEE bit pattern — catches signed
+   zero / NaN payloads that numeric == hides; diffs printed unpacked)
 """
 import sys, json, glob, os, struct
 import duckdb
@@ -75,7 +76,9 @@ def main():
                 print(f"FAIL {name}: row count spark={len(so)} oracle={len(oo)}")
             else:
                 diffs = [(a, b) for a, b in zip(so, oo) if a != b]
-                print(f"FAIL {name}: {len(diffs)}/{len(so)} rows differ; first: spark={diffs[0][0]} oracle={diffs[0][1]}")
+                def disp(row):  # unpack float bits for readable diff output
+                    return tuple(struct.unpack('<d', v)[0] if isinstance(v, bytes) and len(v) == 8 else v for v in row)
+                print(f"FAIL {name}: {len(diffs)}/{len(so)} rows differ; first: spark={disp(diffs[0][0])} oracle={disp(diffs[0][1])}")
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
