@@ -101,7 +101,17 @@ object EventQueries {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
   }
 
+  /** 15-minute resample per user: dense bucket grid from each user's first
+    * to last event, zero-filled event counts, forward-filled last event
+    * type ([[graft.operators.Resample]]). */
+  def resample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Resample.resample(ev(s, dir),
+        col("user_id"), col("ts_us"), col("event_type"),
+        intervalUs = 15L * 60 * 1000000)
+      .select(col("k").as("user_id"), col("bucket"), col("n"), col("state"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_resample" -> resample _,
     "events_hourly" -> hourly _,
     "events_sliding" -> sliding _,
     "events_sessionize" -> sessionize _,
@@ -111,6 +121,31 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "events_resample" ->
+      // same exact-integer bucket math; bucket's last event via row_number
+      // (ts DESC, state DESC == Spark's max(struct(ts, state))), forward
+      // fill via last_value IGNORE NULLS over the same running frame
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 900000000 AS bucket,
+        |         epoch_us(ts) AS ts_us, event_type AS state
+        |  FROM events),
+        |b AS (SELECT user_id, min(bucket) AS lob, max(bucket) AS hib
+        |      FROM e GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(range(lob, hib + 1)) AS bucket FROM b),
+        |pb AS (SELECT user_id, bucket, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |ls AS (SELECT user_id, bucket, state FROM (
+        |  SELECT user_id, bucket, state,
+        |    row_number() OVER (PARTITION BY user_id, bucket
+        |                       ORDER BY ts_us DESC, state DESC) AS rn FROM e)
+        |  WHERE rn = 1),
+        |g AS (SELECT grid.user_id, CAST(grid.bucket AS BIGINT) AS bucket,
+        |        coalesce(pb.n, 0) AS n, ls.state
+        |      FROM grid LEFT JOIN pb ON grid.user_id = pb.user_id AND grid.bucket = pb.bucket
+        |      LEFT JOIN ls ON grid.user_id = ls.user_id AND grid.bucket = ls.bucket)
+        |SELECT user_id, bucket, CAST(n AS BIGINT) AS n,
+        |  last_value(state IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS state
+        |FROM g""".stripMargin,
     "events_range_join" -> {
       val bands = (0 to 20)
         .map(k => s"($k, ${k * 5.0}::DOUBLE, ${k * 5.0 + 12.0}::DOUBLE)").mkString(", ")
