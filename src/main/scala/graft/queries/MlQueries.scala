@@ -197,6 +197,25 @@ object MlQueries {
     sb.toString
   }
 
+  /** Per-language embedding centroids — the cross-modal feature aggregate a
+    * pipeline computes per corpus slice (language, source, quality tier):
+    * documents supply the slice label (language-ID heuristic), embeddings
+    * the vectors; one shuffle join on the shared id, then a grouped
+    * per-dimension mean under the DECIMAL-sum discipline (exact in both
+    * engines, then one identical double division — no rounding needed on
+    * the output). The exploded decimal formulation is the verifiability
+    * tax; production uses Summarizer.mean over vectors (the som_cell_stats
+    * shape) with the same join. */
+  def mlLangCentroids(s: SparkSession, dir: String): DataFrame = {
+    val pred = TextDedupQueries.textLangId(s, dir).select(col("doc_id"), col("pred"))
+    SomQueries.points(s, dir)
+      .join(pred, col("vec_id") === col("doc_id"))
+      .select(col("pred").as("lang"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("lang"), col("dim"))
+      .agg((round(sum(col("x").cast("decimal(38,18)")), 9).cast("double")
+        / count(lit(1))).as("mu"))
+  }
+
   /** Deterministic content-keyed train/test split — the reproducibility
     * primitive of every training-data pipeline: the split must be a pure
     * function of the example's identity (salted portable hash), never of
@@ -214,6 +233,7 @@ object MlQueries {
     "som_fit5" -> somFit5 _,
     "ml_standardize" -> mlStandardize _,
     "ml_train_test_split" -> mlTrainTestSplit _,
+    "ml_lang_centroids" -> mlLangCentroids _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -222,6 +242,19 @@ object MlQueries {
         | CASE WHEN ('0x' || substr(md5('split:' || vec_id), 1, 15))::BIGINT % 100 < 80
         |      THEN 'train' ELSE 'test' END AS split
         |FROM embeddings""".stripMargin,
+    "ml_lang_centroids" ->
+      s"""WITH ${TextDedupQueries.langScoredCtes},
+         |pred AS (SELECT doc_id, ${TextDedupQueries.langCaseSql} AS lang FROM scored),
+         |ex AS (
+         |  SELECT vec_id, CAST(i - 1 AS INT) AS dim, v[i] AS x FROM
+         |  (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |          unnest(range(1, 65)) AS i
+         |   FROM embeddings))
+         |SELECT p.lang, ex.dim,
+         |  CAST(round(sum(CAST(x AS DECIMAL(38,18))), 9) AS DOUBLE)
+         |    / CAST(count(*) AS BIGINT) AS mu
+         |FROM ex JOIN pred p ON ex.vec_id = p.doc_id
+         |GROUP BY 1, 2""".stripMargin,
     "som_fit5" -> somFit5Oracle,
     "som_fit_predict" -> somFitPredictOracle,
     "ml_standardize" ->

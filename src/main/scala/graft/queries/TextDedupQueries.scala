@@ -271,6 +271,22 @@ object TextDedupQueries {
        |    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
        |  FROM votes GROUP BY 1)""".stripMargin
 
+  // language-ID fragments shared with the centroid oracle (MlQueries)
+  private[queries] val langCaseSql: String =
+    """CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+      |      WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+      |      WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      |      WHEN s_fr >= s_zh THEN 'fr'
+      |      ELSE 'zh' END""".stripMargin
+  private[queries] val langScoredCtes: String = {
+    val scores = TextOps.StopwordTable.map { case (lang, words) =>
+      val lits = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter(t, x -> list_contains($lits, x))) AS INT) AS s_$lang"
+    }.mkString(",\n ")
+    s"""$toksCte,
+       |scored AS (SELECT doc_id, $scores FROM toks)""".stripMargin
+  }
+
   // shingle LISTS kept in-row (for the repetition signal — no explode)
   private val shingleListCte =
     """shl AS (SELECT doc_id,
@@ -328,21 +344,10 @@ object TextDedupQueries {
          |WHERE n_tokens BETWEEN 5 AND 5000
          |  AND alpha_ratio >= 0.5 AND stop_hits >= 1""".stripMargin
     },
-    "text_langid" -> {
-      val scores = TextOps.StopwordTable.map { case (lang, words) =>
-        val lits = words.map(w => s"'$w'").mkString("[", ", ", "]")
-        s"CAST(len(list_filter(t, x -> list_contains($lits, x))) AS INT) AS s_$lang"
-      }.mkString(",\n ")
-      s"""WITH $toksCte,
-         |scored AS (SELECT doc_id, $scores FROM toks)
-         |SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh,
-         | CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-         |      WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-         |      WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
-         |      WHEN s_fr >= s_zh THEN 'fr'
-         |      ELSE 'zh' END AS pred
-         |FROM scored""".stripMargin
-    },
+    "text_langid" ->
+      s"""WITH $langScoredCtes
+         |SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh, $langCaseSql AS pred
+         |FROM scored""".stripMargin,
     "text_fingerprint" ->
       s"""WITH $toksCte, $shinglesCte
          |SELECT DISTINCT doc, sh AS fp FROM dsh
