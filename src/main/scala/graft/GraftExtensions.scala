@@ -15,6 +15,9 @@ import graft.functions.{ArrayDot, ArraySqDist, Md5Prefix60, RollingHash, Shingle
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    // rewrite window-rank top-k into the heap operator (needs the strategy
+    // above to plan the node it produces)
+    ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
     ext.injectFunction((
       FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),

@@ -1,0 +1,68 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window, WindowGroupLimit}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Optimizer rule: rewrite the standard window-rank top-k idiom
+  *
+  * {{{ SELECT <cols> FROM (
+  *       SELECT *, row_number() OVER (PARTITION BY k ORDER BY o) rn FROM t)
+  *     WHERE rn <= K   -- and <cols> does not use rn }}}
+  *
+  * into [[TopKPerKeyNode]] — so SQL-text and plain-DataFrame users get the
+  * heap operator (k rows per key per partition cross the exchange, no
+  * per-group sort) without calling [[TopKPerKey.topKPerKey]] themselves.
+  * This is the `injectOptimizerRule` leg of the extension story: expression
+  * (functions), strategy (physical planning), rule (plan rewriting).
+  *
+  * Deliberately conservative — the pattern must be exactly
+  * Project(Filter(rn-bound, Window(single row_number))) with the rank
+  * dropped by the projection; anything else (rank kept in the output, extra
+  * window expressions, compound filters) is left for Catalyst's stock
+  * planning. Ties at the boundary follow row_number semantics: both forms
+  * keep SOME k rows consistent with the ordering, deterministic only when
+  * the order is total (add unique tie-breaks, as `q_topk_per_key` does).
+  *
+  * Requires [[TopKPerKeyStrategy]] on the same session (both are wired by
+  * [[graft.GraftExtensions]]).
+  */
+object WindowTopKRewrite extends Rule[LogicalPlan] {
+
+  /** cond is a top-k bound on `rn`: rn <= K, rn < K+1, K >= rn, rn = 1. */
+  private def boundK(cond: Expression, rn: Attribute): Option[Int] = cond match {
+    case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => Some(k)
+    case LessThan(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => Some(k - 1)
+    case GreaterThanOrEqual(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rn) => Some(k)
+    case EqualTo(a: Attribute, IntegerLiteral(1)) if a.semanticEquals(rn) => Some(1)
+    case _ => None
+  }
+
+  private def isRowNumber(e: NamedExpression): Boolean = e match {
+    case Alias(WindowExpression(_: RowNumber, _), _) => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case p @ Project(outList,
+        Filter(cond, Window(Seq(rnExpr), part, order, child, _)))
+        if isRowNumber(rnExpr) && order.nonEmpty && part.nonEmpty =>
+      val rn = rnExpr.toAttribute
+      boundK(cond, rn) match {
+        case Some(k) if k > 0 &&
+            !outList.exists(_.references.contains(rn)) &&
+            outList.forall(_.references.subsetOf(child.outputSet)) =>
+          // Spark's own InferWindowGroupLimit (3.5+) usually ran first and
+          // wedged a WindowGroupLimit under the Window — the heap operator
+          // subsumes it (its sorts + limit pass would be pure overhead), so
+          // strip a matching one and take its child.
+          val base = child match {
+            case WindowGroupLimit(p2, o2, _, limit, grandchild)
+                if p2 == part && o2 == order && limit >= k => grandchild
+            case other => other
+          }
+          Project(outList, TopKPerKeyNode(part, order, k, base))
+        case _ => p
+      }
+  }
+}

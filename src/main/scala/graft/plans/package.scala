@@ -10,13 +10,19 @@ package graft
   * `broadcast() + groupBy + window` plans optimally — e.g. the as-of join
   * ([[graft.operators.AsOfJoin]]), one shuffle + one window — earns nothing.
   *
-  * The one resident clears that bar: [[TopKPerKeyNode]] /
+  * The resident operator clears that bar: [[TopKPerKeyNode]] /
   * [[TopKPerKeyStrategy]] / [[TopKPerKeyExec]] — per-key top-k, which
-  * Catalyst can only express as a window row_number (full shuffle + full
-  * per-group sort). The custom operator pre-prunes with per-partition k-heaps
-  * BEFORE the exchange and merges heaps after, the per-key analog of
-  * `TakeOrderedAndProject` (catalog entry `q_topk_per_key`, window-rank
-  * oracle; TopKPerKeySpec).
+  * Catalyst can only express as a window row_number (full shuffle + per-group
+  * sorts, even with 3.5+'s WindowGroupLimit pre-pruning). The custom operator
+  * pre-prunes with per-partition k-heaps BEFORE the exchange and merges heaps
+  * after, the per-key analog of `TakeOrderedAndProject` (catalog entry
+  * `q_topk_per_key`, window-rank oracle; TopKPerKeySpec).
+  *
+  * [[WindowTopKRewrite]] is the optimizer-rule leg: it rewrites the standard
+  * `row_number() ... WHERE rn <= k` idiom (DataFrame or SQL text) into the
+  * operator — including stripping Spark's own WindowGroupLimit, which the
+  * heap subsumes — so users get it without calling the API
+  * (WindowTopKRewriteSpec).
   *
   * A future index-backed ANN probe pushed into the scan would follow the
   * same template.
