@@ -74,6 +74,33 @@ object TextDedupQueries {
       .where(col("fp") % 64 === 0)
       .distinct()
 
+  /** Top-5 TF-IDF terms per document, through the CUSTOM heap operator
+    * (per-key top-k — a second catalog consumer besides `q_topk_per_key`).
+    * tf and df are exact integers from one grouped pass each (df counts the
+    * tf table's rows per term — no second distinct); N arrives as a 1-row
+    * broadcast cross join, never a driver action. The only float is
+    * `tf·ln(N/df)`, rounded to 6 in BOTH engines BEFORE ranking so the
+    * selection and the emitted score are identical by construction (ranking
+    * on the raw double would let a 1-ulp libm difference reorder near-ties).
+    * Terms stay strings here for output readability; at corpus scale the
+    * shuffle key would be the 60-bit term hash like the dedup family. */
+  def textTfidfTopk(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    fork.experimental.extraStrategies =
+      fork.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
+    val d = docs(fork, dir)
+    val tf = d.select(col("doc_id"), explode(TextOps.tokensFast(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"),
+        (round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6) + lit(0.0))
+          .as("score"))
+    graft.plans.TopKPerKey.topKPerKey(scored,
+      keys = Seq(col("doc_id")),
+      order = Seq(col("score").desc, col("term").asc), k = 5)
+  }
+
   /** Whole-document polynomial rolling hash (exact integer content id). */
   def textRollingHash(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), TextOps.rollingHash(col("text")).as("rh"))
@@ -198,6 +225,7 @@ object TextDedupQueries {
     "text_langid" -> textLangId _,
     "text_fingerprint" -> textFingerprint _,
     "text_rolling_hash" -> textRollingHash _,
+    "text_tfidf_topk" -> textTfidfTopk _,
     "text_simhash" -> textSimhash _,
     "dedup_exact" -> dedupExact _,
     "dedup_minhash_sig" -> dedupMinhashSig _,
@@ -352,6 +380,24 @@ object TextDedupQueries {
       s"""WITH $toksCte, $shinglesCte
          |SELECT DISTINCT doc, sh AS fp FROM dsh
          |WHERE sh % 64 = 0""".stripMargin,
+    "text_tfidf_topk" ->
+      // `+ 0` on the rounded score (signed-zero discipline: ln(1)=0 terms);
+      // ranking happens on the SAME rounded value as Spark's
+      s"""WITH $toksCte,
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM
+         |  (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, tf.term, tf,
+         |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) + 0 AS score
+         |  FROM tf JOIN df USING (term) CROSS JOIN n)
+         |SELECT doc_id, term, tf, score FROM (
+         |  SELECT doc_id, term, tf, score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY score DESC, term) AS rn
+         |  FROM scored)
+         |WHERE rn <= 5""".stripMargin,
     "text_rolling_hash" ->
       """SELECT doc_id,
         | CASE WHEN len(text) = 0 THEN 0
