@@ -29,6 +29,13 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object WindowTopKRewrite extends Rule[LogicalPlan] {
 
+  /** Above this k the rewrite declines: the heap operator pre-allocates
+    * k-capacity per distinct key per partition and never spills, so a huge
+    * user-supplied k on a high-cardinality key would trade Spark's
+    * spillable sort-based window for executor OOM. Small-k is the entire
+    * point of the operator; the stock window is the right plan beyond it. */
+  val MaxK = 1024
+
   /** cond is a top-k bound on `rn`: rn <= K, rn < K+1, K >= rn, rn = 1. */
   private def boundK(cond: Expression, rn: Attribute): Option[Int] = cond match {
     case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => Some(k)
@@ -49,7 +56,7 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
         if isRowNumber(rnExpr) && order.nonEmpty && part.nonEmpty =>
       val rn = rnExpr.toAttribute
       boundK(cond, rn) match {
-        case Some(k) if k > 0 &&
+        case Some(k) if k > 0 && k <= MaxK &&
             !outList.exists(_.references.contains(rn)) &&
             outList.forall(_.references.subsetOf(child.outputSet)) =>
           // Spark's own InferWindowGroupLimit (3.5+) usually ran first and

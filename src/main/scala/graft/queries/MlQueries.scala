@@ -248,7 +248,7 @@ object MlQueries {
          |ex AS (
          |  SELECT vec_id, CAST(i - 1 AS INT) AS dim, v[i] AS x FROM
          |  (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-         |          unnest(range(1, 65)) AS i
+         |          unnest(range(1, ${SomQueries.Dim + 1})) AS i
          |   FROM embeddings))
          |SELECT p.lang, ex.dim,
          |  CAST(round(sum(CAST(x AS DECIMAL(38,18))), 9) AS DOUBLE)

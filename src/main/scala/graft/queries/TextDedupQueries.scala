@@ -78,12 +78,16 @@ object TextDedupQueries {
     * (per-key top-k — a second catalog consumer besides `q_topk_per_key`).
     * tf and df are exact integers from one grouped pass each (df counts the
     * tf table's rows per term — no second distinct); N arrives as a 1-row
-    * broadcast cross join, never a driver action. The only float is
-    * `tf·ln(N/df)`, rounded to 6 in BOTH engines BEFORE ranking so the
-    * selection and the emitted score are identical by construction (ranking
-    * on the raw double would let a 1-ulp libm difference reorder near-ties).
-    * Terms stay strings here for output readability; at corpus scale the
-    * shuffle key would be the 60-bit term hash like the dedup family. */
+    * broadcast cross join, never a driver action. The only float is the
+    * idf: `ln(N/df)` is the one libm call, so it alone is quantized
+    * (round 9) in BOTH engines — after that, `tf · idf` is exact double
+    * arithmetic on identical inputs and the final round(6) + ranking are
+    * identical by construction. (Quantizing only the end score would leave
+    * every (tf, df) combination exposed to a 1-ulp ln flip; quantizing the
+    * idf shrinks the exposure to the few hundred distinct df values, the
+    * same per-intermediate discipline as som_update.) Terms stay strings
+    * here for output readability; at corpus scale the shuffle key would be
+    * the 60-bit term hash like the dedup family. */
   def textTfidfTopk(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
     fork.experimental.extraStrategies =
       fork.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
@@ -92,10 +96,10 @@ object TextDedupQueries {
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = d.agg(count(lit(1)).as("n_docs"))
+    val idf = round(log(col("n_docs").cast("double") / col("df")), 9)
     val scored = tf.join(df, "term").crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"), col("tf"),
-        (round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6) + lit(0.0))
-          .as("score"))
+        (round(col("tf") * idf, 6) + lit(0.0)).as("score"))
     graft.plans.TopKPerKey.topKPerKey(scored,
       keys = Seq(col("doc_id")),
       order = Seq(col("score").desc, col("term").asc), k = 5)
@@ -390,7 +394,7 @@ object TextDedupQueries {
          |n AS (SELECT count(*) AS n_docs FROM documents),
          |scored AS (
          |  SELECT doc_id, tf.term, tf,
-         |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) + 0 AS score
+         |    round(tf * round(ln(CAST(n_docs AS DOUBLE) / df), 9), 6) + 0 AS score
          |  FROM tf JOIN df USING (term) CROSS JOIN n)
          |SELECT doc_id, term, tf, score FROM (
          |  SELECT doc_id, term, tf, score,

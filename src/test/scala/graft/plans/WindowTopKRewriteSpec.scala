@@ -53,6 +53,15 @@ class WindowTopKRewriteSpec extends SparkSpec {
     assert(q.count() > 0)
   }
 
+  test("k above MaxK is NOT rewritten (heap has no spill path)") {
+    val f = fork
+    val li = f.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+    val q = li.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= WindowTopKRewrite.MaxK + 1).drop("rn")
+    assert(!q.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      "huge k must stay on the spillable window plan")
+  }
+
   test("rank kept in the output is NOT rewritten (rn must survive)") {
     val f = fork
     val li = f.read.parquet(sf("sf0.001") + "/lineitem.parquet")
