@@ -90,6 +90,16 @@ class DedupSpec extends SparkSpec {
     assert(bounded(9L) != 0L, "3 rounds must NOT close a diameter-9 chain (else this test proves nothing)")
   }
 
+  test("converged keep-list fails LOUD when maxRounds is too small, never silently splits") {
+    import spark.implicits._
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val ids = (0L to 9L).toDF("doc_id")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.keepListConverged(ids, "doc_id", chain, maxRounds = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   private def contaminationOf(evalIds: Set[Long]) =
     Dedup.contamination(
       Dedup.docShinglesRaw(docs.where(!col("doc_id").isin(evalIds.toSeq: _*)), "doc_id", "text"),
