@@ -50,6 +50,24 @@ class SourcesSpec extends SparkSpec {
       "partition filter must prune directories, not scan+filter")
   }
 
+  test("schema evolution: mergeSchema unions old and new parquet layouts") {
+    // a years-old 100 TB dataset accretes columns; old files must keep
+    // reading (new column null) without a rewrite, and the merged read must
+    // still prune to only the requested columns
+    val dir = tmp() + "/evolving"
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "name").write.parquet(s"$dir/batch=1")
+    Seq((2L, "b", 0.5)).toDF("id", "name", "score").write.parquet(s"$dir/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "name", "score", "batch"))
+    val rows = merged.select("id", "score").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(rows == Map(1L -> None, 2L -> Some(0.5)))
+    val plan = merged.select("id", "score").queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<id:bigint,score:double>"),
+      s"merged read must still prune columns:\n$plan")
+  }
+
   test("IVF layout: cell partition column prunes ANN probe reads") {
     val dir = tmp() + "/ivf"
     import spark.implicits._
