@@ -51,6 +51,77 @@ object EventStream {
   private def micros(t: java.sql.Timestamp): Long =
     t.getTime / 1000 * 1000000L + t.getNanos / 1000
 
+  case class ResampleState(curBucket: Long, curN: Long,
+                           curLastUs: Long, curLastState: String)
+  case class BucketRow(user_id: Long, bucket: Long, n: Long, state: String)
+
+  /** Streaming twin of `EventQueries.resample` (dense per-user bucket grid,
+    * zero-filled gaps, forward-filled state) with FINALIZE-ON-ADVANCE
+    * semantics: a bucket is emitted only when a LATER bucket's event
+    * arrives — so a trigger boundary in mid-bucket never splits a bucket's
+    * count across output rows (append mode cannot revise), and the gap
+    * buckets between two events are emitted exactly once, carrying the
+    * finalized bucket's state forward. State per user is O(1): the open
+    * bucket's running (count, last-event) plus nothing else. On timeout
+    * (event-time watermark passing the open bucket) the open bucket
+    * flushes, mirroring the batch twin's grid ending at the user's last
+    * event. In-bucket ties resolve exactly like the batch twin: last event
+    * by (ts, then state) wins the carried state. */
+  def resampleStream(events: Dataset[Event], intervalUs: Long,
+                     flushDelay: String = "10 minutes"): Dataset[BucketRow] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", flushDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ResampleState, BucketRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[ResampleState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(BucketRow(userId, s.curBucket, s.curN, s.curLastState))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_type))
+            var cur = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[BucketRow]
+            sorted.foreach { e =>
+              val t = micros(e.ts)
+              val b = t / intervalUs
+              cur match {
+                case Some(s) if b == s.curBucket =>
+                  // same lexicographic (ts, state) max as the batch twin's
+                  // max(struct(ts_us, state))
+                  val wins = t > s.curLastUs ||
+                    (t == s.curLastUs && e.event_type >= s.curLastState)
+                  val (lu, ls) =
+                    if (wins) (t, e.event_type) else (s.curLastUs, s.curLastState)
+                  cur = Some(ResampleState(b, s.curN + 1, lu, ls))
+                case Some(s) if b > s.curBucket =>
+                  out += BucketRow(userId, s.curBucket, s.curN, s.curLastState)
+                  // zero-filled gap buckets carry the finalized state
+                  var g = s.curBucket + 1
+                  while (g < b) { out += BucketRow(userId, g, 0L, s.curLastState); g += 1 }
+                  cur = Some(ResampleState(b, 1L, t, e.event_type))
+                case Some(s) => // below the open (already-advanced) bucket:
+                  // its bucket row is finalized and emitted — standard
+                  // streaming late-data semantics, drop it (the watermark
+                  // bounds how late that can happen)
+                  cur = Some(s)
+                case None =>
+                  cur = Some(ResampleState(b, 1L, t, e.event_type))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // flush the open bucket once event time passes its end + delay
+              state.setTimeoutTimestamp(((s.curBucket + 1) * intervalUs + 999) / 1000,
+                flushDelay)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** 30-minute-gap sessionization with explicit state — streaming twin of
     * `EventQueries.sessionize`, emitting a row when a session times out.
     * Gap/duration arithmetic is integer epoch-us, identical to the batch

@@ -69,4 +69,23 @@ class WindowTopKRewriteSpec extends SparkSpec {
     val plan = q.queryExecution.executedPlan.toString
     assert(!plan.contains("TopKPerKey"), s"must keep the window when rn is consumed:\n$plan")
   }
+
+  test("rank()/dense_rank() are NOT rewritten (keep-with-ties semantics differ)") {
+    val f = fork
+    val li = f.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+    for (fn <- Seq(rank(), dense_rank())) {
+      val q = li.withColumn("rn", fn.over(w)).where(col("rn") <= 3).drop("rn")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("TopKPerKey"),
+        s"rank-like functions can emit MORE than k rows on ties — the heap cannot:\n$plan")
+    }
+  }
+
+  test("a compound filter is NOT rewritten (conservative match)") {
+    val f = fork
+    val li = f.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+    val q = li.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3 && col("l_extendedprice") > 0).drop("rn")
+    assert(!q.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+  }
 }

@@ -87,4 +87,34 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
       assert(streamed.toSeq == batch.toSeq)
     } finally q.stop()
   }
+
+  test("streaming resample equals oracle-checked batch resample on sf0.001") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents()
+    val maxTs = events.map(_.ts.getTime).max
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.resampleStream(mem.toDS(), intervalUs = 15L * 60 * 1000000)
+      .writeStream.format("memory").queryName("eq_resample")
+      .outputMode("append").start()
+    try {
+      // one in-order batch, then a far-future sentinel advances the
+      // watermark past every open bucket's flush timeout
+      mem.addData(events)
+      q.processAllAvailable()
+      mem.addData(EventStream.Event(-1L, new Timestamp(maxTs + 24L * 3600 * 1000), -1L, "view", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("eq_resample")
+        .where(col("user_id") >= 0) // the sentinel's own open bucket never emits
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .sorted
+      val batch = EventQueries.resample(spark, dir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .sorted
+      assert(streamed.nonEmpty)
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
 }
