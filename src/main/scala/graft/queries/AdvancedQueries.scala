@@ -83,6 +83,26 @@ object AdvancedQueries {
       k = 3)
   }
 
+  /** The same per-key top-k written as PLAIN SQL TEXT — no operator API —
+    * on a session with [[graft.plans.WindowTopKRewrite]] +
+    * [[graft.plans.TopKPerKeyStrategy]] installed: the optimizer rule swaps
+    * the window-rank idiom for the heap operator, and THIS catalog entry
+    * puts that rewrite itself under the DuckDB oracle gate (the oracle is
+    * the window formulation the user wrote). */
+  def qTopKRewrite(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    fork.experimental.extraOptimizations =
+      fork.experimental.extraOptimizations :+ graft.plans.WindowTopKRewrite
+    fork.experimental.extraStrategies =
+      fork.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
+    fork.read.parquet(s"$dir/lineitem.parquet").createOrReplaceTempView("li_rw")
+    fork.sql("""
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM (
+        SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+               row_number() OVER (PARTITION BY l_suppkey
+                 ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        FROM li_rw) WHERE rn <= 3""")
+  }
+
   /** Revenue per supplier nation through the salted-replicated join (big
     * side salted deterministically, small side replicated ×8) — output
     * identical to the plain join, so the oracle IS the plain join. */
@@ -105,6 +125,7 @@ object AdvancedQueries {
     "q_approx_distinct" -> qApproxDistinct _,
     "q_approx_quantile" -> qApproxQuantile _,
     "q_topk_per_key" -> qTopKPerKey _,
+    "q_topk_rewrite" -> qTopKRewrite _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -137,6 +158,15 @@ object AdvancedQueries {
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY 1""".stripMargin,
     "q_topk_per_key" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 3""".stripMargin,
+    // identical oracle: the rewrite must be output-equal to the window SQL
+    // the user actually wrote
+    "q_topk_rewrite" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM (
         |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
         |    row_number() OVER (PARTITION BY l_suppkey

@@ -53,6 +53,12 @@ class PlanSpec extends SparkSpec {
       "exact dedup must not join")
   }
 
+  test("q_topk_rewrite: the SQL-text window idiom actually plans as the heap operator") {
+    val p = plan(AdvancedQueries.qTopKRewrite(spark, dir))
+    assert(p.contains("TopKPerKeyFinal"),
+      s"the optimizer rule must fire on the catalog entry, not just in specs:\n$p")
+  }
+
   test("text/dedup hot paths run UDF-free (native kernels, codegen intact)") {
     // tokensFast/shingles3Fast/rollingHash/md5Hash60 were Scala UDFs through
     // round 2 — a serialization fence per row. Pin their native-expression
