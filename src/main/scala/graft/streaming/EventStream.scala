@@ -66,7 +66,14 @@ object EventStream {
     * (event-time watermark passing the open bucket) the open bucket
     * flushes, mirroring the batch twin's grid ending at the user's last
     * event. In-bucket ties resolve exactly like the batch twin: last event
-    * by (ts, then state) wins the carried state. */
+    * by (ts, then state) wins the carried state.
+    *
+    * After a timeout flush the user's grid is CLOSED: if the user later
+    * resumes, a fresh grid starts at the new event's bucket (no zero-filled
+    * rows spanning the dormant period). The batch twin, computing one grid
+    * over the whole dataset, WOULD fill that dormancy — the streaming form
+    * treats a flush like the batch twin treats the corpus boundary. Align
+    * the flush delay with the longest dormancy that should stay one grid. */
   def resampleStream(events: Dataset[Event], intervalUs: Long,
                      flushDelay: String = "10 minutes"): Dataset[BucketRow] = {
     import events.sparkSession.implicits._
