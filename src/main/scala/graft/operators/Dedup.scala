@@ -73,18 +73,21 @@ object Dedup {
     * cluster through the hub and the exact-Jaccard confirm step still vets
     * every emitted pair, so capping costs pair-level recall inside the hot
     * bucket, never cluster-level recall. */
-  def lshCandidates(signatures: DataFrame, maxBandDf: Option[Int] = None): DataFrame = {
-    // collect_list is unordered — sort by (h, minhash) struct before keying.
-    // localCheckpoint (eager): truncates lineage so the self-join below can't
-    // recompute the signature pipeline (full-corpus shingle scan) once per
-    // side. The banded table is 4 rows/doc of (int, string) — the cheap
-    // materialization point.
-    val banded = signatures
+  /** (doc, band, key) LSH band table. collect_list is unordered — sort by
+    * (h, minhash) struct before keying. localCheckpoint (eager): truncates
+    * lineage so self-joins over the table can't recompute the signature
+    * pipeline (full-corpus shingle scan) once per side. 4 rows/doc of
+    * (int, string) — the cheap materialization point. */
+  private def bandedTable(signatures: DataFrame): DataFrame =
+    signatures
       .groupBy(col("doc"), (col("h") / 4).cast("int").as("band"))
       .agg(concat_ws(",",
         transform(sort_array(collect_list(struct(col("h"), col("minhash")))),
           s => s.getField("minhash").cast("string"))).as("key"))
       .localCheckpoint(eager = true)
+
+  def lshCandidates(signatures: DataFrame, maxBandDf: Option[Int] = None): DataFrame = {
+    val banded = bandedTable(signatures)
     val pairs = maxBandDf match {
       case None =>
         banded.as("a").join(banded.as("b"),
@@ -309,6 +312,43 @@ object Dedup {
         coldPairs.union(hotPairs)
     }
     pairs.where(col("hamming") <= maxHamming).distinct()
+  }
+
+  /** Incremental near-dup maintenance — the daily-increment path: given
+    * yesterday's signature table and confirmed pairs, fold in today's new
+    * documents WITHOUT re-banding the old corpus or re-confirming old-old
+    * pairs. Any pair involving a new doc shares a band between the new
+    * doc's band rows and the combined band table, so banding the increment
+    * against (old ∪ new) finds exactly the new candidate pairs; old-old
+    * pairs are already in yesterday's artifact. The result equals a full
+    * recompute over the combined corpus (spec + oracle-checked), at the
+    * cost of signing/banding ONLY the increment — at 100 TB this is the
+    * difference between a daily job sized by the crawl delta and one sized
+    * by the whole corpus.
+    *
+    * @param allDocs  combined corpus (old + new) — texts of old docs are
+    *                 still needed when an old doc confirms against a new one
+    * @param newIds   one-column (doc) table of the increment's ids
+    * @param oldSigs  yesterday's signature table ([[minhashSignatures]])
+    * @param oldPairs yesterday's confirmed pairs (doc_a, doc_b, jaccard) */
+  def incrementalPairs(allDocs: DataFrame, newIds: DataFrame,
+                       id: String, text: String,
+                       oldSigs: DataFrame, oldPairs: DataFrame,
+                       minJaccard: Double = 0.8): DataFrame = {
+    val newDocs = allDocs.join(broadcast(newIds),
+      allDocs(id) === newIds("doc"), "left_semi")
+    val newSigs = minhashSignatures(docShinglesRaw(newDocs, id, text))
+    val banded = bandedTable(oldSigs.union(newSigs))
+    val newBanded = banded.join(broadcast(newIds), Seq("doc"), "left_semi")
+    val cand = banded.as("a").join(newBanded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc") =!= col("b.doc"))
+      .select(least(col("a.doc"), col("b.doc")).as("doc_a"),
+        greatest(col("a.doc"), col("b.doc")).as("doc_b"))
+      .distinct()
+    val confirmed = jaccardPairs(docShinglesRaw(allDocs, id, text),
+      minJaccard, candidates = Some(cand))
+    confirmed.union(oldPairs).distinct()
   }
 
   /** Benchmark decontamination — flag corpus documents sharing any shingle

@@ -165,6 +165,24 @@ object TextDedupQueries {
     Dedup.keepList(docs(s, dir), "doc_id",
       sharedPairs(s, dir).select(col("doc_a"), col("doc_b")), rounds = 3)
 
+  /** The daily-increment path end-to-end: docs < 250 play yesterday's
+    * corpus (its signatures and confirmed pairs are the carried artifacts),
+    * docs ≥ 250 are today's crawl. The incremental result must equal a full
+    * recompute — so the oracle IS the full-corpus pair oracle. Uncapped
+    * banding on both legs (a df cap would bind against different
+    * populations on the two paths). */
+  def dedupIncrementalPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val oldDocs = d.where(col("doc_id") < 250)
+    val newIds = d.where(col("doc_id") >= 250).select(col("doc_id").as("doc"))
+    val oldShingles = Dedup.docShinglesRaw(oldDocs, "doc_id", "text")
+    val oldSigs = Dedup.minhashSignatures(oldShingles)
+      .localCheckpoint(eager = true) // "yesterday's" materialized artifact
+    val oldPairs = Dedup.jaccardPairs(oldShingles, 0.8,
+      candidates = Some(Dedup.lshCandidates(oldSigs)))
+    Dedup.incrementalPairs(d, newIds, "doc_id", "text", oldSigs, oldPairs)
+  }
+
   /** Keep-list via the CONVERGED (fixpoint) label propagation — exact
     * connected components whatever the cluster diameter. Oracle is a
     * recursive-CTE transitive closure (true CC), so this entry stays green
@@ -234,6 +252,7 @@ object TextDedupQueries {
     "dedup_exact" -> dedupExact _,
     "dedup_minhash_sig" -> dedupMinhashSig _,
     "dedup_minhash_pairs" -> dedupMinhashPairs _,
+    "dedup_incremental_pairs" -> dedupIncrementalPairs _,
     "dedup_keep_list" -> dedupKeepList _,
     "dedup_cc_keep_list" -> dedupCcKeepList _,
     "dedup_simhash_pairs" -> dedupSimhashPairs _,
@@ -422,6 +441,12 @@ object TextDedupQueries {
       s"""WITH $toksCte, $shinglesCte, $sigCte
          |SELECT doc, h, minhash FROM sig""".stripMargin,
     "dedup_minhash_pairs" ->
+      s"""WITH $toksCte, $shinglesCte, $sigCte, $pairsCtes
+         |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+         |FROM jac WHERE jaccard >= 0.8""".stripMargin,
+    // incremental must equal the full recompute — same oracle as the full
+    // pair query (the cap model never binds, so capped == uncapped here)
+    "dedup_incremental_pairs" ->
       s"""WITH $toksCte, $shinglesCte, $sigCte, $pairsCtes
          |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
          |FROM jac WHERE jaccard >= 0.8""".stripMargin,

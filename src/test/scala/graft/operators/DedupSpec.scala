@@ -90,6 +90,26 @@ class DedupSpec extends SparkSpec {
     assert(bounded(9L) != 0L, "3 rounds must NOT close a diameter-9 chain (else this test proves nothing)")
   }
 
+  test("incremental pairs equal a full recompute over the combined corpus") {
+    import spark.implicits._
+    // old corpus: docs 0, 3; increment: 1 (dup of 0), 2 (near-dup), 4
+    // old-old has no pairs; every discovered pair involves a new doc
+    val oldDocs = docs.where(col("doc_id").isin(0L, 3L))
+    val newIds = Seq(1L, 2L, 4L).toDF("doc")
+    val oldSh = Dedup.docShinglesRaw(oldDocs, "doc_id", "text")
+    val oldSigs = Dedup.minhashSignatures(oldSh)
+    val oldPairs = Dedup.jaccardPairs(oldSh, 0.5,
+      candidates = Some(Dedup.lshCandidates(oldSigs)))
+    val incremental = Dedup.incrementalPairs(docs, newIds, "doc_id", "text",
+        oldSigs, oldPairs, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fullSh = Dedup.docShinglesRaw(docs, "doc_id", "text")
+    val full = Dedup.jaccardPairs(fullSh, 0.5,
+        candidates = Some(Dedup.lshCandidates(Dedup.minhashSignatures(fullSh))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incremental.nonEmpty && incremental == full)
+  }
+
   test("converged keep-list fails LOUD when maxRounds is too small, never silently splits") {
     import spark.implicits._
     val chain = (0L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
