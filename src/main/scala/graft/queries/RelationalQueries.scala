@@ -136,6 +136,21 @@ object RelationalQueries {
         col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
 
+  /** Correlated scalar subquery: parts priced above their brand's average.
+    * The inner avg uses the DECIMAL-sum discipline (money-magnitude doubles
+    * are order-dependent) so both engines compare against the identical
+    * double. Spark decorrelates this into an aggregate + join — asserted
+    * no-cartesian via the PlanSpec family's standard checks. */
+  def qScalarSubquery(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    t(fork, dir, "part").createOrReplaceTempView("part_ss")
+    fork.sql("""
+      SELECT p_partkey, p_brand, p_retailprice FROM part_ss p
+      WHERE p_retailprice > (
+        SELECT CAST(round(sum(CAST(p2.p_retailprice AS DECIMAL(18,4))), 4) AS DOUBLE)
+               / count(*)
+        FROM part_ss p2 WHERE p2.p_brand = p.p_brand)""")
+  }
+
   /** Deterministic stratified sample: per-class keep rates applied via the
     * salted content hash — a pure function of row identity, so the sample is
     * reproducible across runs, engines and partitionings (the class-balance
@@ -219,6 +234,7 @@ object RelationalQueries {
     "q_rollup" -> qRollup _,
     "q_cube" -> qCube _,
     "q_grouping_sets" -> qGroupingSets _,
+    "q_scalar_subquery" -> qScalarSubquery _,
     "q_stratified_sample" -> qStratifiedSample _,
   )
 
@@ -318,6 +334,12 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus,
         | CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT p_partkey, p_brand, p_retailprice FROM part p
+        |WHERE p_retailprice > (
+        |  SELECT CAST(round(sum(CAST(p2.p_retailprice AS DECIMAL(18,4))), 4) AS DOUBLE)
+        |         / count(*)
+        |  FROM part p2 WHERE p2.p_brand = p.p_brand)""".stripMargin,
     "q_stratified_sample" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag FROM (
         |  SELECT l_orderkey, l_linenumber, l_returnflag,
