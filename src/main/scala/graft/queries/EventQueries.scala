@@ -74,6 +74,17 @@ object EventQueries {
       .groupBy((col("k") % 10).as("k_mod"))
       .agg(count(lit(1)).as("n"))
 
+  /** Real JSON-path extraction (get_json_object, not the regexp fallback of
+    * [[propsHistogram]]): per event type, stats over the JSON `k` property.
+    * Exact integers → no rounding discipline. */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+
   /** Event funnel: per user, first 'view' followed by a later 'purchase'. */
   def funnel(s: SparkSession, dir: String): DataFrame = {
     val e = ev(s, dir).select(col("user_id"), col("event_type"), col("ts_us"))
@@ -112,6 +123,7 @@ object EventQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_resample" -> resample _,
+    "events_json_extract" -> jsonExtract _,
     "events_hourly" -> hourly _,
     "events_sliding" -> sliding _,
     "events_sessionize" -> sessionize _,
@@ -121,6 +133,12 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "events_json_extract" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1""".stripMargin,
     "events_resample" ->
       // same exact-integer bucket math; bucket's last event via row_number
       // (ts DESC, state DESC == Spark's max(struct(ts, state))), forward

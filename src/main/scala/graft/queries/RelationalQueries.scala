@@ -151,6 +151,17 @@ object RelationalQueries {
         FROM part_ss p2 WHERE p2.p_brand = p.p_brand)""")
   }
 
+  /** Keyset-stable pagination: ORDER BY a unique key + LIMIT/OFFSET —
+    * deterministic page contents in both engines. (At 100 TB prefer keyset
+    * pagination — `WHERE key > last_seen LIMIT n` — OFFSET still scans and
+    * discards the skipped prefix; this entry pins the SQL surface.) */
+  def qPaginate(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    t(fork, dir, "orders").createOrReplaceTempView("orders_pg")
+    fork.sql("""
+      SELECT o_orderkey, o_custkey, o_orderstatus FROM orders_pg
+      ORDER BY o_orderkey LIMIT 50 OFFSET 100""")
+  }
+
   /** Deterministic stratified sample: per-class keep rates applied via the
     * salted content hash — a pure function of row identity, so the sample is
     * reproducible across runs, engines and partitionings (the class-balance
@@ -235,6 +246,7 @@ object RelationalQueries {
     "q_cube" -> qCube _,
     "q_grouping_sets" -> qGroupingSets _,
     "q_scalar_subquery" -> qScalarSubquery _,
+    "q_paginate" -> qPaginate _,
     "q_stratified_sample" -> qStratifiedSample _,
   )
 
@@ -340,6 +352,9 @@ object RelationalQueries {
         |  SELECT CAST(round(sum(CAST(p2.p_retailprice AS DECIMAL(18,4))), 4) AS DOUBLE)
         |         / count(*)
         |  FROM part p2 WHERE p2.p_brand = p.p_brand)""".stripMargin,
+    "q_paginate" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |ORDER BY o_orderkey LIMIT 50 OFFSET 100""".stripMargin,
     "q_stratified_sample" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag FROM (
         |  SELECT l_orderkey, l_linenumber, l_returnflag,
