@@ -62,6 +62,19 @@ object Dedup {
       .select(col("doc"), expr(s"stack($NumMinhash, $stackArgs) AS (h, minhash)"))
   }
 
+  /** (doc, band, key) LSH band table. collect_list is unordered — sort by
+    * (h, minhash) struct before keying. localCheckpoint (eager): truncates
+    * lineage so self-joins over the table can't recompute the signature
+    * pipeline (full-corpus shingle scan) once per side. 4 rows/doc of
+    * (int, string) — the cheap materialization point. */
+  def bandedTable(signatures: DataFrame): DataFrame =
+    signatures
+      .groupBy(col("doc"), (col("h") / 4).cast("int").as("band"))
+      .agg(concat_ws(",",
+        transform(sort_array(collect_list(struct(col("h"), col("minhash")))),
+          s => s.getField("minhash").cast("string"))).as("key"))
+      .localCheckpoint(eager = true)
+
   /** LSH candidate pairs: docs sharing any band (4 bands × 4 rows).
     *
     * `maxBandDf` is the hot-bucket skew guard: a (band, key) bucket holding
@@ -73,19 +86,6 @@ object Dedup {
     * cluster through the hub and the exact-Jaccard confirm step still vets
     * every emitted pair, so capping costs pair-level recall inside the hot
     * bucket, never cluster-level recall. */
-  /** (doc, band, key) LSH band table. collect_list is unordered — sort by
-    * (h, minhash) struct before keying. localCheckpoint (eager): truncates
-    * lineage so self-joins over the table can't recompute the signature
-    * pipeline (full-corpus shingle scan) once per side. 4 rows/doc of
-    * (int, string) — the cheap materialization point. */
-  private def bandedTable(signatures: DataFrame): DataFrame =
-    signatures
-      .groupBy(col("doc"), (col("h") / 4).cast("int").as("band"))
-      .agg(concat_ws(",",
-        transform(sort_array(collect_list(struct(col("h"), col("minhash")))),
-          s => s.getField("minhash").cast("string"))).as("key"))
-      .localCheckpoint(eager = true)
-
   def lshCandidates(signatures: DataFrame, maxBandDf: Option[Int] = None): DataFrame = {
     val banded = bandedTable(signatures)
     val pairs = maxBandDf match {
@@ -315,39 +315,58 @@ object Dedup {
   }
 
   /** Incremental near-dup maintenance — the daily-increment path: given
-    * yesterday's signature table and confirmed pairs, fold in today's new
-    * documents WITHOUT re-banding the old corpus or re-confirming old-old
-    * pairs. Any pair involving a new doc shares a band between the new
-    * doc's band rows and the combined band table, so banding the increment
-    * against (old ∪ new) finds exactly the new candidate pairs; old-old
-    * pairs are already in yesterday's artifact. The result equals a full
-    * recompute over the combined corpus (spec + oracle-checked), at the
-    * cost of signing/banding ONLY the increment — at 100 TB this is the
-    * difference between a daily job sized by the crawl delta and one sized
-    * by the whole corpus.
+    * yesterday's BAND table and confirmed pairs, fold in today's new
+    * documents without re-shingling, re-signing, or re-banding the old
+    * corpus, and without re-confirming old-old pairs. Any pair involving a
+    * new doc shares a band between the new doc's band rows and the combined
+    * band table, so banding ONLY the increment and unioning it with the
+    * carried band table finds exactly the new candidate pairs (band keys
+    * are per-doc, so union-of-banded == banded-of-union for disjoint doc
+    * sets — guarded below). The exact-Jaccard confirm then touches only
+    * CANDIDATE docs' texts — the one place an old doc is re-read, and only
+    * if a new doc collided with it. The result equals a full recompute over
+    * the combined corpus (spec + oracle-checked); every per-day cost is
+    * sized by the delta and its collisions, never the corpus.
     *
-    * @param allDocs  combined corpus (old + new) — texts of old docs are
-    *                 still needed when an old doc confirms against a new one
-    * @param newIds   one-column (doc) table of the increment's ids
-    * @param oldSigs  yesterday's signature table ([[minhashSignatures]])
-    * @param oldPairs yesterday's confirmed pairs (doc_a, doc_b, jaccard) */
+    * @param allDocs   combined corpus (old + new) — candidate old docs'
+    *                  texts are read for the confirm step
+    * @param newIds    one-column (doc) table of the increment's ids; MUST
+    *                  be disjoint from yesterday's ids (a re-crawled doc
+    *                  must be removed from the artifacts first) — enforced
+    * @param oldBanded yesterday's band table ([[bandedTable]] output, the
+    *                  natural carried artifact alongside the pairs)
+    * @param oldPairs  yesterday's confirmed pairs (doc_a, doc_b, jaccard) */
   def incrementalPairs(allDocs: DataFrame, newIds: DataFrame,
                        id: String, text: String,
-                       oldSigs: DataFrame, oldPairs: DataFrame,
+                       oldBanded: DataFrame, oldPairs: DataFrame,
                        minJaccard: Double = 0.8): DataFrame = {
+    // a "new" id already present in the artifact would merge two docs'
+    // minhashes into one garbage band key and silently miss its near-dups
+    val clashes = oldBanded.join(broadcast(newIds), Seq("doc"), "left_semi")
+      .select(col("doc")).distinct().count()
+    require(clashes == 0,
+      s"$clashes increment ids already exist in the carried band table — " +
+        "remove re-crawled docs from the artifacts before re-adding them")
     val newDocs = allDocs.join(broadcast(newIds),
       allDocs(id) === newIds("doc"), "left_semi")
-    val newSigs = minhashSignatures(docShinglesRaw(newDocs, id, text))
-    val banded = bandedTable(oldSigs.union(newSigs))
-    val newBanded = banded.join(broadcast(newIds), Seq("doc"), "left_semi")
+    val newBanded = bandedTable(minhashSignatures(docShinglesRaw(newDocs, id, text)))
+    val banded = oldBanded.union(newBanded)
     val cand = banded.as("a").join(newBanded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc") =!= col("b.doc"))
       .select(least(col("a.doc"), col("b.doc")).as("doc_a"),
         greatest(col("a.doc"), col("b.doc")).as("doc_b"))
       .distinct()
-    val confirmed = jaccardPairs(docShinglesRaw(allDocs, id, text),
-      minJaccard, candidates = Some(cand))
+      .localCheckpoint(eager = true) // reused: candidate-doc filter + confirm
+    // re-shingle ONLY candidate docs (the sharedPairs discipline) — the
+    // corpus-wide explode would otherwise run despite the broadcast join,
+    // since Catalyst cannot push a join below Generate
+    val candDocs = cand.select(col("doc_a").as("doc"))
+      .union(cand.select(col("doc_b").as("doc"))).distinct()
+    val candShingles = docShinglesRaw(
+      allDocs.join(broadcast(candDocs), allDocs(id) === candDocs("doc"), "left_semi"),
+      id, text)
+    val confirmed = jaccardPairs(candShingles, minJaccard, candidates = Some(cand))
     confirmed.union(oldPairs).distinct()
   }
 

@@ -95,12 +95,7 @@ object AdvancedQueries {
     fork.experimental.extraStrategies =
       fork.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
     fork.read.parquet(s"$dir/lineitem.parquet").createOrReplaceTempView("li_rw")
-    fork.sql("""
-      SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM (
-        SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
-               row_number() OVER (PARTITION BY l_suppkey
-                 ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
-        FROM li_rw) WHERE rn <= 3""")
+    fork.sql(windowTopKSql("li_rw"))
   }
 
   /** Revenue per supplier nation through the salted-replicated join (big
@@ -157,21 +152,20 @@ object AdvancedQueries {
         | round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY 1""".stripMargin,
-    "q_topk_per_key" ->
-      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM (
-        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
-        |    row_number() OVER (PARTITION BY l_suppkey
-        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
-        |  FROM lineitem)
-        |WHERE rn <= 3""".stripMargin,
+    "q_topk_per_key" -> windowTopKSql("lineitem"),
     // identical oracle: the rewrite must be output-equal to the window SQL
     // the user actually wrote
-    "q_topk_rewrite" ->
-      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM (
-        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
-        |    row_number() OVER (PARTITION BY l_suppkey
-        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
-        |  FROM lineitem)
-        |WHERE rn <= 3""".stripMargin,
+    "q_topk_rewrite" -> windowTopKSql("lineitem"),
   )
+
+  /** One definition of the window-rank top-3 SQL — the operator's oracle,
+    * the rewrite entry's oracle, and (modulo view name) the SQL text the
+    * rewrite entry executes. Shared so a tweak cannot desynchronize them. */
+  private[queries] def windowTopKSql(table: String): String =
+    s"""SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM (
+       |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+       |    row_number() OVER (PARTITION BY l_suppkey
+       |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+       |  FROM $table)
+       |WHERE rn <= 3""".stripMargin
 }

@@ -176,11 +176,12 @@ object TextDedupQueries {
     val oldDocs = d.where(col("doc_id") < 250)
     val newIds = d.where(col("doc_id") >= 250).select(col("doc_id").as("doc"))
     val oldShingles = Dedup.docShinglesRaw(oldDocs, "doc_id", "text")
+    // "yesterday's" carried artifacts: the band table and confirmed pairs
     val oldSigs = Dedup.minhashSignatures(oldShingles)
-      .localCheckpoint(eager = true) // "yesterday's" materialized artifact
+    val oldBanded = Dedup.bandedTable(oldSigs)
     val oldPairs = Dedup.jaccardPairs(oldShingles, 0.8,
       candidates = Some(Dedup.lshCandidates(oldSigs)))
-    Dedup.incrementalPairs(d, newIds, "doc_id", "text", oldSigs, oldPairs)
+    Dedup.incrementalPairs(d, newIds, "doc_id", "text", oldBanded, oldPairs)
   }
 
   /** Keep-list via the CONVERGED (fixpoint) label propagation — exact
@@ -346,6 +347,13 @@ object TextDedupQueries {
       |              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS sh
       | FROM toks)""".stripMargin
 
+  /** Full-corpus confirmed-pair oracle — shared by the full and incremental
+    * entries (the incremental path's whole contract is equality with this). */
+  private lazy val confirmedPairsSql =
+    s"""WITH $toksCte, $shinglesCte, $sigCte, $pairsCtes
+       |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+       |FROM jac WHERE jaccard >= 0.8""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "text_repetition" ->
       s"""WITH $toksCte, $shingleListCte
@@ -440,16 +448,10 @@ object TextDedupQueries {
     "dedup_minhash_sig" ->
       s"""WITH $toksCte, $shinglesCte, $sigCte
          |SELECT doc, h, minhash FROM sig""".stripMargin,
-    "dedup_minhash_pairs" ->
-      s"""WITH $toksCte, $shinglesCte, $sigCte, $pairsCtes
-         |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
-         |FROM jac WHERE jaccard >= 0.8""".stripMargin,
+    "dedup_minhash_pairs" -> confirmedPairsSql,
     // incremental must equal the full recompute — same oracle as the full
     // pair query (the cap model never binds, so capped == uncapped here)
-    "dedup_incremental_pairs" ->
-      s"""WITH $toksCte, $shinglesCte, $sigCte, $pairsCtes
-         |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
-         |FROM jac WHERE jaccard >= 0.8""".stripMargin,
+    "dedup_incremental_pairs" -> confirmedPairsSql,
     "dedup_keep_list" ->
       s"""WITH $toksCte, $shinglesCte, $sigCte, $pairsCtes,
          |jp AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.8),

@@ -51,31 +51,37 @@ object EventStream {
   private def micros(t: java.sql.Timestamp): Long =
     t.getTime / 1000 * 1000000L + t.getNanos / 1000
 
-  case class ResampleState(curBucket: Long, curN: Long,
-                           curLastUs: Long, curLastState: String)
+  case class OpenBucket(bucket: Long, n: Long, lastUs: Long, lastState: String)
+  case class ResampleState(lastFinalized: Long, carried: String,
+                           open: List[OpenBucket]) // sorted by bucket, ≤ lateBuckets+1 entries
   case class BucketRow(user_id: Long, bucket: Long, n: Long, state: String)
 
   /** Streaming twin of `EventQueries.resample` (dense per-user bucket grid,
-    * zero-filled gaps, forward-filled state) with FINALIZE-ON-ADVANCE
-    * semantics: a bucket is emitted only when a LATER bucket's event
-    * arrives — so a trigger boundary in mid-bucket never splits a bucket's
-    * count across output rows (append mode cannot revise), and the gap
-    * buckets between two events are emitted exactly once, carrying the
-    * finalized bucket's state forward. State per user is O(1): the open
-    * bucket's running (count, last-event) plus nothing else. On timeout
-    * (event-time watermark passing the open bucket) the open bucket
-    * flushes, mirroring the batch twin's grid ending at the user's last
-    * event. In-bucket ties resolve exactly like the batch twin: last event
-    * by (ts, then state) wins the carried state.
+    * zero-filled gaps, forward-filled state). A REORDER WINDOW of the
+    * newest `lateBuckets + 1` buckets stays open per user; a bucket is
+    * emitted (with the zero-filled gaps before it, carrying state forward)
+    * only once it falls behind that window — so a trigger boundary never
+    * splits a bucket's count across append-mode rows, and an out-of-order
+    * event up to `lateBuckets` buckets behind the newest still lands in its
+    * correct bucket (size `lateBuckets` ≈ allowed lateness / interval; the
+    * old zero-window behavior silently dropped any event that arrived after
+    * a later bucket's, even when the watermark had admitted it). Events
+    * below the finalized frontier are genuinely late and are dropped.
+    * State per user is O(lateBuckets). In-bucket ties resolve exactly like
+    * the batch twin: lexicographic max of (ts, state).
     *
-    * After a timeout flush the user's grid is CLOSED: if the user later
-    * resumes, a fresh grid starts at the new event's bucket (no zero-filled
-    * rows spanning the dormant period). The batch twin, computing one grid
-    * over the whole dataset, WOULD fill that dormancy — the streaming form
-    * treats a flush like the batch twin treats the corpus boundary. Align
-    * the flush delay with the longest dormancy that should stay one grid. */
+    * On timeout (event-time watermark passing the newest open bucket's end
+    * + delay) all open buckets drain and the user's grid is CLOSED: a later
+    * resume starts a fresh grid at the new event's bucket (no zero-filled
+    * rows spanning the dormancy — the batch twin, computing one grid over
+    * the whole dataset, WOULD fill it; a flush is this form's corpus
+    * boundary). A single gap wider than `maxGapBuckets` also closes the
+    * grid instead of emitting the zero rows — one clock-skewed outlier
+    * timestamp must not expand into billions of filler rows. */
   def resampleStream(events: Dataset[Event], intervalUs: Long,
-                     flushDelay: String = "10 minutes"): Dataset[BucketRow] = {
+                     flushDelay: String = "10 minutes",
+                     lateBuckets: Int = 1,
+                     maxGapBuckets: Long = 100000L): Dataset[BucketRow] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", flushDelay)
@@ -83,48 +89,64 @@ object EventStream {
       .flatMapGroupsWithState[ResampleState, BucketRow](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, batch: Iterator[Event], state: GroupState[ResampleState]) =>
+
+          // finalize every bucket ≤ cut: returns emitted rows as lazy
+          // per-segment iterators (gap ranges never materialize) and the
+          // advanced (frontier, carried, remaining-open)
+          def drain(s: ResampleState, cut: Long): (Iterator[BucketRow], ResampleState) = {
+            val (done, keep) = s.open.partition(_.bucket <= cut)
+            var frontier = s.lastFinalized
+            var carried = s.carried
+            val segs = scala.collection.mutable.ArrayBuffer.empty[Iterator[BucketRow]]
+            done.foreach { ob =>
+              val gapStart = if (frontier == Long.MinValue) ob.bucket else frontier + 1
+              if (ob.bucket - gapStart < maxGapBuckets) {
+                val st = carried
+                segs += Iterator.range(gapStart, ob.bucket)
+                  .map(g => BucketRow(userId, g, 0L, st))
+              } // else: chasm — grid closes across it, no filler rows
+              segs += Iterator.single(BucketRow(userId, ob.bucket, ob.n, ob.lastState))
+              frontier = ob.bucket
+              carried = ob.lastState
+            }
+            (segs.iterator.flatten, ResampleState(frontier, carried, keep))
+          }
+
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(BucketRow(userId, s.curBucket, s.curN, s.curLastState))
+            drain(s, Long.MaxValue)._1
           } else {
             val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_type))
-            var cur = state.getOption
-            val out = scala.collection.mutable.ArrayBuffer.empty[BucketRow]
+            var s = state.getOption.getOrElse(ResampleState(Long.MinValue, null, Nil))
             sorted.foreach { e =>
               val t = micros(e.ts)
               val b = t / intervalUs
-              cur match {
-                case Some(s) if b == s.curBucket =>
-                  // same lexicographic (ts, state) max as the batch twin's
-                  // max(struct(ts_us, state))
-                  val wins = t > s.curLastUs ||
-                    (t == s.curLastUs && e.event_type >= s.curLastState)
-                  val (lu, ls) =
-                    if (wins) (t, e.event_type) else (s.curLastUs, s.curLastState)
-                  cur = Some(ResampleState(b, s.curN + 1, lu, ls))
-                case Some(s) if b > s.curBucket =>
-                  out += BucketRow(userId, s.curBucket, s.curN, s.curLastState)
-                  // zero-filled gap buckets carry the finalized state
-                  var g = s.curBucket + 1
-                  while (g < b) { out += BucketRow(userId, g, 0L, s.curLastState); g += 1 }
-                  cur = Some(ResampleState(b, 1L, t, e.event_type))
-                case Some(s) => // below the open (already-advanced) bucket:
-                  // its bucket row is finalized and emitted — standard
-                  // streaming late-data semantics, drop it (the watermark
-                  // bounds how late that can happen)
-                  cur = Some(s)
-                case None =>
-                  cur = Some(ResampleState(b, 1L, t, e.event_type))
+              if (b > s.lastFinalized) { // else: below the frontier — late, drop
+                val updated = s.open.find(_.bucket == b) match {
+                  case Some(ob) =>
+                    val wins = t > ob.lastUs ||
+                      (t == ob.lastUs && e.event_type >= ob.lastState)
+                    val nb =
+                      if (wins) OpenBucket(b, ob.n + 1, t, e.event_type)
+                      else ob.copy(n = ob.n + 1)
+                    s.open.map(x => if (x.bucket == b) nb else x)
+                  case None =>
+                    (OpenBucket(b, 1L, t, e.event_type) :: s.open).sortBy(_.bucket)
+                }
+                s = s.copy(open = updated)
               }
             }
-            cur.foreach { s =>
-              state.update(s)
-              // flush the open bucket once event time passes its end + delay
-              state.setTimeoutTimestamp(((s.curBucket + 1) * intervalUs + 999) / 1000,
+            if (s.open.isEmpty) { state.getOption.foreach(_ => state.update(s)); Iterator.empty }
+            else {
+              val maxB = s.open.map(_.bucket).max
+              val (rows, next) = drain(s, maxB - lateBuckets - 1)
+              state.update(next)
+              // flush once event time passes the newest open bucket's end
+              state.setTimeoutTimestamp(((maxB + 1) * intervalUs + 999) / 1000,
                 flushDelay)
+              rows
             }
-            out.iterator
           }
       }
   }

@@ -101,13 +101,27 @@ class DedupSpec extends SparkSpec {
     val oldPairs = Dedup.jaccardPairs(oldSh, 0.5,
       candidates = Some(Dedup.lshCandidates(oldSigs)))
     val incremental = Dedup.incrementalPairs(docs, newIds, "doc_id", "text",
-        oldSigs, oldPairs, minJaccard = 0.5)
+        Dedup.bandedTable(oldSigs), oldPairs, minJaccard = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val fullSh = Dedup.docShinglesRaw(docs, "doc_id", "text")
     val full = Dedup.jaccardPairs(fullSh, 0.5,
         candidates = Some(Dedup.lshCandidates(Dedup.minhashSignatures(fullSh))))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(incremental.nonEmpty && incremental == full)
+  }
+
+  test("incremental pairs reject an increment id already in the carried artifact") {
+    import spark.implicits._
+    val oldSh = Dedup.docShinglesRaw(docs.where(col("doc_id") < 3), "doc_id", "text")
+    val oldBanded = Dedup.bandedTable(Dedup.minhashSignatures(oldSh))
+    val e = intercept[IllegalArgumentException] {
+      // doc 2 is a re-crawl: merging its new minhashes into the old band
+      // rows would produce garbage keys — must fail loud
+      Dedup.incrementalPairs(docs, Seq(2L, 4L).toDF("doc"), "doc_id", "text",
+        oldBanded, oldSh.limit(0).select(col("doc").as("doc_a"),
+          col("doc").as("doc_b"), lit(1.0).as("jaccard")))
+    }
+    assert(e.getMessage.contains("already exist"))
   }
 
   test("converged keep-list fails LOUD when maxRounds is too small, never silently splits") {

@@ -59,6 +59,14 @@ class PlanSpec extends SparkSpec {
       s"the optimizer rule must fire on the catalog entry, not just in specs:\n$p")
   }
 
+  test("q_scalar_subquery: decorrelated to an aggregate + join, no nested loop") {
+    val p = plan(RelationalQueries.qScalarSubquery(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"correlated scalar subquery must decorrelate:\n$p")
+    assert(p.contains("HashAggregate") && p.contains("Join"),
+      s"expected the aggregate+join decorrelation shape:\n$p")
+  }
+
   test("text/dedup hot paths run UDF-free (native kernels, codegen intact)") {
     // tokensFast/shingles3Fast/rollingHash/md5Hash60 were Scala UDFs through
     // round 2 — a serialization fence per row. Pin their native-expression

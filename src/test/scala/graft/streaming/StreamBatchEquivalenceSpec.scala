@@ -88,6 +88,31 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("resample accepts an out-of-order event within the reorder window across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, epochS: Long, tpe: String) =
+      EventStream.Event(id, new Timestamp(epochS * 1000), 7L, tpe, 0.0)
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.resampleStream(mem.toDS(), intervalUs = 900L * 1000000)
+      .writeStream.format("memory").queryName("eq_ooo").outputMode("append").start()
+    try {
+      val h = 36000L // 10:00 as epoch seconds
+      mem.addData(ev(1, h, "view"), ev(2, h + 16 * 60, "view"))  // buckets 40, 41
+      q.processAllAvailable()
+      // 10:07 arrives AFTER 10:16 was seen — one bucket behind the newest,
+      // inside the reorder window: must land in bucket 40, not be dropped
+      mem.addData(ev(3, h + 7 * 60, "purchase"))
+      q.processAllAvailable()
+      mem.addData(EventStream.Event(-1L, new Timestamp((h + 86400) * 1000), -1L, "view", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("eq_ooo").where(col("user_id") === 7L)
+        .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getString(3))).toMap
+      assert(rows(40L) == ((2L, "purchase")), s"bucket 40 must count the reordered event: $rows")
+      assert(rows(41L)._1 == 1L)
+    } finally q.stop()
+  }
+
   test("streaming resample equals oracle-checked batch resample on sf0.001") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
