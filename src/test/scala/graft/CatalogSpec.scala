@@ -10,6 +10,15 @@ class CatalogSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("every query is oracle-checked unless explicitly rows-only by design") {
+    // forgetting the oracleSql entry silently downgrades a query to the
+    // driver's weak rows-only check — only the sketches are exempt (their
+    // internals are engine-specific; error-envelope specs cover them)
+    val rowsOnlyByDesign = Set("q_approx_distinct", "q_approx_quantile")
+    val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyByDesign
+    assert(unchecked.isEmpty, s"queries silently lacking an oracle: $unchecked")
+  }
+
   test("module maps do not collide (merge would silently drop a query)") {
     val maps = Seq(
       graft.queries.SomQueries.queries, graft.queries.MlQueries.queries,
