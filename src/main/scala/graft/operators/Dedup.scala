@@ -220,7 +220,10 @@ object Dedup {
       .localCheckpoint(eager = true)
     var changed = 1L
     var round = 1
-    while (changed > 0 && round < maxRounds) {
+    // `maxRounds` counts PROPAGATION HOPS (rounds needed = cluster
+    // diameter): round 1..maxRounds each run one flood, so at least one
+    // propagation always executes and maxRounds=1 means exactly one hop.
+    while (changed > 0 && round <= maxRounds) {
       val next = propagateMinLabel(edges, labels).localCheckpoint(eager = true)
       changed = next.as("n").join(labels.as("o"), col("n.doc") === col("o.doc"))
         .where(col("n.lbl") =!= col("o.lbl")).count()

@@ -10,8 +10,11 @@ import org.apache.spark.sql.functions._
   * event, zero-filled counts, forward-filled categorical state. The dense
   * grid is what sequence models and join-on-time features consume.
   *
-  * All arithmetic is exact integers (epoch-µs `div` interval), so the
-  * result is oracle-checkable with no float discipline.
+  * All arithmetic is exact integers (epoch-µs FLOOR-divided by the
+  * interval — `(ts - pmod(ts, L)) div L`, matching DuckDB's `//` and
+  * `Math.floorDiv` on the streaming twin even for pre-1970 negative
+  * timestamps), so the result is oracle-checkable with no float
+  * discipline.
   *
   * Scale notes (100 TB): three shuffles, all keyed by the entity (bounds
   * agg, per-bucket agg, grid⋈buckets + the forward-fill window share the
@@ -33,7 +36,10 @@ object Resample {
   def resample(events: DataFrame, key: Column, tsUs: Column, state: Column,
                intervalUs: Long): DataFrame = {
     val e = events.select(key.as("k"), tsUs.as("ts_us"), state.as("state"))
-      .withColumn("bucket", expr(s"ts_us div ${intervalUs}L"))
+      // floor division (not `div`, which truncates toward zero): negative
+      // epoch-µs must land in the same bucket the oracle's `//` picks
+      .withColumn("bucket",
+        expr(s"(ts_us - pmod(ts_us, ${intervalUs}L)) div ${intervalUs}L"))
     val bounds = e.groupBy(col("k"))
       .agg(min(col("bucket")).as("lob"), max(col("bucket")).as("hib"))
     val grid = bounds.select(col("k"),

@@ -36,12 +36,16 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
     * point of the operator; the stock window is the right plan beyond it. */
   val MaxK = 1024
 
-  /** cond is a top-k bound on `rn`: rn <= K, rn < K+1, K >= rn, rn = 1. */
+  /** cond is a top-k bound on `rn`: rn <= K, rn < K+1, rn = 1, and each
+    * mirrored literal-first spelling (K >= rn, K > rn, 1 = rn) — equivalent
+    * user SQL must not silently miss the rewrite. */
   private def boundK(cond: Expression, rn: Attribute): Option[Int] = cond match {
     case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => Some(k)
     case LessThan(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => Some(k - 1)
     case GreaterThanOrEqual(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rn) => Some(k)
+    case GreaterThan(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rn) => Some(k - 1)
     case EqualTo(a: Attribute, IntegerLiteral(1)) if a.semanticEquals(rn) => Some(1)
+    case EqualTo(IntegerLiteral(1), a: Attribute) if a.semanticEquals(rn) => Some(1)
     case _ => None
   }
 

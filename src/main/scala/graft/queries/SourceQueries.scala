@@ -21,11 +21,22 @@ import java.nio.file.{Files, Paths}
 object SourceQueries {
 
   // Absolute so the oracle SQL (executed by a separate DuckDB process) hits
-  // the same files, but derived from the working directory so the queries
-  // survive a different checkout location — the JVM running Verify and the
-  // driver's oracle run share a cwd (the repo root).
-  private val FixtureDir =
-    Paths.get("target", "fixtures").toAbsolutePath.toString
+  // the same files. Anchored on the repo root, NOT the process cwd: a forked
+  // test JVM or IDE runner may run the queries from a different directory
+  // than the driver's oracle process, and a cwd-relative path would silently
+  // split the two sides onto different files. Resolution order:
+  // `-Dgraft.fixture.dir` override, else walk up from cwd to the first
+  // directory holding `build.sbt` (the repo-root marker), else cwd itself.
+  private val FixtureDir: String =
+    sys.props.get("graft.fixture.dir").getOrElse {
+      var p = Paths.get("").toAbsolutePath
+      var root = p
+      while (p != null) {
+        if (Files.exists(p.resolve("build.sbt"))) { root = p; p = null }
+        else p = p.getParent
+      }
+      root.resolve("target").resolve("fixtures").toString
+    }
 
   private def nationRows(s: SparkSession, dir: String): Seq[(Long, String, Long)] =
     s.read.parquet(s"$dir/nation.parquet")

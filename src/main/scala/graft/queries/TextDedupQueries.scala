@@ -354,6 +354,33 @@ object TextDedupQueries {
        |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
        |FROM jac WHERE jaccard >= 0.8""".stripMargin
 
+  // UNCAPPED banding candidates — the incremental path runs no maxBandDf
+  // fallback on either leg (Dedup.incrementalPairs), so its oracle must
+  // model plain all-pairs-within-bucket semantics. Sharing the capped CTE
+  // would only stay green while the cap never binds on the corpus.
+  private val pairsCtesUncapped =
+    """banded AS (SELECT doc, h // 4 AS band,
+      |   string_agg(minhash::VARCHAR, ',' ORDER BY h, minhash) AS key
+      |  FROM sig GROUP BY 1, 2),
+      |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.key = b.key AND a.doc < b.doc),
+      |sizes AS (SELECT doc, count(*) AS n FROM dsh GROUP BY 1),
+      |inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS c
+      |  FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc < b.doc
+      |  GROUP BY 1, 2),
+      |jac AS (SELECT i.doc_a, i.doc_b,
+      |   i.c * 1.0 / (sa.n + sb.n - i.c) AS jaccard
+      |  FROM inter i
+      |  JOIN cand USING (doc_a, doc_b)
+      |  JOIN sizes sa ON i.doc_a = sa.doc
+      |  JOIN sizes sb ON i.doc_b = sb.doc)""".stripMargin
+
+  private lazy val incrementalPairsSql =
+    s"""WITH $toksCte, $shinglesCte, $sigCte, $pairsCtesUncapped
+       |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+       |FROM jac WHERE jaccard >= 0.8""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "text_repetition" ->
       s"""WITH $toksCte, $shingleListCte
@@ -449,9 +476,9 @@ object TextDedupQueries {
       s"""WITH $toksCte, $shinglesCte, $sigCte
          |SELECT doc, h, minhash FROM sig""".stripMargin,
     "dedup_minhash_pairs" -> confirmedPairsSql,
-    // incremental must equal the full recompute — same oracle as the full
-    // pair query (the cap model never binds, so capped == uncapped here)
-    "dedup_incremental_pairs" -> confirmedPairsSql,
+    // incremental must equal the full recompute, but its candidate step is
+    // UNCAPPED banding on both legs — model exactly that (see pairsCtesUncapped)
+    "dedup_incremental_pairs" -> incrementalPairsSql,
     "dedup_keep_list" ->
       s"""WITH $toksCte, $shinglesCte, $sigCte, $pairsCtes,
          |jp AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.8),

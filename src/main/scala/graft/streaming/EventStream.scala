@@ -121,7 +121,7 @@ object EventStream {
             var s = state.getOption.getOrElse(ResampleState(Long.MinValue, null, Nil))
             sorted.foreach { e =>
               val t = micros(e.ts)
-              val b = t / intervalUs
+              val b = Math.floorDiv(t, intervalUs) // floor like batch/oracle, not Java trunc
               if (b > s.lastFinalized) { // else: below the frontier — late, drop
                 val updated = s.open.find(_.bucket == b) match {
                   case Some(ob) =>

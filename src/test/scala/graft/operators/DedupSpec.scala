@@ -134,6 +134,18 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("maxRounds counts propagation hops: 1 hop suffices for an edgeless graph") {
+    import spark.implicits._
+    // no duplicate pairs at all — seeding already IS the fixpoint, and the
+    // single allowed hop proves it (regression: the pre-r5 loop ran
+    // maxRounds-1 hops and threw unconditionally at maxRounds=1)
+    val ids = (0L to 4L).toDF("doc_id")
+    val none = ids.limit(0).select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b"))
+    val got = Dedup.keepListConverged(ids, "doc_id", none, maxRounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (0L to 4L).map(i => (i, i)).toSet)
+  }
+
   private def contaminationOf(evalIds: Set[Long]) =
     Dedup.contamination(
       Dedup.docShinglesRaw(docs.where(!col("doc_id").isin(evalIds.toSeq: _*)), "doc_id", "text"),

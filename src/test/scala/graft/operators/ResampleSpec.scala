@@ -26,6 +26,18 @@ class ResampleSpec extends SparkSpec {
     assert(got == Seq((3L, "z"))) // ts-9 tie resolves to max state "z"
   }
 
+  test("negative timestamps floor-divide (bucket -1, not trunc's 0)") {
+    import spark.implicits._
+    // ts -5 with interval 10 belongs to bucket -1 ([-10, 0)) under floor
+    // division — DuckDB's `//` and Math.floorDiv agree; a trunc-toward-zero
+    // `div` would wrongly merge it into bucket 0
+    val e = Seq(("a", -5L, "x"), ("a", 5L, "y")).toDF("u", "ts", "st")
+    val got = Resample.resample(e, col("u"), col("ts"), col("st"), 10L)
+      .orderBy("bucket")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == Seq((-1L, 1L, "x"), (0L, 1L, "y")))
+  }
+
   test("entities are independent: each gets its own grid bounds") {
     import spark.implicits._
     val e = Seq(("a", 0L, "x"), ("a", 25L, "x"), ("b", 100L, "q")).toDF("u", "ts", "st")

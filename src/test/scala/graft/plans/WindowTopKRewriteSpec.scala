@@ -53,6 +53,23 @@ class WindowTopKRewriteSpec extends SparkSpec {
     assert(q.count() > 0)
   }
 
+  test("mirrored literal-first bounds (K > rn, 1 = rn) are rewritten too") {
+    val f = fork
+    f.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+      .createOrReplaceTempView("li_topk_m")
+    for (cond <- Seq("4 > rn", "1 = rn")) {
+      val q = f.sql(s"""
+        SELECT l_suppkey, l_orderkey, l_extendedprice FROM (
+          SELECT l_suppkey, l_orderkey, l_extendedprice,
+                 row_number() OVER (PARTITION BY l_suppkey
+                   ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+          FROM li_topk_m) WHERE $cond""")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKeyFinal"), s"rewrite must fire on `$cond`:\n$plan")
+      assert(q.count() > 0)
+    }
+  }
+
   test("k above MaxK is NOT rewritten (heap has no spill path)") {
     val f = fork
     val li = f.read.parquet(sf("sf0.001") + "/lineitem.parquet")
