@@ -4,15 +4,20 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 /** Multimodal-column plumbing for training-data pipelines: image/audio/video
   * payloads ride as opaque `binary` columns next to typed metadata; decode /
   * feature-extract / resize / frame-sample run as partition-local transforms.
   *
-  * The actual media codecs are NOT available in this environment, so the
-  * decode kernels are clearly-marked deterministic stubs ([[stubDecode]]) —
-  * the Spark-side contract (schema, batching, partition locality, null
-  * handling) is real and tested. Swap [[stubDecode]] for a JNI/FFmpeg/etc.
-  * call and nothing else changes.
+  * Image decode is REAL (JDK `javax.imageio` — PNG/BMP/GIF, no native
+  * codecs needed) and audio decode is REAL (RIFF/WAVE PCM-16 header +
+  * sample parse, pure JDK). Only VIDEO demux remains a clearly-marked
+  * deterministic stub ([[stubDecode]] / [[sampleFrames]]) — this
+  * environment ships no container demuxer; swap the stub for an
+  * FFmpeg/JNI call and nothing else changes.
   *
   * Scale notes: payload transforms are `mapPartitions`-shaped (no shuffle,
   * stream through each file split); metadata-only predicates (modality,
@@ -34,11 +39,143 @@ object Multimodal {
     )), nullable = true),
   ))
 
-  /** STUB decode: a real implementation would hand `payload` to an image /
-    * audio decoder. This deterministic stand-in "decodes" the payload into a
-    * 16-bin byte-value histogram (so tests and downstream feature code have
-    * real shapes to work with). Marked clearly as a stub per the build
-    * contract. */
+  // ---------------------------------------------------------------- images
+
+  /** Decoded-image summary: dimensions + exact per-channel pixel sums
+    * (integers, so downstream comparisons need no float discipline). */
+  final case class ImageFeatures(width: Int, height: Int,
+                                 sumR: Long, sumG: Long, sumB: Long)
+
+  /** REAL image decode via JDK ImageIO (PNG/BMP/GIF). Returns None for a
+    * null/undecodable payload — corrupt media must degrade to a null row,
+    * never kill the partition. */
+  def decodeImage(payload: Array[Byte]): Option[ImageFeatures] = {
+    if (payload == null) return None
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      if (img == null) return None // ImageIO signals "no decoder" with null
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y) // sRGB-packed, exact for 8-bit images
+          sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      Some(ImageFeatures(img.getWidth, img.getHeight, sr, sg, sb))
+    } catch { case _: Exception => None }
+  }
+
+  /** Deterministic synthetic PNG: pixel channel values are the pure integer
+    * function `(id*7919 + p*257 + c*101) mod 256` of (media id, pixel index,
+    * channel) — the SAME formula a SQL oracle can evaluate, so the ImageIO
+    * encode→decode round-trip is verifiable end-to-end: if the real decoder
+    * mangled a single pixel, the channel sums would hash-mismatch. */
+  def syntheticPng(id: Long, width: Int, height: Int): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var p = 0
+    while (p < width * height) {
+      val r = ((id * 7919 + p * 257) % 256).toInt
+      val g = ((id * 7919 + p * 257 + 101) % 256).toInt
+      val b = ((id * 7919 + p * 257 + 202) % 256).toInt
+      img.setRGB(p % width, p / width, (r << 16) | (g << 8) | b)
+      p += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Image feature extraction: partition-local REAL decode; undecodable
+    * payloads yield a null struct. */
+  def imageFeatures(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val dec = udf { (b: Array[Byte]) => decodeImage(b) }
+    df.withColumn("img", dec(col(payloadCol)))
+  }
+
+  // ----------------------------------------------------------------- audio
+
+  /** Decoded-audio summary: PCM header fields + exact sample aggregates. */
+  final case class WavFeatures(sampleRate: Int, channels: Int, nSamples: Int,
+                               sumAmp: Long, maxAmp: Int)
+
+  /** REAL RIFF/WAVE PCM-16 decode: walks the chunk list (fmt before data,
+    * skipping extension chunks), validates PCM/16-bit, then folds the
+    * little-endian samples. Pure JDK, no native codec. Returns None on
+    * null/corrupt/non-PCM16 payloads. */
+  def decodeWav(payload: Array[Byte]): Option[WavFeatures] = {
+    if (payload == null || payload.length < 44) return None
+    def le16(o: Int) = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+    def le32(o: Int) = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
+      ((payload(o + 2) & 0xff) << 16) | ((payload(o + 3) & 0xff) << 24)
+    def tag(o: Int) = new String(payload, o, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var fmt: Option[(Int, Int)] = None // (channels, sampleRate)
+    while (off + 8 <= payload.length) {
+      val id = tag(off); val sz = le32(off + 4)
+      if (id == "fmt ") {
+        if (le16(off + 8) != 1 || le16(off + 22) != 16) return None // PCM s16 only
+        fmt = Some((le16(off + 10), le32(off + 12)))
+      } else if (id == "data") {
+        val (ch, rate) = fmt.getOrElse(return None)
+        val n = sz / 2
+        if (off + 8 + sz > payload.length) return None
+        var (sum, max) = (0L, Int.MinValue)
+        var i = 0
+        while (i < n) {
+          val s = le16(off + 8 + i * 2).toShort.toInt
+          sum += s; if (s > max) max = s
+          i += 1
+        }
+        return Some(WavFeatures(rate, ch, n / ch, sum, if (n == 0) 0 else max))
+      }
+      off += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    None
+  }
+
+  /** Deterministic synthetic mono PCM-16 WAV: sample i is
+    * `((id*131 + i*17) mod 65536) - 32768` — SQL-evaluable, so the real
+    * header+sample parse is oracle-checkable like [[syntheticPng]]. */
+  def syntheticWav(id: Long, nSamples: Int, sampleRate: Int): Array[Byte] = {
+    val dataSz = nSamples * 2
+    val out = new Array[Byte](44 + dataSz)
+    def put(o: Int, s: String): Unit = { s.getBytes("US-ASCII").copyToArray(out, o) }
+    def p16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
+    def p32(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+    }
+    put(0, "RIFF"); p32(4, 36 + dataSz); put(8, "WAVE")
+    put(12, "fmt "); p32(16, 16); p16(20, 1); p16(22, 1) // PCM, mono
+    p32(24, sampleRate); p32(28, sampleRate * 2); p16(32, 2); p16(34, 16)
+    put(36, "data"); p32(40, dataSz)
+    var i = 0
+    while (i < nSamples) {
+      p16(44 + i * 2, (((id * 131 + i * 17) % 65536) - 32768).toInt)
+      i += 1
+    }
+    out
+  }
+
+  /** Audio feature extraction: partition-local REAL WAV parse; non-WAV
+    * payloads yield a null struct. */
+  def audioFeatures(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val dec = udf { (b: Array[Byte]) => decodeWav(b) }
+    df.withColumn("wav", dec(col(payloadCol)))
+  }
+
+  // ----------------------------------------------------------------- video
+
+  /** STUB decode — VIDEO ONLY. Images go through [[decodeImage]] (real
+    * ImageIO) and audio through [[decodeWav]] (real PCM parse); container
+    * demux has no JDK decoder, so this deterministic 16-bin byte-value
+    * histogram stands in for per-frame features until an FFmpeg/JNI demuxer
+    * is swapped in. */
   def stubDecode(payload: Array[Byte]): Array[Double] = {
     val hist = new Array[Double](16)
     if (payload != null) {
@@ -49,10 +186,67 @@ object Multimodal {
   }
 
   /** Feature extraction over the payload column: partition-local, no
-    * shuffle; nulls yield null features. */
+    * shuffle; nulls yield null features. Dispatches on the payload's magic
+    * bytes: PNG → real ImageIO decode (16-bin red-channel histogram),
+    * RIFF/WAVE → real PCM parse (16-bin amplitude histogram), anything else
+    * (video containers, opaque bytes) → the documented [[stubDecode]]. */
   def extractFeatures(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
-    val decodeUdf = udf { (b: Array[Byte]) => if (b == null) null else stubDecode(b) }
+    val decodeUdf = udf { (b: Array[Byte]) =>
+      if (b == null) null else dispatchDecode(b)
+    }
     df.withColumn("features", decodeUdf(col(payloadCol)))
+  }
+
+  private val PngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G')
+
+  private def startsWith(b: Array[Byte], m: Array[Byte]): Boolean =
+    b.length >= m.length && m.indices.forall(i => b(i) == m(i))
+
+  private[operators] def dispatchDecode(b: Array[Byte]): Array[Double] =
+    if (startsWith(b, PngMagic)) {
+      // real decode; histogram of red-channel pixel values
+      decodeImage(b).map { _ => // dims validated; histogram needs pixels again
+        val img = ImageIO.read(new ByteArrayInputStream(b))
+        val hist = new Array[Double](16)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            hist(((img.getRGB(x, y) >> 16) & 0xff) >> 4) += 1.0; x += 1
+          }
+          y += 1
+        }
+        hist
+      }.orNull
+    } else if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') {
+      decodeWav(b).map { _ =>
+        val hist = new Array[Double](16)
+        // re-walk samples for the histogram: shift signed 16-bit to [0, 64k)
+        val chunks = decodeWavSamples(b)
+        chunks.foreach(s => hist((s + 32768) >> 12) += 1.0)
+        hist
+      }.orNull
+    } else stubDecode(b)
+
+  /** Raw sample values of a validated PCM-16 WAV (helper for histogram +
+    * tests). Empty for invalid payloads. */
+  private[operators] def decodeWavSamples(payload: Array[Byte]): Array[Int] = {
+    decodeWav(payload) match {
+      case None => Array.empty
+      case Some(_) =>
+        def le16(o: Int) = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+        def le32(o: Int) = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
+          ((payload(o + 2) & 0xff) << 16) | ((payload(o + 3) & 0xff) << 24)
+        def tag(o: Int) = new String(payload, o, 4, "US-ASCII")
+        var off = 12
+        while (off + 8 <= payload.length) {
+          val id = tag(off); val sz = le32(off + 4)
+          if (id == "data")
+            return Array.tabulate(sz / 2)(i => le16(off + 8 + i * 2).toShort.toInt)
+          off += 8 + sz + (sz & 1)
+        }
+        Array.empty
+    }
   }
 
   /** Byte-size + digest metadata without decoding (pure column expressions —
@@ -62,7 +256,8 @@ object Multimodal {
       .withColumn("digest", md5(col(payloadCol)))
 
   /** Frame sampling stub: every k-th fixed-size chunk of the payload — the
-    * Spark-side shape of video frame extraction (a real impl would demux). */
+    * Spark-side shape of video frame extraction (a real impl would demux;
+    * see [[stubDecode]]'s video caveat). */
   def sampleFrames(df: DataFrame, frameBytes: Int, everyK: Int,
                    payloadCol: String = "payload"): DataFrame = {
     require(frameBytes > 0 && everyK > 0)

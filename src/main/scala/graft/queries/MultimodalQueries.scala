@@ -5,12 +5,51 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal catalog entries. The testdata ships no real media table, so the
-  * binary column is manufactured deterministically (ASCII-filtered text cast
-  * to bytes) — which keeps the metadata/digest path oracle-checkable
-  * end-to-end; the decode path is exercised by unit tests (stubbed codec, see
-  * `graft.operators.Multimodal`).
+  * binary columns are manufactured deterministically: byte-stats/frame
+  * entries use ASCII-filtered text cast to bytes, and the DECODE entries
+  * build REAL PNG / RIFF-WAVE payloads whose pixels/samples are a pure
+  * integer function of the media id ([[Multimodal.syntheticPng]] /
+  * [[Multimodal.syntheticWav]]). That makes the real JDK decoders
+  * (ImageIO, PCM-16 parse) oracle-checkable end-to-end: DuckDB evaluates
+  * the same integer formula, so one mangled pixel or sample in the decode
+  * path hash-mismatches.
   */
 object MultimodalQueries {
+
+  private val PngW = 16
+  private val PngH = 16
+  private val WavSamples = 480
+  private val WavRate = 8000
+
+  /** REAL image decode under the oracle: synthesize a PNG per document id,
+    * decode it with ImageIO, emit dimensions + exact per-channel sums.
+    * Partition-local (no shuffle); the scan reads only doc_id. */
+  def mmImageDecode(s: SparkSession, dir: String): DataFrame = {
+    val makePng = udf { (id: Long) => Multimodal.syntheticPng(id, PngW, PngH) }
+    val media = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("media_id"))
+      .withColumn("payload", makePng(col("media_id")))
+    Multimodal.imageFeatures(media)
+      .select(col("media_id"),
+        col("img.width").as("width"), col("img.height").as("height"),
+        col("img.sumR").as("sum_r"), col("img.sumG").as("sum_g"),
+        col("img.sumB").as("sum_b"))
+  }
+
+  /** REAL WAV decode under the oracle: synthesize a PCM-16 WAV per document
+    * id, parse header + samples, emit rate/counts + exact sample aggregates. */
+  def mmAudioDecode(s: SparkSession, dir: String): DataFrame = {
+    val makeWav = udf { (id: Long) => Multimodal.syntheticWav(id, WavSamples, WavRate) }
+    val media = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("media_id"))
+      .withColumn("payload", makeWav(col("media_id")))
+    Multimodal.audioFeatures(media)
+      .select(col("media_id"),
+        col("wav.sampleRate").as("sample_rate"),
+        col("wav.nSamples").as("n_samples"),
+        col("wav.sumAmp").as("sum_amp"),
+        col("wav.maxAmp").as("max_amp"))
+  }
 
   /** Byte-level metadata over a binary payload column: size + digest +
     * a 4-bucket shard key. Pure column expressions, no decode. */
@@ -55,6 +94,8 @@ object MultimodalQueries {
     "mm_byte_stats" -> mmByteStats _,
     "mm_feature_agg" -> mmFeatureAgg _,
     "mm_frame_sample" -> mmFrameSample _,
+    "mm_image_decode" -> mmImageDecode _,
+    "mm_audio_decode" -> mmAudioDecode _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -89,5 +130,26 @@ object MultimodalQueries {
         |  CASE WHEN len(clean) = 0 THEN NULL
         |       ELSE md5(substr(clean, 1, 64)) END AS first_frame_digest
         |FROM cleaned""".stripMargin,
+    // the decoded-pixel formula of Multimodal.syntheticPng — one mangled
+    // pixel in the ImageIO round-trip breaks the channel-sum hash
+    "mm_image_decode" ->
+      s"""WITH px AS (
+         |  SELECT doc_id AS media_id, unnest(range(0, ${PngW * PngH})) AS p
+         |  FROM documents)
+         |SELECT media_id, $PngW AS width, $PngH AS height,
+         |  CAST(sum((media_id * 7919 + p * 257) % 256) AS BIGINT) AS sum_r,
+         |  CAST(sum((media_id * 7919 + p * 257 + 101) % 256) AS BIGINT) AS sum_g,
+         |  CAST(sum((media_id * 7919 + p * 257 + 202) % 256) AS BIGINT) AS sum_b
+         |FROM px GROUP BY 1""".stripMargin,
+    // the sample formula of Multimodal.syntheticWav — validates the PCM
+    // header walk AND every little-endian 16-bit sample
+    "mm_audio_decode" ->
+      s"""WITH smp AS (
+         |  SELECT doc_id AS media_id,
+         |    ((doc_id * 131 + unnest(range(0, $WavSamples)) * 17) % 65536) - 32768 AS s
+         |  FROM documents)
+         |SELECT media_id, $WavRate AS sample_rate, $WavSamples AS n_samples,
+         |  CAST(sum(s) AS BIGINT) AS sum_amp, CAST(max(s) AS INT) AS max_amp
+         |FROM smp GROUP BY 1""".stripMargin,
   )
 }

@@ -31,6 +31,54 @@ class MultimodalSpec extends SparkSpec {
     assert(f(3L).isEmpty)               // null payload -> null features
   }
 
+  test("REAL image decode: known 2x2 PNG round-trips to exact pixel sums") {
+    // encode known pixels with ImageIO, decode with decodeImage — channel
+    // sums must be bit-exact: (10,20,30),(40,50,60),(70,80,90),(100,110,120)
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, (10 << 16) | (20 << 8) | 30)
+    img.setRGB(1, 0, (40 << 16) | (50 << 8) | 60)
+    img.setRGB(0, 1, (70 << 16) | (80 << 8) | 90)
+    img.setRGB(1, 1, (100 << 16) | (110 << 8) | 120)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val got = Multimodal.decodeImage(bos.toByteArray).get
+    assert(got == Multimodal.ImageFeatures(2, 2, 220L, 260L, 300L))
+  }
+
+  test("syntheticPng decodes back to the generator formula's sums") {
+    val id = 42L
+    val got = Multimodal.decodeImage(Multimodal.syntheticPng(id, 16, 16)).get
+    def s(c: Int) = (0 until 256).map(p => (id * 7919 + p * 257 + c * 101) % 256).sum
+    assert(got == Multimodal.ImageFeatures(16, 16, s(0), s(1), s(2)))
+  }
+
+  test("REAL WAV decode: header fields + exact sample aggregates") {
+    val id = 7L
+    val wav = Multimodal.syntheticWav(id, 480, 8000)
+    val got = Multimodal.decodeWav(wav).get
+    val samples = (0 until 480).map(i => (((id * 131 + i * 17) % 65536) - 32768).toInt)
+    assert(got == Multimodal.WavFeatures(8000, 1, 480, samples.map(_.toLong).sum, samples.max))
+  }
+
+  test("corrupt/undecodable payloads degrade to None, never throw") {
+    assert(Multimodal.decodeImage(null).isEmpty)
+    assert(Multimodal.decodeImage(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodeWav(null).isEmpty)
+    assert(Multimodal.decodeWav(Array.fill[Byte](100)(0)).isEmpty)
+    // truncated WAV: valid header, data chunk claims more bytes than exist
+    val wav = Multimodal.syntheticWav(1L, 480, 8000).take(200)
+    assert(Multimodal.decodeWav(wav).isEmpty)
+  }
+
+  test("extractFeatures dispatches on magic bytes: PNG/WAV real, else stub") {
+    val png = Multimodal.syntheticPng(3L, 4, 4)
+    val wav = Multimodal.syntheticWav(3L, 16, 8000)
+    assert(Multimodal.dispatchDecode(png).sum == 16.0)  // 16 pixels histogrammed
+    assert(Multimodal.dispatchDecode(wav).sum == 16.0)  // 16 samples histogrammed
+    val other = Array.tabulate[Byte](32)(_.toByte)
+    assert(Multimodal.dispatchDecode(other).sum == 32.0) // stub: byte histogram
+  }
+
   test("byteStats computes size and digest without decoding") {
     val out = Multimodal.byteStats(media).collect()
       .map(r => r.getLong(0) -> r).toMap
