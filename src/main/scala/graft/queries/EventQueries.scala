@@ -121,8 +121,52 @@ object EventQueries {
         intervalUs = 15L * 60 * 1000000)
       .select(col("k").as("user_id"), col("bucket"), col("n"), col("state"))
 
+  /** The STREAMING resample path directly under the DuckDB oracle (VERDICT
+    * r4 ask #2): the same events flow parquet → `readStream` →
+    * [[graft.streaming.EventStream.resampleStream]] (flatMapGroupsWithState)
+    * → a parquet SINK via `Trigger.AvailableNow`, and the sink's contents
+    * are returned for hash comparison against the SAME oracle SQL as
+    * `events_resample` — the streaming output itself hash-matches DuckDB,
+    * not just a spec-equality hop through the batch twin.
+    *
+    * Mechanics: a sentinel event one day past the corpus max advances the
+    * watermark so the post-data micro-batch (SPARK-24156 no-data batch)
+    * fires every user's flush timeout and drains all open buckets; the
+    * sentinel's own grid never emits (its timeout stays beyond the final
+    * watermark) and is filtered defensively. All input files load in one
+    * micro-batch (no maxFilesPerTrigger), so no event can land outside the
+    * reorder window on the way in. */
+  def resampleStreamed(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    import fork.implicits._
+    fork.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = fork.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val maxTsUs = src.agg(max(unix_micros(col("ts")))).head.getLong(0)
+    val sentinel = fork.range(1).select(
+      lit(-1L).as("event_id"),
+      timestamp_micros(lit(maxTsUs + 86400L * 1000000)).as("ts"),
+      lit(-1L).as("user_id"), lit("view").as("event_type"), lit(0.0).as("value"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_resample_stream")
+    val (inDir, outDir, ckpt) = (s"$tmp/in", s"$tmp/out", s"$tmp/ckpt")
+    src.union(sentinel).write.parquet(inDir)
+    val stream = fork.readStream.schema(src.schema).parquet(inDir)
+      .as[graft.streaming.EventStream.Event]
+    val q = graft.streaming.EventStream.resampleStream(stream,
+        intervalUs = 15L * 60 * 1000000)
+      .filter(_.user_id >= 0)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    fork.read.parquet(outDir).select(col("user_id"), col("bucket"), col("n"), col("state"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_resample" -> resample _,
+    "events_resample_stream" -> resampleStreamed _,
     "events_json_extract" -> jsonExtract _,
     "events_hourly" -> hourly _,
     "events_sliding" -> sliding _,
@@ -132,6 +176,34 @@ object EventQueries {
     "events_range_join" -> rangeJoin _,
   )
 
+  // same exact-integer bucket math as Resample (floor division == `//`);
+  // bucket's last event via row_number (ts DESC, state DESC == Spark's
+  // max(struct(ts, state))), forward fill via last_value IGNORE NULLS over
+  // the same running frame. Shared verbatim by the batch entry and the
+  // streaming-sink entry — the stream's whole contract is equality.
+  private val resampleOracleSql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) // 900000000 AS bucket,
+      |         epoch_us(ts) AS ts_us, event_type AS state
+      |  FROM events),
+      |b AS (SELECT user_id, min(bucket) AS lob, max(bucket) AS hib
+      |      FROM e GROUP BY 1),
+      |grid AS (SELECT user_id, unnest(range(lob, hib + 1)) AS bucket FROM b),
+      |pb AS (SELECT user_id, bucket, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+      |ls AS (SELECT user_id, bucket, state FROM (
+      |  SELECT user_id, bucket, state,
+      |    row_number() OVER (PARTITION BY user_id, bucket
+      |                       ORDER BY ts_us DESC, state DESC) AS rn FROM e)
+      |  WHERE rn = 1),
+      |g AS (SELECT grid.user_id, CAST(grid.bucket AS BIGINT) AS bucket,
+      |        coalesce(pb.n, 0) AS n, ls.state
+      |      FROM grid LEFT JOIN pb ON grid.user_id = pb.user_id AND grid.bucket = pb.bucket
+      |      LEFT JOIN ls ON grid.user_id = ls.user_id AND grid.bucket = ls.bucket)
+      |SELECT user_id, bucket, CAST(n AS BIGINT) AS n,
+      |  last_value(state IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS state
+      |FROM g""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "events_json_extract" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
@@ -139,31 +211,9 @@ object EventQueries {
         | min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY 1""".stripMargin,
-    "events_resample" ->
-      // same exact-integer bucket math; bucket's last event via row_number
-      // (ts DESC, state DESC == Spark's max(struct(ts, state))), forward
-      // fill via last_value IGNORE NULLS over the same running frame
-      """WITH e AS (
-        |  SELECT user_id, epoch_us(ts) // 900000000 AS bucket,
-        |         epoch_us(ts) AS ts_us, event_type AS state
-        |  FROM events),
-        |b AS (SELECT user_id, min(bucket) AS lob, max(bucket) AS hib
-        |      FROM e GROUP BY 1),
-        |grid AS (SELECT user_id, unnest(range(lob, hib + 1)) AS bucket FROM b),
-        |pb AS (SELECT user_id, bucket, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
-        |ls AS (SELECT user_id, bucket, state FROM (
-        |  SELECT user_id, bucket, state,
-        |    row_number() OVER (PARTITION BY user_id, bucket
-        |                       ORDER BY ts_us DESC, state DESC) AS rn FROM e)
-        |  WHERE rn = 1),
-        |g AS (SELECT grid.user_id, CAST(grid.bucket AS BIGINT) AS bucket,
-        |        coalesce(pb.n, 0) AS n, ls.state
-        |      FROM grid LEFT JOIN pb ON grid.user_id = pb.user_id AND grid.bucket = pb.bucket
-        |      LEFT JOIN ls ON grid.user_id = ls.user_id AND grid.bucket = ls.bucket)
-        |SELECT user_id, bucket, CAST(n AS BIGINT) AS n,
-        |  last_value(state IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS state
-        |FROM g""".stripMargin,
+    "events_resample" -> resampleOracleSql,
+    // the streaming sink must equal the batch grid EXACTLY — same oracle
+    "events_resample_stream" -> resampleOracleSql,
     "events_range_join" -> {
       val bands = (0 to 20)
         .map(k => s"($k, ${k * 5.0}::DOUBLE, ${k * 5.0 + 12.0}::DOUBLE)").mkString(", ")
