@@ -83,6 +83,68 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Deterministic sign-random-projection hyperplane `j` (64-dim): integer
+    * components `(md5_60("j:i") mod 19) - 9` — the text family's md5-prefix
+    * trick, evaluable bit-identically by a SQL oracle
+    * (`('0x'||substr(md5(...),1,15))::BIGINT`). Crypto mixing matters here:
+    * a linear-congruential formula makes the planes residue-shifts of each
+    * other, correlated sign bits collide band keys ~100× above the random
+    * baseline, and the near-linear candidate growth is lost. */
+  def hyperplane(j: Int, dim: Int = 64): Array[Double] =
+    Array.tabulate(dim) { i =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      ((java.lang.Long.parseLong(hex, 16) % 19) - 9).toDouble
+    }
+
+  /** Hyperplane-LSH band keys for (vec_id, v): `nBits` sign bits (one codegen
+    * dot per hyperplane, single scan, no shuffle), pigeonhole-packed into
+    * `bands` integer keys → one (vec_id, band, key) row per band.
+    *
+    * Scale: this is the near-LINEAR path for embedding near-dup — candidates
+    * come from equi-joining band keys, so work is Σ bucket², bounded by the
+    * duplicate structure instead of the ~N^1.5 blocked all-pairs of
+    * [[nearestInCell]]. Wider bands (bits/band) push random collisions
+    * toward zero at the cost of recall on low-cosine pairs. */
+  def lshSignBands(points: DataFrame, nBits: Int = 64, bands: Int = 8): DataFrame = {
+    require(nBits % bands == 0, "bands must divide nBits")
+    val bpb = nBits / bands
+    val bitCols = (0 until nBits).map { j =>
+      val w = array(hyperplane(j).map(lit): _*)
+      (dotFast(col("v"), w) > 0.0).cast("int").as(s"bit_$j")
+    }
+    val withBits = points.select(col("vec_id") +: bitCols: _*)
+    val keyCols = (0 until bands).map { b =>
+      (0 until bpb).map(t => col(s"bit_${b * bpb + t}") * lit(1 << t))
+        .reduce(_ + _).cast("long").as(s"key_$b")
+    }
+    withBits.select(col("vec_id"), posexplode(array(keyCols: _*)).as(Seq("band", "key")))
+  }
+
+  /** Hyperplane-LSH embedding near-dup: pairs sharing ≥1 band key, confirmed
+    * by EXACT cosine ≥ minCos. The banding join touches only colliding
+    * buckets; the confirm join touches only candidate pairs — never an
+    * all-pairs product at any stage. */
+  def lshNearDupPairs(points: DataFrame, minCos: Double,
+                      nBits: Int = 64, bands: Int = 8): DataFrame = {
+    // localCheckpoint: sigs self-join + the two confirm joins would
+    // recompute the 64 dot products per side otherwise
+    val sigs = lshSignBands(points, nBits, bands).localCheckpoint(eager = true)
+    val cand = sigs.as("a").join(sigs.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val pn = points.withColumn("nrm", norm2Fast(col("v")))
+    cand
+      .join(pn.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), "vec_a")
+      .join(pn.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        cosFromNorms(col("va"), col("vb"), col("na"), col("nb")).as("cos"))
+      .where(col("cos") >= minCos)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Embedding near-dup: each vector's nearest neighbor within its IVF cell
     * (blocked all-pairs — never the global N² join), kept if cosine ≥
     * minCos. @param assigned (vec_id, v, cell) */

@@ -67,10 +67,19 @@ object SimilarityQueries {
     Similarity.nearestInCell(assigned(s, dir, cells), MinCos)
   }
 
+  /** Hyperplane-LSH near-dup pairs (VERDICT r4 ask #3): the near-LINEAR
+    * scale path for embedding dedup — signatures in one scan, candidates
+    * from band-key equi-joins, exact-cosine confirm on candidates only.
+    * 8 bands × 8 bits on this corpus; SimilaritySpec proves ~linear
+    * candidate growth with 16-bit bands on a doubled planted-dup corpus. */
+  def nearDupLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshNearDupPairs(pts(s, dir), MinCos, nBits = 64, bands = 8)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute" -> annBrute _,
     "ann_ivf" -> annIvf _,
     "dedup_embedding_nn" -> nearDupNN _,
+    "dedup_embedding_lsh" -> nearDupLsh _,
   )
 
   // ---- oracle CTEs ----
@@ -132,6 +141,27 @@ object SimilarityQueries {
          |SELECT probe_id, CAST(rn AS INT) AS rank, vec_id AS neighbor_id,
          | round(cos, 6) AS cos_sim
          |FROM r WHERE rn <= $K""".stripMargin,
+    // the literal-hyperplane formula of Similarity.hyperplane: sign bits
+    // from the SAME left-to-right fold, packed into 8-bit band keys
+    "dedup_embedding_lsh" ->
+      s"""WITH $base,
+         |bits AS (SELECT vec_id, j.j AS j,
+         |  CASE WHEN list_sum(list_transform(range(1, 65),
+         |    i -> v[i] * ((('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' ||
+         |      CAST((i - 1) AS VARCHAR)), 1, 15))::BIGINT % 19) - 9))) > 0
+         |  THEN 1 ELSE 0 END AS bit
+         |  FROM pts CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j),
+         |keys AS (SELECT vec_id, j // 8 AS band,
+         |   CAST(sum(bit << (j % 8)) AS BIGINT) AS key
+         |  FROM bits GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM keys a JOIN keys b
+         |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+         |conf AS (SELECT vec_a, vec_b, ${cosE("pa.v", "pb.v")} AS cos
+         |  FROM cand JOIN pts pa ON vec_a = pa.vec_id
+         |            JOIN pts pb ON vec_b = pb.vec_id)
+         |SELECT vec_a, vec_b, round(cos, 6) AS cos_sim
+         |FROM conf WHERE cos >= $MinCos""".stripMargin,
     "dedup_embedding_nn" ->
       s"""WITH $base, $assignedSqrtNCte,
          |pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -87,4 +87,49 @@ class SimilaritySpec extends SparkSpec {
     assert(out.length == 50)
     assert(out.forall(r => r.getLong(0) != r.getLong(1)))
   }
+
+  /** n centered Gaussian vectors + every id<m duplicated (id+dupBase) with
+    * tiny noise — planted near-dups at cos ≈ 1. */
+  private def plantedCorpus(n: Int, m: Int, d: Int, seed: Long) = {
+    val rnd = new Random(seed)
+    import spark.implicits._
+    val base = (0L until n).map(i => (i, Array.fill(d)(rnd.nextGaussian())))
+    val dups = base.take(m).map { case (i, v) =>
+      (100000L + i, v.map(_ + 0.001 * rnd.nextGaussian()))
+    }
+    (base ++ dups).toDF("vec_id", "v")
+  }
+
+  test("lshNearDupPairs finds exactly the planted near-dups at a high threshold") {
+    val corpus = plantedCorpus(50, 5, 64, 11)
+    val out = Similarity.lshNearDupPairs(corpus, minCos = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // random 64-dim Gaussian pairs have |cos| ~ 1/8 — nothing near 0.9;
+    // every planted pair must survive both the banding and the confirm
+    assert(out.map(t => (t._1, t._2)).toSet ==
+      (0L until 5L).map(i => (i, 100000L + i)).toSet)
+    assert(out.forall(_._3 >= 0.99))
+  }
+
+  /** Candidate pairs before the cosine confirm — the quantity whose growth
+    * rate separates LSH from blocked all-pairs. */
+  private def lshCandCount(points: org.apache.spark.sql.DataFrame): Long = {
+    val sigs = Similarity.lshSignBands(points, nBits = 64, bands = 4)
+    sigs.as("a").join(sigs.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id")).distinct().count()
+  }
+
+  test("LSH candidate count grows ~linearly on a doubled corpus (vs N^1.5 blocking)") {
+    // corpus = N random + N/10 planted dups; doubling N doubles the true
+    // pairs. 16-bit bands put random collisions near zero (4 * 2^-16 per
+    // pair), so candidates track the planted structure — linear — instead
+    // of the ~4x a quadratic candidate stage would show.
+    val base = lshCandCount(plantedCorpus(300, 30, 64, 21))
+    val doubled = lshCandCount(plantedCorpus(600, 60, 64, 22))
+    assert(base >= 30L, s"must at least find the 30 planted pairs, got $base")
+    assert(doubled <= base * 28 / 10,
+      s"candidate growth must stay ~linear: $base -> $doubled")
+  }
 }
