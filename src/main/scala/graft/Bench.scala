@@ -42,7 +42,23 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
+    println(json)
+    // ALSO persist to a file, atomically (tmp + rename): the driver scrapes
+    // stdout and its tail capture truncated 6 of 71 query timings in r4 —
+    // the file is the loss-proof artifact. Path printed so callers find it.
+    try {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val dir = Paths.get("target")
+      Files.createDirectories(dir)
+      val tmp = dir.resolve("bench.json.tmp")
+      Files.writeString(tmp, json + "\n")
+      Files.move(tmp, dir.resolve("bench.json"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      System.err.println(s"bench json written to ${dir.resolve("bench.json").toAbsolutePath}")
+    } catch { case e: Exception =>
+      System.err.println(s"bench json file write failed (stdout line above is authoritative): $e")
+    }
     spark.stop()
   }
 }
