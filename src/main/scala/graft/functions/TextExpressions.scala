@@ -45,18 +45,29 @@ object TextExpressions {
 
   /** 3-token shingles joined by single spaces; the whole text when fewer
     * than 3 tokens (including the null/empty cases). */
-  def shingles3(s: UTF8String): GenericArrayData = {
+  def shingles3(s: UTF8String): GenericArrayData = shinglesN(s, 3)
+
+  /** Width-N token shingles (same semantics as [[shingles3]] generalized):
+    * the whole text when fewer than N tokens, null element for null input.
+    * Production decontamination runs N=13 (the benchmark-overlap standard);
+    * the dedup family's near-dup signals run N=3. */
+  def shinglesN(s: UTF8String, width: Int): GenericArrayData = {
     if (s == null) return new GenericArrayData(Array[Any](null))
     val toks = tokenize(s)
     val n = toks.numElements()
-    if (n < 3) return new GenericArrayData(Array[Any](s))
+    if (n < width) return new GenericArrayData(Array[Any](s))
     val space = UTF8String.fromString(" ")
-    val out = new Array[Any](n - 2)
+    val out = new Array[Any](n - width + 1)
     var i = 0
-    while (i < n - 2) {
-      out(i) = UTF8String.concat(
-        toks.getUTF8String(i), space, toks.getUTF8String(i + 1), space,
-        toks.getUTF8String(i + 2))
+    while (i < n - width + 1) {
+      val parts = new Array[UTF8String](2 * width - 1)
+      var j = 0
+      while (j < width) {
+        parts(2 * j) = toks.getUTF8String(i + j)
+        if (j < width - 1) parts(2 * j + 1) = space
+        j += 1
+      }
+      out(i) = UTF8String.concat(parts: _*)
       i += 1
     }
     new GenericArrayData(out)
@@ -182,6 +193,30 @@ case class Shingles3(child: Expression) extends TextKernelExpression {
   override def prettyName: String = "shingles3"
 }
 
+/** Width-N token shingles (the 13-gram decontamination path; N is a plan
+  * literal, so codegen bakes it into the static call). */
+case class ShinglesN(child: Expression, width: Int) extends TextKernelExpression {
+  require(width >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override protected def helper: String = "graft.functions.TextExpressions.shinglesN"
+  override protected def evalKernel(s: UTF8String): Any =
+    TextExpressions.shinglesN(s, width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code =
+      code"""
+        ${c.code}
+        $javaType ${ev.value} = $helper(${c.isNull} ? null : ${c.value}, $width);
+      """, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(c: Expression): ShinglesN =
+    copy(child = c)
+  override def prettyName: String = "shingles_n"
+}
+
 /** Polynomial rolling hash (long). */
 case class RollingHash(child: Expression) extends TextKernelExpression {
   override def dataType: DataType = LongType
@@ -198,6 +233,8 @@ object TextKernels {
     ColumnBridge.column(SpaceTokens(ColumnBridge.expression(text)))
   def shingles3(text: Column): Column =
     ColumnBridge.column(Shingles3(ColumnBridge.expression(text)))
+  def shinglesN(text: Column, width: Int): Column =
+    ColumnBridge.column(ShinglesN(ColumnBridge.expression(text), width))
   def rollingHash(text: Column): Column =
     ColumnBridge.column(RollingHash(ColumnBridge.expression(text)))
   def md5Prefix60(text: Column): Column =

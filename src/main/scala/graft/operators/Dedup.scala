@@ -40,6 +40,12 @@ object Dedup {
   def docShinglesRaw(docs: DataFrame, id: String, text: String): DataFrame =
     docs.select(col(id).as("doc"), explode(TextOps.shingles3Fast(col(text))).as("sh"))
 
+  /** Width-N raw shingle occurrences — production decontamination runs 13-gram
+    * overlap, the dedup signals 3-gram; same stream shape at any width. */
+  def docShinglesRawN(docs: DataFrame, id: String, text: String, width: Int): DataFrame =
+    docs.select(col(id).as("doc"),
+      explode(TextOps.shinglesNFast(col(text), width)).as("sh"))
+
   /** Distinct (id, shingle) pairs — the inverted-index base relation. */
   def docShingles(docs: DataFrame, id: String, text: String): DataFrame =
     docShinglesRaw(docs, id, text).distinct()

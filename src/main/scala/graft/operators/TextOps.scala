@@ -43,6 +43,11 @@ object TextOps {
   /** Fast twin of [[shingles3]] — identical output. */
   def shingles3Fast(text: Column): Column = graft.functions.TextKernels.shingles3(text)
 
+  /** Width-N token shingles (N=13 is the decontamination standard); whole
+    * text if fewer than N tokens — [[shingles3]] semantics generalized. */
+  def shinglesNFast(text: Column, width: Int): Column =
+    graft.functions.TextKernels.shinglesN(text, width)
+
   /** BPE-ish token count: runs of letters, runs of digits, or single other
     * non-space chars — the shape a byte-pair pretokenizer produces. */
   val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"

@@ -232,6 +232,16 @@ object TextDedupQueries {
       Dedup.docShinglesRaw(d.where(col("doc_id") < 20), "doc_id", "text"))
   }
 
+  /** Production-width decontamination: 13-token shingle overlap (the
+    * benchmark-leak standard — a shared 13-gram means a verbatim quote, where
+    * 3-grams also fire on idiom). Same single-pass broadcast plan. */
+  def dedupContamination13g(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.contamination(
+      Dedup.docShinglesRawN(d.where(col("doc_id") >= 20), "doc_id", "text", 13),
+      Dedup.docShinglesRawN(d.where(col("doc_id") < 20), "doc_id", "text", 13))
+  }
+
   /** Sharded linear sequence packing at a 2048-token budget over 8 shards
     * (shards ≥ cluster parallelism at real scale; 8 keeps testdata packs
     * non-trivial). All-integer → oracle-exact with no rounding. */
@@ -239,10 +249,19 @@ object TextDedupQueries {
     graft.operators.Packing.packSequences(docs(s, dir), "doc_id",
       size(TextOps.tokens(col("text"))), budget = 2048, shards = 8)
 
+  /** NO-SPLIT packing twin: next-fit within shard, docs atomic, padding
+    * waste surfaced per pack. The oracle replays the same sequential fold as
+    * a recursive CTE over the in-shard row order. */
+  def packSequencesNoSplit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.packSequencesNoSplit(docs(s, dir), "doc_id",
+      size(TextOps.tokens(col("text"))), budget = 2048, shards = 8)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_repetition" -> textRepetition _,
     "dedup_contamination" -> dedupContamination _,
+    "dedup_contamination_13g" -> dedupContamination13g _,
     "pack_sequences" -> packSequences _,
+    "pack_sequences_nosplit" -> packSequencesNoSplit _,
     "text_stats" -> textStats _,
     "text_quality_filter" -> textQualityFilter _,
     "text_langid" -> textLangId _,
@@ -277,6 +296,19 @@ object TextDedupQueries {
       |dsh AS (SELECT DISTINCT doc,
       |   ('0x' || substr(md5(sh), 1, 15))::BIGINT AS sh FROM shs)""".stripMargin
   private def h60(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+  /** Width-N twin of `shinglesCte` (CTE names suffixed to avoid clashes):
+    * `range(1, len - ${width-2})` yields i = 1..len-width+1, one shingle per
+    * window start, matching the kernel's n-width+1 count. */
+  private def shinglesCteN(width: Int): String = {
+    val terms = (0 until width).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+    s"""shs$width AS (SELECT doc_id AS doc, unnest(
+       |   CASE WHEN len(t) < $width THEN [text]
+       |        ELSE list_transform(range(1, len(t) - ${width - 2}),
+       |               i -> $terms) END) AS sh
+       | FROM toks),
+       |dsh$width AS (SELECT DISTINCT doc,
+       |   ('0x' || substr(md5(sh), 1, 15))::BIGINT AS sh FROM shs$width)""".stripMargin
+  }
   private val sigCte =
     s"""hx AS (SELECT doc, sh % 1000000007 AS x FROM dsh),
        |sig AS (SELECT doc, CAST(h.h AS INT) AS h,
@@ -395,6 +427,14 @@ object TextDedupQueries {
          |       min(e.first_eval) AS first_eval
          |FROM dsh d JOIN evl e USING (sh)
          |WHERE d.doc >= 20 GROUP BY 1""".stripMargin,
+    "dedup_contamination_13g" ->
+      s"""WITH $toksCte, ${shinglesCteN(13)},
+         |evl AS (SELECT sh, min(doc) AS first_eval FROM dsh13
+         |        WHERE doc < 20 GROUP BY 1)
+         |SELECT d.doc, CAST(count(DISTINCT d.sh) AS BIGINT) AS n_shared,
+         |       min(e.first_eval) AS first_eval
+         |FROM dsh13 d JOIN evl e USING (sh)
+         |WHERE d.doc >= 20 GROUP BY 1""".stripMargin,
     "pack_sequences" ->
       s"""WITH $toksCte,
          |t AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
@@ -408,6 +448,37 @@ object TextDedupQueries {
          | CAST((cum - n_tokens) % 2048 AS BIGINT) AS offset,
          | n_tokens
          |FROM c""".stripMargin,
+    // next-fit is a sequential fold — the oracle replays it one in-shard row
+    // per recursion step (all shards advance in parallel per step). A doc
+    // joins the running pack iff it fits OR the pack is empty (zero-length
+    // docs can leave used = 0); otherwise it opens the next pack.
+    "pack_sequences_nosplit" ->
+      s"""WITH RECURSIVE $toksCte,
+         |t AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |  ('0x' || substr(md5('pack:' || doc_id), 1, 15))::BIGINT % 8 AS shard
+         | FROM toks),
+         |o AS (SELECT doc_id, shard, n_tokens,
+         |  row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+         | FROM t),
+         |fit AS (
+         |  SELECT doc_id, shard, rn, CAST(0 AS BIGINT) AS pack_id,
+         |    CAST(0 AS BIGINT) AS "offset", n_tokens, n_tokens AS used
+         |  FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.doc_id, o.shard, o.rn,
+         |    CASE WHEN f.used + o.n_tokens <= 2048 OR f.used = 0
+         |         THEN f.pack_id ELSE f.pack_id + 1 END,
+         |    CASE WHEN f.used + o.n_tokens <= 2048 OR f.used = 0
+         |         THEN f.used ELSE 0 END,
+         |    o.n_tokens,
+         |    CASE WHEN f.used + o.n_tokens <= 2048 OR f.used = 0
+         |         THEN f.used + o.n_tokens ELSE o.n_tokens END
+         |  FROM fit f JOIN o ON o.shard = f.shard AND o.rn = f.rn + 1),
+         |w AS (SELECT shard, pack_id, max("offset" + n_tokens) AS used
+         |  FROM fit GROUP BY 1, 2)
+         |SELECT f.doc_id, f.shard, f.pack_id, f."offset" AS "offset", f.n_tokens,
+         |  greatest(2048 - w.used, 0) / 2048.0 AS waste_frac
+         |FROM fit f JOIN w USING (shard, pack_id)""".stripMargin,
     "text_stats" ->
       s"""WITH $toksCte
          |SELECT doc_id,

@@ -43,6 +43,26 @@ class TextKernelIdentitySpec extends SparkSpec {
     }
   }
 
+  test("shinglesN: width 3 == shingles3; width semantics on every case") {
+    val rows = df.select(col("id"), TextOps.shingles3Fast(col("text")).as("a"),
+      TextOps.shinglesNFast(col("text"), 3).as("b"),
+      TextOps.tokensFast(col("text")).as("t"),
+      TextOps.shinglesNFast(col("text"), 5).as("c")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"case ${r.getLong(0)}")
+      val toks = r.getSeq[String](3)
+      val five = r.getSeq[String](4)
+      if (toks.size < 5) {
+        val t = cases(r.getLong(0).toInt)
+        assert(five == Seq(t), s"case ${r.getLong(0)}: short text passes whole")
+      } else {
+        assert(five.size == toks.size - 4, s"case ${r.getLong(0)}")
+        assert(five.head == toks.take(5).mkString(" "), s"case ${r.getLong(0)}")
+        assert(five.last == toks.takeRight(5).mkString(" "), s"case ${r.getLong(0)}")
+      }
+    }
+  }
+
   test("rollingHash matches a String.codePoints reference on every case") {
     def ref(text: String): Long =
       if (text == null || text.isEmpty) 0L
