@@ -29,9 +29,12 @@ object Bench {
     // codegen + scheduler startup (~3s) that isn't its own cost.
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // optional query-name filter (comma-separated) for targeted scale runs —
+    // the driver never sets it, so the per-round bench stays the full catalog
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val samples = (1 to reps).flatMap { _ =>
       graft.operators.Artifacts.clear()
-      SparkEntry.queries.toSeq.map { case (name, fn) =>
+      SparkEntry.queries.toSeq.filter(kv => only.forall(_(kv._1))).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9

@@ -97,6 +97,20 @@ object Similarity {
       ((java.lang.Long.parseLong(hex, 16) % 19) - 9).toDouble
     }
 
+  /** Corpus-sized band width: the band-key space must grow with N or every
+    * bucket's population — and with it the candidate join — goes quadratic
+    * (an 8-bit key space saturates at a few thousand vectors: measured 6M+
+    * candidate pairs on a 20k-vector corpus). `ceil(log2 n) + 2` keeps the
+    * EXPECTED random-collision count per band ~n/4: linear in n, like
+    * [[graft.queries.SimilarityQueries.centroidCount]]'s √N cells. Integer
+    * bit-length arithmetic (no libm log — a 1-ulp flip at a power of two
+    * would desync the two engines); the oracle twin is
+    * `GREATEST(8, LENGTH(BIN(n - 1)) + 2)`. */
+  def bitsPerBand(n: Long): Int = {
+    val blen = if (n <= 1L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    math.max(8, blen + 2)
+  }
+
   /** Hyperplane-LSH band keys for (vec_id, v): `nBits` sign bits (one codegen
     * dot per hyperplane, single scan, no shuffle), pigeonhole-packed into
     * `bands` integer keys → one (vec_id, band, key) row per band.
@@ -105,18 +119,20 @@ object Similarity {
     * come from equi-joining band keys, so work is Σ bucket², bounded by the
     * duplicate structure instead of the ~N^1.5 blocked all-pairs of
     * [[nearestInCell]]. Wider bands (bits/band) push random collisions
-    * toward zero at the cost of recall on low-cosine pairs. */
+    * toward zero at the cost of recall on low-cosine pairs — size them to
+    * the corpus with [[bitsPerBand]]. */
   def lshSignBands(points: DataFrame, nBits: Int = 64, bands: Int = 8): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")
     val bpb = nBits / bands
+    require(bpb <= 62, "band keys are packed into a long")
     val bitCols = (0 until nBits).map { j =>
       val w = array(hyperplane(j).map(lit): _*)
       (dotFast(col("v"), w) > 0.0).cast("int").as(s"bit_$j")
     }
     val withBits = points.select(col("vec_id") +: bitCols: _*)
     val keyCols = (0 until bands).map { b =>
-      (0 until bpb).map(t => col(s"bit_${b * bpb + t}") * lit(1 << t))
-        .reduce(_ + _).cast("long").as(s"key_$b")
+      (0 until bpb).map(t => col(s"bit_${b * bpb + t}").cast("long") * lit(1L << t))
+        .reduce(_ + _).as(s"key_$b")
     }
     withBits.select(col("vec_id"), posexplode(array(keyCols: _*)).as(Seq("band", "key")))
   }

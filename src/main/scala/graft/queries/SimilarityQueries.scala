@@ -70,10 +70,15 @@ object SimilarityQueries {
   /** Hyperplane-LSH near-dup pairs (VERDICT r4 ask #3): the near-LINEAR
     * scale path for embedding dedup — signatures in one scan, candidates
     * from band-key equi-joins, exact-cosine confirm on candidates only.
-    * 8 bands × 8 bits on this corpus; SimilaritySpec proves ~linear
-    * candidate growth with 16-bit bands on a doubled planted-dup corpus. */
-  def nearDupLsh(s: SparkSession, dir: String): DataFrame =
-    Similarity.lshNearDupPairs(pts(s, dir), MinCos, nBits = 64, bands = 8)
+    * 8 bands × corpus-sized key width ([[Similarity.bitsPerBand]] — the r5
+    * sf1 spot-check measured fixed 8-bit keys going quadratic at 20k
+    * vectors); SimilaritySpec proves ~linear candidate growth on a doubled
+    * planted-dup corpus. */
+  def nearDupLsh(s: SparkSession, dir: String): DataFrame = {
+    val p = pts(s, dir)
+    val bpb = Similarity.bitsPerBand(p.count())
+    Similarity.lshNearDupPairs(p, MinCos, nBits = 8 * bpb, bands = 8)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute" -> annBrute _,
@@ -142,18 +147,23 @@ object SimilarityQueries {
          | round(cos, 6) AS cos_sim
          |FROM r WHERE rn <= $K""".stripMargin,
     // the literal-hyperplane formula of Similarity.hyperplane: sign bits
-    // from the SAME left-to-right fold, packed into 8-bit band keys
+    // from the SAME left-to-right fold, packed into corpus-sized band keys
+    // (params.bpb = integer twin of Similarity.bitsPerBand — bit-length
+    // arithmetic, no libm log)
     "dedup_embedding_lsh" ->
       s"""WITH $base,
+         |params AS (SELECT GREATEST(8, LENGTH(BIN(COUNT(*) - 1)) + 2) AS bpb
+         |  FROM embeddings),
+         |js AS (SELECT unnest(range(0, 8 * bpb)) AS j FROM params),
          |bits AS (SELECT vec_id, j.j AS j,
          |  CASE WHEN list_sum(list_transform(range(1, 65),
          |    i -> v[i] * ((('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' ||
          |      CAST((i - 1) AS VARCHAR)), 1, 15))::BIGINT % 19) - 9))) > 0
          |  THEN 1 ELSE 0 END AS bit
-         |  FROM pts CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j),
-         |keys AS (SELECT vec_id, j // 8 AS band,
-         |   CAST(sum(bit << (j % 8)) AS BIGINT) AS key
-         |  FROM bits GROUP BY 1, 2),
+         |  FROM pts CROSS JOIN js j),
+         |keys AS (SELECT vec_id, j // bpb AS band,
+         |   CAST(sum(bit << (j % bpb)) AS BIGINT) AS key
+         |  FROM bits CROSS JOIN params GROUP BY 1, 2),
          |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          |  FROM keys a JOIN keys b
          |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),

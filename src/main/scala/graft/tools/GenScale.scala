@@ -1,0 +1,79 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic local scale-up of the driver testdata (sf0.1 → "sf1") for
+  * the heavy-query scale spot-check (VERDICT r4 §next-round 8). NOT driver
+  * data and NOT oracle-checked — a load generator only, written under
+  * `target/` so it never touches /root/testdata.
+  *
+  * Each copy `i` of `copies` shifts every key column by `i * (max+1)` so key
+  * cardinality grows ×copies with group-size distributions UNCHANGED (naive
+  * row duplication would instead inflate every group/near-dup cluster ×10 —
+  * a skew change, not a scale change). Document text is perturbed per copy
+  * with a letter-rotation `translate` so copies are textually DISTINCT
+  * (near-dup cluster sizes stay realistic; token counts and lengths are
+  * preserved exactly).
+  *
+  * Usage: runMain graft.tools.GenScale <srcDir> <outDir> [copies=10]
+  */
+object GenScale {
+
+  private val Rot = "etaoinshr" // high-frequency letters; rotation i ≠ identity
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val out = args(1)
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def keyShift(df: DataFrame, keys: Seq[String], i: Int,
+                 spans: Map[String, Long]): DataFrame =
+      keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(i * spans(k))))
+
+    def replicate(table: String, keys: Seq[String],
+                  perCopy: (DataFrame, Int) => DataFrame = (d, _) => d): Unit = {
+      val base = spark.read.parquet(s"$src/$table.parquet")
+      val spans = keys.map(k =>
+        k -> (base.agg(max(col(k))).head.getLong(0) + 1L)).toMap
+      val scaled = (0 until copies)
+        .map(i => keyShift(perCopy(base, i), keys, i, spans))
+        .reduce(_ union _)
+      scaled.write.mode("overwrite").parquet(s"$out/$table.parquet")
+      println(s"[genscale] $table ×$copies -> $out/$table.parquet")
+    }
+
+    replicate("documents", Seq("doc_id"), (d, i) =>
+      if (i == 0) d
+      else {
+        val to = Rot.drop(i % Rot.length) + Rot.take(i % Rot.length)
+        d.withColumn("text", translate(col("text"), Rot, to))
+      })
+    // circular-shift the embedding dims per copy: norms and all WITHIN-copy
+    // pairwise distances are preserved exactly (realistic timing), while
+    // cross-copy cosine decorrelates — identical duplicates would instead
+    // inflate every near-dup cluster ×copies (a skew change, not scale)
+    replicate("embeddings", Seq("vec_id"), (d, i) =>
+      if (i == 0) d
+      else d.withColumn("embedding",
+        concat(slice(col("embedding"), lit(i + 1), size(col("embedding")) - i),
+               slice(col("embedding"), lit(1), lit(i)))))
+    replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    // pass the rest through unscaled so outDir is a complete sfdir (Bench
+    // warms up on region; unfiltered runs must not hit missing paths)
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "events")
+      .foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+        println(s"[genscale] $t passthrough -> $out/$t.parquet")
+      }
+    spark.stop()
+  }
+}

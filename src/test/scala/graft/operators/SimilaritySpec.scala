@@ -121,6 +121,20 @@ class SimilaritySpec extends SparkSpec {
       .select(col("a.vec_id"), col("b.vec_id")).distinct().count()
   }
 
+  test("bitsPerBand: integer ceil(log2 n)+2 with floor 8, stable at powers of 2") {
+    assert(Similarity.bitsPerBand(0) == 8)
+    assert(Similarity.bitsPerBand(1) == 8)
+    assert(Similarity.bitsPerBand(200) == 10)   // ceil(log2 200)=8
+    assert(Similarity.bitsPerBand(256) == 10)   // exactly 2^8 → 8, not 9
+    assert(Similarity.bitsPerBand(257) == 11)
+    assert(Similarity.bitsPerBand(500) == 11)
+    assert(Similarity.bitsPerBand(20000) == 17)
+    // key space must stay ≥ ~4x corpus so buckets don't saturate
+    for (n <- Seq(100L, 1000L, 100000L, 10000000L))
+      assert((1L << Similarity.bitsPerBand(n)) >= n * 2,
+        s"key space too small at n=$n")
+  }
+
   test("LSH candidate count grows ~linearly on a doubled corpus (vs N^1.5 blocking)") {
     // corpus = N random + N/10 planted dups; doubling N doubles the true
     // pairs. 16-bit bands put random collisions near zero (4 * 2^-16 per
