@@ -164,9 +164,47 @@ object EventQueries {
     fork.read.parquet(outDir).select(col("user_id"), col("bucket"), col("n"), col("state"))
   }
 
+  /** The STREAMING sessionize path directly under the DuckDB oracle — same
+    * harness as [[resampleStreamed]]: parquet → `readStream` →
+    * [[graft.streaming.EventStream.sessionize]] (flatMapGroupsWithState,
+    * per-user session ordinals) → parquet sink via `Trigger.AvailableNow`;
+    * the sink is hash-compared against the SAME oracle SQL as
+    * `events_sessionize`. The far-future sentinel advances the watermark
+    * past every open session's timeout so all sessions flush; its own
+    * session never times out and is filtered. */
+  def sessionizeStreamed(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    import fork.implicits._
+    fork.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = fork.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val maxTsUs = src.agg(max(unix_micros(col("ts")))).head.getLong(0)
+    val sentinel = fork.range(1).select(
+      lit(-1L).as("event_id"),
+      timestamp_micros(lit(maxTsUs + 86400L * 1000000)).as("ts"),
+      lit(-1L).as("user_id"), lit("view").as("event_type"), lit(0.0).as("value"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sessionize_stream")
+    val (inDir, outDir, ckpt) = (s"$tmp/in", s"$tmp/out", s"$tmp/ckpt")
+    src.union(sentinel).write.parquet(inDir)
+    val stream = fork.readStream.schema(src.schema).parquet(inDir)
+      .as[graft.streaming.EventStream.Event]
+    val q = graft.streaming.EventStream.sessionize(stream)
+      .filter(_.user_id >= 0)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    fork.read.parquet(outDir).select(col("user_id"), col("session_id"),
+      col("n_events").cast("long").as("n_events"), col("duration_s"),
+      round(col("sum_value"), 4).as("sum_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_resample" -> resample _,
     "events_resample_stream" -> resampleStreamed _,
+    "events_sessionize_stream" -> sessionizeStreamed _,
     "events_json_extract" -> jsonExtract _,
     "events_hourly" -> hourly _,
     "events_sliding" -> sliding _,
@@ -249,7 +287,16 @@ object EventQueries {
         |FROM events e JOIN fv ON e.user_id = fv.user_id
         |WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > fv.first_view_us
         |GROUP BY 1""".stripMargin,
-  ) + ("events_sessionize" ->
+  ) ++ sessionizeOracles
+
+  // the streaming sink must equal the batch gaps-and-islands EXACTLY,
+  // session ordinals included — same oracle for both entries
+  private lazy val sessionizeOracles = Map(
+    "events_sessionize" -> sessionizeOracleSql,
+    "events_sessionize_stream" -> sessionizeOracleSql)
+
+  // lazy: initialized on demand from oracleSql's own initializer above
+  private lazy val sessionizeOracleSql = ("" +
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
         |  FROM events),

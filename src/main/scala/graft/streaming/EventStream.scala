@@ -42,9 +42,12 @@ object EventStream {
                    event_type: String, value: Double)
   /** start/last are epoch MICROseconds — `Timestamp.getTime` (ms) truncates
     * sub-ms parts and drifts the duration off the batch twin's integer-us
-    * arithmetic by up to a second on boundaries. */
-  case class SessionState(start: Long, last: Long, n: Int, sum: Double)
-  case class Session(user_id: Long, n_events: Int, duration_s: Long, sum_value: Double)
+    * arithmetic by up to a second on boundaries. `seq` is the per-user
+    * session ordinal (1-based, event-time order) so the emitted rows carry
+    * the same `session_id` the batch gaps-and-islands form assigns. */
+  case class SessionState(start: Long, last: Long, n: Int, sum: Double, seq: Long)
+  case class Session(user_id: Long, session_id: Long, n_events: Int,
+                     duration_s: Long, sum_value: Double)
 
   /** Exact epoch-us of a Timestamp: getTime gives floor-ms, getNanos the full
     * fractional second. */
@@ -167,7 +170,7 @@ object EventStream {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(Session(userId, s.n, (s.last - s.start) / 1000000, s.sum))
+            Iterator.single(Session(userId, s.seq, s.n, (s.last - s.start) / 1000000, s.sum))
           } else {
             val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
             var cur = state.getOption
@@ -176,12 +179,12 @@ object EventStream {
               val t = micros(e.ts)
               cur match {
                 case Some(s) if t - s.last <= gapUs =>
-                  cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value, s.seq))
                 case Some(s) =>
-                  out += Session(userId, s.n, (s.last - s.start) / 1000000, s.sum)
-                  cur = Some(SessionState(t, t, 1, e.value))
+                  out += Session(userId, s.seq, s.n, (s.last - s.start) / 1000000, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value, s.seq + 1))
                 case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
+                  cur = Some(SessionState(t, t, 1, e.value, 1L))
               }
             }
             cur.foreach { s =>

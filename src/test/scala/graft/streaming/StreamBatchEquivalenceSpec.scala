@@ -73,15 +73,16 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
       q.processAllAvailable()
       val streamed = spark.table("eq_sessions")
         .where(col("user_id") >= 0) // drop the sentinel's own session (if emitted)
-        .select(col("user_id"), col("n_events"), col("duration_s"),
+        .select(col("user_id"), col("session_id"), col("n_events"), col("duration_s"),
           round(col("sum_value"), 4).as("sum_value"))
         .collect()
-        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
         .sorted
       val batch = EventQueries.sessionize(spark, dir)
-        .select(col("user_id"), col("n_events").cast("int"), col("duration_s"), col("sum_value"))
+        .select(col("user_id"), col("session_id"), col("n_events").cast("int"),
+          col("duration_s"), col("sum_value"))
         .collect()
-        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
         .sorted
       assert(streamed.nonEmpty)
       assert(streamed.toSeq == batch.toSeq)
