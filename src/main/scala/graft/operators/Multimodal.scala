@@ -96,6 +96,50 @@ object Multimodal {
     df.withColumn("img", dec(col(payloadCol)))
   }
 
+  /** REAL image resize: decode, nearest-neighbor downsample to (dstW, dstH)
+    * — dst pixel (x, y) samples src (x·srcW/dstW, y·srcH/dstH), integer
+    * floor, the standard NN convention — then summarize the RESIZED pixels.
+    * Materializes the resized BufferedImage (the thing a training pipeline
+    * would re-encode and ship), not just a histogram fold. None on
+    * null/undecodable payloads, like [[decodeImage]]. */
+  def resizeImage(payload: Array[Byte], dstW: Int, dstH: Int): Option[ImageFeatures] = {
+    require(dstW > 0 && dstH > 0)
+    if (payload == null) return None
+    try {
+      val src = ImageIO.read(new ByteArrayInputStream(payload))
+      if (src == null) return None
+      val dst = new BufferedImage(dstW, dstH, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < dstH) {
+        var x = 0
+        while (x < dstW) {
+          dst.setRGB(x, y, src.getRGB(x * src.getWidth / dstW, y * src.getHeight / dstH))
+          x += 1
+        }
+        y += 1
+      }
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      y = 0
+      while (y < dstH) {
+        var x = 0
+        while (x < dstW) {
+          val rgb = dst.getRGB(x, y)
+          sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      Some(ImageFeatures(dstW, dstH, sr, sg, sb))
+    } catch { case _: Exception => None }
+  }
+
+  /** Resize feature extraction: partition-local decode + NN resize. */
+  def imageResize(df: DataFrame, dstW: Int, dstH: Int,
+                  payloadCol: String = "payload"): DataFrame = {
+    val rz = udf { (b: Array[Byte]) => resizeImage(b, dstW, dstH) }
+    df.withColumn("rimg", rz(col(payloadCol)))
+  }
+
   // ----------------------------------------------------------------- audio
 
   /** Decoded-audio summary: PCM header fields + exact sample aggregates. */

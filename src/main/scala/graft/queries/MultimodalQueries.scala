@@ -51,6 +51,24 @@ object MultimodalQueries {
         col("wav.maxAmp").as("max_amp"))
   }
 
+  /** REAL decode → resize under the oracle: synthesize a 16×16 PNG, decode,
+    * nearest-neighbor downsample to 8×8 (dst (x,y) samples src (2x, 2y)),
+    * emit the RESIZED image's channel sums. The oracle evaluates the
+    * synthetic-pixel formula on exactly the sampled source offsets — a
+    * one-pixel-off resize (center-sampling, rounding, transposed axes)
+    * hash-mismatches. */
+  def mmImageResize(s: SparkSession, dir: String): DataFrame = {
+    val makePng = udf { (id: Long) => Multimodal.syntheticPng(id, PngW, PngH) }
+    val media = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("media_id"))
+      .withColumn("payload", makePng(col("media_id")))
+    Multimodal.imageResize(media, PngW / 2, PngH / 2)
+      .select(col("media_id"),
+        col("rimg.width").as("width"), col("rimg.height").as("height"),
+        col("rimg.sumR").as("sum_r"), col("rimg.sumG").as("sum_g"),
+        col("rimg.sumB").as("sum_b"))
+  }
+
   /** Byte-level metadata over a binary payload column: size + digest +
     * a 4-bucket shard key. Pure column expressions, no decode. */
   def mmByteStats(s: SparkSession, dir: String): DataFrame = {
@@ -95,6 +113,7 @@ object MultimodalQueries {
     "mm_feature_agg" -> mmFeatureAgg _,
     "mm_frame_sample" -> mmFrameSample _,
     "mm_image_decode" -> mmImageDecode _,
+    "mm_image_resize" -> mmImageResize _,
     "mm_audio_decode" -> mmAudioDecode _,
   )
 
@@ -141,6 +160,22 @@ object MultimodalQueries {
          |  CAST(sum((media_id * 7919 + p * 257 + 101) % 256) AS BIGINT) AS sum_g,
          |  CAST(sum((media_id * 7919 + p * 257 + 202) % 256) AS BIGINT) AS sum_b
          |FROM px GROUP BY 1""".stripMargin,
+    // NN resize sampling map: dst q (0..dstW·dstH-1) → src p =
+    // (2·(q div dstW))·srcW + 2·(q mod dstW); sums evaluate the synthetic
+    // formula at exactly those source offsets
+    "mm_image_resize" -> {
+      val (dw, dh) = (PngW / 2, PngH / 2)
+      s"""WITH px AS (
+         |  SELECT doc_id AS media_id, unnest(range(0, ${dw * dh})) AS q
+         |  FROM documents),
+         |mapped AS (
+         |  SELECT media_id, (q // $dw * 2) * $PngW + (q % $dw) * 2 AS p FROM px)
+         |SELECT media_id, $dw AS width, $dh AS height,
+         |  CAST(sum((media_id * 7919 + p * 257) % 256) AS BIGINT) AS sum_r,
+         |  CAST(sum((media_id * 7919 + p * 257 + 101) % 256) AS BIGINT) AS sum_g,
+         |  CAST(sum((media_id * 7919 + p * 257 + 202) % 256) AS BIGINT) AS sum_b
+         |FROM mapped GROUP BY 1""".stripMargin
+    },
     // the sample formula of Multimodal.syntheticWav — validates the PCM
     // header walk AND every little-endian 16-bit sample
     "mm_audio_decode" ->

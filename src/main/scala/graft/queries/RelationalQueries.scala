@@ -227,7 +227,64 @@ object RelationalQueries {
       .select(col("s_suppkey"), col("s_name"))
   }
 
+  /** Window NAVIGATION functions (the family `q_window_rank`'s ranking row
+    * doesn't cover): per customer order timeline — days since the previous
+    * order (lag), the next order's date (lead), the first order date
+    * (first_value over the running frame), and a price quartile (ntile).
+    * All integer/date arithmetic — no float discipline needed. Ties broken
+    * by o_orderkey in every window so both engines pick identical rows. */
+  def qWindowNav(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDate = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val byPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+      datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(byDate))
+        .as("days_since_prev"),
+      date_format(lead(col("o_orderdate"), 1).over(byDate), "yyyy-MM-dd").as("next_date"),
+      date_format(first_value(col("o_orderdate")).over(byDate), "yyyy-MM-dd").as("first_date"),
+      ntile(4).over(byPrice).as("price_quartile"))
+  }
+
+  /** LATERAL correlated subquery through the SQL parser: top-2 customers by
+    * account balance per nation — the classic per-row dependent subselect in
+    * FROM position (Catalyst decorrelates to a ranked window under the
+    * hood; DuckDB executes the same SQL shape natively). */
+  def qLateralTopn(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    t(fork, dir, "nation").createOrReplaceTempView("graft_nation")
+    t(fork, dir, "customer").createOrReplaceTempView("graft_customer")
+    fork.sql("""
+      SELECT n.n_name, top.c_name, top.c_acctbal
+      FROM graft_nation n,
+      LATERAL (SELECT c_name, c_acctbal FROM graft_customer c
+               WHERE c.c_nationkey = n.n_nationkey
+               ORDER BY c_acctbal DESC, c_name LIMIT 2) AS top
+    """)
+  }
+
+  /** Conditional aggregation (FILTER/CASE family): per order priority —
+    * count over a predicate, a status-restricted DECIMAL sum, and a
+    * predicate share. The share is exact-integer division (count/count) so
+    * round(6) is cross-engine stable. */
+  def qConditionalAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("o_totalprice") > 200000, 1)).as("n_big"),
+        round(sum(when(col("o_orderstatus") === "F",
+            col("o_totalprice").cast("decimal(18,4)"))
+          .otherwise(lit(0).cast("decimal(18,4)"))).cast("double"), 2).as("f_total"),
+        round(count(when(col("o_totalprice") > 200000, 1)).cast("double") /
+          count(lit(1)), 6).as("big_share"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_nav" -> qWindowNav _,
+    "q_lateral_topn" -> qLateralTopn _,
+    "q_conditional_agg" -> qConditionalAgg _,
     "q_anti_join" -> qAntiJoin _,
     "q_semi_join" -> qSemiJoin _,
     "q_pivot" -> qPivot _,
@@ -251,6 +308,34 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_window_nav" ->
+      """SELECT o_custkey, o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        | CAST(date_diff('day',
+        |   lag(o_orderdate) OVER wd, o_orderdate) AS INT) AS days_since_prev,
+        | strftime(lead(o_orderdate) OVER wd, '%Y-%m-%d') AS next_date,
+        | strftime(first_value(o_orderdate) OVER
+        |   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), '%Y-%m-%d') AS first_date,
+        | CAST(ntile(4) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS price_quartile
+        |FROM orders
+        |WINDOW wd AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q_lateral_topn" ->
+      """SELECT n.n_name, top.c_name, top.c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_name, c_acctbal FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_name LIMIT 2) AS top""".stripMargin,
+    "q_conditional_agg" ->
+      """SELECT o_orderpriority,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT) AS n_big,
+        | round(CAST(sum(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice
+        |   ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE), 2) AS f_total,
+        | round(count(*) FILTER (WHERE o_totalprice > 200000) * 1.0 / count(*), 6)
+        |   AS big_share
+        |FROM orders GROUP BY 1""".stripMargin,
     "q_anti_join" ->
       """SELECT p_partkey, p_brand FROM part
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem

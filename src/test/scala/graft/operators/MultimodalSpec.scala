@@ -31,6 +31,19 @@ class MultimodalSpec extends SparkSpec {
     assert(f(3L).isEmpty)               // null payload -> null features
   }
 
+  test("REAL resize: NN 4x4 -> 2x2 samples exactly pixels (0,0),(2,0),(0,2),(2,2)") {
+    val img = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (p <- 0 until 16) // pixel p: r = 10p, g = 10p+1, b = 10p+2
+      img.setRGB(p % 4, p / 4, ((10 * p) << 16) | ((10 * p + 1) << 8) | (10 * p + 2))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val out = Multimodal.resizeImage(bos.toByteArray, 2, 2).get
+    // sampled src pixels p = 0, 2, 8, 10 → sumR = 10·(0+2+8+10) = 200
+    assert(out == Multimodal.ImageFeatures(2, 2, 200L, 204L, 208L))
+    assert(Multimodal.resizeImage(null, 2, 2).isEmpty)
+    assert(Multimodal.resizeImage(Array[Byte](1, 2, 3), 2, 2).isEmpty)
+  }
+
   test("REAL image decode: known 2x2 PNG round-trips to exact pixel sums") {
     // encode known pixels with ImageIO, decode with decodeImage — channel
     // sums must be bit-exact: (10,20,30),(40,50,60),(70,80,90),(100,110,120)
