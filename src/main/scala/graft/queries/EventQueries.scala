@@ -201,10 +201,77 @@ object EventQueries {
       round(col("sum_value"), 4).as("sum_value"))
   }
 
+  /** STREAMING exactly-once ingestion dedup under the oracle: the events
+    * flow is polluted with replayed rows (every event_id ≡ 0 mod 7 appears
+    * twice — an at-least-once source's redelivery), streamed through
+    * [[graft.streaming.EventStream.dedupEvents]]
+    * (`dropDuplicatesWithinWatermark` on event_id) into a parquet sink; the
+    * sink must equal the CLEAN events table exactly. Replays are identical
+    * rows, so survivor choice is immaterial; state is bounded by the
+    * watermark horizon (the production property — an unbounded `distinct`
+    * would never age out). */
+  def dedupStreamed(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    fork.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = fork.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val replays = src.where(col("event_id") % 7 === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
+    val (inDir, outDir, ckpt) = (s"$tmp/in", s"$tmp/out", s"$tmp/ckpt")
+    src.union(replays).write.parquet(inDir)
+    val stream = fork.readStream.schema(src.schema).parquet(inDir)
+    val q = graft.streaming.EventStream.dedupEvents(stream)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    fork.read.parquet(outDir).select(col("event_id"),
+      unix_micros(col("ts")).as("ts_us"), col("user_id"), col("event_type"),
+      col("value"))
+  }
+
+  /** The WINDOWED-AGGREGATION streaming shape under the oracle (the third
+    * stateful form next to flatMapGroupsWithState and stream-dedup):
+    * `readStream` → watermark → tumbling-window groupBy → APPEND-mode
+    * parquet sink — append emits a window only once the watermark passes
+    * its end, so the sink holds exactly the finalized windows. The sentinel
+    * advances the watermark past every data window; its own window ends
+    * beyond the final watermark and is never emitted. Same oracle as
+    * `events_hourly`. */
+  def hourlyStreamed(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    fork.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = fork.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val maxTsUs = src.agg(max(unix_micros(col("ts")))).head.getLong(0)
+    val sentinel = fork.range(1).select(
+      lit(-1L).as("event_id"),
+      timestamp_micros(lit(maxTsUs + 86400L * 1000000)).as("ts"),
+      lit(-1L).as("user_id"), lit("view").as("event_type"), lit(0.0).as("value"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hourly_stream")
+    val (inDir, outDir, ckpt) = (s"$tmp/in", s"$tmp/out", s"$tmp/ckpt")
+    src.union(sentinel).write.parquet(inDir)
+    val stream = fork.readStream.schema(src.schema).parquet(inDir)
+    val q = graft.streaming.EventStream.hourly(stream)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    fork.read.parquet(outDir).select(
+      date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+      col("event_type"), col("n"), round(col("sum_value"), 4).as("sum_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_resample" -> resample _,
     "events_resample_stream" -> resampleStreamed _,
     "events_sessionize_stream" -> sessionizeStreamed _,
+    "events_dedup_stream" -> dedupStreamed _,
+    "events_hourly_stream" -> hourlyStreamed _,
     "events_json_extract" -> jsonExtract _,
     "events_hourly" -> hourly _,
     "events_sliding" -> sliding _,
@@ -252,6 +319,10 @@ object EventQueries {
     "events_resample" -> resampleOracleSql,
     // the streaming sink must equal the batch grid EXACTLY — same oracle
     "events_resample_stream" -> resampleOracleSql,
+    // replay-polluted stream deduped back to exactly the clean table
+    "events_dedup_stream" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        |FROM events""".stripMargin,
     "events_range_join" -> {
       val bands = (0 to 20)
         .map(k => s"($k, ${k * 5.0}::DOUBLE, ${k * 5.0 + 12.0}::DOUBLE)").mkString(", ")
@@ -262,6 +333,12 @@ object EventQueries {
          |GROUP BY 1""".stripMargin
     },
     "events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        | event_type, CAST(count(*) AS BIGINT) AS n,
+        | round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // the finalized-window sink must equal the batch aggregation exactly
+    "events_hourly_stream" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         | event_type, CAST(count(*) AS BIGINT) AS n,
         | round(sum(value), 4) AS sum_value

@@ -66,6 +66,25 @@ object MlQueries {
         round((col("x") - col("mu")) / col("sigma"), 4).as("z"))
   }
 
+  /** Symmetric int8 quantization of the embedding corpus — the compression
+    * step an ANN-serving layer runs (4 bytes → 1 per dim). Per-dim max-abs
+    * scale from ONE agg pass (double `max` is order-exact, no DECIMAL needed
+    * — unlike sums), then `code = floor(x/s·127 + 0.5)`: both engines fold
+    * the identical IEEE expression left-to-right, so the codes AND the
+    * dequantized reconstructions are bit-deterministic with no rounding
+    * escape hatch. Constant-zero dims (s = 0) code to 0. The 64-row scale
+    * table is a broadcast side, like [[mlStandardize]]'s stats. */
+  def mlQuantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    val exploded = SomQueries.points(s, dir)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "x")))
+    val scales = exploded.groupBy(col("dim")).agg(max(abs(col("x"))).as("s"))
+    val code = when(col("s") === 0.0, lit(0L))
+      .otherwise(floor(col("x") / col("s") * 127 + 0.5))
+    exploded.join(broadcast(scales), "dim")
+      .select(col("vec_id"), col("dim"), code.cast("int").as("code"),
+        (round(code.cast("double") * col("s") / 127, 6) + lit(0.0)).as("recon"))
+  }
+
   // ---- oracle-checked training loop --------------------------------------
   // 5 full batch-SOM iterations, checkable against a generated DuckDB CTE
   // chain. Two determinism devices make cross-engine equality exact:
@@ -232,6 +251,7 @@ object MlQueries {
     "som_fit_predict" -> somFitPredict _,
     "som_fit5" -> somFit5 _,
     "ml_standardize" -> mlStandardize _,
+    "ml_quantize_int8" -> mlQuantizeInt8 _,
     "ml_train_test_split" -> mlTrainTestSplit _,
     "ml_lang_centroids" -> mlLangCentroids _,
   )
@@ -257,6 +277,22 @@ object MlQueries {
          |GROUP BY 1, 2""".stripMargin,
     "som_fit5" -> somFit5Oracle,
     "som_fit_predict" -> somFitPredictOracle,
+    // same explode shape as ml_standardize; code/recon are the identical
+    // IEEE folds Spark runs (floor(x/s*127 + 0.5), code*s/127)
+    "ml_quantize_int8" ->
+      """WITH ex AS (
+        |  SELECT vec_id, CAST(i - 1 AS INT) AS dim, v[i] AS x FROM
+        |  (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |          unnest(range(1, 65)) AS i
+        |   FROM embeddings)),
+        |scales AS (SELECT dim, max(abs(x)) AS s FROM ex GROUP BY 1),
+        |q AS (
+        |  SELECT vec_id, ex.dim,
+        |    CASE WHEN s = 0 THEN 0 ELSE floor(x / s * 127 + 0.5) END AS code, s
+        |  FROM ex JOIN scales ON ex.dim = scales.dim)
+        |SELECT vec_id, dim, CAST(code AS INT) AS code,
+        |  round(code * s / 127, 6) + 0 AS recon
+        |FROM q""".stripMargin,
     "ml_standardize" ->
       """WITH ex AS (
         |  SELECT vec_id, CAST(i - 1 AS INT) AS dim, v[i] AS x FROM

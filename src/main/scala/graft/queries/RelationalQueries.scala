@@ -220,6 +220,20 @@ object RelationalQueries {
       .select(col("p_partkey"), col("p_brand"))
   }
 
+  /** NOT IN subquery through the SQL parser — the NULL-AWARE anti-join form
+    * (distinct from `q_anti_join`'s NOT EXISTS: one NULL in the subquery
+    * legally empties a NOT IN result, so Catalyst must plan
+    * null-aware semantics, not a plain anti join). */
+  def qNotIn(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    t(fork, dir, "part").createOrReplaceTempView("graft_part")
+    t(fork, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
+    fork.sql("""
+      SELECT p_partkey, p_brand FROM graft_part
+      WHERE p_partkey NOT IN
+        (SELECT l_partkey FROM graft_lineitem WHERE l_quantity >= 48)
+    """)
+  }
+
   /** Semi join: suppliers with at least one deep-discount line. */
   def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
     val disc = t(s, dir, "lineitem").where(col("l_discount") > 0.09).select(col("l_suppkey"))
@@ -285,6 +299,7 @@ object RelationalQueries {
     "q_window_nav" -> qWindowNav _,
     "q_lateral_topn" -> qLateralTopn _,
     "q_conditional_agg" -> qConditionalAgg _,
+    "q_not_in" -> qNotIn _,
     "q_anti_join" -> qAntiJoin _,
     "q_semi_join" -> qSemiJoin _,
     "q_pivot" -> qPivot _,
@@ -336,6 +351,10 @@ object RelationalQueries {
         | round(count(*) FILTER (WHERE o_totalprice > 200000) * 1.0 / count(*), 6)
         |   AS big_share
         |FROM orders GROUP BY 1""".stripMargin,
+    "q_not_in" ->
+      """SELECT p_partkey, p_brand FROM part
+        |WHERE p_partkey NOT IN
+        |  (SELECT l_partkey FROM lineitem WHERE l_quantity >= 48)""".stripMargin,
     "q_anti_join" ->
       """SELECT p_partkey, p_brand FROM part
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem

@@ -67,6 +67,33 @@ class PlanSpec extends SparkSpec {
       s"expected the aggregate+join decorrelation shape:\n$p")
   }
 
+  test("pack_sequences_nosplit: one shard exchange, in-partition sort, no window") {
+    val p = plan(TextDedupQueries.packSequencesNoSplit(spark, dir))
+    assert(p.contains("Exchange hashpartitioning(shard"),
+      s"next-fit must shuffle once on the shard key:\n$p")
+    assert(!p.contains("Window"), "next-fit is the mapPartitions path, not a window")
+    assert(p.contains("], false, 0") && !p.contains("], true, "),
+      s"in-shard order must be a PARTITION-LOCAL sort, never global:\n$p")
+  }
+
+  test("q_window_nav: both windows share one customer-key exchange each, no cartesian") {
+    val p = plan(RelationalQueries.qWindowNav(spark, dir))
+    assert(p.contains("Window"), "navigation functions must plan as window operators")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_lateral_topn: LATERAL decorrelates — no nested-loop per-nation subquery") {
+    val p = plan(RelationalQueries.qLateralTopn(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"LATERAL must not plan a cartesian:\n$p")
+  }
+
+  test("dedup_contamination_13g: eval side broadcast, no corpus-side pre-join shuffle") {
+    val p = plan(TextDedupQueries.dedupContamination13g(spark, dir))
+    assert(p.contains("BroadcastExchange"), "eval shingle set must broadcast")
+    assert(!p.contains("ScalaUDF"), "13-gram shingles must use the native kernel")
+  }
+
   test("text/dedup hot paths run UDF-free (native kernels, codegen intact)") {
     // tokensFast/shingles3Fast/rollingHash/md5Hash60 were Scala UDFs through
     // round 2 — a serialization fence per row. Pin their native-expression
