@@ -92,9 +92,27 @@ object SourceQueries {
         size(col("name_words")).as("n_words"))
   }
 
+  /** ORC write → read round-trip as a catalog entry: nation lands in ORC
+    * (Spark's native vectorized ORC path — predicate pushdown and column
+    * pruning like parquet), is read back and filtered. DuckDB can't read
+    * ORC, so the oracle states data equality against the SAME rows from the
+    * parquet `nation` table — the round-trip must be lossless. */
+  def srcOrcNation(s: SparkSession, dir: String): DataFrame = {
+    val orcPath = s"$FixtureDir/nation_orc"
+    Sources.writeOrc(
+      s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey")),
+      orcPath)
+    Sources.readOrc(s, orcPath)
+      .where(col("n_regionkey") < 3)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_csv_nation" -> srcCsvNation _,
     "src_json_nation" -> srcJsonNation _,
+    "src_orc_nation" -> srcOrcNation _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -111,5 +129,11 @@ object SourceQueries {
          |  columns={'n_nationkey':'BIGINT','n_name':'VARCHAR','n_regionkey':'BIGINT',
          |           'name_words':'VARCHAR[]'})
          |WHERE n_regionkey < 3""".stripMargin,
+    // DuckDB has no ORC reader — the oracle asserts round-trip losslessness
+    // against the same rows from the parquet nation table
+    "src_orc_nation" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        | CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation WHERE n_regionkey < 3""".stripMargin,
   )
 }

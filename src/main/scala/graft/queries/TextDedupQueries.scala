@@ -256,7 +256,49 @@ object TextDedupQueries {
     graft.operators.Packing.packSequencesNoSplit(docs(s, dir), "doc_id",
       size(TextOps.tokens(col("text"))), budget = 2048, shards = 8)
 
+  /** The END-TO-END training-data pipeline as ONE oracle-checked query —
+    * what a user of this engine actually runs nightly, composed from the
+    * already-proved catalog operators over a progressively-reduced corpus:
+    *
+    *   quality filter → exact dedup → benchmark decontamination (13-gram
+    *   verbatim-overlap vs the eval set — the production width; 3-gram
+    *   would nuke 75% of this corpus on idiom collisions) → near-dup
+    *   keep-list (MinHash LSH → Jaccard ≥ 0.8 → min-label propagation) →
+    *   sequence packing of the survivors.
+    *
+    * Scale shape: each stage consumes the previous stage's REDUCED id set
+    * (semi/anti joins against small survivor lists, never re-materializing
+    * the corpus); the near-dup confirm re-shingles only candidate docs.
+    * The oracle composes the same proven CTE fragments over `toks` bound to
+    * the clean sub-corpus — a drift in ANY stage breaks the final hash. */
+  def pipelinePackClean(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val qualIds = textQualityFilter(s, dir).select(col("doc_id"))
+      .where(col("doc_id") >= 20) // eval docs never enter the corpus
+    val qualDocs = d.join(qualIds, Seq("doc_id"), "left_semi")
+    val exactIds = Dedup.exactSurvivors(qualDocs, "doc_id", "text")
+      .select(col("survivor_id").as("doc_id"))
+    val exactDocs = qualDocs.join(exactIds, Seq("doc_id"), "left_semi")
+    val contaminated = Dedup.contamination(
+        Dedup.docShinglesRawN(exactDocs, "doc_id", "text", 13),
+        Dedup.docShinglesRawN(d.where(col("doc_id") < 20), "doc_id", "text", 13))
+      .select(col("doc").as("doc_id"))
+    val cleanDocs = exactDocs.join(contaminated, Seq("doc_id"), "left_anti")
+      .localCheckpoint(eager = true) // consumed by 3 downstream stages
+    val sigs = Dedup.minhashSignatures(Dedup.docShinglesRaw(cleanDocs, "doc_id", "text"))
+    val cand = Dedup.lshCandidates(sigs, maxBandDf = Some(64))
+    val pairs = Dedup.jaccardPairs(
+      Dedup.docShinglesRaw(cleanDocs, "doc_id", "text"), 0.8, candidates = Some(cand))
+    val keptIds = Dedup.keepList(cleanDocs, "doc_id",
+        pairs.select(col("doc_a"), col("doc_b")), rounds = 3)
+      .where(col("doc") === col("canonical")).select(col("doc").as("doc_id"))
+    val keptDocs = cleanDocs.join(keptIds, Seq("doc_id"), "left_semi")
+    graft.operators.Packing.packSequences(keptDocs, "doc_id",
+      size(TextOps.tokens(col("text"))), budget = 2048, shards = 8)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_pack_clean" -> pipelinePackClean _,
     "text_repetition" -> textRepetition _,
     "dedup_contamination" -> dedupContamination _,
     "dedup_contamination_13g" -> dedupContamination13g _,
@@ -413,7 +455,64 @@ object TextDedupQueries {
        |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
        |FROM jac WHERE jaccard >= 0.8""".stripMargin
 
+  /** Composed pipeline oracle: the shared fragments (`shinglesCte`,
+    * `sigCte`, `pairsCtes`) run verbatim with `toks` BOUND TO THE CLEAN
+    * SUB-CORPUS — quality-passed, exact-deduped, decontaminated — so the
+    * near-dup + packing stages are checked on exactly the rows the Spark
+    * pipeline feeds them. */
+  private lazy val pipelineOracleSql = {
+    val en = TextOps.StopwordTable.toMap.apply("en")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    val terms13 = (0 until 13).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+    val sh13 = s"""CASE WHEN len(t) < 13 THEN [text]
+                  |     ELSE list_transform(range(1, len(t) - 11),
+                  |            i -> $terms13) END""".stripMargin
+    s"""WITH toks_all AS (SELECT doc_id, text,
+       |  list_filter(string_split(text, ' '), x -> x != '') AS t FROM documents),
+       |qual AS (SELECT doc_id FROM (
+       |  SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+       |    round(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / len(text), 6) AS alpha_ratio,
+       |    CAST(len(list_filter(t, x -> list_contains($en, x))) AS INT) AS stop_hits
+       |  FROM toks_all)
+       |  WHERE n_tokens BETWEEN 5 AND 5000 AND alpha_ratio >= 0.5
+       |    AND stop_hits >= 1 AND doc_id >= 20),
+       |exact AS (SELECT min(d.doc_id) AS doc_id
+       |  FROM documents d JOIN qual USING (doc_id) GROUP BY md5(d.text)),
+       |toks_pre AS (SELECT a.doc_id, a.text, a.t
+       |  FROM toks_all a JOIN exact USING (doc_id)),
+       |ev_sh AS (SELECT DISTINCT ${h60("sh")} AS sh FROM (
+       |  SELECT unnest($sh13) AS sh FROM toks_all WHERE doc_id < 20)),
+       |csh AS (SELECT DISTINCT doc_id AS doc, ${h60("sh")} AS sh FROM (
+       |  SELECT doc_id, unnest($sh13) AS sh FROM toks_pre)),
+       |cont AS (SELECT DISTINCT doc FROM csh JOIN ev_sh USING (sh)),
+       |toks AS (SELECT * FROM toks_pre
+       |  WHERE doc_id NOT IN (SELECT doc FROM cont)),
+       |$shinglesCte, $sigCte, $pairsCtes,
+       |jp AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.8),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+       |  UNION ALL SELECT doc_b, doc_a FROM jp
+       |  UNION ALL SELECT doc_id, doc_id FROM toks),
+       |l1 AS (SELECT src AS doc, min(dst) AS lbl FROM edges GROUP BY 1),
+       |l2 AS (SELECT e.src AS doc, min(l.lbl) AS lbl
+       |  FROM edges e JOIN l1 l ON e.dst = l.doc GROUP BY 1),
+       |l3 AS (SELECT e.src AS doc, min(l.lbl) AS lbl
+       |  FROM edges e JOIN l2 l ON e.dst = l.doc GROUP BY 1),
+       |keep AS (SELECT doc FROM l3 WHERE doc = lbl),
+       |pk AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       |  ('0x' || substr(md5('pack:' || doc_id), 1, 15))::BIGINT % 8 AS shard
+       | FROM toks JOIN keep ON toks.doc_id = keep.doc),
+       |pc AS (SELECT doc_id, shard, n_tokens,
+       |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+       | FROM pk)
+       |SELECT doc_id, shard,
+       | CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+       | CAST((cum - n_tokens) % 2048 AS BIGINT) AS offset,
+       | n_tokens
+       |FROM pc""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "pipeline_pack_clean" -> pipelineOracleSql,
     "text_repetition" ->
       s"""WITH $toksCte, $shingleListCte
          |SELECT doc_id, CAST(len(sh) AS INT) AS n_shingles,

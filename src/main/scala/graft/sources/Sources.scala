@@ -35,6 +35,15 @@ object Sources {
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC read (columnar alternative to parquet — same pushdown/pruning
+    * machinery via the native vectorized reader). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** ORC sink. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** Partitioned parquet sink: directory-prunable layout + bounded files. */
   def writePartitioned(df: DataFrame, path: String, partitionCol: String,
                        maxRecordsPerFile: Long = 5000000L): Unit =

@@ -36,6 +36,18 @@ class SourcesSpec extends SparkSpec {
     assert(df.where(col("id") === 1).head().getSeq[String](1) == Seq("a", "b"))
   }
 
+  test("orc round-trip is lossless and pushes predicates into the scan") {
+    val dir = tmp()
+    import spark.implicits._
+    val src = Seq((1L, "a", 0.5), (2L, "b", 1.5), (3L, "c", 2.5)).toDF("id", "name", "x")
+    Sources.writeOrc(src, s"$dir/t.orc")
+    val back = Sources.readOrc(spark, s"$dir/t.orc")
+    assert(back.orderBy("id").collect().toSeq == src.orderBy("id").collect().toSeq)
+    val p = back.where(col("id") > 1).queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)]"),
+      s"ORC scan must receive the pushed predicate:\n$p")
+  }
+
   test("partitioned sink produces prunable directories and prunes them on read") {
     val dir = tmp() + "/out"
     import spark.implicits._
