@@ -266,12 +266,44 @@ object EventQueries {
       col("event_type"), col("n"), round(col("sum_value"), 4).as("sum_value"))
   }
 
+  /** OVERLAPPING-window streaming sink under the oracle — same harness as
+    * [[hourlyStreamed]] but each event contributes to 4 sliding windows;
+    * append mode emits a window only once the watermark passes its END, and
+    * the sentinel is a day out, so every data window finalizes while the
+    * sentinel's own 4 windows never do. */
+  def slidingStreamed(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    fork.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = fork.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val maxTsUs = src.agg(max(unix_micros(col("ts")))).head.getLong(0)
+    val sentinel = fork.range(1).select(
+      lit(-1L).as("event_id"),
+      timestamp_micros(lit(maxTsUs + 86400L * 1000000)).as("ts"),
+      lit(-1L).as("user_id"), lit("view").as("event_type"), lit(0.0).as("value"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sliding_stream")
+    val (inDir, outDir, ckpt) = (s"$tmp/in", s"$tmp/out", s"$tmp/ckpt")
+    src.union(sentinel).write.parquet(inDir)
+    val stream = fork.readStream.schema(src.schema).parquet(inDir)
+    val q = graft.streaming.EventStream.sliding(stream)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    fork.read.parquet(outDir).select(
+      date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+      col("event_type"), col("n"), round(col("sum_value"), 4).as("sum_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_resample" -> resample _,
     "events_resample_stream" -> resampleStreamed _,
     "events_sessionize_stream" -> sessionizeStreamed _,
     "events_dedup_stream" -> dedupStreamed _,
     "events_hourly_stream" -> hourlyStreamed _,
+    "events_sliding_stream" -> slidingStreamed _,
     "events_json_extract" -> jsonExtract _,
     "events_hourly" -> hourly _,
     "events_sliding" -> sliding _,
@@ -343,6 +375,15 @@ object EventQueries {
         | event_type, CAST(count(*) AS BIGINT) AS n,
         | round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_sliding_stream" ->
+      """WITH e AS (
+        |  SELECT event_type, value, epoch_us(ts) AS tu, unnest(range(0, 4)) AS i
+        |  FROM events)
+        |SELECT strftime(make_timestamp((tu // 900000000 - i) * 900000000),
+        |         '%Y-%m-%d %H:%M:%S') AS window_start,
+        | event_type, CAST(count(*) AS BIGINT) AS n,
+        | round(sum(value), 4) AS sum_value
+        |FROM e GROUP BY 1, 2""".stripMargin,
     "events_sliding" ->
       """WITH e AS (
         |  SELECT event_type, value, epoch_us(ts) AS tu, unnest(range(0, 4)) AS i

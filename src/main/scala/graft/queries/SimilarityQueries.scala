@@ -80,9 +80,50 @@ object SimilarityQueries {
     Similarity.lshNearDupPairs(p, MinCos, nBits = 8 * bpb, bands = 8)
   }
 
+  /** `ann_ivf` served FROM THE DISK LAYOUT: the cell-assigned corpus is
+    * written `partitionBy(cell)` ([[graft.sources.Sources.writeIvfLayout]]),
+    * the probes' nprobe cells become a LITERAL partition filter on the
+    * read, and Spark prunes to exactly those cell directories — the
+    * disk-level form of nprobe search (at 100 TB a probe reads `nprobe/K`
+    * of the files, not a post-scan filter). Same oracle as `ann_ivf`: the
+    * layout hop must not change a single neighbor. The cell list is a
+    * driver-side collect of ≤ probes×nprobe ints — never data-scale. */
+  def annIvfPruned(s: SparkSession, dir: String): DataFrame = {
+    val centroids = SomQueries.protos(s, dir)
+      .select(col("proto_id").as("cell"), col("c"))
+    val layout = java.nio.file.Files.createTempDirectory("graft_ivf_layout").toString
+    graft.sources.Sources.writeIvfLayout(assigned(s, dir), layout)
+    // probe → nprobe nearest cells (same math as ivfTopK's probeCells)
+    val cellRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("cd2"), col("cell"))
+    val probeCells = probes(s, dir).crossJoin(broadcast(centroids))
+      .select(col("probe_id"), col("p"), col("cell"),
+        graft.functions.VectorSql.sqDistFast(col("p"), col("c")).as("cd2"))
+      .withColumn("crn", row_number().over(cellRank))
+      .where(col("crn") <= NProbe)
+      .select(col("probe_id"), col("p"), col("cell"))
+    val wantedCells = probeCells.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val pruned = s.read.parquet(layout).where(col("cell").isin(wantedCells: _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+    pruned.withColumn("nv", graft.functions.VectorSql.norm2Fast(col("v")))
+      .join(broadcast(probeCells
+        .withColumn("np", graft.functions.VectorSql.norm2Fast(col("p")))), "cell")
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        (graft.functions.VectorSql.dotFast(col("v"), col("p")) /
+          (col("nv") * col("np"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= K)
+      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute" -> annBrute _,
     "ann_ivf" -> annIvf _,
+    "ann_ivf_pruned" -> annIvfPruned _,
     "dedup_embedding_nn" -> nearDupNN _,
     "dedup_embedding_lsh" -> nearDupLsh _,
   )
@@ -124,6 +165,24 @@ object SimilarityQueries {
       s"""WITH $base,
          |d AS (SELECT probe_id, vec_id, ${cosE("v", "p")} AS cos
          |  FROM pts CROSS JOIN probes WHERE vec_id != probe_id),
+         |r AS (SELECT probe_id, vec_id, cos, row_number() OVER
+         |  (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn FROM d)
+         |SELECT probe_id, CAST(rn AS INT) AS rank, vec_id AS neighbor_id,
+         | round(cos, 6) AS cos_sim
+         |FROM r WHERE rn <= $K""".stripMargin,
+    // the disk-layout hop must be invisible in the results — same oracle
+    "ann_ivf_pruned" ->
+      s"""WITH $base, $assignedCte,
+         |pc AS (SELECT probe_id, p, cell FROM
+         |  (SELECT pb.probe_id, pb.p, pr.cell, row_number() OVER
+         |    (PARTITION BY pb.probe_id ORDER BY
+         |      list_sum(list_transform(range(1, 65), i -> (pb.p[i]-pr.c[i])*(pb.p[i]-pr.c[i]))),
+         |      pr.cell) AS crn
+         |   FROM probes pb CROSS JOIN protos pr)
+         |  WHERE crn <= $NProbe),
+         |d AS (SELECT pc.probe_id, a.vec_id, ${cosE("a.v", "pc.p")} AS cos
+         |  FROM asg a JOIN pc ON a.cell = pc.cell
+         |  WHERE a.vec_id != pc.probe_id),
          |r AS (SELECT probe_id, vec_id, cos, row_number() OVER
          |  (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn FROM d)
          |SELECT probe_id, CAST(rn AS INT) AS rank, vec_id AS neighbor_id,

@@ -30,6 +30,18 @@ object EventStream {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Sliding 1-hour windows every 15 minutes per event type — the
+    * OVERLAPPING-window streaming shape (each event lands in 4 windows;
+    * state is 4 window rows per (window, type), aged out by the
+    * watermark). Streaming twin of `EventQueries.sliding`. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** Streaming exactly-once event dedup: drop replayed event_ids within the
     * watermark horizon (state bounded by the watermark — the streaming twin
     * of exact dedup for at-least-once sources). */

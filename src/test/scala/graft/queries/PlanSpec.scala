@@ -94,6 +94,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ScalaUDF"), "13-gram shingles must use the native kernel")
   }
 
+  test("ann_ivf_pruned: the cell predicate reaches PARTITION pruning on the layout scan") {
+    val df = SimilarityQueries.annIvfPruned(spark, dir)
+    df.count() // materialize AQE stages so the final plan holds the real scans
+    val p = df.queryExecution.executedPlan.toString
+    assert(raw"PartitionFilters: \[[^\]]*cell".r.findFirstIn(p).isDefined,
+      s"the nprobe cell list must prune partitions, not filter post-scan:\n$p")
+  }
+
   test("text/dedup hot paths run UDF-free (native kernels, codegen intact)") {
     // tokensFast/shingles3Fast/rollingHash/md5Hash60 were Scala UDFs through
     // round 2 — a serialization fence per row. Pin their native-expression
