@@ -85,6 +85,20 @@ object EventQueries {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
 
+  /** Cohort retention: users grouped by first-active day, counted by how
+    * many distinct days later they return — the product-analytics classic.
+    * Two aggs + a broadcast-sized cohort join; all integer date math. */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    val days = ev(s, dir).select(col("user_id"),
+      date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd").as("day"))
+      .distinct()
+    val cohort = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    days.join(cohort, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** Event funnel: per user, first 'view' followed by a later 'purchase'. */
   def funnel(s: SparkSession, dir: String): DataFrame = {
     val e = ev(s, dir).select(col("user_id"), col("event_type"), col("ts_us"))
@@ -310,6 +324,7 @@ object EventQueries {
     "events_sessionize" -> sessionize _,
     "events_props_histogram" -> propsHistogram _,
     "events_funnel" -> funnel _,
+    "events_retention" -> retention _,
     "events_range_join" -> rangeJoin _,
   )
 
@@ -397,6 +412,17 @@ object EventQueries {
       """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 10 AS k_mod,
         | CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1""".stripMargin,
+    "events_retention" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+        |  FROM events),
+        |cohort AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1)
+        |SELECT cohort_day,
+        |  CAST(date_diff('day', CAST(cohort_day AS DATE), CAST(day AS DATE)) AS INT)
+        |    AS day_offset,
+        |  CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+        |FROM days d JOIN cohort USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "events_funnel" ->
       """WITH fv AS (
         |  SELECT user_id, min(epoch_us(ts)) AS first_view_us

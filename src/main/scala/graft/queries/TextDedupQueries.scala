@@ -105,6 +105,16 @@ object TextDedupQueries {
       order = Seq(col("score").desc, col("term").asc), k = 5)
   }
 
+  /** Corpus-level token frequency, top 100 — the C4-style vocabulary
+    * analysis pass. Global top-k = orderBy+limit (TakeOrderedAndProject,
+    * never a full sort); ties broken by token so the cut is deterministic. */
+  def textTokenFreq(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(TextOps.tokensFast(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(100)
+
   /** Whole-document polynomial rolling hash (exact integer content id). */
   def textRollingHash(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), TextOps.rollingHash(col("text")).as("rh"))
@@ -309,6 +319,7 @@ object TextDedupQueries {
     "text_langid" -> textLangId _,
     "text_fingerprint" -> textFingerprint _,
     "text_rolling_hash" -> textRollingHash _,
+    "text_token_freq" -> textTokenFreq _,
     "text_tfidf_topk" -> textTfidfTopk _,
     "text_simhash" -> textSimhash _,
     "dedup_exact" -> dedupExact _,
@@ -608,6 +619,11 @@ object TextDedupQueries {
       s"""WITH $toksCte, $shinglesCte
          |SELECT DISTINCT doc, sh AS fp FROM dsh
          |WHERE sh % 64 = 0""".stripMargin,
+    "text_token_freq" ->
+      s"""WITH $toksCte
+         |SELECT tok, CAST(count(*) AS BIGINT) AS n
+         |FROM (SELECT unnest(t) AS tok FROM toks)
+         |GROUP BY 1 ORDER BY n DESC, tok LIMIT 100""".stripMargin,
     "text_tfidf_topk" ->
       // `+ 0` on the rounded score (signed-zero discipline: ln(1)=0 terms);
       // ranking happens on the SAME rounded value as Spark's
