@@ -23,6 +23,16 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   *  - the FINAL phase merges the per-partition heaps — no sort anywhere,
   *    O(n log k) per partition instead of O(n log n).
   *
+  * `withTies = true` switches to `rank()` semantics: every row tied with the
+  * k-th row on the ORDER key is kept too (output per key may exceed k). The
+  * heap carries a boundary-tie overflow whose invariant is "only rows equal
+  * to the current heap root"; it clears whenever the boundary strictly
+  * improves. Partial pruning stays correct because the partition-local
+  * boundary is never better than the global one. Memory: the overflow is
+  * unbounded under adversarial all-equal data — the same caveat as Spark's
+  * own rank-mode WindowGroupLimit (`dense_rank` is declined entirely for
+  * this reason: it holds up to k whole VALUE CLASSES).
+  *
   * Registered via [[graft.GraftExtensions]] (`injectPlannerStrategy`) or
   * per-session with `spark.experimental.extraStrategies`; the DataFrame entry
   * point is [[TopKPerKey.topKPerKey]]. Memory contract: one k-heap per
@@ -30,7 +40,8 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * k and key cardinality per partition bound it).
   */
 case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
-                          child: LogicalPlan) extends UnaryNode {
+                          child: LogicalPlan,
+                          withTies: Boolean = false) extends UnaryNode {
   require(k > 0, s"k must be positive, got $k")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
@@ -39,15 +50,16 @@ case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
 
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(keys, order, k, child) =>
-      val partial = TopKPerKeyExec(keys, order, k, partial = true, planLater(child))
-      TopKPerKeyExec(keys, order, k, partial = false, partial) :: Nil
+    case TopKPerKeyNode(keys, order, k, child, withTies) =>
+      val partial = TopKPerKeyExec(keys, order, k, partial = true, planLater(child), withTies)
+      TopKPerKeyExec(keys, order, k, partial = false, partial, withTies) :: Nil
     case _ => Nil
   }
 }
 
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
-                          partial: Boolean, child: SparkPlan) extends UnaryExecNode {
+                          partial: Boolean, child: SparkPlan,
+                          withTies: Boolean = false) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
 
   override def requiredChildDistribution: Seq[Distribution] =
@@ -62,28 +74,57 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     val keyExprs = keys
     val orderExprs = order
     val childOutput = child.output
+    val ties = withTies
     child.execute().mapPartitions({ it =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val rowOrd = org.apache.spark.sql.catalyst.expressions.RowOrdering
         .create(orderExprs, childOutput)
       // heap root = WORST kept row (reverse ordering), so a better candidate
       // replaces it in O(log k)
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      final class KeyState {
+        val heap = new java.util.PriorityQueue[InternalRow](kLocal, rowOrd.reversed())
+        // rank() mode: rows tied with the current root on the ORDER key;
+        // cleared whenever the boundary strictly improves
+        var overflow: java.util.ArrayList[InternalRow] = _
+        def add(row: InternalRow): Unit = {
+          if (heap.size() < kLocal) { heap.offer(row.copy()); return }
+          val cmp = rowOrd.compare(row, heap.peek())
+          if (cmp < 0) {
+            val oldRoot = heap.poll()
+            heap.offer(row.copy())
+            if (ties) {
+              // the new root is ≤ the old one; if they still tie, the
+              // evicted row sits ON the boundary and must be retained —
+              // if strictly better, every old boundary tie is out
+              if (rowOrd.compare(heap.peek(), oldRoot) == 0) {
+                if (overflow == null) overflow = new java.util.ArrayList[InternalRow]()
+                overflow.add(oldRoot) // already a copy (heap stores copies)
+              } else if (overflow != null) overflow.clear()
+            }
+          } else if (ties && cmp == 0) {
+            if (overflow == null) overflow = new java.util.ArrayList[InternalRow]()
+            overflow.add(row.copy())
+          }
+        }
+        def rows: Iterator[InternalRow] = {
+          import scala.jdk.CollectionConverters._
+          val h = heap.iterator().asScala
+          if (overflow == null) h else h ++ overflow.iterator().asScala
+        }
+      }
+      val states = new java.util.HashMap[UnsafeRow, KeyState]()
       while (it.hasNext) {
         val row = it.next()
         val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kLocal, rowOrd.reversed())
-          heaps.put(key.copy(), heap)
+        var st = states.get(key)
+        if (st == null) {
+          st = new KeyState
+          states.put(key.copy(), st)
         }
-        if (heap.size() < kLocal) heap.offer(row.copy())
-        else if (rowOrd.compare(row, heap.peek()) < 0) {
-          heap.poll(); heap.offer(row.copy())
-        }
+        st.add(row)
       }
       import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+      states.values().iterator().asScala.flatMap(_.rows)
     }, preservesPartitioning = true)
   }
 
@@ -99,12 +140,15 @@ object TopKPerKey {
 
   /** `df` reduced to the top-k rows per key under `order` (build with
     * `col(...).desc` / `.asc`; add unique tie-break columns for deterministic
-    * results). Requires [[TopKPerKeyStrategy]] on the session — via
-    * [[graft.GraftExtensions]] or `spark.experimental.extraStrategies`. */
-  def topKPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
+    * results — or pass `withTies = true` for rank() semantics, where the
+    * boundary ties are all KEPT and the result is set-deterministic without
+    * tie-break columns). Requires [[TopKPerKeyStrategy]] on the session —
+    * via [[graft.GraftExtensions]] or `spark.experimental.extraStrategies`. */
+  def topKPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int,
+                 withTies: Boolean = false): DataFrame = {
     val keyExprs = keys.map(ColumnBridge.expressionEager)
     val sortOrder = order.map(ColumnBridge.sortOrder)
     ColumnBridge.ofRows(df.sparkSession,
-      TopKPerKeyNode(keyExprs, sortOrder, k, ColumnBridge.logicalPlan(df)))
+      TopKPerKeyNode(keyExprs, sortOrder, k, ColumnBridge.logicalPlan(df), withTies))
   }
 }

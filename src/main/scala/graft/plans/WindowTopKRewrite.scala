@@ -17,12 +17,15 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * (functions), strategy (physical planning), rule (plan rewriting).
   *
   * Deliberately conservative — the pattern must be exactly
-  * Project(Filter(rn-bound, Window(single row_number))) with the rank
+  * Project(Filter(rn-bound, Window(single row_number|rank))) with the rank
   * dropped by the projection; anything else (rank kept in the output, extra
-  * window expressions, compound filters) is left for Catalyst's stock
-  * planning. Ties at the boundary follow row_number semantics: both forms
-  * keep SOME k rows consistent with the ordering, deterministic only when
-  * the order is total (add unique tie-breaks, as `q_topk_per_key` does).
+  * window expressions, compound filters, dense_rank) is left for Catalyst's
+  * stock planning. row_number bounds keep SOME k rows consistent with the
+  * ordering (deterministic only when the order is total — add unique
+  * tie-breaks, as `q_topk_per_key` does); rank() bounds map to the
+  * operator's `withTies` mode, which keeps every boundary tie and is
+  * set-deterministic with no tie-break columns (`rank(r) ≤ k ⟺ r's order
+  * value ≤ the k-th row's value`).
   *
   * Requires [[TopKPerKeyStrategy]] on the same session (both are wired by
   * [[graft.GraftExtensions]]).
@@ -49,15 +52,22 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def isRowNumber(e: NamedExpression): Boolean = e match {
-    case Alias(WindowExpression(_: RowNumber, _), _) => true
-    case _ => false
+  /** Which rank function backs the window expression: row_number → plain
+    * top-k, rank → top-k KEEPING boundary ties (`withTies`). `dense_rank`
+    * is deliberately declined: its bound keeps up to k whole value classes
+    * (unbounded rows per class), which the bounded heap cannot honor —
+    * Spark's sort-based WindowGroupLimit is the right plan there. */
+  private def rankMode(e: NamedExpression): Option[Boolean] = e match {
+    case Alias(WindowExpression(_: RowNumber, _), _) => Some(false)
+    case Alias(WindowExpression(_: Rank, _), _) => Some(true)
+    case _ => None
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case p @ Project(outList,
         Filter(cond, Window(Seq(rnExpr), part, order, child, _)))
-        if isRowNumber(rnExpr) && order.nonEmpty && part.nonEmpty =>
+        if rankMode(rnExpr).isDefined && order.nonEmpty && part.nonEmpty =>
+      val withTies = rankMode(rnExpr).get
       val rn = rnExpr.toAttribute
       boundK(cond, rn) match {
         case Some(k) if k > 0 && k <= MaxK &&
@@ -72,7 +82,7 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
                 if p2 == part && o2 == order && limit >= k => grandchild
             case other => other
           }
-          Project(outList, TopKPerKeyNode(part, order, k, base))
+          Project(outList, TopKPerKeyNode(part, order, k, base, withTies))
         case _ => p
       }
   }

@@ -98,6 +98,20 @@ object AdvancedQueries {
     fork.sql(windowTopKSql("li_rw"))
   }
 
+  /** rank()-bound top-k through the rewrite — KEEP-TIES semantics: the heap
+    * operator's `withTies` mode retains every row tied with the k-th on the
+    * order key (l_quantity is integer-valued, so boundary ties are real and
+    * groups legitimately exceed k rows). Set-deterministic with no
+    * tie-break columns; the oracle is the rank() window the user wrote. */
+  def qTopKRankRewrite(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    fork.experimental.extraOptimizations =
+      fork.experimental.extraOptimizations :+ graft.plans.WindowTopKRewrite
+    fork.experimental.extraStrategies =
+      fork.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
+    fork.read.parquet(s"$dir/lineitem.parquet").createOrReplaceTempView("li_rkrw")
+    fork.sql(rankTopKSql("li_rkrw"))
+  }
+
   /** Revenue per supplier nation through the salted-replicated join (big
     * side salted deterministically, small side replicated ×8) — output
     * identical to the plain join, so the oracle IS the plain join. */
@@ -121,6 +135,7 @@ object AdvancedQueries {
     "q_approx_quantile" -> qApproxQuantile _,
     "q_topk_per_key" -> qTopKPerKey _,
     "q_topk_rewrite" -> qTopKRewrite _,
+    "q_topk_rank_rewrite" -> qTopKRankRewrite _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -156,6 +171,7 @@ object AdvancedQueries {
     // identical oracle: the rewrite must be output-equal to the window SQL
     // the user actually wrote
     "q_topk_rewrite" -> windowTopKSql("lineitem"),
+    "q_topk_rank_rewrite" -> rankTopKSql("lineitem"),
   )
 
   /** One definition of the window-rank top-3 SQL — the operator's oracle,
@@ -166,6 +182,16 @@ object AdvancedQueries {
        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
        |    row_number() OVER (PARTITION BY l_suppkey
        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+       |  FROM $table)
+       |WHERE rn <= 3""".stripMargin
+
+  /** rank() twin of [[windowTopKSql]] — NO tie-break columns in the order
+    * (that's the point: boundary ties are kept), quantity ascending so ties
+    * are dense. */
+  private[queries] def rankTopKSql(table: String): String =
+    s"""SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity FROM (
+       |  SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+       |    rank() OVER (PARTITION BY l_suppkey ORDER BY l_quantity) AS rn
        |  FROM $table)
        |WHERE rn <= 3""".stripMargin
 }

@@ -87,15 +87,37 @@ class WindowTopKRewriteSpec extends SparkSpec {
     assert(!plan.contains("TopKPerKey"), s"must keep the window when rn is consumed:\n$plan")
   }
 
-  test("rank()/dense_rank() are NOT rewritten (keep-with-ties semantics differ)") {
+  test("rank() IS rewritten to the withTies heap; boundary ties all survive") {
+    val f = fork
+    // l_quantity is integer-valued 1..50 → real ties at every boundary
+    val wq = Window.partitionBy(col("l_suppkey")).orderBy(col("l_quantity"))
+    val li = f.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity")
+    val q = li.withColumn("rn", rank().over(wq)).where(col("rn") <= 3).drop("rn")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKeyFinal"), s"rank rewrite must fire:\n$plan")
+    assert(!plan.contains("Window"), s"window machinery must be gone:\n$plan")
+    // reference = the stock window plan; rank ≤ k is a deterministic SET
+    val ref = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity")
+      .withColumn("rn", rank().over(
+        Window.partitionBy(col("l_suppkey")).orderBy(col("l_quantity"))))
+      .where(col("rn") <= 3).drop("rn")
+    val got = q.collect().toSet
+    val want = ref.collect().toSet
+    assert(got == want, s"tie sets must match: got ${got.size}, want ${want.size}")
+    // and the ties actually exercise the path: some supplier must keep > 3 rows
+    assert(q.groupBy("l_suppkey").count().where(col("count") > 3).count() > 0,
+      "fixture must produce at least one boundary tie beyond k")
+  }
+
+  test("dense_rank() is NOT rewritten (k whole value classes — unbounded rows)") {
     val f = fork
     val li = f.read.parquet(sf("sf0.001") + "/lineitem.parquet")
-    for (fn <- Seq(rank(), dense_rank())) {
-      val q = li.withColumn("rn", fn.over(w)).where(col("rn") <= 3).drop("rn")
-      val plan = q.queryExecution.executedPlan.toString
-      assert(!plan.contains("TopKPerKey"),
-        s"rank-like functions can emit MORE than k rows on ties — the heap cannot:\n$plan")
-    }
+    val q = li.withColumn("rn", dense_rank().over(w)).where(col("rn") <= 3).drop("rn")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("TopKPerKey"),
+      s"dense_rank keeps whole value classes — the bounded heap cannot:\n$plan")
   }
 
   test("a compound filter is NOT rewritten (conservative match)") {

@@ -59,6 +59,12 @@ class PlanSpec extends SparkSpec {
       s"the optimizer rule must fire on the catalog entry, not just in specs:\n$p")
   }
 
+  test("q_topk_rank_rewrite: the rank() idiom plans as the withTies heap operator") {
+    val p = plan(AdvancedQueries.qTopKRankRewrite(spark, dir))
+    assert(p.contains("TopKPerKeyFinal"), s"the rank rewrite must fire:\n$p")
+    assert(!p.contains("Window"), s"window machinery must be gone:\n$p")
+  }
+
   test("q_scalar_subquery: decorrelated to an aggregate + join, no nested loop") {
     val p = plan(RelationalQueries.qScalarSubquery(spark, dir))
     assert(!p.contains("CartesianProduct"),
