@@ -102,7 +102,19 @@ object SomQueries {
     * k-means-with-topology update (reference `som/SOM.scala:219-244`).
     * new_k[dim] = Σ_j w(k,j)·S_j[dim] / Σ_j w(k,j)·n_j,
     * w(k,j) = exp(-cellDist(k,j)² / T²), Manhattan dist on the 3×3 grid. */
-  def updateStep(s: SparkSession, dir: String): DataFrame = {
+  def updateStep(s: SparkSession, dir: String): DataFrame =
+    updateStepTopo(s, dir, "rectangular")
+
+  /** The same update under HEXAGONAL topology — the reference's unshipped
+    * README to-do, oracle-proven here: hex cell distances differ from
+    * Manhattan on diagonals (3×3: dist((0,0),(1,1)) is 1, not 2), so the
+    * weight table and the resulting prototypes genuinely diverge from
+    * `som_update`; both engines join the same driver-computed literal
+    * weights built from [[graft.som.Grid.cellDistHex]]. */
+  def updateStepHex(s: SparkSession, dir: String): DataFrame =
+    updateStepTopo(s, dir, "hexagonal")
+
+  private def updateStepTopo(s: SparkSession, dir: String, topology: String): DataFrame = {
     import org.apache.spark.ml.stat.Summarizer
     val a = assignedVec(s, dir)
     // same vector-shaped aggregate as [[cellStats]] — K×d rows explode after
@@ -121,8 +133,9 @@ object SomQueries {
     // exactly like the reference's Array.tabulate — K is always small).
     val w = {
       import s.implicits._
+      val cd = graft.som.Grid.cellDistFor(topology, Width)
       val rows = for (k <- 0 until K; j <- 0 until K)
-        yield (k.toLong, j.toLong, graft.som.Grid.kernelWeight("gaussian", graft.som.Grid.cellDist(Width)(k, j), T))
+        yield (k.toLong, j.toLong, graft.som.Grid.kernelWeight("gaussian", cd(k, j), T))
       rows.toDF("k", "j", "w")
     }
     sums.join(broadcast(w), sums("bmu") === w("j"))
@@ -156,6 +169,7 @@ object SomQueries {
     "som_cost"       -> cost _,
     "som_cell_stats" -> cellStats _,
     "som_update"     -> updateStep _,
+    "som_update_hex" -> updateStepHex _,
   )
 
   // ---- DuckDB oracle SQL (ANSI-ish; bare table names are driver-registered
@@ -192,30 +206,33 @@ object SomQueries {
          |FROM a JOIN pts p USING (vec_id)
          |CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS i) t
          |GROUP BY 1, 2""".stripMargin,
-    "som_update" -> {
-      // Gaussian weights injected as LITERALS computed once on the driver —
-      // the exact values the Spark side joins against. Computing exp() in
-      // DuckDB's libm drifts in the last ulp and flips round(nv, 4) on
-      // boundary rows (the som_fit5 oracle proved this discipline).
-      val wRows = (for (k <- 0 until K; j <- 0 until K)
-        yield s"($k, $j, ${Grid.kernelWeight("gaussian", Grid.cellDist(Width)(k, j), T)}::DOUBLE)")
-        .mkString(", ")
-      // `+ 0` after the final round: DuckDB's round() preserves -0.0 where
-      // Spark's (BigDecimal-based) normalizes to +0.0 — Python `==` calls
-      // them equal but the driver's hash compares bits. Adding double zero
-      // is the identity everywhere except -0.0 → +0.0.
-      s"""WITH $ptsCte, $protosCte, $distCte, $bmuCte,
-         |sums AS (
-         |  SELECT a.bmu, CAST(t.i - 1 AS INT) AS dim, round(sum(p.v[t.i]), 6) AS s,
-         |         CAST(count(*) AS BIGINT) AS n
-         |  FROM a JOIN pts p USING (vec_id)
-         |  CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS i) t
-         |  GROUP BY 1, 2),
-         |w(k, j, w) AS (VALUES $wRows)
-         |SELECT CAST(w.k AS BIGINT) AS cell, sums.dim,
-         |       round(sum(w.w * sums.s) / sum(w.w * sums.n), 4) + 0 AS nv
-         |FROM sums JOIN w ON sums.bmu = w.j
-         |GROUP BY 1, 2""".stripMargin
-    },
+    "som_update" -> updateOracleSql("rectangular"),
+    "som_update_hex" -> updateOracleSql("hexagonal"),
   )
+
+  /** Update-step oracle for a topology. Gaussian weights injected as
+    * LITERALS computed once on the driver — the exact values the Spark side
+    * joins against. Computing exp() in DuckDB's libm drifts in the last ulp
+    * and flips round(nv, 4) on boundary rows (the som_fit5 oracle proved
+    * this discipline). `+ 0` after the final round: DuckDB's round()
+    * preserves -0.0 where Spark's (BigDecimal-based) normalizes to +0.0 —
+    * Python `==` calls them equal but the driver's hash compares bits. */
+  private def updateOracleSql(topology: String): String = {
+    val cd = Grid.cellDistFor(topology, Width)
+    val wRows = (for (k <- 0 until K; j <- 0 until K)
+      yield s"($k, $j, ${Grid.kernelWeight("gaussian", cd(k, j), T)}::DOUBLE)")
+      .mkString(", ")
+    s"""WITH $ptsCte, $protosCte, $distCte, $bmuCte,
+       |sums AS (
+       |  SELECT a.bmu, CAST(t.i - 1 AS INT) AS dim, round(sum(p.v[t.i]), 6) AS s,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM a JOIN pts p USING (vec_id)
+       |  CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS i) t
+       |  GROUP BY 1, 2),
+       |w(k, j, w) AS (VALUES $wRows)
+       |SELECT CAST(w.k AS BIGINT) AS cell, sums.dim,
+       |       round(sum(w.w * sums.s) / sum(w.w * sums.n), 4) + 0 AS nv
+       |FROM sums JOIN w ON sums.bmu = w.j
+       |GROUP BY 1, 2""".stripMargin
+  }
 }
