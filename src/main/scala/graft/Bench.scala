@@ -51,8 +51,11 @@ object Bench {
     // stdout and its tail capture truncated 6 of 71 query timings in r4 —
     // the file is the loss-proof artifact. Path printed so callers find it.
     try {
-      import java.nio.file.{Files, Paths, StandardCopyOption}
-      val dir = Paths.get("target")
+      import java.nio.file.{Files, StandardCopyOption}
+      // repo-root-anchored, NOT cwd-relative: a wrapper launching the bench
+      // JVM from another directory must still land the artifact where the
+      // driver's scraper looks (same discipline as SourceQueries.FixtureDir)
+      val dir = RepoRoot.dir.resolve("target")
       Files.createDirectories(dir)
       val tmp = dir.resolve("bench.json.tmp")
       Files.writeString(tmp, json + "\n")

@@ -146,41 +146,56 @@ object Multimodal {
   final case class WavFeatures(sampleRate: Int, channels: Int, nSamples: Int,
                                sumAmp: Long, maxAmp: Int)
 
-  /** REAL RIFF/WAVE PCM-16 decode: walks the chunk list (fmt before data,
-    * skipping extension chunks), validates PCM/16-bit, then folds the
-    * little-endian samples. Pure JDK, no native codec. Returns None on
-    * null/corrupt/non-PCM16 payloads. */
-  def decodeWav(payload: Array[Byte]): Option[WavFeatures] = {
+  /** The ONE validated RIFF/WAVE PCM-16 walk everything derives from: chunk
+    * list (fmt before data, skipping extension chunks), PCM/16-bit check,
+    * little-endian sample extraction. Every read is bounds-checked and a
+    * negative or overrunning declared chunk size aborts the walk (a crafted
+    * size of -8 would otherwise advance the cursor by 0 and spin the
+    * executor forever), with a defensive catch so corrupt media can NEVER
+    * kill the partition. Returns (sampleRate, channels, samples). */
+  private[operators] def parseWav(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     if (payload == null || payload.length < 44) return None
-    def le16(o: Int) = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
-    def le32(o: Int) = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
-      ((payload(o + 2) & 0xff) << 16) | ((payload(o + 3) & 0xff) << 24)
-    def tag(o: Int) = new String(payload, o, 4, "US-ASCII")
-    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    var off = 12
-    var fmt: Option[(Int, Int)] = None // (channels, sampleRate)
-    while (off + 8 <= payload.length) {
-      val id = tag(off); val sz = le32(off + 4)
-      if (id == "fmt ") {
-        if (le16(off + 8) != 1 || le16(off + 22) != 16) return None // PCM s16 only
-        fmt = Some((le16(off + 10), le32(off + 12)))
-      } else if (id == "data") {
-        val (ch, rate) = fmt.getOrElse(return None)
-        val n = sz / 2
-        if (off + 8 + sz > payload.length) return None
-        var (sum, max) = (0L, Int.MinValue)
-        var i = 0
-        while (i < n) {
-          val s = le16(off + 8 + i * 2).toShort.toInt
-          sum += s; if (s > max) max = s
-          i += 1
+    try {
+      def le16(o: Int) = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+      def le32(o: Int) = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
+        ((payload(o + 2) & 0xff) << 16) | ((payload(o + 3) & 0xff) << 24)
+      def tag(o: Int) = new String(payload, o, 4, "US-ASCII")
+      if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var off = 12
+      var fmt: Option[(Int, Int)] = None // (channels, sampleRate)
+      while (off + 8 <= payload.length) {
+        val id = tag(off); val sz = le32(off + 4)
+        if (sz < 0 || off + 8 + sz > payload.length) return None // lying header
+        if (id == "fmt ") {
+          if (sz < 16) return None
+          if (le16(off + 8) != 1 || le16(off + 22) != 16) return None // PCM s16 only
+          fmt = Some((le16(off + 10), le32(off + 12)))
+        } else if (id == "data") {
+          val (ch, rate) = fmt.getOrElse(return None)
+          if (ch <= 0) return None
+          val samples = Array.tabulate(sz / 2)(i => le16(off + 8 + i * 2).toShort.toInt)
+          return Some((rate, ch, samples))
         }
-        return Some(WavFeatures(rate, ch, n / ch, sum, if (n == 0) 0 else max))
+        off += 8 + sz + (sz & 1) // word-aligned; sz >= 0 checked, so off advances ≥ 8
       }
-      off += 8 + sz + (sz & 1) // chunks are word-aligned
-    }
-    None
+      None
+    } catch { case _: Exception => None }
   }
+
+  /** REAL WAV decode to exact sample aggregates — one [[parseWav]] walk.
+    * None on null/corrupt/non-PCM16 payloads. */
+  def decodeWav(payload: Array[Byte]): Option[WavFeatures] =
+    parseWav(payload).map { case (rate, ch, samples) =>
+      var (sum, max) = (0L, Int.MinValue)
+      var i = 0
+      while (i < samples.length) {
+        val s = samples(i)
+        sum += s; if (s > max) max = s
+        i += 1
+      }
+      WavFeatures(rate, ch, samples.length / ch, sum,
+        if (samples.isEmpty) 0 else max)
+    }
 
   /** Deterministic synthetic mono PCM-16 WAV: sample i is
     * `((id*131 + i*17) mod 65536) - 32768` — SQL-evaluable, so the real
@@ -248,50 +263,40 @@ object Multimodal {
 
   private[operators] def dispatchDecode(b: Array[Byte]): Array[Double] =
     if (startsWith(b, PngMagic)) {
-      // real decode; histogram of red-channel pixel values
-      decodeImage(b).map { _ => // dims validated; histogram needs pixels again
+      // ONE real decode, histogram built in the same pixel pass (an earlier
+      // version decoded twice — once for validation, once for the histogram)
+      try {
         val img = ImageIO.read(new ByteArrayInputStream(b))
-        val hist = new Array[Double](16)
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) {
-            hist(((img.getRGB(x, y) >> 16) & 0xff) >> 4) += 1.0; x += 1
+        if (img == null) null
+        else {
+          val hist = new Array[Double](16)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              hist(((img.getRGB(x, y) >> 16) & 0xff) >> 4) += 1.0; x += 1
+            }
+            y += 1
           }
-          y += 1
+          hist
         }
-        hist
-      }.orNull
+      } catch { case _: Exception => null }
     } else if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') {
-      decodeWav(b).map { _ =>
-        val hist = new Array[Double](16)
-        // re-walk samples for the histogram: shift signed 16-bit to [0, 64k)
-        val chunks = decodeWavSamples(b)
-        chunks.foreach(s => hist((s + 32768) >> 12) += 1.0)
-        hist
-      }.orNull
+      // ONE validated sample walk; RIFF-but-not-PCM16-WAVE (AVI containers,
+      // text that happens to start with "RIFF") falls through to the stub —
+      // the documented video-container path, not a silent null
+      parseWav(b) match {
+        case Some((_, _, samples)) =>
+          val hist = new Array[Double](16)
+          samples.foreach(s => hist((s + 32768) >> 12) += 1.0)
+          hist
+        case None => stubDecode(b)
+      }
     } else stubDecode(b)
 
-  /** Raw sample values of a validated PCM-16 WAV (helper for histogram +
-    * tests). Empty for invalid payloads. */
-  private[operators] def decodeWavSamples(payload: Array[Byte]): Array[Int] = {
-    decodeWav(payload) match {
-      case None => Array.empty
-      case Some(_) =>
-        def le16(o: Int) = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
-        def le32(o: Int) = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
-          ((payload(o + 2) & 0xff) << 16) | ((payload(o + 3) & 0xff) << 24)
-        def tag(o: Int) = new String(payload, o, 4, "US-ASCII")
-        var off = 12
-        while (off + 8 <= payload.length) {
-          val id = tag(off); val sz = le32(off + 4)
-          if (id == "data")
-            return Array.tabulate(sz / 2)(i => le16(off + 8 + i * 2).toShort.toInt)
-          off += 8 + sz + (sz & 1)
-        }
-        Array.empty
-    }
-  }
+  /** Raw sample values of a validated PCM-16 WAV (helper for tests). */
+  private[operators] def decodeWavSamples(payload: Array[Byte]): Array[Int] =
+    parseWav(payload).map(_._3).getOrElse(Array.empty)
 
   /** Byte-size + digest metadata without decoding (pure column expressions —
     * stays in codegen, pushdown-friendly). */

@@ -135,82 +135,88 @@ object EventQueries {
         intervalUs = 15L * 60 * 1000000)
       .select(col("k").as("user_id"), col("bucket"), col("n"), col("state"))
 
-  /** The STREAMING resample path directly under the DuckDB oracle (VERDICT
-    * r4 ask #2): the same events flow parquet → `readStream` →
-    * [[graft.streaming.EventStream.resampleStream]] (flatMapGroupsWithState)
-    * → a parquet SINK via `Trigger.AvailableNow`, and the sink's contents
-    * are returned for hash comparison against the SAME oracle SQL as
-    * `events_resample` — the streaming output itself hash-matches DuckDB,
-    * not just a spec-equality hop through the batch twin.
-    *
-    * Mechanics: a sentinel event one day past the corpus max advances the
-    * watermark so the post-data micro-batch (SPARK-24156 no-data batch)
-    * fires every user's flush timeout and drains all open buckets; the
-    * sentinel's own grid never emits (its timeout stays beyond the final
-    * watermark) and is filtered defensively. All input files load in one
-    * micro-batch (no maxFilesPerTrigger), so no event can land outside the
-    * reorder window on the way in. */
-  def resampleStreamed(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
-    import fork.implicits._
+  // ---- shared streaming-sink harness --------------------------------------
+  // One definition of the oracle-gated streaming mechanics (r5 review: five
+  // entries had copy-pasted it, so a watermark/sentinel/checkpoint fix had
+  // five places to drift): parquet → `readStream` → `transform` →
+  // `Trigger.AvailableNow` → parquet sink, sink read back for the hash
+  // compare. A far-future sentinel (when requested) advances the watermark
+  // so the post-data micro-batch (SPARK-24156 no-data batch) flushes every
+  // open state; the sentinel's own state never finalizes (its horizon stays
+  // beyond the final watermark) — typed transforms filter `user_id >= 0`
+  // defensively. All input files load in ONE micro-batch (no
+  // maxFilesPerTrigger). Work dirs are FIXED per entry and cleared UP FRONT:
+  // bench reps must not accumulate corpus copies in /tmp, and a leftover
+  // checkpoint would make a rerun resume into an empty sink.
+
+  private def clearDir(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+
+  private def streamedSink(fork: SparkSession, dir: String, name: String,
+                           addSentinel: Boolean,
+                           mutateInput: DataFrame => DataFrame = identity)
+                          (transform: DataFrame => DataFrame): DataFrame = {
     fork.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = fork.read.parquet(s"$dir/events.parquet")
       .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
         col("user_id"), col("event_type"), col("value"))
-    val maxTsUs = src.agg(max(unix_micros(col("ts")))).head.getLong(0)
-    val sentinel = fork.range(1).select(
-      lit(-1L).as("event_id"),
-      timestamp_micros(lit(maxTsUs + 86400L * 1000000)).as("ts"),
-      lit(-1L).as("user_id"), lit("view").as("event_type"), lit(0.0).as("value"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_resample_stream")
-    val (inDir, outDir, ckpt) = (s"$tmp/in", s"$tmp/out", s"$tmp/ckpt")
-    src.union(sentinel).write.parquet(inDir)
+    val input =
+      if (!addSentinel) mutateInput(src)
+      else {
+        val maxTsUs = src.agg(max(unix_micros(col("ts")))).head.getLong(0)
+        val sentinel = fork.range(1).select(
+          lit(-1L).as("event_id"),
+          timestamp_micros(lit(maxTsUs + 86400L * 1000000)).as("ts"),
+          lit(-1L).as("user_id"), lit("view").as("event_type"), lit(0.0).as("value"))
+        mutateInput(src).union(sentinel)
+      }
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_stream_$name")
+    clearDir(root)
+    val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    input.write.parquet(inDir)
     val stream = fork.readStream.schema(src.schema).parquet(inDir)
-      .as[graft.streaming.EventStream.Event]
-    val q = graft.streaming.EventStream.resampleStream(stream,
-        intervalUs = 15L * 60 * 1000000)
-      .filter(_.user_id >= 0)
+    val q = transform(stream)
       .writeStream.format("parquet")
       .option("path", outDir).option("checkpointLocation", ckpt)
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    fork.read.parquet(outDir).select(col("user_id"), col("bucket"), col("n"), col("state"))
+    fork.read.parquet(outDir)
   }
 
-  /** The STREAMING sessionize path directly under the DuckDB oracle — same
-    * harness as [[resampleStreamed]]: parquet → `readStream` →
+  /** The STREAMING resample path directly under the DuckDB oracle (VERDICT
+    * r4 ask #2): [[graft.streaming.EventStream.resampleStream]]
+    * (flatMapGroupsWithState) through [[streamedSink]]; hash-compared
+    * against the SAME oracle SQL as `events_resample` — the streaming
+    * output itself hash-matches DuckDB, not just a spec-equality hop
+    * through the batch twin. */
+  def resampleStreamed(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    import fork.implicits._
+    streamedSink(fork, dir, "resample", addSentinel = true) { df =>
+      graft.streaming.EventStream.resampleStream(
+          df.as[graft.streaming.EventStream.Event],
+          intervalUs = 15L * 60 * 1000000)
+        .filter(_.user_id >= 0).toDF()
+    }.select(col("user_id"), col("bucket"), col("n"), col("state"))
+  }
+
+  /** The STREAMING sessionize path under the oracle:
     * [[graft.streaming.EventStream.sessionize]] (flatMapGroupsWithState,
-    * per-user session ordinals) → parquet sink via `Trigger.AvailableNow`;
-    * the sink is hash-compared against the SAME oracle SQL as
-    * `events_sessionize`. The far-future sentinel advances the watermark
-    * past every open session's timeout so all sessions flush; its own
-    * session never times out and is filtered. */
+    * per-user session ordinals) through [[streamedSink]]; same oracle SQL
+    * as `events_sessionize`. */
   def sessionizeStreamed(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
     import fork.implicits._
-    fork.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = fork.read.parquet(s"$dir/events.parquet")
-      .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
-        col("user_id"), col("event_type"), col("value"))
-    val maxTsUs = src.agg(max(unix_micros(col("ts")))).head.getLong(0)
-    val sentinel = fork.range(1).select(
-      lit(-1L).as("event_id"),
-      timestamp_micros(lit(maxTsUs + 86400L * 1000000)).as("ts"),
-      lit(-1L).as("user_id"), lit("view").as("event_type"), lit(0.0).as("value"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_sessionize_stream")
-    val (inDir, outDir, ckpt) = (s"$tmp/in", s"$tmp/out", s"$tmp/ckpt")
-    src.union(sentinel).write.parquet(inDir)
-    val stream = fork.readStream.schema(src.schema).parquet(inDir)
-      .as[graft.streaming.EventStream.Event]
-    val q = graft.streaming.EventStream.sessionize(stream)
-      .filter(_.user_id >= 0)
-      .writeStream.format("parquet")
-      .option("path", outDir).option("checkpointLocation", ckpt)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    fork.read.parquet(outDir).select(col("user_id"), col("session_id"),
+    streamedSink(fork, dir, "sessionize", addSentinel = true) { df =>
+      graft.streaming.EventStream.sessionize(
+          df.as[graft.streaming.EventStream.Event])
+        .filter(_.user_id >= 0).toDF()
+    }.select(col("user_id"), col("session_id"),
       col("n_events").cast("long").as("n_events"), col("duration_s"),
       round(col("sum_value"), 4).as("sum_value"))
   }
@@ -219,29 +225,15 @@ object EventQueries {
     * flow is polluted with replayed rows (every event_id ≡ 0 mod 7 appears
     * twice — an at-least-once source's redelivery), streamed through
     * [[graft.streaming.EventStream.dedupEvents]]
-    * (`dropDuplicatesWithinWatermark` on event_id) into a parquet sink; the
-    * sink must equal the CLEAN events table exactly. Replays are identical
-    * rows, so survivor choice is immaterial; state is bounded by the
-    * watermark horizon (the production property — an unbounded `distinct`
-    * would never age out). */
+    * (`dropDuplicatesWithinWatermark` on event_id); the sink must equal the
+    * CLEAN events table exactly. Replays are identical rows, so survivor
+    * choice is immaterial; state is bounded by the watermark horizon (the
+    * production property — an unbounded `distinct` would never age out). */
   def dedupStreamed(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
-    fork.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = fork.read.parquet(s"$dir/events.parquet")
-      .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
-        col("user_id"), col("event_type"), col("value"))
-    val replays = src.where(col("event_id") % 7 === 0)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
-    val (inDir, outDir, ckpt) = (s"$tmp/in", s"$tmp/out", s"$tmp/ckpt")
-    src.union(replays).write.parquet(inDir)
-    val stream = fork.readStream.schema(src.schema).parquet(inDir)
-    val q = graft.streaming.EventStream.dedupEvents(stream)
-      .writeStream.format("parquet")
-      .option("path", outDir).option("checkpointLocation", ckpt)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    fork.read.parquet(outDir).select(col("event_id"),
+    streamedSink(fork, dir, "dedup", addSentinel = false,
+        mutateInput = src => src.union(src.where(col("event_id") % 7 === 0))) {
+      graft.streaming.EventStream.dedupEvents
+    }.select(col("event_id"),
       unix_micros(col("ts")).as("ts_us"), col("user_id"), col("event_type"),
       col("value"))
   }
@@ -255,29 +247,10 @@ object EventQueries {
     * beyond the final watermark and is never emitted. Same oracle as
     * `events_hourly`. */
   def hourlyStreamed(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
-    fork.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = fork.read.parquet(s"$dir/events.parquet")
-      .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
-        col("user_id"), col("event_type"), col("value"))
-    val maxTsUs = src.agg(max(unix_micros(col("ts")))).head.getLong(0)
-    val sentinel = fork.range(1).select(
-      lit(-1L).as("event_id"),
-      timestamp_micros(lit(maxTsUs + 86400L * 1000000)).as("ts"),
-      lit(-1L).as("user_id"), lit("view").as("event_type"), lit(0.0).as("value"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_hourly_stream")
-    val (inDir, outDir, ckpt) = (s"$tmp/in", s"$tmp/out", s"$tmp/ckpt")
-    src.union(sentinel).write.parquet(inDir)
-    val stream = fork.readStream.schema(src.schema).parquet(inDir)
-    val q = graft.streaming.EventStream.hourly(stream)
-      .writeStream.format("parquet")
-      .option("path", outDir).option("checkpointLocation", ckpt)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    fork.read.parquet(outDir).select(
-      date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
-      col("event_type"), col("n"), round(col("sum_value"), 4).as("sum_value"))
+    streamedSink(fork, dir, "hourly", addSentinel = true)(
+        graft.streaming.EventStream.hourly)
+      .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), round(col("sum_value"), 4).as("sum_value"))
   }
 
   /** OVERLAPPING-window streaming sink under the oracle — same harness as
@@ -286,29 +259,11 @@ object EventQueries {
     * the sentinel is a day out, so every data window finalizes while the
     * sentinel's own 4 windows never do. */
   def slidingStreamed(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
-    fork.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = fork.read.parquet(s"$dir/events.parquet")
-      .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
-        col("user_id"), col("event_type"), col("value"))
-    val maxTsUs = src.agg(max(unix_micros(col("ts")))).head.getLong(0)
-    val sentinel = fork.range(1).select(
-      lit(-1L).as("event_id"),
-      timestamp_micros(lit(maxTsUs + 86400L * 1000000)).as("ts"),
-      lit(-1L).as("user_id"), lit("view").as("event_type"), lit(0.0).as("value"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_sliding_stream")
-    val (inDir, outDir, ckpt) = (s"$tmp/in", s"$tmp/out", s"$tmp/ckpt")
-    src.union(sentinel).write.parquet(inDir)
-    val stream = fork.readStream.schema(src.schema).parquet(inDir)
-    val q = graft.streaming.EventStream.sliding(stream)
-      .writeStream.format("parquet")
-      .option("path", outDir).option("checkpointLocation", ckpt)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    fork.read.parquet(outDir).select(
-      date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
-      col("event_type"), col("n"), round(col("sum_value"), 4).as("sum_value"))
+    streamedSink(fork, dir, "sliding", addSentinel = true)(
+        graft.streaming.EventStream.sliding)
+      .select(
+        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), round(col("sum_value"), 4).as("sum_value"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

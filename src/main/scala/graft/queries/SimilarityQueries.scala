@@ -91,7 +91,10 @@ object SimilarityQueries {
   def annIvfPruned(s: SparkSession, dir: String): DataFrame = {
     val centroids = SomQueries.protos(s, dir)
       .select(col("proto_id").as("cell"), col("c"))
-    val layout = java.nio.file.Files.createTempDirectory("graft_ivf_layout").toString
+    // FIXED path + Overwrite: bench reps replace one layout copy instead of
+    // accumulating fresh temp dirs per invocation (r5 review)
+    val layout = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_ivf_layout").toString
     graft.sources.Sources.writeIvfLayout(assigned(s, dir), layout)
     // probe → nprobe nearest cells (same math as ivfTopK's probeCells)
     val cellRank = org.apache.spark.sql.expressions.Window

@@ -28,15 +28,8 @@ object SourceQueries {
   // `-Dgraft.fixture.dir` override, else walk up from cwd to the first
   // directory holding `build.sbt` (the repo-root marker), else cwd itself.
   private val FixtureDir: String =
-    sys.props.get("graft.fixture.dir").getOrElse {
-      var p = Paths.get("").toAbsolutePath
-      var root = p
-      while (p != null) {
-        if (Files.exists(p.resolve("build.sbt"))) { root = p; p = null }
-        else p = p.getParent
-      }
-      root.resolve("target").resolve("fixtures").toString
-    }
+    sys.props.get("graft.fixture.dir").getOrElse(
+      graft.RepoRoot.dir.resolve("target").resolve("fixtures").toString)
 
   private def nationRows(s: SparkSession, dir: String): Seq[(Long, String, Long)] =
     s.read.parquet(s"$dir/nation.parquet")

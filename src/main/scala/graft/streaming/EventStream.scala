@@ -169,7 +169,16 @@ object EventStream {
   /** 30-minute-gap sessionization with explicit state — streaming twin of
     * `EventQueries.sessionize`, emitting a row when a session times out.
     * Gap/duration arithmetic is integer epoch-us, identical to the batch
-    * (and DuckDB-oracle) form. */
+    * (and DuckDB-oracle) form.
+    *
+    * Session ORDINALS survive timeout flushes: the flush leaves a TOMBSTONE
+    * (`n = 0`, no timeout registered) carrying the last emitted `seq`, so a
+    * user who goes dormant and returns in a later micro-batch gets
+    * `seq + 1` — the same numbering the batch gaps-and-islands form assigns
+    * — instead of restarting at 1. State cost: one tombstone row per
+    * ever-seen user (the same |users| bound the batch computation holds;
+    * a production deployment would age tombstones out and accept
+    * renumbering beyond that horizon). */
   def sessionize(events: Dataset[Event]): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapUs = 30L * 60 * 1000000
@@ -181,11 +190,13 @@ object EventStream {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
-            state.remove()
+            state.update(s.copy(n = 0)) // tombstone: ordinal kept, no timeout
             Iterator.single(Session(userId, s.seq, s.n, (s.last - s.start) / 1000000, s.sum))
           } else {
             val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-            var cur = state.getOption
+            // a tombstone (n = 0) means "no open session; last ordinal = seq"
+            var cur = state.getOption.filter(_.n > 0)
+            var lastSeq = state.getOption.map(_.seq).getOrElse(0L)
             val out = scala.collection.mutable.ArrayBuffer.empty[Session]
             sorted.foreach { e =>
               val t = micros(e.ts)
@@ -196,7 +207,7 @@ object EventStream {
                   out += Session(userId, s.seq, s.n, (s.last - s.start) / 1000000, s.sum)
                   cur = Some(SessionState(t, t, 1, e.value, s.seq + 1))
                 case None =>
-                  cur = Some(SessionState(t, t, 1, e.value, 1L))
+                  cur = Some(SessionState(t, t, 1, e.value, lastSeq + 1))
               }
             }
             cur.foreach { s =>

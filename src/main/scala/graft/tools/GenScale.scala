@@ -20,7 +20,12 @@ import org.apache.spark.sql.functions._
   */
 object GenScale {
 
-  private val Rot = "etaoinshr" // high-frequency letters; rotation i ≠ identity
+  // 12 high-frequency letters → 11 distinct non-identity rotations. The
+  // index below maps copy i ≥ 1 to rotation 1..11, NEVER 0: with the old
+  // 9-letter set, copy 9 of the default 10 hit `9 % 9 == 0` — an identity
+  // translate that duplicated the base texts verbatim, exactly the
+  // cluster-inflating skew the rotation exists to prevent (r5 review).
+  private val Rot = "etaoinshrdlu"
 
   def main(args: Array[String]): Unit = {
     val src = args(0)
@@ -53,7 +58,8 @@ object GenScale {
     replicate("documents", Seq("doc_id"), (d, i) =>
       if (i == 0) d
       else {
-        val to = Rot.drop(i % Rot.length) + Rot.take(i % Rot.length)
+        val r = (i - 1) % (Rot.length - 1) + 1 // 1..11, never the identity
+        val to = Rot.drop(r) + Rot.take(r)
         d.withColumn("text", translate(col("text"), Rot, to))
       })
     // circular-shift the embedding dims per copy: norms and all WITHIN-copy

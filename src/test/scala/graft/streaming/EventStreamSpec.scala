@@ -50,6 +50,36 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session ordinals survive a timeout flush (multi-batch numbering)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sessions_seq_out")
+      .outputMode("append").start()
+    try {
+      // session 1, then a watermark push that times it out...
+      mem.addData(EventStream.Event(1, ts(0), 200, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(EventStream.Event(2, ts(120), 999, "view", 0.0))
+      q.processAllAvailable()
+      // ...then the SAME user returns in a later micro-batch: the flush must
+      // have left a tombstone carrying seq, so this is session 2 — not a
+      // restart at 1 (which would duplicate the earlier session_id and
+      // diverge from the batch gaps-and-islands numbering)
+      mem.addData(EventStream.Event(3, ts(240), 200, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData(EventStream.Event(4, ts(480), 999, "view", 0.0))
+      q.processAllAvailable()
+      val byUser = spark.table("sessions_seq_out")
+        .where(col("user_id") === 200)
+        .select(col("session_id"), col("sum_value")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1)
+      assert(byUser.toSeq == Seq(1L -> 1.0, 2L -> 2.0),
+        s"second-life session must be ordinal 2: ${byUser.mkString(", ")}")
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits sessions after timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
