@@ -105,6 +105,31 @@ object TextDedupQueries {
       order = Seq(col("score").desc, col("term").asc), k = 5)
   }
 
+  /** Context-window CHUNKING with overlap — the "split long docs into
+    * training windows" step that complements packing (packing concatenates
+    * short docs; chunking splits long ones): chunk k covers tokens
+    * [k·stride, k·stride + size), stride = size − overlap, until the doc is
+    * exhausted. Emits exact integers plus the 60-bit hash of each chunk's
+    * text (payload-free, hash-stable). Pure per-row explode — computed
+    * inside the scan, no shuffle at any scale. */
+  val ChunkSize = 64
+  val ChunkStride = 48 // 16-token overlap between consecutive chunks
+  def textChunks(s: SparkSession, dir: String): DataFrame = {
+    val t = TextOps.tokensFast(col("text"))
+    val n = size(t)
+    // chunks needed to start at 0, stride, 2·stride … < max(n, 1)
+    val nChunks = floor((greatest(n, lit(1)) - 1) / ChunkStride) + 1
+    docs(s, dir)
+      .select(col("doc_id"), t.as("t"), n.as("n"),
+        explode(sequence(lit(0), nChunks.cast("int") - 1)).as("k"))
+      .select(col("doc_id"), col("k").cast("long").as("chunk_id"),
+        least(lit(ChunkSize), col("n") - col("k") * ChunkStride)
+          .cast("int").as("n_chunk_tokens"),
+        graft.functions.VectorSql.md5Hash60(
+          concat_ws(" ", slice(col("t"), col("k") * ChunkStride + 1, lit(ChunkSize))))
+          .as("chunk_hash"))
+  }
+
   /** Corpus-level token frequency, top 100 — the C4-style vocabulary
     * analysis pass. Global top-k = orderBy+limit (TakeOrderedAndProject,
     * never a full sort); ties broken by token so the cut is deterministic. */
@@ -320,6 +345,7 @@ object TextDedupQueries {
     "text_fingerprint" -> textFingerprint _,
     "text_rolling_hash" -> textRollingHash _,
     "text_token_freq" -> textTokenFreq _,
+    "text_chunks" -> textChunks _,
     "text_tfidf_topk" -> textTfidfTopk _,
     "text_simhash" -> textSimhash _,
     "dedup_exact" -> dedupExact _,
@@ -624,6 +650,18 @@ object TextDedupQueries {
          |SELECT tok, CAST(count(*) AS BIGINT) AS n
          |FROM (SELECT unnest(t) AS tok FROM toks)
          |GROUP BY 1 ORDER BY n DESC, tok LIMIT 100""".stripMargin,
+    // chunk k covers 1-based tokens [k*stride+1, k*stride+size]; DuckDB list
+    // slicing t[a:b] is 1-based inclusive and clamps past the end, matching
+    // Spark's slice(t, start, length) truncation
+    "text_chunks" ->
+      s"""WITH $toksCte,
+         |c AS (SELECT doc_id, t, len(t) AS n,
+         |  unnest(range(0, (GREATEST(len(t), 1) - 1) // $ChunkStride + 1)) AS k
+         | FROM toks)
+         |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+         |  CAST(LEAST($ChunkSize, n - k * $ChunkStride) AS INT) AS n_chunk_tokens,
+         |  ${h60(s"array_to_string(t[CAST(k * $ChunkStride + 1 AS INT):CAST(k * $ChunkStride + $ChunkSize AS INT)], ' ')")} AS chunk_hash
+         |FROM c""".stripMargin,
     "text_tfidf_topk" ->
       // `+ 0` on the rounded score (signed-zero discipline: ln(1)=0 terms);
       // ranking happens on the SAME rounded value as Spark's
