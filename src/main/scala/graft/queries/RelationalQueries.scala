@@ -213,6 +213,15 @@ object RelationalQueries {
       .select(col("l_linestatus"), col("A").as("qty_a"), col("N").as("qty_n"),
         col("R").as("qty_r"))
 
+  /** Unpivot (melt) — the inverse reshape of [[qPivot]]: the wide
+    * flag-per-column table folds back to (linestatus, flag, qty) rows via
+    * `stack` (Spark's unpivot primitive; DuckDB spells it UNPIVOT). Null
+    * cells are dropped by both engines' unpivot semantics. */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    qPivot(s, dir).select(col("l_linestatus"),
+      expr("stack(3, 'A', qty_a, 'N', qty_n, 'R', qty_r) AS (flag, qty)"))
+      .where(col("qty").isNotNull)
+
   /** Anti join: parts that never shipped in high-quantity lines. */
   def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
     val hi = t(s, dir, "lineitem").where(col("l_quantity") >= 48).select(col("l_partkey"))
@@ -300,6 +309,7 @@ object RelationalQueries {
     "q_lateral_topn" -> qLateralTopn _,
     "q_conditional_agg" -> qConditionalAgg _,
     "q_not_in" -> qNotIn _,
+    "q_unpivot" -> qUnpivot _,
     "q_anti_join" -> qAntiJoin _,
     "q_semi_join" -> qSemiJoin _,
     "q_pivot" -> qPivot _,
@@ -383,6 +393,20 @@ object RelationalQueries {
         | sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS qty_n,
         | sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS qty_r
         |FROM lineitem GROUP BY 1""".stripMargin,
+    // melt the pivoted table back to rows; the flag labels 'A'/'N'/'R'
+    // mirror the stack() literals, null cells dropped on both sides
+    "q_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_linestatus,
+        |   sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS qty_a,
+        |   sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS qty_n,
+        |   sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS qty_r
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_linestatus, flag, qty FROM (
+        |  SELECT l_linestatus, 'A' AS flag, qty_a AS qty FROM wide
+        |  UNION ALL SELECT l_linestatus, 'N', qty_n FROM wide
+        |  UNION ALL SELECT l_linestatus, 'R', qty_r FROM wide)
+        |WHERE qty IS NOT NULL""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,
