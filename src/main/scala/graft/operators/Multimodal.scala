@@ -12,12 +12,13 @@ import javax.imageio.ImageIO
   * payloads ride as opaque `binary` columns next to typed metadata; decode /
   * feature-extract / resize / frame-sample run as partition-local transforms.
   *
-  * Image decode is REAL (JDK `javax.imageio` — PNG/BMP/GIF, no native
-  * codecs needed) and audio decode is REAL (RIFF/WAVE PCM-16 header +
-  * sample parse, pure JDK). Only VIDEO demux remains a clearly-marked
-  * deterministic stub ([[stubDecode]] / [[sampleFrames]]) — this
-  * environment ships no container demuxer; swap the stub for an
-  * FFmpeg/JNI call and nothing else changes.
+  * Image decode is REAL (JDK `javax.imageio` — PNG/BMP/GIF/JPEG, no native
+  * codecs needed), audio decode is REAL (RIFF/WAVE PCM-16 header + sample
+  * parse, pure JDK), and video demux is REAL ([[demuxAvi]]: the RIFF chunk
+  * walk generalized to `LIST('movi')`/`##dc`/`##db` AVI frame chunks, each
+  * frame decoded by ImageIO — covers MJPEG and PNG/DIB-framed AVIs with
+  * zero native codecs). Only payloads with no recognizable container at
+  * all fall to the deterministic [[stubDecode]] histogram.
   *
   * Scale notes: payload transforms are `mapPartitions`-shaped (no shuffle,
   * stream through each file split); metadata-only predicates (modality,
@@ -230,11 +231,179 @@ object Multimodal {
 
   // ----------------------------------------------------------------- video
 
-  /** STUB decode — VIDEO ONLY. Images go through [[decodeImage]] (real
-    * ImageIO) and audio through [[decodeWav]] (real PCM parse); container
-    * demux has no JDK decoder, so this deterministic 16-bin byte-value
-    * histogram stands in for per-frame features until an FFmpeg/JNI demuxer
-    * is swapped in. */
+  /** One decoded video frame: index in stream order + the frame's exact
+    * per-channel pixel sums (same integer contract as [[ImageFeatures]]). */
+  final case class VideoFrame(frameIdx: Int, width: Int, height: Int,
+                              sumR: Long, sumG: Long, sumB: Long)
+
+  /** REAL AVI demux, pure JDK — the generalized form of the validated RIFF
+    * walk in [[parseWav]]. Walks `RIFF('AVI ')` top-level chunks, descends
+    * into the `LIST('movi')` payload (including nested `LIST('rec ')`
+    * groups), and returns the raw bytes of every video-frame chunk
+    * (`##dc` compressed / `##db` uncompressed, the standard stream-id +
+    * codec-tag naming). Every read is bounds-checked; a negative or
+    * overrunning declared chunk size aborts the walk so a crafted header
+    * can never spin the executor. None for null/non-AVI/corrupt payloads. */
+  private[operators] def demuxAvi(payload: Array[Byte]): Option[Array[Array[Byte]]] = {
+    if (payload == null || payload.length < 12) return None
+    try {
+      def le32(o: Int) = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
+        ((payload(o + 2) & 0xff) << 16) | ((payload(o + 3) & 0xff) << 24)
+      def tag(o: Int) = new String(payload, o, 4, "US-ASCII")
+      if (tag(0) != "RIFF" || tag(8) != "AVI ") return None
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      def isFrameId(id: String) =
+        id.length == 4 && id(0).isDigit && id(1).isDigit &&
+          id(2) == 'd' && (id(3) == 'b' || id(3) == 'c')
+      // walk chunks in [from, to); returns false on a lying header
+      def walk(from: Int, to: Int): Boolean = {
+        var off = from
+        while (off + 8 <= to) {
+          val id = tag(off); val sz = le32(off + 4)
+          if (sz < 0 || off + 8 + sz > to) return false
+          if (id == "LIST") {
+            if (sz < 4) return false
+            val listType = tag(off + 8)
+            if (listType == "movi" || listType == "rec ")
+              if (!walk(off + 12, off + 8 + sz)) return false
+          } else if (isFrameId(id)) {
+            frames += java.util.Arrays.copyOfRange(payload, off + 8, off + 8 + sz)
+          }
+          off += 8 + sz + (sz & 1) // word-aligned; sz >= 0 checked, so off advances ≥ 8
+        }
+        true
+      }
+      val end = math.min(payload.length, 8 + le32(4).max(0))
+      if (!walk(12, end)) None else Some(frames.toArray)
+    } catch { case _: Exception => None }
+  }
+
+  /** REAL video decode: [[demuxAvi]] the container, then ImageIO-decode each
+    * frame (MJPEG frames are JPEGs, uncompressed-DIB/PNG frames likewise —
+    * ImageIO dispatches on the frame's own magic bytes). Frames that fail to
+    * decode are dropped but keep their stream index, so one corrupt frame
+    * degrades to a gap, never a shifted index or a dead partition. None when
+    * the container itself doesn't demux. */
+  def decodeVideo(payload: Array[Byte]): Option[Array[VideoFrame]] =
+    demuxAvi(payload).map { frames =>
+      frames.iterator.zipWithIndex.flatMap { case (bytes, i) =>
+        decodeImage(bytes).map(f =>
+          VideoFrame(i, f.width, f.height, f.sumR, f.sumG, f.sumB))
+      }.toArray
+    }
+
+  /** Per-frame feature extraction over a video payload column:
+    * partition-local demux + decode, no shuffle; non-AVI payloads yield a
+    * null frame array. */
+  def videoFrames(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val dec = udf { (b: Array[Byte]) => decodeVideo(b) }
+    df.withColumn("frames", dec(col(payloadCol)))
+  }
+
+  /** REAL frame sampling: demux the AVI, keep every k-th frame (stream
+    * indices 0, k, 2k, …), decode only the kept frames — the
+    * decode-bandwidth saver a video training pipeline actually runs
+    * (sample BEFORE decode, just like filter-before-decode for images). */
+  def sampleFrames(df: DataFrame, everyK: Int,
+                   payloadCol: String = "payload"): DataFrame = {
+    require(everyK > 0)
+    val sampler = udf { (b: Array[Byte]) =>
+      demuxAvi(b).map { raw =>
+        raw.iterator.zipWithIndex.filter(_._2 % everyK == 0).flatMap {
+          case (bytes, i) => decodeImage(bytes).map(f =>
+            VideoFrame(i, f.width, f.height, f.sumR, f.sumG, f.sumB))
+        }.toArray
+      }
+    }
+    df.withColumn("frames", sampler(col(payloadCol)))
+      .withColumn("n_frames_sampled", coalesce(size(col("frames")), lit(0)))
+  }
+
+  /** Deterministic synthetic AVI: a structurally complete RIFF container
+    * (`LIST hdrl` with `avih` + `LIST strl`(`strh`,`strf`), `LIST movi`
+    * with one `00dc` chunk per frame, trailing `idx1` index) whose frame
+    * pixels follow the [[syntheticPng]] formula extended by a frame term:
+    * channel c of pixel p in frame f is
+    * `(id*7919 + f*523 + p*257 + c*101) mod 256` — SQL-evaluable, so REAL
+    * demux + REAL ImageIO frame decode are oracle-checkable end-to-end.
+    * Frames are PNG-encoded (lossless) by default so the oracle is exact;
+    * pass `codec = "jpg"` for true MJPEG frames (lossy — spec-checked with
+    * tolerance, not oracle-hashed). */
+  def syntheticAvi(id: Long, width: Int, height: Int, nFrames: Int,
+                   codec: String = "png"): Array[Byte] = {
+    val frames = Array.tabulate(nFrames) { f =>
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+      var p = 0
+      while (p < width * height) {
+        val r = ((id * 7919 + f * 523 + p * 257) % 256).toInt
+        val g = ((id * 7919 + f * 523 + p * 257 + 101) % 256).toInt
+        val b = ((id * 7919 + f * 523 + p * 257 + 202) % 256).toInt
+        img.setRGB(p % width, p / width, (r << 16) | (g << 8) | b)
+        p += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, codec, bos)
+      bos.toByteArray
+    }
+    buildAvi(width, height, frames)
+  }
+
+  /** Assemble a standard AVI container around pre-encoded frame payloads. */
+  private[operators] def buildAvi(width: Int, height: Int,
+                                  frames: Array[Array[Byte]]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def p16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def p32(v: Int): Unit = { p16(v & 0xffff); p16((v >>> 16) & 0xffff) }
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def chunk(id: String, body: Array[Byte]): Unit = {
+      tag(id); p32(body.length); out.write(body)
+      if ((body.length & 1) == 1) out.write(0) // RIFF word alignment
+    }
+    def sub(build: => Unit): Array[Byte] = { // render nested content to bytes
+      val saved = out.toByteArray; out.reset(); build
+      val got = out.toByteArray; out.reset(); out.write(saved); got
+    }
+    def list(listType: String, body: Array[Byte]): Unit = {
+      tag("LIST"); p32(4 + body.length); tag(listType); out.write(body)
+      if ((body.length & 1) == 1) out.write(0)
+    }
+    val avih = sub { // 56-byte main header
+      p32(33333); p32(0); p32(0); p32(0x10) // usec/frame, maxBytes, padding, AVIF_HASINDEX
+      p32(frames.length); p32(0); p32(1); p32(0) // totalFrames, initial, streams, sugBuf
+      p32(width); p32(height); p32(0); p32(0); p32(0); p32(0)
+    }
+    val strh = sub { // 56-byte video stream header
+      tag("vids"); tag("MJPG"); p32(0); p16(0); p16(0); p32(0)
+      p32(1); p32(30); p32(0); p32(frames.length) // scale, rate, start, length
+      p32(0); p32(0); p32(0); p16(0); p16(0); p16(width); p16(height)
+    }
+    val strf = sub { // 40-byte BITMAPINFOHEADER
+      p32(40); p32(width); p32(height); p16(1); p16(24)
+      tag("MJPG"); p32(width * height * 3); p32(0); p32(0); p32(0); p32(0)
+    }
+    val hdrl = sub {
+      chunk("avih", avih)
+      val strl = sub { chunk("strh", strh); chunk("strf", strf) }
+      list("strl", strl)
+    }
+    val movi = sub { frames.foreach(chunk("00dc", _)) }
+    val idx1 = sub { // offsets are movi-relative per the AVI 1.0 convention
+      var off = 4
+      frames.foreach { f =>
+        tag("00dc"); p32(0x10); p32(off); p32(f.length) // AVIIF_KEYFRAME
+        off += 8 + f.length + (f.length & 1)
+      }
+    }
+    val body = sub { list("hdrl", hdrl); list("movi", movi); chunk("idx1", idx1) }
+    tag("RIFF"); p32(4 + body.length); tag("AVI "); out.write(body)
+    out.toByteArray
+  }
+
+  /** STUB decode — OPAQUE NON-RIFF BYTES ONLY. Images decode via
+    * [[decodeImage]] (real ImageIO), audio via [[decodeWav]] (real PCM
+    * parse), video via [[decodeVideo]] (real RIFF demux + ImageIO frames);
+    * this deterministic 16-bin byte-value histogram remains only for
+    * payloads with no recognizable container at all. */
   def stubDecode(payload: Array[Byte]): Array[Double] = {
     val hist = new Array[Double](16)
     if (payload != null) {
@@ -247,8 +416,9 @@ object Multimodal {
   /** Feature extraction over the payload column: partition-local, no
     * shuffle; nulls yield null features. Dispatches on the payload's magic
     * bytes: PNG → real ImageIO decode (16-bin red-channel histogram),
-    * RIFF/WAVE → real PCM parse (16-bin amplitude histogram), anything else
-    * (video containers, opaque bytes) → the documented [[stubDecode]]. */
+    * RIFF/WAVE → real PCM parse (16-bin amplitude histogram), RIFF/AVI →
+    * real demux + per-frame decode (red-channel histogram across frames),
+    * anything else (opaque bytes) → the documented [[stubDecode]]. */
   def extractFeatures(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
     val decodeUdf = udf { (b: Array[Byte]) =>
       if (b == null) null else dispatchDecode(b)
@@ -282,15 +452,23 @@ object Multimodal {
         }
       } catch { case _: Exception => null }
     } else if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') {
-      // ONE validated sample walk; RIFF-but-not-PCM16-WAVE (AVI containers,
-      // text that happens to start with "RIFF") falls through to the stub —
-      // the documented video-container path, not a silent null
+      // ONE validated walk per RIFF form: WAVE → PCM samples, AVI → demuxed
+      // frames; RIFF-but-neither (text that happens to start with "RIFF")
+      // falls through to the stub, not a silent null
       parseWav(b) match {
         case Some((_, _, samples)) =>
           val hist = new Array[Double](16)
           samples.foreach(s => hist((s + 32768) >> 12) += 1.0)
           hist
-        case None => stubDecode(b)
+        case None => decodeVideo(b) match {
+          case Some(frames) if frames.nonEmpty =>
+            val hist = new Array[Double](16)
+            frames.foreach { f => // bucket each frame's mean red level
+              hist(((f.sumR / math.max(1L, f.width.toLong * f.height)) >> 4).toInt) += 1.0
+            }
+            hist
+          case _ => stubDecode(b)
+        }
       }
     } else stubDecode(b)
 
@@ -304,22 +482,8 @@ object Multimodal {
     df.withColumn("n_bytes", octet_length(col(payloadCol)))
       .withColumn("digest", md5(col(payloadCol)))
 
-  /** Frame sampling stub: every k-th fixed-size chunk of the payload — the
-    * Spark-side shape of video frame extraction (a real impl would demux;
-    * see [[stubDecode]]'s video caveat). */
-  def sampleFrames(df: DataFrame, frameBytes: Int, everyK: Int,
-                   payloadCol: String = "payload"): DataFrame = {
-    require(frameBytes > 0 && everyK > 0)
-    val sampler = udf { (b: Array[Byte]) =>
-      if (b == null) Array.empty[Array[Byte]]
-      else b.grouped(frameBytes).grouped(everyK).map(_.head).toArray
-    }
-    df.withColumn("frames", sampler(col(payloadCol)))
-      .withColumn("n_frames_sampled", size(col("frames")))
-  }
-
-  /** Resize stub: real impl rescales decoded pixels; the stub folds the byte
-    * histogram down to `bins` (shape-preserving contract). */
+  /** Histogram-bin fold (shape-preserving contract over [[extractFeatures]]
+    * output; the image path has the REAL pixel resize in [[resizeImage]]). */
   def resizeFeatures(df: DataFrame, bins: Int): DataFrame = {
     require(bins > 0 && 16 % bins == 0, "bins must divide 16")
     val fold = udf { (f: scala.collection.Seq[Double]) =>

@@ -5,14 +5,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal catalog entries. The testdata ships no real media table, so the
-  * binary columns are manufactured deterministically: byte-stats/frame
-  * entries use ASCII-filtered text cast to bytes, and the DECODE entries
-  * build REAL PNG / RIFF-WAVE payloads whose pixels/samples are a pure
+  * binary columns are manufactured deterministically: byte-stats entries use
+  * ASCII-filtered text cast to bytes, and the DECODE entries build REAL
+  * PNG / RIFF-WAVE / RIFF-AVI payloads whose pixels/samples are a pure
   * integer function of the media id ([[Multimodal.syntheticPng]] /
-  * [[Multimodal.syntheticWav]]). That makes the real JDK decoders
-  * (ImageIO, PCM-16 parse) oracle-checkable end-to-end: DuckDB evaluates
-  * the same integer formula, so one mangled pixel or sample in the decode
-  * path hash-mismatches.
+  * [[Multimodal.syntheticWav]] / [[Multimodal.syntheticAvi]]). That makes
+  * the real JDK decoders (ImageIO, PCM-16 parse, AVI chunk demux)
+  * oracle-checkable end-to-end: DuckDB evaluates the same integer formula,
+  * so one mangled pixel, sample, or frame boundary hash-mismatches.
   */
 object MultimodalQueries {
 
@@ -20,6 +20,10 @@ object MultimodalQueries {
   private val PngH = 16
   private val WavSamples = 480
   private val WavRate = 8000
+  private val VidW = 8
+  private val VidH = 8
+  private val VidFrames = 6
+  private val SampleK = 2
 
   /** REAL image decode under the oracle: synthesize a PNG per document id,
     * decode it with ImageIO, emit dimensions + exact per-channel sums.
@@ -94,23 +98,46 @@ object MultimodalQueries {
       .agg(count(lit(1)).as("n_media"), sum(col("cnt")).cast("long").as("total"))
   }
 
-  /** Frame sampling over the payload: every 2nd 64-byte chunk (the Spark-side
-    * shape of video frame extraction — a real impl would demux instead of
-    * chunking). ASCII-filtered payload keeps the first-frame digest
-    * oracle-checkable (1 byte per char, so VARCHAR substr == byte slice). */
-  def mmFrameSample(s: SparkSession, dir: String): DataFrame = {
+  /** REAL video demux under the oracle: synthesize a 6-frame MJPG-tagged AVI
+    * per document id (PNG-encoded frames, so decode is lossless), demux the
+    * `LIST('movi')` chunk walk, ImageIO-decode every frame, emit per-frame
+    * channel sums. DuckDB evaluates the same (id, frame, pixel) integer
+    * formula — one mis-walked chunk boundary or mangled pixel
+    * hash-mismatches. Partition-local; the scan reads only doc_id. */
+  def mmVideoFrames(s: SparkSession, dir: String): DataFrame = {
+    val makeAvi = udf { (id: Long) => Multimodal.syntheticAvi(id, VidW, VidH, VidFrames) }
     val media = s.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id").as("media_id"),
-        regexp_replace(col("text"), "[^\\x00-\\x7F]", "").cast("binary").as("payload"))
-    Multimodal.sampleFrames(media, frameBytes = 64, everyK = 2)
+      .select(col("doc_id").as("media_id"))
+      .withColumn("payload", makeAvi(col("media_id")))
+    Multimodal.videoFrames(media)
+      .select(col("media_id"), explode(col("frames")).as("f"))
+      .select(col("media_id"), col("f.frameIdx").as("frame_idx"),
+        col("f.width").as("width"), col("f.height").as("height"),
+        col("f.sumR").as("sum_r"), col("f.sumG").as("sum_g"),
+        col("f.sumB").as("sum_b"))
+  }
+
+  /** REAL frame sampling at real frame boundaries: demux the synthetic AVI,
+    * keep every 2nd frame (indices 0, 2, 4), decode ONLY the kept frames,
+    * and fold their channel sums in-row (`aggregate` over the struct array —
+    * no explode, no shuffle). The oracle replays the same formula restricted
+    * to `f % 2 = 0`, so a sampler that's off by one frame hash-mismatches. */
+  def mmFrameSample(s: SparkSession, dir: String): DataFrame = {
+    val makeAvi = udf { (id: Long) => Multimodal.syntheticAvi(id, VidW, VidH, VidFrames) }
+    val media = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("media_id"))
+      .withColumn("payload", makeAvi(col("media_id")))
+    Multimodal.sampleFrames(media, everyK = SampleK)
       .select(col("media_id"), col("n_frames_sampled"),
-        when(size(col("frames")) > 0, md5(element_at(col("frames"), 1)))
-          .as("first_frame_digest"))
+        aggregate(col("frames"), lit(0L), (a, f) => a + f("sumR")).as("sum_r_sampled"),
+        aggregate(col("frames"), lit(0L), (a, f) => a + f("sumG")).as("sum_g_sampled"),
+        aggregate(col("frames"), lit(0L), (a, f) => a + f("sumB")).as("sum_b_sampled"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_byte_stats" -> mmByteStats _,
     "mm_feature_agg" -> mmFeatureAgg _,
+    "mm_video_frames" -> mmVideoFrames _,
     "mm_frame_sample" -> mmFrameSample _,
     "mm_image_decode" -> mmImageDecode _,
     "mm_image_resize" -> mmImageResize _,
@@ -138,17 +165,34 @@ object MultimodalQueries {
         |SELECT CAST(bin AS INT) AS bin, CAST(count(*) AS BIGINT) AS n_media,
         |  CAST(sum(cnt) AS BIGINT) AS total
         |FROM per_media GROUP BY 1""".stripMargin,
+    // the per-(frame, pixel) formula of Multimodal.syntheticAvi — validates
+    // the RIFF/movi chunk walk AND every ImageIO-decoded frame pixel
+    "mm_video_frames" ->
+      s"""WITH fr AS (
+         |  SELECT doc_id AS media_id, unnest(range(0, $VidFrames)) AS f
+         |  FROM documents),
+         |px AS (
+         |  SELECT media_id, f, unnest(range(0, ${VidW * VidH})) AS p FROM fr)
+         |SELECT media_id, CAST(f AS INT) AS frame_idx, $VidW AS width, $VidH AS height,
+         |  CAST(sum((media_id * 7919 + f * 523 + p * 257) % 256) AS BIGINT) AS sum_r,
+         |  CAST(sum((media_id * 7919 + f * 523 + p * 257 + 101) % 256) AS BIGINT) AS sum_g,
+         |  CAST(sum((media_id * 7919 + f * 523 + p * 257 + 202) % 256) AS BIGINT) AS sum_b
+         |FROM px GROUP BY 1, 2""".stripMargin,
+    // same formula restricted to the sampled frame indices f % K = 0 — an
+    // off-by-one-frame sampler breaks the hash
     "mm_frame_sample" ->
-      """WITH cleaned AS (
-        |  SELECT doc_id AS media_id,
-        |    regexp_replace(text, '[^\x00-\x7F]', '', 'g') AS clean
-        |  FROM documents)
-        |SELECT media_id,
-        |  CAST(CASE WHEN len(clean) = 0 THEN 0
-        |       ELSE ((len(clean) + 63) // 64 + 1) // 2 END AS INT) AS n_frames_sampled,
-        |  CASE WHEN len(clean) = 0 THEN NULL
-        |       ELSE md5(substr(clean, 1, 64)) END AS first_frame_digest
-        |FROM cleaned""".stripMargin,
+      s"""WITH fr AS (
+         |  SELECT doc_id AS media_id, unnest(range(0, $VidFrames)) AS f
+         |  FROM documents),
+         |px AS (
+         |  SELECT media_id, f, unnest(range(0, ${VidW * VidH})) AS p
+         |  FROM fr WHERE f % $SampleK = 0)
+         |SELECT media_id,
+         |  CAST(${(VidFrames + SampleK - 1) / SampleK} AS INT) AS n_frames_sampled,
+         |  CAST(sum((media_id * 7919 + f * 523 + p * 257) % 256) AS BIGINT) AS sum_r_sampled,
+         |  CAST(sum((media_id * 7919 + f * 523 + p * 257 + 101) % 256) AS BIGINT) AS sum_g_sampled,
+         |  CAST(sum((media_id * 7919 + f * 523 + p * 257 + 202) % 256) AS BIGINT) AS sum_b_sampled
+         |FROM px GROUP BY 1""".stripMargin,
     // the decoded-pixel formula of Multimodal.syntheticPng — one mangled
     // pixel in the ImageIO round-trip breaks the channel-sum hash
     "mm_image_decode" ->

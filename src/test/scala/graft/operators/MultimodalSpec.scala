@@ -100,12 +100,75 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0L).getAs[String]("digest").length == 32)
   }
 
-  test("frame sampling: every k-th fixed-size chunk") {
-    val out = Multimodal.sampleFrames(media, frameBytes = 256, everyK = 4).collect()
-      .map(r => r.getLong(0) -> r.getAs[Int]("n_frames_sampled")).toMap
-    assert(out(2L) == 4)   // 4096/256 = 16 chunks, every 4th -> 4
-    assert(out(0L) == 1)
-    assert(out(3L) == 0)   // null payload -> no frames
+  test("REAL AVI demux: syntheticAvi round-trips to the per-frame formula") {
+    val id = 42L
+    val got = Multimodal.decodeVideo(Multimodal.syntheticAvi(id, 8, 8, 4)).get
+    assert(got.length == 4)
+    def s(f: Int, c: Int) =
+      (0 until 64).map(p => (id * 7919 + f * 523 + p * 257 + c * 101) % 256).sum
+    got.foreach { fr =>
+      assert(fr == Multimodal.VideoFrame(fr.frameIdx, 8, 8,
+        s(fr.frameIdx, 0), s(fr.frameIdx, 1), s(fr.frameIdx, 2)))
+    }
+    assert(got.map(_.frameIdx).toSeq == Seq(0, 1, 2, 3))
+  }
+
+  test("REAL MJPEG: JPEG-encoded 00dc frames demux and ImageIO-decode") {
+    // true MJPEG (lossy) — structure must be exact, pixels near the formula
+    val avi = Multimodal.syntheticAvi(5L, 16, 16, 3, codec = "jpg")
+    val raw = Multimodal.demuxAvi(avi).get
+    assert(raw.length == 3)
+    assert(raw.forall(f => (f(0) & 0xff) == 0xff && (f(1) & 0xff) == 0xd8)) // JPEG SOI
+    val frames = Multimodal.decodeVideo(avi).get
+    assert(frames.length == 3 && frames.forall(f => f.width == 16 && f.height == 16))
+    // JPEG error is bounded: channel mean within ±16 of the lossless mean
+    def mean(f: Int, c: Int) =
+      (0 until 256).map(p => (5L * 7919 + f * 523 + p * 257 + c * 101) % 256).sum / 256.0
+    frames.foreach { fr =>
+      assert(math.abs(fr.sumR / 256.0 - mean(fr.frameIdx, 0)) < 16.0)
+      assert(math.abs(fr.sumB / 256.0 - mean(fr.frameIdx, 2)) < 16.0)
+    }
+  }
+
+  test("AVI demux: corrupt containers degrade to None, never throw or spin") {
+    assert(Multimodal.demuxAvi(null).isEmpty)
+    assert(Multimodal.demuxAvi(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.demuxAvi("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    // lying chunk size: declared size overruns the buffer → abort, not spin
+    val avi = Multimodal.syntheticAvi(1L, 8, 8, 2)
+    val truncated = avi.take(avi.length / 2)
+    assert(Multimodal.demuxAvi(truncated).isEmpty)
+    // negative declared size inside movi must abort too
+    val mangled = avi.clone()
+    val movi = {  // find 'movi', then corrupt the first frame chunk's size
+      var i = 12; while (!(mangled(i) == 'm' && mangled(i + 1) == 'o' &&
+        mangled(i + 2) == 'v' && mangled(i + 3) == 'i')) i += 1
+      i
+    }
+    mangled(movi + 11) = 0xff.toByte // size hi-byte → negative int
+    assert(Multimodal.demuxAvi(mangled).isEmpty)
+  }
+
+  test("frame sampling: every k-th REAL frame, decode only kept frames") {
+    import spark.implicits._
+    val df = Seq(10L, 11L).toDF("media_id")
+      .withColumn("payload", udf((id: Long) => Multimodal.syntheticAvi(id, 8, 8, 6)).apply(col("media_id")))
+    val out = Multimodal.sampleFrames(df, everyK = 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(10L).getAs[Int]("n_frames_sampled") == 3)
+    val idxs = out(10L).getAs[scala.collection.Seq[Row]]("frames")
+      .map(_.getAs[Int]("frameIdx")).toSeq
+    assert(idxs == Seq(0, 2, 4)) // stream indices preserved, not renumbered
+    // null / non-AVI payload -> 0 sampled frames
+    val bad = Multimodal.sampleFrames(
+      Seq((1L, Array[Byte](1, 2, 3))).toDF("media_id", "payload"), everyK = 2)
+    assert(bad.collect().head.getAs[Int]("n_frames_sampled") == 0)
+  }
+
+  test("dispatchDecode routes AVI through the real demuxer") {
+    val avi = Multimodal.syntheticAvi(9L, 8, 8, 5)
+    val hist = Multimodal.dispatchDecode(avi)
+    assert(hist.sum == 5.0) // one histogram vote per decoded frame
   }
 
   test("resize folds histogram bins shape-preservingly") {
