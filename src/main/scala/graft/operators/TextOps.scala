@@ -48,10 +48,19 @@ object TextOps {
   def shinglesNFast(text: Column, width: Int): Column =
     graft.functions.TextKernels.shinglesN(text, width)
 
-  /** BPE-ish token count: runs of letters, runs of digits, or single other
-    * non-space chars — the shape a byte-pair pretokenizer produces. */
+  /** Pre-tokenizer (GPT-2-style) match count: runs of letters, runs of
+    * digits, single other non-space chars. This was the round-1..5 "BPE-ish"
+    * PROXY count; kept as the pre-merge baseline column. */
   val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
-  def bpeTokenCount(text: Column): Column = regexp_count(text, lit(BpePattern))
+  def preTokenCount(text: Column): Column = regexp_count(text, lit(BpePattern))
+
+  /** REAL BPE token count: deterministic greedy merges over the literal
+    * [[graft.functions.Bpe.Merges]] table (codegen kernel; the DuckDB twin
+    * replays the identical merge chain as string replaces). */
+  def bpeTokenCount(text: Column): Column = graft.functions.BpeKernels.bpeCount(text)
+
+  /** REAL BPE token stream (array) — chunking operates on these. */
+  def bpeTokens(text: Column): Column = graft.functions.BpeKernels.bpeTokens(text)
 
   /** Letters-only ratio of the text (quality signal). */
   def alphaRatio(text: Column): Column =

@@ -22,7 +22,7 @@ object TextDedupQueries {
       col("doc_id"),
       size(t).as("n_tokens"),
       size(array_distinct(t)).as("n_distinct"),
-      TextOps.bpeTokenCount(col("text")).cast("int").as("bpe_tokens"),
+      TextOps.bpeTokenCount(col("text")).as("bpe_tokens"),
       round(TextOps.alphaRatio(col("text")), 6).as("alpha_ratio"),
       round(aggregate(transform(t, x => length(x)), lit(0), _ + _).cast("double") / size(t), 4)
         .as("avg_tok_len"))
@@ -108,20 +108,23 @@ object TextDedupQueries {
   /** Context-window CHUNKING with overlap — the "split long docs into
     * training windows" step that complements packing (packing concatenates
     * short docs; chunking splits long ones): chunk k covers tokens
-    * [k·stride, k·stride + size), stride = size − overlap, until the doc is
-    * exhausted. Emits exact integers plus the 60-bit hash of each chunk's
-    * text (payload-free, hash-stable). Pure per-row explode — computed
-    * inside the scan, no shuffle at any scale. */
+    * [k·stride, k·stride + size), stride = size − overlap. Windows are in
+    * REAL BPE token space (what the training run sees), not whitespace
+    * tokens. A chunk is only started if it adds unseen tokens:
+    * nChunks = 1 + ⌈max(n − size, 0) / stride⌉ — the earlier
+    * start-while-k·stride<n rule emitted a trailing chunk fully contained
+    * in its predecessor whenever n ∈ (k·stride, k·stride+overlap],
+    * silently duplicating training tokens. Emits exact integers plus the
+    * 60-bit hash of each chunk's tokens (payload-free, hash-stable). Pure
+    * per-row explode — computed inside the scan, no shuffle at any scale. */
   val ChunkSize = 64
   val ChunkStride = 48 // 16-token overlap between consecutive chunks
   def textChunks(s: SparkSession, dir: String): DataFrame = {
-    val t = TextOps.tokensFast(col("text"))
-    val n = size(t)
-    // chunks needed to start at 0, stride, 2·stride … < max(n, 1)
-    val nChunks = floor((greatest(n, lit(1)) - 1) / ChunkStride) + 1
+    val t = TextOps.bpeTokens(col("text"))
     docs(s, dir)
-      .select(col("doc_id"), t.as("t"), n.as("n"),
-        explode(sequence(lit(0), nChunks.cast("int") - 1)).as("k"))
+      .select(col("doc_id"), t.as("t"), size(t).as("n"))
+      .withColumn("k", explode(sequence(lit(0),
+        expr(s"(greatest(n - $ChunkSize, 0) + ${ChunkStride - 1}) div $ChunkStride"))))
       .select(col("doc_id"), col("k").cast("long").as("chunk_id"),
         least(lit(ChunkSize), col("n") - col("k") * ChunkStride)
           .cast("int").as("n_chunk_tokens"),
@@ -129,6 +132,16 @@ object TextDedupQueries {
           concat_ws(" ", slice(col("t"), col("k") * ChunkStride + 1, lit(ChunkSize))))
           .as("chunk_hash"))
   }
+
+  /** Real-BPE token accounting per document: the pre-tokenizer (pre-merge)
+    * count next to the post-merge BPE count — the number every packing
+    * budget and chunk window in this catalog is measured in. */
+  def textBpeTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      TextOps.preTokenCount(col("text")).cast("int").as("pre_tokens"),
+      TextOps.bpeTokenCount(col("text")).as("bpe_tokens"))
 
   /** Corpus-level token frequency, top 100 — the C4-style vocabulary
     * analysis pass. Global top-k = orderBy+limit (TakeOrderedAndProject,
@@ -282,14 +295,14 @@ object TextDedupQueries {
     * non-trivial). All-integer → oracle-exact with no rounding. */
   def packSequences(s: SparkSession, dir: String): DataFrame =
     graft.operators.Packing.packSequences(docs(s, dir), "doc_id",
-      size(TextOps.tokens(col("text"))), budget = 2048, shards = 8)
+      TextOps.bpeTokenCount(col("text")), budget = 2048, shards = 8)
 
   /** NO-SPLIT packing twin: next-fit within shard, docs atomic, padding
     * waste surfaced per pack. The oracle replays the same sequential fold as
     * a recursive CTE over the in-shard row order. */
   def packSequencesNoSplit(s: SparkSession, dir: String): DataFrame =
     graft.operators.Packing.packSequencesNoSplit(docs(s, dir), "doc_id",
-      size(TextOps.tokens(col("text"))), budget = 2048, shards = 8)
+      TextOps.bpeTokenCount(col("text")), budget = 2048, shards = 8)
 
   /** The END-TO-END training-data pipeline as ONE oracle-checked query —
     * what a user of this engine actually runs nightly, composed from the
@@ -329,7 +342,7 @@ object TextDedupQueries {
       .where(col("doc") === col("canonical")).select(col("doc").as("doc_id"))
     val keptDocs = cleanDocs.join(keptIds, Seq("doc_id"), "left_semi")
     graft.operators.Packing.packSequences(keptDocs, "doc_id",
-      size(TextOps.tokens(col("text"))), budget = 2048, shards = 8)
+      TextOps.bpeTokenCount(col("text")), budget = 2048, shards = 8)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -346,6 +359,7 @@ object TextDedupQueries {
     "text_rolling_hash" -> textRollingHash _,
     "text_token_freq" -> textTokenFreq _,
     "text_chunks" -> textChunks _,
+    "text_bpe_tokens" -> textBpeTokens _,
     "text_tfidf_topk" -> textTfidfTopk _,
     "text_simhash" -> textSimhash _,
     "dedup_exact" -> dedupExact _,
@@ -535,9 +549,12 @@ object TextDedupQueries {
        |l3 AS (SELECT e.src AS doc, min(l.lbl) AS lbl
        |  FROM edges e JOIN l2 l ON e.dst = l.doc GROUP BY 1),
        |keep AS (SELECT doc FROM l3 WHERE doc = lbl),
-       |pk AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       |kept AS (SELECT toks.doc_id, toks.text
+       |  FROM toks JOIN keep ON toks.doc_id = keep.doc),
+       |${graft.functions.Bpe.oracleCountCte("kept", "p")},
+       |pk AS (SELECT doc_id, bpe_tokens AS n_tokens,
        |  ('0x' || substr(md5('pack:' || doc_id), 1, 15))::BIGINT % 8 AS shard
-       | FROM toks JOIN keep ON toks.doc_id = keep.doc),
+       | FROM pcnt),
        |pc AS (SELECT doc_id, shard, n_tokens,
        |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
        | FROM pk)
@@ -572,10 +589,10 @@ object TextDedupQueries {
          |FROM dsh13 d JOIN evl e USING (sh)
          |WHERE d.doc >= 20 GROUP BY 1""".stripMargin,
     "pack_sequences" ->
-      s"""WITH $toksCte,
-         |t AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+      s"""WITH ${graft.functions.Bpe.oracleCountCte("documents", "b")},
+         |t AS (SELECT doc_id, bpe_tokens AS n_tokens,
          |  ('0x' || substr(md5('pack:' || doc_id), 1, 15))::BIGINT % 8 AS shard
-         | FROM toks),
+         | FROM bcnt),
          |c AS (SELECT doc_id, shard, n_tokens,
          |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
          | FROM t)
@@ -589,10 +606,10 @@ object TextDedupQueries {
     // joins the running pack iff it fits OR the pack is empty (zero-length
     // docs can leave used = 0); otherwise it opens the next pack.
     "pack_sequences_nosplit" ->
-      s"""WITH RECURSIVE $toksCte,
-         |t AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+      s"""WITH RECURSIVE ${graft.functions.Bpe.oracleCountCte("documents", "b")},
+         |t AS (SELECT doc_id, bpe_tokens AS n_tokens,
          |  ('0x' || substr(md5('pack:' || doc_id), 1, 15))::BIGINT % 8 AS shard
-         | FROM toks),
+         | FROM bcnt),
          |o AS (SELECT doc_id, shard, n_tokens,
          |  row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
          | FROM t),
@@ -616,14 +633,14 @@ object TextDedupQueries {
          |  greatest(2048 - w.used, 0) / 2048.0 AS waste_frac
          |FROM fit f JOIN w USING (shard, pack_id)""".stripMargin,
     "text_stats" ->
-      s"""WITH $toksCte
-         |SELECT doc_id,
+      s"""WITH $toksCte, ${graft.functions.Bpe.oracleCountCte("documents", "b")}
+         |SELECT toks.doc_id,
          | CAST(len(t) AS INT) AS n_tokens,
          | CAST(len(list_distinct(t)) AS INT) AS n_distinct,
-         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT) AS bpe_tokens,
+         | CAST(bcnt.bpe_tokens AS INT) AS bpe_tokens,
          | round(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / len(text), 6) AS alpha_ratio,
          | round(list_sum(list_transform(t, x -> len(x))) * 1.0 / len(t), 4) AS avg_tok_len
-         |FROM toks""".stripMargin,
+         |FROM toks JOIN bcnt USING (doc_id)""".stripMargin,
     "text_quality_filter" -> {
       val en = TextOps.StopwordTable.toMap.apply("en")
         .map(w => s"'$w'").mkString("[", ", ", "]")
@@ -650,18 +667,25 @@ object TextDedupQueries {
          |SELECT tok, CAST(count(*) AS BIGINT) AS n
          |FROM (SELECT unnest(t) AS tok FROM toks)
          |GROUP BY 1 ORDER BY n DESC, tok LIMIT 100""".stripMargin,
-    // chunk k covers 1-based tokens [k*stride+1, k*stride+size]; DuckDB list
-    // slicing t[a:b] is 1-based inclusive and clamps past the end, matching
-    // Spark's slice(t, start, length) truncation
+    // chunk k covers 1-based BPE tokens [k*stride+1, k*stride+size]; DuckDB
+    // list slicing t[a:b] is 1-based inclusive and clamps past the end,
+    // matching Spark's slice(t, start, length) truncation. A chunk exists
+    // only if it adds unseen tokens: 1 + ceil(max(n - size, 0) / stride).
     "text_chunks" ->
-      s"""WITH $toksCte,
+      s"""WITH ${graft.functions.Bpe.oracleTokensCte("documents", "b")},
          |c AS (SELECT doc_id, t, len(t) AS n,
-         |  unnest(range(0, (GREATEST(len(t), 1) - 1) // $ChunkStride + 1)) AS k
-         | FROM toks)
+         |  unnest(range(0, 1 + (GREATEST(len(t) - $ChunkSize, 0) + ${ChunkStride - 1}) // $ChunkStride)) AS k
+         | FROM btok)
          |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
          |  CAST(LEAST($ChunkSize, n - k * $ChunkStride) AS INT) AS n_chunk_tokens,
          |  ${h60(s"array_to_string(t[CAST(k * $ChunkStride + 1 AS INT):CAST(k * $ChunkStride + $ChunkSize AS INT)], ' ')")} AS chunk_hash
          |FROM c""".stripMargin,
+    "text_bpe_tokens" ->
+      s"""WITH ${graft.functions.Bpe.oracleCountCte("documents", "b")}
+         |SELECT d.doc_id, CAST(len(d.text) AS INT) AS n_chars,
+         |  CAST(len(regexp_extract_all(d.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT) AS pre_tokens,
+         |  CAST(b.bpe_tokens AS INT) AS bpe_tokens
+         |FROM documents d JOIN bcnt b USING (doc_id)""".stripMargin,
     "text_tfidf_topk" ->
       // `+ 0` on the rounded score (signed-zero discipline: ln(1)=0 terms);
       // ranking happens on the SAME rounded value as Spark's

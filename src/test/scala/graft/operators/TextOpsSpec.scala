@@ -23,10 +23,17 @@ class TextOpsSpec extends SparkSpec {
     assert(short == Seq("a b"))
   }
 
-  test("bpeTokenCount splits letter runs, digit runs, single punct") {
-    val n = one("hello world42 x!?").select(TextOps.bpeTokenCount(col("text"))).head().getInt(0)
+  test("preTokenCount splits letter runs, digit runs, single punct") {
+    val n = one("hello world42 x!?").select(TextOps.preTokenCount(col("text"))).head().getInt(0)
     // hello | world | 42 | x | ! | ?
     assert(n == 6)
+  }
+
+  test("bpeTokenCount is the REAL post-merge count (== replay, < char count)") {
+    val s = "hello world42 x!?"
+    val n = one(s).select(TextOps.bpeTokenCount(col("text"))).head().getInt(0)
+    assert(n == graft.functions.Bpe.replayTokens(s).length)
+    assert(n > 6 && n < s.count(_ != ' ')) // merges fired, but finer than words
   }
 
   test("alphaRatio counts letters over total chars") {
