@@ -154,13 +154,32 @@ object RelationalQueries {
   /** Keyset-stable pagination: ORDER BY a unique key + LIMIT/OFFSET —
     * deterministic page contents in both engines. (At 100 TB prefer keyset
     * pagination — `WHERE key > last_seen LIMIT n` — OFFSET still scans and
-    * discards the skipped prefix; this entry pins the SQL surface.) */
+    * discards the skipped prefix; this entry pins the SQL surface,
+    * [[qPaginateKeyset]] is the scale form.) */
   def qPaginate(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
     t(fork, dir, "orders").createOrReplaceTempView("orders_pg")
     fork.sql("""
       SELECT o_orderkey, o_custkey, o_orderstatus FROM orders_pg
       ORDER BY o_orderkey LIMIT 50 OFFSET 100""")
   }
+
+  /** KEYSET pagination — the deep-pagination form that scales: resume after
+    * the cursor `(last_date, last_key)` with the decomposed row-value
+    * predicate `date > D OR (date = D AND key > K)`, then `ORDER BY ...
+    * LIMIT n`. The predicate reaches the parquet scan as a pushed filter
+    * (PlanSpec-asserted), so page N+1 reads only row groups past the
+    * cursor's min/max range instead of sorting and discarding N pages —
+    * OFFSET's cost grows with page depth, keyset's doesn't. */
+  val KeysetLastDate = "1995-06-15"
+  val KeysetLastKey = 1000L
+  def qPaginateKeyset(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .where(col("o_orderdate") > lit(KeysetLastDate) ||
+        (col("o_orderdate") === lit(KeysetLastDate) && col("o_orderkey") > KeysetLastKey))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .limit(50)
+      .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
 
   /** Deterministic stratified sample: per-class keep rates applied via the
     * salted content hash — a pure function of row identity, so the sample is
@@ -329,6 +348,7 @@ object RelationalQueries {
     "q_grouping_sets" -> qGroupingSets _,
     "q_scalar_subquery" -> qScalarSubquery _,
     "q_paginate" -> qPaginate _,
+    "q_paginate_keyset" -> qPaginateKeyset _,
     "q_stratified_sample" -> qStratifiedSample _,
   )
 
@@ -483,6 +503,13 @@ object RelationalQueries {
     "q_paginate" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
         |ORDER BY o_orderkey LIMIT 50 OFFSET 100""".stripMargin,
+    "q_paginate_keyset" ->
+      s"""SELECT strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         |  o_orderkey, o_custkey, o_orderstatus
+         |FROM orders
+         |WHERE o_orderdate > DATE '$KeysetLastDate'
+         |   OR (o_orderdate = DATE '$KeysetLastDate' AND o_orderkey > $KeysetLastKey)
+         |ORDER BY o_orderdate, o_orderkey LIMIT 50""".stripMargin,
     "q_stratified_sample" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag FROM (
         |  SELECT l_orderkey, l_linenumber, l_returnflag,

@@ -91,11 +91,13 @@ object SimilarityQueries {
   def annIvfPruned(s: SparkSession, dir: String): DataFrame = {
     val centroids = SomQueries.protos(s, dir)
       .select(col("proto_id").as("cell"), col("c"))
-    // FIXED path + Overwrite: bench reps replace one layout copy instead of
-    // accumulating fresh temp dirs per invocation (r5 review)
-    val layout = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_ivf_layout").toString
-    graft.sources.Sources.writeIvfLayout(assigned(s, dir), layout)
+    // session-keyed through the Artifacts layout cache: concurrent sessions
+    // write disjoint paths (no mid-read clobber) and repeat invocations in
+    // one session serve from the existing layout without re-writing the
+    // corpus — the persistent-serving-index shape (r5 verdict task 4)
+    val layout = graft.operators.Artifacts.sharedPath(s"ivf_layout:$dir") { path =>
+      graft.sources.Sources.writeIvfLayout(assigned(s, dir), path)
+    }
     // probe → nprobe nearest cells (same math as ivfTopK's probeCells)
     val cellRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("cd2"), col("cell"))
@@ -224,7 +226,7 @@ object SimilarityQueries {
          |  THEN 1 ELSE 0 END AS bit
          |  FROM pts CROSS JOIN js j),
          |keys AS (SELECT vec_id, j // bpb AS band,
-         |   CAST(sum(bit << (j % bpb)) AS BIGINT) AS key
+         |   CAST(sum(CAST(bit AS BIGINT) << (j % bpb)) AS BIGINT) AS key
          |  FROM bits CROSS JOIN params GROUP BY 1, 2),
          |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          |  FROM keys a JOIN keys b

@@ -107,10 +107,13 @@ object SomQueries {
 
   /** The same update under HEXAGONAL topology — the reference's unshipped
     * README to-do, oracle-proven here: hex cell distances differ from
-    * Manhattan on diagonals (3×3: dist((0,0),(1,1)) is 1, not 2), so the
-    * weight table and the resulting prototypes genuinely diverge from
-    * `som_update`; both engines join the same driver-computed literal
-    * weights built from [[graft.som.Grid.cellDistHex]]. */
+    * Manhattan on diagonals under the odd-r convention (3×3:
+    * dist((1,0),(0,1)) is 1 where Manhattan gives 2, while
+    * dist((0,0),(1,1)) stays 2 — which diagonal is a single hex step
+    * depends on the row's parity), so the weight table and the resulting
+    * prototypes genuinely diverge from `som_update`; both engines join the
+    * same driver-computed literal weights built from
+    * [[graft.som.Grid.cellDistHex]]. */
   def updateStepHex(s: SparkSession, dir: String): DataFrame =
     updateStepTopo(s, dir, "hexagonal")
 

@@ -146,4 +146,33 @@ class SimilaritySpec extends SparkSpec {
     assert(doubled <= base * 28 / 10,
       s"candidate growth must stay ~linear: $base -> $doubled")
   }
+
+  test("sharedPath: one write per session+key, concurrent sessions disjoint") {
+    var writesA = 0
+    val p1 = Artifacts.sharedPath("spec_layout:x") { dir =>
+      writesA += 1
+      new java.io.File(dir).mkdirs()
+    }
+    val p2 = Artifacts.sharedPath("spec_layout:x") { dir =>
+      writesA += 1
+      new java.io.File(dir).mkdirs()
+    }
+    assert(p1 == p2, "same session+key must reuse the layout path")
+    assert(writesA == 1, "second invocation must NOT re-write the layout")
+    // a different key (e.g. another SF dir) gets its own directory
+    var writesB = 0
+    val p3 = Artifacts.sharedPath("spec_layout:y") { dir =>
+      writesB += 1
+      new java.io.File(dir).mkdirs()
+    }
+    assert(p3 != p1 && writesB == 1)
+    // the session UUID is baked into the path: two sessions can't clobber
+    val uuid = org.apache.spark.sql.graftbridge.ColumnBridge.sessionUUID(spark)
+    assert(p1.contains(uuid))
+    // clear() keeps layouts alive (persistent-index semantics)
+    Artifacts.clear()
+    var writesC = 0
+    val p4 = Artifacts.sharedPath("spec_layout:x") { _ => writesC += 1 }
+    assert(p4 == p1 && writesC == 0, "clear() must not evict live-session layouts")
+  }
 }

@@ -122,4 +122,12 @@ class PlanSpec extends SparkSpec {
         s"$name must not contain a ScalaUDF barrier")
     }
   }
+
+  test("q_paginate_keyset: cursor predicate pushed to parquet, top-k without global sort") {
+    val pl = plan(RelationalQueries.qPaginateKeyset(spark, dir))
+    assert(pl.contains("PushedFilters") && pl.contains("Or(GreaterThan(o_orderdate"),
+      s"decomposed keyset cursor must reach the parquet scan as a pushed filter:\n$pl")
+    assert(pl.contains("TakeOrderedAndProject"),
+      "page fetch must be top-k, never a global sort + discard")
+  }
 }
