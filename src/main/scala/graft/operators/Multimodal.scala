@@ -27,6 +27,11 @@ import javax.imageio.ImageIO
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed stream cache (a temp file per
+  // encode/decode) — measured at ~4x the cost of the actual codec work on
+  // small frames. All payloads here are in-memory byte arrays; cache off.
+  ImageIO.setUseCache(false)
+
   /** Canonical multimodal record schema. */
   val schema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

@@ -105,7 +105,11 @@ object MultimodalQueries {
     * formula — one mis-walked chunk boundary or mangled pixel
     * hash-mismatches. Partition-local; the scan reads only doc_id. */
   def mmVideoFrames(s: SparkSession, dir: String): DataFrame = {
-    val makeAvi = udf { (id: Long) => Multimodal.syntheticAvi(id, VidW, VidH, VidFrames) }
+    // bmp frames: the uncompressed-DIB AVI shape — real container demux +
+    // real ImageIO frame decode without paying PNG deflate on every frame
+    // (the MJPEG path is spec-pinned with true JPEG frames separately)
+    val makeAvi = udf { (id: Long) =>
+      Multimodal.syntheticAvi(id, VidW, VidH, VidFrames, codec = "bmp") }
     val media = s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").as("media_id"))
       .withColumn("payload", makeAvi(col("media_id")))
@@ -123,7 +127,8 @@ object MultimodalQueries {
     * no explode, no shuffle). The oracle replays the same formula restricted
     * to `f % 2 = 0`, so a sampler that's off by one frame hash-mismatches. */
   def mmFrameSample(s: SparkSession, dir: String): DataFrame = {
-    val makeAvi = udf { (id: Long) => Multimodal.syntheticAvi(id, VidW, VidH, VidFrames) }
+    val makeAvi = udf { (id: Long) =>
+      Multimodal.syntheticAvi(id, VidW, VidH, VidFrames, codec = "bmp") }
     val media = s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").as("media_id"))
       .withColumn("payload", makeAvi(col("media_id")))

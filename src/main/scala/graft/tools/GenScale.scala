@@ -36,6 +36,9 @@ object GenScale {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // events.parquet stores ns timestamps; read them as long for the
+      // passthrough copy (same convention as the event-query readers)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
