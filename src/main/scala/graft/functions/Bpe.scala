@@ -199,6 +199,46 @@ object Bpe {
     total
   }
 
+  /** Pre-token stream of a document (the trainer's word source). null ⇒ []. */
+  def preTokenizeDoc(s: UTF8String): GenericArrayData = {
+    if (s == null) return new GenericArrayData(Array.empty[Any])
+    val words = preTokens(s.toString)
+    val out = new Array[Any](words.size)
+    var i = 0
+    while (i < words.size) { out(i) = UTF8String.fromString(words.get(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Encode one word under an ARBITRARY merges list (the trainer's path —
+    * merges grow per round, so the static-table word memo can't be used).
+    * Identical pass semantics to [[encodeWord]]. */
+  def encodeWordWith(word: String, merges: Seq[(String, String)]): Array[String] = {
+    var n = 0
+    val syms = new Array[String](word.codePointCount(0, word.length))
+    var i = 0
+    while (i < word.length) {
+      val w = Character.charCount(word.codePointAt(i))
+      syms(n) = word.substring(i, i + w)
+      n += 1; i += w
+    }
+    var arr = syms
+    for ((a, b) <- merges if arr.length > 1) {
+      if (word.contains(a + b)) {
+        var changed = false
+        var read = 0; var write = 0
+        val out = new Array[String](arr.length)
+        while (read < arr.length) {
+          if (read < arr.length - 1 && arr(read) == a && arr(read + 1) == b) {
+            out(write) = a + b; read += 2; changed = true
+          } else { out(write) = arr(read); read += 1 }
+          write += 1
+        }
+        if (changed) arr = java.util.Arrays.copyOf(out, write)
+      }
+    }
+    arr
+  }
+
   /** Full BPE token stream of a document (for chunking). null ⇒ []. */
   def tokenizeDoc(s: UTF8String): GenericArrayData = {
     if (s == null) return new GenericArrayData(Array.empty[Any])
@@ -264,6 +304,40 @@ object Bpe {
        |       ELSE string_split(substr(w, 2, len(w) - 2), '$S2$S1') END AS t
        | FROM ${tag}body)""".stripMargin
 
+  /** Oracle replay of [[graft.operators.BpeTrainer.train]]: `rounds` CTE
+    * stages, each counting adjacent wrapped-symbol pairs (weighted by word
+    * frequency, overlapping occurrences included), taking the argmax with
+    * the identical (freq DESC, l, r) tie-break, and applying the winner via
+    * scalar-subquery `replace` before the next stage. */
+  def oracleTrainSql(src: String, rounds: Int): String = {
+    val head =
+      s"""wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |  SELECT unnest(regexp_extract_all(
+         |    regexp_replace(coalesce(text, ''), '[\\x01-\\x03]', '', 'g'),
+         |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS w FROM $src) GROUP BY 1),
+         |e0 AS (SELECT w, cnt,
+         |  regexp_replace(w, '([\\s\\S])', '$S1\\1$S2', 'g') AS s FROM wc)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"e${r - 1}"
+      s"""t$r AS (SELECT cnt, string_split(substr(s, 2, len(s) - 2), '$S2$S1') AS t
+         |  FROM $prev WHERE len(s) > 0),
+         |p$r AS (SELECT t[CAST(i AS INT)] AS l, t[CAST(i + 1 AS INT)] AS r,
+         |    CAST(sum(cnt) AS BIGINT) AS freq
+         |  FROM (SELECT cnt, t, unnest(range(1, len(t))) AS i FROM t$r
+         |        WHERE len(t) >= 2)
+         |  GROUP BY 1, 2),
+         |r$r AS (SELECT l, r, freq FROM p$r ORDER BY freq DESC, l, r LIMIT 1),
+         |e$r AS (SELECT w, cnt, replace(s,
+         |    '$S1' || (SELECT l FROM r$r) || '$S2$S1' || (SELECT r FROM r$r) || '$S2',
+         |    '$S1' || (SELECT l FROM r$r) || (SELECT r FROM r$r) || '$S2') AS s
+         |  FROM $prev)""".stripMargin
+    }
+    val finals = (1 to rounds)
+      .map(r => s"SELECT $r AS round, l AS merge_l, r AS merge_r, freq FROM r$r")
+      .mkString("\nUNION ALL ")
+    s"WITH $head,\n${roundCtes.mkString(",\n")}\n$finals"
+  }
+
   // ---- reference replay (spec-only): the wrapped-string replace chain the
   // oracle runs, executed with Java String.replace — pins kernel ≡ chain.
   private[graft] def replayTokens(text: String): Array[String] = {
@@ -305,6 +379,15 @@ case class BpeTokenize(child: Expression) extends TextKernelExpression {
   override def prettyName: String = "bpe_tokenize"
 }
 
+/** Pre-token stream (pre-merge words; the trainer's input). */
+case class BpePreTokenize(child: Expression) extends TextKernelExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def helper: String = "graft.functions.Bpe.preTokenizeDoc"
+  override protected def evalKernel(s: UTF8String): Any = Bpe.preTokenizeDoc(s)
+  override protected def withNewChildInternal(c: Expression): BpePreTokenize = copy(c)
+  override def prettyName: String = "bpe_pre_tokenize"
+}
+
 object BpeKernels {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -312,4 +395,6 @@ object BpeKernels {
     ColumnBridge.column(BpeCount(ColumnBridge.expression(text)))
   def bpeTokens(text: Column): Column =
     ColumnBridge.column(BpeTokenize(ColumnBridge.expression(text)))
+  def preTokens(text: Column): Column =
+    ColumnBridge.column(BpePreTokenize(ColumnBridge.expression(text)))
 }

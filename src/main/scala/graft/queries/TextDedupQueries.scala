@@ -143,6 +143,29 @@ object TextDedupQueries {
       TextOps.preTokenCount(col("text")).cast("int").as("pre_tokens"),
       TextOps.bpeTokenCount(col("text")).as("bpe_tokens"))
 
+  /** Distributed BPE vocabulary TRAINING over the corpus — learn 5 merges
+    * from scratch ([[graft.operators.BpeTrainer]]): one corpus pass for
+    * word frequencies, then per round a vocab-sized pair count + 1-row
+    * argmax. The oracle replays every round (counts, tie-break, and the
+    * winner's application) so a drift anywhere in the loop breaks the hash. */
+  def bpeTrain(s: SparkSession, dir: String): DataFrame =
+    graft.operators.BpeTrainer.train(docs(s, dir), "text", rounds = 5)
+
+  /** Corpus vocabulary in REAL BPE token space: top-200 tokens with
+    * frequency ranks (freq DESC, token ASC — total order, deterministic
+    * cut). The id-assignment step of a tokenizer build; `text_token_freq`
+    * is its whitespace-word sibling. The global window runs over the
+    * already-aggregated vocab (small), never the corpus. */
+  def bpeVocab(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("tok"))
+    docs(s, dir)
+      .select(explode(TextOps.bpeTokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 200)
+  }
+
   /** Corpus-level token frequency, top 100 — the C4-style vocabulary
     * analysis pass. Global top-k = orderBy+limit (TakeOrderedAndProject,
     * never a full sort); ties broken by token so the cut is deterministic. */
@@ -360,6 +383,8 @@ object TextDedupQueries {
     "text_token_freq" -> textTokenFreq _,
     "text_chunks" -> textChunks _,
     "text_bpe_tokens" -> textBpeTokens _,
+    "bpe_train" -> bpeTrain _,
+    "bpe_vocab" -> bpeVocab _,
     "text_tfidf_topk" -> textTfidfTopk _,
     "text_simhash" -> textSimhash _,
     "dedup_exact" -> dedupExact _,
@@ -686,6 +711,14 @@ object TextDedupQueries {
          |  CAST(len(regexp_extract_all(d.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT) AS pre_tokens,
          |  CAST(b.bpe_tokens AS INT) AS bpe_tokens
          |FROM documents d JOIN bcnt b USING (doc_id)""".stripMargin,
+    "bpe_train" -> graft.functions.Bpe.oracleTrainSql("documents", 5),
+    "bpe_vocab" ->
+      s"""WITH ${graft.functions.Bpe.oracleTokensCte("documents", "b")},
+         |v AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(t) AS tok FROM btok) GROUP BY 1)
+         |SELECT tok, freq,
+         |  CAST(row_number() OVER (ORDER BY freq DESC, tok) AS INT) AS rank
+         |FROM v QUALIFY rank <= 200""".stripMargin,
     "text_tfidf_topk" ->
       // `+ 0` on the rounded score (signed-zero discipline: ln(1)=0 terms);
       // ranking happens on the SAME rounded value as Spark's
