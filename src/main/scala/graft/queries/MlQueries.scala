@@ -85,6 +85,40 @@ object MlQueries {
         (round(code.cast("double") * col("s") / 127, 6) + lit(0.0)).as("recon"))
   }
 
+  /** Domain-MIXTURE resampling under a token budget — the data-mixing step
+    * of a pretraining run: each source domain gets a per-mille share of the
+    * total token budget (tier-1 sources 100‰, tier-2 60‰, long tail 20‰),
+    * and docs are admitted per source in salted-content-hash order while
+    * the source's cumulative REAL-BPE token count fits its budget. The
+    * sample is a pure function of doc identity (reproducible across runs /
+    * engines / backfills, like the stratified sampler) and the budget is
+    * measured in the tokens the training run actually sees.
+    *
+    * Scale: one window shuffle partitioned by source (sources ≪ corpus;
+    * a skewed giant source would take the salting treatment of
+    * `q_skew_agg`); the BPE count is computed inside the scan. */
+  val MixBudgetTokens = 20000
+  private val MixTier1 = Seq("src0", "src1", "src2", "src3", "src4")
+  private val MixTier2 = Seq("src5", "src6", "src7", "src8", "src9")
+  def mlDomainMixture(s: SparkSession, dir: String): DataFrame = {
+    val share = when(col("source").isin(MixTier1: _*), 100)
+      .when(col("source").isin(MixTier2: _*), 60)
+      .otherwise(20) // per-mille
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        graft.operators.TextOps.bpeTokenCount(col("text")).cast("long").as("n_tokens"),
+        graft.functions.VectorSql.md5Hash60(
+          concat(lit("mix:"), col("doc_id").cast("string"))).as("h"),
+        (share * MixBudgetTokens).as("share_tok"))
+      .withColumn("budget", expr("share_tok div 1000"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= col("budget"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+  }
+
   // ---- oracle-checked training loop --------------------------------------
   // 5 full batch-SOM iterations, checkable against a generated DuckDB CTE
   // chain. Two determinism devices make cross-engine equality exact:
@@ -254,9 +288,26 @@ object MlQueries {
     "ml_quantize_int8" -> mlQuantizeInt8 _,
     "ml_train_test_split" -> mlTrainTestSplit _,
     "ml_lang_centroids" -> mlLangCentroids _,
+    "ml_domain_mixture" -> mlDomainMixture _,
   )
 
+  private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ", ", ")")
+
   val oracleSql: Map[String, String] = Map(
+    "ml_domain_mixture" ->
+      s"""WITH ${graft.functions.Bpe.oracleCountCte("documents", "m")},
+         |t AS (SELECT d.doc_id, d.source, b.bpe_tokens AS n_tokens,
+         |  ('0x' || substr(md5('mix:' || d.doc_id), 1, 15))::BIGINT AS h,
+         |  (CASE WHEN d.source IN ${sqlList(MixTier1)} THEN 100
+         |        WHEN d.source IN ${sqlList(MixTier2)} THEN 60
+         |        ELSE 20 END * $MixBudgetTokens) // 1000 AS budget
+         | FROM documents d JOIN mcnt b USING (doc_id)),
+         |c AS (SELECT doc_id, source, n_tokens, budget,
+         |  sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum_tokens
+         | FROM t)
+         |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(cum_tokens AS BIGINT) AS cum_tokens
+         |FROM c WHERE cum_tokens <= budget""".stripMargin,
     "ml_train_test_split" ->
       """SELECT vec_id,
         | CASE WHEN ('0x' || substr(md5('split:' || vec_id), 1, 15))::BIGINT % 100 < 80
