@@ -266,9 +266,25 @@ object EventQueries {
         col("event_type"), col("n"), round(col("sum_value"), 4).as("sum_value"))
   }
 
+  /** STREAM-STATIC join sink under the oracle: the stream enriched with a
+    * broadcast user→tier dimension (derived deterministically from the
+    * corpus' distinct users), hourly counts per tier. The sentinel's user
+    * is absent from the dimension, so it advances the watermark but drops
+    * out of the inner join — no filter needed. */
+  def hourlyTierStreamed(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    streamedSink(fork, dir, "tier", addSentinel = true) { df =>
+      val tiers = fork.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id")).distinct()
+        .withColumn("tier", pmod(col("user_id"), lit(4)).cast("int"))
+      graft.streaming.EventStream.hourlyByTier(df, tiers)
+    }.select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+      col("tier"), col("n"), round(col("sum_value"), 4).as("sum_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_resample" -> resample _,
     "events_resample_stream" -> resampleStreamed _,
+    "events_tier_stream" -> hourlyTierStreamed _,
     "events_sessionize_stream" -> sessionizeStreamed _,
     "events_dedup_stream" -> dedupStreamed _,
     "events_hourly_stream" -> hourlyStreamed _,
@@ -343,6 +359,13 @@ object EventQueries {
     "events_hourly_stream" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         | event_type, CAST(count(*) AS BIGINT) AS n,
+        | round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // stream-static enrichment: the tier dimension is a pure function of
+    // user_id, so the oracle computes it inline over the batch table
+    "events_tier_stream" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        | CAST(user_id % 4 AS INT) AS tier, CAST(count(*) AS BIGINT) AS n,
         | round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "events_sliding_stream" ->

@@ -181,6 +181,20 @@ object RelationalQueries {
       .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
         col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
 
+  /** Snapshot MERGE (upsert) through [[graft.operators.Upsert]]: yesterday's
+    * snapshot (orders with key % 3 != 0) merged with today's delta (every
+    * key % 5 == 0 order re-statused 'U' — overlapping keys are UPDATES,
+    * the rest INSERTS). One broadcast anti join + union — the snapshot
+    * never shuffles, which is the whole point of the shape at 100 TB. */
+  def qUpsertSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    val snapshot = orders.where(pmod(col("o_orderkey"), lit(3)) =!= 0)
+    val delta = orders.where(pmod(col("o_orderkey"), lit(5)) === 0)
+      .withColumn("o_orderstatus", lit("U"))
+    graft.operators.Upsert(snapshot, delta, Seq("o_orderkey"))
+  }
+
   /** Deterministic stratified sample: per-class keep rates applied via the
     * salted content hash — a pure function of row identity, so the sample is
     * reproducible across runs, engines and partitionings (the class-balance
@@ -349,6 +363,7 @@ object RelationalQueries {
     "q_scalar_subquery" -> qScalarSubquery _,
     "q_paginate" -> qPaginate _,
     "q_paginate_keyset" -> qPaginateKeyset _,
+    "q_upsert_snapshot" -> qUpsertSnapshot _,
     "q_stratified_sample" -> qStratifiedSample _,
   )
 
@@ -503,6 +518,16 @@ object RelationalQueries {
     "q_paginate" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
         |ORDER BY o_orderkey LIMIT 50 OFFSET 100""".stripMargin,
+    "q_upsert_snapshot" ->
+      """WITH snap AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |  WHERE o_orderkey % 3 != 0),
+        |delta AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus FROM orders
+        |  WHERE o_orderkey % 5 = 0)
+        |SELECT s.* FROM snap s
+        |WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.o_orderkey = s.o_orderkey)
+        |UNION ALL SELECT * FROM delta""".stripMargin,
     "q_paginate_keyset" ->
       s"""SELECT strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
          |  o_orderkey, o_custkey, o_orderstatus

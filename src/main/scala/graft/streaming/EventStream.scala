@@ -42,6 +42,22 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** STREAM-STATIC join + windowed agg: enrich the unbounded stream with a
+    * broadcast dimension (user → tier), then hourly counts per tier. The
+    * static side is planned once and broadcast to every micro-batch — no
+    * state beyond the windowed agg's, no re-shuffle of the stream for the
+    * join (the canonical dimension-enrichment shape; at 100 TB/day the
+    * stream side never repartitions for dimension lookups). */
+  def hourlyByTier(events: DataFrame, userTiers: DataFrame): DataFrame =
+    // watermark BEFORE the join: rows the dimension filters out (e.g. a
+    // flush sentinel from an unknown user) must still advance event time,
+    // or the final windows never finalize in append mode
+    events.withWatermark("ts", "10 minutes")
+      .join(broadcast(userTiers), "user_id")
+      .groupBy(window(col("ts"), "1 hour"), col("tier"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour"), col("tier"), col("n"), col("sum_value"))
+
   /** Streaming exactly-once event dedup: drop replayed event_ids within the
     * watermark horizon (state bounded by the watermark — the streaming twin
     * of exact dedup for at-least-once sources). */
