@@ -130,4 +130,25 @@ class PlanSpec extends SparkSpec {
     assert(pl.contains("TakeOrderedAndProject"),
       "page fetch must be top-k, never a global sort + discard")
   }
+
+  test("ann_int8: heap-operator shortlist, broadcast rerank joins, no corpus window") {
+    val pl = plan(SimilarityQueries.annInt8(spark, dir))
+    assert(pl.contains("TopKPerKeyFinal"), "shortlist must use the per-key heap operator")
+    assert(pl.contains("BroadcastHashJoin"), "rerank must broadcast the shortlist/probes")
+    assert(!pl.contains("CartesianProduct"), "the quantized scan must build on broadcast")
+  }
+
+  test("ml_domain_mixture: exactly one exchange (the per-source window)") {
+    val pl = plan(MlQueries.mlDomainMixture(spark, dir))
+    assert("Exchange".r.findAllIn(pl).length == 1,
+      s"mixture must shuffle once, on the window partition:\n$pl")
+  }
+
+  test("q_upsert_snapshot: snapshot never shuffles, delta keys broadcast") {
+    val pl = plan(RelationalQueries.qUpsertSnapshot(spark, dir))
+    assert(pl.contains("BroadcastHashJoin") && pl.contains("LeftAnti"),
+      s"anti join must build on the broadcast delta-key side:\n$pl")
+    assert(!pl.contains("SortMergeJoin"),
+      "the snapshot side must stream through unshuffled")
+  }
 }
