@@ -181,6 +181,26 @@ object RelationalQueries {
       .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
         col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
 
+  /** Data-quality PROFILING in one pass: null counts, exact distinct
+    * counts, min/max for every numeric measure of lineitem — computed as a
+    * single aggregate over ONE scan (16 agg expressions, map-side
+    * combined), then reshaped row-per-column with `stack`. The profile a
+    * pipeline runs before trusting a new drop of data; at 100 TB the
+    * one-scan shape is the point (a per-column loop would read the table
+    * once per column). */
+  def qProfile(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
+      sum(col(c).isNull.cast("long")).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c"),
+      min(col(c)).as(s"mn_$c"),
+      max(col(c)).as(s"mx_$c")))
+    val stackArgs = cols.map(c => s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+    t(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+      .selectExpr("n",
+        s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_v, max_v)")
+  }
+
   /** Snapshot MERGE (upsert) through [[graft.operators.Upsert]]: yesterday's
     * snapshot (orders with key % 3 != 0) merged with today's delta (every
     * key % 5 == 0 order re-statused 'U' — overlapping keys are UPDATES,
@@ -364,6 +384,7 @@ object RelationalQueries {
     "q_paginate" -> qPaginate _,
     "q_paginate_keyset" -> qPaginateKeyset _,
     "q_upsert_snapshot" -> qUpsertSnapshot _,
+    "q_profile" -> qProfile _,
     "q_stratified_sample" -> qStratifiedSample _,
   )
 
@@ -518,6 +539,20 @@ object RelationalQueries {
     "q_paginate" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
         |ORDER BY o_orderkey LIMIT 50 OFFSET 100""".stripMargin,
+    "q_profile" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggSel = cols.map(c =>
+        s"""CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_$c,
+           | CAST(count(DISTINCT $c) AS BIGINT) AS nd_$c,
+           | min($c) AS mn_$c, max($c) AS mx_$c""".stripMargin).mkString(",\n ")
+      val rows = cols.map(c =>
+        s"SELECT n, '$c' AS col_name, nn_$c AS n_nulls, nd_$c AS n_distinct, " +
+          s"mn_$c AS min_v, mx_$c AS max_v FROM a").mkString("\nUNION ALL ")
+      s"""WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         | $aggSel
+         |FROM lineitem)
+         |$rows""".stripMargin
+    },
     "q_upsert_snapshot" ->
       """WITH snap AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus FROM orders

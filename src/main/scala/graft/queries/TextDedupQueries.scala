@@ -105,6 +105,42 @@ object TextDedupQueries {
       order = Seq(col("score").desc, col("term").asc), k = 5)
   }
 
+  /** BM25 top-5 terms per document — the IR-standard upgrade of
+    * [[textTfidfTopk]] (same heap-operator shape, same per-intermediate
+    * float discipline): score = idf_BM25 · tf·(k1+1) / (tf + k1·(1 − b +
+    * b·dl/avgdl)) with k1 = 1.25, b = 0.75 — DYADIC constants, so k1+1,
+    * 1−b and every constant fold is exactly representable (1.2 would make
+    * `k1+1` a rounding coin-flip between engines) — and idf_BM25 =
+    * ln((N − df + 0.5)/(df + 0.5) + 1). The two libm-adjacent
+    * intermediates (idf, the length normalization) are quantized in BOTH
+    * engines; tf/dl/avgdl inputs are exact integers, so the final
+    * round(6) score and the (score, term) ranking are identical by
+    * construction. */
+  def textBm25Topk(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    fork.experimental.extraStrategies =
+      fork.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
+    val d = docs(fork, dir)
+    val tf = d.select(col("doc_id"), explode(TextOps.tokensFast(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = d.select(col("doc_id"), size(TextOps.tokensFast(col("text"))).cast("long").as("dl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n_docs"), lit(1).as("one"))
+    val totDl = dl.agg(sum(col("dl")).as("tot_dl"), lit(1).as("one"))
+    val (k1, b) = (1.25, 0.75)
+    val idf = round(log((col("n_docs").cast("double") - col("df") + 0.5) /
+      (col("df") + 0.5) + 1.0), 9)
+    val norm = round(lit(k1) * (lit(1.0) - b + lit(b) * col("dl") /
+      (col("tot_dl").cast("double") / col("n_docs"))), 9)
+    val scored = tf.join(df, "term").join(dl, "doc_id")
+      .crossJoin(broadcast(n.drop("one"))).crossJoin(broadcast(totDl.drop("one")))
+      .select(col("doc_id"), col("term"), col("tf"),
+        (round(idf * (col("tf") * (k1 + 1)) / (col("tf") + norm), 6) + lit(0.0))
+          .as("score"))
+    graft.plans.TopKPerKey.topKPerKey(scored,
+      keys = Seq(col("doc_id")),
+      order = Seq(col("score").desc, col("term").asc), k = 5)
+  }
+
   /** Context-window CHUNKING with overlap — the "split long docs into
     * training windows" step that complements packing (packing concatenates
     * short docs; chunking splits long ones): chunk k covers tokens
@@ -385,6 +421,7 @@ object TextDedupQueries {
     "text_bpe_tokens" -> textBpeTokens _,
     "bpe_train" -> bpeTrain _,
     "bpe_vocab" -> bpeVocab _,
+    "text_bm25_topk" -> textBm25Topk _,
     "text_tfidf_topk" -> textTfidfTopk _,
     "text_simhash" -> textSimhash _,
     "dedup_exact" -> dedupExact _,
@@ -719,6 +756,31 @@ object TextDedupQueries {
          |SELECT tok, freq,
          |  CAST(row_number() OVER (ORDER BY freq DESC, tok) AS INT) AS rank
          |FROM v QUALIFY rank <= 200""".stripMargin,
+    // BM25 twin of the tfidf oracle: identical CTE skeleton, the BM25
+    // formula with dyadic k1/b and both risky intermediates quantized —
+    // expression shapes copied operator-for-operator from the Spark side
+    "text_bm25_topk" ->
+      s"""WITH $toksCte,
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM
+         |  (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS tot_dl FROM dl),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term, tf,
+         |    round(round(ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0), 9)
+         |      * (tf * 2.25)
+         |      / (tf + round(1.25 * (1.0 - 0.75 + 0.75 * dl
+         |                    / (CAST(tot_dl AS DOUBLE) / n_docs)), 9)), 6) + 0 AS score
+         |  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+         |  CROSS JOIN n CROSS JOIN tot)
+         |SELECT doc_id, term, tf, score FROM (
+         |  SELECT doc_id, term, tf, score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY score DESC, term) AS rn
+         |  FROM scored)
+         |WHERE rn <= 5""".stripMargin,
     "text_tfidf_topk" ->
       // `+ 0` on the rounded score (signed-zero discipline: ln(1)=0 terms);
       // ranking happens on the SAME rounded value as Spark's
