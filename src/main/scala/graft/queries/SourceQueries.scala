@@ -102,10 +102,43 @@ object SourceQueries {
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
   }
 
+  /** CORRUPT-RECORD ingestion — the dirty-drop reality of production feeds:
+    * the nation CSV polluted with a type-corrupt row and an extra-field row,
+    * read PERMISSIVE with a `_corrupt_record` capture column. Good rows
+    * must survive byte-identical and the bad-row COUNT is part of the
+    * oracle contract (DuckDB skips bad rows under `ignore_errors`, so its
+    * count comes from raw-line arithmetic — the two engines agree on
+    * which rows are bad, proven by the hash). Under-length rows are NOT in
+    * the fixture: Spark pads them with nulls while DuckDB rejects them —
+    * a genuine cross-engine semantic difference, documented here. */
+  def srcCsvCorrupt(s: SparkSession, dir: String): DataFrame = {
+    val (csvPath, _) = ensureFixtures(s, dir)
+    val rows = Files.readString(Paths.get(csvPath))
+    val dirty = rows + "abc,TYPECORRUPT,1\n1000,EXTRAFIELD,2,surplus\n"
+    val dirtyPath = s"$FixtureDir/nation_dirty.csv"
+    Files.writeString(Paths.get(dirtyPath), dirty)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", LongType), StructField("n_name", StringType),
+      StructField("n_regionkey", LongType),
+      StructField("_corrupt_record", StringType)))
+    // cache before filtering on the corrupt column (Spark refuses queries
+    // that reference ONLY the internal corrupt column on the raw relation)
+    val parsed = s.read.schema(schema)
+      .option("header", "true").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dirtyPath).cache()
+    val bad = parsed.where(col("_corrupt_record").isNotNull)
+      .agg(count(lit(1)).as("n_bad"))
+    parsed.where(col("_corrupt_record").isNull)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .crossJoin(broadcast(bad))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_csv_nation" -> srcCsvNation _,
     "src_json_nation" -> srcJsonNation _,
     "src_orc_nation" -> srcOrcNation _,
+    "src_csv_corrupt" -> srcCsvCorrupt _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -122,6 +155,23 @@ object SourceQueries {
          |  columns={'n_nationkey':'BIGINT','n_name':'VARCHAR','n_regionkey':'BIGINT',
          |           'name_words':'VARCHAR[]'})
          |WHERE n_regionkey < 3""".stripMargin,
+    // good rows via ignore_errors; the bad count from raw-line arithmetic
+    // (lines minus header minus good) — delim \x07 never occurs, so every
+    // physical line is one raw row
+    "src_csv_corrupt" ->
+      s"""WITH good AS (
+         |  SELECT * FROM read_csv('$FixtureDir/nation_dirty.csv', header=true,
+         |    columns={'n_nationkey':'BIGINT','n_name':'VARCHAR','n_regionkey':'BIGINT'},
+         |    ignore_errors=true)),
+         |raw AS (SELECT count(*) AS n_lines FROM read_csv(
+         |  '$FixtureDir/nation_dirty.csv', header=false, quote='',
+         |  columns={'raw':'VARCHAR'}, delim='')),
+         |-- count a REAL column: under ignore_errors, count(*) skips the
+         |-- casts and admits the type-corrupt line (projection-dependent!)
+         |bad AS (SELECT CAST(n_lines - 1 - (SELECT count(n_nationkey) FROM good) AS BIGINT) AS n_bad
+         |  FROM raw)
+         |SELECT g.n_nationkey, g.n_name, g.n_regionkey, b.n_bad
+         |FROM good g CROSS JOIN bad b""".stripMargin,
     // DuckDB has no ORC reader — the oracle asserts round-trip losslessness
     // against the same rows from the parquet nation table
     "src_orc_nation" ->
