@@ -48,5 +48,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Md5Prefix60].getName, "md5_prefix60"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Md5Prefix60(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_count"),
+      new ExpressionInfo(classOf[graft.functions.BpeCount].getName, "bpe_count"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.BpeCount(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_tokenize"),
+      new ExpressionInfo(classOf[graft.functions.BpeTokenize].getName, "bpe_tokenize"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.BpeTokenize(args(0))))
   }
 }

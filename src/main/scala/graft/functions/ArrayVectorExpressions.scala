@@ -102,5 +102,7 @@ object ArrayVectorExpressions {
     ColumnBridge.registerFunction(spark, "shingles3", args => Shingles3(args(0)))
     ColumnBridge.registerFunction(spark, "rolling_hash", args => RollingHash(args(0)))
     ColumnBridge.registerFunction(spark, "md5_prefix60", args => Md5Prefix60(args(0)))
+    ColumnBridge.registerFunction(spark, "bpe_count", args => BpeCount(args(0)))
+    ColumnBridge.registerFunction(spark, "bpe_tokenize", args => BpeTokenize(args(0)))
   }
 }

@@ -24,7 +24,9 @@ class GraftExtensionsSpec extends SparkSpec {
              size(space_tokens('a  b c')) AS nt,
              size(shingles3('a b c d')) AS ns,
              rolling_hash('ab') AS rh,
-             md5_prefix60('x') AS h
+             md5_prefix60('x') AS h,
+             bpe_count('the nation') AS bc,
+             size(bpe_tokenize('the nation')) AS bt
     """).head()
     assert(r.getDouble(0) == 11.0)
     assert(r.getDouble(1) == 25.0)
@@ -32,6 +34,7 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getInt(3) == 2)
     assert(r.getLong(4) == 'a'.toLong * 31 + 'b'.toLong)
     assert(r.getLong(5) >= 0L && r.getLong(5) < (1L << 60))
+    assert(r.getInt(6) == 3 && r.getInt(7) == 3) // [the] [n, ation]
     // the fork owns the registrations — the shared session stays clean
     assert(!spark.catalog.functionExists("space_tokens"))
   }
