@@ -181,6 +181,26 @@ object RelationalQueries {
       .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
         col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
 
+  /** SCD-2 history building — turn an event log into a slowly-changing
+    * dimension: per customer, collapse consecutive orders with the same
+    * status into validity intervals `[valid_from, valid_to)`, the open
+    * current interval ending NULL. Change-point detection is one `lag`
+    * window, interval closing one `lead` — two passes over ONE shuffle
+    * (same partitioning, Spark reuses the exchange). Ties at the same
+    * date break by order key, so the history is total-order deterministic. */
+  def qScd2History(s: SparkSession, dir: String): DataFrame = {
+    val byCust = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderstatus"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("prev", lag(col("o_orderstatus"), 1).over(byCust))
+      .where(col("prev").isNull || col("prev") =!= col("o_orderstatus"))
+      .withColumn("valid_to", lead(col("o_orderdate"), 1).over(byCust))
+      .select(col("o_custkey"), col("o_orderstatus"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+        date_format(col("valid_to"), "yyyy-MM-dd").as("valid_to"))
+  }
+
   /** Data-quality PROFILING in one pass: null counts, exact distinct
     * counts, min/max for every numeric measure of lineitem — computed as a
     * single aggregate over ONE scan (16 agg expressions, map-side
@@ -385,6 +405,7 @@ object RelationalQueries {
     "q_paginate_keyset" -> qPaginateKeyset _,
     "q_upsert_snapshot" -> qUpsertSnapshot _,
     "q_profile" -> qProfile _,
+    "q_scd2_history" -> qScd2History _,
     "q_stratified_sample" -> qStratifiedSample _,
   )
 
@@ -539,6 +560,21 @@ object RelationalQueries {
     "q_paginate" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
         |ORDER BY o_orderkey LIMIT 50 OFFSET 100""".stripMargin,
+    // the second window reuses the first's partitioning; lag/lead chain is
+    // the standard gaps-and-islands SCD2 build in both engines
+    "q_scd2_history" ->
+      """WITH w AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |    lag(o_orderstatus) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |c AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey FROM w
+        |  WHERE prev IS NULL OR prev != o_orderstatus)
+        |SELECT o_custkey, o_orderstatus,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+        |  strftime(lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey), '%Y-%m-%d') AS valid_to
+        |FROM c""".stripMargin,
     "q_profile" -> {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val aggSel = cols.map(c =>

@@ -57,4 +57,36 @@ object Sources {
     * nprobe cells map to directory reads. */
   def writeIvfLayout(assigned: DataFrame, path: String): Unit =
     writePartitioned(assigned.select(col("vec_id"), col("v"), col("cell")), path, "cell")
+
+  /** SMALL-FILES COMPACTION — the table-maintenance pass every streaming or
+    * incremental sink eventually needs: a parquet directory fragmented by
+    * many tiny appends is rewritten into ≈`targetBytes` files (count from
+    * the CURRENT on-disk size, so the op is idempotent), then atomically
+    * swapped in (write `_compact_tmp`, move original aside, rename, delete).
+    * Readers pay per-file open + footer + scheduling costs: at 100 TB, a
+    * million 1 MB files is a planner DoS; compaction restores scan-sized
+    * splits. Returns the new file count. */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L * 1024 * 1024): Int = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val dir = Paths.get(path)
+    val bytes = Files.walk(dir).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .map(Files.size).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = Paths.get(path + "_compact_tmp")
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val old = Paths.get(path + "_compact_old")
+    Files.move(dir, old)
+    Files.move(tmp, dir)
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p))
+        Files.list(p).iterator().asScala.toSeq.foreach(rm)
+      Files.delete(p)
+    }
+    rm(old)
+    nFiles
+  }
 }

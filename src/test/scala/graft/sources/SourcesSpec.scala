@@ -98,4 +98,25 @@ class SourcesSpec extends SparkSpec {
     assert(scans.head.selectedPartitions.partitionCount == 2,
       s"expected 2 pruned cell dirs, scanned ${scans.head.selectedPartitions.partitionCount}")
   }
+
+  test("compaction rewrites a fragmented directory into target-sized files, losslessly") {
+    val dir = tmp() + "/frag"
+    import spark.implicits._
+    val df = (0 until 20000).map(i => (i.toLong, s"row_$i")).toDF("id", "s")
+    df.repartition(64).write.parquet(dir) // 64 tiny files — the streaming-sink disease
+    def parquetFiles() = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles() >= 32, "fixture must actually be fragmented")
+    val totalBytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val n = Sources.compact(spark, dir, targetBytes = totalBytes / 4)
+    assert(n <= 5, s"expected ~4 files, got $n")
+    assert(parquetFiles() == n, "on-disk layout must match the reported count")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 20000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0)
+      == (0L until 20000L).sum)
+    // idempotent: compacting an already-compacted dir keeps the count
+    assert(Sources.compact(spark, dir, targetBytes = totalBytes / 4) <= n + 1)
+  }
 }
