@@ -281,10 +281,25 @@ object EventQueries {
       col("tier"), col("n"), round(col("sum_value"), 4).as("sum_value"))
   }
 
+  /** Streaming FUNNEL sink under the oracle: per-user first-view →
+    * later-purchase counts through [[graft.streaming.EventStream.funnelStream]]
+    * (flatMapGroupsWithState, monotone counting + pending pre-view
+    * purchases), drained by the sentinel's watermark advance; same oracle
+    * SQL as the batch `events_funnel`. */
+  def funnelStreamed(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    import fork.implicits._
+    streamedSink(fork, dir, "funnel", addSentinel = true) { df =>
+      graft.streaming.EventStream.funnelStream(
+          df.as[graft.streaming.EventStream.Event])
+        .filter(_.user_id >= 0).toDF()
+    }.select(col("user_id"), col("n_purchases_after_view"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_resample" -> resample _,
     "events_resample_stream" -> resampleStreamed _,
     "events_tier_stream" -> hourlyTierStreamed _,
+    "events_funnel_stream" -> funnelStreamed _,
     "events_sessionize_stream" -> sessionizeStreamed _,
     "events_dedup_stream" -> dedupStreamed _,
     "events_hourly_stream" -> hourlyStreamed _,
@@ -402,6 +417,15 @@ object EventQueries {
         |FROM days d JOIN cohort USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
     "events_funnel" ->
+      """WITH fv AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS first_view_us
+        |  FROM events WHERE event_type = 'view' GROUP BY 1)
+        |SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_purchases_after_view
+        |FROM events e JOIN fv ON e.user_id = fv.user_id
+        |WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > fv.first_view_us
+        |GROUP BY 1""".stripMargin,
+    // the streaming funnel drains to exactly the batch join's rows
+    "events_funnel_stream" ->
       """WITH fv AS (
         |  SELECT user_id, min(epoch_us(ts)) AS first_view_us
         |  FROM events WHERE event_type = 'view' GROUP BY 1)

@@ -166,6 +166,35 @@ object SomQueries {
     """)
   }
 
+  /** Map-QUALITY metrics — the two standard SOM evaluation numbers the
+    * reference never computes (its README reports only the training cost):
+    * QUANTIZATION error (mean distance to the BMU) and TOPOGRAPHIC error
+    * (fraction of points whose best and second-best units are NOT grid
+    * neighbors — the map-folding signal). One broadcast distance pass, a
+    * per-point rank-2 window, one global aggregate. Float discipline:
+    * `sqrt` is IEEE-correctly-rounded (identical both engines), the
+    * order-dependent mean goes through round(9) → DECIMAL sum; the
+    * topographic numerator is an exact integer. */
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("d2"), col("proto_id"))
+    val two = dists(s, dir)
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 2)
+      .groupBy(col("vec_id"))
+      .agg(max(when(col("rn") === 1, col("proto_id"))).as("b1"),
+        max(when(col("rn") === 2, col("proto_id"))).as("b2"),
+        max(when(col("rn") === 1, col("d2"))).as("d1"))
+    val nonAdj = (abs(expr(s"b1 div $Width") - expr(s"b2 div $Width")) +
+      abs(col("b1") % Width - col("b2") % Width)) =!= 1
+    two.agg(
+      count(lit(1)).as("n"),
+      sum(when(nonAdj, 1L).otherwise(0L)).as("n_topo_errors"),
+      round(sum(when(nonAdj, 1L).otherwise(0L)).cast("double") / count(lit(1)), 6)
+        .as("topo_error"),
+      round(sum(round(sqrt(col("d1")), 9).cast("decimal(28,12)")).cast("double")
+        / count(lit(1)), 6).as("quant_error"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "som_assign"     -> assign _,
     "som_assign_sql" -> assignSql _,
@@ -173,6 +202,7 @@ object SomQueries {
     "som_cell_stats" -> cellStats _,
     "som_update"     -> updateStep _,
     "som_update_hex" -> updateStepHex _,
+    "som_quality"    -> quality _,
   )
 
   // ---- DuckDB oracle SQL (ANSI-ish; bare table names are driver-registered
@@ -202,6 +232,25 @@ object SomQueries {
     "som_cost" ->
       s"""WITH $ptsCte, $protosCte, $distCte, $bmuCte
          |SELECT CAST(count(*) AS BIGINT) AS n, round(sum(d2), 2) AS cost FROM a""".stripMargin,
+    "som_quality" ->
+      s"""WITH $ptsCte, $protosCte, $distCte,
+         |r2 AS (SELECT vec_id, proto_id, d2,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, proto_id) AS rn FROM d),
+         |two AS (SELECT vec_id,
+         |  max(CASE WHEN rn = 1 THEN proto_id END) AS b1,
+         |  max(CASE WHEN rn = 2 THEN proto_id END) AS b2,
+         |  max(CASE WHEN rn = 1 THEN d2 END) AS d1
+         | FROM r2 WHERE rn <= 2 GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN abs(b1 // $Width - b2 // $Width)
+         |    + abs(b1 % $Width - b2 % $Width) != 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_topo_errors,
+         |  round(CAST(sum(CASE WHEN abs(b1 // $Width - b2 // $Width)
+         |    + abs(b1 % $Width - b2 % $Width) != 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS topo_error,
+         |  round(CAST(sum(CAST(round(sqrt(d1), 9) AS DECIMAL(28,12))) AS DOUBLE)
+         |    / count(*), 6) AS quant_error
+         |FROM two""".stripMargin,
     "som_cell_stats" ->
       s"""WITH $ptsCte, $protosCte, $distCte, $bmuCte
          |SELECT a.bmu, CAST(t.i - 1 AS INT) AS dim, round(sum(p.v[t.i]), 4) + 0 AS s,

@@ -195,6 +195,62 @@ object EventStream {
     * ever-seen user (the same |users| bound the batch computation holds;
     * a production deployment would age tombstones out and accept
     * renumbering beyond that horizon). */
+  /** Per-user funnel state: earliest view time seen, purchases already
+    * counted (ts strictly after that view), and the PENDING purchases not
+    * yet resolvable (ts ≤ current earliest view — an even earlier view may
+    * still arrive and flip them to counted). Counting is monotone: once a
+    * purchase beats the running-min view time it beats every smaller one,
+    * so `counted` never needs revisiting; only the (typically tiny)
+    * pre-view purchase list is buffered. lastUs drives the idle timeout. */
+  case class FunnelState(minViewUs: Long, counted: Long,
+                         pending: List[Long], lastUs: Long)
+  case class FunnelRow(user_id: Long, n_purchases_after_view: Long)
+
+  /** Streaming twin of `EventQueries.funnel` (first view → later purchases):
+    * the per-user result emits when the user's stream goes idle past the
+    * flush delay (event-time timeout, like [[sessionize]]); state is
+    * O(pre-view purchases), watermark-bounded. Users with zero qualifying
+    * purchases emit nothing — exactly the batch join's semantics. */
+  def funnelStream(events: Dataset[Event],
+                   flushDelay: String = "10 minutes"): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    val delayUs = 10L * 60 * 1000000
+    events
+      .withWatermark("ts", flushDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            if (s.minViewUs != Long.MaxValue && s.counted > 0)
+              Iterator.single(FunnelRow(userId, s.counted))
+            else Iterator.empty
+          } else {
+            var s = state.getOption.getOrElse(
+              FunnelState(Long.MaxValue, 0L, Nil, 0L))
+            batch.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+              val t = micros(e.ts)
+              if (t > s.lastUs) s = s.copy(lastUs = t)
+              e.event_type match {
+                case "view" if t < s.minViewUs =>
+                  // min view moved earlier: pending purchases past it resolve
+                  val (now, still) = s.pending.partition(_ > t)
+                  s = FunnelState(t, s.counted + now.size, still, s.lastUs)
+                case "purchase" =>
+                  if (t > s.minViewUs) s = s.copy(counted = s.counted + 1)
+                  else s = s.copy(pending = t :: s.pending)
+                case _ => ()
+              }
+            }
+            state.update(s)
+            state.setTimeoutTimestamp((s.lastUs + delayUs + 999) / 1000)
+            Iterator.empty
+          }
+      }
+  }
+
   def sessionize(events: Dataset[Event]): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapUs = 30L * 60 * 1000000
