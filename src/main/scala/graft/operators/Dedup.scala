@@ -414,4 +414,76 @@ object Dedup {
       .agg(countDistinct(col("sh")).as("n_shared"),
         min(col("first_eval")).as("first_eval"))
   }
+
+  /** Non-overlapping fixed-width word segments — the deterministic stand-in
+    * for "paragraphs"/"lines" in a corpus without newlines. Segment k covers
+    * tokens [k·width, k·width+width); the last segment may be shorter.
+    * Pure in-scan projection (split + sequence + slice, all codegen). */
+  def paragraphSegments(text: Column, width: Int): Column = {
+    val t = TextOps.tokens(text)
+    // sequence(0, -1) would yield a DESCENDING [0, -1] — guard empty docs
+    when(size(t) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        // `/` on int columns is DOUBLE division — cast back for sequence()
+        sequence(lit(0), ((size(t) + (width - 1)) / width).cast("int") - 1),
+        i => array_join(slice(t, i * width + 1, lit(width)), " ")))
+  }
+
+  /** Quality-weighted cluster representative selection: one survivor per
+    * near-dup cluster, chosen by QUALITY rather than the arbitrary min-id
+    * canonical — keep-the-longest (token count, integer-exact), ties broken
+    * by min doc_id. The keep-the-longest convention is what C4/RefinedWeb
+    * style pipelines use so boilerplate-trimmed copies lose to the fullest
+    * version of the page.
+    *
+    * Scale shape (100 TB): cluster labels are the existing keep-list passes
+    * (one |E| shuffle each); quality is an in-scan projection joined on the
+    * doc key; the per-cluster argmax is a groupBy with `min(struct(-q, id))`
+    * — partial aggregation, so a million-member boilerplate cluster reduces
+    * map-side instead of hot-keying a window sort. */
+  def qualityRepresentatives(docs: DataFrame, id: String, text: String,
+                             pairs: DataFrame): DataFrame = {
+    val labels = keepList(docs, id, pairs) // (doc, canonical)
+    val quality = docs.select(col(id).as("doc"),
+      size(TextOps.tokens(col(text))).as("n_tokens"))
+    labels.join(quality, "doc")
+      .groupBy(col("canonical"))
+      .agg(min(struct((-col("n_tokens")).as("nq"), col("doc").as("d"))).as("w"),
+        count(lit(1)).as("n_members"))
+      .select(col("canonical"), col("w.d").as("rep_id"),
+        (-col("w.nq")).as("rep_tokens"), col("n_members"))
+  }
+
+  /** C4-style corpus-wide paragraph dedup: every segment keeps only its
+    * FIRST occurrence (min (doc_id, pos) over the whole corpus); docs are
+    * reassembled from their surviving segments in original order. Docs whose
+    * every segment was seen earlier elsewhere vanish from the output — the
+    * boilerplate-only-page case.
+    *
+    * Scale shape (100 TB): keep-first is a groupBy on the segment digest
+    * with `min(struct(doc, pos, seg))` — partial aggregation makes it
+    * skew-immune (a boilerplate segment on a billion pages partially
+    * reduces map-side), unlike the row_number window the oracle uses. The
+    * winning struct CARRIES the segment text, so no join back to the
+    * occurrence stream is needed: reassembly is a second groupBy on doc_id.
+    * Two shuffles total, both over reduced data. */
+  def dedupParagraphs(docs: DataFrame, id: String, text: String,
+                      width: Int = 3): DataFrame = {
+    val segArr = paragraphSegments(col(text), width)
+    val occ = docs
+      .select(col(id).as("doc_id"), size(segArr).as("n_segs"),
+        posexplode(segArr).as(Seq("pos", "seg")))
+    val kept = occ
+      .groupBy(md5(col("seg")).as("digest"))
+      .agg(min(struct(col("doc_id"), col("pos"), col("seg"), col("n_segs")))
+        .as("w"))
+      .select(col("w.doc_id"), col("w.pos"), col("w.seg"), col("w.n_segs"))
+    kept.groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+            x => x.getField("seg")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"),
+        (max(col("n_segs")) - count(lit(1))).as("n_dropped"))
+  }
 }

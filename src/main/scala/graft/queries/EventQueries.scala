@@ -174,8 +174,14 @@ object EventQueries {
           lit(-1L).as("user_id"), lit("view").as("event_type"), lit(0.0).as("value"))
         mutateInput(src).union(sentinel)
       }
+    // PID-keyed so concurrent JVMs (e.g. a test run next to a Verify run)
+    // get disjoint sink/checkpoint dirs — a shared fixed path lets one
+    // process clearDir a checkpoint the other's stream is mid-flight on.
+    // Within one JVM invocations are sequential, so reuse + clearDir keeps
+    // tmp bounded instead of accumulating a dir per invocation.
     val root = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft_stream_$name")
+      System.getProperty("java.io.tmpdir"),
+      s"graft_stream_${name}_${ProcessHandle.current().pid()}")
     clearDir(root)
     val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
     input.write.parquet(inDir)

@@ -224,6 +224,14 @@ object TextDedupQueries {
   def dedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exactSurvivors(docs(s, dir), "doc_id", "text")
 
+  /** C4-style paragraph (line-level) dedup: corpus-wide keep-FIRST over
+    * 3-word segments, docs reassembled from surviving segments. width=3 so
+    * the ~30-word vocabulary actually produces cross-doc duplicate segments
+    * at every SF (30³ possible segments vs 10⁴–10⁶ occurrences) — the
+    * operator provably drops text, not just passes it through. */
+  def dedupParagraph(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupParagraphs(docs(s, dir), "doc_id", "text", width = 3)
+
   // ---- shared dedup artifacts (VERDICT r1: the sig/pairs pipeline used to
   // be rebuilt from the raw corpus by every family member — ~4 scans of the
   // same shingle stream per bench round). Signatures (16 rows/doc) and
@@ -290,6 +298,13 @@ object TextDedupQueries {
       candidates = Some(Dedup.lshCandidates(oldSigs)))
     Dedup.incrementalPairs(d, newIds, "doc_id", "text", oldBanded, oldPairs)
   }
+
+  /** Quality-weighted representative per near-dup cluster: keep-the-longest
+    * instead of min-id. Shares the confirmed-pairs artifact with the other
+    * keep-list entries. */
+  def dedupQualityRep(s: SparkSession, dir: String): DataFrame =
+    Dedup.qualityRepresentatives(docs(s, dir), "doc_id", "text",
+      sharedPairs(s, dir).select(col("doc_a"), col("doc_b")))
 
   /** Keep-list via the CONVERGED (fixpoint) label propagation — exact
     * connected components whatever the cluster diameter. Oracle is a
@@ -425,10 +440,12 @@ object TextDedupQueries {
     "text_tfidf_topk" -> textTfidfTopk _,
     "text_simhash" -> textSimhash _,
     "dedup_exact" -> dedupExact _,
+    "dedup_paragraph" -> dedupParagraph _,
     "dedup_minhash_sig" -> dedupMinhashSig _,
     "dedup_minhash_pairs" -> dedupMinhashPairs _,
     "dedup_incremental_pairs" -> dedupIncrementalPairs _,
     "dedup_keep_list" -> dedupKeepList _,
+    "dedup_quality_rep" -> dedupQualityRep _,
     "dedup_cc_keep_list" -> dedupCcKeepList _,
     "dedup_simhash_pairs" -> dedupSimhashPairs _,
     "dedup_jaccard_pairs" -> dedupJaccardPairs _,
@@ -815,6 +832,22 @@ object TextDedupQueries {
       """SELECT md5(text) AS digest, min(doc_id) AS survivor_id,
         | CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_paragraph" ->
+      // row_number keep-first is the oracle's shape; the Spark side uses the
+      // skew-immune min(struct) groupBy — same (doc_id, pos) total order
+      s"""WITH $toksCte,
+         |segs0 AS (SELECT doc_id, t,
+         |   unnest(range(0, (len(t) + 2) // 3)) AS pos FROM toks),
+         |segs AS (SELECT doc_id, CAST(pos AS INT) AS pos,
+         |   array_to_string(t[(pos*3+1):(pos*3+3)], ' ') AS seg,
+         |   CAST((len(t) + 2) // 3 AS INT) AS n_segs FROM segs0),
+         |kept AS (SELECT * FROM (SELECT *, row_number() OVER (
+         |     PARTITION BY md5(seg) ORDER BY doc_id, pos) AS rn FROM segs)
+         |   WHERE rn = 1)
+         |SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+         |  CAST(count(*) AS BIGINT) AS n_kept,
+         |  CAST(max(n_segs) - count(*) AS BIGINT) AS n_dropped
+         |FROM kept GROUP BY doc_id""".stripMargin,
     "dedup_minhash_sig" ->
       s"""WITH $toksCte, $shinglesCte, $sigCte
          |SELECT doc, h, minhash FROM sig""".stripMargin,
@@ -834,6 +867,27 @@ object TextDedupQueries {
          |l3 AS (SELECT e.src AS doc, min(l.lbl) AS lbl
          |  FROM edges e JOIN l2 l ON e.dst = l.doc GROUP BY 1)
          |SELECT doc, lbl AS canonical FROM l3""".stripMargin,
+    "dedup_quality_rep" ->
+      // same 3-round label propagation as dedup_keep_list, then the argmax
+      // (keep-the-longest, tie min doc) the Spark side does with min(struct)
+      s"""WITH $toksCte, $shinglesCte, $sigCte, $pairsCtes,
+         |jp AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.8),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+         |  UNION ALL SELECT doc_b, doc_a FROM jp
+         |  UNION ALL SELECT doc_id, doc_id FROM documents),
+         |l1 AS (SELECT src AS doc, min(dst) AS lbl FROM edges GROUP BY 1),
+         |l2 AS (SELECT e.src AS doc, min(l.lbl) AS lbl
+         |  FROM edges e JOIN l1 l ON e.dst = l.doc GROUP BY 1),
+         |l3 AS (SELECT e.src AS doc, min(l.lbl) AS lbl
+         |  FROM edges e JOIN l2 l ON e.dst = l.doc GROUP BY 1),
+         |m AS (SELECT l3.doc, l3.lbl AS canonical, CAST(len(t) AS INT) AS n_tokens
+         |  FROM l3 JOIN toks ON l3.doc = toks.doc_id),
+         |r AS (SELECT *, row_number() OVER (
+         |    PARTITION BY canonical ORDER BY n_tokens DESC, doc) AS rn,
+         |  count(*) OVER (PARTITION BY canonical) AS n_members FROM m)
+         |SELECT canonical, doc AS rep_id, n_tokens AS rep_tokens,
+         | CAST(n_members AS BIGINT) AS n_members
+         |FROM r WHERE rn = 1""".stripMargin,
     "dedup_cc_keep_list" ->
       // TRUE connected components as a recursive transitive closure — the
       // oracle for the fixpoint loop is exact at ANY cluster diameter

@@ -81,7 +81,8 @@ class StreamRestartSpec extends SparkSpec {
     fork.conf.set("spark.sql.shuffle.partitions", "4")
     val (part1, part2, schema) = fixture(fork)
     val root = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft_restart_$name")
+      System.getProperty("java.io.tmpdir"),
+      s"graft_restart_${name}_${ProcessHandle.current().pid()}")
     clearDir(root)
     val (restarted, straight) = (s"$root/restarted", s"$root/straight")
 
