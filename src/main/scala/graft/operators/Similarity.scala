@@ -57,6 +57,44 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Metadata-filtered exact ANN: top-k restricted to vectors that pass a
+    * metadata predicate, PRE-filtered — no distance is ever computed for a
+    * vector that fails the filter. Two filter shapes composed:
+    *  - `allowed` (an id allow-list, e.g. docs passing a lang/quality
+    *    predicate in another table): a left-semi join on the vector key.
+    *    At 100 TB this is the co-keyed semi-join shape (or the predicate
+    *    lives in-row and pushes to the scan); post-filtering top-k instead
+    *    would silently return < k rows whenever survivors are sparse.
+    *  - the probe's own `label` (same-category search): an equi-JOIN key
+    *    against the broadcast probe table, so Catalyst hash-matches label
+    *    inside the broadcast join — only same-label pairs reach the cosine.
+    * Survivors then take the same heap-operator top-k path as [[bruteTopK]].
+    *
+    * `points`: (vec_id, v, label); `probes`: (probe_id, p, plabel);
+    * `allowed`: single-column id allow-list. */
+  def filteredTopK(points: DataFrame, probes: DataFrame, allowed: DataFrame,
+                   k: Int, useHeapOperator: Boolean = false): DataFrame = {
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+    val aid = allowed.columns.head
+    val flt = points.join(allowed,
+      points("vec_id") === allowed(aid), "left_semi")
+    val cands = flt.withColumn("nv", norm2Fast(col("v")))
+      .join(broadcast(probes.withColumn("np", norm2Fast(col("p")))),
+        col("label") === col("plabel"))
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cosFromNorms(col("v"), col("p"), col("nv"), col("np")).as("cos"))
+    val top =
+      if (useHeapOperator)
+        graft.plans.TopKPerKey.topKPerKey(cands, Seq(col("probe_id")),
+          Seq(col("cos").desc, col("vec_id").asc), k)
+      else cands
+    top.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** IVF top-k: points pre-assigned to `cell` (nearest centroid), probes scan
     * the nprobe nearest cells only.
     * @param assigned (vec_id, v, cell)

@@ -53,6 +53,26 @@ object SimilarityQueries {
     Similarity.bruteTopK(pts(fork, dir), probes(fork, dir), K, useHeapOperator = true)
   }
 
+  /** Metadata-filtered ANN: same-label neighbors among vectors whose linked
+    * document is English — both predicates applied BEFORE any cosine
+    * (in-join label match + semi-join allow-list), so the result is a true
+    * top-k of the filtered corpus, not a post-filtered (recall-losing)
+    * top-k of the full one. */
+  def annFiltered(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    fork.experimental.extraStrategies =
+      fork.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
+    val withLabel = fork.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"))
+    val probesL = withLabel.where(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("p"),
+        col("label").as("plabel"))
+    val allowed = fork.read.parquet(s"$dir/documents.parquet")
+      .where(col("lang") === "en").select(col("doc_id"))
+    Similarity.filteredTopK(withLabel, probesL, allowed, K,
+      useHeapOperator = true)
+  }
+
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val centroids = SomQueries.protos(s, dir)
       .select(col("proto_id").as("cell"), col("c"))
@@ -179,6 +199,7 @@ object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute" -> annBrute _,
+    "ann_filtered" -> annFiltered _,
     "ann_int8" -> annInt8 _,
     "ann_ivf" -> annIvf _,
     "ann_ivf_pruned" -> annIvfPruned _,
@@ -223,6 +244,22 @@ object SimilarityQueries {
       s"""WITH $base,
          |d AS (SELECT probe_id, vec_id, ${cosE("v", "p")} AS cos
          |  FROM pts CROSS JOIN probes WHERE vec_id != probe_id),
+         |r AS (SELECT probe_id, vec_id, cos, row_number() OVER
+         |  (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn FROM d)
+         |SELECT probe_id, CAST(rn AS INT) AS rank, vec_id AS neighbor_id,
+         | round(cos, 6) AS cos_sim
+         |FROM r WHERE rn <= $K""".stripMargin,
+    "ann_filtered" ->
+      // pre-filter twin of ann_brute: label equality carried into the join,
+      // the en allow-list applied BEFORE the cosine — same fold order
+      s"""WITH ptsl AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+         |  FROM embeddings),
+         |probesl AS (SELECT vec_id AS probe_id, v AS p, label AS plabel
+         |  FROM ptsl WHERE vec_id < $NumProbes),
+         |flt AS (SELECT * FROM ptsl WHERE vec_id IN
+         |  (SELECT doc_id FROM documents WHERE lang = 'en')),
+         |d AS (SELECT probe_id, vec_id, ${cosE("v", "p")} AS cos
+         |  FROM flt JOIN probesl ON label = plabel AND vec_id != probe_id),
          |r AS (SELECT probe_id, vec_id, cos, row_number() OVER
          |  (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn FROM d)
          |SELECT probe_id, CAST(rn AS INT) AS rank, vec_id AS neighbor_id,

@@ -134,14 +134,51 @@ object SourceQueries {
       .crossJoin(broadcast(bad))
   }
 
+  // box bounds for the z-order entry (epoch days — driver-side constants)
+  // custkey tops out at 149 at sf0.001, so the box starts at 50 to hit
+  // rows at every SF (169 / 567 / 567 rows at the three SFs)
+  private val ZLoDay = java.time.LocalDate.of(1995, 6, 1).toEpochDay
+  private val ZHiDay = java.time.LocalDate.of(1996, 6, 30).toEpochDay
+
+  /** 2-D data-skipping through the z-order (Morton) layout: orders laid out
+    * once per session by (order day × custkey) interleave, then a half-year
+    * × custkey-range box read back through bucket pruning + the exact
+    * predicate. The oracle is the PLAIN filter over the original table —
+    * the layout's whole contract is returning identical rows while reading
+    * only the overlapping grid cells (pruning plan-asserted in
+    * SourcesSpec). */
+  def qZorderPrune(s: SparkSession, dir: String): DataFrame = {
+    val layout = graft.operators.Artifacts.sharedPath(s"zorder_orders:$dir") { path =>
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("d_day",
+          datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")))
+      Sources.writeZorderLayout(orders, "d_day", "o_custkey", path)
+    }
+    Sources.zorderRead(s, layout, ZLoDay, ZHiDay, 50, 399)
+      .where(col("d_day").between(ZLoDay, ZHiDay) &&
+        col("o_custkey").between(50, 399))
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        col("o_totalprice"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_csv_nation" -> srcCsvNation _,
     "src_json_nation" -> srcJsonNation _,
     "src_orc_nation" -> srcOrcNation _,
     "src_csv_corrupt" -> srcCsvCorrupt _,
+    "q_zorder_prune" -> qZorderPrune _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_zorder_prune" ->
+      // the layout's losslessness contract: the box read == the plain filter
+      """SELECT o_orderkey, o_custkey,
+        | strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_totalprice
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-06-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND o_custkey BETWEEN 50 AND 399""".stripMargin,
     "src_csv_nation" ->
       s"""SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_nations,
          | min(n.n_name) AS first_nation

@@ -58,6 +58,64 @@ object Sources {
   def writeIvfLayout(assigned: DataFrame, path: String): Unit =
     writePartitioned(assigned.select(col("vec_id"), col("v"), col("cell")), path, "cell")
 
+  /** Z-ORDER (Morton) layout: a single partition column that clusters TWO
+    * integer dimensions at once, so a 2-D box predicate prunes to the few
+    * grid cells the box overlaps — the OPTIMIZE ZORDER data-skipping shape.
+    * Each dim is scaled to `2^bitsPerDim` cells against its min/max (one
+    * stats pass at write time, persisted as a 1-row `meta` parquet beside
+    * `data/`); the bucket is the bit-interleave of the two cell ids. At
+    * 100 TB the layout write is one shuffle (the partitioned sink) and the
+    * stats pass rides the same scan; queries never pay it — [[zorderRead]]
+    * reads 4 longs of meta, enumerates the ≤ 4^bitsPerDim overlapping
+    * buckets DRIVER-side, and hands Spark an `isin` partition filter. */
+  def writeZorderLayout(df: DataFrame, dimA: String, dimB: String,
+                        path: String, bitsPerDim: Int = 3): Unit = {
+    val stats = df.agg(
+      min(col(dimA)).cast("long"), max(col(dimA)).cast("long"),
+      min(col(dimB)).cast("long"), max(col(dimB)).cast("long")).head()
+    val (amn, amx, bmn, bmx) =
+      (stats.getLong(0), stats.getLong(1), stats.getLong(2), stats.getLong(3))
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((amn, amx, bmn, bmx, bitsPerDim)).toDF("amn", "amx", "bmn", "bmx", "bits")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+    val cells = 1 << bitsPerDim
+    def cellOf(c: String, mn: Long, mx: Long) =
+      ((col(c).cast("long") - mn) * cells / (mx - mn + 1)).cast("int")
+    val (ca, cb) = (cellOf(dimA, amn, amx), cellOf(dimB, bmn, bmx))
+    val z = (0 until bitsPerDim).foldLeft(lit(0)) { (acc, i) =>
+      acc + shiftright(ca, i) % 2 * lit(1 << (2 * i + 1)) +
+        shiftright(cb, i) % 2 * lit(1 << (2 * i))
+    }
+    writePartitioned(df.withColumn("zbucket", z), s"$path/data", "zbucket")
+  }
+
+  /** Morton interleave of two cell ids — driver-side twin of the writer's
+    * column expression. */
+  def mortonBucket(ca: Int, cb: Int, bitsPerDim: Int): Int =
+    (0 until bitsPerDim).map(i =>
+      (((ca >> i) & 1) << (2 * i + 1)) | (((cb >> i) & 1) << (2 * i))).sum
+
+  /** Box query over a z-order layout: prunes to the buckets whose grid cell
+    * intersects [loA,hiA]×[loB,hiB], then the caller applies the EXACT
+    * predicate (cells are coarse). The bucket set is computed from the tiny
+    * meta file — never from data. */
+  def zorderRead(spark: SparkSession, path: String,
+                 loA: Long, hiA: Long, loB: Long, hiB: Long): DataFrame = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    val (amn, amx, bmn, bmx, bits) =
+      (m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3), m.getInt(4))
+    val cells = 1 << bits
+    def cellOf(x: Long, mn: Long, mx: Long): Int =
+      (((x.max(mn).min(mx) - mn) * cells) / (mx - mn + 1)).toInt
+    val buckets = for {
+      ca <- cellOf(loA, amn, amx) to cellOf(hiA, amn, amx)
+      cb <- cellOf(loB, bmn, bmx) to cellOf(hiB, bmn, bmx)
+    } yield mortonBucket(ca, cb, bits)
+    spark.read.parquet(s"$path/data")
+      .where(col("zbucket").isin(buckets: _*))
+  }
+
   /** SMALL-FILES COMPACTION — the table-maintenance pass every streaming or
     * incremental sink eventually needs: a parquet directory fragmented by
     * many tiny appends is rewritten into ≈`targetBytes` files (count from

@@ -31,6 +31,25 @@ class SimilaritySpec extends SparkSpec {
     assert(got == naive)
   }
 
+  test("filteredTopK: every neighbor passes BOTH filters; pre-filter finds k where post-filter would not") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    val pts = (0L until 200).map(i => (i, Array.fill(8)(rnd.nextDouble()), (i % 4).toInt))
+      .toDF("vec_id", "v", "label")
+    val probes = pts.where(col("vec_id") === 0)
+      .select(col("vec_id").as("probe_id"), col("v").as("p"), col("label").as("plabel"))
+    val allowed = (0L until 200).filter(_ % 2 == 0).toDF("id") // half the corpus
+    val out = Similarity.filteredTopK(pts, probes, allowed, 10).collect()
+    assert(out.length == 10) // label 0 ∩ even ids = 50 candidates — full k found
+    val ids = out.map(_.getLong(2)).toSet
+    assert(ids.forall(i => i % 4 == 0 && i % 2 == 0 && i != 0)) // label + allow-list + no self
+    // post-filtering an UNfiltered top-10 would keep only the few survivors:
+    val post = Similarity.bruteTopK(pts.select("vec_id", "v"),
+        probes.select("probe_id", "p"), 10).collect()
+      .map(_.getLong(2)).count(i => i % 4 == 0 && i % 2 == 0)
+    assert(post < 10) // the recall loss the pre-filter form avoids
+  }
+
   test("ivfTopK recall: nearest-2-cell candidates contain most true top-k") {
     val pts = vecs(300, 8, 2)
     val protos = pts.where(col("vec_id") < 4)

@@ -99,6 +99,38 @@ class SourcesSpec extends SparkSpec {
       s"expected 2 pruned cell dirs, scanned ${scans.head.selectedPartitions.partitionCount}")
   }
 
+  test("z-order layout: box read prunes to overlapping buckets, rows lossless") {
+    import spark.implicits._
+    val dir = tmp()
+    // 32×32 grid of (a, b) points, one row each
+    val df = (for (a <- 0 until 32; b <- 0 until 32) yield (a.toLong, b.toLong, s"$a:$b"))
+      .toDF("a", "b", "payload")
+    Sources.writeZorderLayout(df, "a", "b", dir, bitsPerDim = 3)
+    def scannedPartitions(df: org.apache.spark.sql.DataFrame): Int = {
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, "expected a FileSourceScanExec")
+      assert(scans.head.partitionFilters.nonEmpty,
+        "zbucket predicate must reach partition pruning")
+      scans.head.selectedPartitions.partitionCount
+    }
+    // a small box: a in [0,3], b in [0,3] → exactly one 4×4 grid cell
+    val read = Sources.zorderRead(spark, dir, 0, 3, 0, 3)
+    assert(spark.read.parquet(s"$dir/data").inputFiles.length >= 64,
+      "expected 64 bucket files")
+    assert(scannedPartitions(read) == 1,
+      "one-cell box must read exactly 1 bucket dir")
+    // a wider box spans 2×2 cells → 4 buckets; exact predicate restores rows
+    val wide = Sources.zorderRead(spark, dir, 2, 5, 2, 5)
+      .where(col("a").between(2, 5) && col("b").between(2, 5))
+    assert(scannedPartitions(wide) == 4)
+    assert(wide.count() == 16)
+    val expect = df.where(col("a").between(2, 5) && col("b").between(2, 5))
+      .select("payload").collect().map(_.getString(0)).toSet
+    assert(wide.select("payload").collect().map(_.getString(0)).toSet == expect)
+  }
+
   test("compaction rewrites a fragmented directory into target-sized files, losslessly") {
     val dir = tmp() + "/frag"
     import spark.implicits._
