@@ -100,6 +100,40 @@ object TextExpressions {
     }
     h
   }
+
+  /** Non-overlapping fixed-width word segments (stride = width twin of
+    * shinglesN's stride-1 windows): segment k covers tokens
+    * [k·width, k·width+width), last segment may be shorter; empty/null
+    * text → empty array. One pass over the tokens — the higher-order
+    * `transform(sequence, i -> slice(tokens, ...))` formulation re-inlines
+    * the whole split+filter chain into EVERY lambda element (Spark runs no
+    * subexpression elimination inside lambdas), which is quadratic per doc
+    * and measured 16 s on dedup_paragraph at sf0.1 vs <1 s for this
+    * kernel. */
+  def segmentsN(s: UTF8String, width: Int): GenericArrayData = {
+    if (s == null) return new GenericArrayData(Array.empty[Any])
+    val toks = tokenize(s)
+    val n = toks.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val space = UTF8String.fromString(" ")
+    val nSeg = (n + width - 1) / width
+    val out = new Array[Any](nSeg)
+    var k = 0
+    while (k < nSeg) {
+      val start = k * width
+      val len = math.min(width, n - start)
+      val parts = new Array[UTF8String](2 * len - 1)
+      var j = 0
+      while (j < len) {
+        parts(2 * j) = toks.getUTF8String(start + j)
+        if (j < len - 1) parts(2 * j + 1) = space
+        j += 1
+      }
+      out(k) = UTF8String.concat(parts: _*)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Static kernel for the portable 60-bit content hash: the top 15 hex
@@ -217,6 +251,30 @@ case class ShinglesN(child: Expression, width: Int) extends TextKernelExpression
   override def prettyName: String = "shingles_n"
 }
 
+/** Codegen kernel for [[TextExpressions.segmentsN]] — fixed-width
+  * NON-overlapping word segments in one tokenize pass. */
+case class SegmentsN(child: Expression, width: Int) extends TextKernelExpression {
+  require(width >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override protected def helper: String = "graft.functions.TextExpressions.segmentsN"
+  override protected def evalKernel(s: UTF8String): Any =
+    TextExpressions.segmentsN(s, width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code =
+      code"""
+        ${c.code}
+        $javaType ${ev.value} = $helper(${c.isNull} ? null : ${c.value}, $width);
+      """, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SegmentsN =
+    copy(child = c)
+  override def prettyName: String = "segments_n"
+}
+
 /** Polynomial rolling hash (long). */
 case class RollingHash(child: Expression) extends TextKernelExpression {
   override def dataType: DataType = LongType
@@ -235,6 +293,8 @@ object TextKernels {
     ColumnBridge.column(Shingles3(ColumnBridge.expression(text)))
   def shinglesN(text: Column, width: Int): Column =
     ColumnBridge.column(ShinglesN(ColumnBridge.expression(text), width))
+  def segmentsN(text: Column, width: Int): Column =
+    ColumnBridge.column(SegmentsN(ColumnBridge.expression(text), width))
   def rollingHash(text: Column): Column =
     ColumnBridge.column(RollingHash(ColumnBridge.expression(text)))
   def md5Prefix60(text: Column): Column =

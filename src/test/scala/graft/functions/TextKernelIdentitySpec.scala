@@ -43,6 +43,25 @@ class TextKernelIdentitySpec extends SparkSpec {
     }
   }
 
+  test("segmentsN == declarative sequence/slice segments on every case") {
+    // the declarative twin segmentsN replaced (kept here as the spec oracle)
+    def declarative(width: Int) = {
+      val t = TextOps.tokens(col("text"))
+      when(size(t) === 0, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), ((size(t) + (width - 1)) / width).cast("int") - 1),
+          i => array_join(slice(t, i * width + 1, lit(width)), " ")))
+    }
+    for (w <- Seq(1, 2, 3, 5)) {
+      val rows = df.select(col("id"), declarative(w).as("a"),
+        TextKernels.segmentsN(col("text"), w).as("b")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"width $w case ${r.getLong(0)}")
+      }
+    }
+  }
+
   test("shinglesN: width 3 == shingles3; width semantics on every case") {
     val rows = df.select(col("id"), TextOps.shingles3Fast(col("text")).as("a"),
       TextOps.shinglesNFast(col("text"), 3).as("b"),
