@@ -39,6 +39,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Shingles3(args(0))))
     ext.injectFunction((
+      FunctionIdentifier("segments_n"),
+      new ExpressionInfo(classOf[graft.functions.SegmentsN].getName, "segments_n"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.SegmentsN(args(0), args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(w, _) =>
+            w.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"segments_n width must be a literal, got $other")
+        })))
+    ext.injectFunction((
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -26,7 +26,8 @@ class GraftExtensionsSpec extends SparkSpec {
              rolling_hash('ab') AS rh,
              md5_prefix60('x') AS h,
              bpe_count('the nation') AS bc,
-             size(bpe_tokenize('the nation')) AS bt
+             size(bpe_tokenize('the nation')) AS bt,
+             size(segments_n('a b c d e', 2)) AS sg
     """).head()
     assert(r.getDouble(0) == 11.0)
     assert(r.getDouble(1) == 25.0)
@@ -35,6 +36,7 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getLong(4) == 'a'.toLong * 31 + 'b'.toLong)
     assert(r.getLong(5) >= 0L && r.getLong(5) < (1L << 60))
     assert(r.getInt(6) == 3 && r.getInt(7) == 3) // [the] [n, ation]
+    assert(r.getInt(8) == 3) // [a b] [c d] [e]
     // the fork owns the registrations — the shared session stays clean
     assert(!spark.catalog.functionExists("space_tokens"))
   }
