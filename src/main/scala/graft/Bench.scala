@@ -42,14 +42,17 @@ object Bench {
     }
     val results = samples.groupBy(_._1).view
       .mapValues(ts => median(ts.map(_._2))).toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // COMPACT per-query timings (0.1 ms resolution) — full-precision doubles
+    // made the r4-r6 stdout line ~6 KB and the driver's tail scrape truncated
+    // it mid-object ("parsed": null three rounds running); 4 decimals halves
+    // the line and loses nothing a bench consumer reads.
+    def f(v: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
-    println(json)
-    // ALSO persist to a file, atomically (tmp + rename): the driver scrapes
-    // stdout and its tail capture truncated 6 of 71 query timings in r4 —
-    // the file is the loss-proof artifact. Path printed so callers find it.
+    val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
+    // Persist to a file, atomically (tmp + rename): the file is the
+    // loss-proof artifact. Path printed so callers find it.
     try {
       import java.nio.file.{Files, StandardCopyOption}
       // repo-root-anchored, NOT cwd-relative: a wrapper launching the bench
@@ -63,8 +66,12 @@ object Bench {
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       System.err.println(s"bench json written to ${dir.resolve("bench.json").toAbsolutePath}")
     } catch { case e: Exception =>
-      System.err.println(s"bench json file write failed (stdout line above is authoritative): $e")
+      System.err.println(s"bench json file write failed (stdout line below is authoritative): $e")
     }
     spark.stop()
+    // The one-line JSON is the LAST stdout output, after spark.stop(), so no
+    // shutdown chatter can push it out of the driver's bounded tail capture.
+    println(json)
+    System.out.flush()
   }
 }

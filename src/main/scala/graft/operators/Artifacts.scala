@@ -24,8 +24,21 @@ import scala.collection.concurrent.TrieMap
   * into the signature aggregation.
   */
 object Artifacts {
+  /** Lazy per-key initializer: `TrieMap.getOrElseUpdate`'s thunk is NOT
+    * evaluated atomically (two threads racing on the same absent key can
+    * both run it), so entries hold a holder inserted with `putIfAbsent` and
+    * the WINNING holder's `lazy val` runs the build — JVM lazy-val
+    * initialization is synchronized, so exactly one thread builds and
+    * concurrent callers block until it finishes. `built` lets eviction /
+    * clear() skip holders whose thunk never ran (forcing them there would
+    * pointlessly run the build just to throw it away). */
+  private final class Holder[A](thunk: () => A) {
+    @volatile private[Artifacts] var built = false
+    lazy val value: A = { val v = thunk(); built = true; v }
+  }
+
   private val cache =
-    TrieMap.empty[String, (org.apache.spark.sql.SparkSession, DataFrame)]
+    TrieMap.empty[String, (org.apache.spark.sql.SparkSession, Holder[DataFrame])]
 
   /** Get-or-build: first caller pays the pipeline, later callers reuse the
     * checkpointed partitions. Keys must include the input dir; the active
@@ -40,8 +53,8 @@ object Artifacts {
     val active = org.apache.spark.sql.SparkSession.active
     cache.filterInPlace((_, v) => !v._1.sparkContext.isStopped)
     val uuid = org.apache.spark.sql.graftbridge.ColumnBridge.sessionUUID(active)
-    cache.getOrElseUpdate(s"$uuid/$key",
-      (active, build.localCheckpoint(eager = true)))._2
+    val fresh = (active, new Holder(() => build.localCheckpoint(eager = true)))
+    cache.putIfAbsent(s"$uuid/$key", fresh).getOrElse(fresh)._2.value
   }
 
   /** Drop every shared artifact — bench repetitions call this so each rep
@@ -50,8 +63,8 @@ object Artifacts {
     * deployment writes the IVF layout once and serves many queries from
     * it), not per-run intermediates. */
   def clear(): Unit = {
-    cache.values.foreach { case (s, df) =>
-      if (!s.sparkContext.isStopped) df.unpersist(blocking = false)
+    cache.values.foreach { case (s, h) =>
+      if (h.built && !s.sparkContext.isStopped) h.value.unpersist(blocking = false)
     }
     cache.clear()
   }
@@ -59,7 +72,7 @@ object Artifacts {
   // ---- disk layouts ------------------------------------------------------
 
   private val layouts =
-    TrieMap.empty[String, (org.apache.spark.sql.SparkSession, String)]
+    TrieMap.empty[String, (org.apache.spark.sql.SparkSession, Holder[String])]
 
   /** Get-or-write: the disk twin of [[shared]] for artifacts that must live
     * as FILES (partition-pruned reads, e.g. the IVF cell layout). Keyed by
@@ -69,22 +82,26 @@ object Artifacts {
     * can never clobber each other mid-read, and a second invocation within
     * one session returns the existing path without re-writing the corpus.
     * Dead sessions' layouts are evicted and best-effort deleted on the next
-    * call. */
+    * call. Per-key initialization is serialized through [[Holder]]'s lazy
+    * val — two concurrent first callers of the same key can never both run
+    * `write(dir)` into the same directory (the intra-session twin of the
+    * cross-session clobber the UUID keying prevents). */
   def sharedPath(key: String)(write: String => Unit): String = {
     val active = org.apache.spark.sql.SparkSession.active
     layouts.filterInPlace { (_, v) =>
       val alive = !v._1.sparkContext.isStopped
-      if (!alive) deleteRecursively(new java.io.File(v._2))
+      if (!alive && v._2.built) deleteRecursively(new java.io.File(v._2.value))
       alive
     }
     val uuid = org.apache.spark.sql.graftbridge.ColumnBridge.sessionUUID(active)
-    layouts.getOrElseUpdate(s"$uuid/$key", {
+    val fresh = (active, new Holder(() => {
       val dir = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"),
         s"graft_layout_${uuid}_${keyDigest(key)}").toString
       write(dir)
-      (active, dir)
-    })._2
+      dir
+    }))
+    layouts.putIfAbsent(s"$uuid/$key", fresh).getOrElse(fresh)._2.value
   }
 
   private def keyDigest(key: String): String =

@@ -260,8 +260,13 @@ object Multimodal {
       def isFrameId(id: String) =
         id.length == 4 && id(0).isDigit && id(1).isDigit &&
           id(2) == 'd' && (id(3) == 'b' || id(3) == 'c')
-      // walk chunks in [from, to); returns false on a lying header
-      def walk(from: Int, to: Int): Boolean = {
+      // walk chunks in [from, to); returns false on a lying header.
+      // depth caps LIST nesting: the AVI spec allows exactly one 'rec '
+      // level inside 'movi', so depth 4 is already generous — without the
+      // cap a crafted payload of ~80k nested 12-byte LIST headers per MB
+      // would StackOverflowError (an Error, escaping the Exception catch).
+      def walk(from: Int, to: Int, depth: Int): Boolean = {
+        if (depth > 4) return false
         var off = from
         while (off + 8 <= to) {
           val id = tag(off); val sz = le32(off + 4)
@@ -270,7 +275,7 @@ object Multimodal {
             if (sz < 4) return false
             val listType = tag(off + 8)
             if (listType == "movi" || listType == "rec ")
-              if (!walk(off + 12, off + 8 + sz)) return false
+              if (!walk(off + 12, off + 8 + sz, depth + 1)) return false
           } else if (isFrameId(id)) {
             frames += java.util.Arrays.copyOfRange(payload, off + 8, off + 8 + sz)
           }
@@ -279,7 +284,7 @@ object Multimodal {
         true
       }
       val end = math.min(payload.length, 8 + le32(4).max(0))
-      if (!walk(12, end)) None else Some(frames.toArray)
+      if (!walk(12, end, 0)) None else Some(frames.toArray)
     } catch { case _: Exception => None }
   }
 

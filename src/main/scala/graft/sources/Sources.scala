@@ -119,31 +119,42 @@ object Sources {
   /** SMALL-FILES COMPACTION — the table-maintenance pass every streaming or
     * incremental sink eventually needs: a parquet directory fragmented by
     * many tiny appends is rewritten into ≈`targetBytes` files (count from
-    * the CURRENT on-disk size, so the op is idempotent), then atomically
-    * swapped in (write `_compact_tmp`, move original aside, rename, delete).
-    * Readers pay per-file open + footer + scheduling costs: at 100 TB, a
-    * million 1 MB files is a planner DoS; compaction restores scan-sized
-    * splits. Returns the new file count. */
+    * the CURRENT on-disk size, so the op is idempotent), then swapped in
+    * (write `_compact_tmp`, move original aside, rename, delete). The swap
+    * is two renames, NOT one atomic operation: a crash between them leaves
+    * the table at `_compact_old` — which is why entry first runs crash
+    * RECOVERY (a leftover `_compact_old` with no live table is moved back;
+    * a stale `_compact_tmp` is deleted), so a re-run always heals a torn
+    * prior attempt. Readers pay per-file open + footer + scheduling costs:
+    * at 100 TB, a million 1 MB files is a planner DoS; compaction restores
+    * scan-sized splits. Returns the new file count. */
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024): Int = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
+    import scala.util.Using
     val dir = Paths.get(path)
-    val bytes = Files.walk(dir).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
-      .map(Files.size).sum
-    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val tmp = Paths.get(path + "_compact_tmp")
-    spark.read.parquet(path).repartition(nFiles)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val old = Paths.get(path + "_compact_old")
-    Files.move(dir, old)
-    Files.move(tmp, dir)
     def rm(p: java.nio.file.Path): Unit = {
       if (Files.isDirectory(p))
-        Files.list(p).iterator().asScala.toSeq.foreach(rm)
+        Using.resource(Files.list(p))(_.iterator().asScala.toSeq).foreach(rm)
       Files.delete(p)
     }
+    // crash recovery from a torn prior swap (see scaladoc)
+    if (Files.exists(old) && !Files.exists(dir)) Files.move(old, dir)
+    if (Files.exists(old)) rm(old)
+    if (Files.exists(tmp)) rm(tmp)
+    val bytes = Using.resource(Files.walk(dir)) { walk =>
+      walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+        .map(Files.size).sum
+    }
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    Files.move(dir, old)
+    Files.move(tmp, dir)
     rm(old)
     nFiles
   }

@@ -214,7 +214,6 @@ object EventStream {
   def funnelStream(events: Dataset[Event],
                    flushDelay: String = "10 minutes"): Dataset[FunnelRow] = {
     import events.sparkSession.implicits._
-    val delayUs = 10L * 60 * 1000000
     events
       .withWatermark("ts", flushDelay)
       .groupByKey(_.user_id)
@@ -245,7 +244,7 @@ object EventStream {
               }
             }
             state.update(s)
-            state.setTimeoutTimestamp((s.lastUs + delayUs + 999) / 1000)
+            state.setTimeoutTimestamp((s.lastUs + 999) / 1000, flushDelay)
             Iterator.empty
           }
       }
