@@ -95,6 +95,107 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic synthetic image with BLOCK structure: every `block`×`block`
+    * pixel tile is constant, tile index b = (y/block)·(width/block) +
+    * (x/block), and channel c of tile b takes byte c of
+    * `md5(decimal-string(iid·64 + b))` — avalanche mixing, NOT a linear
+    * formula: a `(iid·k1 + b·k2) mod 256` tile value makes gray nearly
+    * monotone in b (any linear step is constant mod 256), collapsing every
+    * image to the same dHash, and collides all iids congruent mod 256. The
+    * md5 keying gives each tile an independent uniform value while staying
+    * exactly replayable in SQL (`('0x'||substr(md5(...),1,2))::INT`).
+    *
+    * Block structure is what makes PERCEPTUAL hashing testable on synthetic
+    * data: real photos are locally smooth, so a resized copy preserves
+    * coarse structure; a per-pixel-random image would not (its downsample is
+    * an unrelated random image). With tiles, the 8×8 NN-downsample of a
+    * 16×16 block-2 image IS the block-1 image of the same iid —
+    * bit-identical dHash. `bumpBlock0` adds +7 (mod 256) to every channel of
+    * tile 0 — the "small edit" variant, flipping at most one dHash
+    * comparison. `format` is any lossless ImageIO codec ("png", "bmp"):
+    * same pixels, disjoint bytes — exactly what defeats byte-digest dedup. */
+  def syntheticBlockImage(iid: Long, width: Int, height: Int, block: Int,
+                          bumpBlock0: Boolean = false,
+                          format: String = "png"): Array[Byte] = {
+    require(width % block == 0 && height % block == 0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var by = 0
+    while (by < height / block) {
+      var bx = 0
+      while (bx < width / block) {
+        val b = by * (width / block) + bx
+        val d = md.digest((iid * 64 + b).toString.getBytes("US-ASCII"))
+        val bump = if (bumpBlock0 && b == 0) 7 else 0
+        val r = ((d(0) & 0xff) + bump) % 256
+        val g = ((d(1) & 0xff) + bump) % 256
+        val bl = ((d(2) & 0xff) + bump) % 256
+        val rgb = (r << 16) | (g << 8) | bl
+        var y = by * block
+        while (y < (by + 1) * block) {
+          var x = bx * block
+          while (x < (bx + 1) * block) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  /** PERCEPTUAL (difference) hash over a REAL decode: NN-resize to an 8×8
+    * grid (grid (x,y) samples src pixel (x·srcW/8, y·srcH/8), integer floor
+    * — the same convention as [[resizeImage]]), grayscale as the exact
+    * integer channel sum r+g+b, then one bit per horizontal neighbor
+    * comparison: bit (y·7+x) is set iff gray(x+1,y) > gray(x,y). 56 bits
+    * (8 rows × 7 comparisons) in a non-negative Long — deliberately inside
+    * the 4×15-bit banding range of [[Dedup.simhashPairs]], so the same
+    * pigeonhole pair machinery serves text SimHash and image dHash alike.
+    * Robust by construction to re-encoding (pixels unchanged) and to
+    * NN-resizes that preserve the coarse 8×8 structure; a small local edit
+    * flips only the comparisons its pixels participate in. None for
+    * null/undecodable payloads. */
+  def dHash(payload: Array[Byte]): Option[Long] = {
+    if (payload == null) return None
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      if (img == null) return None
+      val gray = new Array[Int](64)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val rgb = img.getRGB(x * img.getWidth / 8, y * img.getHeight / 8)
+          gray(y * 8 + x) = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      var h = 0L
+      y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 7) {
+          if (gray(y * 8 + x + 1) > gray(y * 8 + x)) h |= 1L << (y * 7 + x)
+          x += 1
+        }
+        y += 1
+      }
+      Some(h)
+    } catch { case _: Exception => None }
+  }
+
+  /** Perceptual-hash column: partition-local REAL decode + [[dHash]];
+    * undecodable payloads yield null (excluded from pairing, never a
+    * poisoned bucket). */
+  def perceptualHashes(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val ph = udf { (b: Array[Byte]) => dHash(b) }
+    df.withColumn("dhash", ph(col(payloadCol)))
+  }
+
   /** Image feature extraction: partition-local REAL decode; undecodable
     * payloads yield a null struct. */
   def imageFeatures(df: DataFrame, payloadCol: String = "payload"): DataFrame = {

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.Multimodal
+import graft.operators.{Dedup, Multimodal}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -139,6 +139,42 @@ object MultimodalQueries {
         aggregate(col("frames"), lit(0L), (a, f) => a + f("sumB")).as("sum_b_sampled"))
   }
 
+  /** PERCEPTUAL image near-dup pairs — the dedup family extended to the
+    * multimodal column. Byte digests ([[mmByteStats]]) only catch bit-exact
+    * copies; a training pipeline's actual image dups are RESIZED and
+    * RE-ENCODED copies sharing zero bytes. Per doc group of 8 the corpus
+    * plants exactly those: doc 8k is an original 16×16 block-structured PNG;
+    * 8k+1 is its BMP re-encode (same pixels, disjoint bytes), 8k+2 its 8×8
+    * NN-downsample, 8k+3 a one-tile edit (Hamming ≤ 1); 8k+4..7 are
+    * unrelated originals. Pipeline: REAL ImageIO decode → 56-bit dHash
+    * ([[Multimodal.dHash]]) → the SAME pigeonhole band machinery as text
+    * SimHash ([[Dedup.simhashPairs]], Hamming ≤ 3, chunk-df star cap 64).
+    * Scale: decode is partition-local; pairing is one banding equi-join —
+    * never a pixel-space or all-pairs comparison. The oracle re-derives
+    * every dHash bit from the tile formula (one mangled pixel, resize
+    * convention, or band boundary hash-mismatches) and replays the
+    * cold/hot star semantics exactly like `dedup_simhash_pairs`. */
+  def mmImageDedup(s: SparkSession, dir: String): DataFrame = {
+    val makeMedia = udf { (id: Long) =>
+      val v = id % 8
+      val iid = if (v >= 1 && v <= 3) id - v else id
+      v match {
+        case 1 => Multimodal.syntheticBlockImage(iid, PngW, PngH, 2, format = "bmp")
+        case 2 => Multimodal.syntheticBlockImage(iid, PngW / 2, PngH / 2, 1)
+        case 3 => Multimodal.syntheticBlockImage(iid, PngW, PngH, 2, bumpBlock0 = true)
+        case _ => Multimodal.syntheticBlockImage(iid, PngW, PngH, 2)
+      }
+    }
+    val media = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("media_id"))
+      .withColumn("payload", makeMedia(col("media_id")))
+    val hashes = Multimodal.perceptualHashes(media)
+      .where(col("dhash").isNotNull)
+      .select(col("media_id").as("doc"), col("dhash").as("simhash"))
+    Dedup.simhashPairs(hashes, maxHamming = 3, maxChunkDf = Some(64))
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_byte_stats" -> mmByteStats _,
     "mm_feature_agg" -> mmFeatureAgg _,
@@ -147,6 +183,7 @@ object MultimodalQueries {
     "mm_image_decode" -> mmImageDecode _,
     "mm_image_resize" -> mmImageResize _,
     "mm_audio_decode" -> mmAudioDecode _,
+    "mm_image_dedup" -> mmImageDedup _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -225,6 +262,59 @@ object MultimodalQueries {
          |  CAST(sum((media_id * 7919 + p * 257 + 202) % 256) AS BIGINT) AS sum_b
          |FROM mapped GROUP BY 1""".stripMargin
     },
+    // re-derives every 56-bit dHash from the tile formula (decode → 8×8 NN
+    // grid → gray r+g+b → horizontal comparisons), then replays the same
+    // 15-bit-chunk banding + cold/hot star semantics as dedup_simhash_pairs
+    "mm_image_dedup" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 8 IN (1, 2, 3)
+        |      THEN doc_id - doc_id % 8 ELSE doc_id END AS iid,
+        |    (doc_id % 8 = 3) AS edited
+        |  FROM documents),
+        |grays AS (
+        |  SELECT media_id, b,
+        |    CASE WHEN edited AND b = 0
+        |      THEN (('0x' || substr(h, 1, 2))::INT + 7) % 256
+        |         + (('0x' || substr(h, 3, 2))::INT + 7) % 256
+        |         + (('0x' || substr(h, 5, 2))::INT + 7) % 256
+        |      ELSE ('0x' || substr(h, 1, 2))::INT
+        |         + ('0x' || substr(h, 3, 2))::INT
+        |         + ('0x' || substr(h, 5, 2))::INT END AS gray
+        |  FROM (SELECT media_id, edited, bb.b AS b,
+        |          md5(CAST(iid * 64 + bb.b AS VARCHAR)) AS h
+        |        FROM media CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb)),
+        |bits AS (
+        |  SELECT gc.media_id,
+        |    CASE WHEN gn.gray > gc.gray
+        |      THEN (CAST(1 AS BIGINT) << ((gc.b // 8) * 7 + gc.b % 8))
+        |      ELSE CAST(0 AS BIGINT) END AS bit
+        |  FROM grays gc JOIN grays gn
+        |    ON gn.media_id = gc.media_id AND gn.b = gc.b + 1
+        |  WHERE gc.b % 8 < 7),
+        |hashes AS (
+        |  SELECT media_id AS doc, CAST(sum(bit) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY 1),
+        |chunks AS (SELECT doc, simhash, c.c AS chunk,
+        |   (simhash >> (c.c * 15)) % 32768 AS ckey
+        |  FROM hashes CROSS JOIN (SELECT unnest(range(0, 4)) AS c) c),
+        |stats AS (SELECT chunk, ckey, count(*) AS df, min(doc) AS hub
+        |  FROM chunks GROUP BY 1, 2),
+        |tg AS (SELECT c.doc, c.simhash, c.chunk, c.ckey, s.df, s.hub
+        |  FROM chunks c JOIN stats s USING (chunk, ckey)),
+        |cold AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
+        |   bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |  FROM tg a JOIN tg b
+        |    ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc < b.doc
+        |  WHERE a.df <= 64 AND b.df <= 64),
+        |hot AS (SELECT t.hub AS doc_a, t.doc AS doc_b,
+        |   bit_count(xor(h.simhash, t.simhash)) AS hamming
+        |  FROM tg t JOIN chunks h
+        |    ON h.doc = t.hub AND h.chunk = t.chunk AND h.ckey = t.ckey
+        |  WHERE t.df > 64 AND t.doc <> t.hub)
+        |SELECT DISTINCT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+        |FROM (SELECT * FROM cold UNION ALL SELECT * FROM hot)
+        |WHERE hamming <= 3""".stripMargin,
     // the sample formula of Multimodal.syntheticWav — validates the PCM
     // header walk AND every little-endian 16-bit sample
     "mm_audio_decode" ->

@@ -171,6 +171,45 @@ class MultimodalSpec extends SparkSpec {
     assert(hist.sum == 5.0) // one histogram vote per decoded frame
   }
 
+  test("dHash: re-encoded and resized copies collide; byte digest misses them") {
+    val png = Multimodal.syntheticBlockImage(40L, 16, 16, 2)
+    val bmp = Multimodal.syntheticBlockImage(40L, 16, 16, 2, format = "bmp")
+    val small = Multimodal.syntheticBlockImage(40L, 8, 8, 1)
+    val edited = Multimodal.syntheticBlockImage(40L, 16, 16, 2, bumpBlock0 = true)
+    val other = Multimodal.syntheticBlockImage(41L, 16, 16, 2)
+    // different container bytes (byte-digest dedup sees three distinct files)
+    assert(!java.util.Arrays.equals(png, bmp) && !java.util.Arrays.equals(png, small))
+    val Seq(hPng, hBmp, hSmall, hEdit, hOther) =
+      Seq(png, bmp, small, edited, other).map(Multimodal.dHash(_).get)
+    assert(hPng == hBmp)   // re-encode: same pixels, same perceptual hash
+    assert(hPng == hSmall) // NN-downsample preserves the 8x8 block structure
+    assert(java.lang.Long.bitCount(hPng ^ hEdit) <= 1) // one tile -> <= 1 comparison
+    assert(java.lang.Long.bitCount(hPng ^ hOther) > 3) // unrelated image: far
+    assert(hPng >= 0L && (hPng >> 56) == 0L)           // 56-bit, band-range-safe
+    assert(Multimodal.dHash(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("dHash pairs through simhashPairs catch the planted near-dup quad") {
+    import spark.implicits._
+    val payloads = (40L to 47L).map { id =>
+      val v = id % 8
+      val iid = if (v >= 1 && v <= 3) id - v else id
+      id -> (v match {
+        case 1 => Multimodal.syntheticBlockImage(iid, 16, 16, 2, format = "bmp")
+        case 2 => Multimodal.syntheticBlockImage(iid, 8, 8, 1)
+        case 3 => Multimodal.syntheticBlockImage(iid, 16, 16, 2, bumpBlock0 = true)
+        case _ => Multimodal.syntheticBlockImage(iid, 16, 16, 2)
+      })
+    }
+    val hashes = Multimodal.perceptualHashes(payloads.toDF("media_id", "payload"))
+      .select(col("media_id").as("doc"), col("dhash").as("simhash"))
+    val pairs = Dedup.simhashPairs(hashes, maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val quad = Set((40L, 41L), (40L, 42L), (40L, 43L), (41L, 42L), (41L, 43L), (42L, 43L))
+    assert(quad.subsetOf(pairs))          // the full planted cluster is found
+    assert(pairs.forall { case (a, b) => a / 8 == b / 8 && a >= 40 && b <= 43 })
+  }
+
   test("resize folds histogram bins shape-preservingly") {
     val out = Multimodal.resizeFeatures(Multimodal.extractFeatures(media), bins = 4)
       .collect().map(r => r.getLong(0) -> Option(r.getAs[scala.collection.Seq[Double]]("features"))).toMap
