@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Artifacts, Dedup, TextOps}
+import graft.operators.{Artifacts, Dedup, LmScorer, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -45,6 +45,23 @@ object TextDedupQueries {
       .where(col("n_tokens").between(5, 5000) &&
         col("alpha_ratio") >= 0.5 && col("stop_hits") >= 1)
   }
+
+  /** QUARTER-bits-per-token ceiling for [[textLmQuality]]'s keep decision
+    * (19 = 4.75 bits/token) — calibrated inside the corpus's bigram
+    * self-surprisal band (sf0.01 ranges 4.08–4.8 b/t), so the cut drops the
+    * high-perplexity tail; gibberish token sequences land far above it. */
+  private val LmQuarterBitsPerTok = 19
+
+  /** MODEL-BASED quality scoring — the learned stage after the rule-based
+    * [[textQualityFilter]]: train a bigram add-one LM on the rule-filter's
+    * keep set, score EVERY doc's total bigram surprisal in integer bits
+    * ([[LmScorer.lmQuality]]), keep iff 4·bits ≤ 19·n_bigrams. The oracle
+    * replays the training counts, the vocabulary size, and every
+    * floor-log2 quantized surprisal fold with pure integer arithmetic. */
+  def textLmQuality(s: SparkSession, dir: String): DataFrame =
+    LmScorer.lmQuality(docs(s, dir),
+      textQualityFilter(s, dir).select(col("doc_id")),
+      "doc_id", "text", maxQuarterBits = LmQuarterBitsPerTok)
 
   /** Heuristic language ID: stopword-hit scores per language, fixed-priority
     * argmax. */
@@ -428,6 +445,7 @@ object TextDedupQueries {
     "pack_sequences_nosplit" -> packSequencesNoSplit _,
     "text_stats" -> textStats _,
     "text_quality_filter" -> textQualityFilter _,
+    "text_lm_quality" -> textLmQuality _,
     "text_langid" -> textLangId _,
     "text_fingerprint" -> textFingerprint _,
     "text_rolling_hash" -> textRollingHash _,
@@ -732,6 +750,38 @@ object TextDedupQueries {
          |SELECT doc_id, n_tokens, alpha_ratio, stop_hits FROM q
          |WHERE n_tokens BETWEEN 5 AND 5000
          |  AND alpha_ratio >= 0.5 AND stop_hits >= 1""".stripMargin
+    },
+    // the bigram-LM replay: training counts + vocab from the rule-filter
+    // keep set, then every floor-log2 integer surprisal fold — `bin`/`//`
+    // keep the whole chain transcendental-free in both engines
+    "text_lm_quality" -> {
+      val en = TextOps.StopwordTable.toMap.apply("en")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH $toksCte,
+         |keeps AS (SELECT doc_id FROM toks
+         | WHERE len(t) BETWEEN 5 AND 5000
+         |   AND len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / len(text) >= 0.5
+         |   AND len(list_filter(t, x -> list_contains($en, x))) >= 1),
+         |bg AS (SELECT doc_id,
+         |   unnest(list_transform(range(1, len(t)), i -> {'a': t[i], 'b': t[i+1]})) AS p
+         |  FROM toks WHERE len(t) >= 2),
+         |bg2 AS (SELECT doc_id, p.a AS a, p.b AS b FROM bg),
+         |tr AS (SELECT bg2.* FROM bg2 JOIN keeps USING (doc_id)),
+         |cab AS (SELECT a, b, count(*) AS cab FROM tr GROUP BY 1, 2),
+         |c1 AS (SELECT a, count(*) AS c1 FROM tr GROUP BY 1),
+         |vocab AS (SELECT count(DISTINCT tok) AS v
+         |  FROM (SELECT unnest(t) AS tok FROM toks JOIN keeps USING (doc_id))),
+         |sc AS (SELECT doc_id,
+         |   length(bin((coalesce(c1.c1, 0) + (SELECT v FROM vocab))
+         |              // (coalesce(cab.cab, 0) + 1))) - 1 AS bits
+         |  FROM bg2 LEFT JOIN cab USING (a, b) LEFT JOIN c1 USING (a)),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |   CAST(sum(bits) AS BIGINT) AS lm_bits FROM sc GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(n_bigrams, 0) AS n_bigrams,
+         |  coalesce(lm_bits, 0) AS lm_bits,
+         |  CAST(coalesce(lm_bits, 0) * 4 <= coalesce(n_bigrams, 0) * $LmQuarterBitsPerTok AS INT) AS keep
+         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
     },
     "text_langid" ->
       s"""WITH $langScoredCtes
