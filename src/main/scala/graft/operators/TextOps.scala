@@ -89,6 +89,36 @@ object TextOps {
     lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh)
   }
 
+  // -------------------------------------------------- PII / secret scrubbing
+
+  /** PII patterns — deliberately restricted to the dialect-portable regex
+    * subset (character classes, bounded/unbounded repetition, alternation;
+    * NO lookaround or backreferences, which RE2-based engines reject), so
+    * the DuckDB oracle runs the LITERAL same patterns. Emails before phones
+    * before keys when replacing: the patterns are mutually exclusive on
+    * well-formed text, but a fixed order makes the chain deterministic by
+    * construction rather than by argument. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val SecretRe = "(sk|pk|key|tok)_[A-Za-z0-9]{16,}"
+
+  /** Per-doc match counts (on the ORIGINAL text) for the three PII shapes. */
+  def piiCounts(text: Column): (Column, Column, Column) =
+    (regexp_count(text, lit(EmailRe)),
+     regexp_count(text, lit(PhoneRe)),
+     regexp_count(text, lit(SecretRe)))
+
+  /** The scrubbing chain: emails → `[EMAIL]`, phones → `[PHONE]`,
+    * key-shaped tokens → `[KEY]`. Pure `regexp_replace` column expressions
+    * — computed inside the scan projection at corpus scale, one pass, no
+    * UDF fence, no shuffle. */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]"),
+      SecretRe, "[KEY]")
+
   /** Language-ID stopword tables (tiny, per-language function words). */
   val StopwordTable: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of", "to", "is"),

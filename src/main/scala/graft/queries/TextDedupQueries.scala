@@ -63,6 +63,33 @@ object TextDedupQueries {
       textQualityFilter(s, dir).select(col("doc_id")),
       "doc_id", "text", maxQuarterBits = LmQuarterBitsPerTok)
 
+  /** PII/secret redaction — the pre-training hygiene pass: scrub emails,
+    * phone numbers, and key-shaped tokens, reporting per-doc redaction
+    * counts. The synthetic corpus carries no natural PII, so the query
+    * PLANTS it deterministically (an email per doc, a phone on even ids, an
+    * sk_-style secret on ids divisible by 5 — all pure functions of doc_id
+    * both engines construct identically), then runs the
+    * [[TextOps.piiRedact]] chain. Counts are measured on the pre-redaction
+    * text; the full redacted string rides under the hash gate, so one
+    * mis-scrubbed character anywhere mismatches. Everything is in-scan
+    * column expressions — no UDF, no shuffle, one pass at corpus scale. */
+  def textPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val idStr = col("doc_id").cast("string")
+    val aug = concat(col("text"),
+      lit(" contact user"), idStr, lit("@mail"), (col("doc_id") % 7).cast("string"), lit(".com"),
+      when(col("doc_id") % 2 === 0, concat(
+        lit(" call 555-"), lpad((col("doc_id") * 7 % 1000).cast("string"), 3, "0"),
+        lit("-"), lpad((col("doc_id") * 13 % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" sk_"), substring(md5(idStr), 1, 20))).otherwise(lit("")))
+    val d = docs(s, dir).withColumn("aug", aug)
+    val (ne, np, nk) = TextOps.piiCounts(col("aug"))
+    d.select(col("doc_id"),
+      ne.cast("int").as("n_emails"), np.cast("int").as("n_phones"),
+      nk.cast("int").as("n_keys"),
+      TextOps.piiRedact(col("aug")).as("redacted"))
+  }
+
   /** Heuristic language ID: stopword-hit scores per language, fixed-priority
     * argmax. */
   def textLangId(s: SparkSession, dir: String): DataFrame = {
@@ -446,6 +473,7 @@ object TextDedupQueries {
     "text_stats" -> textStats _,
     "text_quality_filter" -> textQualityFilter _,
     "text_lm_quality" -> textLmQuality _,
+    "text_pii_redact" -> textPiiRedact _,
     "text_langid" -> textLangId _,
     "text_fingerprint" -> textFingerprint _,
     "text_rolling_hash" -> textRollingHash _,
@@ -782,6 +810,30 @@ object TextDedupQueries {
          |  coalesce(lm_bits, 0) AS lm_bits,
          |  CAST(coalesce(lm_bits, 0) * 4 <= coalesce(n_bigrams, 0) * $LmQuarterBitsPerTok AS INT) AS keep
          |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
+    },
+    // the LITERAL same regex patterns (dialect-portable subset) + the same
+    // deterministic PII planting; the redacted string itself is hashed
+    "text_pii_redact" -> {
+      val (em, ph, sk) = (TextOps.EmailRe, TextOps.PhoneRe, TextOps.SecretRe)
+      s"""WITH aug AS (
+         |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |    || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+         |    || CASE WHEN doc_id % 2 = 0 THEN ' call 555-'
+         |         || lpad(CAST(doc_id * 7 % 1000 AS VARCHAR), 3, '0') || '-'
+         |         || lpad(CAST(doc_id * 13 % 10000 AS VARCHAR), 4, '0')
+         |       ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 0
+         |         THEN ' sk_' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 20)
+         |       ELSE '' END AS a
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(a, '$em')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(a, '$ph')) AS INT) AS n_phones,
+         |  CAST(len(regexp_extract_all(a, '$sk')) AS INT) AS n_keys,
+         |  regexp_replace(regexp_replace(regexp_replace(a,
+         |    '$em', '[EMAIL]', 'g'), '$ph', '[PHONE]', 'g'), '$sk', '[KEY]', 'g')
+         |    AS redacted
+         |FROM aug""".stripMargin
     },
     "text_langid" ->
       s"""WITH $langScoredCtes

@@ -79,4 +79,26 @@ class TextOpsSpec extends SparkSpec {
     assert(Dedup.minhashSignatures(
       Dedup.docShinglesRaw(poison.where(col("text").isNotNull), "doc_id", "text")).count() == 3 * Dedup.NumMinhash)
   }
+
+  test("PII redaction: counts + scrub chain, clean text untouched") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "mail a.b+c@sub.example.org or bob@ex.com now"),
+      (2L, "call +1 at 555-123-4567 then 555-000-9999"),
+      (3L, "leak sk_abcDEF0123456789xyz and tok_ABCDEFGHIJKLMNOP1"),
+      (4L, "no pii here, just 12-34 and name_at_place"),
+    ).toDF("doc_id", "text")
+    val (ne, np, nk) = TextOps.piiCounts(col("text"))
+    val out = rows.select(col("doc_id"), ne.as("e"), np.as("p"), nk.as("k"),
+        TextOps.piiRedact(col("text")).as("red"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)), r.getString(4))).toMap
+    assert(out(1L)._1 == ((2, 0, 0)))
+    assert(out(1L)._2 == "mail [EMAIL] or [EMAIL] now")
+    assert(out(2L)._1 == ((0, 2, 0)))
+    assert(out(2L)._2 == "call +1 at [PHONE] then [PHONE]")
+    assert(out(3L)._1 == ((0, 0, 2)))
+    assert(out(3L)._2 == "leak [KEY] and [KEY]")
+    assert(out(4L)._1 == ((0, 0, 0)))
+    assert(out(4L)._2 == "no pii here, just 12-34 and name_at_place")
+  }
 }
