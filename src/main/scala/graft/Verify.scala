@@ -17,6 +17,26 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // ORACLE ARTIFACTS: the cluster-logic dedup oracles (keep-list /
+    // quality-rep / CC) replay from the DUMPED confirmed-pairs parquet
+    // instead of recomputing the MinHash chain — DuckDB's full-chain replay
+    // spills >72 GB at 50k docs while the Spark dump takes seconds, so this
+    // is what lets the hash gate reach sf1 for the dedup family. The pairs
+    // computation itself stays independently full-chain-verified by the
+    // `dedup_minhash_pairs` entry; these oracles verify the logic ON TOP of
+    // pairs that entry already proved. The `__GRAFT_ARTIFACTS__` placeholder
+    // in oracle SQL is substituted with this run's absolute path below.
+    // SIBLING of outDir, not inside it: the checker rows-only-scans every
+    // outDir subdirectory, and a non-query artifact dir there would be
+    // reported as a failing query dump.
+    val artifactsDir = s"${outDir.stripSuffix("/")}_artifacts"
+    val wantArtifacts = Set("dedup_keep_list", "dedup_quality_rep", "dedup_cc_keep_list")
+      .exists(n => only.forall(_(n)))
+    if (wantArtifacts)
+      try graft.queries.TextDedupQueries.dumpOracleArtifacts(spark, sfDir, artifactsDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] artifact dump failed: ${e.getMessage}")
+      }
     SparkEntry.queries.filter(kv => only.forall(_(kv._1))).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -37,7 +57,9 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql.filter(kv => only.forall(_(kv._1)))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("__GRAFT_ARTIFACTS__", artifactsDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

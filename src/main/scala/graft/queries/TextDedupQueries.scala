@@ -309,6 +309,14 @@ object TextDedupQueries {
       Dedup.jaccardPairs(rawCand, 0.8, candidates = Some(cand))
     }
 
+  /** Dump the confirmed-pairs artifact for the cluster-logic oracles
+    * (called by [[graft.Verify]]; see the ORACLE ARTIFACTS note there).
+    * One parquet, (doc_a, doc_b) — exactly the edge set the keep-list /
+    * quality-rep / CC queries consume via [[sharedPairs]]. */
+  def dumpOracleArtifacts(s: SparkSession, dir: String, outDir: String): Unit =
+    sharedPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/pairs.parquet")
+
   /** MinHash signatures (16 affine permutations over 3-token shingles). */
   def dedupMinhashSig(s: SparkSession, dir: String): DataFrame =
     sharedSignatures(s, dir)
@@ -957,9 +965,15 @@ object TextDedupQueries {
     // incremental must equal the full recompute, but its candidate step is
     // UNCAPPED banding on both legs — model exactly that (see pairsCtesUncapped)
     "dedup_incremental_pairs" -> incrementalPairsSql,
+    // The three cluster-logic oracles below replay from the DUMPED pairs
+    // artifact (placeholder substituted by Verify) rather than recomputing
+    // the MinHash chain: the full-chain DuckDB replay spills >72 GB at 50k
+    // docs, which is what kept the sf1 hash gate off this family. The pairs
+    // themselves stay full-chain-verified by dedup_minhash_pairs; these
+    // entries verify the CLUSTER logic over that proven edge set.
     "dedup_keep_list" ->
-      s"""WITH $toksCte, $shinglesCte, $sigCte, $pairsCtes,
-         |jp AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.8),
+      s"""WITH
+         |jp AS (SELECT doc_a, doc_b FROM '__GRAFT_ARTIFACTS__/pairs.parquet/*.parquet'),
          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
          |  UNION ALL SELECT doc_b, doc_a FROM jp
          |  UNION ALL SELECT doc_id, doc_id FROM documents),
@@ -972,8 +986,8 @@ object TextDedupQueries {
     "dedup_quality_rep" ->
       // same 3-round label propagation as dedup_keep_list, then the argmax
       // (keep-the-longest, tie min doc) the Spark side does with min(struct)
-      s"""WITH $toksCte, $shinglesCte, $sigCte, $pairsCtes,
-         |jp AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.8),
+      s"""WITH $toksCte,
+         |jp AS (SELECT doc_a, doc_b FROM '__GRAFT_ARTIFACTS__/pairs.parquet/*.parquet'),
          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
          |  UNION ALL SELECT doc_b, doc_a FROM jp
          |  UNION ALL SELECT doc_id, doc_id FROM documents),
@@ -994,8 +1008,8 @@ object TextDedupQueries {
       // TRUE connected components as a recursive transitive closure — the
       // oracle for the fixpoint loop is exact at ANY cluster diameter
       // (unlike the 3-round chain above, which is the bounded twin's oracle)
-      s"""WITH RECURSIVE $toksCte, $shinglesCte, $sigCte, $pairsCtes,
-         |jp AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.8),
+      s"""WITH RECURSIVE
+         |jp AS (SELECT doc_a, doc_b FROM '__GRAFT_ARTIFACTS__/pairs.parquet/*.parquet'),
          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
          |  UNION ALL SELECT doc_b, doc_a FROM jp
          |  UNION ALL SELECT doc_id, doc_id FROM documents),
