@@ -154,7 +154,9 @@ object MultimodalQueries {
     * every dHash bit from the tile formula (one mangled pixel, resize
     * convention, or band boundary hash-mismatches) and replays the
     * cold/hot star semantics exactly like `dedup_simhash_pairs`. */
-  def mmImageDedup(s: SparkSession, dir: String): DataFrame = {
+  /** The decode→dHash stage of [[mmImageDedup]], exposed for the cap audit
+    * ([[graft.tools.CapAudit]]): (doc, simhash) with the 56-bit dHash. */
+  private[graft] def mmImageDedupHashes(s: SparkSession, dir: String): DataFrame = {
     val makeMedia = udf { (id: Long) =>
       val v = id % 8
       val iid = if (v >= 1 && v <= 3) id - v else id
@@ -168,12 +170,15 @@ object MultimodalQueries {
     val media = s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").as("media_id"))
       .withColumn("payload", makeMedia(col("media_id")))
-    val hashes = Multimodal.perceptualHashes(media)
+    Multimodal.perceptualHashes(media)
       .where(col("dhash").isNotNull)
       .select(col("media_id").as("doc"), col("dhash").as("simhash"))
-    Dedup.simhashPairs(hashes, maxHamming = 3, maxChunkDf = Some(64))
-      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
   }
+
+  def mmImageDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(mmImageDedupHashes(s, dir), maxHamming = 3,
+        maxChunkDf = Some(64))
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_byte_stats" -> mmByteStats _,

@@ -207,7 +207,15 @@ object RelationalQueries {
     * combined), then reshaped row-per-column with `stack`. The profile a
     * pipeline runs before trusting a new drop of data; at 100 TB the
     * one-scan shape is the point (a per-column loop would read the table
-    * once per column). */
+    * once per column).
+    *
+    * Scale note — the exact-vs-approx swap: four exact `countDistinct` in
+    * one aggregate make Catalyst Expand the scan 4× (the priciest
+    * non-streaming catalog entry at ~1.5 s, still linear and
+    * shuffle-parallel). Exactness is what the hash gate needs; a 100 TB
+    * profiling run would swap `countDistinct` → `approx_count_distinct`
+    * (HLL — no Expand, one pass, merges map-side), the path this catalog
+    * already proves under an error-envelope spec in `q_approx_distinct`. */
   def qProfile(s: SparkSession, dir: String): DataFrame = {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     val aggs = count(lit(1)).as("n") +: cols.flatMap(c => Seq(

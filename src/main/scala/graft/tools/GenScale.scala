@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
   * preserved exactly).
   *
   * Usage: runMain graft.tools.GenScale <srcDir> <outDir> [copies=10]
+  *          [scaleTables=documents,embeddings,lineitem]
+  * The optional 4th arg restricts which tables are scaled (the rest pass
+  * through) — the sf10 ×100 run scales only the dedup/ANN corpus tables,
+  * not the 60M-row lineitem it never reads.
   */
 object GenScale {
 
@@ -26,11 +30,21 @@ object GenScale {
   // translate that duplicated the base texts verbatim, exactly the
   // cluster-inflating skew the rotation exists to prevent (r5 review).
   private val Rot = "etaoinshrdlu"
+  // Second, DISJOINT letter set for copies ≥ 12 (the sf10 ×100 run): the
+  // primary rotation alone repeats every 11 copies, which would hand each
+  // base text ~9 VERBATIM cross-copy twins — exact-dup cluster inflation,
+  // the same skew bug the r5 fix removed. Mixed-radix composition
+  // (r1 = 1+(i-1)%11 on Rot, r2 = (i-1)/11 on Rot2) yields 11×11 = 121
+  // distinct bijective text transforms; r2 = 0 for i ≤ 11 keeps the ×10
+  // (sf1) output byte-identical to the historical generator.
+  private val Rot2 = "cmfwypbgkvx"
 
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val out = args(1)
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val scaleTables = args.lift(3).map(_.split(",").toSet)
+      .getOrElse(Set("documents", "embeddings", "lineitem"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -48,6 +62,12 @@ object GenScale {
 
     def replicate(table: String, keys: Seq[String],
                   perCopy: (DataFrame, Int) => DataFrame = (d, _) => d): Unit = {
+      if (!scaleTables(table)) {
+        spark.read.parquet(s"$src/$table.parquet")
+          .write.mode("overwrite").parquet(s"$out/$table.parquet")
+        println(s"[genscale] $table passthrough (not in scaleTables) -> $out/$table.parquet")
+        return
+      }
       val base = spark.read.parquet(s"$src/$table.parquet")
       val spans = keys.map(k =>
         k -> (base.agg(max(col(k))).head.getLong(0) + 1L)).toMap
@@ -58,22 +78,37 @@ object GenScale {
       println(s"[genscale] $table ×$copies -> $out/$table.parquet")
     }
 
+    require(copies <= 121, "text transforms are distinct only to 121 copies")
     replicate("documents", Seq("doc_id"), (d, i) =>
       if (i == 0) d
       else {
         val r = (i - 1) % (Rot.length - 1) + 1 // 1..11, never the identity
         val to = Rot.drop(r) + Rot.take(r)
-        d.withColumn("text", translate(col("text"), Rot, to))
+        val r2 = (i - 1) / (Rot.length - 1) // 0..10; 0 = identity, fine with r ≥ 1
+        val to2 = Rot2.drop(r2) + Rot2.take(r2)
+        d.withColumn("text",
+          translate(translate(col("text"), Rot, to), Rot2, to2))
       })
     // circular-shift the embedding dims per copy: norms and all WITHIN-copy
     // pairwise distances are preserved exactly (realistic timing), while
     // cross-copy cosine decorrelates — identical duplicates would instead
-    // inflate every near-dup cluster ×copies (a skew change, not scale)
-    replicate("embeddings", Seq("vec_id"), (d, i) =>
+    // inflate every near-dup cluster ×copies (a skew change, not scale).
+    // Copies past the dimension count (the ×100 run, dim 64) wrap the shift
+    // AND negate: negation preserves every norm and within-copy distance,
+    // flips cross-copy cosine sign (still decorrelated), and makes copy
+    // dim+k distinct from copy k — a plain wrapped shift would hand copy 64
+    // the IDENTITY transform and duplicate the base vectors verbatim.
+    replicate("embeddings", Seq("vec_id"), (d, i) => {
+      val dim = 64
+      val sh = i % dim
+      val rot =
+        if (sh == 0) col("embedding")
+        else concat(slice(col("embedding"), lit(sh + 1), size(col("embedding")) - sh),
+                    slice(col("embedding"), lit(1), lit(sh)))
       if (i == 0) d
-      else d.withColumn("embedding",
-        concat(slice(col("embedding"), lit(i + 1), size(col("embedding")) - i),
-               slice(col("embedding"), lit(1), lit(i)))))
+      else if (i < dim) d.withColumn("embedding", rot)
+      else d.withColumn("embedding", transform(rot, x => -x))
+    })
     replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
     // pass the rest through unscaled so outDir is a complete sfdir (Bench
     // warms up on region; unfiltered runs must not hit missing paths)
