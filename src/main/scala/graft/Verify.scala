@@ -30,7 +30,8 @@ object Verify {
     // outDir subdirectory, and a non-query artifact dir there would be
     // reported as a failing query dump.
     val artifactsDir = s"${outDir.stripSuffix("/")}_artifacts"
-    val wantArtifacts = Set("dedup_keep_list", "dedup_quality_rep", "dedup_cc_keep_list")
+    val wantArtifacts = Set("dedup_keep_list", "dedup_quality_rep",
+        "dedup_cc_keep_list", "ml_split_leakfree")
       .exists(n => only.forall(_(n)))
     if (wantArtifacts)
       try graft.queries.TextDedupQueries.dumpOracleArtifacts(spark, sfDir, artifactsDir)

@@ -366,6 +366,24 @@ object TextDedupQueries {
     Dedup.keepListConverged(docs(s, dir), "doc_id",
       sharedPairs(s, dir).select(col("doc_a"), col("doc_b")))
 
+  /** LEAKAGE-FREE train/test split — the cluster-aware upgrade of
+    * `ml_train_test_split`: hashing the DOC id sends two near-duplicate
+    * documents to different splits ~32% of the time (2·0.8·0.2), which is
+    * test-set contamination by construction. Keying the split hash on the
+    * near-dup cluster CANONICAL (connected components over the confirmed
+    * pairs) puts every cluster wholly in one split: a near-dup pair can
+    * never straddle train/test. Same shape as dedup_cc_keep_list plus one
+    * in-scan hash — no extra shuffle beyond the CC itself; the oracle
+    * replays CC from the dumped pairs artifact (sf1-gate friendly). */
+  def mlSplitLeakfree(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorSql.md5Hash60
+    Dedup.keepListConverged(docs(s, dir), "doc_id",
+        sharedPairs(s, dir).select(col("doc_a"), col("doc_b")))
+      .select(col("doc").as("doc_id"), col("canonical"),
+        when(md5Hash60(concat(lit("split:"), col("canonical").cast("string"))) % 100 < 80,
+          "train").otherwise("test").as("split"))
+  }
+
   /** Standalone exact n-gram Jaccard pairs: the inverted-index shingle
     * self-join WITHOUT an LSH pre-filter, with the production skew guard
     * exercised (document-frequency cap 5 — shingles present in more than 5
@@ -482,6 +500,7 @@ object TextDedupQueries {
     "text_quality_filter" -> textQualityFilter _,
     "text_lm_quality" -> textLmQuality _,
     "text_pii_redact" -> textPiiRedact _,
+    "ml_split_leakfree" -> mlSplitLeakfree _,
     "text_langid" -> textLangId _,
     "text_fingerprint" -> textFingerprint _,
     "text_rolling_hash" -> textRollingHash _,
@@ -1017,6 +1036,23 @@ object TextDedupQueries {
          |  UNION
          |  SELECT reach.doc, e.dst FROM reach JOIN edges e ON reach.r = e.src)
          |SELECT doc, min(r) AS canonical FROM reach GROUP BY 1""".stripMargin,
+    "ml_split_leakfree" ->
+      // CC from the dumped pairs artifact (like dedup_cc_keep_list), then
+      // the split hash keyed on the cluster canonical — the same
+      // 'split:'||key convention as ml_train_test_split
+      s"""WITH RECURSIVE
+         |jp AS (SELECT doc_a, doc_b FROM '__GRAFT_ARTIFACTS__/pairs.parquet/*.parquet'),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+         |  UNION ALL SELECT doc_b, doc_a FROM jp
+         |  UNION ALL SELECT doc_id, doc_id FROM documents),
+         |reach AS (SELECT src AS doc, dst AS r FROM edges
+         |  UNION
+         |  SELECT reach.doc, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+         |cc AS (SELECT doc, min(r) AS canonical FROM reach GROUP BY 1)
+         |SELECT doc AS doc_id, canonical,
+         |  CASE WHEN ('0x' || substr(md5('split:' || canonical), 1, 15))::BIGINT % 100 < 80
+         |       THEN 'train' ELSE 'test' END AS split
+         |FROM cc""".stripMargin,
     "dedup_jaccard_pairs" ->
       s"""WITH $toksCte, $shinglesCte,
          |freq AS (SELECT sh, count(*) AS df FROM dsh GROUP BY 1),
