@@ -482,4 +482,107 @@ object Dedup {
         count(lit(1)).as("n_kept"),
         (max(col("n_segs")) - count(lit(1))).as("n_dropped"))
   }
+
+  // ---- exact repeated-span (substring) dedup ----
+  // The Spark-first re-expression of suffix-array exact-substring dedup
+  // (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+  // Better"): instead of a global suffix array (which needs the whole
+  // corpus ordered in one address space), emit every stride-1 W-token
+  // window as a hashed occurrence and groupBy the hash — any substring
+  // duplication of length ≥ W is a run of ≥ 1 duplicated windows, so the
+  // window inventory finds exactly the Lee-et-al spans with one linear
+  // shuffle over ~n_tokens rows of (hash, doc, pos).
+
+  /** Stride-1 W-token span occurrences: (doc, pos, sh). Docs shorter than
+    * W tokens emit their whole text as a single span at pos 0 (the
+    * [[graft.functions.TextKernels.shinglesN]] convention), so two short
+    * exact-dup docs still register as a duplicated span. */
+  def spanOccurrences(docs: DataFrame, id: String, text: String,
+                      width: Int): DataFrame =
+    docs.select(col(id).as("doc"),
+        posexplode(TextOps.shinglesNFast(col(text), width)).as(Seq("pos", "span")))
+      .select(col("doc"), col("pos"), md5Hash60(col("span")).as("sh"))
+
+  /** Cross-document duplicated-span inventory: every W-token span seen in
+    * ≥ 2 distinct docs, with occurrence counts and the corpus-first
+    * occurrence (lexicographic min (doc, pos)).
+    *
+    * Scale shape (100 TB): ONE shuffle on the 60-bit span hash; the
+    * countDistinct / count / min(struct) aggregates all partially reduce
+    * map-side, so a boilerplate span on a billion pages is skew-immune.
+    * Shuffle rows are (8-byte hash, doc, pos) — no span text ever moves.
+    * At 10^12+ spans the 60-bit space starts to birthday-collide; the
+    * production variant widens to two independent 60-bit hashes (the
+    * SimHash-chunk discipline), which doubles the key to 16 bytes and
+    * nothing else. */
+  def spanInventory(docs: DataFrame, id: String, text: String,
+                    width: Int): DataFrame =
+    spanOccurrences(docs, id, text, width)
+      .groupBy(col("sh").as("span_hash"))
+      .agg(countDistinct(col("doc")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(struct(col("doc"), col("pos"))).as("w"))
+      .filter(col("n_docs") >= 2)
+      .select(col("span_hash"), col("n_docs"), col("n_occ"),
+        col("w.doc").as("first_doc"), col("w.pos").as("first_pos"))
+
+  /** Exact repeated-span SCRUB: every span occurrence except the
+    * corpus-first one is removed from its document (Lee et al.'s "keep one
+    * copy of each duplicated substring"), overlapping removal windows are
+    * merged per doc (gaps-and-islands), and documents are rebuilt from
+    * their surviving tokens. Emits ALL docs: (doc_id, clean_text,
+    * n_removed) with clean_text = '' when everything was a repeat (the
+    * exact-duplicate case).
+    *
+    * Scale shape (100 TB): occurrences shuffle once on the span hash (the
+    * repeated-span argmin), once back on (doc) for the island window +
+    * interval merge, and the token rebuild is a groupBy(doc) over the
+    * token stream — every stage linear in tokens, no window wider than a
+    * doc, removal positions expanded from merged intervals (≤ n_tokens
+    * rows) so the token anti-join is an equi-join, never a range join.
+    * The declarative plan scans the text column once per consumer branch
+    * (occurrences ×2, token rebuild, token counts); a 100 TB deployment
+    * materializes [[spanOccurrences]] once (the Artifacts discipline) and
+    * folds the count into the rebuild, bringing it to two scans. */
+  def spanScrub(docs: DataFrame, id: String, text: String,
+                width: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val occ = spanOccurrences(docs, id, text, width)
+    // repeated spans with their corpus-first occurrence: intra-doc repeats
+    // count too, hence n_occ >= 2 (not n_docs >= 2)
+    val first = occ.groupBy(col("sh"))
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc"), col("pos"))).as("w"))
+      .filter(col("n_occ") >= 2)
+      .select(col("sh"), col("w.doc").as("fdoc"), col("w.pos").as("fpos"))
+    val rem = occ.join(first, "sh")
+      .filter(!(col("doc") === col("fdoc") && col("pos") === col("fpos")))
+      .select(col("doc"), col("pos"))
+    // merge overlapping [pos, pos+W) intervals per doc: island starts when
+    // pos clears every earlier window's end
+    val byDoc = Window.partitionBy("doc").orderBy("pos")
+    val prevEnd = max(col("pos") + width)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = rem
+      .withColumn("ni", when(col("pos") > coalesce(prevEnd, lit(-1)), 1).otherwise(0))
+      .withColumn("island", sum(col("ni")).over(byDoc))
+      .groupBy(col("doc"), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + width - 1).as("e"))
+    val remPos = islands.select(col("doc"),
+      explode(sequence(col("s"), col("e"))).as("pos"))
+    val tokPos = docs.select(col(id).as("doc"),
+      posexplode(TextOps.tokensFast(col(text))).as(Seq("pos", "tok")))
+    val keptAgg = tokPos.join(remPos, Seq("doc", "pos"), "left_anti")
+      .groupBy(col("doc"))
+      .agg(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col(id).as("doc"),
+        size(TextOps.tokensFast(col(text))).cast("long").as("n_toks"))
+      .join(keptAgg, Seq("doc"), "left_outer")
+      .select(col("doc").as("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
 }

@@ -384,6 +384,23 @@ object TextDedupQueries {
           "train").otherwise("test").as("split"))
   }
 
+  /** Span width for the exact repeated-span (substring) dedup family:
+    * Lee et al. 2022 run 50-token spans on web-scale corpora; the fixture
+    * docs are 10–99 tokens (median 56), so 15 keeps the same
+    * "long-verbatim-run" semantics at fixture scale. */
+  val SpanW = 15
+
+  /** Cross-document duplicated-span inventory (Lee et al. exact-substring
+    * dedup, windowed re-expression — see [[Dedup.spanInventory]]). */
+  def dedupSpanInventory(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanInventory(docs(s, dir), "doc_id", "text", SpanW)
+
+  /** Repeated-span scrub: all but the corpus-first occurrence of every
+    * duplicated W-token span removed, overlapping windows merged, docs
+    * rebuilt from surviving tokens ([[Dedup.spanScrub]]). */
+  def textSpanScrub(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanScrub(docs(s, dir), "doc_id", "text", SpanW)
+
   /** Standalone exact n-gram Jaccard pairs: the inverted-index shingle
     * self-join WITHOUT an LSH pre-filter, with the production skew guard
     * exercised (document-frequency cap 5 — shingles present in more than 5
@@ -522,6 +539,8 @@ object TextDedupQueries {
     "dedup_cc_keep_list" -> dedupCcKeepList _,
     "dedup_simhash_pairs" -> dedupSimhashPairs _,
     "dedup_jaccard_pairs" -> dedupJaccardPairs _,
+    "dedup_span_inventory" -> dedupSpanInventory _,
+    "text_span_scrub" -> textSpanScrub _,
   )
 
   // ---- shared oracle CTE fragments ----
@@ -554,6 +573,20 @@ object TextDedupQueries {
        |dsh$width AS (SELECT DISTINCT doc,
        |   ('0x' || substr(md5(sh), 1, 15))::BIGINT AS sh FROM shs$width)""".stripMargin
   }
+  /** POSITIONAL twin of [[shinglesCteN]] for the repeated-span family:
+    * emits (doc, pos, sh) with pos 0-based, one row per stride-1 W-token
+    * window (whole text at pos 0 for docs shorter than W — the kernel
+    * convention). */
+  private def spanCtes(width: Int): String = {
+    val terms = (0 until width).map(k => s"t[i+$k]").mkString(" || ' ' || ")
+    s"""sp0 AS (SELECT doc_id, text, t, unnest(range(1,
+       |    CASE WHEN len(t) < $width THEN 2 ELSE len(t) - ${width - 2} END)) AS i
+       | FROM toks),
+       |spans AS (SELECT doc_id AS doc, CAST(i - 1 AS INT) AS pos,
+       |  ${h60(s"CASE WHEN len(t) < $width THEN text ELSE $terms END")} AS sh
+       | FROM sp0)""".stripMargin
+  }
+
   private val sigCte =
     s"""hx AS (SELECT doc, sh % 1000000007 AS x FROM dsh),
        |sig AS (SELECT doc, CAST(h.h AS INT) AS h,
@@ -1053,6 +1086,43 @@ object TextDedupQueries {
          |  CASE WHEN ('0x' || substr(md5('split:' || canonical), 1, 15))::BIGINT % 100 < 80
          |       THEN 'train' ELSE 'test' END AS split
          |FROM cc""".stripMargin,
+    "dedup_span_inventory" ->
+      s"""WITH $toksCte, ${spanCtes(SpanW)},
+         |agg AS (SELECT sh AS span_hash, CAST(count(DISTINCT doc) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_occ, min(doc) AS first_doc
+         | FROM spans GROUP BY 1 HAVING count(DISTINCT doc) >= 2),
+         |fp AS (SELECT s.sh, min(s.pos) AS first_pos FROM spans s
+         | JOIN agg a ON s.sh = a.span_hash AND s.doc = a.first_doc GROUP BY 1)
+         |SELECT a.span_hash, a.n_docs, a.n_occ, a.first_doc, f.first_pos
+         |FROM agg a JOIN fp f ON a.span_hash = f.sh""".stripMargin,
+    "text_span_scrub" ->
+      s"""WITH $toksCte, ${spanCtes(SpanW)},
+         |agg AS (SELECT sh, min(doc) AS fdoc FROM spans GROUP BY 1 HAVING count(*) >= 2),
+         |fp AS (SELECT s.sh, min(s.pos) AS fpos FROM spans s
+         | JOIN agg a ON s.sh = a.sh AND s.doc = a.fdoc GROUP BY 1),
+         |rem AS (SELECT s.doc, s.pos FROM spans s
+         | JOIN agg a ON s.sh = a.sh JOIN fp f ON s.sh = f.sh
+         | WHERE NOT (s.doc = a.fdoc AND s.pos = f.fpos)),
+         |isl AS (SELECT doc, pos, CASE WHEN pos > coalesce(max(pos + $SpanW)
+         |    OVER (PARTITION BY doc ORDER BY pos
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |  THEN 1 ELSE 0 END AS ni FROM rem),
+         |isl2 AS (SELECT doc, pos, sum(ni) OVER (PARTITION BY doc ORDER BY pos) AS island
+         | FROM isl),
+         |iv AS (SELECT doc, island, min(pos) AS s, max(pos) + $SpanW - 1 AS e
+         | FROM isl2 GROUP BY 1, 2),
+         |rempos AS (SELECT doc, CAST(unnest(range(s, e + 1)) AS INT) AS pos FROM iv),
+         |tokpos AS (SELECT doc_id AS doc, CAST(i - 1 AS INT) AS pos, t[i] AS tok
+         | FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks)),
+         |kept AS (SELECT tp.doc, tp.pos, tp.tok FROM tokpos tp
+         | ANTI JOIN rempos r ON tp.doc = r.doc AND tp.pos = r.pos),
+         |keptagg AS (SELECT doc, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         |  count(*) AS n_kept FROM kept GROUP BY 1),
+         |tot AS (SELECT doc_id AS doc, len(t) AS n_toks FROM toks)
+         |SELECT d.doc_id, coalesce(k.clean_text, '') AS clean_text,
+         |  CAST(t.n_toks - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+         |FROM documents d JOIN tot t ON d.doc_id = t.doc
+         |LEFT JOIN keptagg k ON d.doc_id = k.doc""".stripMargin,
     "dedup_jaccard_pairs" ->
       s"""WITH $toksCte, $shinglesCte,
          |freq AS (SELECT sh, count(*) AS df FROM dsh GROUP BY 1),
