@@ -199,6 +199,30 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Product-quantization encode (ann_pq): `v` split into `d/subDims`
+    * subspaces; per subspace the index of the nearest codebook subvector
+    * (same sqdist fold as the IVF assignment; ties keep the lower code id).
+    * The codebook is a driver-side constant — `cb.length` × d doubles,
+    * bounded by construction, never data-scale — embedded in the codegen
+    * [[graft.functions.PqEncode]] kernel as a reference object, so encoding
+    * is ONE in-scan expression: no shuffle, no explode, O(1) generated code
+    * even at the classic 256-code config, and a 100 TB corpus encodes in
+    * the same scan that reads it. Returns array<int> of `d/subDims` codes
+    * (8-bit range at 256 codes → 8 bytes/vec persisted, 32× smaller than
+    * the float32 corpus). */
+  def pqCodes(v: Column, cb: Array[Array[Double]], subDims: Int): Column =
+    graft.functions.PqExpressions.pqEncode(v, cb, subDims)
+
+  /** PQ reconstruction ẑ: per subspace the chosen code's subvector,
+    * concatenated back to d dims ([[graft.functions.PqReconstruct]]). The
+    * ADC score dot(ẑ, probe) is then the same d-wide left-to-right fold
+    * every other similarity entry shares — bit-identical in DuckDB, which
+    * is what keeps the approximate tier under the hash gate (classically
+    * ADC sums per-subspace LUT hits; the reconstruction form is the same
+    * value with ONE portable fold order). */
+  def pqRecon(codes: Column, cb: Array[Array[Double]], subDims: Int): Column =
+    graft.functions.PqExpressions.pqReconstruct(codes, cb, subDims)
+
   /** Embedding near-dup: each vector's nearest neighbor within its IVF cell
     * (blocked all-pairs — never the global N² join), kept if cosine ≥
     * minCos. @param assigned (vec_id, v, cell) */

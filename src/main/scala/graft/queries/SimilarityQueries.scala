@@ -146,6 +146,63 @@ object SimilarityQueries {
         col("int_dot"), round(col("dot"), 6).as("dot"))
   }
 
+  /** Top-k through the PRODUCT-QUANTIZED serving tier — completes the
+    * compression ladder brute (512 B/vec fp64) → int8 (64 B) → PQ (8 B:
+    * the classic Jégou-et-al config, 8 subspaces × 8-bit codes, 64× smaller
+    * than the scanned fp64). Codebooks are data-sampled — subvectors of the
+    * first [[PqNumCodes]] corpus rows, the same convention as the IVF
+    * coarse quantizer (LEARNED k-means codebooks would mean float means
+    * whose summation order differs across engines — un-hash-gateable by
+    * the oracle float discipline) — so the whole chain is deterministic
+    * and DuckDB replays it exactly. Stage 1 scores every vector by the ADC
+    * dot `dot(recon(codes), probe)` ([[Similarity.pqCodes]]/
+    * [[Similarity.pqRecon]] — codegen kernels, in-scan, zero shuffle) and
+    * keeps a CORPUS-ADAPTIVE shortlist per probe through the heap
+    * operator; stage 2 reranks ONLY the shortlist at full precision — the
+    * same recovery shape [[annInt8]] proved. The shortlist is
+    * [[pqShortlistFor]] = max(3k, 3·⌈√N⌉): a FIXED shortlist is a latent
+    * recall cliff (measured here: 30 gives recall@10 0.84 at 500 vectors
+    * but 0.64 at 2000; 3·⌈√N⌉ holds ≥ 0.94 at both, AnnPqSpec asserts it)
+    * while staying sublinear — at 10⁹ vectors the rerank reads ~95k
+    * point-rows per probe, not a corpus fraction. At 100 TB encoding is a
+    * write-side pass (codes persist next to the corpus, 8 bytes/vec) and
+    * the stage-1 code scan is the bandwidth bound; here both phases run in
+    * one query so the oracle hash-gates the whole chain — codes, ADC
+    * scores, and final ranks. The codebook collect is [[PqNumCodes]] rows
+    * — bounded, never data-scale. */
+  val PqSubDims = 8
+  val PqNumCodes = 256
+  def pqShortlistFor(n: Long): Int =
+    math.max(3 * K, 3 * math.ceil(math.sqrt(n.toDouble)).toInt)
+  def annPq(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    fork.experimental.extraStrategies =
+      fork.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
+    val p = pts(fork, dir)
+    val cb: Array[Array[Double]] = p.where(col("vec_id") < PqNumCodes)
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
+    val coded = p.select(col("vec_id"), col("v"),
+      Similarity.pqRecon(Similarity.pqCodes(col("v"), cb, PqSubDims), cb, PqSubDims).as("r"))
+    val pr = probes(fork, dir)
+    val scored = coded.crossJoin(broadcast(pr))
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        graft.functions.VectorSql.dotFast(col("r"), col("p")).as("adc_dot"))
+    val shortlist = graft.plans.TopKPerKey.topKPerKey(scored,
+      keys = Seq(col("probe_id")),
+      order = Seq(col("adc_dot").desc, col("vec_id").asc), k = pqShortlistFor(p.count()))
+    val reranked = p.join(broadcast(shortlist), "vec_id")
+      .join(broadcast(pr), "probe_id")
+      .select(col("probe_id"), col("vec_id"), col("adc_dot"),
+        graft.functions.VectorSql.dotFast(col("v"), col("p")).as("dot"))
+    reranked
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
+          .orderBy(col("dot").desc, col("vec_id"))))
+      .where(col("rank") <= K)
+      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("adc_dot"), 6).as("adc_dot"), round(col("dot"), 6).as("dot"))
+  }
+
   def nearDupLsh(s: SparkSession, dir: String): DataFrame = {
     val p = pts(s, dir)
     val bpb = Similarity.bitsPerBand(p.count())
@@ -203,6 +260,7 @@ object SimilarityQueries {
     "ann_int8" -> annInt8 _,
     "ann_ivf" -> annIvf _,
     "ann_ivf_pruned" -> annIvfPruned _,
+    "ann_pq" -> annPq _,
     "dedup_embedding_nn" -> nearDupNN _,
     "dedup_embedding_lsh" -> nearDupLsh _,
   )
@@ -297,6 +355,44 @@ object SimilarityQueries {
          |  (PARTITION BY probe_id ORDER BY dot DESC, vec_id) AS rn FROM rr)
          |SELECT probe_id, CAST(rn AS INT) AS rank, vec_id AS neighbor_id,
          |  int_dot, round(dot, 6) AS dot
+         |FROM f WHERE rn <= $K""".stripMargin,
+    // PQ serving tier: codebook = first PqNumCodes corpus rows; per-subspace
+    // argmin replayed by row_number over the same product-form sqdist fold;
+    // reconstruction re-concatenated in subspace order so the ADC dot is the
+    // shared 64-wide fold — codes, ADC scores, and ranks all under the hash
+    "ann_pq" ->
+      s"""WITH $base,
+         |cbt AS (SELECT vec_id AS code, v FROM pts WHERE vec_id < $PqNumCodes),
+         |enc AS (SELECT vec_id, m, code FROM (
+         |  SELECT p.vec_id, m.m AS m, c.code, row_number() OVER
+         |    (PARTITION BY p.vec_id, m.m ORDER BY
+         |      list_sum(list_transform(range(1, ${PqSubDims + 1}), i ->
+         |        (p.v[m.m*$PqSubDims+i] - c.v[m.m*$PqSubDims+i]) *
+         |        (p.v[m.m*$PqSubDims+i] - c.v[m.m*$PqSubDims+i]))),
+         |      c.code) AS rn
+         |  FROM pts p
+         |  CROSS JOIN (SELECT unnest(range(0, ${64 / PqSubDims})) AS m) m
+         |  CROSS JOIN cbt c)
+         |  WHERE rn = 1),
+         |rc AS (SELECT e.vec_id,
+         |  flatten(list(list_transform(range(1, ${PqSubDims + 1}),
+         |    i -> c.v[e.m*$PqSubDims+i]) ORDER BY e.m)) AS r
+         |  FROM enc e JOIN cbt c ON e.code = c.code GROUP BY e.vec_id),
+         |d AS (SELECT probe_id, rc.vec_id, ${dotE("r", "p")} AS adc_dot
+         |  FROM rc CROSS JOIN probes WHERE rc.vec_id != probe_id),
+         |short AS (SELECT probe_id, vec_id, adc_dot FROM
+         |  (SELECT probe_id, vec_id, adc_dot, row_number() OVER
+         |    (PARTITION BY probe_id ORDER BY adc_dot DESC, vec_id) AS rn FROM d)
+         |  WHERE rn <= (SELECT GREATEST(${3 * K},
+         |    3 * CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM embeddings)),
+         |rr AS (SELECT s.probe_id, s.vec_id, s.adc_dot, ${dotE("pts.v", "probes.p")} AS dot
+         |  FROM short s
+         |  JOIN pts ON s.vec_id = pts.vec_id
+         |  JOIN probes ON s.probe_id = probes.probe_id),
+         |f AS (SELECT probe_id, vec_id, adc_dot, dot, row_number() OVER
+         |  (PARTITION BY probe_id ORDER BY dot DESC, vec_id) AS rn FROM rr)
+         |SELECT probe_id, CAST(rn AS INT) AS rank, vec_id AS neighbor_id,
+         |  round(adc_dot, 6) AS adc_dot, round(dot, 6) AS dot
          |FROM f WHERE rn <= $K""".stripMargin,
     // the disk-layout hop must be invisible in the results — same oracle
     "ann_ivf_pruned" ->

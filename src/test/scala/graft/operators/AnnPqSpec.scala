@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.{PqEncode, PqReconstruct}
+import graft.queries.SimilarityQueries
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import scala.util.Random
+
+/** Product-quantization serving tier (ann_pq): kernel identity between the
+  * interpreted and codegen paths, encode/reconstruct semantics, and the
+  * recall property the corpus-adaptive shortlist is designed to hold at
+  * more than one corpus size (a FIXED shortlist measured 0.84 → 0.64
+  * recall@10 going 500 → 2000 vectors; the 3·⌈√N⌉ shortlist holds ≥ 0.9
+  * at both). */
+class AnnPqSpec extends SparkSpec {
+
+  private val rnd = new Random(11)
+  private val cb: Array[Array[Double]] = Array.fill(8)(Array.fill(16)(rnd.nextDouble()))
+  private val SubDims = 4 // 16 dims → 4 subspaces of 4, 8 codes
+
+  test("codebook rows encode to themselves; codes within range") {
+    import spark.implicits._
+    val df = cb.zipWithIndex.toSeq.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "v")
+    val out = df.select(col("vec_id"),
+      Similarity.pqCodes(col("v"), cb, SubDims).as("codes")).collect()
+    out.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.forall(c => c >= 0 && c < cb.length))
+      // a codebook row's nearest subvector in EVERY subspace is itself (d2=0)
+      assert(codes == Seq.fill(16 / SubDims)(r.getLong(0).toInt), s"row ${r.getLong(0)}")
+    }
+  }
+
+  test("interpreted eval == codegen result for encode and reconstruct") {
+    import spark.implicits._
+    val vecs = Array.fill(50)(Array.fill(16)(rnd.nextDouble()))
+    val df = vecs.zipWithIndex.toSeq.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "v")
+    val codegen = df.select(col("vec_id"),
+        Similarity.pqCodes(col("v"), cb, SubDims).as("codes"))
+      .withColumn("r", Similarity.pqRecon(col("codes"), cb, SubDims))
+      .orderBy("vec_id").collect()
+    vecs.zip(codegen).foreach { case (v, row) =>
+      val lit = Literal.create(v, ArrayType(DoubleType))
+      val enc = PqEncode(lit, cb, SubDims).eval(null).asInstanceOf[ArrayData]
+      assert(enc.toIntArray.toSeq == row.getSeq[Int](1), s"encode vec ${row.getLong(0)}")
+      val rec = PqReconstruct(
+        Literal.create(enc.toIntArray, ArrayType(org.apache.spark.sql.types.IntegerType)),
+        cb, SubDims).eval(null).asInstanceOf[ArrayData]
+      assert(rec.toDoubleArray.toSeq == row.getSeq[Double](2), s"recon vec ${row.getLong(0)}")
+    }
+  }
+
+  test("reconstruction is the chosen codebook subvectors, lossy for non-codebook rows") {
+    import spark.implicits._
+    val vecs = Array.fill(20)(Array.fill(16)(rnd.nextDouble()))
+    val df = vecs.zipWithIndex.toSeq.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "v")
+    val rows = df.select(col("vec_id"), col("v"),
+        Similarity.pqCodes(col("v"), cb, SubDims).as("codes"))
+      .withColumn("r", Similarity.pqRecon(col("codes"), cb, SubDims))
+      .collect()
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](2)
+      val recon = r.getSeq[Double](3)
+      codes.zipWithIndex.foreach { case (c, m) =>
+        val want = cb(c).slice(m * SubDims, (m + 1) * SubDims).toSeq
+        assert(recon.slice(m * SubDims, (m + 1) * SubDims) == want, s"vec ${r.getLong(0)} sub $m")
+      }
+      assert(recon != r.getSeq[Double](1)) // lossy: ẑ ≠ v for random rows
+    }
+  }
+
+  /** recall@10 of the full PQ pipeline vs the exact-dot ranking it serves. */
+  private def recallAt(dir: String): Double = {
+    val pq = SimilarityQueries.annPq(spark, sf(dir))
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p = spark.read.parquet(s"${sf(dir)}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val probes = p.where(col("vec_id") < SimilarityQueries.NumProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("p"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("dot").desc, col("vec_id"))
+    val exact = p.crossJoin(broadcast(probes))
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        graft.functions.VectorSql.dotFast(col("v"), col("p")).as("dot"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= SimilarityQueries.K)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (pq intersect exact).size.toDouble / exact.size
+  }
+
+  test("adaptive shortlist holds recall@10 >= 0.9 at BOTH 500 and 2000 vectors") {
+    // the same formula at two corpus sizes — the property a fixed shortlist
+    // fails (measured 0.64 at sf0.1 with the fixed 30 this replaced)
+    assert(recallAt("sf0.001") >= 0.9, "sf0.001")
+    assert(recallAt("sf0.1") >= 0.9, "sf0.1")
+  }
+
+  test("pqShortlistFor is sublinear and floored") {
+    assert(SimilarityQueries.pqShortlistFor(1) == 30)      // floor binds
+    assert(SimilarityQueries.pqShortlistFor(500) == 69)    // 3·⌈√500⌉
+    assert(SimilarityQueries.pqShortlistFor(2000) == 135)
+    // two decades out: grows 10×, not 100× — the rerank stays point-reads
+    assert(SimilarityQueries.pqShortlistFor(5_000_000_000L) <
+      100L * SimilarityQueries.pqShortlistFor(500_000))
+  }
+}
