@@ -335,6 +335,104 @@ object Multimodal {
     df.withColumn("wav", dec(col(payloadCol)))
   }
 
+  /** Fingerprint frame count: 57 frames → 56 consecutive-energy comparisons,
+    * deliberately inside the 4×15-bit banding range of
+    * [[Dedup.simhashPairs]] (same budget as the image dHash). */
+  val AudioFpFrames = 57
+
+  /** Deterministic synthetic FRAME-STRUCTURED mono PCM-16 WAV for perceptual
+    * audio dedup: `nFrames` frames of `frameLen/decimate` samples, every
+    * sample in frame f carrying the constant amplitude `amp(aid,f) =
+    * (first 16 bits of md5(aid·57+f)) mod 16384`, `gain`-multiplied (×2
+    * stays < 32767) and frame 0 bumped `+7 (mod 16384)` when `bumpFrame0`
+    * (the "small edit"). Avalanche-keyed like [[syntheticBlockImage]] — a
+    * linear amp formula would order frames near-monotonically and collapse
+    * every fingerprint. FRAME-CONSTANT amplitude is what makes perceptual
+    * audio hashing testable on synthetic data: a decimated (every-2nd-
+    * sample) copy keeps each frame's constant value, and a gain change
+    * scales all energies by one positive factor — both order-preserving on
+    * frame energies, i.e. fingerprint-identical, while their BYTES are
+    * disjoint (exactly what defeats byte-digest dedup). Replayable in SQL:
+    * `('0x'||substr(md5(CAST(aid*57+f AS VARCHAR)),1,4))::INT % 16384`. */
+  def syntheticFrameWav(aid: Long, nFrames: Int, frameLen: Int, gain: Int = 1,
+                        decimate: Int = 1, bumpFrame0: Boolean = false): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val perFrame = frameLen / decimate
+    val nSamples = nFrames * perFrame
+    val dataSz = nSamples * 2
+    val out = new Array[Byte](44 + dataSz)
+    def put(o: Int, s: String): Unit = { s.getBytes("US-ASCII").copyToArray(out, o) }
+    def p16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
+    def p32(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+    }
+    put(0, "RIFF"); p32(4, 36 + dataSz); put(8, "WAVE")
+    put(12, "fmt "); p32(16, 16); p16(20, 1); p16(22, 1) // PCM, mono
+    p32(24, 8000); p32(28, 8000 * 2); p16(32, 2); p16(34, 16)
+    put(36, "data"); p32(40, dataSz)
+    var f = 0
+    while (f < nFrames) {
+      val d = md.digest((aid * AudioFpFrames + f).toString.getBytes("US-ASCII"))
+      val raw = (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % 16384
+      val amp = (if (bumpFrame0 && f == 0) (raw + 7) % 16384 else raw) * gain
+      var i = 0
+      while (i < perFrame) {
+        p16(44 + (f * perFrame + i) * 2, amp)
+        i += 1
+      }
+      f += 1
+    }
+    out
+  }
+
+  /** Perceptual audio fingerprint over a REAL decode: frame the PCM stream
+    * into [[AudioFpFrames]] equal frames (len = nSamples/57 floor, trailing
+    * remainder ignored), exact integer frame energies Σ s² (Long — peak
+    * amplitude² × frame length stays far under 2⁶³), then one bit per
+    * consecutive-frame comparison: bit f set iff E(f+1) > E(f). 56 bits in
+    * a non-negative Long — the same [[Dedup.simhashPairs]] band machinery
+    * serves text SimHash, image dHash, and audio alike. Robust BY
+    * CONSTRUCTION to gain changes and uniform resampling: both multiply
+    * every frame energy by the same positive factor, so every strict
+    * comparison — ties included — is preserved exactly (this is why the
+    * oracle can replay bits from the amplitude formula without computing
+    * energies). A one-frame edit flips at most the two comparisons that
+    * frame participates in. None for null/corrupt/non-PCM payloads or
+    * streams shorter than 57 samples. */
+  def audioFingerprint(payload: Array[Byte]): Option[Long] =
+    parseWav(payload).flatMap { case (_, _, samples) =>
+      val fl = samples.length / AudioFpFrames
+      if (fl == 0) None
+      else {
+        val e = new Array[Long](AudioFpFrames)
+        var f = 0
+        while (f < AudioFpFrames) {
+          var s = 0L
+          var i = f * fl
+          val end = i + fl
+          while (i < end) { val v = samples(i).toLong; s += v * v; i += 1 }
+          e(f) = s
+          f += 1
+        }
+        var h = 0L
+        f = 0
+        while (f < AudioFpFrames - 1) {
+          if (e(f + 1) > e(f)) h |= 1L << f
+          f += 1
+        }
+        Some(h)
+      }
+    }
+
+  /** Audio-fingerprint column: partition-local REAL decode +
+    * [[audioFingerprint]]; undecodable payloads yield null (excluded from
+    * pairing, never a poisoned bucket). */
+  def audioFingerprints(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val fp = udf { (b: Array[Byte]) => audioFingerprint(b) }
+    df.withColumn("afp", fp(col(payloadCol)))
+  }
+
   // ----------------------------------------------------------------- video
 
   /** One decoded video frame: index in stream order + the frame's exact

@@ -18,6 +18,8 @@ object MultimodalQueries {
 
   private val PngW = 16
   private val PngH = 16
+  /** samples per fingerprint frame in the planted WAVs (decimated copy: 32) */
+  private val WavFrameLen = 64
   private val WavSamples = 480
   private val WavRate = 8000
   private val VidW = 8
@@ -180,6 +182,46 @@ object MultimodalQueries {
         maxChunkDf = Some(64))
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
 
+  /** PERCEPTUAL audio near-dup pairs — the third modality through the same
+    * band machinery (text SimHash, image dHash, now audio). A pipeline's
+    * real audio dups are GAIN-ADJUSTED and RESAMPLED copies sharing zero
+    * payload bytes; byte digests miss all of them. Per doc group of 8 the
+    * corpus plants exactly those: doc 8k is an original frame-structured
+    * WAV ([[Multimodal.syntheticFrameWav]]); 8k+1 its gain-doubled copy,
+    * 8k+2 its half-rate decimation (both fingerprint-IDENTICAL by the
+    * energy-order-preservation argument on [[Multimodal.audioFingerprint]],
+    * bytes disjoint), 8k+3 a one-frame edit (Hamming ≤ 1); 8k+4..7
+    * unrelated originals. Pipeline: REAL PCM decode → 56-bit energy-delta
+    * fingerprint → [[Dedup.simhashPairs]] (Hamming ≤ 3, chunk-df star cap
+    * 64). Scale: decode is partition-local, pairing one banding equi-join —
+    * never a sample-space or all-pairs comparison. The oracle re-derives
+    * every bit from the md5 amplitude formula (gain/decimation cancel in
+    * the energy ORDER, so amp comparisons are energy comparisons) and
+    * replays the cold/hot star semantics. */
+  private[graft] def mmAudioDedupHashes(s: SparkSession, dir: String): DataFrame = {
+    val makeMedia = udf { (id: Long) =>
+      val v = id % 8
+      val aid = if (v >= 1 && v <= 3) id - v else id
+      v match {
+        case 1 => Multimodal.syntheticFrameWav(aid, Multimodal.AudioFpFrames, WavFrameLen, gain = 2)
+        case 2 => Multimodal.syntheticFrameWav(aid, Multimodal.AudioFpFrames, WavFrameLen, decimate = 2)
+        case 3 => Multimodal.syntheticFrameWav(aid, Multimodal.AudioFpFrames, WavFrameLen, bumpFrame0 = true)
+        case _ => Multimodal.syntheticFrameWav(aid, Multimodal.AudioFpFrames, WavFrameLen)
+      }
+    }
+    val media = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("media_id"))
+      .withColumn("payload", makeMedia(col("media_id")))
+    Multimodal.audioFingerprints(media)
+      .where(col("afp").isNotNull)
+      .select(col("media_id").as("doc"), col("afp").as("simhash"))
+  }
+
+  def mmAudioDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(mmAudioDedupHashes(s, dir), maxHamming = 3,
+        maxChunkDf = Some(64))
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_byte_stats" -> mmByteStats _,
     "mm_feature_agg" -> mmFeatureAgg _,
@@ -189,6 +231,7 @@ object MultimodalQueries {
     "mm_image_resize" -> mmImageResize _,
     "mm_audio_decode" -> mmAudioDecode _,
     "mm_image_dedup" -> mmImageDedup _,
+    "mm_audio_dedup" -> mmAudioDedup _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -270,6 +313,54 @@ object MultimodalQueries {
     // re-derives every 56-bit dHash from the tile formula (decode → 8×8 NN
     // grid → gray r+g+b → horizontal comparisons), then replays the same
     // 15-bit-chunk banding + cold/hot star semantics as dedup_simhash_pairs
+    // audio: bits replayed from the md5 AMPLITUDE formula — gain and
+    // decimation scale every frame energy by one positive factor, so
+    // amp(f+1) > amp(f) IS the energy comparison the Spark side computes
+    // from the real PCM decode; band/star semantics verbatim from the
+    // image/text machinery
+    "mm_audio_dedup" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 8 IN (1, 2, 3)
+        |      THEN doc_id - doc_id % 8 ELSE doc_id END AS aid,
+        |    (doc_id % 8 = 3) AS edited
+        |  FROM documents),
+        |amps AS (
+        |  SELECT media_id, f,
+        |    CASE WHEN edited AND f = 0 THEN (raw + 7) % 16384 ELSE raw END AS amp
+        |  FROM (SELECT media_id, edited, ff.f AS f,
+        |          ('0x' || substr(md5(CAST(aid * 57 + ff.f AS VARCHAR)), 1, 4))::INT
+        |            % 16384 AS raw
+        |        FROM media CROSS JOIN (SELECT unnest(range(0, 57)) AS f) ff)),
+        |bits AS (
+        |  SELECT ac.media_id,
+        |    CASE WHEN an.amp > ac.amp
+        |      THEN (CAST(1 AS BIGINT) << ac.f) ELSE CAST(0 AS BIGINT) END AS bit
+        |  FROM amps ac JOIN amps an
+        |    ON an.media_id = ac.media_id AND an.f = ac.f + 1),
+        |hashes AS (
+        |  SELECT media_id AS doc, CAST(sum(bit) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY 1),
+        |chunks AS (SELECT doc, simhash, c.c AS chunk,
+        |   (simhash >> (c.c * 15)) % 32768 AS ckey
+        |  FROM hashes CROSS JOIN (SELECT unnest(range(0, 4)) AS c) c),
+        |stats AS (SELECT chunk, ckey, count(*) AS df, min(doc) AS hub
+        |  FROM chunks GROUP BY 1, 2),
+        |tg AS (SELECT c.doc, c.simhash, c.chunk, c.ckey, s.df, s.hub
+        |  FROM chunks c JOIN stats s USING (chunk, ckey)),
+        |cold AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
+        |   bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |  FROM tg a JOIN tg b
+        |    ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc < b.doc
+        |  WHERE a.df <= 64 AND b.df <= 64),
+        |hot AS (SELECT t.hub AS doc_a, t.doc AS doc_b,
+        |   bit_count(xor(h.simhash, t.simhash)) AS hamming
+        |  FROM tg t JOIN chunks h
+        |    ON h.doc = t.hub AND h.chunk = t.chunk AND h.ckey = t.ckey
+        |  WHERE t.df > 64 AND t.doc <> t.hub)
+        |SELECT DISTINCT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+        |FROM (SELECT * FROM cold UNION ALL SELECT * FROM hot)
+        |WHERE hamming <= 3""".stripMargin,
     "mm_image_dedup" ->
       """WITH media AS (
         |  SELECT doc_id AS media_id,

@@ -86,6 +86,19 @@ object CapAudit {
     println(s"[capaudit] dhash chunks: buckets=${dStats.getLong(0)} " +
       s"max_df=${dStats.getLong(1)} over_cap(64)=${dStats.getLong(2)}")
 
+    // ---- audio fingerprint chunk buckets (mm_audio_dedup's maxChunkDf = 64)
+    val afp = graft.queries.MultimodalQueries.mmAudioDedupHashes(spark, sfDir)
+    val achunks = afp.select(col("doc"),
+        explode(sequence(lit(0), lit(3))).as("chunk"), col("simhash"))
+      .withColumn("ckey", expr("shiftright(simhash, chunk * 15) % 32768"))
+    val aStats = achunks.groupBy(col("chunk"), col("ckey"))
+      .agg(count(lit(1)).as("df"))
+      .agg(count(lit(1)).as("buckets"), max(col("df")).as("max_df"),
+        sum((col("df") > 64).cast("long")).as("over_cap"))
+      .head()
+    println(s"[capaudit] audio fp chunks: buckets=${aStats.getLong(0)} " +
+      s"max_df=${aStats.getLong(1)} over_cap(64)=${aStats.getLong(2)}")
+
     spark.stop()
   }
 }

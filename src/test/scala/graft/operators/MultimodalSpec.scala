@@ -210,6 +210,50 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => a / 8 == b / 8 && a >= 40 && b <= 43 })
   }
 
+  test("audioFingerprint: gain-doubled and decimated copies collide; byte digest misses them") {
+    val F = Multimodal.AudioFpFrames
+    val orig = Multimodal.syntheticFrameWav(40L, F, 64)
+    val gain = Multimodal.syntheticFrameWav(40L, F, 64, gain = 2)
+    val deci = Multimodal.syntheticFrameWav(40L, F, 64, decimate = 2)
+    val edit = Multimodal.syntheticFrameWav(40L, F, 64, bumpFrame0 = true)
+    val other = Multimodal.syntheticFrameWav(41L, F, 64)
+    // disjoint bytes (byte-digest dedup sees three distinct files)
+    assert(!java.util.Arrays.equals(orig, gain) && !java.util.Arrays.equals(orig, deci))
+    val Seq(hO, hG, hD, hE, hX) =
+      Seq(orig, gain, deci, edit, other).map(Multimodal.audioFingerprint(_).get)
+    assert(hO == hG) // gain ×2: every energy ×4 — order preserved exactly
+    assert(hO == hD) // half-rate decimation: every energy ×1/2 — same
+    assert(java.lang.Long.bitCount(hO ^ hE) <= 1) // frame 0 joins bit 0 only
+    assert(java.lang.Long.bitCount(hO ^ hX) > 3)  // unrelated stream: far
+    assert(hO >= 0L && (hO >> 56) == 0L)          // 56-bit, band-range-safe
+    assert(Multimodal.audioFingerprint(Array[Byte](1, 2, 3)).isEmpty)
+    // real decode feeds the fingerprint: the gain copy differs in every
+    // sample aggregate yet collides perceptually
+    assert(Multimodal.decodeWav(gain).get.sumAmp != Multimodal.decodeWav(orig).get.sumAmp)
+  }
+
+  test("audio fingerprints through simhashPairs catch the planted near-dup quad") {
+    import spark.implicits._
+    val F = Multimodal.AudioFpFrames
+    val payloads = (40L to 47L).map { id =>
+      val v = id % 8
+      val aid = if (v >= 1 && v <= 3) id - v else id
+      id -> (v match {
+        case 1 => Multimodal.syntheticFrameWav(aid, F, 64, gain = 2)
+        case 2 => Multimodal.syntheticFrameWav(aid, F, 64, decimate = 2)
+        case 3 => Multimodal.syntheticFrameWav(aid, F, 64, bumpFrame0 = true)
+        case _ => Multimodal.syntheticFrameWav(aid, F, 64)
+      })
+    }
+    val hashes = Multimodal.audioFingerprints(payloads.toDF("media_id", "payload"))
+      .select(col("media_id").as("doc"), col("afp").as("simhash"))
+    val pairs = Dedup.simhashPairs(hashes, maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val quad = Set((40L, 41L), (40L, 42L), (40L, 43L), (41L, 42L), (41L, 43L), (42L, 43L))
+    assert(quad.subsetOf(pairs))
+    assert(pairs.forall { case (a, b) => a / 8 == b / 8 && a >= 40 && b <= 43 })
+  }
+
   test("resize folds histogram bins shape-preservingly") {
     val out = Multimodal.resizeFeatures(Multimodal.extractFeatures(media), bins = 4)
       .collect().map(r => r.getLong(0) -> Option(r.getAs[scala.collection.Seq[Double]]("features"))).toMap
