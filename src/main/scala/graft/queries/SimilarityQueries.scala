@@ -218,8 +218,6 @@ object SimilarityQueries {
     * layout hop must not change a single neighbor. The cell list is a
     * driver-side collect of ≤ probes×nprobe ints — never data-scale. */
   def annIvfPruned(s: SparkSession, dir: String): DataFrame = {
-    val centroids = SomQueries.protos(s, dir)
-      .select(col("proto_id").as("cell"), col("c"))
     // session-keyed through the Artifacts layout cache: concurrent sessions
     // write disjoint paths (no mid-read clobber) and repeat invocations in
     // one session serve from the existing layout without re-writing the
@@ -227,6 +225,42 @@ object SimilarityQueries {
     val layout = graft.operators.Artifacts.sharedPath(s"ivf_layout:$dir") { path =>
       graft.sources.Sources.writeIvfLayout(assigned(s, dir), path)
     }
+    serveIvfLayout(s, dir, layout)
+  }
+
+  /** `ann_ivf` served from an INCREMENTALLY-MAINTAINED layout — the daily
+    * index-maintenance shape (the [[graft.operators.Dedup.incrementalPairs]]
+    * discipline applied to the serving index): yesterday's corpus (all but
+    * the newest n/10 vectors) is written `partitionBy(cell)` once; today's
+    * delta is assigned to the SAME frozen centroids and APPENDED as new
+    * files inside its cells' directories
+    * ([[graft.sources.Sources.appendIvfLayout]]) — yesterday's files are
+    * never rewritten (IvfDeltaSpec asserts byte-identity). Because the
+    * coarse quantizer is frozen, an appended vector lands exactly where a
+    * full rebuild would put it, so the served top-k is REBUILD-INVISIBLE:
+    * the oracle is `ann_ivf`'s full-corpus query verbatim. At 100 TB the
+    * daily cost is assigning + writing the increment; the query path stays
+    * partition-pruned and never pays the base corpus again. (Like
+    * `dedup_incremental_pairs`, the bench simulates yesterday's layout from
+    * scratch — the delta step itself is increment-sized.) */
+  def annIvfDelta(s: SparkSession, dir: String): DataFrame = {
+    val layout = graft.operators.Artifacts.sharedPath(s"ivf_delta:$dir") { path =>
+      val a = assigned(s, dir) // frozen centroids: same quantizer both days
+      val n = pts(s, dir).count()
+      val cut = n - n / 10
+      graft.sources.Sources.writeIvfLayout(a.where(col("vec_id") < cut), path)
+      graft.sources.Sources.appendIvfLayout(a.where(col("vec_id") >= cut), path)
+    }
+    serveIvfLayout(s, dir, layout)
+  }
+
+  /** The partition-pruned probe path shared by every IVF disk layout:
+    * probe → nprobe nearest cells, the cell list becomes a LITERAL
+    * partition filter (≤ probes×nprobe ints — never data-scale), cosine +
+    * rank only over the pruned cells. */
+  private def serveIvfLayout(s: SparkSession, dir: String, layout: String): DataFrame = {
+    val centroids = SomQueries.protos(s, dir)
+      .select(col("proto_id").as("cell"), col("c"))
     // probe → nprobe nearest cells (same math as ivfTopK's probeCells)
     val cellRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("cd2"), col("cell"))
@@ -260,6 +294,7 @@ object SimilarityQueries {
     "ann_int8" -> annInt8 _,
     "ann_ivf" -> annIvf _,
     "ann_ivf_pruned" -> annIvfPruned _,
+    "ann_ivf_delta" -> annIvfDelta _,
     "ann_pq" -> annPq _,
     "dedup_embedding_nn" -> nearDupNN _,
     "dedup_embedding_lsh" -> nearDupLsh _,
@@ -296,6 +331,27 @@ object SimilarityQueries {
        |  (SELECT vec_id, v, cell, row_number() OVER
        |    (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM dn)
        |  WHERE rn = 1)""".stripMargin
+
+  /** Nearest-2-cells IVF top-k over the full corpus — shared verbatim by
+    * `ann_ivf`, `ann_ivf_pruned`, and `ann_ivf_delta` (layout and append
+    * mechanics must never change a neighbor). */
+  private lazy val ivfServeOracle: String =
+    s"""WITH $base, $assignedCte,
+       |pc AS (SELECT probe_id, p, cell FROM
+       |  (SELECT pb.probe_id, pb.p, pr.cell, row_number() OVER
+       |    (PARTITION BY pb.probe_id ORDER BY
+       |      list_sum(list_transform(range(1, 65), i -> (pb.p[i]-pr.c[i])*(pb.p[i]-pr.c[i]))),
+       |      pr.cell) AS crn
+       |   FROM probes pb CROSS JOIN protos pr)
+       |  WHERE crn <= $NProbe),
+       |d AS (SELECT pc.probe_id, a.vec_id, ${cosE("a.v", "pc.p")} AS cos
+       |  FROM asg a JOIN pc ON a.cell = pc.cell
+       |  WHERE a.vec_id != pc.probe_id),
+       |r AS (SELECT probe_id, vec_id, cos, row_number() OVER
+       |  (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn FROM d)
+       |SELECT probe_id, CAST(rn AS INT) AS rank, vec_id AS neighbor_id,
+       | round(cos, 6) AS cos_sim
+       |FROM r WHERE rn <= $K""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "ann_brute" ->
@@ -394,41 +450,12 @@ object SimilarityQueries {
          |SELECT probe_id, CAST(rn AS INT) AS rank, vec_id AS neighbor_id,
          |  round(adc_dot, 6) AS adc_dot, round(dot, 6) AS dot
          |FROM f WHERE rn <= $K""".stripMargin,
-    // the disk-layout hop must be invisible in the results — same oracle
-    "ann_ivf_pruned" ->
-      s"""WITH $base, $assignedCte,
-         |pc AS (SELECT probe_id, p, cell FROM
-         |  (SELECT pb.probe_id, pb.p, pr.cell, row_number() OVER
-         |    (PARTITION BY pb.probe_id ORDER BY
-         |      list_sum(list_transform(range(1, 65), i -> (pb.p[i]-pr.c[i])*(pb.p[i]-pr.c[i]))),
-         |      pr.cell) AS crn
-         |   FROM probes pb CROSS JOIN protos pr)
-         |  WHERE crn <= $NProbe),
-         |d AS (SELECT pc.probe_id, a.vec_id, ${cosE("a.v", "pc.p")} AS cos
-         |  FROM asg a JOIN pc ON a.cell = pc.cell
-         |  WHERE a.vec_id != pc.probe_id),
-         |r AS (SELECT probe_id, vec_id, cos, row_number() OVER
-         |  (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn FROM d)
-         |SELECT probe_id, CAST(rn AS INT) AS rank, vec_id AS neighbor_id,
-         | round(cos, 6) AS cos_sim
-         |FROM r WHERE rn <= $K""".stripMargin,
-    "ann_ivf" ->
-      s"""WITH $base, $assignedCte,
-         |pc AS (SELECT probe_id, p, cell FROM
-         |  (SELECT pb.probe_id, pb.p, pr.cell, row_number() OVER
-         |    (PARTITION BY pb.probe_id ORDER BY
-         |      list_sum(list_transform(range(1, 65), i -> (pb.p[i]-pr.c[i])*(pb.p[i]-pr.c[i]))),
-         |      pr.cell) AS crn
-         |   FROM probes pb CROSS JOIN protos pr)
-         |  WHERE crn <= $NProbe),
-         |d AS (SELECT pc.probe_id, a.vec_id, ${cosE("a.v", "pc.p")} AS cos
-         |  FROM asg a JOIN pc ON a.cell = pc.cell
-         |  WHERE a.vec_id != pc.probe_id),
-         |r AS (SELECT probe_id, vec_id, cos, row_number() OVER
-         |  (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn FROM d)
-         |SELECT probe_id, CAST(rn AS INT) AS rank, vec_id AS neighbor_id,
-         | round(cos, 6) AS cos_sim
-         |FROM r WHERE rn <= $K""".stripMargin,
+    // ONE oracle for the in-memory query, the pruned layout, and the
+    // delta-appended layout: the disk hop AND the append seam must both be
+    // invisible in the results
+    "ann_ivf_pruned" -> ivfServeOracle,
+    "ann_ivf" -> ivfServeOracle,
+    "ann_ivf_delta" -> ivfServeOracle,
     // the literal-hyperplane formula of Similarity.hyperplane: sign bits
     // from the SAME left-to-right fold, packed into corpus-sized band keys
     // (params.bpb = integer twin of Similarity.bitsPerBand — bit-length

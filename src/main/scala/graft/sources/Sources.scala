@@ -58,6 +58,18 @@ object Sources {
   def writeIvfLayout(assigned: DataFrame, path: String): Unit =
     writePartitioned(assigned.select(col("vec_id"), col("v"), col("cell")), path, "cell")
 
+  /** Append a delta to an existing IVF layout: the delta rows land as NEW
+    * files inside their cells' directories (dynamic-partition append) —
+    * yesterday's files are never rewritten or rebalanced. This is the
+    * layout-maintenance half of incremental ANN serving: the coarse
+    * quantizer is frozen (re-clustering is a REBUILD, not a delta), so an
+    * appended vector is served exactly as a rebuilt layout would serve it.
+    * Daily cost is sized by the increment; the partition-pruned query path
+    * is unchanged. */
+  def appendIvfLayout(assignedDelta: DataFrame, path: String): Unit =
+    assignedDelta.select(col("vec_id"), col("v"), col("cell"))
+      .write.mode(SaveMode.Append).partitionBy("cell").parquet(path)
+
   /** Z-ORDER (Morton) layout: a single partition column that clusters TWO
     * integer dimensions at once, so a 2-D box predicate prunes to the few
     * grid cells the box overlaps — the OPTIMIZE ZORDER data-skipping shape.
