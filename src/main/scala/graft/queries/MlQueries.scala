@@ -119,6 +119,38 @@ object MlQueries {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Training-shard EXPORT with its manifest under the hash gate — the last
+    * mile the pipeline entries stop short of: after cleaning/packing, a
+    * trainer consumes fixed-budget shard FILES. Shard assignment is the
+    * greedy sequential fill `shard = floor(cumBefore / budget)` in doc
+    * order, budget measured in REAL BPE tokens, computed with the
+    * DISTRIBUTED prefix sum ([[graft.operators.Shards.assignShards]]:
+    * √N-sized range buckets → exact bucket offsets → per-bucket parallel
+    * windows; never the single-task global `Window.orderBy`). The shards
+    * are REALLY WRITTEN — `partitionBy(shard)`, session-keyed through
+    * `Artifacts` — and the manifest is computed by READING THE LAYOUT
+    * BACK, so the hash gate covers the sink's contents, not just a plan:
+    * a lost row, a doc in two shards, or a mis-bucketed offset all break
+    * the manifest hash. The oracle replays the plain global cumsum
+    * (bucketing is result-invisible, ShardsSpec proves bucketSize
+    * invariance). */
+  val ShardBudgetTokens = 4000L
+  def mlExportShards(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        graft.operators.TextOps.bpeTokenCount(col("text")).cast("long").as("t"))
+    val n = docs.count() // metadata-cheap; sizes the prefix-sum buckets
+    val bucketSize = math.max(256L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    val layout = graft.operators.Artifacts.sharedPath(s"shards:$dir") { path =>
+      graft.sources.Sources.writePartitioned(
+        graft.operators.Shards.assignShards(docs, "doc_id", "t",
+          ShardBudgetTokens, bucketSize), path, "shard")
+    }
+    s.read.parquet(layout).groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).cast("long").as("n_tokens"),
+        min(col("doc")).as("first_doc"), max(col("doc")).as("last_doc"))
+  }
+
   // ---- oracle-checked training loop --------------------------------------
   // 5 full batch-SOM iterations, checkable against a generated DuckDB CTE
   // chain. Two determinism devices make cross-engine equality exact:
@@ -289,11 +321,26 @@ object MlQueries {
     "ml_train_test_split" -> mlTrainTestSplit _,
     "ml_lang_centroids" -> mlLangCentroids _,
     "ml_domain_mixture" -> mlDomainMixture _,
+    "ml_export_shards" -> mlExportShards _,
   )
 
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ", ", ")")
 
   val oracleSql: Map[String, String] = Map(
+    // the plain global cumsum — the bucketed decomposition must be invisible
+    "ml_export_shards" ->
+      s"""WITH ${graft.functions.Bpe.oracleCountCte("documents", "m")},
+         |t AS (SELECT d.doc_id, b.bpe_tokens AS t
+         |  FROM documents d JOIN mcnt b USING (doc_id)),
+         |c AS (SELECT doc_id, t,
+         |  COALESCE(sum(t) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         | FROM t)
+         |SELECT cum_before // $ShardBudgetTokens AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(t) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY 1""".stripMargin,
     "ml_domain_mixture" ->
       s"""WITH ${graft.functions.Bpe.oracleCountCte("documents", "m")},
          |t AS (SELECT d.doc_id, d.source, b.bpe_tokens AS n_tokens,
