@@ -42,15 +42,29 @@ object Bench {
     }
     val results = samples.groupBy(_._1).view
       .mapValues(ts => median(ts.map(_._2))).toMap
-    // COMPACT per-query timings (0.1 ms resolution) — full-precision doubles
-    // made the r4-r6 stdout line ~6 KB and the driver's tail scrape truncated
-    // it mid-object ("parsed": null three rounds running); 4 decimals halves
-    // the line and loses nothing a bench consumer reads.
+    // The driver's stdout scrape keeps only the LAST 2000 bytes, so a full
+    // 120+-query map (~3 KB even at 4 decimals) can never parse from the
+    // tail — that's the "parsed": null of rounds 4-6. The stdout line
+    // therefore carries total + as many per-query medians as fit a hard
+    // byte budget, COSTLIEST FIRST (the ones a bench reader acts on), plus
+    // "queries_elided" so the truncation is explicit. target/bench.json
+    // (written below, atomically) stays the complete full-precision record.
     def f(v: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
+    val byCost = results.toSeq.sortBy { case (k, v) => (-v, k) }
+    val budget = 1600 // leaves ~250 bytes of trailing sbt chatter inside 2000
+    val kept = scala.collection.mutable.ListBuffer.empty[String]
+    var used = 0
+    for ((k, v) <- byCost) {
+      val entry = "\"" + k + "\":" + f(v)
+      if (used + entry.length + 1 <= budget) { kept += entry; used += entry.length + 1 }
+    }
+    def line(entries: Seq[String], elided: Int) =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")},"queries_elided":$elided,"full":"target/bench.json","sf":"$sfDir","reps":$reps}"""
+    val json = line(kept.toSeq, results.size - kept.size)
+    // the complete map goes to the file; same shape, no budget
+    val fullJson =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${results.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")},"sf":"$sfDir","reps":$reps}"""
     // Persist to a file, atomically (tmp + rename): the file is the
     // loss-proof artifact. Path printed so callers find it.
     try {
@@ -61,7 +75,7 @@ object Bench {
       val dir = RepoRoot.dir.resolve("target")
       Files.createDirectories(dir)
       val tmp = dir.resolve("bench.json.tmp")
-      Files.writeString(tmp, json + "\n")
+      Files.writeString(tmp, fullJson + "\n")
       Files.move(tmp, dir.resolve("bench.json"),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       System.err.println(s"bench json written to ${dir.resolve("bench.json").toAbsolutePath}")
