@@ -25,7 +25,8 @@ object SparkEntry {
     graft.queries.SimilarityQueries.queries ++
     graft.queries.MultimodalQueries.queries ++
     graft.queries.AdvancedQueries.queries ++
-    graft.queries.SourceQueries.queries
+    graft.queries.SourceQueries.queries ++
+    graft.queries.GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,5 +39,6 @@ object SparkEntry {
     graft.queries.SimilarityQueries.oracleSql ++
     graft.queries.MultimodalQueries.oracleSql ++
     graft.queries.AdvancedQueries.oracleSql ++
-    graft.queries.SourceQueries.oracleSql
+    graft.queries.SourceQueries.oracleSql ++
+    graft.queries.GraphQueries.oracleSql
 }

@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.functions.VectorSql.md5Hash60
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Link-graph catalog entries: PageRank-family centrality over a
+  * deterministic corpus-derived link graph (the crawl-pipeline quality
+  * signal — rank hosts/documents by link structure before content filters).
+  *
+  * The test tables carry no hyperlinks, so the graph is DERIVED from the
+  * corpus by the same planted-fixture discipline as the PII/audio entries:
+  * each doc's out-degree and link targets are md5-hash formulas of its
+  * doc_id, which the oracle replays literally (`'0x'||substr(md5(...))`).
+  * The OPERATOR under test — [[graft.operators.Graph.pagerank]] — is graph-
+  * agnostic; only this query layer knows the formula.
+  */
+object GraphQueries {
+
+  /** Damped iterations the catalog entry runs (each is oracle-replayed). */
+  val PrIters = 5
+
+  /** Out-degree 1..8 and targets drawn uniformly over the contiguous
+    * doc_id space [0, n): a multigraph with self-loops possible, every node
+    * ≥ 1 out-link (no dangling mass — [[graft.operators.Graph.pagerank]]'s
+    * no-out-edge leak never triggers here). */
+  private def linkGraph(docs: DataFrame, n: Long): DataFrame =
+    docs.select(col("doc_id").as("src"))
+      .withColumn("k", (md5Hash60(concat(lit("deg:"), col("src"))) % 8 + 1).cast("int"))
+      .withColumn("j", explode(sequence(lit(0), col("k") - 1)))
+      .withColumn("dst", md5Hash60(concat_ws(":", lit("lnk"), col("src"), col("j"))) % n)
+      .select(col("src"), col("dst"))
+
+  /** Exact integer rank of every document after [[PrIters]] damped rounds.
+    * `n` (the id-space size the targets draw from) is the one corpus-scale
+    * count collected — metadata, same discipline as ml_export_shards. */
+  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val n = docs.count()
+    graft.operators.Graph.pagerank(
+      linkGraph(docs, n), docs.select(col("doc_id").as("id")), PrIters)
+      .select(col("id").as("doc_id"), col("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> graphPagerank _,
+  )
+
+  /** The oracle replays the edge formula and all [[PrIters]] rounds as
+    * staged CTEs (the som_fit5 discipline). Every quantity is integer, so
+    * the comparison is exact — no float-sum ordering anywhere. */
+  val oracleSql: Map[String, String] = {
+    val base = (15L * graft.operators.Graph.InitMass) / 100L
+    val iterCtes = (1 to PrIters).map { t =>
+      s"""i$t AS (SELECT e.dst AS doc_id, sum(r${t - 1}.rank // e.k) AS inflow
+         |  FROM e JOIN r${t - 1} ON r${t - 1}.doc_id = e.src GROUP BY 1),
+         |r$t AS (SELECT d.doc_id,
+         |  $base + (85 * COALESCE(i.inflow, 0)) // 100 AS rank
+         |  FROM documents d LEFT JOIN i$t i USING (doc_id))""".stripMargin
+    }.mkString(",\n")
+    Map(
+      "graph_pagerank" ->
+        s"""WITH deg AS (SELECT doc_id AS src,
+           |    1 + (('0x' || substr(md5('deg:' || doc_id), 1, 15))::BIGINT % 8) AS k
+           |  FROM documents),
+           |e AS (SELECT src, k,
+           |    ('0x' || substr(md5('lnk:' || src || ':' || j.j), 1, 15))::BIGINT
+           |      % (SELECT count(*) FROM documents) AS dst
+           |  FROM deg, range(8) AS j(j) WHERE j.j < k),
+           |r0 AS (SELECT doc_id, CAST(${graft.operators.Graph.InitMass} AS BIGINT) AS rank
+           |  FROM documents),
+           |$iterCtes
+           |SELECT doc_id, CAST(rank AS BIGINT) AS rank FROM r$PrIters""".stripMargin,
+    )
+  }
+}
