@@ -114,6 +114,52 @@ object RelationalQueries {
         round(sum(when(col("l_discount") > 0.05, col("l_extendedprice")).otherwise(lit(0.0))
           .cast("decimal(18,4)")).cast("double"), 2).as("discounted_sales"))
 
+  /** Ship-months at or after this fall in the "delta" (today's increment);
+    * earlier months live in the stored base rollup. */
+  val IncrCutoff = "1997-01-01"
+
+  /** The algebraic partial state an incrementally-maintained rollup stores:
+    * count + sums only (never a ratio — derived measures are computed AFTER
+    * the merge, the classic materialized-view discipline). */
+  private def rollupPartial(li: DataFrame): DataFrame =
+    li.groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).as("sum_qty"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).as("rev"))
+
+  /** Incrementally-maintained monthly rollup: the pre-cutoff base rollup is
+    * a REAL stored artifact (written once through [[graft.operators.Artifacts]],
+    * read back — yesterday's materialized view), the post-cutoff delta is
+    * aggregated increment-sized, and the two merge by SUMMING PARTIALS
+    * (union + re-aggregate — the same algebraic combine Spark's map-side
+    * partial aggregation performs). The derived average is computed after
+    * the merge in exact integer units (revenue·10⁴ div count — the
+    * decimal's 4-digit scale makes the scaled value integral, so no
+    * truncate-vs-round cast divergence can reach the hash gate). The oracle
+    * is the FULL recompute over all of lineitem: the maintenance seam must
+    * be result-invisible. At 100 TB the daily cost is the increment scan
+    * plus a merge shuffled on the (month, flag) key space — never the
+    * history rescan the oracle performs. */
+  def qIncrRollup(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val mvPath = graft.operators.Artifacts.sharedPath(s"incr_rollup:$dir") { path =>
+      rollupPartial(li.where(col("l_shipdate") < lit(IncrCutoff)))
+        .write.parquet(path)
+    }
+    val merged = s.read.parquet(mvPath)
+      .unionByName(rollupPartial(li.where(col("l_shipdate") >= lit(IncrCutoff))))
+      .groupBy(col("month"), col("l_returnflag"))
+      .agg(sum(col("n_items")).cast("long").as("n_items"),
+        round(sum(col("sum_qty")), 2).as("sum_qty"),
+        sum(col("rev")).as("rev"))
+    merged.select(col("month"), col("l_returnflag"), col("n_items"),
+      col("sum_qty"),
+      round(col("rev").cast("double"), 2).as("revenue"),
+      expr("cast(rev * 10000 as bigint) div n_items").as("avg_item_e4"))
+  }
+
   /** Rollup: subtotals + grand total over two grouping columns. */
   def qRollup(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -405,6 +451,7 @@ object RelationalQueries {
     "q_set_except" -> qSetExcept _,
     "q_distinct_having" -> qDistinctHaving _,
     "q_monthly" -> qMonthly _,
+    "q_incr_rollup" -> qIncrRollup _,
     "q_rollup" -> qRollup _,
     "q_cube" -> qCube _,
     "q_grouping_sets" -> qGroupingSets _,
@@ -547,6 +594,16 @@ object RelationalQueries {
         | round(CAST(sum(CAST(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END
         |   AS DECIMAL(18,4))) AS DOUBLE), 2) AS discounted_sales
         |FROM lineitem GROUP BY 1""".stripMargin,
+    // the full recompute — the incremental merge must be result-invisible
+    "q_incr_rollup" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS month, l_returnflag,
+        | CAST(count(*) AS BIGINT) AS n_items,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        |   AS DOUBLE), 2) AS revenue,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) * 10000
+        |   AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_item_e4
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS sum_qty

@@ -144,6 +144,15 @@ class PlanSpec extends SparkSpec {
       s"mixture must shuffle once, on the window partition:\n$pl")
   }
 
+  test("q_incr_rollup: delta scan is cutoff-pushed — daily cost is increment-sized") {
+    val pl = plan(RelationalQueries.qIncrRollup(spark, dir))
+    // the merged plan's lineitem scan must carry the cutoff predicate at the
+    // parquet reader (partition-pruned at 100 TB), never a history rescan
+    assert(pl.contains("GreaterThanOrEqual(l_shipdate"),
+      s"delta cutoff must reach the lineitem scan:\n$pl")
+    assert(pl.contains("partial_sum"), "merge must combine partials map-side")
+  }
+
   test("q_upsert_snapshot: snapshot never shuffles, delta keys broadcast") {
     val pl = plan(RelationalQueries.qUpsertSnapshot(spark, dir))
     assert(pl.contains("BroadcastHashJoin") && pl.contains("LeftAnti"),
