@@ -160,6 +160,50 @@ object TextDedupQueries {
     * engines; tf/dl/avgdl inputs are exact integers, so the final
     * round(6) score and the (score, term) ranking are identical by
     * construction. */
+  /** Docs per posting-list block — deliberately tiny so even the smallest
+    * test corpus exercises multi-block terms; a production index would size
+    * segments in the millions of docs. The SHAPE, not the constant, is the
+    * scale claim. */
+  val InvBlockDocs = 16L
+
+  /** Inverted-index build, BLOCK-SEGMENTED (the Lucene-segment shape and
+    * the honest skew answer: a stopword appearing in every document never
+    * becomes one giant group — its posting list splits across doc_id-range
+    * blocks of [[InvBlockDocs]] docs, so per-group state is bounded by the
+    * block width no matter how common the term). Within a block the
+    * postings are DELTA-ENCODED off the block base (the standard
+    * compression form); per term the output carries df, cf, block count,
+    * and a hash chaining every block's delta stream in block order — a
+    * lost doc, a mis-sorted posting, or a wrong gap all break it.
+    *
+    * Build cost at scale: one (term, doc) shuffle for tf, one
+    * (term, block) shuffle whose groups are ≤ block width, then a
+    * vocabulary-sized rollup. Nothing is ever corpus-sized in one task. */
+  def textInvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorSql.md5Hash60
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(TextOps.tokensFast(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val blocks = tf.withColumn("blk", expr(s"doc_id div $InvBlockDocs"))
+      .groupBy(col("term"), col("blk"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"),
+        count(lit(1)).as("df_blk"), sum(col("tf")).as("cf_blk"))
+      .withColumn("deltas", expr(
+        s"""transform(ids, (x, i) ->
+           |  CASE WHEN i = 0 THEN x - blk * $InvBlockDocs
+           |       ELSE x - element_at(ids, i) END)""".stripMargin))
+      .withColumn("phash",
+        md5Hash60(concat_ws(",", expr("transform(deltas, x -> cast(x as string))"))))
+    blocks.groupBy(col("term"))
+      .agg(sum(col("df_blk")).cast("long").as("df"),
+        sum(col("cf_blk")).cast("long").as("cf"),
+        count(lit(1)).as("n_blocks"),
+        md5Hash60(concat_ws(";", expr(
+          """transform(sort_array(collect_list(struct(blk, phash))),
+            |  x -> concat_ws(':', x.blk, x.phash))""".stripMargin)))
+          .as("index_hash"))
+  }
+
   def textBm25Topk(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
     fork.experimental.extraStrategies =
       fork.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
@@ -527,6 +571,7 @@ object TextDedupQueries {
     "bpe_train" -> bpeTrain _,
     "bpe_vocab" -> bpeVocab _,
     "text_bm25_topk" -> textBm25Topk _,
+    "text_inverted_index" -> textInvertedIndex _,
     "text_tfidf_topk" -> textTfidfTopk _,
     "text_simhash" -> textSimhash _,
     "dedup_exact" -> dedupExact _,
@@ -938,6 +983,29 @@ object TextDedupQueries {
     // BM25 twin of the tfidf oracle: identical CTE skeleton, the BM25
     // formula with dyadic k1/b and both risky intermediates quantized —
     // expression shapes copied operator-for-operator from the Spark side
+    // delta replayed as lag() defaulting to the block base; hashes chain
+    // per-block delta streams in block order — the same strings Spark builds
+    "text_inverted_index" ->
+      s"""WITH $toksCte,
+         |tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM
+         |  (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2),
+         |g AS (SELECT term, doc_id // $InvBlockDocs AS blk, doc_id, tf,
+         |  doc_id - COALESCE(lag(doc_id) OVER (
+         |      PARTITION BY term, doc_id // $InvBlockDocs ORDER BY doc_id),
+         |    (doc_id // $InvBlockDocs) * $InvBlockDocs) AS delta
+         | FROM tf),
+         |b AS (SELECT term, blk, count(*) AS df_blk, sum(tf) AS cf_blk,
+         |  ('0x' || substr(md5(string_agg(CAST(delta AS VARCHAR), ','
+         |      ORDER BY doc_id)), 1, 15))::BIGINT AS phash
+         | FROM g GROUP BY 1, 2)
+         |SELECT term,
+         | CAST(sum(df_blk) AS BIGINT) AS df,
+         | CAST(sum(cf_blk) AS BIGINT) AS cf,
+         | CAST(count(*) AS BIGINT) AS n_blocks,
+         | ('0x' || substr(md5(string_agg(
+         |     CAST(blk AS VARCHAR) || ':' || CAST(phash AS VARCHAR), ';'
+         |     ORDER BY blk)), 1, 15))::BIGINT AS index_hash
+         |FROM b GROUP BY 1""".stripMargin,
     "text_bm25_topk" ->
       s"""WITH $toksCte,
          |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM
