@@ -223,6 +223,23 @@ object Similarity {
   def pqRecon(codes: Column, cb: Array[Array[Double]], subDims: Int): Column =
     graft.functions.PqExpressions.pqReconstruct(codes, cb, subDims)
 
+  /** Within-cell confirmed pair graph above `minCos` — the SemDeDup
+    * candidate step: the quantizer blocks the all-pairs (a "semantic
+    * duplicate" of v lands in v's cell for any τ worth deduping at), so
+    * total pair work is Σ cell² ≈ N^1.5 with the √N-scaled cell count,
+    * never the global N². Emits each unordered pair once (a < b).
+    * @param assigned (vec_id, v, cell, …) */
+  def semanticPairs(assigned: DataFrame, minCos: Double): DataFrame = {
+    val an = assigned.select(col("vec_id"), col("v"), col("cell"))
+      .withColumn("nrm", norm2Fast(col("v"))).localCheckpoint(eager = true)
+    an.as("a").join(an.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"),
+        cosFromNorms(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")).as("cos"))
+      .where(col("cos") >= minCos)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
   /** Embedding near-dup: each vector's nearest neighbor within its IVF cell
     * (blocked all-pairs — never the global N² join), kept if cosine ≥
     * minCos. @param assigned (vec_id, v, cell) */

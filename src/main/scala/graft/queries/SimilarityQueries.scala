@@ -203,6 +203,44 @@ object SimilarityQueries {
         round(col("adc_dot"), 6).as("adc_dot"), round(col("dot"), 6).as("dot"))
   }
 
+  /** SemDeDup cosine threshold: picked against this corpus's within-cell
+    * cosine distribution (pairs top out near 0.49) so every SF yields
+    * real multi-member groups without collapsing into one component. */
+  val SemTau = 0.35
+
+  /** SemDeDup (Abbas et al. 2023): semantic dedup = cluster the embedding
+    * space, confirm within-cluster pairs above τ, connected-component the
+    * pair graph, and keep ONE representative per semantic group — the
+    * member FARTHEST from its cluster centroid (the paper's diversity
+    * rule: the most typical members are the most redundant). Composed
+    * entirely from proven machinery: the √N-scaled IVF quantizer blocks
+    * the pairs ([[graft.operators.Similarity.semanticPairs]], ~N^1.5
+    * total work), the convergence-checked min-label fixpoint labels the
+    * groups ([[graft.operators.Dedup.keepListConverged]] — |E|-shuffle
+    * rounds, fail-loud), and the representative is a per-group
+    * `max(struct)` argmax that reduces map-side. Singletons keep
+    * themselves. Output: (vec_id, canonical, keep). */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val p = pts(s, dir)
+    val cells = centroidCount(p.count())
+    val a = assigned(s, dir, cells)
+    val withD2 = a.join(broadcast(p.where(col("vec_id") < cells)
+        .select(col("vec_id").cast("long").as("proto_id"), col("v").as("c"))),
+        col("cell") === col("proto_id"))
+      .select(col("vec_id"), col("v"), col("cell"),
+        graft.functions.VectorSql.sqDistFast(col("v"), col("c")).as("d2"))
+    val pairs = Similarity.semanticPairs(withD2, SemTau)
+    val cc = graft.operators.Dedup.keepListConverged(
+      withD2.select(col("vec_id")), "vec_id", pairs)
+    val rep = cc.join(withD2.select(col("vec_id").as("doc"), col("d2")), "doc")
+      .groupBy(col("canonical"))
+      .agg(max(struct(col("d2").as("d2"), (lit(0L) - col("doc")).as("nid"))).as("m"))
+      .select(col("canonical"), (lit(0L) - col("m.nid")).as("rep"))
+    cc.join(rep, "canonical")
+      .select(col("doc").as("vec_id"), col("canonical"),
+        (col("doc") === col("rep")).as("keep"))
+  }
+
   def nearDupLsh(s: SparkSession, dir: String): DataFrame = {
     val p = pts(s, dir)
     val bpb = Similarity.bitsPerBand(p.count())
@@ -298,6 +336,7 @@ object SimilarityQueries {
     "ann_pq" -> annPq _,
     "dedup_embedding_nn" -> nearDupNN _,
     "dedup_embedding_lsh" -> nearDupLsh _,
+    "dedup_semantic" -> dedupSemantic _,
   )
 
   // ---- oracle CTEs ----
@@ -491,5 +530,30 @@ object SimilarityQueries {
          |  (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn FROM pairs)
          |SELECT a_id AS vec_id, b_id AS nn_id, round(cos, 6) AS cos_sim
          |FROM r WHERE rn = 1 AND cos >= $MinCos""".stripMargin,
+    // SemDeDup replay: same quantizer CTEs, exact-cosine pair graph at τ,
+    // recursive transitive closure (the dedup_cc_keep_list discipline),
+    // farthest-from-centroid representative via row_number
+    "dedup_semantic" ->
+      s"""WITH RECURSIVE $base, $assignedSqrtNCte,
+         |sp AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+         |  FROM asg_n a JOIN asg_n b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${cosE("a.v", "b.v")} >= $SemTau),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM sp
+         |  UNION ALL SELECT doc_b, doc_a FROM sp
+         |  UNION ALL SELECT vec_id, vec_id FROM pts),
+         |reach AS (SELECT src AS doc, dst AS r FROM edges
+         |  UNION
+         |  SELECT reach.doc, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+         |cc AS (SELECT doc, min(r) AS canonical FROM reach GROUP BY 1),
+         |dd AS (SELECT a.vec_id AS doc,
+         |  list_sum(list_transform(range(1, 65),
+         |    i -> (a.v[i]-pr.c[i])*(a.v[i]-pr.c[i]))) AS d2
+         |  FROM asg_n a JOIN protos_n pr ON a.cell = pr.cell),
+         |rep AS (SELECT canonical, doc AS rep FROM
+         |  (SELECT cc.canonical, cc.doc, row_number() OVER
+         |     (PARTITION BY cc.canonical ORDER BY dd.d2 DESC, cc.doc) AS rn
+         |   FROM cc JOIN dd ON cc.doc = dd.doc) WHERE rn = 1)
+         |SELECT cc.doc AS vec_id, cc.canonical, (cc.doc = rep.rep) AS keep
+         |FROM cc JOIN rep ON cc.canonical = rep.canonical""".stripMargin,
   )
 }
