@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.operators.Similarity
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity-search catalog: exact brute-force cosine top-k, IVF-bucketed
@@ -241,6 +242,74 @@ object SimilarityQueries {
         (col("doc") === col("rep")).as("keep"))
   }
 
+  /** RRF constants: the classic c = 60, lists capped at top-100 before
+    * fusion (RRF only ever consumes each system's head — the cap is what
+    * keeps both lists heap-operator-sized at any corpus scale), fused
+    * top-10 out. Scores are SCALED-INTEGER reciprocals (10⁹ div (c+rank)),
+    * so fusion sums are exact on both engines. */
+  val RrfC = 60L
+  val RrfScale = 1000000000L
+  val RrfListK = 100
+  val RrfOutK = 10
+
+  /** Hybrid retrieval with reciprocal-rank fusion — the RAG-serving shape:
+    * a lexical BM25 list and a vector cosine list, each cut to its top
+    * [[RrfListK]] (heap operator, no global sort), fused by
+    * rrf(d) = Σ_lists 10⁹ div (60 + rank_list(d)). The first
+    * [[NumProbes]] documents play the queries (their token sets lexically,
+    * their linked embeddings vectorially — the established vec_id ↔ doc_id
+    * link); a query never retrieves itself. BM25 per-term contributions are
+    * quantized to integer micro-units BEFORE the per-doc sum (the one
+    * float-sum in the pipeline becomes an exact integer sum), reusing
+    * text_bm25_topk's idf/norm quantization verbatim upstream of that.
+    * Ranks, fusion, and the final cut are all integer/total-ordered, so
+    * the whole entry sits under the hash gate. */
+  def retrievalRrf(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    fork.experimental.extraStrategies =
+      fork.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
+    val d = fork.read.parquet(s"$dir/documents.parquet")
+    val toks = d.select(col("doc_id"),
+      graft.operators.TextOps.tokensFast(col("text")).as("t"))
+    val tf = toks.select(col("doc_id"), explode(col("t")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = toks.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+    val nn = d.agg(count(lit(1)).as("n_docs"))
+    val tot = dl.agg(sum(col("dl")).as("tot_dl"))
+    val qt = toks.where(col("doc_id") < NumProbes)
+      .select(col("doc_id").as("q_id"), explode(col("t")).as("term")).distinct()
+    val (k1, b) = (1.25, 0.75)
+    val idf = round(log((col("n_docs").cast("double") - col("df") + 0.5) /
+      (col("df") + 0.5) + 1.0), 9)
+    val norm = round(lit(k1) * (lit(1.0) - b + lit(b) * col("dl") /
+      (col("tot_dl").cast("double") / col("n_docs"))), 9)
+    val contrib = round(idf * (col("tf") * (k1 + 1)) / (col("tf") + norm), 6)
+    val hits = qt.join(tf, "term").join(dft, "term").join(dl, "doc_id")
+      .crossJoin(broadcast(nn)).crossJoin(broadcast(tot))
+      .where(col("doc_id") =!= col("q_id"))
+      .select(col("q_id"), col("doc_id"),
+        round(contrib * 1e6, 0).cast("long").as("c_e6"))
+      .groupBy(col("q_id"), col("doc_id")).agg(sum(col("c_e6")).as("score_e6"))
+    val lw = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_e6").desc, col("doc_id"))
+    val lexTop = graft.plans.TopKPerKey.topKPerKey(hits, Seq(col("q_id")),
+        Seq(col("score_e6").desc, col("doc_id").asc), RrfListK)
+      .withColumn("lr", row_number().over(lw))
+      .select(col("q_id"), col("doc_id"), col("lr"))
+    val vecTop = Similarity.bruteTopK(pts(fork, dir), probes(fork, dir), RrfListK)
+      .select(col("probe_id").as("q_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("vr"))
+    val fw = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf_e9").desc, col("doc_id"))
+    lexTop.join(vecTop, Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"),
+        (coalesce(expr(s"$RrfScale div ($RrfC + lr)"), lit(0L)) +
+         coalesce(expr(s"$RrfScale div ($RrfC + vr)"), lit(0L))).as("rrf_e9"))
+      .withColumn("rank", row_number().over(fw))
+      .where(col("rank") <= RrfOutK)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("rrf_e9"))
+  }
+
   def nearDupLsh(s: SparkSession, dir: String): DataFrame = {
     val p = pts(s, dir)
     val bpb = Similarity.bitsPerBand(p.count())
@@ -337,6 +406,7 @@ object SimilarityQueries {
     "dedup_embedding_nn" -> nearDupNN _,
     "dedup_embedding_lsh" -> nearDupLsh _,
     "dedup_semantic" -> dedupSemantic _,
+    "retrieval_rrf" -> retrievalRrf _,
   )
 
   // ---- oracle CTEs ----
@@ -555,5 +625,55 @@ object SimilarityQueries {
          |   FROM cc JOIN dd ON cc.doc = dd.doc) WHERE rn = 1)
          |SELECT cc.doc AS vec_id, cc.canonical, (cc.doc = rep.rep) AS keep
          |FROM cc JOIN rep ON cc.canonical = rep.canonical""".stripMargin,
+    // lexical list = text_bm25_topk's quantization verbatim, per-term
+    // contributions integer-scaled BEFORE the per-doc sum; vector list =
+    // ann_brute's ranking; fusion and the final cut are pure integers
+    "retrieval_rrf" ->
+      s"""WITH ${TextDedupQueries.toksCte},
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM
+         |  (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2),
+         |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS tot_dl FROM dl),
+         |qt AS (SELECT DISTINCT q_id, term FROM
+         |  (SELECT doc_id AS q_id, unnest(t) AS term FROM toks
+         |   WHERE doc_id < $NumProbes)),
+         |hits AS (SELECT qt.q_id, tf.doc_id,
+         |    CAST(sum(CAST(round(
+         |      round(ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0), 9)
+         |      * (tf * 2.25)
+         |      / (tf + round(1.25 * (1.0 - 0.75 + 0.75 * dl
+         |                    / (CAST(tot_dl AS DOUBLE) / n_docs)), 9))
+         |      * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS score_e6
+         |  FROM qt JOIN tf USING (term) JOIN dft USING (term)
+         |  JOIN dl ON tf.doc_id = dl.doc_id
+         |  CROSS JOIN n CROSS JOIN tot
+         |  WHERE tf.doc_id != qt.q_id
+         |  GROUP BY 1, 2),
+         |lex AS (SELECT q_id, doc_id, lr FROM
+         |  (SELECT q_id, doc_id, row_number() OVER
+         |     (PARTITION BY q_id ORDER BY score_e6 DESC, doc_id) AS lr FROM hits)
+         |  WHERE lr <= $RrfListK),
+         |pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |probes AS (SELECT vec_id AS probe_id, v AS p FROM pts
+         |  WHERE vec_id < $NumProbes),
+         |vc AS (SELECT probe_id AS q_id, vec_id AS doc_id, ${cosE("v", "p")} AS cos
+         |  FROM pts CROSS JOIN probes WHERE vec_id != probe_id),
+         |vec AS (SELECT q_id, doc_id, vr FROM
+         |  (SELECT q_id, doc_id, row_number() OVER
+         |     (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS vr FROM vc)
+         |  WHERE vr <= $RrfListK),
+         |fused AS (SELECT COALESCE(l.q_id, v.q_id) AS q_id,
+         |    COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         |    COALESCE($RrfScale // ($RrfC + l.lr), 0)
+         |      + COALESCE($RrfScale // ($RrfC + v.vr), 0) AS rrf_e9
+         |  FROM lex l FULL OUTER JOIN vec v
+         |    ON l.q_id = v.q_id AND l.doc_id = v.doc_id)
+         |SELECT q_id, CAST(rank AS INT) AS rank, doc_id,
+         |  CAST(rrf_e9 AS BIGINT) AS rrf_e9 FROM
+         |  (SELECT q_id, doc_id, rrf_e9, row_number() OVER
+         |     (PARTITION BY q_id ORDER BY rrf_e9 DESC, doc_id) AS rank FROM fused)
+         |WHERE rank <= $RrfOutK""".stripMargin,
   )
 }

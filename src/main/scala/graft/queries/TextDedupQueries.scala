@@ -589,7 +589,7 @@ object TextDedupQueries {
   )
 
   // ---- shared oracle CTE fragments ----
-  private val toksCte =
+  private[queries] val toksCte =
     """toks AS (SELECT doc_id, text,
       | list_filter(string_split(text, ' '), x -> x != '') AS t FROM documents)""".stripMargin
   // dsh carries HASHED shingles (60-bit longs): both engines hash before the
