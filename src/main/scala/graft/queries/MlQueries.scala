@@ -85,6 +85,56 @@ object MlQueries {
         (round(code.cast("double") * col("s") / 127, 6) + lit(0.0)).as("recon"))
   }
 
+  /** Power-iteration rounds and the integer unit the direction vector is
+    * renormalized to after each round. */
+  val PowerIters = 5
+  val PowerUnit = 1000L
+
+  /** Dominant eigenvector of XᵀX over the INT8-QUANTIZED corpus — the
+    * top principal direction, by 5 rounds of power iteration carried out
+    * ENTIRELY in integer arithmetic: codes are [[mlQuantizeInt8]]'s exact
+    * int8 lattice, the direction vector lives in [[PowerUnit]]-scaled
+    * integers, and renormalization is TRUNCATING division `y·unit / max|y|`
+    * (DuckDB's integer `//` truncates toward zero, like Scala `/`;
+    * Math.floorDiv would disagree on negative components — measured as a
+    * ±2-ulp drift compounding across rounds). Integer sums are order-independent,
+    * so a result that would be hash-hostile in doubles (corpus-sized
+    * float reductions per round) is exact cross-engine.
+    *
+    * Scale shape: the quantized corpus pivots to one array row per vector
+    * ONCE (one shuffle, persisted); each round is then a single cached
+    * scan — in-row dot for sᵢ = qᵢ·x, explode + 64-group integer aggregate
+    * for y = Σ qᵢ·sᵢ (partials combine map-side) — plus a 64-row collect.
+    * The driver holds only the 64-long direction (the SOM-fit discipline).
+    * int64 headroom: |y| ≤ 127·(127·64·unit)·N ≈ 2¹⁰·unit·N — at 10¹²
+    * rows a production run would renorm in a wider unit or per-partition;
+    * documented, not needed at any tested SF. */
+  def mlTopDirection(s: SparkSession, dir: String): DataFrame = {
+    val qArr = mlQuantizeInt8(s, dir)
+      .groupBy(col("vec_id"))
+      .agg(expr("array_sort(collect_list(struct(dim, code)))").as("a"))
+      .select(col("vec_id"), expr("transform(a, e -> cast(e.code as long))").as("qv"))
+      .persist()
+    try {
+      qArr.count()
+      var x = Array.fill(64)(PowerUnit)
+      for (_ <- 1 to PowerIters) {
+        val y = qArr
+          .withColumn("xarr", lit(x))
+          .withColumn("sv", expr(
+            "aggregate(zip_with(qv, xarr, (a, b) -> a * b), 0L, (acc, v) -> acc + v)"))
+          .select(posexplode(col("qv")).as(Seq("dim", "qd")), col("sv"))
+          .groupBy(col("dim")).agg(sum(col("qd") * col("sv")).as("y"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val m = (0 until 64).map(d => math.abs(y(d))).max
+        require(m > 0, "power iteration collapsed to the zero vector")
+        x = Array.tabulate(64)(d => y(d) * PowerUnit / m)
+      }
+      import s.implicits._
+      x.toSeq.zipWithIndex.map { case (c, d) => (d, c) }.toDF("dim", "coef")
+    } finally qArr.unpersist()
+  }
+
   /** Domain-MIXTURE resampling under a token budget — the data-mixing step
     * of a pretraining run: each source domain gets a per-mille share of the
     * total token budget (tier-1 sources 100‰, tier-2 60‰, long tail 20‰),
@@ -322,6 +372,7 @@ object MlQueries {
     "ml_lang_centroids" -> mlLangCentroids _,
     "ml_domain_mixture" -> mlDomainMixture _,
     "ml_export_shards" -> mlExportShards _,
+    "ml_top_direction" -> mlTopDirection _,
   )
 
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ", ", ")")
@@ -377,6 +428,37 @@ object MlQueries {
     "som_fit_predict" -> somFitPredictOracle,
     // same explode shape as ml_standardize; code/recon are the identical
     // IEEE folds Spark runs (floor(x/s*127 + 0.5), code*s/127)
+    // every power round replayed: integer dots, 64-dim integer sums, and
+    // TRUNCATING-division renorm (DuckDB integer "//" truncates toward
+    // zero exactly like Scala Long division; floorDiv would diverge on
+    // negative components)
+    "ml_top_direction" -> {
+      val rounds = (1 to PowerIters).map { t =>
+        s"""s$t AS (SELECT q.vec_id, CAST(sum(q.code * x${t - 1}.xv) AS BIGINT) AS sv
+           |  FROM q JOIN x${t - 1} ON q.dim = x${t - 1}.dim GROUP BY 1),
+           |y$t AS (SELECT q.dim, CAST(sum(q.code * s$t.sv) AS BIGINT) AS y
+           |  FROM q JOIN s$t ON q.vec_id = s$t.vec_id GROUP BY 1),
+           |m$t AS (SELECT max(abs(y)) AS m FROM y$t),
+           |x$t AS (SELECT y$t.dim, (y$t.y * $PowerUnit) // m$t.m AS xv
+           |  FROM y$t CROSS JOIN m$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ex AS (
+         |  SELECT vec_id, CAST(i - 1 AS INT) AS dim, v[i] AS x FROM
+         |  (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |          unnest(range(1, 65)) AS i
+         |   FROM embeddings)),
+         |scales AS (SELECT dim, max(abs(x)) AS s FROM ex GROUP BY 1),
+         |q AS (
+         |  SELECT vec_id, ex.dim,
+         |    CAST(CASE WHEN s = 0 THEN 0
+         |         ELSE floor(x / s * 127 + 0.5) END AS BIGINT) AS code
+         |  FROM ex JOIN scales ON ex.dim = scales.dim),
+         |x0 AS (SELECT CAST(unnest(range(0, 64)) AS INT) AS dim,
+         |  CAST($PowerUnit AS BIGINT) AS xv),
+         |$rounds
+         |SELECT CAST(dim AS INT) AS dim, CAST(xv AS BIGINT) AS coef
+         |FROM x$PowerIters""".stripMargin
+    },
     "ml_quantize_int8" ->
       """WITH ex AS (
         |  SELECT vec_id, CAST(i - 1 AS INT) AS dim, v[i] AS x FROM
