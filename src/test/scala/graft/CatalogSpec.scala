@@ -25,7 +25,7 @@ class CatalogSpec extends SparkSpec {
       graft.queries.RelationalQueries.queries, graft.queries.EventQueries.queries,
       graft.queries.TextDedupQueries.queries, graft.queries.SimilarityQueries.queries,
       graft.queries.MultimodalQueries.queries, graft.queries.AdvancedQueries.queries,
-      graft.queries.SourceQueries.queries)
+      graft.queries.SourceQueries.queries, graft.queries.GraphQueries.queries)
     val total = maps.map(_.size).sum
     assert(SparkEntry.queries.size == total,
       s"duplicate query names across modules: merged ${SparkEntry.queries.size} of $total")
