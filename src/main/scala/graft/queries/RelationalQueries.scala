@@ -114,6 +114,27 @@ object RelationalQueries {
         round(sum(when(col("l_discount") > 0.05, col("l_extendedprice")).otherwise(lit(0.0))
           .cast("decimal(18,4)")).cast("double"), 2).as("discounted_sales"))
 
+  /** k-anonymity re-identification threshold for [[qPrivKAnon]]. */
+  val KAnon = 5L
+
+  /** k-anonymity audit over the quasi-identifier (nation, market segment,
+    * account-balance-thousand bucket) — the data-governance check run
+    * before releasing a table: any QI cohort smaller than k is a
+    * re-identification risk and must be suppressed or generalized. Emits
+    * the at-risk cohorts with their sizes plus each cohort's member-id
+    * span (min/max — what a suppression pass needs to target). One
+    * partial-aggregated groupBy; the QI bucket is computed in-scan
+    * (floor over a double is engine-exact). At 100 TB this is the same
+    * one-shuffle shape at any cohort cardinality. */
+  def qPrivKAnon(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy(col("c_nationkey").cast("int").as("nation"),
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_k"))
+      .agg(count(lit(1)).as("cohort_n"),
+        min(col("c_custkey")).as("min_key"), max(col("c_custkey")).as("max_key"))
+      .where(col("cohort_n") < KAnon)
+
   /** Ship-months at or after this fall in the "delta" (today's increment);
     * earlier months live in the stored base rollup. */
   val IncrCutoff = "1997-01-01"
@@ -452,6 +473,7 @@ object RelationalQueries {
     "q_distinct_having" -> qDistinctHaving _,
     "q_monthly" -> qMonthly _,
     "q_incr_rollup" -> qIncrRollup _,
+    "priv_k_anon" -> qPrivKAnon _,
     "q_rollup" -> qRollup _,
     "q_cube" -> qCube _,
     "q_grouping_sets" -> qGroupingSets _,
@@ -594,6 +616,13 @@ object RelationalQueries {
         | round(CAST(sum(CAST(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END
         |   AS DECIMAL(18,4))) AS DOUBLE), 2) AS discounted_sales
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "priv_k_anon" ->
+      s"""SELECT CAST(c_nationkey AS INT) AS nation, c_mktsegment AS segment,
+         | CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_k,
+         | CAST(count(*) AS BIGINT) AS cohort_n,
+         | min(c_custkey) AS min_key, max(c_custkey) AS max_key
+         |FROM customer GROUP BY 1, 2, 3
+         |HAVING count(*) < ${RelationalQueries.KAnon}""".stripMargin,
     // the full recompute — the incremental merge must be result-invisible
     "q_incr_rollup" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS month, l_returnflag,
