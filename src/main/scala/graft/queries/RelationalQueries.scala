@@ -175,9 +175,13 @@ object RelationalQueries {
       .agg(sum(col("n_items")).cast("long").as("n_items"),
         round(sum(col("sum_qty")), 2).as("sum_qty"),
         sum(col("rev")).as("rev"))
+    // revenue in exact integer e4 units, like the derived average: at sf1
+    // the monthly sums reach ~1.2e9 where round(CAST(decimal AS DOUBLE), 2)
+    // straddles a half-up boundary differently per engine (6/249 rows) —
+    // the scaled integer is the only magnitude-proof spelling
     merged.select(col("month"), col("l_returnflag"), col("n_items"),
       col("sum_qty"),
-      round(col("rev").cast("double"), 2).as("revenue"),
+      expr("cast(rev * 10000 as bigint)").as("revenue_e4"),
       expr("cast(rev * 10000 as bigint) div n_items").as("avg_item_e4"))
   }
 
@@ -628,8 +632,8 @@ object RelationalQueries {
       """SELECT strftime(l_shipdate, '%Y-%m') AS month, l_returnflag,
         | CAST(count(*) AS BIGINT) AS n_items,
         | round(sum(l_quantity), 2) AS sum_qty,
-        | round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-        |   AS DOUBLE), 2) AS revenue,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) * 10000
+        |   AS BIGINT) AS revenue_e4,
         | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) * 10000
         |   AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_item_e4
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
