@@ -153,6 +153,21 @@ class PlanSpec extends SparkSpec {
     assert(pl.contains("partial_sum"), "merge must combine partials map-side")
   }
 
+  test("retrieval_rrf: both lists cut by the heap operator, no cartesian blow-up") {
+    val pl = plan(SimilarityQueries.retrievalRrf(spark, dir))
+    assert(pl.contains("TopKPerKeyFinal"),
+      "list cuts must run through the per-key heap, not a global sort")
+    assert(!pl.contains("CartesianProduct"),
+      "the probe cross joins must build on broadcast sides")
+  }
+
+  test("text_inverted_index: exactly the three designed exchanges, no window sort") {
+    val pl = plan(TextDedupQueries.textInvertedIndex(spark, dir))
+    assert("Exchange".r.findAllIn(pl).length == 3,
+      s"index build must shuffle exactly on (term,doc), (term,block), (term):\n$pl")
+    assert(!pl.contains("Window"), "posting order must come from in-row sort_array")
+  }
+
   test("q_upsert_snapshot: snapshot never shuffles, delta keys broadcast") {
     val pl = plan(RelationalQueries.qUpsertSnapshot(spark, dir))
     assert(pl.contains("BroadcastHashJoin") && pl.contains("LeftAnti"),
