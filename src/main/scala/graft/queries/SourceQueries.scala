@@ -162,15 +162,47 @@ object SourceQueries {
         col("o_totalprice"))
   }
 
+  /** Right-to-be-forgotten over a partitioned corpus: documents laid out by
+    * source, then every doc whose id falls on the deterministic deletion
+    * formula (`doc_id % 97 = 0` — a "deletion request" the oracle can
+    * replay) is surgically removed via
+    * [[graft.sources.Sources.deletePartitioned]] — only partitions holding
+    * a doomed id are rewritten, the rest stay byte-identical (SourcesSpec
+    * asserts the untouched-files invariant on a hand layout). The entry
+    * reads the post-delete layout back and profiles it per source; the
+    * oracle is the anti-join the delete must be indistinguishable from. */
+  def qGdprDelete(s: SparkSession, dir: String): DataFrame = {
+    val layout = graft.operators.Artifacts.sharedPath(s"gdpr:$dir") { path =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      Sources.writePartitioned(docs, path, "source")
+      Sources.deletePartitioned(s, path, "source", "doc_id",
+        docs.where(col("doc_id") % 97 === 0).select(col("doc_id")))
+    }
+    s.read.parquet(layout)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("tot_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_csv_nation" -> srcCsvNation _,
     "src_json_nation" -> srcJsonNation _,
     "src_orc_nation" -> srcOrcNation _,
     "src_csv_corrupt" -> srcCsvCorrupt _,
     "q_zorder_prune" -> qZorderPrune _,
+    "q_gdpr_delete" -> qGdprDelete _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the delete must be indistinguishable from the anti-join it implements
+    "q_gdpr_delete" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS tot_chars,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents WHERE doc_id % 97 != 0
+        |GROUP BY 1""".stripMargin,
     "q_zorder_prune" ->
       // the layout's losslessness contract: the box read == the plain filter
       """SELECT o_orderkey, o_custkey,

@@ -53,6 +53,41 @@ object Sources {
       .partitionBy(partitionCol)
       .parquet(path)
 
+  /** Surgical key deletion from a partitioned layout — the
+    * right-to-be-forgotten pass: only partitions that actually CONTAIN a
+    * doomed key are rewritten; every other partition's files stay
+    * byte-identical on disk (SourcesSpec asserts this). Mechanics: one
+    * pruned scan finds the affected partition values (bounded by the
+    * partition count — metadata-scale collect), a partition-filtered
+    * read anti-joins the broadcast deletion set, and the rewrite goes
+    * through Spark's DYNAMIC partition-overwrite so exactly the written
+    * partitions are replaced. At 100 TB the deletion set is a broadcast
+    * (deletion requests are human-scale), the scan prunes to affected
+    * directories, and the rewrite cost is proportional to the data that
+    * actually holds doomed keys — never a full-corpus rewrite. */
+  def deletePartitioned(spark: SparkSession, path: String,
+                        partitionCol: String, keyCol: String,
+                        ids: DataFrame): Unit = {
+    val layout = spark.read.parquet(path)
+    val doomed = broadcast(ids.select(col(keyCol)))
+    val affected = layout.join(doomed, keyCol)
+      .select(col(partitionCol)).distinct().collect().map(_.get(0))
+    if (affected.nonEmpty) {
+      val survivors = layout
+        .where(col(partitionCol).isin(affected.toIndexedSeq: _*))
+        .join(doomed, Seq(keyCol), "left_anti")
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try
+        survivors.write.mode(SaveMode.Overwrite)
+          .partitionBy(partitionCol).parquet(path)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
   /** Embeddings laid out for ANN: partitioned by IVF cell so a probe's
     * nprobe cells map to directory reads. */
   def writeIvfLayout(assigned: DataFrame, path: String): Unit =

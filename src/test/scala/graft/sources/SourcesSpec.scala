@@ -151,4 +151,30 @@ class SourcesSpec extends SparkSpec {
     // idempotent: compacting an already-compacted dir keeps the count
     assert(Sources.compact(spark, dir, targetBytes = totalBytes / 4) <= n + 1)
   }
+
+  test("deletePartitioned rewrites only affected partitions; others stay byte-identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmp() + "/layout"
+    // keys 0..29 across three partitions; doomed ids 3, 7 live ONLY in p=a
+    val df = (0L until 30L).map(i => (i, if (i < 10) "a" else if (i < 20) "b" else "c"))
+      .toDF("id", "p")
+    Sources.writePartitioned(df, dir, "p")
+    def files(part: String): Map[String, (Long, Long)] =
+      new java.io.File(s"$dir/p=$part").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length, f.lastModified)).toMap
+    val (b0, c0) = (files("b"), files("c"))
+    Sources.deletePartitioned(spark, dir, "p", "id", Seq(3L, 7L).toDF("id"))
+    assert(files("b") == b0 && files("c") == c0,
+      "partitions without doomed keys must not be rewritten")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 28)
+    assert(back.where(col("id").isin(3L, 7L)).count() == 0, "doomed ids must be gone")
+    assert(back.where(col("p") === "a").count() == 8, "survivors in the rewritten partition")
+    // deleting nothing touches nothing
+    val a1 = files("a")
+    Sources.deletePartitioned(spark, dir, "p", "id", Seq(999L).toDF("id"))
+    assert(files("a") == a1 && files("b") == b0 && files("c") == c0)
+  }
 }
