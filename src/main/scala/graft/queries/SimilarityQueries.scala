@@ -225,11 +225,14 @@ object SimilarityQueries {
     val p = pts(s, dir)
     val cells = centroidCount(p.count())
     val a = assigned(s, dir, cells)
+    // localCheckpoint: three consumers below (pair join, CC node list, rep
+    // join) would each re-run the corpus × √N-prototype argmin otherwise
     val withD2 = a.join(broadcast(p.where(col("vec_id") < cells)
         .select(col("vec_id").cast("long").as("proto_id"), col("v").as("c"))),
         col("cell") === col("proto_id"))
       .select(col("vec_id"), col("v"), col("cell"),
         graft.functions.VectorSql.sqDistFast(col("v"), col("c")).as("d2"))
+      .localCheckpoint(eager = true)
     val pairs = Similarity.semanticPairs(withD2, SemTau)
     val cc = graft.operators.Dedup.keepListConverged(
       withD2.select(col("vec_id")), "vec_id", pairs)
@@ -296,7 +299,8 @@ object SimilarityQueries {
         Seq(col("score_e6").desc, col("doc_id").asc), RrfListK)
       .withColumn("lr", row_number().over(lw))
       .select(col("q_id"), col("doc_id"), col("lr"))
-    val vecTop = Similarity.bruteTopK(pts(fork, dir), probes(fork, dir), RrfListK)
+    val vecTop = Similarity.bruteTopK(pts(fork, dir), probes(fork, dir), RrfListK,
+        useHeapOperator = true)
       .select(col("probe_id").as("q_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("vr"))
     val fw = Window.partitionBy(col("q_id"))
@@ -640,11 +644,11 @@ object SimilarityQueries {
          |  (SELECT doc_id AS q_id, unnest(t) AS term FROM toks
          |   WHERE doc_id < $NumProbes)),
          |hits AS (SELECT qt.q_id, tf.doc_id,
-         |    CAST(sum(CAST(round(
+         |    CAST(sum(CAST(round(round(
          |      round(ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0), 9)
          |      * (tf * 2.25)
          |      / (tf + round(1.25 * (1.0 - 0.75 + 0.75 * dl
-         |                    / (CAST(tot_dl AS DOUBLE) / n_docs)), 9))
+         |                    / (CAST(tot_dl AS DOUBLE) / n_docs)), 9)), 6)
          |      * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS score_e6
          |  FROM qt JOIN tf USING (term) JOIN dft USING (term)
          |  JOIN dl ON tf.doc_id = dl.doc_id

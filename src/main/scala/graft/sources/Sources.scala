@@ -76,6 +76,8 @@ object Sources {
       val survivors = layout
         .where(col(partitionCol).isin(affected.toIndexedSeq: _*))
         .join(doomed, Seq(keyCol), "left_anti")
+        .localCheckpoint(eager = true) // survivor set must be fixed BEFORE
+                                       // any directory below is touched
       val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       try
@@ -84,6 +86,25 @@ object Sources {
       finally prev match {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      // dynamic overwrite only replaces partitions PRESENT in the written
+      // data — an affected partition whose rows were ALL doomed contributes
+      // no survivor rows, so its old files would silently survive (a
+      // right-to-be-forgotten delete that doesn't forget). Remove those
+      // directories explicitly.
+      val kept = survivors.select(col(partitionCol)).distinct()
+        .collect().map(_.get(0)).toSet
+      for (v <- affected if !kept(v)) {
+        val escaped = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(String.valueOf(v))
+        val dir = new java.io.File(s"$path/$partitionCol=$escaped")
+        if (dir.isDirectory) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete(): Unit
+          }
+          rm(dir)
+        }
       }
     }
   }

@@ -25,8 +25,10 @@ class InvertedIndexSpec extends SparkSpec {
     direct.foreach { case (t, df, cf) =>
       val (_, idf, icf, nb) = idx(t)
       assert(idf == df && icf == cf, s"term $t: df/cf mismatch")
-      // block count is exactly the number of distinct occupied id ranges
-      assert(nb >= (df + B - 1) / (B * 1000 + 1) && nb <= df, s"term $t: $nb blocks for df $df")
+      // each 16-wide id block holds at most B docs, so a term in df docs
+      // occupies at least ceil(df / B) blocks — a regression collapsing
+      // postings across blocks (the skew failure the design prevents) dies here
+      assert(nb >= (df + B - 1) / B && nb <= df, s"term $t: $nb blocks for df $df")
     }
     // the corpus has at least one term common enough to need multiple blocks
     assert(idx.values.exists(_._4 > 1), "no multi-block term — block machinery unexercised")

@@ -176,5 +176,13 @@ class SourcesSpec extends SparkSpec {
     val a1 = files("a")
     Sources.deletePartitioned(spark, dir, "p", "id", Seq(999L).toDF("id"))
     assert(files("a") == a1 && files("b") == b0 && files("c") == c0)
+    // a FULLY-doomed partition must disappear: dynamic overwrite alone
+    // would leave its files behind (no survivor rows mention it) — the
+    // review-confirmed forget-nothing failure mode
+    Sources.deletePartitioned(spark, dir, "p", "id", (10L until 20L).toDF("id"))
+    assert(!new java.io.File(s"$dir/p=b").exists, "emptied partition dir must be removed")
+    val after = spark.read.parquet(dir)
+    assert(after.where(col("p") === "b").count() == 0)
+    assert(after.count() == 18 && files("c") == c0)
   }
 }
