@@ -608,6 +608,91 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Fingerprint frame count for video: 57 frames → 56 consecutive-gray
+    * comparisons, the same band-range budget as [[AudioFpFrames]] and the
+    * image dHash — one [[Dedup.simhashPairs]] machinery, four modalities. */
+  val VideoFpFrames = 57
+
+  /** Deterministic synthetic FRAME-STRUCTURED AVI for perceptual video
+    * dedup: `nFrames` frames of `width`×`height` FRAME-CONSTANT pixels.
+    * Channel c of frame f is `(byte c of md5(decimal(vid·64+f) ++ "v"))
+    * mod 128`, `gain`-multiplied (×2 stays < 256) and frame 0 bumped
+    * `+7 (mod 128)` when `bumpFrame0` (the "small edit"). Avalanche-keyed
+    * like [[syntheticFrameWav]] (a linear formula would order frames
+    * near-monotonically and collapse every fingerprint; the "v" suffix
+    * keys video apart from the image tile space `md5(iid·64+b)`).
+    * FRAME-CONSTANT pixels are what make perceptual video hashing testable
+    * on synthetic data: a spatially rescaled copy keeps each frame's
+    * constant color (gray sum scales by the pixel-count ratio) and a
+    * brightness ×2 scales every channel — both multiply ALL frame gray
+    * sums by one positive factor, i.e. fingerprint-identical while the
+    * BYTES are disjoint (exactly what defeats byte-digest dedup).
+    * Replayable in SQL:
+    * `('0x'||substr(md5(CAST(vid*64+f AS VARCHAR)||'v'),1,2))::INT % 128`. */
+  def syntheticFrameAvi(vid: Long, nFrames: Int, width: Int, height: Int,
+                        gain: Int = 1, bumpFrame0: Boolean = false,
+                        codec: String = "bmp"): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val frames = Array.tabulate(nFrames) { f =>
+      val d = md.digest(((vid * 64 + f).toString + "v").getBytes("US-ASCII"))
+      val bump = if (bumpFrame0 && f == 0) 7 else 0
+      val r = (((d(0) & 0xff) % 128 + bump) % 128) * gain
+      val g = (((d(1) & 0xff) % 128 + bump) % 128) * gain
+      val b = (((d(2) & 0xff) % 128 + bump) % 128) * gain
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+      val rgb = (r << 16) | (g << 8) | b
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, codec, bos)
+      bos.toByteArray
+    }
+    buildAvi(width, height, frames)
+  }
+
+  /** Perceptual video fingerprint over a REAL demux + decode: per decoded
+    * frame the exact integer gray sum G(f) = sumR+sumG+sumB, then one bit
+    * per consecutive-frame comparison — bit f set iff G(f+1) > G(f), capped
+    * at 56 bits. The temporal twin of [[audioFingerprint]]'s energy deltas:
+    * the luminance TRAJECTORY survives the edits that change every byte
+    * (brightness/contrast scaling multiplies all gray sums by one positive
+    * factor; spatial rescaling multiplies them by the pixel-count ratio —
+    * strict comparisons AND ties are preserved exactly, which is why an
+    * oracle can replay bits from the frame-color formula without computing
+    * sums). A one-frame edit flips at most the two comparisons that frame
+    * participates in. Comparisons run over DECODED frames in stream order
+    * (one corrupt frame shortens the chain rather than shifting it — same
+    * degrade-to-gap stance as [[decodeVideo]]). None for undecodable
+    * containers or < 2 decoded frames. */
+  def videoFingerprint(payload: Array[Byte]): Option[Long] =
+    decodeVideo(payload).flatMap { frames =>
+      if (frames.length < 2) None
+      else {
+        var h = 0L
+        val n = math.min(frames.length - 1, 56)
+        var f = 0
+        while (f < n) {
+          val a = frames(f).sumR + frames(f).sumG + frames(f).sumB
+          val b = frames(f + 1).sumR + frames(f + 1).sumG + frames(f + 1).sumB
+          if (b > a) h |= 1L << f
+          f += 1
+        }
+        Some(h)
+      }
+    }
+
+  /** Video-fingerprint column: partition-local REAL demux + decode +
+    * [[videoFingerprint]]; undecodable payloads yield null (excluded from
+    * pairing, never a poisoned bucket). */
+  def videoFingerprints(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val fp = udf { (b: Array[Byte]) => videoFingerprint(b) }
+    df.withColumn("vfp", fp(col(payloadCol)))
+  }
+
   /** STUB decode — OPAQUE NON-RIFF BYTES ONLY. Images decode via
     * [[decodeImage]] (real ImageIO), audio via [[decodeWav]] (real PCM
     * parse), video via [[decodeVideo]] (real RIFF demux + ImageIO frames);

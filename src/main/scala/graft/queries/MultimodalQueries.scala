@@ -26,6 +26,10 @@ object MultimodalQueries {
   private val VidH = 8
   private val VidFrames = 6
   private val SampleK = 2
+  /** frame edge for the fingerprint corpus — frame-constant pixels make 2×2
+    * sufficient, and the half-resolution near-dup variant is then 1×1 */
+  private val VidFpW = 2
+  private val VidFpH = 2
 
   /** REAL image decode under the oracle: synthesize a PNG per document id,
     * decode it with ImageIO, emit dimensions + exact per-channel sums.
@@ -222,6 +226,52 @@ object MultimodalQueries {
         maxChunkDf = Some(64))
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
 
+  /** PERCEPTUAL video near-dup pairs — the FOURTH modality through the same
+    * band machinery (text SimHash, image dHash, audio energy deltas, now the
+    * video luminance trajectory). A pipeline's real video dups are
+    * BRIGHTNESS-ADJUSTED transcodes and SPATIALLY RESCALED copies sharing
+    * zero payload bytes; byte digests miss all of them. Per doc group of 8
+    * the corpus plants exactly those: doc 8k is an original 57-frame
+    * frame-structured AVI ([[Multimodal.syntheticFrameAvi]], BMP frames);
+    * 8k+1 its brightness-doubled PNG-framed transcode, 8k+2 its 1×1
+    * spatial downscale (both fingerprint-IDENTICAL by the
+    * gray-sum-order-preservation argument on
+    * [[Multimodal.videoFingerprint]], bytes disjoint), 8k+3 a one-frame
+    * edit (frame 0 joins only comparison bit 0 — Hamming ≤ 1); 8k+4..7
+    * unrelated originals. Pipeline: REAL RIFF
+    * demux → REAL per-frame ImageIO decode → 56-bit trajectory fingerprint
+    * → [[Dedup.simhashPairs]] (Hamming ≤ 3, chunk-df star cap 64). Scale:
+    * demux+decode is partition-local, pairing one banding equi-join —
+    * never a frame-space or all-pairs comparison. The oracle re-derives
+    * every bit from the md5 frame-color formula (brightness and rescale
+    * cancel in the gray-sum ORDER, so color comparisons ARE the gray-sum
+    * comparisons the Spark side computes from the real decode) and replays
+    * the cold/hot star semantics. */
+  private[graft] def mmVideoDedupHashes(s: SparkSession, dir: String): DataFrame = {
+    val F = Multimodal.VideoFpFrames
+    val makeMedia = udf { (id: Long) =>
+      val v = id % 8
+      val vid = if (v >= 1 && v <= 3) id - v else id
+      v match {
+        case 1 => Multimodal.syntheticFrameAvi(vid, F, VidFpW, VidFpH, gain = 2, codec = "png")
+        case 2 => Multimodal.syntheticFrameAvi(vid, F, VidFpW / 2, VidFpH / 2)
+        case 3 => Multimodal.syntheticFrameAvi(vid, F, VidFpW, VidFpH, bumpFrame0 = true)
+        case _ => Multimodal.syntheticFrameAvi(vid, F, VidFpW, VidFpH)
+      }
+    }
+    val media = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("media_id"))
+      .withColumn("payload", makeMedia(col("media_id")))
+    Multimodal.videoFingerprints(media)
+      .where(col("vfp").isNotNull)
+      .select(col("media_id").as("doc"), col("vfp").as("simhash"))
+  }
+
+  def mmVideoDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(mmVideoDedupHashes(s, dir), maxHamming = 3,
+        maxChunkDf = Some(64))
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_byte_stats" -> mmByteStats _,
     "mm_feature_agg" -> mmFeatureAgg _,
@@ -232,6 +282,7 @@ object MultimodalQueries {
     "mm_audio_decode" -> mmAudioDecode _,
     "mm_image_dedup" -> mmImageDedup _,
     "mm_audio_dedup" -> mmAudioDedup _,
+    "mm_video_dedup" -> mmVideoDedup _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -388,6 +439,61 @@ object MultimodalQueries {
         |  FROM grays gc JOIN grays gn
         |    ON gn.media_id = gc.media_id AND gn.b = gc.b + 1
         |  WHERE gc.b % 8 < 7),
+        |hashes AS (
+        |  SELECT media_id AS doc, CAST(sum(bit) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY 1),
+        |chunks AS (SELECT doc, simhash, c.c AS chunk,
+        |   (simhash >> (c.c * 15)) % 32768 AS ckey
+        |  FROM hashes CROSS JOIN (SELECT unnest(range(0, 4)) AS c) c),
+        |stats AS (SELECT chunk, ckey, count(*) AS df, min(doc) AS hub
+        |  FROM chunks GROUP BY 1, 2),
+        |tg AS (SELECT c.doc, c.simhash, c.chunk, c.ckey, s.df, s.hub
+        |  FROM chunks c JOIN stats s USING (chunk, ckey)),
+        |cold AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
+        |   bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |  FROM tg a JOIN tg b
+        |    ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc < b.doc
+        |  WHERE a.df <= 64 AND b.df <= 64),
+        |hot AS (SELECT t.hub AS doc_a, t.doc AS doc_b,
+        |   bit_count(xor(h.simhash, t.simhash)) AS hamming
+        |  FROM tg t JOIN chunks h
+        |    ON h.doc = t.hub AND h.chunk = t.chunk AND h.ckey = t.ckey
+        |  WHERE t.df > 64 AND t.doc <> t.hub)
+        |SELECT DISTINCT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+        |FROM (SELECT * FROM cold UNION ALL SELECT * FROM hot)
+        |WHERE hamming <= 3""".stripMargin,
+    // video: bits replayed from the md5 FRAME-COLOR formula — brightness
+    // gain and spatial rescale scale every frame's gray sum by one positive
+    // factor, so gray(f+1) > gray(f) on the raw per-frame colors IS the
+    // decoded-gray-sum comparison the Spark side computes from the real
+    // demux + per-frame decode; band/star semantics verbatim from the
+    // text/image/audio machinery
+    "mm_video_dedup" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 8 IN (1, 2, 3)
+        |      THEN doc_id - doc_id % 8 ELSE doc_id END AS vid,
+        |    (doc_id % 8 = 3) AS edited
+        |  FROM documents),
+        |grays AS (
+        |  SELECT media_id, f,
+        |    CASE WHEN edited AND f = 0
+        |      THEN (r + 7) % 128 + (g + 7) % 128 + (b + 7) % 128
+        |      ELSE r + g + b END AS gray
+        |  FROM (SELECT media_id, edited, ff.f AS f,
+        |          ('0x' || substr(h, 1, 2))::INT % 128 AS r,
+        |          ('0x' || substr(h, 3, 2))::INT % 128 AS g,
+        |          ('0x' || substr(h, 5, 2))::INT % 128 AS b
+        |        FROM (SELECT media_id, edited, ff.f,
+        |                md5(CAST(vid * 64 + ff.f AS VARCHAR) || 'v') AS h
+        |              FROM media
+        |              CROSS JOIN (SELECT unnest(range(0, 57)) AS f) ff) ff)),
+        |bits AS (
+        |  SELECT gc.media_id,
+        |    CASE WHEN gn.gray > gc.gray
+        |      THEN (CAST(1 AS BIGINT) << gc.f) ELSE CAST(0 AS BIGINT) END AS bit
+        |  FROM grays gc JOIN grays gn
+        |    ON gn.media_id = gc.media_id AND gn.f = gc.f + 1),
         |hashes AS (
         |  SELECT media_id AS doc, CAST(sum(bit) AS BIGINT) AS simhash
         |  FROM bits GROUP BY 1),

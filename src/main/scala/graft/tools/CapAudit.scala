@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   *    keeps the join linear).
   *  - Embedding LSH: corpus-adaptive `bitsPerBand`, candidate-pair count
   *    (expected ~linear in n), confirmed pairs.
-  *  - dHash chunk buckets for the image corpus (mm_image_dedup's guard).
+  *  - dHash / audio-fp / video-fp chunk buckets for the multimodal corpora
+  *    (the mm_image_dedup / mm_audio_dedup / mm_video_dedup guards).
   *
   * Usage: runMain graft.tools.CapAudit <sfDir>
   */
@@ -98,6 +99,19 @@ object CapAudit {
       .head()
     println(s"[capaudit] audio fp chunks: buckets=${aStats.getLong(0)} " +
       s"max_df=${aStats.getLong(1)} over_cap(64)=${aStats.getLong(2)}")
+
+    // ---- video fingerprint chunk buckets (mm_video_dedup's maxChunkDf = 64)
+    val vfp = graft.queries.MultimodalQueries.mmVideoDedupHashes(spark, sfDir)
+    val vchunks = vfp.select(col("doc"),
+        explode(sequence(lit(0), lit(3))).as("chunk"), col("simhash"))
+      .withColumn("ckey", expr("shiftright(simhash, chunk * 15) % 32768"))
+    val vStats = vchunks.groupBy(col("chunk"), col("ckey"))
+      .agg(count(lit(1)).as("df"))
+      .agg(count(lit(1)).as("buckets"), max(col("df")).as("max_df"),
+        sum((col("df") > 64).cast("long")).as("over_cap"))
+      .head()
+    println(s"[capaudit] video fp chunks: buckets=${vStats.getLong(0)} " +
+      s"max_df=${vStats.getLong(1)} over_cap(64)=${vStats.getLong(2)}")
 
     spark.stop()
   }

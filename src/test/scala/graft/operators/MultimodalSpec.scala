@@ -254,6 +254,51 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => a / 8 == b / 8 && a >= 40 && b <= 43 })
   }
 
+  test("videoFingerprint: brightness-doubled and rescaled copies collide; byte digest misses them") {
+    val F = Multimodal.VideoFpFrames
+    val orig = Multimodal.syntheticFrameAvi(40L, F, 2, 2)
+    val gain = Multimodal.syntheticFrameAvi(40L, F, 2, 2, gain = 2, codec = "png")
+    val half = Multimodal.syntheticFrameAvi(40L, F, 1, 1)
+    val edit = Multimodal.syntheticFrameAvi(40L, F, 2, 2, bumpFrame0 = true)
+    val other = Multimodal.syntheticFrameAvi(41L, F, 2, 2)
+    // disjoint bytes (byte-digest dedup sees three distinct files)
+    assert(!java.util.Arrays.equals(orig, gain) && !java.util.Arrays.equals(orig, half))
+    val Seq(hO, hG, hH, hE, hX) =
+      Seq(orig, gain, half, edit, other).map(Multimodal.videoFingerprint(_).get)
+    assert(hO == hG) // brightness ×2: every gray sum ×2 — order preserved exactly
+    assert(hO == hH) // 1×1 rescale: every gray sum ×1/4 — same
+    assert(java.lang.Long.bitCount(hO ^ hE) <= 1) // frame 0 joins bit 0 only
+    assert(java.lang.Long.bitCount(hO ^ hX) > 3)  // unrelated stream: far
+    assert(hO >= 0L && (hO >> 56) == 0L)          // 56-bit, band-range-safe
+    assert(Multimodal.videoFingerprint(Array[Byte](1, 2, 3)).isEmpty)
+    // real demux + decode feed the fingerprint: the gain copy differs in
+    // every frame's channel sums yet collides perceptually
+    val sumR0 = Multimodal.decodeVideo(orig).get.head.sumR
+    assert(Multimodal.decodeVideo(gain).get.head.sumR == 2 * sumR0)
+  }
+
+  test("video fingerprints through simhashPairs catch the planted near-dup quad") {
+    import spark.implicits._
+    val F = Multimodal.VideoFpFrames
+    val payloads = (40L to 47L).map { id =>
+      val v = id % 8
+      val vid = if (v >= 1 && v <= 3) id - v else id
+      id -> (v match {
+        case 1 => Multimodal.syntheticFrameAvi(vid, F, 2, 2, gain = 2, codec = "png")
+        case 2 => Multimodal.syntheticFrameAvi(vid, F, 1, 1)
+        case 3 => Multimodal.syntheticFrameAvi(vid, F, 2, 2, bumpFrame0 = true)
+        case _ => Multimodal.syntheticFrameAvi(vid, F, 2, 2)
+      })
+    }
+    val hashes = Multimodal.videoFingerprints(payloads.toDF("media_id", "payload"))
+      .select(col("media_id").as("doc"), col("vfp").as("simhash"))
+    val pairs = Dedup.simhashPairs(hashes, maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val quad = Set((40L, 41L), (40L, 42L), (40L, 43L), (41L, 42L), (41L, 43L), (42L, 43L))
+    assert(quad.subsetOf(pairs))
+    assert(pairs.forall { case (a, b) => a / 8 == b / 8 && a >= 40 && b <= 43 })
+  }
+
   test("resize folds histogram bins shape-preservingly") {
     val out = Multimodal.resizeFeatures(Multimodal.extractFeatures(media), bins = 4)
       .collect().map(r => r.getLong(0) -> Option(r.getAs[scala.collection.Seq[Double]]("features"))).toMap
