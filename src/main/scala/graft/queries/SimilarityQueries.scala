@@ -399,6 +399,58 @@ object SimilarityQueries {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** SEMANTIC eval-set decontamination — the embedding-space member of the
+    * contamination family (`dedup_contamination` / `_13g` catch verbatim
+    * n-gram overlap; a PARAPHRASED eval item shares no 13-gram and only
+    * this pass catches it). Eval set = every [[SemDeconEvalMod]]-th vector
+    * (the held-out benchmark); a corpus vector is contaminated when its
+    * cosine to ANY eval vector reaches [[MinCos]] — deliberately the same
+    * bar as the embedding near-dup entries. The threshold lives in the
+    * lattice's per-dim-scaled space (DeconSemanticSpec pins the flagged set
+    * to the scaled-space cosine up to int8 rounding). Executed entirely in
+    * INTEGERS:
+    * both sides quantize on the `ml_quantize_int8` lattice (one shared
+    * per-dim scale vector over the full table), and `cos ≥ 0.3` becomes
+    * `100·dot² ≥ 9·|v|²·|e|² AND dot > 0` on exact int64 products (d=64,
+    * |code| ≤ 127 ⟹ every product ≤ ~10¹⁴ — no overflow, no float
+    * crosses the engine boundary). Scale: the eval set is benchmark-sized
+    * (fixed, tiny at 100 TB) and BROADCAST — one corpus scan, zero
+    * shuffle; the d-bounded scale collect rides in as a plan literal. */
+  val SemDeconEvalMod = 100
+
+  /** Core of [[contaminationSemantic]]: flag every (corpus, eval) pair with
+    * quantized-cosine ≥ 0.3, on pre-split (vec_id, v) frames sharing one
+    * int8 lattice. Exposed for the paraphrase-catch spec. */
+  private[graft] def contaminationSemanticCore(corpusV: DataFrame,
+                                               evalV: DataFrame): DataFrame = {
+    val all = corpusV.select(col("v")).union(evalV.select(col("v")))
+    val scales = all.select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(max(abs(col("x"))).as("s"))
+      .orderBy(col("dim")).collect().map(_.getDouble(1))
+    val sArr = array(scales.map(lit(_)): _*)
+    def quant(c: org.apache.spark.sql.Column) =
+      zip_with(c, sArr, (x, sc) =>
+        when(sc === 0.0, lit(0L)).otherwise(floor(x / sc * 127 + 0.5).cast("long")))
+    def sumSq(c: org.apache.spark.sql.Column) =
+      aggregate(transform(c, x => x * x), lit(0L), _ + _)
+    val corpus = corpusV.select(col("vec_id"), quant(col("v")).as("qv"))
+    val evalQ = evalV.select(col("vec_id").as("eval_id"), quant(col("v")).as("qe"))
+    corpus.crossJoin(broadcast(evalQ))
+      .select(col("vec_id"), col("eval_id"),
+        aggregate(zip_with(col("qv"), col("qe"), _ * _), lit(0L), _ + _).as("int_dot"),
+        sumSq(col("qv")).as("n2v"), sumSq(col("qe")).as("n2e"))
+      .where(col("int_dot") > 0 &&
+        col("int_dot") * col("int_dot") * lit(100L) >= col("n2v") * col("n2e") * lit(9L))
+      .select(col("vec_id"), col("eval_id"), col("int_dot"))
+  }
+
+  def contaminationSemantic(s: SparkSession, dir: String): DataFrame = {
+    val p = pts(s, dir)
+    contaminationSemanticCore(
+      p.where(col("vec_id") % SemDeconEvalMod =!= 0),
+      p.where(col("vec_id") % SemDeconEvalMod === 0))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute" -> annBrute _,
     "ann_filtered" -> annFiltered _,
@@ -410,6 +462,7 @@ object SimilarityQueries {
     "dedup_embedding_nn" -> nearDupNN _,
     "dedup_embedding_lsh" -> nearDupLsh _,
     "dedup_semantic" -> dedupSemantic _,
+    "dedup_contamination_semantic" -> contaminationSemantic _,
     "retrieval_rrf" -> retrievalRrf _,
   )
 
@@ -525,6 +578,30 @@ object SimilarityQueries {
          |SELECT probe_id, CAST(rn AS INT) AS rank, vec_id AS neighbor_id,
          |  int_dot, round(dot, 6) AS dot
          |FROM f WHERE rn <= $K""".stripMargin,
+    // semantic decontamination: the same int8 lattice as ann_int8, the
+    // cos >= 0.3 bar as the integer inequality 100·dot² >= 9·|v|²·|e|² —
+    // every value exact int64, so the hash gate covers codes, dots, and
+    // the threshold cut with no rounding escape hatch
+    "dedup_contamination_semantic" ->
+      s"""WITH $base,
+         |sc AS (SELECT i.i AS dim, max(abs(p.v[i.i])) AS s
+         |  FROM pts p CROSS JOIN (SELECT CAST(unnest(range(1, 65)) AS INT) AS i) i
+         |  GROUP BY 1),
+         |sl AS (SELECT list(s ORDER BY dim) AS sv FROM sc),
+         |q AS (SELECT vec_id, list_transform(range(1, 65), i ->
+         |    CASE WHEN sv[i] = 0 THEN 0
+         |         ELSE CAST(floor(v[i] / sv[i] * 127 + 0.5) AS BIGINT) END) AS qv
+         |  FROM pts CROSS JOIN sl),
+         |co AS (SELECT vec_id, qv FROM q WHERE vec_id % $SemDeconEvalMod <> 0),
+         |ev AS (SELECT vec_id AS eval_id, qv AS qe FROM q
+         |  WHERE vec_id % $SemDeconEvalMod = 0),
+         |d AS (SELECT vec_id, eval_id,
+         |  CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * qe[i])) AS BIGINT) AS int_dot,
+         |  CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])) AS BIGINT) AS n2v,
+         |  CAST(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i])) AS BIGINT) AS n2e
+         |  FROM co CROSS JOIN ev)
+         |SELECT vec_id, eval_id, int_dot FROM d
+         |WHERE int_dot > 0 AND int_dot * int_dot * 100 >= n2v * n2e * 9""".stripMargin,
     // PQ serving tier: codebook = first PqNumCodes corpus rows; per-subspace
     // argmin replayed by row_number over the same product-form sqdist fold;
     // reconstruction re-concatenated in subspace order so the ADC dot is the
