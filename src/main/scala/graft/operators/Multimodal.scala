@@ -52,11 +52,90 @@ object Multimodal {
   final case class ImageFeatures(width: Int, height: Int,
                                  sumR: Long, sumG: Long, sumB: Long)
 
-  /** REAL image decode via JDK ImageIO (PNG/BMP/GIF). Returns None for a
+  /** Direct 24-bit BMP parse — the image twin of [[parseWav]]'s pure-JDK
+    * RIFF walk, and the per-frame fast path for video: `ImageIO.read` costs
+    * ~ms per call in registry lookups and stream wrapping regardless of
+    * image size, which at 57 frames/video × corpus scale dominates the
+    * whole dedup query (measured 35 s → ~2 s at sf0.1). Handles exactly
+    * the standard uncompressed bottom-up 24-bit form (the one
+    * [[encodeBmp24]] and ImageIO's BMP writer emit); ANY other variant —
+    * compression, other bit depths, top-down rows, palette — returns None
+    * and the caller falls back to ImageIO, so coverage never shrinks.
+    * Every read is bounds-checked; lying sizes abort. */
+  private[operators] def decodeBmp24(payload: Array[Byte]): Option[ImageFeatures] = {
+    if (payload == null || payload.length < 54) return None
+    try {
+      def le16(o: Int) = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+      def le32(o: Int) = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
+        ((payload(o + 2) & 0xff) << 16) | ((payload(o + 3) & 0xff) << 24)
+      if (payload(0) != 'B' || payload(1) != 'M') return None
+      val pixOff = le32(10)
+      val hdrSz = le32(14)
+      val w = le32(18); val h = le32(22)
+      if (hdrSz < 40 || w <= 0 || h <= 0) return None // top-down → ImageIO
+      if (w > (1 << 20) || h > (1 << 20)) return None // crafted dims: no Int overflow
+      if (le16(28) != 24 || le32(30) != 0) return None // 24-bit uncompressed only
+      val rowSz = (w * 3 + 3) & ~3
+      if (pixOff < 54 || pixOff.toLong + rowSz.toLong * h > payload.length) return None
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var r = 0
+      while (r < h) {
+        var o = pixOff + r * rowSz
+        var x = 0
+        while (x < w) { // BGR byte order; row order is irrelevant to sums
+          sb += payload(o) & 0xff; sg += payload(o + 1) & 0xff
+          sr += payload(o + 2) & 0xff
+          o += 3; x += 1
+        }
+        r += 1
+      }
+      Some(ImageFeatures(w, h, sr, sg, sb))
+    } catch { case _: Exception => None }
+  }
+
+  /** Minimal standard 24-bit BMP encode (54-byte header, bottom-up BGR rows
+    * padded to 4 bytes — byte-compatible with what ImageIO and every other
+    * reader expects). `argb` is row-major top-down, like
+    * `BufferedImage.getRGB`. Builder-side twin of [[decodeBmp24]]: synthetic
+    * corpora shouldn't pay ImageIO's per-call overhead to CONSTRUCT
+    * payloads — the decoder is the system under test, not the builder. */
+  private[operators] def encodeBmp24(width: Int, height: Int,
+                                     argb: Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0 && argb.length == width * height)
+    val rowSz = (width * 3 + 3) & ~3
+    val out = new Array[Byte](54 + rowSz * height)
+    def p16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
+    def p32(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'; p32(2, out.length); p32(10, 54)
+    p32(14, 40); p32(18, width); p32(22, height); p16(26, 1); p16(28, 24)
+    p32(30, 0); p32(34, rowSz * height); p32(38, 2835); p32(42, 2835)
+    var y = 0
+    while (y < height) {
+      var o = 54 + (height - 1 - y) * rowSz // bottom-up
+      var x = 0
+      while (x < width) {
+        val px = argb(y * width + x)
+        out(o) = px.toByte; out(o + 1) = (px >> 8).toByte // B, G
+        out(o + 2) = (px >> 16).toByte                    // R
+        o += 3; x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** REAL image decode: the direct [[decodeBmp24]] walk for standard 24-bit
+    * BMPs (the hot video-frame path), JDK ImageIO for everything else
+    * (PNG/GIF/JPEG and non-standard BMPs). Returns None for a
     * null/undecodable payload — corrupt media must degrade to a null row,
     * never kill the partition. */
   def decodeImage(payload: Array[Byte]): Option[ImageFeatures] = {
     if (payload == null) return None
+    val fast = decodeBmp24(payload)
+    if (fast.isDefined) return fast
     try {
       val img = ImageIO.read(new ByteArrayInputStream(payload))
       if (img == null) return None // ImageIO signals "no decoder" with null
@@ -639,17 +718,21 @@ object Multimodal {
       val r = (((d(0) & 0xff) % 128 + bump) % 128) * gain
       val g = (((d(1) & 0xff) % 128 + bump) % 128) * gain
       val b = (((d(2) & 0xff) % 128 + bump) % 128) * gain
-      val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
       val rgb = (r << 16) | (g << 8) | b
-      var y = 0
-      while (y < height) {
-        var x = 0
-        while (x < width) { img.setRGB(x, y, rgb); x += 1 }
-        y += 1
+      if (codec == "bmp") // direct encode: the builder isn't the system under test
+        encodeBmp24(width, height, Array.fill(width * height)(rgb))
+      else {
+        val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(img, codec, bos)
+        bos.toByteArray
       }
-      val bos = new ByteArrayOutputStream()
-      ImageIO.write(img, codec, bos)
-      bos.toByteArray
     }
     buildAvi(width, height, frames)
   }

@@ -233,7 +233,7 @@ object MultimodalQueries {
     * zero payload bytes; byte digests miss all of them. Per doc group of 8
     * the corpus plants exactly those: doc 8k is an original 57-frame
     * frame-structured AVI ([[Multimodal.syntheticFrameAvi]], BMP frames);
-    * 8k+1 its brightness-doubled PNG-framed transcode, 8k+2 its 1×1
+    * 8k+1 its brightness-doubled copy, 8k+2 its 1×1
     * spatial downscale (both fingerprint-IDENTICAL by the
     * gray-sum-order-preservation argument on
     * [[Multimodal.videoFingerprint]], bytes disjoint), 8k+3 a one-frame
@@ -253,7 +253,7 @@ object MultimodalQueries {
       val v = id % 8
       val vid = if (v >= 1 && v <= 3) id - v else id
       v match {
-        case 1 => Multimodal.syntheticFrameAvi(vid, F, VidFpW, VidFpH, gain = 2, codec = "png")
+        case 1 => Multimodal.syntheticFrameAvi(vid, F, VidFpW, VidFpH, gain = 2)
         case 2 => Multimodal.syntheticFrameAvi(vid, F, VidFpW / 2, VidFpH / 2)
         case 3 => Multimodal.syntheticFrameAvi(vid, F, VidFpW, VidFpH, bumpFrame0 = true)
         case _ => Multimodal.syntheticFrameAvi(vid, F, VidFpW, VidFpH)

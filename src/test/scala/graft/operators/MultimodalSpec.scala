@@ -254,6 +254,37 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => a / 8 == b / 8 && a >= 40 && b <= 43 })
   }
 
+  test("decodeBmp24 fast path: parity with ImageIO both directions; corrupt headers fall through") {
+    // ImageIO-WRITTEN BMP → the direct parser must agree with an ImageIO read
+    val io = Multimodal.syntheticBlockImage(7L, 16, 16, 2, format = "bmp")
+    val fast = Multimodal.decodeBmp24(io).get
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(io))
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      val p = img.getRGB(x, y)
+      sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+    }
+    assert((fast.width, fast.height, fast.sumR, fast.sumG, fast.sumB) ==
+      (img.getWidth, img.getHeight, sr, sg, sb))
+    // OWN encode → ImageIO must read back the exact pixels (spatial, not
+    // just sums: catches a flipped row order or BGR/RGB swap)
+    val px = Array(0xFF0000, 0x00FF00, 0x0000FF, 0x102030, 0x405060, 0x708090)
+    val own = Multimodal.encodeBmp24(3, 2, px)
+    val rd = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(own))
+    val got = Array.tabulate(6)(i => rd.getRGB(i % 3, i / 3) & 0xffffff)
+    assert(got.sameElements(px))
+    assert(Multimodal.decodeBmp24(own).get ==
+      Multimodal.decodeImage(own).get) // the fast path IS decodeImage here
+    // corrupt/unusual forms degrade to None (caller falls back to ImageIO)
+    assert(Multimodal.decodeBmp24(own.take(30)).isEmpty)     // truncated
+    val lying = own.clone(); lying(22) = 100                 // height > data
+    assert(Multimodal.decodeBmp24(lying).isEmpty)
+    val huge = own.clone()                                   // crafted dims
+    huge(18) = -1; huge(19) = -1; huge(20) = 0x7f.toByte; huge(21) = 0
+    assert(Multimodal.decodeBmp24(huge).isEmpty)
+    assert(Multimodal.decodeBmp24(Multimodal.syntheticPng(1L, 4, 4)).isEmpty)
+  }
+
   test("videoFingerprint: brightness-doubled and rescaled copies collide; byte digest misses them") {
     val F = Multimodal.VideoFpFrames
     val orig = Multimodal.syntheticFrameAvi(40L, F, 2, 2)
