@@ -49,6 +49,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"segments_n width must be a literal, got $other")
         })))
     ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"), // same name/semantics as DuckDB's
+      new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.NfcNormalize(args(0))))
+    ext.injectFunction((
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

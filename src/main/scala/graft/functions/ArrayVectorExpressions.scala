@@ -104,6 +104,7 @@ object ArrayVectorExpressions {
     ColumnBridge.registerFunction(spark, "md5_prefix60", args => Md5Prefix60(args(0)))
     ColumnBridge.registerFunction(spark, "bpe_count", args => BpeCount(args(0)))
     ColumnBridge.registerFunction(spark, "bpe_tokenize", args => BpeTokenize(args(0)))
+    ColumnBridge.registerFunction(spark, "nfc_normalize", args => NfcNormalize(args(0)))
     ColumnBridge.registerFunction(spark, "segments_n", args =>
       SegmentsN(args(0), args(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(w, _) =>

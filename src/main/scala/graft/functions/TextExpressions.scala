@@ -101,6 +101,28 @@ object TextExpressions {
     h
   }
 
+  /** Unicode NFC canonical composition ("e" + U+0301 → "é"): the first step
+    * of the text-normalization hygiene pass. Fast path: a pure-ASCII string
+    * (the overwhelming majority at corpus scale) is returned AS-IS after one
+    * byte scan — no String round-trip, no Normalizer call (ASCII is closed
+    * under NFC). Otherwise delegates to `java.text.Normalizer` (the JDK's
+    * Unicode-standard canonical composition — the same algorithm DuckDB's
+    * utf8proc `nfc_normalize` implements, which is what makes the pass
+    * oracle-checkable). null → empty, matching the kernel family's
+    * never-null-out contract. */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    if (s == null) return UTF8String.EMPTY_UTF8
+    val b = s.getBytes
+    var i = 0
+    var ascii = true
+    while (ascii && i < b.length) { if (b(i) < 0) ascii = false; i += 1 }
+    if (ascii) return s
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** Non-overlapping fixed-width word segments (stride = width twin of
     * shinglesN's stride-1 windows): segment k covers tokens
     * [k·width, k·width+width), last segment may be shorter; empty/null
@@ -275,6 +297,16 @@ case class SegmentsN(child: Expression, width: Int) extends TextKernelExpression
   override def prettyName: String = "segments_n"
 }
 
+/** Codegen kernel for [[TextExpressions.nfcNormalize]] — Unicode NFC with
+  * an in-place ASCII fast path. */
+case class NfcNormalize(child: Expression) extends TextKernelExpression {
+  override def dataType: DataType = StringType
+  override protected def helper: String = "graft.functions.TextExpressions.nfcNormalize"
+  override protected def evalKernel(s: UTF8String): Any = TextExpressions.nfcNormalize(s)
+  override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(c)
+  override def prettyName: String = "nfc_normalize"
+}
+
 /** Polynomial rolling hash (long). */
 case class RollingHash(child: Expression) extends TextKernelExpression {
   override def dataType: DataType = LongType
@@ -297,6 +329,8 @@ object TextKernels {
     ColumnBridge.column(SegmentsN(ColumnBridge.expression(text), width))
   def rollingHash(text: Column): Column =
     ColumnBridge.column(RollingHash(ColumnBridge.expression(text)))
+  def nfcNormalize(text: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
   def md5Prefix60(text: Column): Column =
     ColumnBridge.column(Md5Prefix60(ColumnBridge.expression(text)))
 }

@@ -90,6 +90,41 @@ object TextDedupQueries {
       TextOps.piiRedact(col("aug")).as("redacted"))
   }
 
+  /** Unicode text normalization — the cleanup pass a crawl corpus runs
+    * before tokenization: NFC canonical composition (decomposed accents →
+    * composed forms, via the codegen [[graft.functions.NfcNormalize]]
+    * kernel with its in-place ASCII fast path), zero-width character strip
+    * (ZWSP/ZWNJ/ZWJ/BOM), Unicode-space mapping (NBSP, en/em/thin spaces,
+    * ideographic space → ASCII space), and whitespace-run collapse + trim.
+    * The corpus is pure ASCII, so the mess is PLANTED deterministically per
+    * doc_id (decomposed é, zero-width splits, NBSP runs, combining ring —
+    * doc_id % 5 = 4 stays clean as the no-op control); both engines build
+    * the identical raw string and the full normalized text rides under the
+    * hash gate, so one mis-composed codepoint anywhere mismatches. DuckDB
+    * runs its own `nfc_normalize` (utf8proc) against the JDK Normalizer —
+    * two independent Unicode implementations agreeing per codepoint. All
+    * in-scan expressions: no UDF fence, no shuffle, one pass at corpus
+    * scale. */
+  def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    val raw = when(col("doc_id") % 5 === 0, // decomposed e + COMBINING ACUTE
+        concat(lit("Cafe\u0301 "), col("text")))
+      .when(col("doc_id") % 5 === 1, // ZWSP mid-word + trailing ZWJ
+        concat(lit("zero\u200Bwidth\u200D "), col("text")))
+      .when(col("doc_id") % 5 === 2, // NBSP + EM SPACE + IDEOGRAPHIC SPACE
+        concat(lit("nb\u00A0sp \u2003 \u3000 "), col("text")))
+      .when(col("doc_id") % 5 === 3, // A + COMBINING RING (composes to A-ring) + BOM
+        concat(lit("A\u030A ring\uFEFF "), col("text")))
+      .otherwise(col("text")) // clean control: the pass must be a no-op
+    docs(s, dir).withColumn("raw", raw)
+      .select(col("doc_id"), length(col("raw")).as("len_raw"),
+        trim(regexp_replace(regexp_replace(regexp_replace(
+          graft.functions.TextKernels.nfcNormalize(col("raw")),
+          "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]", ""),
+          "[\\x{00A0}\\x{2000}-\\x{200A}\\x{2028}\\x{2029}\\x{3000}]", " "),
+          " +", " ")).as("text_norm"))
+      .withColumn("len_norm", length(col("text_norm")))
+  }
+
   /** Heuristic language ID: stopword-hit scores per language, fixed-priority
     * argmax. */
   def textLangId(s: SparkSession, dir: String): DataFrame = {
@@ -561,6 +596,7 @@ object TextDedupQueries {
     "text_quality_filter" -> textQualityFilter _,
     "text_lm_quality" -> textLmQuality _,
     "text_pii_redact" -> textPiiRedact _,
+    "text_normalize" -> textNormalize _,
     "ml_split_leakfree" -> mlSplitLeakfree _,
     "text_langid" -> textLangId _,
     "text_fingerprint" -> textFingerprint _,
@@ -917,6 +953,29 @@ object TextDedupQueries {
          |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
     },
     // the LITERAL same regex patterns (dialect-portable subset) + the same
+    // planted Unicode mess (decomposed accents, zero-width chars, exotic
+    // spaces) replayed via chr(); DuckDB's utf8proc nfc_normalize vs the
+    // JDK Normalizer -- two independent Unicode implementations must agree
+    // on every codepoint for the hash to match
+    "text_normalize" ->
+      """WITH raw AS (
+        |  SELECT doc_id, CASE doc_id % 5
+        |    WHEN 0 THEN 'Cafe' || chr(769) || ' ' || text
+        |    WHEN 1 THEN 'zero' || chr(8203) || 'width' || chr(8205) || ' ' || text
+        |    WHEN 2 THEN 'nb' || chr(160) || 'sp ' || chr(8195) || ' ' || chr(12288) || ' ' || text
+        |    WHEN 3 THEN 'A' || chr(778) || ' ring' || chr(65279) || ' ' || text
+        |    ELSE text END AS r
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(r) AS INT) AS len_raw,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(nfc_normalize(r),
+        |    '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g'),
+        |    '[\x{00A0}\x{2000}-\x{200A}\x{2028}\x{2029}\x{3000}]', ' ', 'g'),
+        |    ' +', ' ', 'g')) AS text_norm,
+        |  CAST(length(trim(regexp_replace(regexp_replace(regexp_replace(nfc_normalize(r),
+        |    '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g'),
+        |    '[\x{00A0}\x{2000}-\x{200A}\x{2028}\x{2029}\x{3000}]', ' ', 'g'),
+        |    ' +', ' ', 'g'))) AS INT) AS len_norm
+        |FROM raw""".stripMargin,
     // deterministic PII planting; the redacted string itself is hashed
     "text_pii_redact" -> {
       val (em, ph, sk) = (TextOps.EmailRe, TextOps.PhoneRe, TextOps.SecretRe)

@@ -27,7 +27,8 @@ class GraftExtensionsSpec extends SparkSpec {
              md5_prefix60('x') AS h,
              bpe_count('the nation') AS bc,
              size(bpe_tokenize('the nation')) AS bt,
-             size(segments_n('a b c d e', 2)) AS sg
+             size(segments_n('a b c d e', 2)) AS sg,
+             nfc_normalize('Café') AS nn
     """).head()
     assert(r.getDouble(0) == 11.0)
     assert(r.getDouble(1) == 25.0)
@@ -37,6 +38,7 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getLong(5) >= 0L && r.getLong(5) < (1L << 60))
     assert(r.getInt(6) == 3 && r.getInt(7) == 3) // [the] [n, ation]
     assert(r.getInt(8) == 3) // [a b] [c d] [e]
+    assert(r.getString(9) == "Caf\u00E9" && r.getString(9).length == 4) // composed
     // the fork owns the registrations — the shared session stays clean
     assert(!spark.catalog.functionExists("space_tokens"))
   }
