@@ -13,7 +13,9 @@ object AdvancedQueries {
 
   private def ev(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
     fork.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    fork.read.parquet(s"$dir/events.parquet").withColumn("ts_us", expr("ts div 1000"))
+    fork.conf.set("spark.sql.session.timeZone", "UTC")
+    val raw = fork.read.parquet(s"$dir/events.parquet")
+    raw.withColumn("ts_us", EventTs.tsUs(raw))
   }
 
   /** For each purchase, the same user's most recent at-or-before view:

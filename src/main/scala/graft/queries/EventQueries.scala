@@ -17,15 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object EventQueries {
 
-  /** events.parquet stores `timestamp[ns]`, which Spark 4's vectorized reader
-    * refuses (PARQUET_TYPE_ILLEGAL). Read nanos as a plain long and convert
-    * explicitly — integer arithmetic, no precision surprises; DuckDB's
-    * `epoch_us` on its native ns read floors identically. The legacy-reader
-    * flag is set on a [[Scoped]] fork, never the caller's session. */
+  /** events.parquet's physical timestamp encoding varies by generator round
+    * (ns or us) — [[EventTs]] normalizes either to exact integer
+    * epoch-micros. The legacy ns flag and the UTC zone pin are set on a
+    * [[Scoped]] fork, never the caller's session. */
   private def ev(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
     fork.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    fork.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
+    fork.conf.set("spark.sql.session.timeZone", "UTC")
+    val raw = fork.read.parquet(s"$dir/events.parquet")
+    raw.withColumn("ts_us", EventTs.tsUs(raw))
   }
 
   /** Tumbling 1-hour window per event type: count + value sum.
@@ -161,8 +161,10 @@ object EventQueries {
                            mutateInput: DataFrame => DataFrame = identity)
                           (transform: DataFrame => DataFrame): DataFrame = {
     fork.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = fork.read.parquet(s"$dir/events.parquet")
-      .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+    fork.conf.set("spark.sql.session.timeZone", "UTC")
+    val raw = fork.read.parquet(s"$dir/events.parquet")
+    val src = raw
+      .select(col("event_id"), EventTs.tsTimestamp(raw).as("ts"),
         col("user_id"), col("event_type"), col("value"))
     val input =
       if (!addSentinel) mutateInput(src)

@@ -17,14 +17,14 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
 
   private val dir = sf("sf0.001")
 
-  /** sf0.001 events as typed rows with exact microsecond timestamps
-    * (events.parquet stores ns; Spark 4 reads them as long via
-    * nanosAsLong — same convert-then-floor as the batch reader). */
+  /** sf0.001 events as typed rows with exact microsecond timestamps —
+    * [[graft.queries.EventTs]] normalizes whatever physical encoding the
+    * generator used (ns-as-long or us NTZ), same as the batch reader. */
   private def loadEvents(): Seq[EventStream.Event] = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.select(col("event_id"), graft.queries.EventTs.tsTimestamp(raw).as("ts"),
         col("user_id"), col("event_type"), col("value"))
       .as[EventStream.Event]
       .collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))

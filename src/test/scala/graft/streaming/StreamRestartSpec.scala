@@ -57,8 +57,9 @@ class StreamRestartSpec extends SparkSpec {
     * far-future sentinel so every window/grid drains at the end. */
   private def fixture(fork: SparkSession): (DataFrame, DataFrame, StructType) = {
     fork.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = fork.read.parquet(s"$dir/events.parquet")
-      .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+    val raw = fork.read.parquet(s"$dir/events.parquet")
+    val src = raw
+      .select(col("event_id"), graft.queries.EventTs.tsTimestamp(raw).as("ts"),
         col("user_id"), col("event_type"), col("value"))
     val midUs = src.agg(percentile_approx(unix_micros(col("ts")), lit(0.5), lit(100)))
       .head.getLong(0)

@@ -19,8 +19,8 @@ class StreamStreamJoinSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val events = withConf("spark.sql.legacy.parquet.nanosAsLong" -> "true") {
-      spark.read.parquet(sf("sf0.001") + "/events.parquet")
-        .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+      val raw = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+      raw.select(col("event_id"), graft.queries.EventTs.tsTimestamp(raw).as("ts"),
           col("user_id"), col("event_type"), col("value"))
         .as[EventStream.Event].collect().toSeq
     }
