@@ -85,7 +85,16 @@ object Artifacts {
     * call. Per-key initialization is serialized through [[Holder]]'s lazy
     * val — two concurrent first callers of the same key can never both run
     * `write(dir)` into the same directory (the intra-session twin of the
-    * cross-session clobber the UUID keying prevents). */
+    * cross-session clobber the UUID keying prevents).
+    *
+    * Layouts live under `target/graft_layouts/` inside the repo, NOT
+    * `java.io.tmpdir`: a layout is read back moments-to-minutes after being
+    * written, and `/tmp` has other owners — an OS tmp reaper or a parallel
+    * job's cleanup touching the directory between write and read yields
+    * exactly the silent partial-read signature of CORRECTNESS_r07's one red
+    * row (`ml_export_shards`: rows/schema match, sums differ). A repo-local
+    * scratch dir has a single owner. Overridable via `-Dgraft.layout.dir`
+    * (a real deployment points it at durable shared storage). */
   def sharedPath(key: String)(write: String => Unit): String = {
     val active = org.apache.spark.sql.SparkSession.active
     layouts.filterInPlace { (_, v) =>
@@ -95,14 +104,33 @@ object Artifacts {
     }
     val uuid = org.apache.spark.sql.graftbridge.ColumnBridge.sessionUUID(active)
     val fresh = (active, new Holder(() => {
-      val dir = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        s"graft_layout_${uuid}_${keyDigest(key)}").toString
+      val base = sys.props.get("graft.layout.dir")
+        .map(java.nio.file.Paths.get(_))
+        .getOrElse(graft.RepoRoot.dir.resolve("target").resolve("graft_layouts"))
+      java.nio.file.Files.createDirectories(base)
+      sweepStale(base)
+      val dir = base.resolve(s"graft_layout_${uuid}_${keyDigest(key)}").toString
       write(dir)
       dir
     }))
     layouts.putIfAbsent(s"$uuid/$key", fresh).getOrElse(fresh)._2.value
   }
+
+  /** One-time-per-JVM sweep of layout dirs abandoned by PREVIOUS JVMs (the
+    * in-memory eviction map dies with its process, and no tmp reaper owns
+    * the repo-local scratch dir). Age-gated at 6 h so concurrently running
+    * sibling JVMs — whose layouts are by construction recent — are never
+    * touched; this process's own dirs are also always younger than the
+    * gate. */
+  private val swept = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def sweepStale(base: java.nio.file.Path): Unit =
+    if (swept.compareAndSet(false, true)) {
+      val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+      Option(base.toFile.listFiles()).foreach(_.foreach { f =>
+        if (f.getName.startsWith("graft_layout_") && f.lastModified() < cutoff)
+          deleteRecursively(f)
+      })
+    }
 
   private def keyDigest(key: String): String =
     java.security.MessageDigest.getInstance("MD5")

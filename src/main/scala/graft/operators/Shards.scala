@@ -47,4 +47,15 @@ object Shards {
       .withColumn("shard", expr(s"cum_before div $budget"))
       .select(col("doc"), col("t"), col("shard"))
   }
+
+  /** Per-shard manifest over an assignment `(doc, t, shard)` — the trainer's
+    * table of contents. Defined ONCE and applied to BOTH the in-memory
+    * assignment and the layout read back from disk, so a spec can assert the
+    * two are equal (sink-independent twin): the oracle hash then gates the
+    * assignment LOGIC while the twin-equality spec gates the SINK. */
+  def manifest(assigned: DataFrame): DataFrame =
+    assigned.groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("t")).cast("long").as("n_tokens"),
+        min(col("doc")).as("first_doc"), max(col("doc")).as("last_doc"))
 }

@@ -196,9 +196,17 @@ object MlQueries {
         graft.operators.Shards.assignShards(docs, "doc_id", "t",
           ShardBudgetTokens, bucketSize), path, "shard")
     }
-    s.read.parquet(layout).groupBy(col("shard").cast("long").as("shard"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("t")).cast("long").as("n_tokens"),
-        min(col("doc")).as("first_doc"), max(col("doc")).as("last_doc"))
+    // Read-back parity gate: hashing a torn layout (partially visible write,
+    // external cleanup between write and read) would emit a silently-wrong
+    // manifest — exactly the rows-match/hash-differ signature of
+    // CORRECTNESS_r07's one red row. Fail loud instead. One count() over the
+    // reduced layout: metadata-cheap next to the manifest aggregate itself.
+    val back = s.read.parquet(layout)
+    val nBack = back.count()
+    require(nBack == n,
+      s"shard layout read-back row count $nBack != assigned count $n " +
+        s"(torn or externally-modified layout at $layout)")
+    graft.operators.Shards.manifest(back)
   }
 
   // ---- oracle-checked training loop --------------------------------------

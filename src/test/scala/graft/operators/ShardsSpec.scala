@@ -46,4 +46,38 @@ class ShardsSpec extends SparkSpec {
     val byShard = rows.groupBy(_._3).values
     assert(byShard.forall { s => s.map(_._2).sum - s.last._2 < 200 })
   }
+
+  test("manifest twin: assignment-side manifest == layout read-back manifest") {
+    import spark.implicits._
+    // The ml_export_shards oracle hashes the manifest computed from the
+    // layout READ BACK from disk; this twin gates the SINK independently:
+    // Shards.manifest over the in-memory assignment must equal it exactly
+    // (a lost row, duplicated file, or torn partition breaks equality).
+    val rnd = new Random(13)
+    val docs = (0L until 500L).map(i => (i, 1L + rnd.nextInt(30))).toDF("doc_id", "t")
+    val assigned = Shards.assignShards(docs, "doc_id", "t", 150, 32)
+    val dir = java.nio.file.Files.createTempDirectory("shards_twin").toString
+    try {
+      graft.sources.Sources.writePartitioned(assigned, dir, "shard")
+      val fromAssign = Shards.manifest(assigned)
+        .orderBy("shard").collect().map(_.toSeq).toSeq
+      val fromLayout = Shards.manifest(spark.read.parquet(dir))
+        .orderBy("shard").collect().map(_.toSeq).toSeq
+      assert(fromAssign.nonEmpty && fromAssign == fromLayout)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("layout scratch dir is repo-local, not java.io.tmpdir") {
+    val p = Artifacts.sharedPath("shards_spec_scratch") { dir =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir)): Unit
+    }
+    val repoTarget = graft.RepoRoot.dir.resolve("target").toAbsolutePath.toString
+    assert(p.startsWith(repoTarget), s"layout $p not under $repoTarget")
+  }
 }
