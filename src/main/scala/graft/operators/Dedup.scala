@@ -277,9 +277,59 @@ object Dedup {
       .select(col("doc"), bits.as("simhash"))
   }
 
-  /** Near-dup pairs by SimHash hamming distance ≤ maxHamming (≤3 with 4
-    * chunks): pigeonhole banding on 15-bit chunks → equi-join, then exact
-    * hamming via bit_count(xor).
+  /** Candidate block counts for the adaptive pigeonhole banding, smallest
+    * first. 12 is the practical ceiling: C(12,3) = 220 band rows per doc —
+    * past that, widening stops paying for the row blow-up. */
+  private val BlockCands = Seq(4, 5, 6, 8, 10, 12)
+
+  /** Corpus-adaptive block count for Hamming-pigeonhole banding (the
+    * Manku/Google scheme generalized from the fixed 4×15-bit split): split
+    * the `hashBits`-bit fingerprint into `b` near-equal blocks and band on
+    * every way of KEEPING `b − maxHamming` of them (key = fingerprint with
+    * `maxHamming` blocks masked out; ≤ maxHamming flips touch ≤ maxHamming
+    * blocks, so some exclude-set covers them — full recall, C(b, maxHamming)
+    * band rows/doc). Key width is hashBits·(b−h)/b, so b must GROW with the
+    * corpus or the key space saturates and every bucket goes quadratic —
+    * the same failure the r5 audit caught for 8-bit embedding-LSH keys, and
+    * what the sf10 audit measured for the 4-chunk split (dHash chunk 3: 11
+    * effective bits, 5,889 buckets over the df cap leaning on the star
+    * fallback alone). Smallest b whose worst-case key width
+    * (hashBits − h·ceil(hashBits/b)) meets [[Similarity.bitsPerBand]];
+    * integer arithmetic only, so the DuckDB twin ([[simhashBandSql]])
+    * chooses bit-identically. */
+  def simhashBlockCount(hashBits: Int, n: Long, maxHamming: Int = 3): Int = {
+    val kb = Similarity.bitsPerBand(n)
+    val cands = BlockCands.filter(_ > maxHamming)
+    cands.find(b => hashBits - maxHamming * ((hashBits + b - 1) / b) >= kb)
+      .getOrElse(cands.last)
+  }
+
+  /** Band table for [[simhashPairs]]: one row per (doc, exclude-combination)
+    * with `ckey` = the fingerprint masked to the kept blocks. `chunk` ids
+    * only need to be distinct per combination — grouping equality is all
+    * the join uses. */
+  private[graft] def simhashChunks(hashes: DataFrame, hashBits: Int,
+                                   b: Int, maxHamming: Int): DataFrame = {
+    val wbase = hashBits / b
+    val rem = hashBits % b
+    def mask(m: Int): Long =
+      ((1L << (wbase + (if (m < rem) 1 else 0))) - 1) << (m * wbase + math.min(m, rem))
+    val full = (1L << hashBits) - 1
+    val keeps = (0 until b).combinations(maxHamming).toSeq.zipWithIndex.map {
+      case (ex, i) =>
+        struct(lit(i).as("chunk"),
+          lit(full & ~ex.map(mask).reduce(_ | _)).as("keep"))
+    }
+    hashes.select(col("doc"), col("simhash"), explode(array(keeps: _*)).as("k"))
+      .select(col("doc"), col("simhash"), col("k.chunk").as("chunk"),
+        col("simhash").bitwiseAND(col("k.keep")).as("ckey"))
+  }
+
+  /** Near-dup pairs by fingerprint Hamming distance ≤ maxHamming:
+    * corpus-adaptive pigeonhole banding ([[simhashBlockCount]]) → equi-join,
+    * then exact hamming via bit_count(xor). Works for any fingerprint width
+    * ≤ 62 (`hashBits`): text SimHash is 60-bit, the perceptual
+    * image/audio/video fingerprints are 56-bit.
     *
     * `maxChunkDf` mirrors [[lshCandidates]]'s hot-bucket guard: a (chunk,
     * ckey) bucket with df over the cap (e.g. a giant exact-dup cluster —
@@ -287,15 +337,19 @@ object Dedup {
     * of df²/2 join rows. The exact hamming filter still applies to every
     * emitted pair, so capping never admits a false pair; it only limits
     * pair-level recall inside the hot bucket to hub-adjacent pairs, which
-    * the other three chunks and the downstream cluster merge recover. */
+    * the other chunks and the downstream cluster merge recover. The
+    * adaptive width keeps RANDOM collisions out of the buckets, so the cap
+    * is left guarding genuine duplicate clusters — not absorbing key-space
+    * saturation. */
   def simhashPairs(simhashes: DataFrame, maxHamming: Int = 3,
-                   maxChunkDf: Option[Int] = None): DataFrame = {
-    // localCheckpoint: the chunk self-join would recompute the simhash
-    // pipeline (token explode + 60-bit votes) once per side otherwise.
-    val chunks = simhashes.select(col("doc"), col("simhash"),
-        explode(sequence(lit(0), lit(3))).as("chunk"))
-      .withColumn("ckey", expr("shiftright(simhash, chunk * 15) % 32768"))
-      .localCheckpoint(eager = true)
+                   maxChunkDf: Option[Int] = None, hashBits: Int = SimhashBits): DataFrame = {
+    // localCheckpoint BEFORE the (cheap, per-side recomputed) band explode:
+    // the self-join would otherwise recompute the fingerprint pipeline
+    // (token explode + votes / media decode) once per side — and the
+    // block-count choice needs the corpus count anyway, which forces it.
+    val hashes = simhashes.localCheckpoint(eager = true)
+    val b = simhashBlockCount(hashBits, hashes.count(), maxHamming)
+    val chunks = simhashChunks(hashes, hashBits, b, maxHamming)
     val pairs = maxChunkDf match {
       case None =>
         chunks.as("a").join(chunks.as("b"),
@@ -321,6 +375,54 @@ object Dedup {
         coldPairs.union(hotPairs)
     }
     pairs.where(col("hamming") <= maxHamming).distinct()
+  }
+
+  /** DuckDB twin of [[simhashPairs]] (capped variant) — the ONE banding
+    * oracle tail shared by `dedup_simhash_pairs` and the three perceptual
+    * families. Emits the CTE chain + final SELECT to append after a CTE
+    * named `src` holding (doc, simhash). Replays the adaptive block count
+    * ([[simhashBlockCount]]): kb from GREATEST(8, LENGTH(BIN(n−1))+2) —
+    * DuckDB's BIN length IS the integer bit length, no libm log — then the
+    * same smallest-b-that-fits CASE, the same block masks, the same
+    * cold/hot star semantics. */
+  def simhashBandSql(src: String, hashBits: Int, cap: Int): String = {
+    val h = 3 // exclude-sets are enumerated as i<j<k triples below
+    val cands = BlockCands
+    val cases = cands.init.map { b =>
+      s"WHEN kb <= ${hashBits - h * ((hashBits + b - 1) / b)} THEN $b"
+    }.mkString(" ")
+    val full = (1L << hashBits) - 1
+    s"""bnd_cfg AS (SELECT CASE $cases ELSE ${cands.last} END AS b
+       |  FROM (SELECT GREATEST(8, LENGTH(BIN(count(*) - 1)) + 2) AS kb FROM $src)),
+       |bnd_blocks AS (SELECT m,
+       |   ((CAST(1 AS BIGINT) << ($hashBits // b + CASE WHEN m < $hashBits % b THEN 1 ELSE 0 END)) - 1)
+       |     << (m * ($hashBits // b) + LEAST(m, $hashBits % b)) AS mask
+       |  FROM bnd_cfg CROSS JOIN (SELECT unnest(range(0, ${cands.last})) AS m) mm
+       |  WHERE m < b),
+       |bnd_combos AS (SELECT i.m * 144 + j.m * 12 + k.m AS chunk,
+       |   i.mask + j.mask + k.mask AS exmask
+       |  FROM bnd_blocks i JOIN bnd_blocks j ON j.m > i.m
+       |  JOIN bnd_blocks k ON k.m > j.m),
+       |bnd_chunks AS (SELECT doc, simhash, c.chunk,
+       |   simhash & ($full - c.exmask) AS ckey
+       |  FROM $src CROSS JOIN bnd_combos c),
+       |bnd_stats AS (SELECT chunk, ckey, count(*) AS df, min(doc) AS hub
+       |  FROM bnd_chunks GROUP BY 1, 2),
+       |bnd_tg AS (SELECT c.doc, c.simhash, c.chunk, c.ckey, s.df, s.hub
+       |  FROM bnd_chunks c JOIN bnd_stats s USING (chunk, ckey)),
+       |bnd_cold AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
+       |   bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |  FROM bnd_tg a JOIN bnd_tg b
+       |    ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc < b.doc
+       |  WHERE a.df <= $cap AND b.df <= $cap),
+       |bnd_hot AS (SELECT t.hub AS doc_a, t.doc AS doc_b,
+       |   bit_count(xor(hh.simhash, t.simhash)) AS hamming
+       |  FROM bnd_tg t JOIN bnd_chunks hh
+       |    ON hh.doc = t.hub AND hh.chunk = t.chunk AND hh.ckey = t.ckey
+       |  WHERE t.df > $cap AND t.doc <> t.hub)
+       |SELECT DISTINCT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+       |FROM (SELECT * FROM bnd_cold UNION ALL SELECT * FROM bnd_hot)
+       |WHERE hamming <= $h""".stripMargin
   }
 
   /** Incremental near-dup maintenance — the daily-increment path: given

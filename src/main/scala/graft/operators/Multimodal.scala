@@ -230,13 +230,18 @@ object Multimodal {
     * — the same convention as [[resizeImage]]), grayscale as the exact
     * integer channel sum r+g+b, then one bit per horizontal neighbor
     * comparison: bit (y·7+x) is set iff gray(x+1,y) > gray(x,y). 56 bits
-    * (8 rows × 7 comparisons) in a non-negative Long — deliberately inside
-    * the 4×15-bit banding range of [[Dedup.simhashPairs]], so the same
+    * (8 rows × 7 comparisons) in a non-negative Long — banded by
+    * [[Dedup.simhashPairs]] with `hashBits = FpBits`, so the same
     * pigeonhole pair machinery serves text SimHash and image dHash alike.
     * Robust by construction to re-encoding (pixels unchanged) and to
     * NN-resizes that preserve the coarse 8×8 structure; a small local edit
     * flips only the comparisons its pixels participate in. None for
     * null/undecodable payloads. */
+  /** Width of every perceptual fingerprint (image dHash: 8×7 comparisons;
+    * audio/video: 57 frames → 56 consecutive comparisons) — the `hashBits`
+    * all three families pass to [[Dedup.simhashPairs]]. */
+  val FpBits = 56
+
   def dHash(payload: Array[Byte]): Option[Long] = {
     if (payload == null) return None
     try {

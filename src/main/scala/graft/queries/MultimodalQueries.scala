@@ -183,7 +183,7 @@ object MultimodalQueries {
 
   def mmImageDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(mmImageDedupHashes(s, dir), maxHamming = 3,
-        maxChunkDf = Some(64))
+        maxChunkDf = Some(64), hashBits = Multimodal.FpBits)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
 
   /** PERCEPTUAL audio near-dup pairs — the third modality through the same
@@ -223,7 +223,7 @@ object MultimodalQueries {
 
   def mmAudioDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(mmAudioDedupHashes(s, dir), maxHamming = 3,
-        maxChunkDf = Some(64))
+        maxChunkDf = Some(64), hashBits = Multimodal.FpBits)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
 
   /** PERCEPTUAL video near-dup pairs — the FOURTH modality through the same
@@ -269,7 +269,7 @@ object MultimodalQueries {
 
   def mmVideoDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(mmVideoDedupHashes(s, dir), maxHamming = 3,
-        maxChunkDf = Some(64))
+        maxChunkDf = Some(64), hashBits = Multimodal.FpBits)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -370,7 +370,7 @@ object MultimodalQueries {
     // from the real PCM decode; band/star semantics verbatim from the
     // image/text machinery
     "mm_audio_dedup" ->
-      """WITH media AS (
+      s"""WITH media AS (
         |  SELECT doc_id AS media_id,
         |    CASE WHEN doc_id % 8 IN (1, 2, 3)
         |      THEN doc_id - doc_id % 8 ELSE doc_id END AS aid,
@@ -392,28 +392,9 @@ object MultimodalQueries {
         |hashes AS (
         |  SELECT media_id AS doc, CAST(sum(bit) AS BIGINT) AS simhash
         |  FROM bits GROUP BY 1),
-        |chunks AS (SELECT doc, simhash, c.c AS chunk,
-        |   (simhash >> (c.c * 15)) % 32768 AS ckey
-        |  FROM hashes CROSS JOIN (SELECT unnest(range(0, 4)) AS c) c),
-        |stats AS (SELECT chunk, ckey, count(*) AS df, min(doc) AS hub
-        |  FROM chunks GROUP BY 1, 2),
-        |tg AS (SELECT c.doc, c.simhash, c.chunk, c.ckey, s.df, s.hub
-        |  FROM chunks c JOIN stats s USING (chunk, ckey)),
-        |cold AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
-        |   bit_count(xor(a.simhash, b.simhash)) AS hamming
-        |  FROM tg a JOIN tg b
-        |    ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc < b.doc
-        |  WHERE a.df <= 64 AND b.df <= 64),
-        |hot AS (SELECT t.hub AS doc_a, t.doc AS doc_b,
-        |   bit_count(xor(h.simhash, t.simhash)) AS hamming
-        |  FROM tg t JOIN chunks h
-        |    ON h.doc = t.hub AND h.chunk = t.chunk AND h.ckey = t.ckey
-        |  WHERE t.df > 64 AND t.doc <> t.hub)
-        |SELECT DISTINCT doc_a, doc_b, CAST(hamming AS INT) AS hamming
-        |FROM (SELECT * FROM cold UNION ALL SELECT * FROM hot)
-        |WHERE hamming <= 3""".stripMargin,
+        |${graft.operators.Dedup.simhashBandSql("hashes", graft.operators.Multimodal.FpBits, 64)}""".stripMargin,
     "mm_image_dedup" ->
-      """WITH media AS (
+      s"""WITH media AS (
         |  SELECT doc_id AS media_id,
         |    CASE WHEN doc_id % 8 IN (1, 2, 3)
         |      THEN doc_id - doc_id % 8 ELSE doc_id END AS iid,
@@ -442,26 +423,7 @@ object MultimodalQueries {
         |hashes AS (
         |  SELECT media_id AS doc, CAST(sum(bit) AS BIGINT) AS simhash
         |  FROM bits GROUP BY 1),
-        |chunks AS (SELECT doc, simhash, c.c AS chunk,
-        |   (simhash >> (c.c * 15)) % 32768 AS ckey
-        |  FROM hashes CROSS JOIN (SELECT unnest(range(0, 4)) AS c) c),
-        |stats AS (SELECT chunk, ckey, count(*) AS df, min(doc) AS hub
-        |  FROM chunks GROUP BY 1, 2),
-        |tg AS (SELECT c.doc, c.simhash, c.chunk, c.ckey, s.df, s.hub
-        |  FROM chunks c JOIN stats s USING (chunk, ckey)),
-        |cold AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
-        |   bit_count(xor(a.simhash, b.simhash)) AS hamming
-        |  FROM tg a JOIN tg b
-        |    ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc < b.doc
-        |  WHERE a.df <= 64 AND b.df <= 64),
-        |hot AS (SELECT t.hub AS doc_a, t.doc AS doc_b,
-        |   bit_count(xor(h.simhash, t.simhash)) AS hamming
-        |  FROM tg t JOIN chunks h
-        |    ON h.doc = t.hub AND h.chunk = t.chunk AND h.ckey = t.ckey
-        |  WHERE t.df > 64 AND t.doc <> t.hub)
-        |SELECT DISTINCT doc_a, doc_b, CAST(hamming AS INT) AS hamming
-        |FROM (SELECT * FROM cold UNION ALL SELECT * FROM hot)
-        |WHERE hamming <= 3""".stripMargin,
+        |${graft.operators.Dedup.simhashBandSql("hashes", graft.operators.Multimodal.FpBits, 64)}""".stripMargin,
     // video: bits replayed from the md5 FRAME-COLOR formula — brightness
     // gain and spatial rescale scale every frame's gray sum by one positive
     // factor, so gray(f+1) > gray(f) on the raw per-frame colors IS the
@@ -469,7 +431,7 @@ object MultimodalQueries {
     // demux + per-frame decode; band/star semantics verbatim from the
     // text/image/audio machinery
     "mm_video_dedup" ->
-      """WITH media AS (
+      s"""WITH media AS (
         |  SELECT doc_id AS media_id,
         |    CASE WHEN doc_id % 8 IN (1, 2, 3)
         |      THEN doc_id - doc_id % 8 ELSE doc_id END AS vid,
@@ -497,26 +459,7 @@ object MultimodalQueries {
         |hashes AS (
         |  SELECT media_id AS doc, CAST(sum(bit) AS BIGINT) AS simhash
         |  FROM bits GROUP BY 1),
-        |chunks AS (SELECT doc, simhash, c.c AS chunk,
-        |   (simhash >> (c.c * 15)) % 32768 AS ckey
-        |  FROM hashes CROSS JOIN (SELECT unnest(range(0, 4)) AS c) c),
-        |stats AS (SELECT chunk, ckey, count(*) AS df, min(doc) AS hub
-        |  FROM chunks GROUP BY 1, 2),
-        |tg AS (SELECT c.doc, c.simhash, c.chunk, c.ckey, s.df, s.hub
-        |  FROM chunks c JOIN stats s USING (chunk, ckey)),
-        |cold AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
-        |   bit_count(xor(a.simhash, b.simhash)) AS hamming
-        |  FROM tg a JOIN tg b
-        |    ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc < b.doc
-        |  WHERE a.df <= 64 AND b.df <= 64),
-        |hot AS (SELECT t.hub AS doc_a, t.doc AS doc_b,
-        |   bit_count(xor(h.simhash, t.simhash)) AS hamming
-        |  FROM tg t JOIN chunks h
-        |    ON h.doc = t.hub AND h.chunk = t.chunk AND h.ckey = t.ckey
-        |  WHERE t.df > 64 AND t.doc <> t.hub)
-        |SELECT DISTINCT doc_a, doc_b, CAST(hamming AS INT) AS hamming
-        |FROM (SELECT * FROM cold UNION ALL SELECT * FROM hot)
-        |WHERE hamming <= 3""".stripMargin,
+        |${graft.operators.Dedup.simhashBandSql("hashes", graft.operators.Multimodal.FpBits, 64)}""".stripMargin,
     // the sample formula of Multimodal.syntheticWav — validates the PCM
     // header walk AND every little-endian 16-bit sample
     "mm_audio_decode" ->

@@ -1264,27 +1264,10 @@ object TextDedupQueries {
     "dedup_simhash_pairs" ->
       // models the maxChunkDf=64 hot-bucket star fallback (this corpus HAS
       // chunk buckets over the cap — templated docs share low chunks), so
-      // the skew guard binds in the catalog and stays oracle-checked
+      // the skew guard binds in the catalog and stays oracle-checked; the
+      // banding tail (corpus-adaptive block count + cold/hot star) is the
+      // shared generator — ONE SQL twin for all four fingerprint families
       s"""WITH $toksCte, $simhashCte,
-         |chunks AS (SELECT doc, simhash, c.c AS chunk,
-         |   (simhash >> (c.c * 15)) % 32768 AS ckey
-         |  FROM sh64 CROSS JOIN (SELECT unnest(range(0, 4)) AS c) c),
-         |stats AS (SELECT chunk, ckey, count(*) AS df, min(doc) AS hub
-         |  FROM chunks GROUP BY 1, 2),
-         |tg AS (SELECT c.doc, c.simhash, c.chunk, c.ckey, s.df, s.hub
-         |  FROM chunks c JOIN stats s USING (chunk, ckey)),
-         |cold AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
-         |   bit_count(xor(a.simhash, b.simhash)) AS hamming
-         |  FROM tg a JOIN tg b
-         |    ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc < b.doc
-         |  WHERE a.df <= 64 AND b.df <= 64),
-         |hot AS (SELECT t.hub AS doc_a, t.doc AS doc_b,
-         |   bit_count(xor(h.simhash, t.simhash)) AS hamming
-         |  FROM tg t JOIN chunks h
-         |    ON h.doc = t.hub AND h.chunk = t.chunk AND h.ckey = t.ckey
-         |  WHERE t.df > 64 AND t.doc <> t.hub)
-         |SELECT DISTINCT doc_a, doc_b, CAST(hamming AS INT) AS hamming
-         |FROM (SELECT * FROM cold UNION ALL SELECT * FROM hot)
-         |WHERE hamming <= 3""".stripMargin,
+         |${graft.operators.Dedup.simhashBandSql("sh64", graft.operators.Dedup.SimhashBits, 64)}""".stripMargin,
   )
 }

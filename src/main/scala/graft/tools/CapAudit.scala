@@ -37,6 +37,23 @@ object CapAudit {
     val nDocs = docs.count()
     println(s"[capaudit] corpus: $nDocs docs")
 
+    // shared chunk-bucket audit over the ADAPTIVE banding (the exact band
+    // table simhashPairs joins on: block count from simhashBlockCount)
+    def chunkAudit(label: String, hashes: org.apache.spark.sql.DataFrame,
+                   bits: Int): Unit = {
+      val h = hashes.localCheckpoint(true)
+      val n = h.count()
+      val b = Dedup.simhashBlockCount(bits, n)
+      val st = Dedup.simhashChunks(h, bits, b, 3)
+        .groupBy(col("chunk"), col("ckey"))
+        .agg(count(lit(1)).as("df"))
+        .agg(count(lit(1)).as("buckets"), max(col("df")).as("max_df"),
+          sum((col("df") > 64).cast("long")).as("over_cap"))
+        .head()
+      println(s"[capaudit] $label chunks: n=$n blocks=$b " +
+        s"buckets=${st.getLong(0)} max_df=${st.getLong(1)} over_cap(64)=${st.getLong(2)}")
+    }
+
     // ---- MinHash band buckets (lshCandidates' maxBandDf = 64 guard)
     val banded = Dedup.bandedTable(
       Dedup.minhashSignatures(Dedup.docShinglesRaw(docs, "doc_id", "text")))
@@ -49,18 +66,7 @@ object CapAudit {
       s"max_df=${bandStats.getLong(1)} over_cap(64)=${bandStats.getLong(2)}")
 
     // ---- SimHash chunk buckets (simhashPairs' maxChunkDf = 64 guard)
-    val sim = Dedup.simhash(docs, "doc_id", "text")
-    val chunks = sim.select(col("doc"),
-        explode(sequence(lit(0), lit(3))).as("chunk"),
-        col("simhash"))
-      .withColumn("ckey", expr("shiftright(simhash, chunk * 15) % 32768"))
-    val chunkStats = chunks.groupBy(col("chunk"), col("ckey"))
-      .agg(count(lit(1)).as("df"))
-      .agg(count(lit(1)).as("buckets"), max(col("df")).as("max_df"),
-        sum((col("df") > 64).cast("long")).as("over_cap"))
-      .head()
-    println(s"[capaudit] simhash chunks: buckets=${chunkStats.getLong(0)} " +
-      s"max_df=${chunkStats.getLong(1)} over_cap(64)=${chunkStats.getLong(2)}")
+    chunkAudit("simhash", Dedup.simhash(docs, "doc_id", "text"), Dedup.SimhashBits)
 
     // ---- Embedding LSH (corpus-adaptive bitsPerBand)
     val pts = SomQueries.points(spark, sfDir)
@@ -75,43 +81,19 @@ object CapAudit {
       s"candidates=$cand (cand/n=${cand.toDouble / nVec})")
 
     // ---- image dHash chunk buckets (mm_image_dedup's maxChunkDf = 64)
-    val hashes = graft.queries.MultimodalQueries.mmImageDedupHashes(spark, sfDir)
-    val dchunks = hashes.select(col("doc"),
-        explode(sequence(lit(0), lit(3))).as("chunk"), col("simhash"))
-      .withColumn("ckey", expr("shiftright(simhash, chunk * 15) % 32768"))
-    val dStats = dchunks.groupBy(col("chunk"), col("ckey"))
-      .agg(count(lit(1)).as("df"))
-      .agg(count(lit(1)).as("buckets"), max(col("df")).as("max_df"),
-        sum((col("df") > 64).cast("long")).as("over_cap"))
-      .head()
-    println(s"[capaudit] dhash chunks: buckets=${dStats.getLong(0)} " +
-      s"max_df=${dStats.getLong(1)} over_cap(64)=${dStats.getLong(2)}")
+    chunkAudit("dhash",
+      graft.queries.MultimodalQueries.mmImageDedupHashes(spark, sfDir),
+      graft.operators.Multimodal.FpBits)
 
     // ---- audio fingerprint chunk buckets (mm_audio_dedup's maxChunkDf = 64)
-    val afp = graft.queries.MultimodalQueries.mmAudioDedupHashes(spark, sfDir)
-    val achunks = afp.select(col("doc"),
-        explode(sequence(lit(0), lit(3))).as("chunk"), col("simhash"))
-      .withColumn("ckey", expr("shiftright(simhash, chunk * 15) % 32768"))
-    val aStats = achunks.groupBy(col("chunk"), col("ckey"))
-      .agg(count(lit(1)).as("df"))
-      .agg(count(lit(1)).as("buckets"), max(col("df")).as("max_df"),
-        sum((col("df") > 64).cast("long")).as("over_cap"))
-      .head()
-    println(s"[capaudit] audio fp chunks: buckets=${aStats.getLong(0)} " +
-      s"max_df=${aStats.getLong(1)} over_cap(64)=${aStats.getLong(2)}")
+    chunkAudit("audio fp",
+      graft.queries.MultimodalQueries.mmAudioDedupHashes(spark, sfDir),
+      graft.operators.Multimodal.FpBits)
 
     // ---- video fingerprint chunk buckets (mm_video_dedup's maxChunkDf = 64)
-    val vfp = graft.queries.MultimodalQueries.mmVideoDedupHashes(spark, sfDir)
-    val vchunks = vfp.select(col("doc"),
-        explode(sequence(lit(0), lit(3))).as("chunk"), col("simhash"))
-      .withColumn("ckey", expr("shiftright(simhash, chunk * 15) % 32768"))
-    val vStats = vchunks.groupBy(col("chunk"), col("ckey"))
-      .agg(count(lit(1)).as("df"))
-      .agg(count(lit(1)).as("buckets"), max(col("df")).as("max_df"),
-        sum((col("df") > 64).cast("long")).as("over_cap"))
-      .head()
-    println(s"[capaudit] video fp chunks: buckets=${vStats.getLong(0)} " +
-      s"max_df=${vStats.getLong(1)} over_cap(64)=${vStats.getLong(2)}")
+    chunkAudit("video fp",
+      graft.queries.MultimodalQueries.mmVideoDedupHashes(spark, sfDir),
+      graft.operators.Multimodal.FpBits)
 
     spark.stop()
   }

@@ -76,6 +76,50 @@ class DedupSpec extends SparkSpec {
     assert(pairs.get((0L, 1L)).contains(0))
   }
 
+  test("adaptive block count: grows with corpus, key width meets bitsPerBand") {
+    // b=4 serves small corpora; the thresholds are exact integer arithmetic
+    // (60-bit: 4→15 key bits ⟹ n ≤ 2^13; 5→24 ⟹ n ≤ 2^22; 6→30 ⟹ 2^28)
+    assert(Dedup.simhashBlockCount(60, 500) == 4)
+    assert(Dedup.simhashBlockCount(60, 8192) == 4)     // kb=15 boundary
+    assert(Dedup.simhashBlockCount(60, 8193) == 5)     // kb=16
+    assert(Dedup.simhashBlockCount(60, 4000000) == 5)  // kb=24 boundary area
+    assert(Dedup.simhashBlockCount(60, 5000000) == 6)
+    assert(Dedup.simhashBlockCount(60, 300000000L) == 8)
+    // 56-bit fingerprints: ceil(56/4)=14 → 4 blocks only up to kb 14 (n ≤ 2^12)
+    assert(Dedup.simhashBlockCount(56, 4096) == 4)
+    assert(Dedup.simhashBlockCount(56, 4097) == 5)
+    assert(Dedup.simhashBlockCount(56, 500000) == 6)   // the sf10 image corpus size
+    // ceiling: never past the largest candidate
+    assert(Dedup.simhashBlockCount(60, Long.MaxValue / 2) == 12)
+  }
+
+  test("pigeonhole recall holds at every block count: hamming<=3 pairs always share a band") {
+    import spark.implicits._
+    // 200 planted pairs: doc 2i is a random 60-bit hash, doc 2i+1 the same
+    // hash with 1..3 bits flipped at random positions. For EVERY candidate
+    // block count the banding must emit all 200 pairs — the pigeonhole
+    // guarantee is what lets b grow with the corpus without losing recall.
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 200).flatMap { i =>
+      val h = rnd.nextLong() & ((1L << 60) - 1)
+      val flips = 1 + rnd.nextInt(3)
+      val flipped = (0 until flips).foldLeft(h) { (acc, _) =>
+        acc ^ (1L << rnd.nextInt(60))
+      }
+      Seq((2L * i, h), (2L * i + 1, flipped))
+    }
+    val hashes = rows.toDF("doc", "simhash")
+    for (b <- Seq(4, 5, 6, 8, 10, 12)) {
+      val found = Dedup.simhashChunks(hashes, 60, b, 3)
+      val pairs = found.as("a").join(found.as("b"),
+          col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+            col("a.doc") < col("b.doc"))
+        .select(col("a.doc"), col("b.doc")).distinct()
+        .where(col("b.doc") === col("a.doc") + 1 && col("a.doc") % 2 === 0)
+      assert(pairs.count() == 200, s"recall loss at b=$b")
+    }
+  }
+
   test("converged keep-list closes a chain longer than any fixed round budget") {
     import spark.implicits._
     // path 0-1-2-...-9: diameter 9. A 3-round budget cannot flood doc 9's
