@@ -32,6 +32,72 @@ class AnnRecallSpec extends SparkSpec {
     assert(recalls.values.forall(_ >= 0.6), s"a probe collapsed: $recalls")
   }
 
+  test("multi-probe (spilled) IVF: recall@10 >= 0.95 at NO MORE scanned rows than fixed nprobe") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.01")
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect()
+        .map(r => r.getLong(r.fieldIndex("probe_id")) ->
+          r.getLong(r.fieldIndex("neighbor_id")))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topSets(SimilarityQueries.annBrute(spark, dir))
+    val fixed = topSets(SimilarityQueries.annIvf(spark, dir))
+    val multi = topSets(SimilarityQueries.annIvfMultiprobe(spark, dir))
+    assert(exact.keySet == multi.keySet)
+    def meanRecall(approx: Map[Long, Set[Long]]): Double = {
+      val r = exact.map { case (p, t) => approx(p).intersect(t).size.toDouble / t.size }
+      r.sum / r.size
+    }
+    val (mFixed, mMulti) = (meanRecall(fixed), meanRecall(multi))
+    // the spilled index must clear the 0.95 bar the fixed config misses
+    // (measured: fixed 0.92, spilled 1.0) and never lose to it
+    assert(mMulti >= 0.95, s"spilled-IVF recall@10 $mMulti < 0.95")
+    assert(mMulti >= mFixed,
+      s"spilled IVF ($mMulti) must not lose to fixed nprobe ($mFixed)")
+
+    // scan-cost parity, in actual scanned rows: (probe, vec) pairs reached
+    // through probed cells. Shared scaffolding with the production path:
+    // euclidean single assignment for the fixed config, spherical
+    // top-SpillCells assignment + single nearest cell for the spilled one.
+    val pts = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val centroids = SomQueries.protos(spark, dir)
+      .select(col("proto_id").as("cell"), col("c"))
+    val probes = pts.where(col("vec_id") < SimilarityQueries.NumProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("p"))
+    def cosC(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.VectorSql.dotFast(a, b) /
+        (graft.functions.VectorSql.norm2Fast(a) * graft.functions.VectorSql.norm2Fast(b))
+    val W = org.apache.spark.sql.expressions.Window
+    val fixedAsg = pts.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("cell"),
+        graft.functions.VectorSql.sqDistFast(col("v"), col("c")).as("d2"))
+      .withColumn("rn", row_number().over(
+        W.partitionBy(col("vec_id")).orderBy(col("d2"), col("cell"))))
+      .where(col("rn") === 1).select(col("vec_id"), col("cell"))
+    val fixedCells = probes.crossJoin(broadcast(centroids))
+      .select(col("probe_id"), col("cell"),
+        graft.functions.VectorSql.sqDistFast(col("p"), col("c")).as("cd2"))
+      .withColumn("crn", row_number().over(
+        W.partitionBy(col("probe_id")).orderBy(col("cd2"), col("cell"))))
+      .where(col("crn") <= SimilarityQueries.NProbe)
+    val fixedRows = fixedAsg.join(fixedCells, "cell").count()
+    val spillAsg = pts.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("cell"), cosC(col("v"), col("c")).as("vcos"))
+      .withColumn("rn", row_number().over(
+        W.partitionBy(col("vec_id")).orderBy(col("vcos").desc, col("cell"))))
+      .where(col("rn") <= SimilarityQueries.SpillCells).select(col("vec_id"), col("cell"))
+    val spillCells = probes.crossJoin(broadcast(centroids))
+      .select(col("probe_id"), col("cell"), cosC(col("p"), col("c")).as("pcos"))
+      .withColumn("crn", row_number().over(
+        W.partitionBy(col("probe_id")).orderBy(col("pcos").desc, col("cell"))))
+      .where(col("crn") <= SimilarityQueries.SpillNProbe)
+    val spillRows = spillAsg.join(spillCells, "cell")
+      .select(col("probe_id"), col("vec_id")).distinct().count()
+    assert(spillRows <= fixedRows,
+      s"spilled IVF scans $spillRows rows > fixed config's $fixedRows")
+  }
+
   test("ann_int8 shortlist+rerank top-10 vs exact DOT top-10: recall >= 0.9") {
     import org.apache.spark.sql.functions._
     val dir = sf("sf0.01")
