@@ -272,6 +272,79 @@ object MultimodalQueries {
         maxChunkDf = Some(64), hashBits = Multimodal.FpBits)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
 
+  /** DCT-pHash near-dup pairs — the image dedup family closed over
+    * NON-monotone-on-gray tone edits (VERDICT r7 ask #3). Per doc group of
+    * 8: doc 8k is an original bright-R 16×16 block PNG; 8k+1 its BMP
+    * re-encode, 8k+2 its 8×8 NN-downsample, 8k+3 its per-channel GAMMA
+    * copy (c ↦ ⌊c²/255⌋ — strictly monotone on the bright-R channel, so
+    * [[graft.operators.Multimodal.pHash]]'s rank input is EXACTLY
+    * preserved, while r+g+b sums reorder and [[graft.operators.Multimodal.dHash]]
+    * measures hamming ≫ 3 on ~2/3 of the copies, MultimodalSpec); 8k+4..7
+    * unrelated. Pipeline: REAL decode → rank-equalized integer 8×8 DCT
+    * signs → the same adaptive banding. The oracle re-derives every DCT
+    * coefficient from the tile formula and the [[graft.operators.Multimodal.DctT]]
+    * literals. */
+  private[graft] def mmImagePhashHashes(s: SparkSession, dir: String): DataFrame = {
+    val makeMedia = udf { (id: Long) =>
+      val v = id % 8
+      val iid = if (v >= 1 && v <= 3) id - v else id
+      v match {
+        case 1 => Multimodal.syntheticBlockImage(iid, PngW, PngH, 2, format = "bmp", brightR = true)
+        case 2 => Multimodal.syntheticBlockImage(iid, PngW / 2, PngH / 2, 1, brightR = true)
+        case 3 => Multimodal.syntheticBlockImage(iid, PngW, PngH, 2, gamma = true, brightR = true)
+        case _ => Multimodal.syntheticBlockImage(iid, PngW, PngH, 2, brightR = true)
+      }
+    }
+    val media = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("media_id"))
+      .withColumn("payload", makeMedia(col("media_id")))
+    Multimodal.pHashes(media)
+      .where(col("phash").isNotNull)
+      .select(col("media_id").as("doc"), col("phash").as("simhash"))
+  }
+
+  def mmImageDedupPhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(mmImagePhashHashes(s, dir), maxHamming = 3,
+        maxChunkDf = Some(64), hashBits = Multimodal.FpBits)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+
+  /** Spectral-band near-dup pairs — the audio dedup family closed over
+    * EQ-shifted copies (VERDICT r7 ask #3). Per doc group of 8: doc 8k is
+    * an original two-band Walsh WAV
+    * ([[graft.operators.Multimodal.syntheticBandWav]]); 8k+1 its EQ-SHIFTED
+    * copy (band gains 3:1 — total frame energies reorder, so the
+    * energy-order [[graft.operators.Multimodal.audioFingerprint]] measures
+    * hamming ≫ 3, MultimodalSpec, while the per-band spectral bits are
+    * EXACTLY invariant); 8k+2 its uniform ×2 gain copy; 8k+3 a one-frame
+    * edit (≤ 1 bit); 8k+4..7 unrelated. Pipeline: REAL PCM decode →
+    * integer Walsh-Hadamard band energies → within-band comparisons → the
+    * same adaptive banding. The oracle replays bits from the amplitude
+    * formula (per-band gains cancel inside a band by exact Walsh
+    * orthogonality). */
+  private[graft] def mmAudioSpectralHashes(s: SparkSession, dir: String): DataFrame = {
+    val makeMedia = udf { (id: Long) =>
+      val v = id % 8
+      val aid = if (v >= 1 && v <= 3) id - v else id
+      v match {
+        case 1 => Multimodal.syntheticBandWav(aid, g1 = 3, g2 = 1)
+        case 2 => Multimodal.syntheticBandWav(aid, g1 = 2, g2 = 2)
+        case 3 => Multimodal.syntheticBandWav(aid, bumpFrame0 = true)
+        case _ => Multimodal.syntheticBandWav(aid)
+      }
+    }
+    val media = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("media_id"))
+      .withColumn("payload", makeMedia(col("media_id")))
+    Multimodal.spectralFingerprints(media)
+      .where(col("sfp").isNotNull)
+      .select(col("media_id").as("doc"), col("sfp").as("simhash"))
+  }
+
+  def mmAudioDedupSpectral(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(mmAudioSpectralHashes(s, dir), maxHamming = 3,
+        maxChunkDf = Some(64), hashBits = Multimodal.FpBits)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_byte_stats" -> mmByteStats _,
     "mm_feature_agg" -> mmFeatureAgg _,
@@ -283,6 +356,8 @@ object MultimodalQueries {
     "mm_image_dedup" -> mmImageDedup _,
     "mm_audio_dedup" -> mmAudioDedup _,
     "mm_video_dedup" -> mmVideoDedup _,
+    "mm_image_dedup_phash" -> mmImageDedupPhash _,
+    "mm_audio_dedup_spectral" -> mmAudioDedupSpectral _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -470,5 +545,75 @@ object MultimodalQueries {
          |SELECT media_id, $WavRate AS sample_rate, $WavSamples AS n_samples,
          |  CAST(sum(s) AS BIGINT) AS sum_amp, CAST(max(s) AS INT) AS max_amp
          |FROM smp GROUP BY 1""".stripMargin,
+    // pHash: every DCT coefficient re-derived from the tile formula — the
+    // bright-R channel value (gamma-squared for the planted copy), the
+    // rank-equalization row_number, and the integer DCT via the DctT
+    // literals the Spark kernel multiplies by. One mangled rank, basis
+    // entry, or sign convention hash-mismatches.
+    "mm_image_dedup_phash" -> {
+      val dctVals = (for (u <- 0 until 8; x <- 0 until 8)
+        yield s"($u, $x, ${graft.operators.Multimodal.DctT(u)(x)})").mkString(", ")
+      s"""WITH media AS (
+         |  SELECT doc_id AS media_id,
+         |    CASE WHEN doc_id % 8 IN (1, 2, 3)
+         |      THEN doc_id - doc_id % 8 ELSE doc_id END AS iid,
+         |    (doc_id % 8 = 3) AS gammad
+         |  FROM documents),
+         |rv AS (
+         |  SELECT media_id, b,
+         |    CASE WHEN gammad THEN (r * r) // 255 ELSE r END AS rval
+         |  FROM (SELECT media_id, gammad, bb.b AS b,
+         |          128 + ('0x' || substr(md5(CAST(iid * 64 + bb.b AS VARCHAR)), 1, 2))::INT % 128 AS r
+         |        FROM media CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb)),
+         |rk AS (SELECT media_id, b,
+         |    CAST(row_number() OVER (PARTITION BY media_id ORDER BY rval, b) - 1 AS BIGINT) AS rnk
+         |  FROM rv),
+         |dctt(u, x, t) AS (VALUES $dctVals),
+         |fcoef AS (SELECT rk.media_id, tu.u AS fu, tv.u AS fv,
+         |    sum(tu.t * tv.t * rk.rnk) AS f
+         |  FROM rk JOIN dctt tu ON tu.x = rk.b % 8
+         |  JOIN dctt tv ON tv.x = rk.b // 8
+         |  GROUP BY 1, 2, 3),
+         |hashes AS (SELECT media_id AS doc,
+         |    CAST(sum(CASE WHEN f > 0
+         |      THEN (CAST(1 AS BIGINT) << (fu * 7 + fv - 1))
+         |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+         |  FROM fcoef WHERE fv >= 1 GROUP BY 1),
+         |${graft.operators.Dedup.simhashBandSql("hashes", graft.operators.Multimodal.FpBits, 64)}""".stripMargin
+    },
+    // spectral: bits replayed from the md5 BAND-AMPLITUDE formula — the
+    // per-band gains cancel inside a band (exact Walsh orthogonality:
+    // E_b = 64·(g_b·a_b)², so E_b(f+1) > E_b(f) IS a_b(f+1) > a_b(f)),
+    // which is precisely the EQ-invariance the entry exists to prove
+    "mm_audio_dedup_spectral" ->
+      s"""WITH media AS (
+         |  SELECT doc_id AS media_id,
+         |    CASE WHEN doc_id % 8 IN (1, 2, 3)
+         |      THEN doc_id - doc_id % 8 ELSE doc_id END AS aid,
+         |    (doc_id % 8 = 3) AS edited
+         |  FROM documents),
+         |amps AS (
+         |  SELECT media_id, f,
+         |    CASE WHEN edited AND f = 0 THEN (a1r + 7) % 4096 ELSE a1r END AS a1,
+         |    a2
+         |  FROM (SELECT media_id, edited, ff.f AS f,
+         |          ('0x' || substr(h, 1, 3))::INT AS a1r,
+         |          ('0x' || substr(h, 4, 3))::INT AS a2
+         |        FROM (SELECT media_id, edited, ff.f,
+         |                md5(CAST(aid * ${graft.operators.Multimodal.SpectralFrames} + ff.f AS VARCHAR) || 'a') AS h
+         |              FROM media CROSS JOIN
+         |                (SELECT unnest(range(0, ${graft.operators.Multimodal.SpectralFrames})) AS f) ff) ff)),
+         |bits AS (
+         |  SELECT c.media_id,
+         |    CASE WHEN n.a1 > c.a1 THEN (CAST(1 AS BIGINT) << c.f)
+         |      ELSE CAST(0 AS BIGINT) END
+         |    + CASE WHEN n.a2 > c.a2 THEN (CAST(1 AS BIGINT) << (${graft.operators.Multimodal.SpectralFrames - 1} + c.f))
+         |      ELSE CAST(0 AS BIGINT) END AS bit
+         |  FROM amps c JOIN amps n
+         |    ON n.media_id = c.media_id AND n.f = c.f + 1),
+         |hashes AS (
+         |  SELECT media_id AS doc, CAST(sum(bit) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY 1),
+         |${graft.operators.Dedup.simhashBandSql("hashes", graft.operators.Multimodal.FpBits, 64)}""".stripMargin,
   )
 }

@@ -95,6 +95,14 @@ object CapAudit {
       graft.queries.MultimodalQueries.mmVideoDedupHashes(spark, sfDir),
       graft.operators.Multimodal.FpBits)
 
+    // ---- r8 spectral families (mm_image_dedup_phash / mm_audio_dedup_spectral)
+    chunkAudit("phash",
+      graft.queries.MultimodalQueries.mmImagePhashHashes(spark, sfDir),
+      graft.operators.Multimodal.FpBits)
+    chunkAudit("audio spectral fp",
+      graft.queries.MultimodalQueries.mmAudioSpectralHashes(spark, sfDir),
+      graft.operators.Multimodal.FpBits)
+
     spark.stop()
   }
 }

@@ -210,6 +210,62 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => a / 8 == b / 8 && a >= 40 && b <= 43 })
   }
 
+  test("pHash: gamma copies collide EXACTLY; dHash misses most of them (the r7 gap)") {
+    // per-channel gamma c↦⌊c²/255⌋ on the bright-R corpus: strictly
+    // monotone on the R channel pHash rank-equalizes (exact invariance),
+    // NOT order-preserving on the r+g+b sums dHash compares
+    var dMissed = 0
+    for (k <- 0 until 200) {
+      val iid = k * 8L
+      val o = Multimodal.syntheticBlockImage(iid, 16, 16, 2, brightR = true)
+      val g = Multimodal.syntheticBlockImage(iid, 16, 16, 2, gamma = true, brightR = true)
+      assert(Multimodal.pHash(o).get == Multimodal.pHash(g).get,
+        s"pHash must be exactly gamma-invariant (iid=$iid)")
+      if (java.lang.Long.bitCount(Multimodal.dHash(o).get ^ Multimodal.dHash(g).get) > 3)
+        dMissed += 1
+    }
+    assert(dMissed > 100, s"gamma should defeat dHash on most images ($dMissed/200)")
+    // re-encode and downsample still collide; unrelated images are far
+    val o = Multimodal.syntheticBlockImage(40L, 16, 16, 2, brightR = true)
+    assert(Multimodal.pHash(o).get ==
+      Multimodal.pHash(Multimodal.syntheticBlockImage(40L, 16, 16, 2, format = "bmp", brightR = true)).get)
+    assert(Multimodal.pHash(o).get ==
+      Multimodal.pHash(Multimodal.syntheticBlockImage(40L, 8, 8, 1, brightR = true)).get)
+    val other = Multimodal.pHash(Multimodal.syntheticBlockImage(41L, 16, 16, 2, brightR = true)).get
+    assert(java.lang.Long.bitCount(Multimodal.pHash(o).get ^ other) > 3)
+    assert(Multimodal.pHash(o).get >= 0L && (Multimodal.pHash(o).get >> 56) == 0L)
+    assert(Multimodal.pHash(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("spectralFingerprint: EQ-shifted copies collide EXACTLY; energy-order fp misses them") {
+    var eMissed = 0
+    for (k <- 0 until 200) {
+      val aid = k * 8L
+      val o = Multimodal.syntheticBandWav(aid)
+      val eq = Multimodal.syntheticBandWav(aid, g1 = 3, g2 = 1)
+      assert(Multimodal.spectralFingerprint(o).get == Multimodal.spectralFingerprint(eq).get,
+        s"spectral fp must be exactly EQ-invariant (aid=$aid)")
+      // the pre-r8 energy-order fingerprint on the same payloads: total
+      // frame energies 64·(9a1²+a2²) vs 64·(a1²+a2²) reorder
+      if (java.lang.Long.bitCount(
+          Multimodal.audioFingerprint(o).get ^ Multimodal.audioFingerprint(eq).get) > 3)
+        eMissed += 1
+    }
+    assert(eMissed > 100, s"EQ shift should defeat the energy-order fp on most streams ($eMissed/200)")
+    val o = Multimodal.syntheticBandWav(40L)
+    // uniform gain still collides on BOTH fingerprints; edit flips <= 1 bit
+    val gain = Multimodal.syntheticBandWav(40L, g1 = 2, g2 = 2)
+    assert(Multimodal.spectralFingerprint(o).get == Multimodal.spectralFingerprint(gain).get)
+    assert(Multimodal.audioFingerprint(o).get == Multimodal.audioFingerprint(gain).get)
+    val edit = Multimodal.spectralFingerprint(Multimodal.syntheticBandWav(40L, bumpFrame0 = true)).get
+    assert(java.lang.Long.bitCount(Multimodal.spectralFingerprint(o).get ^ edit) <= 1)
+    val other = Multimodal.spectralFingerprint(Multimodal.syntheticBandWav(41L)).get
+    assert(java.lang.Long.bitCount(Multimodal.spectralFingerprint(o).get ^ other) > 3)
+    assert(Multimodal.spectralFingerprint(o).get >= 0L &&
+      (Multimodal.spectralFingerprint(o).get >> 56) == 0L)
+    assert(Multimodal.spectralFingerprint(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("audioFingerprint: gain-doubled and decimated copies collide; byte digest misses them") {
     val F = Multimodal.AudioFpFrames
     val orig = Multimodal.syntheticFrameWav(40L, F, 64)
