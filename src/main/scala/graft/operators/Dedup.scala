@@ -425,6 +425,36 @@ object Dedup {
        |WHERE hamming <= $h""".stripMargin
   }
 
+  /** Right-to-be-forgotten CASCADE through the persisted dedup artifacts
+    * (VERDICT r7 ask #5): deleting a document from the base corpus is not
+    * enough — it survives inside the carried band table and the confirmed
+    * pairs, and through them inside every keep-list derived later. Scrub =
+    * anti-join the deletion set out of both artifacts: band keys are
+    * PER-DOC (a doc's band rows are a function of its own text only), so
+    * dropping the doomed docs' rows leaves exactly the band table a full
+    * recompute over the surviving corpus would build; a confirmed pair is
+    * per-pair exact, so dropping pairs with a doomed endpoint leaves
+    * exactly the surviving corpus' pairs. This equivalence REQUIRES the
+    * uncapped artifacts (the incremental family's convention): a df-cap
+    * star fallback binds against pre-delete bucket populations and hubs,
+    * which a post-delete recompute would choose differently. Downstream
+    * keep-lists must be re-derived from the scrubbed pairs — connected
+    * components can SPLIT when the deleted doc was the bridge, so labels
+    * are recomputed (pair-graph-scale, never corpus-scale), not scrubbed.
+    * The deletion set is human-scale at any corpus size: both anti-joins
+    * broadcast. */
+  def scrubArtifacts(banded: DataFrame, pairs: DataFrame,
+                     doomed: DataFrame): (DataFrame, DataFrame) = {
+    val ids = doomed.select(col("doc"))
+    val bandedS = banded.join(broadcast(ids), Seq("doc"), "left_anti")
+      .select(banded.columns.map(col).toIndexedSeq: _*)
+    val pairsS = pairs
+      .join(broadcast(ids.select(col("doc").as("doc_a"))), Seq("doc_a"), "left_anti")
+      .join(broadcast(ids.select(col("doc").as("doc_b"))), Seq("doc_b"), "left_anti")
+      .select(pairs.columns.map(col).toIndexedSeq: _*) // USING joins reorder
+    (bandedS, pairsS)
+  }
+
   /** Incremental near-dup maintenance — the daily-increment path: given
     * yesterday's BAND table and confirmed pairs, fold in today's new
     * documents without re-shingling, re-signing, or re-banding the old

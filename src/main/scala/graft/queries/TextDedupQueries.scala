@@ -463,6 +463,49 @@ object TextDedupQueries {
           "train").otherwise("test").as("split"))
   }
 
+  /** Uncapped confirmed pairs — the artifact flavor the incremental AND
+    * cascade families carry (a df-cap star binds against different
+    * populations before and after a delta/delete, breaking their
+    * equals-recompute contracts; see [[graft.operators.Dedup.scrubArtifacts]]). */
+  private def sharedPairsUncapped(s: SparkSession, dir: String): DataFrame =
+    Artifacts.shared(s"minhash_pairs_uncapped:$dir") {
+      val cand = Dedup.lshCandidates(sharedSignatures(s, dir))
+        .localCheckpoint(eager = true)
+      val candDocs = cand.select(col("doc_a").as("doc_id"))
+        .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+      val rawCand = Dedup.docShinglesRaw(
+        docs(s, dir).join(broadcast(candDocs), "doc_id"), "doc_id", "text")
+      Dedup.jaccardPairs(rawCand, 0.8, candidates = Some(cand))
+    }
+
+  /** GDPR delete CASCADED through the dedup artifacts (VERDICT r7 ask #5):
+    * the deletion set (`doc_id % 97 = 0`, the `q_gdpr_delete` request) is
+    * scrubbed out of the carried band table and confirmed pairs
+    * ([[graft.operators.Dedup.scrubArtifacts]]), and the keep-list is
+    * re-derived from the scrubbed pairs (components can split when the
+    * deleted doc was the bridge). Output: one row per doc in the SCRUBBED
+    * BAND TABLE joined (full outer) with the re-derived keep-list — a
+    * doomed doc surviving either artifact, or a survivor missing from
+    * either, breaks the row set. The oracle is a FULL RECOMPUTE FROM
+    * SCRATCH over the surviving corpus (shingles → signatures → uncapped
+    * banding → exact Jaccard → recursive-CTE CC): the cascade's whole
+    * contract is being indistinguishable from it. */
+  def dedupGdprCascade(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val doomed = d.where(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("doc"))
+    val banded = Dedup.bandedTable(sharedSignatures(s, dir))
+    val (bandedS, pairsS) =
+      Dedup.scrubArtifacts(banded, sharedPairsUncapped(s, dir), doomed)
+    val survivors = d.join(broadcast(doomed),
+      d("doc_id") === doomed("doc"), "left_anti")
+    val keep = Dedup.keepListConverged(survivors, "doc_id",
+      pairsS.select(col("doc_a"), col("doc_b")))
+    val bandCounts = bandedS.groupBy(col("doc"))
+      .agg(count(lit(1)).cast("long").as("n_band_rows"))
+    keep.join(bandCounts, Seq("doc"), "full_outer")
+  }
+
   /** Span width for the exact repeated-span (substring) dedup family:
     * Lee et al. 2022 run 50-token spans on web-scale corpora; the fixture
     * docs are 10–99 tokens (median 56), so 15 keeps the same
@@ -618,6 +661,7 @@ object TextDedupQueries {
     "dedup_keep_list" -> dedupKeepList _,
     "dedup_quality_rep" -> dedupQualityRep _,
     "dedup_cc_keep_list" -> dedupCcKeepList _,
+    "dedup_gdpr_cascade" -> dedupGdprCascade _,
     "dedup_simhash_pairs" -> dedupSimhashPairs _,
     "dedup_jaccard_pairs" -> dedupJaccardPairs _,
     "dedup_span_inventory" -> dedupSpanInventory _,
@@ -1196,6 +1240,27 @@ object TextDedupQueries {
          |  UNION
          |  SELECT reach.doc, e.dst FROM reach JOIN edges e ON reach.r = e.src)
          |SELECT doc, min(r) AS canonical FROM reach GROUP BY 1""".stripMargin,
+    "dedup_gdpr_cascade" ->
+      // RECOMPUTE FROM SCRATCH on the surviving corpus — shingles,
+      // signatures, UNCAPPED banding, exact Jaccard, recursive-CTE CC, and
+      // the band-table row counts — the equality the cascade must achieve.
+      // No artifact file is read: this oracle is the independent witness.
+      s"""WITH RECURSIVE ${toksCte.replace("FROM documents",
+             "FROM documents WHERE doc_id % 97 != 0")},
+         |$shinglesCte, $sigCte, $pairsCtesUncapped,
+         |jp AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.8),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+         |  UNION ALL SELECT doc_b, doc_a FROM jp
+         |  UNION ALL SELECT doc_id, doc_id FROM documents
+         |    WHERE doc_id % 97 != 0),
+         |reach AS (SELECT src AS doc, dst AS r FROM edges
+         |  UNION
+         |  SELECT reach.doc, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+         |cc AS (SELECT doc, min(r) AS canonical FROM reach GROUP BY 1),
+         |bc AS (SELECT doc, CAST(count(*) AS BIGINT) AS n_band_rows
+         |  FROM banded GROUP BY 1)
+         |SELECT cc.doc, cc.canonical, bc.n_band_rows
+         |FROM cc JOIN bc USING (doc)""".stripMargin,
     "ml_split_leakfree" ->
       // CC from the dumped pairs artifact (like dedup_cc_keep_list), then
       // the split hash keyed on the cluster canonical — the same

@@ -195,6 +195,40 @@ class DedupSpec extends SparkSpec {
       Dedup.docShinglesRaw(docs.where(!col("doc_id").isin(evalIds.toSeq: _*)), "doc_id", "text"),
       Dedup.docShinglesRaw(docs.where(col("doc_id").isin(evalIds.toSeq: _*)), "doc_id", "text"))
 
+  test("GDPR scrub of band table + pairs equals recompute-from-scratch on survivors") {
+    import spark.implicits._
+    // corpus with near-dup pairs whose bridge doc gets deleted: (0,1,2) is a
+    // chain through doc 1 — deleting 1 must SPLIT the component
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "alpha beta gamma delta epsilon zeta eta iota"),   // near-dup of 0 and 2
+      (2L, "beta gamma delta epsilon zeta eta iota kappa"),
+      (3L, "unrelated content entirely different words here now"),
+      (4L, "unrelated content entirely different words here now"), // exact dup of 3
+    ).toDF("doc_id", "text")
+    val doomed = Seq(1L).toDF("doc")
+    val full = Dedup.docShinglesRaw(corpus, "doc_id", "text")
+    val sigs = Dedup.minhashSignatures(full)
+    val banded = Dedup.bandedTable(sigs)
+    val pairs = Dedup.jaccardPairs(full, 0.5,
+      candidates = Some(Dedup.lshCandidates(sigs)))
+    val (bandedS, pairsS) = Dedup.scrubArtifacts(banded, pairs, doomed)
+    // from-scratch artifacts over survivors
+    val surv = corpus.where(col("doc_id") =!= 1L)
+    val survSh = Dedup.docShinglesRaw(surv, "doc_id", "text")
+    val survSigs = Dedup.minhashSignatures(survSh)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rows(bandedS) == rows(Dedup.bandedTable(survSigs)))
+    assert(rows(pairsS) == rows(Dedup.jaccardPairs(survSh, 0.5,
+      candidates = Some(Dedup.lshCandidates(survSigs)))))
+    // keep-list re-derived from scrubbed pairs: the 0-1-2 component split
+    val keep = Dedup.keepListConverged(surv, "doc_id",
+        pairsS.select(col("doc_a"), col("doc_b")))
+      .as[(Long, Long)].collect().toMap
+    assert(keep(0L) == 0L && keep(2L) == 2L, "bridge delete must split the component")
+    assert(keep(4L) == 3L)
+  }
+
   test("contamination flags only non-eval docs sharing shingles with the eval set") {
     // eval = doc 0; docs 1 (exact copy) and 2 (near copy) share shingles,
     // docs 3/4 share none; eval doc itself must not be flagged

@@ -61,4 +61,32 @@ class IvfDeltaSpec extends SparkSpec {
     val n2 = SimilarityQueries.annIvfDelta(spark, sf("sf0.001")).count()
     assert(n1 == n2) // a second append would double-count the delta
   }
+
+  test("GDPR delete through the IVF layout equals a rebuild from survivors") {
+    import spark.implicits._
+    // the serving-index leg of the right-to-be-forgotten cascade: with the
+    // coarse quantizer frozen, surgically deleting doomed vec_ids from the
+    // cell-partitioned layout (deletePartitioned) must be indistinguishable
+    // from rebuilding the layout over the surviving vectors — and cells
+    // holding no doomed vector must keep byte-identical files
+    val root = Files.createTempDirectory("graft_ivf_gdpr")
+    val rebuiltRoot = Files.createTempDirectory("graft_ivf_gdpr_rebuild")
+    val vecs = (0L until 40L).map(i => (i, Array.fill(4)(i.toDouble), i % 5))
+      .toDF("vec_id", "v", "cell")
+    // doomed ids live in cells 0 and 2 only; cells 1, 3, 4 are untouched
+    val doomed = Seq(10L, 22L).toDF("vec_id")
+    Sources.writeIvfLayout(vecs, root.toString)
+    val before = dataFiles(root)
+    Sources.deletePartitioned(spark, root.toString, "cell", "vec_id", doomed)
+    val after = dataFiles(root)
+    for (c <- Seq(1, 3, 4); (rel, bytes) <- before if rel.startsWith(s"cell=$c/"))
+      assert(after.get(rel).contains(bytes), s"untouched cell file $rel rewritten")
+    Sources.writeIvfLayout(
+      vecs.where(!col("vec_id").isin(10L, 22L)), rebuiltRoot.toString)
+    def served(p: Path) = spark.read.parquet(p.toString)
+      .select(col("vec_id"), col("v"), col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2))).toSet
+    assert(served(root) == served(rebuiltRoot),
+      "surgical delete must equal rebuild-from-survivors")
+  }
 }
