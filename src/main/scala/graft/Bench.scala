@@ -32,14 +32,30 @@ object Bench {
     // optional query-name filter (comma-separated) for targeted scale runs —
     // the driver never sets it, so the per-round bench stays the full catalog
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // CALIBRATION SENTINEL (r7 verdict ask #6): a fixed, data-independent,
+    // CPU-bound workload timed before each rep. Its wall time depends only
+    // on this box's available compute — so a contended run (the r7 driver
+    // bench measured uniformly ~2× inflated against a same-box re-run)
+    // flags ITSELF: sentinel_sec inflates by the same contention factor as
+    // the query medians, and a reader divides it out instead of
+    // adjudicating with a second measurement session. Reference on this
+    // box, uncontended: ~0.35 s (BASELINE.md).
+    def sentinel(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(1L << 27).selectExpr("count(xxhash64(id)) c").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val sentinels = scala.collection.mutable.ListBuffer.empty[Double]
     val samples = (1 to reps).flatMap { _ =>
       graft.operators.Artifacts.clear()
+      sentinels += sentinel()
       SparkEntry.queries.toSeq.filter(kv => only.forall(_(kv._1))).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }
     }
+    val sentinelMed = median(sentinels.toSeq)
     val results = samples.groupBy(_._1).view
       .mapValues(ts => median(ts.map(_._2))).toMap
     // The driver's stdout scrape keeps only the LAST 2000 bytes, so a full
@@ -60,11 +76,11 @@ object Bench {
       if (used + entry.length + 1 <= budget) { kept += entry; used += entry.length + 1 }
     }
     def line(entries: Seq[String], elided: Int) =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")},"queries_elided":$elided,"full":"target/bench.json","sf":"$sfDir","reps":$reps}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","sentinel_sec":${f(sentinelMed)},"sentinel_reps":${sentinels.map(f).mkString("[", ",", "]")},"queries":${entries.mkString("{", ",", "}")},"queries_elided":$elided,"full":"target/bench.json","sf":"$sfDir","reps":$reps}"""
     val json = line(kept.toSeq, results.size - kept.size)
     // the complete map goes to the file; same shape, no budget
     val fullJson =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":${results.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")},"sf":"$sfDir","reps":$reps}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","sentinel_sec":${f(sentinelMed)},"sentinel_reps":${sentinels.map(f).mkString("[", ",", "]")},"queries":${results.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")},"sf":"$sfDir","reps":$reps}"""
     // Persist to a file, atomically (tmp + rename): the file is the
     // loss-proof artifact. Path printed so callers find it.
     try {
