@@ -26,9 +26,23 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   */
 private[graft] object EventTs {
 
+  // Plausible epoch-NANOSECOND range for the generator's event clock:
+  // 1990-01-01 .. 2100-01-01. Epoch-MICROsecond values for the same dates
+  // are 1000× smaller and land entirely below the lower bound, so a future
+  // generator writing plain int64 micros (no timestamp logical type) fails
+  // LOUD here instead of silently shifting every timestamp 1000× (r7
+  // advisory). The check is one codegen'd comparison per row.
+  private val NsLo = 631152000000000000L   // 1990-01-01 in epoch-ns
+  private val NsHi = 4102444800000000000L  // 2100-01-01 in epoch-ns
+
   /** Exact epoch-micros column for `df`'s `ts`, whatever its read type. */
   def tsUs(df: DataFrame): Column = df.schema("ts").dataType match {
-    case LongType          => expr("ts div 1000") // legacy nanos-as-long read
+    case LongType => // legacy nanos-as-long read; guard the ns assumption
+      expr(s"""CASE WHEN ts BETWEEN ${NsLo}L AND ${NsHi}L THEN ts div 1000
+              |ELSE raise_error(concat('events.ts long value ', CAST(ts AS STRING),
+              |  ' outside the plausible epoch-nanosecond range — is the generator',
+              |  ' now writing int64 micros? (EventTs.tsUs assumes int64 = ns)'))
+              |END""".stripMargin)
     case TimestampNTZType  => unix_micros(col("ts").cast(TimestampType))
     case _                 => unix_micros(col("ts"))
   }

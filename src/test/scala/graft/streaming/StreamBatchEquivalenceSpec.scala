@@ -22,12 +22,18 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     * generator used (ns-as-long or us NTZ), same as the batch reader. */
   private def loadEvents(): Seq[EventStream.Event] = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    raw.select(col("event_id"), graft.queries.EventTs.tsTimestamp(raw).as("ts"),
-        col("user_id"), col("event_type"), col("value"))
-      .as[EventStream.Event]
-      .collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    // withConf (not bare conf.set): restores the shared session afterwards —
+    // a bare set leaked nanosAsLong=true into whatever suite ran next
+    // (SessionHygieneSpec catches it when ordered after this one). UTC is
+    // pinned explicitly for the NTZ->Timestamp cast in EventTs (r7 advisory).
+    withConf("spark.sql.legacy.parquet.nanosAsLong" -> "true",
+        "spark.sql.session.timeZone" -> "UTC") {
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.select(col("event_id"), graft.queries.EventTs.tsTimestamp(raw).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .as[EventStream.Event]
+        .collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    }
   }
 
   test("streaming hourly equals oracle-checked batch hourly on sf0.001") {

@@ -57,6 +57,9 @@ class StreamRestartSpec extends SparkSpec {
     * far-future sentinel so every window/grid drains at the end. */
   private def fixture(fork: SparkSession): (DataFrame, DataFrame, StructType) = {
     fork.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // pin UTC explicitly (not via the builder default) so the NTZ->Timestamp
+    // cast inside EventTs cannot skew if the harness conf changes (r7 advisory)
+    fork.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = fork.read.parquet(s"$dir/events.parquet")
     val src = raw
       .select(col("event_id"), graft.queries.EventTs.tsTimestamp(raw).as("ts"),

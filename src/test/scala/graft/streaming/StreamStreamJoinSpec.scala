@@ -18,7 +18,9 @@ class StreamStreamJoinSpec extends SparkSpec {
   test("view->click 30-min interval join equals the batch join on sf0.001") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val events = withConf("spark.sql.legacy.parquet.nanosAsLong" -> "true") {
+    val events = withConf("spark.sql.legacy.parquet.nanosAsLong" -> "true",
+        // UTC pinned explicitly for the NTZ->Timestamp cast (r7 advisory)
+        "spark.sql.session.timeZone" -> "UTC") {
       val raw = spark.read.parquet(sf("sf0.001") + "/events.parquet")
       raw.select(col("event_id"), graft.queries.EventTs.tsTimestamp(raw).as("ts"),
           col("user_id"), col("event_type"), col("value"))
