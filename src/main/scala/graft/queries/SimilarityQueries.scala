@@ -97,6 +97,51 @@ object SimilarityQueries {
       nprobe = SpillNProbe, spill = SpillCells)
   }
 
+  /** [[annIvfMultiprobe]] served FROM THE DISK LAYOUT — the serving loop
+    * closed for the spilled index exactly as `ann_ivf_pruned` closes it for
+    * the classic one: the spilled (vector → its [[SpillCells]] nearest
+    * spherical cells) assignment is written `partitionBy(cell)` — the index
+    * is spill× larger ON DISK, the documented storage trade — and each
+    * probe's single nearest cell becomes a literal partition filter, so a
+    * probe reads `1/K` of the directories. Same oracle as
+    * `ann_ivf_multiprobe`: the layout hop must not change a neighbor. */
+  def annIvfMultiprobePruned(s: SparkSession, dir: String): DataFrame = {
+    val centroids = SomQueries.protos(s, dir)
+      .select(col("proto_id").as("cell"), col("c"))
+    def cosC(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.VectorSql.dotFast(a, b) /
+        (graft.functions.VectorSql.norm2Fast(a) * graft.functions.VectorSql.norm2Fast(b))
+    val layout = graft.operators.Artifacts.sharedPath(s"ivf_spill_layout:$dir") { path =>
+      val vrnW = Window.partitionBy(col("vec_id")).orderBy(col("vcos").desc, col("cell"))
+      val spilled = pts(s, dir).crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("v"), col("cell"),
+          cosC(col("v"), col("c")).as("vcos"))
+        .withColumn("vrn", row_number().over(vrnW))
+        .where(col("vrn") <= SpillCells)
+      graft.sources.Sources.writeIvfLayout(spilled, path)
+    }
+    val crnW = Window.partitionBy(col("probe_id")).orderBy(col("pcos").desc, col("cell"))
+    val probeCells = probes(s, dir).crossJoin(broadcast(centroids))
+      .select(col("probe_id"), col("p"), col("cell"),
+        cosC(col("p"), col("c")).as("pcos"))
+      .withColumn("crn", row_number().over(crnW))
+      .where(col("crn") <= SpillNProbe)
+      .select(col("probe_id"), col("p"), col("cell"))
+    val wantedCells = probeCells.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val pruned = s.read.parquet(layout).where(col("cell").isin(wantedCells: _*))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+    pruned
+      .join(broadcast(probeCells), "cell")
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), cosC(col("v"), col("p")).as("cos"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= K)
+      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Embedding near-dup NN with the √N-scaled quantizer: the per-corpus cell
     * count comes from one metadata-cheap count, so the blocked all-pairs
     * grows ~N^1.5 with corpus size instead of quadratically. */
@@ -474,6 +519,7 @@ object SimilarityQueries {
     "ann_int8" -> annInt8 _,
     "ann_ivf" -> annIvf _,
     "ann_ivf_multiprobe" -> annIvfMultiprobe _,
+    "ann_ivf_multiprobe_pruned" -> annIvfMultiprobePruned _,
     "ann_ivf_pruned" -> annIvfPruned _,
     "ann_ivf_delta" -> annIvfDelta _,
     "ann_pq" -> annPq _,
@@ -531,6 +577,27 @@ object SimilarityQueries {
        |d AS (SELECT pc.probe_id, a.vec_id, ${cosE("a.v", "pc.p")} AS cos
        |  FROM asg a JOIN pc ON a.cell = pc.cell
        |  WHERE a.vec_id != pc.probe_id),
+       |r AS (SELECT probe_id, vec_id, cos, row_number() OVER
+       |  (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn FROM d)
+       |SELECT probe_id, CAST(rn AS INT) AS rank, vec_id AS neighbor_id,
+       | round(cos, 6) AS cos_sim
+       |FROM r WHERE rn <= $K""".stripMargin
+
+  private lazy val multiprobeOracle: String =
+    s"""WITH $base,
+       |sp AS (SELECT vec_id, v, cell FROM
+       |  (SELECT p.vec_id, p.v, pr.cell, row_number() OVER
+       |     (PARTITION BY p.vec_id ORDER BY ${cosE("p.v", "pr.c")} DESC, pr.cell) AS vrn
+       |   FROM pts p CROSS JOIN protos pr)
+       |  WHERE vrn <= $SpillCells),
+       |pc AS (SELECT probe_id, p, cell FROM
+       |  (SELECT pb.probe_id, pb.p, pr.cell, row_number() OVER
+       |     (PARTITION BY pb.probe_id ORDER BY ${cosE("pb.p", "pr.c")} DESC, pr.cell) AS crn
+       |   FROM probes pb CROSS JOIN protos pr)
+       |  WHERE crn <= $SpillNProbe),
+       |d AS (SELECT DISTINCT pc.probe_id, sp.vec_id, ${cosE("sp.v", "pc.p")} AS cos
+       |  FROM sp JOIN pc ON sp.cell = pc.cell
+       |  WHERE sp.vec_id != pc.probe_id),
        |r AS (SELECT probe_id, vec_id, cos, row_number() OVER
        |  (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn FROM d)
        |SELECT probe_id, CAST(rn AS INT) AS rank, vec_id AS neighbor_id,
@@ -666,27 +733,11 @@ object SimilarityQueries {
     "ann_ivf_delta" -> ivfServeOracle,
     // multi-probe via write-side spilling: vectors dual-assigned to their
     // top-SpillCells spherical cells, probes scan their single nearest
-    // cell; DISTINCT dedups vectors reachable through two probed cells
-    "ann_ivf_multiprobe" ->
-      s"""WITH $base,
-         |sp AS (SELECT vec_id, v, cell FROM
-         |  (SELECT p.vec_id, p.v, pr.cell, row_number() OVER
-         |     (PARTITION BY p.vec_id ORDER BY ${cosE("p.v", "pr.c")} DESC, pr.cell) AS vrn
-         |   FROM pts p CROSS JOIN protos pr)
-         |  WHERE vrn <= $SpillCells),
-         |pc AS (SELECT probe_id, p, cell FROM
-         |  (SELECT pb.probe_id, pb.p, pr.cell, row_number() OVER
-         |     (PARTITION BY pb.probe_id ORDER BY ${cosE("pb.p", "pr.c")} DESC, pr.cell) AS crn
-         |   FROM probes pb CROSS JOIN protos pr)
-         |  WHERE crn <= $SpillNProbe),
-         |d AS (SELECT DISTINCT pc.probe_id, sp.vec_id, ${cosE("sp.v", "pc.p")} AS cos
-         |  FROM sp JOIN pc ON sp.cell = pc.cell
-         |  WHERE sp.vec_id != pc.probe_id),
-         |r AS (SELECT probe_id, vec_id, cos, row_number() OVER
-         |  (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn FROM d)
-         |SELECT probe_id, CAST(rn AS INT) AS rank, vec_id AS neighbor_id,
-         | round(cos, 6) AS cos_sim
-         |FROM r WHERE rn <= $K""".stripMargin,
+    // cell; DISTINCT dedups vectors reachable through two probed cells.
+    // Shared VERBATIM with the disk-layout serve (the partition-pruned hop
+    // must not change a neighbor — the ann_ivf_pruned convention).
+    "ann_ivf_multiprobe" -> multiprobeOracle,
+    "ann_ivf_multiprobe_pruned" -> multiprobeOracle,
     // the literal-hyperplane formula of Similarity.hyperplane: sign bits
     // from the SAME left-to-right fold, packed into corpus-sized band keys
     // (params.bpb = integer twin of Similarity.bitsPerBand — bit-length
