@@ -506,6 +506,49 @@ object TextDedupQueries {
     keep.join(bandCounts, Seq("doc"), "full_outer")
   }
 
+  /** STREAMING near-dup pairs under the hash gate — the eighth streaming
+    * sink, and the first over the DOCUMENTS table: the corpus flows through
+    * `readStream` into [[graft.streaming.DocStream]] (per-row signatures →
+    * band grouping → stateful per-bucket confirm) and the parquet sink,
+    * read back and band-deduped, must hash-match the batch UNCAPPED pair
+    * oracle (the incremental family's). The continuous-crawl shape:
+    * tomorrow's docs would flow into the SAME checkpointed state and emit
+    * only the new pairs (DedupStreamSpec proves two-batch == one-batch ==
+    * batch). */
+  def dedupPairsStreamed(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    import fork.implicits._
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_stream_dedup_pairs_${ProcessHandle.current().pid()}")
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+    val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    // stage the corpus into a directory: the file stream source reads
+    // directories, and the driver testdata is a single parquet file
+    val docsIn = fork.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    docsIn.write.parquet(inDir)
+    val stream = fork.readStream.schema(docsIn.schema).parquet(inDir)
+    val q = graft.streaming.DocStream.pairsStream(
+        graft.streaming.DocStream.bandRows(stream, "doc_id", "text")
+          .as[graft.streaming.DocStream.BandDoc])
+      .toDF()
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // a pair found through two bands lands twice — collapse, like the batch
+    // candidate distinct; schema-pinned read so a pair-free corpus yields
+    // an empty frame instead of an inference error
+    fork.read.schema("doc_a LONG, doc_b LONG, jaccard DOUBLE").parquet(outDir)
+      .distinct()
+  }
+
   /** Span width for the exact repeated-span (substring) dedup family:
     * Lee et al. 2022 run 50-token spans on web-scale corpora; the fixture
     * docs are 10–99 tokens (median 56), so 15 keeps the same
@@ -662,6 +705,7 @@ object TextDedupQueries {
     "dedup_quality_rep" -> dedupQualityRep _,
     "dedup_cc_keep_list" -> dedupCcKeepList _,
     "dedup_gdpr_cascade" -> dedupGdprCascade _,
+    "dedup_pairs_stream" -> dedupPairsStreamed _,
     "dedup_simhash_pairs" -> dedupSimhashPairs _,
     "dedup_jaccard_pairs" -> dedupJaccardPairs _,
     "dedup_span_inventory" -> dedupSpanInventory _,
@@ -1188,6 +1232,8 @@ object TextDedupQueries {
     // incremental must equal the full recompute, but its candidate step is
     // UNCAPPED banding on both legs — model exactly that (see pairsCtesUncapped)
     "dedup_incremental_pairs" -> incrementalPairsSql,
+    // streaming twin: the sink must equal the same uncapped batch pairs
+    "dedup_pairs_stream" -> incrementalPairsSql,
     // The three cluster-logic oracles below replay from the DUMPED pairs
     // artifact (placeholder substituted by Verify) rather than recomputing
     // the MinHash chain: the full-chain DuckDB replay spills >72 GB at 50k
