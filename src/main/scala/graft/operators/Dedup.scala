@@ -377,6 +377,53 @@ object Dedup {
     pairs.where(col("hamming") <= maxHamming).distinct()
   }
 
+  /** INCREMENTAL fingerprint near-dup maintenance — the daily-delta path
+    * for the SimHash/perceptual families (the [[incrementalPairs]]
+    * discipline applied to Hamming banding): the carried artifact is the
+    * (doc, simhash) HASH TABLE — the expensive thing is the fingerprint
+    * computation (token votes, media decode), not the banding, which is a
+    * cheap projection of the hashes. Folding in a delta therefore bands
+    * the COMBINED hash table fresh and joins only the delta's band rows
+    * against it: any pair involving a new doc shares a chunk between the
+    * delta's rows and the combined table (band keys are per-doc), so the
+    * result equals the full recompute's pairs restricted to new docs —
+    * union with the carried pairs IS the full recompute (spec + oracle).
+    *
+    * The adaptive block count makes re-banding MANDATORY, not an
+    * optimization choice: b is a function of the COMBINED corpus size, so
+    * a delta that crosses a [[simhashBlockCount]] threshold changes every
+    * band key — a carried band TABLE would silently join yesterday's
+    * b-block keys against today's b′-block keys and find nothing. Carrying
+    * hashes and re-deriving bands costs one projection of an
+    * artifact-sized table and is always correct.
+    *
+    * Uncapped (the incremental family's convention — a df cap binds
+    * against different populations on the two paths). `newIds` must be
+    * disjoint from the carried table's ids — enforced, like
+    * [[incrementalPairs]]. */
+  def simhashIncrementalPairs(oldHashes: DataFrame, newHashes: DataFrame,
+                              oldPairs: DataFrame, maxHamming: Int = 3,
+                              hashBits: Int = SimhashBits): DataFrame = {
+    val clashes = oldHashes.join(broadcast(newHashes.select(col("doc"))),
+      Seq("doc"), "left_semi").count()
+    require(clashes == 0,
+      s"$clashes delta ids already exist in the carried hash table — " +
+        "remove re-fingerprinted docs from the artifacts before re-adding them")
+    val all = oldHashes.union(newHashes).localCheckpoint(eager = true)
+    val b = simhashBlockCount(hashBits, all.count(), maxHamming)
+    val allChunks = simhashChunks(all, hashBits, b, maxHamming)
+    val newChunks = simhashChunks(newHashes, hashBits, b, maxHamming)
+    val fresh = allChunks.as("a").join(newChunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+          col("a.doc") =!= col("b.doc"))
+      .select(least(col("a.doc"), col("b.doc")).as("doc_a"),
+        greatest(col("a.doc"), col("b.doc")).as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+    fresh.union(oldPairs).distinct()
+  }
+
   /** DuckDB twin of [[simhashPairs]] (capped variant) — the ONE banding
     * oracle tail shared by `dedup_simhash_pairs` and the three perceptual
     * families. Emits the CTE chain + final SELECT to append after a CTE

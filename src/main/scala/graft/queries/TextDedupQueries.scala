@@ -506,6 +506,26 @@ object TextDedupQueries {
     keep.join(bandCounts, Seq("doc"), "full_outer")
   }
 
+  /** The daily-increment path for the FINGERPRINT families
+    * ([[graft.operators.Dedup.simhashIncrementalPairs]]): docs < 250 play
+    * yesterday's corpus (carried artifacts: the HASH table and its
+    * uncapped pairs), docs ≥ 250 today's crawl. Bands are RE-DERIVED from
+    * the combined hash table — the adaptive block count is a function of
+    * combined corpus size, so a carried band TABLE would go stale the day
+    * a delta crosses a width threshold (the operator scaladoc's argument).
+    * The result must equal a full recompute, so the oracle is the
+    * full-corpus UNCAPPED adaptive-banding replay. */
+  def dedupSimhashIncremental(s: SparkSession, dir: String): DataFrame = {
+    val all = Dedup.simhash(docs(s, dir), "doc_id", "text")
+      .localCheckpoint(eager = true)
+    val oldH = all.where(col("doc") < 250)
+    val newH = all.where(col("doc") >= 250)
+    val oldPairs = Dedup.simhashPairs(oldH, maxHamming = 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    Dedup.simhashIncrementalPairs(oldH, newH, oldPairs)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+  }
+
   /** STREAMING near-dup pairs under the hash gate — the eighth streaming
     * sink, and the first over the DOCUMENTS table: the corpus flows through
     * `readStream` into [[graft.streaming.DocStream]] (per-row signatures →
@@ -706,6 +726,7 @@ object TextDedupQueries {
     "dedup_cc_keep_list" -> dedupCcKeepList _,
     "dedup_gdpr_cascade" -> dedupGdprCascade _,
     "dedup_pairs_stream" -> dedupPairsStreamed _,
+    "dedup_simhash_incremental" -> dedupSimhashIncremental _,
     "dedup_simhash_pairs" -> dedupSimhashPairs _,
     "dedup_jaccard_pairs" -> dedupJaccardPairs _,
     "dedup_span_inventory" -> dedupSpanInventory _,
@@ -1234,6 +1255,13 @@ object TextDedupQueries {
     "dedup_incremental_pairs" -> incrementalPairsSql,
     // streaming twin: the sink must equal the same uncapped batch pairs
     "dedup_pairs_stream" -> incrementalPairsSql,
+    // incremental fingerprint maintenance == full recompute: the UNCAPPED
+    // adaptive-banding replay (cap 2e9: the cold branch covers every
+    // bucket, the star never fires — banding is result-invisible uncapped,
+    // which is exactly why the incremental path can re-band freely)
+    "dedup_simhash_incremental" ->
+      s"""WITH $toksCte, $simhashCte,
+         |${graft.operators.Dedup.simhashBandSql("sh64", graft.operators.Dedup.SimhashBits, 2000000000)}""".stripMargin,
     // The three cluster-logic oracles below replay from the DUMPED pairs
     // artifact (placeholder substituted by Verify) rather than recomputing
     // the MinHash chain: the full-chain DuckDB replay spills >72 GB at 50k

@@ -195,6 +195,43 @@ class DedupSpec extends SparkSpec {
       Dedup.docShinglesRaw(docs.where(!col("doc_id").isin(evalIds.toSeq: _*)), "doc_id", "text"),
       Dedup.docShinglesRaw(docs.where(col("doc_id").isin(evalIds.toSeq: _*)), "doc_id", "text"))
 
+  test("incremental fingerprint pairs equal full recompute ACROSS an adaptive-width threshold") {
+    import spark.implicits._
+    // 56-bit family: b=4 up to 4096 hashes, b=5 beyond. Yesterday = 4000
+    // (b=4); the 200-doc delta pushes the combined corpus to b=5 — the
+    // carried-band-table design would join 4-block keys against 5-block
+    // keys and find nothing; re-banding from the carried hashes stays exact.
+    val rnd = new scala.util.Random(99)
+    def randHash() = rnd.nextLong() & ((1L << 56) - 1)
+    val old = (0L until 4000L).map(i => (i, randHash()))
+    val fresh = (4000L until 4200L).map { i =>
+      if (i % 2 == 1) {
+        // near-dup of an OLD doc: only the cross-threshold banding finds it
+        val base = old(((i - 4000) * 17 % 4000).toInt)._2
+        (i, base ^ (1L << ((i % 56).toInt)))
+      } else (i, randHash())
+    }
+    assert(Dedup.simhashBlockCount(56, 4000) == 4)
+    assert(Dedup.simhashBlockCount(56, 4200) == 5)
+    val oldDF = old.toDF("doc", "simhash")
+    val newDF = fresh.toDF("doc", "simhash")
+    val oldPairs = Dedup.simhashPairs(oldDF, maxHamming = 3, hashBits = 56)
+    val incr = Dedup.simhashIncrementalPairs(oldDF, newDF, oldPairs, hashBits = 56)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.simhashPairs(oldDF.union(newDF), maxHamming = 3, hashBits = 56)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incr == full, "increment must equal the full recompute")
+    // the planted old-new pairs really straddle the artifact boundary
+    assert(fresh.count(f => f._1 % 2 == 1) == 100)
+    val straddling = incr.count { case (a, b) => a < 4000 && b >= 4000 }
+    assert(straddling >= 100, s"planted cross-boundary near-dups missed: $straddling")
+    // disjointness enforcement
+    intercept[IllegalArgumentException] {
+      Dedup.simhashIncrementalPairs(oldDF, oldDF.limit(1), oldPairs, hashBits = 56)
+        .count()
+    }
+  }
+
   test("GDPR scrub of band table + pairs equals recompute-from-scratch on survivors") {
     import spark.implicits._
     // corpus with near-dup pairs whose bridge doc gets deleted: (0,1,2) is a
