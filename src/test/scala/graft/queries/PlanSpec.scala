@@ -175,4 +175,33 @@ class PlanSpec extends SparkSpec {
     assert(!pl.contains("SortMergeJoin"),
       "the snapshot side must stream through unshuffled")
   }
+
+  test("ann_ivf_multiprobe: centroids broadcast, corpus never cartesian-joined") {
+    val pl = plan(SimilarityQueries.annIvfMultiprobe(spark, dir))
+    assert(pl.contains("BroadcastHashJoin") || pl.contains("BroadcastNestedLoopJoin"),
+      s"the probe-cell list must broadcast against the spilled corpus:\n$pl")
+    assert(!pl.contains("CartesianProduct"),
+      "assignment/probing cross joins must build on broadcast sides")
+  }
+
+  test("ann_ivf_multiprobe_pruned: the probed cell reaches PARTITION pruning") {
+    val df = SimilarityQueries.annIvfMultiprobePruned(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(raw"PartitionFilters: \[[^\]]*cell".r.findFirstIn(p).isDefined,
+      s"the spilled layout read must prune cell directories, not post-filter:\n$p")
+  }
+
+  test("dedup_gdpr_cascade: deletion-set scrubs are broadcast anti joins") {
+    val pl = plan(TextDedupQueries.dedupGdprCascade(spark, dir))
+    assert(pl.contains("BroadcastHashJoin") && pl.contains("LeftAnti"),
+      s"the doomed-id set must broadcast into every scrub anti join:\n$pl")
+  }
+
+  test("dedup_simhash_incremental: delta side joins the combined bands, no ScalaUDF") {
+    val pl = plan(TextDedupQueries.dedupSimhashIncremental(spark, dir))
+    assert(!pl.contains("ScalaUDF"),
+      "fingerprint + banding must stay on native kernels end to end")
+    assert(!pl.contains("CartesianProduct"), "banding must join on (chunk, ckey)")
+  }
 }
