@@ -58,6 +58,55 @@ class DedupStreamSpec extends SparkSpec {
     assert(twoShot == batch, "a batch split must be result-invisible")
   }
 
+  test("restart between days: checkpointed bucket state survives, pairs exactly once") {
+    import spark.implicits._
+    // the continuous-crawl contract end to end: day 1 runs to completion
+    // (AvailableNow) and the query STOPS; day 2's files land; a NEW query
+    // on the SAME checkpoint processes only the increment, and the sink
+    // holds exactly the batch pairs of the combined corpus — cross-day
+    // pairs found via state recovered from the checkpoint, nothing
+    // duplicated, nothing lost.
+    val root = java.nio.file.Files.createTempDirectory("dedup_stream_restart")
+    val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    val (day1, day2) = corpus.splitAt(21)
+    def runDay(batch: Seq[(Long, String)]): Unit = {
+      batch.toDF("doc_id", "text").write.mode("append").parquet(inDir)
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING").parquet(inDir)
+      val q = DocStream.pairsStream(
+          DocStream.bandRows(stream, "doc_id", "text").as[DocStream.BandDoc])
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runDay(day1)
+    runDay(day2)
+    val got = spark.read.schema("doc_a LONG, doc_b LONG, jaccard DOUBLE")
+      .parquet(outDir)
+    // exactly-once at the ROW level modulo multi-band finds: after the
+    // band-level distinct the sink equals the batch pipeline exactly
+    val docs = corpus.toDF("doc_id", "text")
+    val sh = Dedup.docShinglesRaw(docs, "doc_id", "text")
+    val batch = Dedup.jaccardPairs(sh, 0.8,
+        candidates = Some(Dedup.lshCandidates(Dedup.minhashSignatures(sh))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val streamed = got.distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch, "restart seam must be result-invisible")
+    // a pair emitted twice with DIFFERENT jaccard would survive distinct —
+    // assert pair keys are unique after the band-dedup too
+    val keyCounts = got.distinct().groupBy(col("doc_a"), col("doc_b")).count()
+      .where(col("count") > 1).count()
+    assert(keyCounts == 0, "no pair may carry two different jaccard values")
+    // cross-day pairs really exist (the state was load-bearing)
+    assert(batch.exists { case (a, b, _) => a < 21 && b >= 21 },
+      "fixture must contain cross-day pairs")
+  }
+
   test("per-row streaming signatures equal the batch groupBy signatures") {
     import spark.implicits._
     val docs = corpus.toDF("doc_id", "text")
