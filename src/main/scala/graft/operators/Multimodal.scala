@@ -639,9 +639,10 @@ object Multimodal {
     * `bumpFrame0` adds +7 to band 1's frame-0 amplitude (the small edit,
     * ≤ 1 spectral bit). Gains ≤ 3: |sample| ≤ 4·4095 < 2¹⁵. */
   def syntheticBandWav(aid: Long, g1: Int = 1, g2: Int = 1,
-                       bumpFrame0: Boolean = false): Array[Byte] = {
-    require(g1 > 0 && g2 > 0 && g1 + g2 <= 8)
-    val nSamples = SpectralFrames * SpectralFrameLen
+                       bumpFrame0: Boolean = false, crop: Int = 0): Array[Byte] = {
+    require(g1 > 0 && g2 > 0 && g1 + g2 <= 8 && crop >= 0 && crop < SpectralFrames)
+    val nFrames = SpectralFrames - crop
+    val nSamples = nFrames * SpectralFrameLen
     val dataSz = nSamples * 2
     val out = new Array[Byte](44 + dataSz)
     def put(o: Int, s: String): Unit = { s.getBytes("US-ASCII").copyToArray(out, o) }
@@ -656,8 +657,10 @@ object Multimodal {
     put(36, "data"); p32(40, dataSz)
     val md = java.security.MessageDigest.getInstance("MD5")
     var f = 0
-    while (f < SpectralFrames) {
-      val d = md.digest((aid * SpectralFrames + f).toString.getBytes("US-ASCII") ++
+    while (f < nFrames) {
+      // a crop drops the first `crop` frames of the ORIGINAL signal: frame
+      // j of the cropped file carries original frame j+crop's content
+      val d = md.digest((aid * SpectralFrames + (f + crop)).toString.getBytes("US-ASCII") ++
         "a".getBytes("US-ASCII"))
       // a1/a2 = the md5 hex prefix split exactly as the SQL twin's substr
       val a1r = ((d(0) & 0xff) << 4) | ((d(1) & 0xff) >>> 4)
@@ -729,6 +732,61 @@ object Multimodal {
   def spectralFingerprints(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
     val fp = udf { (b: Array[Byte]) => spectralFingerprint(b) }
     df.withColumn("sfp", fp(col(payloadCol)))
+  }
+
+  /** AUDIO-AS-TOKENS — the crop-robust third member of the audio dedup
+    * family. Both bit-position fingerprints ([[audioFingerprint]],
+    * [[spectralFingerprint]]) compare frame f against frame f+1 at FIXED
+    * bit positions, so a TEMPORAL CROP misaligns every comparison and the
+    * copy escapes (MultimodalSpec measures it). This operator instead maps
+    * each FIXED-LENGTH frame ([[SpectralFrameLen]] samples — fixed
+    * duration, the standard framing; never length/nFrames, which
+    * misaligns on any crop) to a frame-LOCAL token and hands the token
+    * SEQUENCE to the TEXT dedup machinery: a crop deletes a prefix of
+    * tokens, the surviving shingles still dominate the set, and MinHash
+    * Jaccard finds the pair — crop robustness falls out of set semantics
+    * instead of bit alignment.
+    *
+    * The token must be frame-local AND gain-invariant as an EXACT integer:
+    * the gcd-REDUCED rational `E1/E2` of the frame's two Walsh band
+    * energies. A uniform gain scales both energies by one g² — a common
+    * factor the reduction removes exactly — while the md5-derived band
+    * amplitudes keep tokens distinctive. (`0/0` for a silent frame; both
+    * engines spell the same guard.) Returns the space-joined token string
+    * — the `text` column the shingle/MinHash kernels consume verbatim. */
+  def audioTokens(payload: Array[Byte]): Option[String] =
+    parseWav(payload).flatMap { case (_, _, samples) =>
+      val nFrames = samples.length / SpectralFrameLen
+      if (nFrames == 0) None
+      else {
+        @annotation.tailrec
+        def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+        val toks = new Array[String](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var e1 = 0L; var e2 = 0L
+          var acc1 = 0L; var acc2 = 0L
+          var i = 0
+          while (i < SpectralFrameLen) {
+            val s = samples(f * SpectralFrameLen + i).toLong
+            acc1 += s * walsh(1, i)
+            acc2 += s * walsh(2, i)
+            i += 1
+          }
+          e1 = acc1 * acc1; e2 = acc2 * acc2
+          toks(f) =
+            if (e1 == 0 && e2 == 0) "0/0"
+            else { val g = gcd(e1, e2); s"${e1 / g}/${e2 / g}" }
+          f += 1
+        }
+        Some(toks.mkString(" "))
+      }
+    }
+
+  /** Audio-token column: partition-local REAL decode + [[audioTokens]]. */
+  def audioTokenColumn(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val tk = udf { (b: Array[Byte]) => audioTokens(b) }
+    df.withColumn("text", tk(col(payloadCol)))
   }
 
   // ----------------------------------------------------------------- video

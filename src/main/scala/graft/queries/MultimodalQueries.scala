@@ -345,6 +345,48 @@ object MultimodalQueries {
         maxChunkDf = Some(64), hashBits = Multimodal.FpBits)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
 
+  /** CROP-ROBUST audio near-dup pairs — the third transform class the
+    * bit-position fingerprints miss (VERDICT r7 named re-equalized,
+    * noise-added, and CROPPED copies; `mm_audio_dedup_spectral` closed the
+    * EQ gap, this entry closes the crop gap). Per doc group of 8: doc 8k is
+    * an original two-band Walsh WAV; 8k+1 its 2-frame TEMPORAL CROP (both
+    * bit-position fingerprints misalign and miss it — MultimodalSpec
+    * measures hamming ≫ 3); 8k+2 its uniform ×2 gain copy; 8k+3 a
+    * one-frame edit; 8k+4..7 unrelated. Pipeline: REAL decode →
+    * frame-local gain-invariant tokens
+    * ([[graft.operators.Multimodal.audioTokens]]: gcd-reduced band-energy
+    * rationals over FIXED-duration frames) → the TEXT dedup machinery
+    * VERBATIM (3-token shingles → MinHash → LSH → exact Jaccard ≥ 0.8):
+    * a crop deletes a token prefix and set semantics absorb it
+    * (J = 25/27 for the planted crop). The oracle replays tokens from the
+    * amplitude formula and the shared text-family CTE chain. */
+  val CropFrames = 2
+  private[graft] def mmAudioCropDocs(s: SparkSession, dir: String): DataFrame = {
+    val makeMedia = udf { (id: Long) =>
+      val v = id % 8
+      val aid = if (v >= 1 && v <= 3) id - v else id
+      v match {
+        case 1 => Multimodal.syntheticBandWav(aid, crop = CropFrames)
+        case 2 => Multimodal.syntheticBandWav(aid, g1 = 2, g2 = 2)
+        case 3 => Multimodal.syntheticBandWav(aid, bumpFrame0 = true)
+        case _ => Multimodal.syntheticBandWav(aid)
+      }
+    }
+    val media = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("media_id"))
+      .withColumn("payload", makeMedia(col("media_id")))
+    Multimodal.audioTokenColumn(media)
+      .where(col("text").isNotNull)
+      .select(col("media_id").as("doc_id"), col("text"))
+  }
+
+  def mmAudioDedupCrop(s: SparkSession, dir: String): DataFrame = {
+    val d = mmAudioCropDocs(s, dir)
+    val sh = Dedup.docShinglesRaw(d, "doc_id", "text")
+    val sigs = Dedup.minhashSignatures(sh)
+    Dedup.jaccardPairs(sh, 0.8, candidates = Some(Dedup.lshCandidates(sigs)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_byte_stats" -> mmByteStats _,
     "mm_feature_agg" -> mmFeatureAgg _,
@@ -358,6 +400,7 @@ object MultimodalQueries {
     "mm_video_dedup" -> mmVideoDedup _,
     "mm_image_dedup_phash" -> mmImageDedupPhash _,
     "mm_audio_dedup_spectral" -> mmAudioDedupSpectral _,
+    "mm_audio_dedup_crop" -> mmAudioDedupCrop _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -580,6 +623,55 @@ object MultimodalQueries {
          |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
          |  FROM fcoef WHERE fv >= 1 GROUP BY 1),
          |${graft.operators.Dedup.simhashBandSql("hashes", graft.operators.Multimodal.FpBits, 64)}""".stripMargin
+    },
+    // crop-robust audio dedup: tokens replayed from the amplitude formula
+    // (e_b = (64·g_b·a_b)², gcd-reduced — the uniform gain is a common
+    // factor the reduction removes exactly, matching the Scala kernel),
+    // then the TEXT family's shingle → MinHash → LSH → exact-Jaccard CTE
+    // chain VERBATIM with toks bound to the token strings
+    "mm_audio_dedup_crop" -> {
+      val F = graft.operators.Multimodal.SpectralFrames
+      s"""WITH media AS (
+         |  SELECT doc_id AS media_id, doc_id % 8 AS v,
+         |    CASE WHEN doc_id % 8 IN (1, 2, 3)
+         |      THEN doc_id - doc_id % 8 ELSE doc_id END AS aid
+         |  FROM documents),
+         |frames AS (
+         |  SELECT media_id, v, aid, ff.f AS f,
+         |    ff.f + CASE WHEN v = 1 THEN $CropFrames ELSE 0 END AS orig_f,
+         |    CASE WHEN v = 2 THEN 2 ELSE 1 END AS g
+         |  FROM media CROSS JOIN (SELECT unnest(range(0, $F)) AS f) ff
+         |  WHERE ff.f < $F - CASE WHEN v = 1 THEN $CropFrames ELSE 0 END),
+         |amps AS (
+         |  SELECT media_id, f,
+         |    g * (CASE WHEN v = 3 AND orig_f = 0 THEN (a1r + 7) % 4096 ELSE a1r END) AS a1,
+         |    g * a2r AS a2
+         |  FROM (SELECT media_id, v, f, orig_f, g,
+         |          ('0x' || substr(h, 1, 3))::INT AS a1r,
+         |          ('0x' || substr(h, 4, 3))::INT AS a2r
+         |        FROM (SELECT media_id, v, f, orig_f, g,
+         |                md5(CAST(aid * $F + orig_f AS VARCHAR) || 'a') AS h
+         |              FROM frames) fh) fa),
+         |energies AS (
+         |  SELECT media_id, f,
+         |    4096 * CAST(a1 AS BIGINT) * a1 AS e1,
+         |    4096 * CAST(a2 AS BIGINT) * a2 AS e2
+         |  FROM amps),
+         |toksrc AS (
+         |  SELECT media_id, f,
+         |    CASE WHEN e1 = 0 AND e2 = 0 THEN '0/0'
+         |         ELSE (e1 // gcd(e1, e2)) || '/' || (e2 // gcd(e1, e2))
+         |    END AS tok
+         |  FROM energies),
+         |texts AS (SELECT media_id AS doc_id,
+         |    string_agg(tok, ' ' ORDER BY f) AS text
+         |  FROM toksrc GROUP BY 1),
+         |toks AS (SELECT doc_id, text,
+         |  list_filter(string_split(text, ' '), x -> x != '') AS t FROM texts),
+         |${TextDedupQueries.shinglesCte}, ${TextDedupQueries.sigCte},
+         |${TextDedupQueries.pairsCtesUncapped}
+         |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+         |FROM jac WHERE jaccard >= 0.8""".stripMargin
     },
     // spectral: bits replayed from the md5 BAND-AMPLITUDE formula — the
     // per-band gains cancel inside a band (exact Walsh orthogonality:

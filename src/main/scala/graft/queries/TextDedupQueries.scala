@@ -741,7 +741,7 @@ object TextDedupQueries {
   // distinct, so every downstream set op (sizes, intersections, jaccard)
   // runs over the identical hashed shingle space — and the join/distinct
   // payloads are 8-byte keys, mirroring the Spark side's shuffle shape.
-  private val shinglesCte =
+  private[queries] val shinglesCte =
     """shs AS (SELECT doc_id AS doc, unnest(
       |   CASE WHEN len(t) < 3 THEN [text]
       |        ELSE list_transform(range(1, len(t) - 1),
@@ -777,7 +777,7 @@ object TextDedupQueries {
        | FROM sp0)""".stripMargin
   }
 
-  private val sigCte =
+  private[queries] val sigCte =
     s"""hx AS (SELECT doc, sh % 1000000007 AS x FROM dsh),
        |sig AS (SELECT doc, CAST(h.h AS INT) AS h,
        |  min(((h.h * 2 + 3) * x + h.h * 97 + 1) % 1000000007) AS minhash
@@ -858,7 +858,7 @@ object TextDedupQueries {
   // fallback on either leg (Dedup.incrementalPairs), so its oracle must
   // model plain all-pairs-within-bucket semantics. Sharing the capped CTE
   // would only stay green while the cap never binds on the corpus.
-  private val pairsCtesUncapped =
+  private[queries] val pairsCtesUncapped =
     """banded AS (SELECT doc, h // 4 AS band,
       |   string_agg(minhash::VARCHAR, ',' ORDER BY h, minhash) AS key
       |  FROM sig GROUP BY 1, 2),

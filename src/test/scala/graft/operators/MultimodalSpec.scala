@@ -266,6 +266,37 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.spectralFingerprint(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("audio tokens: cropped copies found by Jaccard; BOTH bit-position fps miss them") {
+    var energyMissed = 0
+    var spectralMissed = 0
+    for (k <- 0 until 100) {
+      val aid = k * 8L
+      val o = Multimodal.syntheticBandWav(aid)
+      val cr = Multimodal.syntheticBandWav(aid, crop = 2)
+      // bit-position fingerprints misalign on a temporal crop
+      if (java.lang.Long.bitCount(
+          Multimodal.audioFingerprint(o).get ^ Multimodal.audioFingerprint(cr).get) > 3)
+        energyMissed += 1
+      if (java.lang.Long.bitCount(
+          Multimodal.spectralFingerprint(o).get ^ Multimodal.spectralFingerprint(cr).get) > 3)
+        spectralMissed += 1
+      // token shingle sets: the cropped copy keeps 25 of the original's 27
+      // 3-grams -> Jaccard 25/27, far above the 0.8 bar
+      val ot = Multimodal.audioTokens(o).get.split(" ")
+      val ct = Multimodal.audioTokens(cr).get.split(" ")
+      assert(ct.toSeq == ot.drop(2).toSeq, "crop must be a pure token-prefix loss")
+      val osh = ot.sliding(3).map(_.mkString(" ")).toSet
+      val csh = ct.sliding(3).map(_.mkString(" ")).toSet
+      val j = csh.intersect(osh).size.toDouble / csh.union(osh).size
+      assert(j >= 0.8, s"crop copy must clear the Jaccard bar (aid=$aid, j=$j)")
+      // gain invariance of the tokens: exact (gcd-reduced rationals)
+      assert(Multimodal.audioTokens(Multimodal.syntheticBandWav(aid, g1 = 2, g2 = 2)).get
+        == Multimodal.audioTokens(o).get)
+    }
+    assert(energyMissed > 90, s"crop should defeat the energy-order fp ($energyMissed/100)")
+    assert(spectralMissed > 90, s"crop should defeat the spectral fp ($spectralMissed/100)")
+  }
+
   test("audioFingerprint: gain-doubled and decimated copies collide; byte digest misses them") {
     val F = Multimodal.AudioFpFrames
     val orig = Multimodal.syntheticFrameWav(40L, F, 64)
