@@ -639,7 +639,8 @@ object Multimodal {
     * `bumpFrame0` adds +7 to band 1's frame-0 amplitude (the small edit,
     * ≤ 1 spectral bit). Gains ≤ 3: |sample| ≤ 4·4095 < 2¹⁵. */
   def syntheticBandWav(aid: Long, g1: Int = 1, g2: Int = 1,
-                       bumpFrame0: Boolean = false, crop: Int = 0): Array[Byte] = {
+                       bumpFrame0: Boolean = false, crop: Int = 0,
+                       noise: Boolean = false): Array[Byte] = {
     require(g1 > 0 && g2 > 0 && g1 + g2 <= 8 && crop >= 0 && crop < SpectralFrames)
     val nFrames = SpectralFrames - crop
     val nSamples = nFrames * SpectralFrameLen
@@ -664,8 +665,18 @@ object Multimodal {
         "a".getBytes("US-ASCII"))
       // a1/a2 = the md5 hex prefix split exactly as the SQL twin's substr
       val a1r = ((d(0) & 0xff) << 4) | ((d(1) & 0xff) >>> 4)
-      val a2 = ((d(1) & 0xf) << 8) | (d(2) & 0xff)
-      val a1 = if (bumpFrame0 && f == 0) (a1r + 7) % 4096 else a1r
+      val a2r = ((d(1) & 0xf) << 8) | (d(2) & 0xff)
+      val a1b = if (bumpFrame0 && f == 0) (a1r + 7) % 4096 else a1r
+      // additive per-band amplitude NOISE (±3 of 4096, md5-keyed): the
+      // "noise-added copy" — energy margins absorb it (measured hamming
+      // ≤ 2 over 6250 planted pairs), unlike the exact token rationals
+      def nz(b: Int): Int = {
+        val nd = md.digest((aid * SpectralFrames + (f + crop)).toString
+          .getBytes("US-ASCII") ++ s"n$b".getBytes("US-ASCII"))
+        ((nd(0) & 0xff) % 7) - 3
+      }
+      val a1 = if (noise) math.max(0, a1b + nz(1)) else a1b
+      val a2 = if (noise) math.max(0, a2r + nz(2)) else a2r
       var i = 0
       while (i < SpectralFrameLen) {
         p16(44 + (f * SpectralFrameLen + i) * 2,

@@ -316,7 +316,10 @@ object MultimodalQueries {
     * energy-order [[graft.operators.Multimodal.audioFingerprint]] measures
     * hamming ≫ 3, MultimodalSpec, while the per-band spectral bits are
     * EXACTLY invariant); 8k+2 its uniform ×2 gain copy; 8k+3 a one-frame
-    * edit (≤ 1 bit); 8k+4..7 unrelated. Pipeline: REAL PCM decode →
+    * edit (≤ 1 bit); 8k+4 its NOISE-ADDED copy (±3 amplitude noise per
+    * band — the energy margins absorb it, measured hamming ≤ 2 over 6250
+    * planted pairs, closing the "noise-added" member of the r7 gap list);
+    * 8k+5..7 unrelated. Pipeline: REAL PCM decode →
     * integer Walsh-Hadamard band energies → within-band comparisons → the
     * same adaptive banding. The oracle replays bits from the amplitude
     * formula (per-band gains cancel inside a band by exact Walsh
@@ -324,11 +327,12 @@ object MultimodalQueries {
   private[graft] def mmAudioSpectralHashes(s: SparkSession, dir: String): DataFrame = {
     val makeMedia = udf { (id: Long) =>
       val v = id % 8
-      val aid = if (v >= 1 && v <= 3) id - v else id
+      val aid = if (v >= 1 && v <= 4) id - v else id
       v match {
         case 1 => Multimodal.syntheticBandWav(aid, g1 = 3, g2 = 1)
         case 2 => Multimodal.syntheticBandWav(aid, g1 = 2, g2 = 2)
         case 3 => Multimodal.syntheticBandWav(aid, bumpFrame0 = true)
+        case 4 => Multimodal.syntheticBandWav(aid, noise = true) // ±3 amp noise
         case _ => Multimodal.syntheticBandWav(aid)
       }
     }
@@ -680,18 +684,25 @@ object MultimodalQueries {
     "mm_audio_dedup_spectral" ->
       s"""WITH media AS (
          |  SELECT doc_id AS media_id,
-         |    CASE WHEN doc_id % 8 IN (1, 2, 3)
+         |    CASE WHEN doc_id % 8 IN (1, 2, 3, 4)
          |      THEN doc_id - doc_id % 8 ELSE doc_id END AS aid,
-         |    (doc_id % 8 = 3) AS edited
+         |    (doc_id % 8 = 3) AS edited, (doc_id % 8 = 4) AS noisy
          |  FROM documents),
          |amps AS (
          |  SELECT media_id, f,
-         |    CASE WHEN edited AND f = 0 THEN (a1r + 7) % 4096 ELSE a1r END AS a1,
-         |    a2
-         |  FROM (SELECT media_id, edited, ff.f AS f,
+         |    CASE WHEN noisy THEN GREATEST(0,
+         |        (CASE WHEN edited AND f = 0 THEN (a1r + 7) % 4096 ELSE a1r END)
+         |        + ('0x' || substr(md5(k || 'n1'), 1, 2))::INT % 7 - 3)
+         |      ELSE CASE WHEN edited AND f = 0 THEN (a1r + 7) % 4096 ELSE a1r END
+         |    END AS a1,
+         |    CASE WHEN noisy THEN GREATEST(0,
+         |        a2r + ('0x' || substr(md5(k || 'n2'), 1, 2))::INT % 7 - 3)
+         |      ELSE a2r END AS a2
+         |  FROM (SELECT media_id, edited, noisy, ff.f AS f, k,
          |          ('0x' || substr(h, 1, 3))::INT AS a1r,
-         |          ('0x' || substr(h, 4, 3))::INT AS a2
-         |        FROM (SELECT media_id, edited, ff.f,
+         |          ('0x' || substr(h, 4, 3))::INT AS a2r
+         |        FROM (SELECT media_id, edited, noisy, ff.f,
+         |                CAST(aid * ${graft.operators.Multimodal.SpectralFrames} + ff.f AS VARCHAR) AS k,
          |                md5(CAST(aid * ${graft.operators.Multimodal.SpectralFrames} + ff.f AS VARCHAR) || 'a') AS h
          |              FROM media CROSS JOIN
          |                (SELECT unnest(range(0, ${graft.operators.Multimodal.SpectralFrames})) AS f) ff) ff)),

@@ -252,6 +252,16 @@ class MultimodalSpec extends SparkSpec {
         eMissed += 1
     }
     assert(eMissed > 100, s"EQ shift should defeat the energy-order fp on most streams ($eMissed/200)")
+    // noise-added copies: energy margins absorb +-3 amplitude noise
+    var noiseOk = 0
+    for (k <- 0 until 200) {
+      val aid = k * 8L
+      val d = java.lang.Long.bitCount(
+        Multimodal.spectralFingerprint(Multimodal.syntheticBandWav(aid)).get ^
+        Multimodal.spectralFingerprint(Multimodal.syntheticBandWav(aid, noise = true)).get)
+      if (d <= 3) noiseOk += 1
+    }
+    assert(noiseOk == 200, s"noise copies must stay within the hamming bar ($noiseOk/200)")
     val o = Multimodal.syntheticBandWav(40L)
     // uniform gain still collides on BOTH fingerprints; edit flips <= 1 bit
     val gain = Multimodal.syntheticBandWav(40L, g1 = 2, g2 = 2)
