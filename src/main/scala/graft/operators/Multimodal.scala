@@ -995,12 +995,16 @@ object Multimodal {
     * sums by one positive factor, i.e. fingerprint-identical while the
     * BYTES are disjoint (exactly what defeats byte-digest dedup).
     * Replayable in SQL:
-    * `('0x'||substr(md5(CAST(vid*64+f AS VARCHAR)||'v'),1,2))::INT % 128`. */
+    * `('0x'||substr(md5(CAST(vid*64+f AS VARCHAR)||'v'),1,2))::INT % 128`.
+    * `crop` > 0 drops the first `crop` ORIGINAL frames (the temporal-crop
+    * copy: frame f of the output is original frame f+crop — the transform
+    * that misaligns every bit-position fingerprint comparison). */
   def syntheticFrameAvi(vid: Long, nFrames: Int, width: Int, height: Int,
                         gain: Int = 1, bumpFrame0: Boolean = false,
-                        codec: String = "bmp"): Array[Byte] = {
+                        codec: String = "bmp", crop: Int = 0): Array[Byte] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val frames = Array.tabulate(nFrames) { f =>
+    val frames = Array.tabulate(nFrames - crop) { fOut =>
+      val f = fOut + crop
       val d = md.digest(((vid * 64 + f).toString + "v").getBytes("US-ASCII"))
       val bump = if (bumpFrame0 && f == 0) 7 else 0
       val r = (((d(0) & 0xff) % 128 + bump) % 128) * gain
@@ -1062,6 +1066,47 @@ object Multimodal {
   def videoFingerprints(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
     val fp = udf { (b: Array[Byte]) => videoFingerprint(b) }
     df.withColumn("vfp", fp(col(payloadCol)))
+  }
+
+  /** VIDEO-AS-TOKENS — the crop-robust member of the video dedup family,
+    * the temporal twin of [[audioTokens]]. [[videoFingerprint]] compares
+    * frame f against f+1 at FIXED bit positions, so a temporal crop
+    * misaligns every comparison and the copy escapes (MultimodalSpec
+    * measures it). Each decoded frame instead maps to a frame-LOCAL token
+    * and the token sequence rides the TEXT dedup machinery (shingles →
+    * MinHash → LSH → exact Jaccard): a crop deletes a token prefix that
+    * set semantics absorb.
+    *
+    * The token must be frame-local AND invariant to the transforms the
+    * fingerprint family already survives, as an EXACT integer: the
+    * gcd-REDUCED triple `sumR/sumG/sumB` of the frame's channel sums. A
+    * brightness gain multiplies every channel by one factor and a spatial
+    * rescale multiplies every sum by the pixel-count ratio — both are
+    * common factors `gcd(gcd(r,g),b)` removes exactly, while the
+    * md5-derived frame colors keep tokens distinctive. (`0/0/0` for an
+    * all-black frame; both engines spell the same guard.) Returns the
+    * space-joined token string the shingle/MinHash kernels consume
+    * verbatim; None for undecodable containers or zero decoded frames. */
+  def videoTokens(payload: Array[Byte]): Option[String] =
+    decodeVideo(payload).flatMap { frames =>
+      if (frames.isEmpty) None
+      else {
+        @annotation.tailrec
+        def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+        val toks = frames.map { fr =>
+          val (r, g, b) = (fr.sumR, fr.sumG, fr.sumB)
+          if (r == 0 && g == 0 && b == 0) "0/0/0"
+          else { val d = gcd(gcd(r, g), b); s"${r / d}/${g / d}/${b / d}" }
+        }
+        Some(toks.mkString(" "))
+      }
+    }
+
+  /** Video-token column: partition-local REAL demux + decode +
+    * [[videoTokens]]. */
+  def videoTokenColumn(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val tk = udf { (b: Array[Byte]) => videoTokens(b) }
+    df.withColumn("text", tk(col(payloadCol)))
   }
 
   /** STUB decode — OPAQUE NON-RIFF BYTES ONLY. Images decode via

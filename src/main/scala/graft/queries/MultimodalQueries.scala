@@ -391,6 +391,51 @@ object MultimodalQueries {
     Dedup.jaccardPairs(sh, 0.8, candidates = Some(Dedup.lshCandidates(sigs)))
   }
 
+  /** CROP-ROBUST video near-dup pairs — the temporal-crop transform class
+    * for the FOURTH modality, completing the crop-robust family
+    * symmetrically with [[mmAudioDedupCrop]]. Per doc group of 8: doc 8k is
+    * an original 57-frame frame-structured AVI; 8k+1 its 2-frame TEMPORAL
+    * CROP (the bit-position [[graft.operators.Multimodal.videoFingerprint]]
+    * misaligns and misses it — MultimodalSpec measures hamming ≫ 3); 8k+2
+    * its brightness-doubled transcode; 8k+3 a one-frame edit; 8k+4..7
+    * unrelated. Pipeline: REAL RIFF demux + per-frame ImageIO decode →
+    * frame-local tokens ([[graft.operators.Multimodal.videoTokens]]:
+    * gcd-reduced channel-sum triples — brightness gain and spatial rescale
+    * are common factors the reduction removes exactly) → the TEXT dedup
+    * machinery VERBATIM (3-token shingles → MinHash → LSH → exact
+    * Jaccard ≥ 0.8): a crop deletes a token prefix and set semantics absorb
+    * it (J = 53/55 for the planted crop). The oracle replays tokens from
+    * the md5 frame-color formula (the W·H·gain pixel factor cancels in the
+    * gcd reduction, so the raw color triple's reduction IS the decoded
+    * channel-sum reduction) and the shared text-family CTE chain. */
+  val VidCropFrames = 2
+  private[graft] def mmVideoCropDocs(s: SparkSession, dir: String): DataFrame = {
+    val F = Multimodal.VideoFpFrames
+    val makeMedia = udf { (id: Long) =>
+      val v = id % 8
+      val vid = if (v >= 1 && v <= 3) id - v else id
+      v match {
+        case 1 => Multimodal.syntheticFrameAvi(vid, F, VidFpW, VidFpH, crop = VidCropFrames)
+        case 2 => Multimodal.syntheticFrameAvi(vid, F, VidFpW, VidFpH, gain = 2)
+        case 3 => Multimodal.syntheticFrameAvi(vid, F, VidFpW, VidFpH, bumpFrame0 = true)
+        case _ => Multimodal.syntheticFrameAvi(vid, F, VidFpW, VidFpH)
+      }
+    }
+    val media = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("media_id"))
+      .withColumn("payload", makeMedia(col("media_id")))
+    Multimodal.videoTokenColumn(media)
+      .where(col("text").isNotNull)
+      .select(col("media_id").as("doc_id"), col("text"))
+  }
+
+  def mmVideoDedupCrop(s: SparkSession, dir: String): DataFrame = {
+    val d = mmVideoCropDocs(s, dir)
+    val sh = Dedup.docShinglesRaw(d, "doc_id", "text")
+    val sigs = Dedup.minhashSignatures(sh)
+    Dedup.jaccardPairs(sh, 0.8, candidates = Some(Dedup.lshCandidates(sigs)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_byte_stats" -> mmByteStats _,
     "mm_feature_agg" -> mmFeatureAgg _,
@@ -405,6 +450,7 @@ object MultimodalQueries {
     "mm_image_dedup_phash" -> mmImageDedupPhash _,
     "mm_audio_dedup_spectral" -> mmAudioDedupSpectral _,
     "mm_audio_dedup_crop" -> mmAudioDedupCrop _,
+    "mm_video_dedup_crop" -> mmVideoDedupCrop _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -667,6 +713,53 @@ object MultimodalQueries {
          |         ELSE (e1 // gcd(e1, e2)) || '/' || (e2 // gcd(e1, e2))
          |    END AS tok
          |  FROM energies),
+         |texts AS (SELECT media_id AS doc_id,
+         |    string_agg(tok, ' ' ORDER BY f) AS text
+         |  FROM toksrc GROUP BY 1),
+         |toks AS (SELECT doc_id, text,
+         |  list_filter(string_split(text, ' '), x -> x != '') AS t FROM texts),
+         |${TextDedupQueries.shinglesCte}, ${TextDedupQueries.sigCte},
+         |${TextDedupQueries.pairsCtesUncapped}
+         |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+         |FROM jac WHERE jaccard >= 0.8""".stripMargin
+    },
+    // crop-robust video dedup: tokens replayed from the md5 frame-color
+    // formula — the decoded channel sums are W·H·gain·(r,g,b), and the
+    // gcd reduction removes the common W·H·gain factor exactly, so the
+    // raw color triple's reduction IS the Spark side's decoded-sum token;
+    // then the TEXT family's shingle → MinHash → LSH → exact-Jaccard CTE
+    // chain VERBATIM with toks bound to the token strings
+    "mm_video_dedup_crop" -> {
+      val F = graft.operators.Multimodal.VideoFpFrames
+      s"""WITH media AS (
+         |  SELECT doc_id AS media_id, doc_id % 8 AS v,
+         |    CASE WHEN doc_id % 8 IN (1, 2, 3)
+         |      THEN doc_id - doc_id % 8 ELSE doc_id END AS vid
+         |  FROM documents),
+         |frames AS (
+         |  SELECT media_id, v, vid, ff.f AS f,
+         |    ff.f + CASE WHEN v = 1 THEN $VidCropFrames ELSE 0 END AS orig_f
+         |  FROM media CROSS JOIN (SELECT unnest(range(0, $F)) AS f) ff
+         |  WHERE ff.f < $F - CASE WHEN v = 1 THEN $VidCropFrames ELSE 0 END),
+         |colors AS (
+         |  SELECT media_id, f,
+         |    CASE WHEN v = 3 AND orig_f = 0 THEN (r + 7) % 128 ELSE r END AS r,
+         |    CASE WHEN v = 3 AND orig_f = 0 THEN (g + 7) % 128 ELSE g END AS g,
+         |    CASE WHEN v = 3 AND orig_f = 0 THEN (b + 7) % 128 ELSE b END AS b
+         |  FROM (SELECT media_id, v, f, orig_f,
+         |          ('0x' || substr(h, 1, 2))::INT % 128 AS r,
+         |          ('0x' || substr(h, 3, 2))::INT % 128 AS g,
+         |          ('0x' || substr(h, 5, 2))::INT % 128 AS b
+         |        FROM (SELECT media_id, v, f, orig_f,
+         |                md5(CAST(vid * 64 + orig_f AS VARCHAR) || 'v') AS h
+         |              FROM frames) fh) fc),
+         |toksrc AS (
+         |  SELECT media_id, f,
+         |    CASE WHEN r = 0 AND g = 0 AND b = 0 THEN '0/0/0'
+         |         ELSE (r // gcd(gcd(r, g), b)) || '/' || (g // gcd(gcd(r, g), b))
+         |           || '/' || (b // gcd(gcd(r, g), b))
+         |    END AS tok
+         |  FROM colors),
          |texts AS (SELECT media_id AS doc_id,
          |    string_agg(tok, ' ' ORDER BY f) AS text
          |  FROM toksrc GROUP BY 1),

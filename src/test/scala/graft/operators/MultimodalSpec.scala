@@ -307,6 +307,36 @@ class MultimodalSpec extends SparkSpec {
     assert(spectralMissed > 90, s"crop should defeat the spectral fp ($spectralMissed/100)")
   }
 
+  test("video tokens: cropped copies found by Jaccard; the trajectory fp misses them") {
+    val F = Multimodal.VideoFpFrames
+    var fpMissed = 0
+    for (k <- 0 until 100) {
+      val vid = k * 8L
+      val o = Multimodal.syntheticFrameAvi(vid, F, 2, 2)
+      val cr = Multimodal.syntheticFrameAvi(vid, F, 2, 2, crop = 2)
+      // the bit-position luminance-trajectory fingerprint misaligns on a crop
+      if (java.lang.Long.bitCount(
+          Multimodal.videoFingerprint(o).get ^ Multimodal.videoFingerprint(cr).get) > 3)
+        fpMissed += 1
+      // token shingle sets: the cropped copy keeps 53 of the original's 55
+      // 3-grams -> Jaccard 53/55, far above the 0.8 bar
+      val ot = Multimodal.videoTokens(o).get.split(" ")
+      val ct = Multimodal.videoTokens(cr).get.split(" ")
+      assert(ct.toSeq == ot.drop(2).toSeq, "crop must be a pure token-prefix loss")
+      val osh = ot.sliding(3).map(_.mkString(" ")).toSet
+      val csh = ct.sliding(3).map(_.mkString(" ")).toSet
+      val j = csh.intersect(osh).size.toDouble / csh.union(osh).size
+      assert(j >= 0.8, s"crop copy must clear the Jaccard bar (vid=$vid, j=$j)")
+      // brightness-gain invariance of the tokens: exact (gcd-reduced triples)
+      assert(Multimodal.videoTokens(Multimodal.syntheticFrameAvi(vid, F, 2, 2, gain = 2)).get
+        == Multimodal.videoTokens(o).get)
+      // spatial-rescale invariance: the pixel-count factor cancels too
+      assert(Multimodal.videoTokens(Multimodal.syntheticFrameAvi(vid, F, 1, 1)).get
+        == Multimodal.videoTokens(o).get)
+    }
+    assert(fpMissed > 90, s"crop should defeat the trajectory fp ($fpMissed/100)")
+  }
+
   test("audioFingerprint: gain-doubled and decimated copies collide; byte digest misses them") {
     val F = Multimodal.AudioFpFrames
     val orig = Multimodal.syntheticFrameWav(40L, F, 64)

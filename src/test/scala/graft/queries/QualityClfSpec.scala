@@ -1,0 +1,56 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The learned quality classifier (`text_quality_clf`): the 1/16-bit
+  * integer logarithm it scores with, and the discrimination the learned
+  * cut achieves against its rule-filter teacher. */
+class QualityClfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("log2q16 matches the bit-exact scalar spelling; monotone; within one of floor(16*log2)") {
+    val L = TextDedupQueries.Log2MantissaQ16
+    def ref(q: Long): Long = {
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(q)
+      val m = ((q * 16) >> e).toInt // == floor(q*16 / 2^e), exactly
+      16L * e + L(m - 16)
+    }
+    val rows = (1L to 200000L).toDF("q")
+      .select(col("q"), TextDedupQueries.log2q16(col("q")).as("lg"))
+      .collect()
+    var prev = Long.MinValue
+    rows.foreach { r =>
+      val q = r.getLong(0)
+      val lg = r.getLong(1)
+      assert(lg == ref(q), s"q=$q")
+      // exact floor(16*log2 q) via BigInt: largest k with 2^k <= q^16
+      val exact = {
+        val target = BigInt(q).pow(16)
+        var k = 16 * (63 - java.lang.Long.numberOfLeadingZeros(q))
+        while (BigInt(2).pow(k + 1) <= target) k += 1
+        k
+      }
+      assert(lg <= exact && lg >= exact - 2, s"q=$q lg=$lg exact=$exact")
+      assert(lg >= prev, s"monotonicity at q=$q")
+      prev = lg
+      if (java.lang.Long.bitCount(q) == 1)
+        assert(lg == 16L * (63 - java.lang.Long.numberOfLeadingZeros(q)), s"power of two q=$q")
+    }
+  }
+
+  test("classifier agrees with its rule teacher on >90% of docs and both classes") {
+    val out = TextDedupQueries.textQualityClf(spark, sf("sf0.001")).cache()
+    val n = out.count()
+    val agree = out.where(col("pred_keep") === col("rule_keep")).count()
+    assert(agree.toDouble / n > 0.9, s"agreement $agree/$n")
+    // the learned cut must actually fire in both directions: some docs
+    // predicted drop, and among rule-dropped docs a majority predicted drop
+    val dropDocs = out.where(col("rule_keep") === 0)
+    val dropCaught = dropDocs.where(col("pred_keep") === 0).count()
+    assert(dropDocs.count() > 0)
+    assert(dropCaught.toDouble / dropDocs.count() > 0.5,
+      s"rule-drop recall $dropCaught/${dropDocs.count()}")
+    out.unpersist()
+  }
+}
