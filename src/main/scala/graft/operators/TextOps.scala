@@ -119,6 +119,39 @@ object TextOps {
         PhoneRe, "[PHONE]"),
       SecretRe, "[KEY]")
 
+  /** Tracking query parameters a URL canonicalizer strips — the params
+    * that vary per click while naming the same resource (the Common Crawl
+    * dedup convention). Dialect-portable alternation (no lookaround). */
+  val TrackingParamRe = "^(utm_[^=]*|fbclid|gclid)="
+
+  /** URL canonicalization — the crawl-pipeline normalization that maps the
+    * many raw spellings of one resource to a single key for exact URL-level
+    * dedup: lowercase scheme and host (ONLY those — paths are
+    * case-sensitive), strip the fragment, strip default ports (:80/:443),
+    * strip a leading `www.`, strip trailing path slashes, drop tracking
+    * params ([[TrackingParamRe]]), and sort the surviving query params
+    * (param ORDER varies per emitter, the resource doesn't). Pure column
+    * expressions over the dialect-portable regex subset — computed inside
+    * the scan projection, no UDF, no shuffle; DuckDB runs the literal same
+    * patterns and the same list_filter/list_sort chain. */
+  def urlCanonicalize(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
+    val host = regexp_replace(
+      regexp_replace(
+        lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/?#]+)", 1)),
+        ":(443|80)$", ""),
+      "^www\\.", "")
+    val path = regexp_replace(
+      regexp_extract(noFrag, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/+$", "")
+    val q = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val params = array_join(
+      sort_array(filter(split(q, "&"),
+        p => !p.rlike(TrackingParamRe) && p =!= "")), "&")
+    concat(scheme, lit("://"), host, path,
+      when(params =!= "", concat(lit("?"), params)).otherwise(lit("")))
+  }
+
   /** Language-ID stopword tables (tiny, per-language function words). */
   val StopwordTable: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of", "to", "is"),

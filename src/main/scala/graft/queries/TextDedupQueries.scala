@@ -225,6 +225,83 @@ object TextDedupQueries {
         .otherwise("zh"))
   }
 
+  /** Per-domain document cap for [[textDomainCap]] — RefinedWeb keeps a
+    * bounded number of pages per registered domain so no single site
+    * dominates the corpus; 5 per 37 synthetic domains exercises real
+    * competition at every SF. */
+  private val DomainCapK = 5
+
+  /** PER-DOMAIN DOCUMENT CAP — the anti-domination pass of a crawl corpus
+    * (RefinedWeb/C4 keep at most N pages per registered domain): keep the
+    * top-[[DomainCapK]] docs per domain by quality (content length here;
+    * any integer score slots in), deterministic doc-id tie-break. The
+    * corpus has no URL column, so the domain is synthesized as a pure
+    * function of doc_id both engines spell identically — the operator
+    * under test is the capping, not the parse. Runs on the per-key HEAP
+    * operator ([[graft.plans.TopKPerKey]]): partial k-heaps pre-exchange,
+    * key-clustered exchange, final heap merge — never a per-domain sort,
+    * so a million-page domain costs O(n·log k) map-side and the reduce side
+    * sees ≤ k rows per domain (the skew answer a window-rank formulation
+    * lacks). Oracle = the window-rank formulation it replaces. */
+  def textDomainCap(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    fork.experimental.extraStrategies =
+      fork.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
+    val d = docs(fork, dir).select(col("doc_id"), col("n_chars"),
+      concat(lit("d"), (col("doc_id") % 37).cast("string"), lit(".example.com"))
+        .as("domain"))
+    graft.plans.TopKPerKey.topKPerKey(d,
+      keys = Seq(col("domain")),
+      order = Seq(col("n_chars").desc, col("doc_id").asc), k = DomainCapK)
+      .select(col("domain"), col("doc_id"), col("n_chars"))
+  }
+
+  /** The deterministically-messy raw URL per document for [[dedupUrl]] —
+    * every raw string is a pure function of doc_id both engines construct
+    * identically, and documents sharing `base` name the SAME resource
+    * through different spellings: scheme/host case, an optional `www.`, an
+    * explicit default port, a trailing slash, shuffled query-param order,
+    * tracking junk (utm/fbclid), and a fragment. Most docs pair up
+    * (base = doc_id div 2); every 4th-mod-3 doc instead joins a bigger
+    * div-16 cluster, so group sizes vary. */
+  private def rawUrl: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    val base = when(id % 4 === 3, expr("doc_id div 16")).otherwise(expr("doc_id div 2"))
+    val scheme = when(id % 3 === 0, lit("HTTPS")).otherwise(lit("https"))
+    val www = when(id % 4 === 0, lit("WWW."))
+      .when(id % 4 === 1, lit("www.")).otherwise(lit(""))
+    val host = concat(lit("d"), (base % 37).cast("string"),
+      when(id % 2 === 0, lit(".Example.COM")).otherwise(lit(".example.com")))
+    val port = when(id % 5 === 0, lit(":443")).otherwise(lit(""))
+    val path = concat(lit("/p/"), (base % 101).cast("string"),
+      when(id % 2 === 0, lit("/")).otherwise(lit("")))
+    val p1 = concat(lit("id="), (base % 53).cast("string"))
+    val p2 = concat(lit("a="), (base % 7).cast("string"))
+    val qcore = when(id % 2 === 0, concat(p1, lit("&"), p2))
+      .otherwise(concat(p2, lit("&"), p1))
+    val junk = concat(
+      when(id % 3 === 1, lit("&utm_source=feed")).otherwise(lit("")),
+      when(id % 7 === 0, concat(lit("&fbclid=x"), id.cast("string"))).otherwise(lit("")))
+    val frag = when(id % 6 === 0, concat(lit("#sec"), (id % 9).cast("string")))
+      .otherwise(lit(""))
+    concat(scheme, lit("://"), www, host, port, path, lit("?"), qcore, junk, frag)
+  }
+
+  /** URL-LEVEL EXACT DEDUP — the first dedup stage of a crawl pipeline
+    * (before any content hashing): canonicalize raw URLs
+    * ([[TextOps.urlCanonicalize]] — lowercase scheme/host, strip fragment /
+    * default port / `www.` / trailing slash / tracking params, sort the
+    * survivors) and keep one document per canonical resource. The
+    * canonicalization is in-scan column expressions; the dedup is ONE
+    * map-side-combining groupBy on the canonical key (count + min survive
+    * partial aggregation — no window, no join-back, skew-immune the same
+    * way `dedup_exact` is). The oracle rebuilds the identical raw mess and
+    * replays the literal same regex/sort chain. */
+  def dedupUrl(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), rawUrl.as("raw"))
+      .select(col("doc_id"), TextOps.urlCanonicalize(col("raw")).as("url_canonical"))
+      .groupBy(col("url_canonical"))
+      .agg(count(lit(1)).cast("long").as("n_docs"), min(col("doc_id")).as("keep_doc"))
+
   /** Document fingerprints: mod-64-selected shingle hashes (winnowing-style
     * content signature). */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
@@ -786,6 +863,8 @@ object TextDedupQueries {
     "text_quality_filter" -> textQualityFilter _,
     "text_lm_quality" -> textLmQuality _,
     "text_quality_clf" -> textQualityClf _,
+    "text_domain_cap" -> textDomainCap _,
+    "dedup_url" -> dedupUrl _,
     "text_pii_redact" -> textPiiRedact _,
     "text_normalize" -> textNormalize _,
     "ml_split_leakfree" -> mlSplitLeakfree _,
@@ -1185,6 +1264,57 @@ object TextDedupQueries {
          |  l.keep AS rule_keep
          |FROM labs l LEFT JOIN sc USING (doc_id)""".stripMargin
     },
+    // the heap operator's result == the window-rank formulation it replaces
+    "text_domain_cap" ->
+      s"""WITH dom AS (SELECT doc_id, n_chars,
+         |  'd' || CAST(doc_id % 37 AS VARCHAR) || '.example.com' AS domain
+         |  FROM documents),
+         |rk AS (SELECT domain, doc_id, n_chars,
+         |  row_number() OVER (PARTITION BY domain
+         |    ORDER BY n_chars DESC, doc_id) AS r FROM dom)
+         |SELECT domain, doc_id, n_chars FROM rk WHERE r <= $DomainCapK""".stripMargin,
+    // the identical raw-URL mess rebuilt from doc_id, then the LITERAL same
+    // canonicalization chain (regexes are the dialect-portable subset; the
+    // param sort is byte-lex over ASCII in both engines)
+    "dedup_url" ->
+      """WITH raw AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END || '://'
+        |  || CASE WHEN doc_id % 4 = 0 THEN 'WWW.'
+        |       WHEN doc_id % 4 = 1 THEN 'www.' ELSE '' END
+        |  || 'd' || CAST(base % 37 AS VARCHAR)
+        |  || CASE WHEN doc_id % 2 = 0 THEN '.Example.COM' ELSE '.example.com' END
+        |  || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+        |  || '/p/' || CAST(base % 101 AS VARCHAR)
+        |  || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+        |  || '?'
+        |  || CASE WHEN doc_id % 2 = 0
+        |       THEN 'id=' || CAST(base % 53 AS VARCHAR) || '&a=' || CAST(base % 7 AS VARCHAR)
+        |       ELSE 'a=' || CAST(base % 7 AS VARCHAR) || '&id=' || CAST(base % 53 AS VARCHAR) END
+        |  || CASE WHEN doc_id % 3 = 1 THEN '&utm_source=feed' ELSE '' END
+        |  || CASE WHEN doc_id % 7 = 0 THEN '&fbclid=x' || CAST(doc_id AS VARCHAR) ELSE '' END
+        |  || CASE WHEN doc_id % 6 = 0 THEN '#sec' || CAST(doc_id % 9 AS VARCHAR) ELSE '' END AS u
+        |  FROM (SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 3 THEN doc_id // 16 ELSE doc_id // 2 END AS base
+        |    FROM documents)),
+        |nofrag AS (SELECT doc_id, regexp_replace(u, '#.*$', '') AS u FROM raw),
+        |parts AS (SELECT doc_id,
+        |  lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) AS scheme,
+        |  regexp_replace(regexp_replace(
+        |    lower(regexp_extract(u, '^[A-Za-z]+://([^/?#]+)', 1)),
+        |    ':(443|80)$', ''), '^www\.', '') AS host,
+        |  regexp_replace(regexp_extract(u, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+        |    '/+$', '') AS path,
+        |  array_to_string(list_sort(list_filter(
+        |    string_split(regexp_extract(u, '\?([^#]*)', 1), '&'),
+        |    p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)=') AND p != '')),
+        |    '&') AS params
+        |  FROM nofrag),
+        |canon AS (SELECT doc_id, scheme || '://' || host || path
+        |  || CASE WHEN params != '' THEN '?' || params ELSE '' END AS url_canonical
+        |  FROM parts)
+        |SELECT url_canonical, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS keep_doc
+        |FROM canon GROUP BY 1""".stripMargin,
     // the LITERAL same regex patterns (dialect-portable subset) + the same
     // planted Unicode mess (decomposed accents, zero-width chars, exotic
     // spaces) replayed via chr(); DuckDB's utf8proc nfc_normalize vs the

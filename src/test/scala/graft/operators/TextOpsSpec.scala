@@ -101,4 +101,41 @@ class TextOpsSpec extends SparkSpec {
     assert(out(4L)._1 == ((0, 0, 0)))
     assert(out(4L)._2 == "no pii here, just 12-34 and name_at_place")
   }
+
+  test("URL canonicalization: every normalization rule, on hand URLs") {
+    import spark.implicits._
+    val cases = Seq(
+      // scheme + host lowercase; path case preserved
+      ("HTTPS://WWW.Example.COM/Path/To", "https://example.com/Path/To"),
+      // default ports stripped, either scheme
+      ("https://a.com:443/x", "https://a.com/x"),
+      ("http://a.com:80/x", "http://a.com/x"),
+      // non-default port kept
+      ("https://a.com:8443/x", "https://a.com:8443/x"),
+      // fragment stripped
+      ("https://a.com/x#section-2", "https://a.com/x"),
+      // trailing slashes stripped (also multiple)
+      ("https://a.com/x/", "https://a.com/x"),
+      ("https://a.com/x///", "https://a.com/x"),
+      // tracking params dropped, survivors sorted, empty query elided
+      ("https://a.com/x?utm_source=f&utm_campaign=c&fbclid=abc", "https://a.com/x"),
+      ("https://a.com/x?b=2&a=1&utm_medium=m", "https://a.com/x?a=1&b=2"),
+      // a param NAMED like but not equal to a tracker survives
+      ("https://a.com/x?autm_x=1", "https://a.com/x?autm_x=1"),
+      // www. stripped only as a leading label
+      ("https://www.a.com/x", "https://a.com/x"),
+      ("https://wwwa.com/x", "https://wwwa.com/x"),
+      // empty path stays empty
+      ("https://a.com?a=1", "https://a.com?a=1"),
+    )
+    val out = cases.map(_._1).toDF("u")
+      .select(col("u"), TextOps.urlCanonicalize(col("u")).as("c")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (raw, want) => assert(out(raw) == want, s"raw=$raw") }
+    // idempotence: canonical forms are fixed points
+    val canon = cases.map(_._2).distinct.toDF("u")
+      .select(col("u"), TextOps.urlCanonicalize(col("u")).as("c")).collect()
+    canon.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"not idempotent: ${r.getString(0)} -> ${r.getString(1)}"))
+  }
 }

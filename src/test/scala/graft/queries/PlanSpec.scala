@@ -53,6 +53,29 @@ class PlanSpec extends SparkSpec {
       "exact dedup must not join")
   }
 
+  test("text_domain_cap: plans as the per-key heap operator, never a per-domain sort") {
+    val p = plan(TextDedupQueries.textDomainCap(spark, dir))
+    assert(p.contains("TopKPerKeyFinal"), s"the cap must use the heap operator:\n$p")
+    assert(!p.contains("Window"), s"no window-rank machinery:\n$p")
+  }
+
+  test("dedup_url: canonicalization in-scan, one map-side-combining aggregate, no join") {
+    val p = plan(TextDedupQueries.dedupUrl(spark, dir))
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"the canonical-key aggregate must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      s"URL dedup must not join:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"canonicalization must stay native expressions:\n$p")
+  }
+
+  test("text_quality_clf: weight table broadcast to the scoring join, totals never collected") {
+    val p = plan(TextDedupQueries.textQualityClf(spark, dir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the 512-row weight table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("q_topk_rewrite: the SQL-text window idiom actually plans as the heap operator") {
     val p = plan(AdvancedQueries.qTopKRewrite(spark, dir))
     assert(p.contains("TopKPerKeyFinal"),
