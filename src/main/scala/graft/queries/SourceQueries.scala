@@ -186,6 +186,38 @@ object SourceQueries {
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
   }
 
+  /** TIME TRAVEL over a versioned snapshot store
+    * ([[graft.sources.Versioned]] — the lakehouse manifest discipline on
+    * plain parquet): commit v1 = the full orders snapshot bucketed by
+    * o_orderkey mod 16; commit v2 = a copy-on-write upsert doubling the
+    * price of keys with `o_orderkey % 64 < 4` (a delta confined to buckets
+    * 0–3, so 12 of 16 buckets are never rewritten — VersionedSpec asserts
+    * byte-identity); then read BOTH versions through their manifests and
+    * aggregate. The v1 row proves time travel reads pre-commit state after
+    * later commits exist; the oracle computes both versions relationally
+    * (the manifest machinery must be result-invisible). DECIMAL-e4 integer
+    * price sums per the float-determinism discipline. */
+  def qTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val layout = graft.operators.Artifacts.sharedPath(s"timetravel:$dir") { path =>
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("bucket", (col("o_orderkey") % 16).cast("int"))
+      graft.sources.Versioned.commitBase(orders, path, "bucket", 16)
+      val delta = orders.where(col("o_orderkey") % 64 < 4)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      graft.sources.Versioned.commitUpsert(s, delta, path, 2, "o_orderkey", "bucket")
+    }
+    Seq(1, 2).map { v =>
+      graft.sources.Versioned.readVersion(s, layout, v)
+        .agg(count(lit(1)).as("n_rows"),
+          expr("cast(sum(cast(o_totalprice as decimal(18,4))) * 10000 as bigint)")
+            .as("sum_price_e4"),
+          sum(when(col("o_orderkey") % 64 < 4, 1).otherwise(0)).cast("long")
+            .as("n_delta_keys"))
+        .select(lit(v).as("version"), col("n_rows"), col("sum_price_e4"),
+          col("n_delta_keys"))
+    }.reduce(_ unionByName _)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_csv_nation" -> srcCsvNation _,
     "src_json_nation" -> srcJsonNation _,
@@ -193,9 +225,26 @@ object SourceQueries {
     "src_csv_corrupt" -> srcCsvCorrupt _,
     "q_zorder_prune" -> qZorderPrune _,
     "q_gdpr_delete" -> qGdprDelete _,
+    "q_time_travel" -> qTimeTravel _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    // both versions computed relationally — the manifest/copy-on-write
+    // machinery must be result-invisible at every version
+    "q_time_travel" ->
+      """WITH v2 AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 64 < 4 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice
+        |  FROM orders)
+        |SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_price_e4,
+        |  CAST(sum(CASE WHEN o_orderkey % 64 < 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta_keys
+        |FROM orders
+        |UNION ALL
+        |SELECT 2 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_price_e4,
+        |  CAST(sum(CASE WHEN o_orderkey % 64 < 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta_keys
+        |FROM v2""".stripMargin,
     // the delete must be indistinguishable from the anti-join it implements
     "q_gdpr_delete" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
