@@ -150,6 +150,29 @@ object MlQueries {
   val MixBudgetTokens = 20000
   private val MixTier1 = Seq("src0", "src1", "src2", "src3", "src4")
   private val MixTier2 = Seq("src5", "src6", "src7", "src8", "src9")
+  /** QUALITY-WEIGHTED deterministic sampling — the importance-sampling
+    * member of the sampling family (`q_stratified_sample` fixes per-class
+    * rates; this one varies the rate PER DOCUMENT by a quality signal):
+    * doc kept iff `hash(doc_id) mod 10^6 < rate_ppm`, with rate
+    * proportional to content length capped at 1 (the standard
+    * quality-proportional curriculum shape — any integer score slots in).
+    * Emits the inverse-propensity weight (`10^12 div rate_ppm` micro-units)
+    * a downstream estimator reweights by, so corpus statistics stay
+    * unbiased under the non-uniform keep. Pure function of doc identity:
+    * in-scan expressions, no shuffle, rerun-stable, and the SAME decision
+    * on any cluster size (the salted-hash discipline of
+    * `ml_train_test_split`). */
+  def mlWeightedSample(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+      .withColumn("rate_ppm",
+        least(lit(1000000L), col("n_chars").cast("long") * 4000))
+      .select(col("doc_id"), col("rate_ppm"),
+        (graft.functions.VectorSql.md5Hash60(
+          concat(lit("ws:"), col("doc_id").cast("string"))) % 1000000
+          < col("rate_ppm")).cast("int").as("kept"),
+        expr("cast(1000000000000 div greatest(rate_ppm, 1) as bigint)")
+          .as("ipw_micro"))
+
   def mlDomainMixture(s: SparkSession, dir: String): DataFrame = {
     val share = when(col("source").isin(MixTier1: _*), 100)
       .when(col("source").isin(MixTier2: _*), 60)
@@ -377,6 +400,7 @@ object MlQueries {
     "ml_standardize" -> mlStandardize _,
     "ml_quantize_int8" -> mlQuantizeInt8 _,
     "ml_train_test_split" -> mlTrainTestSplit _,
+    "ml_weighted_sample" -> mlWeightedSample _,
     "ml_lang_centroids" -> mlLangCentroids _,
     "ml_domain_mixture" -> mlDomainMixture _,
     "ml_export_shards" -> mlExportShards _,
@@ -414,6 +438,14 @@ object MlQueries {
          |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
          |  CAST(cum_tokens AS BIGINT) AS cum_tokens
          |FROM c WHERE cum_tokens <= budget""".stripMargin,
+    "ml_weighted_sample" ->
+      """WITH r AS (SELECT doc_id,
+        |  least(1000000, n_chars * 4000) AS rate_ppm FROM documents)
+        |SELECT doc_id, CAST(rate_ppm AS BIGINT) AS rate_ppm,
+        |  CAST(('0x' || substr(md5('ws:' || doc_id), 1, 15))::BIGINT % 1000000
+        |    < rate_ppm AS INT) AS kept,
+        |  CAST(1000000000000 // greatest(rate_ppm, 1) AS BIGINT) AS ipw_micro
+        |FROM r""".stripMargin,
     "ml_train_test_split" ->
       """SELECT vec_id,
         | CASE WHEN ('0x' || substr(md5('split:' || vec_id), 1, 15))::BIGINT % 100 < 80
