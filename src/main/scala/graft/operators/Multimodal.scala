@@ -292,6 +292,112 @@ object Multimodal {
     df.withColumn("dhash", ph(col(payloadCol)))
   }
 
+  /** Deterministic TILE-STRUCTURED image for crop-robust image dedup:
+    * `heightTiles − cropTopRows` rows × `widthTiles` cols of `tile`×`tile`
+    * tile-constant pixels. Channel c of ORIGINAL tile b (row-major index
+    * BEFORE cropping) is `(byte c of md5(decimal(iid·64+b) ++ "t")) mod
+    * 128`, `gain`-multiplied (×2 stays < 256 by the half-range base — the
+    * same no-clipping discipline as [[syntheticFrameAvi]]); tile 0 bumped
+    * `+7 (mod 128)` when `bumpTile0`. `cropTopRows` > 0 removes the first
+    * tile rows (the banner crop: output tile row r shows original row
+    * r+crop). The "t" suffix keys this space apart from the block-image
+    * tiles `md5(iid·64+b)` the dHash/pHash entries hash. Replayable in
+    * SQL: `('0x'||substr(md5(CAST(iid*64+b AS VARCHAR)||'t'),1,2))::INT % 128`. */
+  def syntheticTileImage(iid: Long, widthTiles: Int, heightTiles: Int,
+                         tile: Int, gain: Int = 1, bumpTile0: Boolean = false,
+                         cropTopRows: Int = 0,
+                         format: String = "png"): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val outRows = heightTiles - cropTopRows
+    val img = new BufferedImage(widthTiles * tile, outRows * tile,
+      BufferedImage.TYPE_INT_RGB)
+    var by = 0
+    while (by < outRows) {
+      var bx = 0
+      while (bx < widthTiles) {
+        val b = (by + cropTopRows) * widthTiles + bx
+        val d = md.digest((iid * 64 + b).toString.concat("t").getBytes("US-ASCII"))
+        val bump = if (bumpTile0 && b == 0) 7 else 0
+        val r = (((d(0) & 0xff) % 128 + bump) % 128) * gain
+        val g = (((d(1) & 0xff) % 128 + bump) % 128) * gain
+        val bl = (((d(2) & 0xff) % 128 + bump) % 128) * gain
+        val rgb = (r << 16) | (g << 8) | bl
+        var y = by * tile
+        while (y < (by + 1) * tile) {
+          var x = bx * tile
+          while (x < (bx + 1) * tile) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  /** IMAGE-AS-TOKENS — the crop-robust member of the image dedup family,
+    * the spatial twin of [[audioTokens]]/[[videoTokens]]. Both position
+    * hashes ([[dHash]], [[pHash]]) sample a FIXED 8×8 grid of the whole
+    * image, so a banner crop shifts every sample and the copy escapes
+    * (MultimodalSpec measures it). Each FIXED-SIZE `tile`×`tile` tile
+    * (fixed PIXEL size — the spatial analogue of [[audioTokens]]' fixed
+    * frame duration; a fraction-of-image tile would misalign on any crop)
+    * instead maps to a tile-local token — the gcd-reduced triple of the
+    * tile's channel sums, exactly invariant to a linear brightness gain —
+    * and the row-major token sequence rides the TEXT dedup machinery. A
+    * TOP-BANNER crop by whole tile rows is then a pure token-prefix loss
+    * that set semantics absorb. (A general 2-D border crop interleaves the
+    * loss through the row-major sequence and needs 2-D shingling — out of
+    * scope, documented honestly; top-banner is the overwhelmingly common
+    * real-corpus crop.) None for undecodable payloads or images smaller
+    * than one tile; trailing partial tiles are ignored (fixed-size tiling
+    * never stretches). */
+  def imageTokens(payload: Array[Byte], tile: Int = 2): Option[String] = {
+    if (payload == null) return None
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      if (img == null) return None
+      val rows = img.getHeight / tile
+      val cols = img.getWidth / tile
+      if (rows == 0 || cols == 0) return None
+      @annotation.tailrec
+      def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+      val toks = new Array[String](rows * cols)
+      var by = 0
+      while (by < rows) {
+        var bx = 0
+        while (bx < cols) {
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = by * tile
+          while (y < (by + 1) * tile) {
+            var x = bx * tile
+            while (x < (bx + 1) * tile) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          toks(by * cols + bx) =
+            if (sr == 0 && sg == 0 && sb == 0) "0/0/0"
+            else { val d = gcd(gcd(sr, sg), sb); s"${sr / d}/${sg / d}/${sb / d}" }
+          bx += 1
+        }
+        by += 1
+      }
+      Some(toks.mkString(" "))
+    } catch { case _: Exception => None }
+  }
+
+  /** Image-token column: partition-local REAL decode + [[imageTokens]]. */
+  def imageTokenColumn(df: DataFrame, tile: Int = 2,
+                       payloadCol: String = "payload"): DataFrame = {
+    val tk = udf { (b: Array[Byte]) => imageTokens(b, tile) }
+    df.withColumn("text", tk(col(payloadCol)))
+  }
+
   // -------------------------------------------------- spectral fingerprints
 
   /** Fixed-point 8-point DCT-II basis, `T(u)(x) = round(64·cos(π(2x+1)u/16))`

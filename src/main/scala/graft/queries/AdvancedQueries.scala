@@ -114,6 +114,37 @@ object AdvancedQueries {
     fork.sql(rankTopKSql("li_rkrw"))
   }
 
+  /** RUNTIME BLOOM-FILTER join pruning — the 100 TB shuffle-reduction lever
+    * Spark injects when one join side carries a selective filter: a bloom
+    * filter built from the filtered orders side's join keys is pushed into
+    * the lineitem scan as a `might_contain` predicate, so rows whose orders
+    * row is filtered away are dropped BEFORE the shuffle instead of after
+    * the join (~4/5 of lineitem never shuffles here). Broadcast is disabled
+    * on the fork because a broadcast join needs no runtime filter — the
+    * optimization exists precisely for the shuffle-join regime where both
+    * sides are too big to broadcast; thresholds are sized down so the
+    * injection fires at test scale (production defaults target 10 MB
+    * creation / 10 GB application sides). PlanSpec asserts the
+    * `might_contain` predicate lands on the lineitem side; the oracle is
+    * the plain join — the filter may only REMOVE rows the join would drop
+    * anyway, never change the result. */
+  def qRuntimeFilter(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    fork.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    fork.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "64MB")
+    fork.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+    fork.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val li = fork.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val o = fork.read.parquet(s"$dir/orders.parquet")
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double"), 2).as("revenue"))
+  }
+
   /** Revenue per supplier nation through the salted-replicated join (big
     * side salted deterministically, small side replicated ×8) — output
     * identical to the plain join, so the oracle IS the plain join. */
@@ -133,6 +164,7 @@ object AdvancedQueries {
     "events_asof" -> eventsAsof _,
     "q_skew_agg" -> qSkewAgg _,
     "q_salted_join" -> qSaltedJoin _,
+    "q_runtime_filter" -> qRuntimeFilter _,
     "q_approx_distinct" -> qApproxDistinct _,
     "q_approx_quantile" -> qApproxQuantile _,
     "q_topk_per_key" -> qTopKPerKey _,
@@ -168,6 +200,13 @@ object AdvancedQueries {
       """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
         | round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1""".stripMargin,
+    // the runtime filter may only drop rows the join drops anyway
+    "q_runtime_filter" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_items,
+        | round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1""".stripMargin,
     "q_topk_per_key" -> windowTopKSql("lineitem"),
     // identical oracle: the rewrite must be output-equal to the window SQL

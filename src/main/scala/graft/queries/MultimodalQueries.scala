@@ -436,6 +436,53 @@ object MultimodalQueries {
     Dedup.jaccardPairs(sh, 0.8, candidates = Some(Dedup.lshCandidates(sigs)))
   }
 
+  /** CROP-ROBUST image near-dup pairs — the spatial member completing the
+    * crop-robust family across ALL THREE perceptual modalities (audio,
+    * video, now image). Per doc group of 8: doc 8k is an original 12×12-tile
+    * image ([[graft.operators.Multimodal.syntheticTileImage]]); 8k+1 its
+    * TOP-BANNER crop (first two tile rows removed — both fixed-grid position
+    * hashes sample shifted content and miss it, MultimodalSpec measures
+    * dHash hamming ≫ 3); 8k+2 its brightness-doubled copy; 8k+3 a one-tile
+    * edit; 8k+4..7 unrelated. Pipeline: REAL decode → FIXED-SIZE-tile
+    * tokens ([[graft.operators.Multimodal.imageTokens]]: gcd-reduced
+    * channel-sum triples, gain-invariant exactly) → the TEXT dedup
+    * machinery VERBATIM; the crop is a pure token-prefix loss
+    * (J = 118/142 planted). The oracle replays tokens from the md5 tile
+    * formula (tile-constant pixels ⟹ the raw color triple's reduction IS
+    * the decoded channel-sum reduction) and the shared text CTE chain. */
+  /** 12×12 tile grid, 2-row banner crop: at 8×8 tiles a 1-row crop moves
+    * only ONE of dHash's 8 sampled rows (hamming ~3.5 — half the copies
+    * survive, measured), while a 2-row crop there drops Jaccard to 0.74.
+    * At 12×12, the 2-row crop shifts 6 of 8 sampled rows (dHash hamming
+    * ≫ 3 on ~100%) and J = 118/142 ≈ 0.83 clears the bar. */
+  val ImgTiles = 12
+  val ImgCropRows = 2
+  private[graft] def mmImageCropDocs(s: SparkSession, dir: String): DataFrame = {
+    val makeMedia = udf { (id: Long) =>
+      val v = id % 8
+      val iid = if (v >= 1 && v <= 3) id - v else id
+      v match {
+        case 1 => Multimodal.syntheticTileImage(iid, ImgTiles, ImgTiles, VidFpW, cropTopRows = ImgCropRows)
+        case 2 => Multimodal.syntheticTileImage(iid, ImgTiles, ImgTiles, VidFpW, gain = 2)
+        case 3 => Multimodal.syntheticTileImage(iid, ImgTiles, ImgTiles, VidFpW, bumpTile0 = true)
+        case _ => Multimodal.syntheticTileImage(iid, ImgTiles, ImgTiles, VidFpW)
+      }
+    }
+    val media = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("media_id"))
+      .withColumn("payload", makeMedia(col("media_id")))
+    Multimodal.imageTokenColumn(media, tile = VidFpW)
+      .where(col("text").isNotNull)
+      .select(col("media_id").as("doc_id"), col("text"))
+  }
+
+  def mmImageDedupCrop(s: SparkSession, dir: String): DataFrame = {
+    val d = mmImageCropDocs(s, dir)
+    val sh = Dedup.docShinglesRaw(d, "doc_id", "text")
+    val sigs = Dedup.minhashSignatures(sh)
+    Dedup.jaccardPairs(sh, 0.8, candidates = Some(Dedup.lshCandidates(sigs)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_byte_stats" -> mmByteStats _,
     "mm_feature_agg" -> mmFeatureAgg _,
@@ -451,6 +498,7 @@ object MultimodalQueries {
     "mm_audio_dedup_spectral" -> mmAudioDedupSpectral _,
     "mm_audio_dedup_crop" -> mmAudioDedupCrop _,
     "mm_video_dedup_crop" -> mmVideoDedupCrop _,
+    "mm_image_dedup_crop" -> mmImageDedupCrop _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -762,6 +810,52 @@ object MultimodalQueries {
          |  FROM colors),
          |texts AS (SELECT media_id AS doc_id,
          |    string_agg(tok, ' ' ORDER BY f) AS text
+         |  FROM toksrc GROUP BY 1),
+         |toks AS (SELECT doc_id, text,
+         |  list_filter(string_split(text, ' '), x -> x != '') AS t FROM texts),
+         |${TextDedupQueries.shinglesCte}, ${TextDedupQueries.sigCte},
+         |${TextDedupQueries.pairsCtesUncapped}
+         |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+         |FROM jac WHERE jaccard >= 0.8""".stripMargin
+    },
+    // crop-robust image dedup: tokens replayed from the md5 tile formula —
+    // tile-constant pixels make the decoded channel sums tile²·gain·(r,g,b),
+    // and the gcd reduction removes the common factor exactly; the banner
+    // crop restricts the replay to original tiles b >= crop·cols; then the
+    // TEXT family's CTE chain verbatim
+    "mm_image_dedup_crop" -> {
+      val nTiles = ImgTiles * ImgTiles
+      val cropTiles = ImgCropRows * ImgTiles
+      s"""WITH media AS (
+         |  SELECT doc_id AS media_id, doc_id % 8 AS v,
+         |    CASE WHEN doc_id % 8 IN (1, 2, 3)
+         |      THEN doc_id - doc_id % 8 ELSE doc_id END AS iid
+         |  FROM documents),
+         |tiles AS (
+         |  SELECT media_id, v, iid, bb.b AS b
+         |  FROM media CROSS JOIN (SELECT unnest(range(0, $nTiles)) AS b) bb
+         |  WHERE bb.b >= CASE WHEN v = 1 THEN $cropTiles ELSE 0 END),
+         |colors AS (
+         |  SELECT media_id, b,
+         |    CASE WHEN v = 3 AND b = 0 THEN (r + 7) % 128 ELSE r END AS r,
+         |    CASE WHEN v = 3 AND b = 0 THEN (g + 7) % 128 ELSE g END AS g,
+         |    CASE WHEN v = 3 AND b = 0 THEN (bl + 7) % 128 ELSE bl END AS bl
+         |  FROM (SELECT media_id, v, b,
+         |          ('0x' || substr(h, 1, 2))::INT % 128 AS r,
+         |          ('0x' || substr(h, 3, 2))::INT % 128 AS g,
+         |          ('0x' || substr(h, 5, 2))::INT % 128 AS bl
+         |        FROM (SELECT media_id, v, b,
+         |                md5(CAST(iid * 64 + b AS VARCHAR) || 't') AS h
+         |              FROM tiles) th) tc),
+         |toksrc AS (
+         |  SELECT media_id, b,
+         |    CASE WHEN r = 0 AND g = 0 AND bl = 0 THEN '0/0/0'
+         |         ELSE (r // gcd(gcd(r, g), bl)) || '/' || (g // gcd(gcd(r, g), bl))
+         |           || '/' || (bl // gcd(gcd(r, g), bl))
+         |    END AS tok
+         |  FROM colors),
+         |texts AS (SELECT media_id AS doc_id,
+         |    string_agg(tok, ' ' ORDER BY b) AS text
          |  FROM toksrc GROUP BY 1),
          |toks AS (SELECT doc_id, text,
          |  list_filter(string_split(text, ' '), x -> x != '') AS t FROM texts),

@@ -307,6 +307,48 @@ object SimilarityQueries {
         (col("doc") === col("rep")).as("keep"))
   }
 
+  /** SemDeDup through the LINEAR candidate path — the production-scale form
+    * of [[dedupSemantic]]. The cell-blocked variant enumerates within-cell
+    * pairs (~N^1.5 with √N cells — the paper's honest baseline shape);
+    * here the pair graph instead comes from corpus-adaptive hyperplane
+    * sign-LSH ([[graft.operators.Similarity.lshNearDupPairs]]: banded
+    * equi-join over 8 bands of [[graft.operators.Similarity.bitsPerBand]]
+    * bits, candidates ~linear — the sf10-audited machinery of
+    * `dedup_embedding_lsh`) confirmed by exact cosine ≥ [[SemTau]].
+    * Everything downstream is unchanged and linear: the min-label fixpoint
+    * labels components over the |E|-sized edge set, and the diversity rule
+    * (keep the member FARTHEST from its k-means/IVF cell centroid — the
+    * quantizer ASSIGNMENT is one broadcast-argmin scan, linear; only the
+    * within-cell pair enumeration was ever super-linear) reduces map-side.
+    * LSH recall at a given τ is governed by the band geometry — the recall
+    * the banding loses shows up ONLY as extra singletons, never a wrong
+    * group (both engines replay the identical bands, so the hash gate
+    * pins the exact approximation). Output: (vec_id, canonical, keep). */
+  def dedupSemanticLsh(s: SparkSession, dir: String): DataFrame = {
+    val p = pts(s, dir)
+    val n = p.count()
+    val bpb = Similarity.bitsPerBand(n)
+    val pairs = Similarity.lshNearDupPairs(p, SemTau, nBits = 8 * bpb, bands = 8)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val cells = centroidCount(n)
+    val a = assigned(s, dir, cells)
+    val withD2 = a.join(broadcast(p.where(col("vec_id") < cells)
+        .select(col("vec_id").cast("long").as("proto_id"), col("v").as("c"))),
+        col("cell") === col("proto_id"))
+      .select(col("vec_id"), col("cell"),
+        graft.functions.VectorSql.sqDistFast(col("v"), col("c")).as("d2"))
+      .localCheckpoint(eager = true)
+    val cc = graft.operators.Dedup.keepListConverged(
+      withD2.select(col("vec_id")), "vec_id", pairs)
+    val rep = cc.join(withD2.select(col("vec_id").as("doc"), col("d2")), "doc")
+      .groupBy(col("canonical"))
+      .agg(max(struct(col("d2").as("d2"), (lit(0L) - col("doc")).as("nid"))).as("m"))
+      .select(col("canonical"), (lit(0L) - col("m.nid")).as("rep"))
+    cc.join(rep, "canonical")
+      .select(col("doc").as("vec_id"), col("canonical"),
+        (col("doc") === col("rep")).as("keep"))
+  }
+
   /** RRF constants: the classic c = 60, lists capped at top-100 before
     * fusion (RRF only ever consumes each system's head — the cap is what
     * keeps both lists heap-operator-sized at any corpus scale), fused
@@ -526,6 +568,7 @@ object SimilarityQueries {
     "dedup_embedding_nn" -> nearDupNN _,
     "dedup_embedding_lsh" -> nearDupLsh _,
     "dedup_semantic" -> dedupSemantic _,
+    "dedup_semantic_lsh" -> dedupSemanticLsh _,
     "dedup_contamination_semantic" -> contaminationSemantic _,
     "retrieval_rrf" -> retrievalRrf _,
   )
@@ -548,6 +591,26 @@ object SimilarityQueries {
        |  (SELECT vec_id, v, cell, row_number() OVER
        |    (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM d0)
        |  WHERE rn = 1)""".stripMargin
+  // the literal-hyperplane sign-LSH chain of Similarity.lshSignBands:
+  // corpus-adaptive band width (params.bpb = integer twin of bitsPerBand),
+  // sign bits from the same left-to-right fold, packed band keys, distinct
+  // candidate pairs — shared by dedup_embedding_lsh and dedup_semantic_lsh
+  private val lshCandCtes =
+    s"""params AS (SELECT GREATEST(8, LENGTH(BIN(COUNT(*) - 1)) + 2) AS bpb
+       |  FROM embeddings),
+       |js AS (SELECT unnest(range(0, 8 * bpb)) AS j FROM params),
+       |bits AS (SELECT vec_id, j.j AS j,
+       |  CASE WHEN list_sum(list_transform(range(1, 65),
+       |    i -> v[i] * ((('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' ||
+       |      CAST((i - 1) AS VARCHAR)), 1, 15))::BIGINT % 19) - 9))) > 0
+       |  THEN 1 ELSE 0 END AS bit
+       |  FROM pts CROSS JOIN js j),
+       |keys AS (SELECT vec_id, j // bpb AS band,
+       |   CAST(sum(CAST(bit AS BIGINT) << (j % bpb)) AS BIGINT) AS key
+       |  FROM bits CROSS JOIN params GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM keys a JOIN keys b
+       |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)""".stripMargin
   // √N-scaled quantizer twin of [[centroidCount]]/[[assigned]]: the cell
   // count is computed inside the oracle from the same corpus it blocks.
   private val assignedSqrtNCte =
@@ -743,27 +806,39 @@ object SimilarityQueries {
     // (params.bpb = integer twin of Similarity.bitsPerBand — bit-length
     // arithmetic, no libm log)
     "dedup_embedding_lsh" ->
-      s"""WITH $base,
-         |params AS (SELECT GREATEST(8, LENGTH(BIN(COUNT(*) - 1)) + 2) AS bpb
-         |  FROM embeddings),
-         |js AS (SELECT unnest(range(0, 8 * bpb)) AS j FROM params),
-         |bits AS (SELECT vec_id, j.j AS j,
-         |  CASE WHEN list_sum(list_transform(range(1, 65),
-         |    i -> v[i] * ((('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' ||
-         |      CAST((i - 1) AS VARCHAR)), 1, 15))::BIGINT % 19) - 9))) > 0
-         |  THEN 1 ELSE 0 END AS bit
-         |  FROM pts CROSS JOIN js j),
-         |keys AS (SELECT vec_id, j // bpb AS band,
-         |   CAST(sum(CAST(bit AS BIGINT) << (j % bpb)) AS BIGINT) AS key
-         |  FROM bits CROSS JOIN params GROUP BY 1, 2),
-         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM keys a JOIN keys b
-         |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+      s"""WITH $base, $lshCandCtes,
          |conf AS (SELECT vec_a, vec_b, ${cosE("pa.v", "pb.v")} AS cos
          |  FROM cand JOIN pts pa ON vec_a = pa.vec_id
          |            JOIN pts pb ON vec_b = pb.vec_id)
          |SELECT vec_a, vec_b, round(cos, 6) AS cos_sim
          |FROM conf WHERE cos >= $MinCos""".stripMargin,
+    // the linear SemDeDup: the SAME LSH chain supplies the candidate pairs
+    // (confirmed at τ), then the dedup_semantic closure/diversity replay
+    // verbatim — the quantizer appears ONLY in the farthest-from-centroid
+    // rule (its linear assignment), never as a pair blocker
+    "dedup_semantic_lsh" ->
+      s"""WITH RECURSIVE $base, $lshCandCtes, $assignedSqrtNCte,
+         |sp AS (SELECT vec_a AS doc_a, vec_b AS doc_b
+         |  FROM cand JOIN pts pa ON vec_a = pa.vec_id
+         |            JOIN pts pb ON vec_b = pb.vec_id
+         |  WHERE ${cosE("pa.v", "pb.v")} >= $SemTau),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM sp
+         |  UNION ALL SELECT doc_b, doc_a FROM sp
+         |  UNION ALL SELECT vec_id, vec_id FROM pts),
+         |reach AS (SELECT src AS doc, dst AS r FROM edges
+         |  UNION
+         |  SELECT reach.doc, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+         |cc AS (SELECT doc, min(r) AS canonical FROM reach GROUP BY 1),
+         |dd AS (SELECT a.vec_id AS doc,
+         |  list_sum(list_transform(range(1, 65),
+         |    i -> (a.v[i]-pr.c[i])*(a.v[i]-pr.c[i]))) AS d2
+         |  FROM asg_n a JOIN protos_n pr ON a.cell = pr.cell),
+         |rep AS (SELECT canonical, doc AS rep FROM
+         |  (SELECT cc.canonical, cc.doc, row_number() OVER
+         |     (PARTITION BY cc.canonical ORDER BY dd.d2 DESC, cc.doc) AS rn
+         |   FROM cc JOIN dd ON cc.doc = dd.doc) WHERE rn = 1)
+         |SELECT cc.doc AS vec_id, cc.canonical, (cc.doc = rep.rep) AS keep
+         |FROM cc JOIN rep ON cc.canonical = rep.canonical""".stripMargin,
     "dedup_embedding_nn" ->
       s"""WITH $base, $assignedSqrtNCte,
          |pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,

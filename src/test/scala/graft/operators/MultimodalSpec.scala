@@ -337,6 +337,36 @@ class MultimodalSpec extends SparkSpec {
     assert(fpMissed > 90, s"crop should defeat the trajectory fp ($fpMissed/100)")
   }
 
+  test("image tokens: banner-cropped copies found by Jaccard; the fixed-grid dHash misses them") {
+    // 12×12 tiles / 2-row crop: 6 of dHash's 8 sampled rows shift (an 8×8
+    // grid with a 1-row crop moves only one sampled row — measured 47/100
+    // missed, i.e. the crop must be deep enough relative to the grid for
+    // the MOTIVATION to hold; the token path is crop-depth-insensitive
+    // until the Jaccard bar)
+    val T = 12
+    var dhashMissed = 0
+    for (k <- 0 until 100) {
+      val iid = k * 8L
+      val o = Multimodal.syntheticTileImage(iid, T, T, 2)
+      val cr = Multimodal.syntheticTileImage(iid, T, T, 2, cropTopRows = 2)
+      if (java.lang.Long.bitCount(Multimodal.dHash(o).get ^ Multimodal.dHash(cr).get) > 3)
+        dhashMissed += 1
+      // token sets: crop of two tile rows = pure 24-token prefix loss
+      val ot = Multimodal.imageTokens(o).get.split(" ")
+      val ct = Multimodal.imageTokens(cr).get.split(" ")
+      assert(ot.length == T * T && ct.length == T * (T - 2))
+      assert(ct.toSeq == ot.drop(2 * T).toSeq, "crop must be a pure token-prefix loss")
+      val osh = ot.sliding(3).map(_.mkString(" ")).toSet
+      val csh = ct.sliding(3).map(_.mkString(" ")).toSet
+      val j = csh.intersect(osh).size.toDouble / csh.union(osh).size
+      assert(j >= 0.8, s"crop copy must clear the Jaccard bar (iid=$iid, j=$j)")
+      // brightness-gain invariance of the tokens: exact (gcd-reduced triples)
+      assert(Multimodal.imageTokens(Multimodal.syntheticTileImage(iid, T, T, 2, gain = 2)).get
+        == Multimodal.imageTokens(o).get)
+    }
+    assert(dhashMissed > 90, s"banner crop should defeat dHash ($dhashMissed/100)")
+  }
+
   test("audioFingerprint: gain-doubled and decimated copies collide; byte digest misses them") {
     val F = Multimodal.AudioFpFrames
     val orig = Multimodal.syntheticFrameWav(40L, F, 64)

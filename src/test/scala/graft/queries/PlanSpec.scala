@@ -76,6 +76,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("q_runtime_filter: bloom filter built from filtered orders, might_contain on lineitem") {
+    val p = plan(AdvancedQueries.qRuntimeFilter(spark, dir))
+    assert(p.contains("might_contain"),
+      s"the runtime bloom filter must reach the application side:\n$p")
+    assert(p.contains("bloom_filter_agg"),
+      s"the filter must be BUILT from the creation side's keys:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"the join must be the shuffle regime the filter exists for:\n$p")
+  }
+
   test("q_topk_rewrite: the SQL-text window idiom actually plans as the heap operator") {
     val p = plan(AdvancedQueries.qTopKRewrite(spark, dir))
     assert(p.contains("TopKPerKeyFinal"),

@@ -41,4 +41,41 @@ class SemDedupSpec extends SparkSpec {
     assert(groups.exists(_._2.length > 1), "corpus must yield multi-member groups")
     assert(out.exists(!_._3), "some vectors must be dropped")
   }
+
+  test("LSH variant: same group invariants; edge set within the cell-blocked variant's") {
+    import spark.implicits._
+    val out = SimilarityQueries.dedupSemanticLsh(spark, sf("sf0.001"))
+      .as[(Long, Long, Boolean)].collect()
+    val n = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet").count()
+    assert(out.length == n && out.map(_._1).distinct.length == n)
+    val groups = out.groupBy(_._2)
+    groups.foreach { case (canon, members) =>
+      assert(members.count(_._3) == 1, s"group $canon must keep exactly one")
+      assert(members.map(_._1).min == canon)
+    }
+    assert(groups.exists(_._2.length > 1), "LSH must recover multi-member groups")
+    // vs the cell-blocked baseline the LSH edge set differs in BOTH honest
+    // directions: band recall loss FRAGMENTS groups (extra singletons), and
+    // cross-cell pairs the cell boundary forbids by construction MERGE them
+    // — but every merge must be witnessed by a confirmed exact-cosine pair
+    // crossing the baseline groups (never a hash accident: lshNearDupPairs
+    // confirms cos ≥ τ before any pair exists).
+    val baseline = SimilarityQueries.dedupSemantic(spark, sf("sf0.001"))
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._2).toMap
+    val p = SomQueries.points(spark, sf("sf0.001"))
+    val bpb = graft.operators.Similarity.bitsPerBand(p.count())
+    val confirmed = graft.operators.Similarity
+      .lshNearDupPairs(p, SimilarityQueries.SemTau, nBits = 8 * bpb, bands = 8)
+      .as[(Long, Long, Double)].collect()
+    assert(confirmed.forall(_._3 >= SimilarityQueries.SemTau - 1e-6))
+    val straddlers = out.groupBy(_._2).values.filter(ms =>
+      ms.map(m => baseline(m._1)).distinct.length > 1)
+    straddlers.foreach { ms =>
+      val ids = ms.map(_._1).toSet
+      val witness = confirmed.exists(pr => ids(pr._1) && ids(pr._2) &&
+        baseline(pr._1) != baseline(pr._2))
+      assert(witness,
+        s"straddling LSH group ${ids.toSeq.sorted} lacks a cross-group confirmed pair")
+    }
+  }
 }
