@@ -218,6 +218,63 @@ object SourceQueries {
     }.reduce(_ unionByName _)
   }
 
+  /** STREAMING CDC APPLY into the versioned store — the lakehouse ingest
+    * loop: a change-delta STREAM (file source, one delta file per
+    * micro-batch) lands on the [[graft.sources.Versioned]] table through
+    * `foreachBatch`, each batch committing version `batchId + 2` over the
+    * base snapshot IFF that version's manifest doesn't already exist
+    * ([[graft.sources.Versioned.hasVersion]] keyed on the DETERMINISTIC
+    * batch id — the Delta txn-app-id discipline, so a restart's replayed
+    * batch commits nothing twice and at-least-once delivery becomes
+    * exactly-once table state; CdcStreamSpec kills and resumes a stream
+    * mid-apply to prove it). The entry emits the base and final states
+    * through their manifests; batch BOUNDARIES are not part of the
+    * contract (upserts of disjoint key sets commute), so the hash gate
+    * pins base + final while the spec pins the versioning mechanics.
+    * Oracle computes both states relationally. */
+  def qCdcStream(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    val layout = graft.operators.Artifacts.sharedPath(s"cdcstream:$dir") { path =>
+      val table = s"$path/table"
+      val inDir = s"$path/in"
+      val ckpt = s"$path/ckpt"
+      val orders = fork.read.parquet(s"$dir/orders.parquet")
+        .withColumn("bucket", (col("o_orderkey") % 16).cast("int"))
+      graft.sources.Versioned.commitBase(orders, table, "bucket", 16)
+      val delta = orders.where(col("o_orderkey") % 10 === 3)
+        .withColumn("o_totalprice", col("o_totalprice") * 3)
+      // four delta files -> four micro-batches (maxFilesPerTrigger=1)
+      (0 until 4).foreach { c =>
+        delta.where(col("o_orderkey") % 4 === c).coalesce(1)
+          .write.mode("append").parquet(inDir)
+      }
+      val stream = fork.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
+          val v = batchId.toInt + 2
+          if (!graft.sources.Versioned.hasVersion(table, v))
+            graft.sources.Versioned.commitUpsert(b.sparkSession, b, table, v,
+              "o_orderkey", "bucket")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val table = s"$layout/table"
+    val vLast = graft.sources.Versioned.latestVersion(table)
+    Seq("base" -> 1, "final" -> vLast).map { case (tag, v) =>
+      graft.sources.Versioned.readVersion(fork, table, v)
+        .agg(count(lit(1)).as("n_rows"),
+          expr("cast(sum(cast(o_totalprice as decimal(18,4))) * 10000 as bigint)")
+            .as("sum_price_e4"),
+          sum(when(col("o_orderkey") % 10 === 3, 1).otherwise(0)).cast("long")
+            .as("n_delta_keys"))
+        .select(lit(tag).as("version_tag"), col("n_rows"), col("sum_price_e4"),
+          col("n_delta_keys"))
+    }.reduce(_ unionByName _)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_csv_nation" -> srcCsvNation _,
     "src_json_nation" -> srcJsonNation _,
@@ -226,9 +283,27 @@ object SourceQueries {
     "q_zorder_prune" -> qZorderPrune _,
     "q_gdpr_delete" -> qGdprDelete _,
     "q_time_travel" -> qTimeTravel _,
+    "q_cdc_stream" -> qCdcStream _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    // base + final states computed relationally; batch boundaries are out
+    // of contract (disjoint-key upserts commute), versioning mechanics are
+    // CdcStreamSpec's job
+    "q_cdc_stream" ->
+      """WITH fin AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 3
+        |       ELSE o_totalprice END AS o_totalprice
+        |  FROM orders)
+        |SELECT 'base' AS version_tag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_price_e4,
+        |  CAST(sum(CASE WHEN o_orderkey % 10 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta_keys
+        |FROM orders
+        |UNION ALL
+        |SELECT 'final' AS version_tag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_price_e4,
+        |  CAST(sum(CASE WHEN o_orderkey % 10 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta_keys
+        |FROM fin""".stripMargin,
     // both versions computed relationally — the manifest/copy-on-write
     // machinery must be result-invisible at every version
     "q_time_travel" ->

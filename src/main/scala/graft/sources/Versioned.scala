@@ -58,19 +58,36 @@ object Versioned {
     writeManifest(dir, 1, (0 until nBuckets).map(_ -> 1))
   }
 
-  /** Commit version `v` (> 1) by upserting `delta` (same schema as the
-    * snapshot, incl. `bucketCol`) over version v-1. Only the buckets the
-    * delta touches are re-materialized; the distinct-bucket collect is
-    * bounded by the bucket count (metadata-scale by construction). */
+  /** Commit version `v` (> 1) by upserting `delta` over version v-1. Only
+    * the buckets the delta touches are re-materialized; the distinct-bucket
+    * collect is bounded by the bucket count (metadata-scale by
+    * construction). SCHEMA EVOLUTION: the delta may carry columns older
+    * versions lack — they null-fill in the rewritten rows of untouched-key
+    * provenance, old versions keep their exact schema (a reader pinning v-1
+    * never sees the new column), and buckets the delta doesn't touch are
+    * still not rewritten. Dropping columns is not supported (a delta must
+    * carry every current column — the add-only discipline of production
+    * table formats' default evolution mode). */
   def commitUpsert(spark: SparkSession, delta: DataFrame, dir: String, v: Int,
                    keyCol: String, bucketCol: String): Unit = {
     require(v > 1, s"commitUpsert is for versions after the base, got $v")
     val prev = readManifest(dir, v - 1)
     val touched = delta.select(col(bucketCol)).distinct()
       .collect().map(_.getInt(0)).toSet
+    if (touched.isEmpty) {
+      // an EMPTY delta (e.g. a streaming source's trailing empty batch)
+      // still commits: the manifest copies forward so version numbers keyed
+      // to deterministic batch ids never gap — a later commit's v-1 lookup
+      // must always resolve
+      writeManifest(dir, v, prev.toSeq)
+      return
+    }
     val cols = delta.columns
-    val current = readBuckets(spark, dir, prev.filter { case (b, _) => touched(b) })
-      .select(cols.map(col): _*)
+    val currentRaw = readBuckets(spark, dir, prev.filter { case (b, _) => touched(b) })
+    val current = cols.foldLeft(currentRaw) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(delta.schema(c).dataType))
+    }.select(cols.map(col): _*)
     val upserted = graft.operators.Upsert(current, delta.select(cols.map(col): _*),
       Seq(keyCol))
     upserted.write.mode(SaveMode.Overwrite).partitionBy(bucketCol)
@@ -88,7 +105,10 @@ object Versioned {
       val buckets = entries.keys.toSeq.map(lit(_))
       spark.read.parquet(s"$dir/data/v$ver")
         .where(col(bucketColOf(spark, dir, ver)).isin(buckets: _*))
-    }.reduce(_ unionByName _)
+    // allowMissingColumns: under schema evolution a version can span data
+    // files of different widths — columns a version's older files predate
+    // null-fill, exactly the lakehouse read contract
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** The partition column name of a version dir (its last path component
@@ -102,4 +122,21 @@ object Versioned {
   /** Time travel: the table exactly as of version `v`. */
   def readVersion(spark: SparkSession, dir: String, v: Int): DataFrame =
     readBuckets(spark, dir, readManifest(dir, v))
+
+  /** True iff version `v` has been committed (its manifest exists) — the
+    * idempotence guard a streaming CDC applier keys on its deterministic
+    * batch id (the Delta txn-app-id discipline): a foreachBatch re-run
+    * after a restart sees the manifest and skips, so at-least-once batch
+    * delivery yields exactly-once table commits. */
+  def hasVersion(dir: String, v: Int): Boolean =
+    java.nio.file.Files.exists(manifestPath(dir, v))
+
+  /** The highest committed version (manifests are the commit log). */
+  def latestVersion(dir: String): Int = {
+    val d = manifestPath(dir, 1).getParent.toFile
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).collect { case s if s.startsWith("v") && s.endsWith(".csv") =>
+        s.stripPrefix("v").stripSuffix(".csv").toInt }
+      .foldLeft(0)(math.max)
+  }
 }

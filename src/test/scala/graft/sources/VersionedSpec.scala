@@ -61,5 +61,29 @@ class VersionedSpec extends SparkSpec {
       .head().getLong(1) == 3L)
     assert(Versioned.readVersion(spark, dir, 1).agg(sum("v")).head()
       .getLong(0) == (0L until 40L).sum)
+
+    // v4: SCHEMA EVOLUTION — the delta carries a new column `w`
+    val delta4 = Seq((5L, 5000L, 1, "x")).toDF("k", "v", "bucket", "w")
+    Versioned.commitUpsert(spark, delta4, dir, 4, "k", "bucket")
+    val v4 = Versioned.readVersion(spark, dir, 4)
+    assert(v4.columns.contains("w"))
+    assert(v4.count() == 41)
+    assert(v4.where(col("k") === 5).head().getAs[String]("w") == "x")
+    // rows from pre-evolution files null-fill the new column
+    assert(v4.where(col("k") === 6).head().getAs[String]("w") == null)
+    assert(v4.where(col("w").isNotNull).count() == 1)
+    // a reader pinned BEFORE the evolution never sees the new column
+    assert(!Versioned.readVersion(spark, dir, 3).columns.contains("w"))
+    // untouched buckets still not rewritten by the evolving commit
+    assert(files(dir, 1, 2) ++ files(dir, 1, 3) == untouched0)
+
+    // v5: an EMPTY delta commits a manifest copy (no gap in the version
+    // chain — a streaming applier's trailing empty batch must not strand
+    // the next commit's v-1 lookup)
+    val empty = Seq.empty[(Long, Long, Int, String)].toDF("k", "v", "bucket", "w")
+    Versioned.commitUpsert(spark, empty, dir, 5, "k", "bucket")
+    assert(Versioned.latestVersion(dir) == 5)
+    assert(Versioned.readManifest(dir, 5) == Versioned.readManifest(dir, 4))
+    assert(Versioned.readVersion(spark, dir, 5).count() == 41)
   }
 }
