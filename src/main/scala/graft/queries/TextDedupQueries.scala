@@ -302,6 +302,43 @@ object TextDedupQueries {
       .groupBy(col("url_canonical"))
       .agg(count(lit(1)).cast("long").as("n_docs"), min(col("doc_id")).as("keep_doc"))
 
+  /** CRAWL-CLEAN CAPSTONE — the round-8 acquisition stages chained as ONE
+    * entry, each consuming the previous stage's reduced id set (the
+    * `pipeline_pack_clean` discipline applied to the crawl front of the
+    * pipeline): (1) URL-level exact dedup (one survivor per canonical
+    * resource), (2) the LEARNED quality filter (NB classifier trained on
+    * the full corpus' rule labels, applied to the survivors), (3) the
+    * per-domain cap (top-[[DomainCapK]] by length through the heap
+    * operator), (4) quality-weighted sampling. The oracle rebinds the
+    * proven CTE fragments ([[urlCanonCtes]], [[clfScoreCtes]], the rank
+    * window, the hash threshold) into the same chain — a drift in ANY
+    * stage breaks the final hash. Stage order is the production order:
+    * cheap exact dedup first, the model next, per-domain shaping and
+    * sampling last (each stage's cost falls on an already-reduced set). */
+  def pipelineCrawlClean(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    fork.experimental.extraStrategies =
+      fork.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
+    val urlKeep = docs(fork, dir)
+      .select(col("doc_id"), TextOps.urlCanonicalize(rawUrl).as("c"))
+      .groupBy(col("c")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val clfKeep = textQualityClf(fork, dir)
+      .where(col("pred_keep") === 1).select(col("doc_id"))
+    val s2 = urlKeep.join(clfKeep, Seq("doc_id"), "left_semi")
+    val d = docs(fork, dir).select(col("doc_id"), col("n_chars"),
+        concat(lit("d"), (col("doc_id") % 37).cast("string"), lit(".example.com"))
+          .as("domain"))
+      .join(s2, Seq("doc_id"), "left_semi")
+    val s3 = graft.plans.TopKPerKey.topKPerKey(d,
+      keys = Seq(col("domain")),
+      order = Seq(col("n_chars").desc, col("doc_id").asc), k = DomainCapK)
+    s3.withColumn("rate_ppm",
+        least(lit(1000000L), col("n_chars").cast("long") * 4000))
+      .where(graft.functions.VectorSql.md5Hash60(
+        concat(lit("ws:"), col("doc_id").cast("string"))) % 1000000 < col("rate_ppm"))
+      .select(col("doc_id"), col("domain"), col("n_chars"), col("rate_ppm"))
+  }
+
   /** Document fingerprints: mod-64-selected shingle hashes (winnowing-style
     * content signature). */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
@@ -865,6 +902,7 @@ object TextDedupQueries {
     "text_quality_clf" -> textQualityClf _,
     "text_domain_cap" -> textDomainCap _,
     "dedup_url" -> dedupUrl _,
+    "pipeline_crawl_clean" -> pipelineCrawlClean _,
     "text_pii_redact" -> textPiiRedact _,
     "text_normalize" -> textNormalize _,
     "ml_split_leakfree" -> mlSplitLeakfree _,
@@ -1104,6 +1142,78 @@ object TextDedupQueries {
        |FROM pc""".stripMargin
   }
 
+  // the classifier's training + scoring CTE chain (labs…sc; binds on toks)
+  // — shared by text_quality_clf and the crawl-clean capstone. floor() is
+  // mandatory in lgSql: DuckDB's `//` with a DOUBLE divisor is plain
+  // division, and CAST alone rounds half-even (off-by-one mantissa).
+  private def lgSql(q: String) = {
+    val mant = Log2MantissaQ16.mkString("[", ", ", "]")
+    s"(16 * (length(bin($q)) - 1) + ($mant)[CAST(floor(($q) * 16 / power(2, length(bin($q)) - 1)) AS INT) - 15])"
+  }
+  private[queries] val clfScoreCtes: String = {
+    val en = TextOps.StopwordTable.toMap.apply("en")
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    val B = ClfBuckets
+    s"""labs AS (SELECT doc_id,
+       |  CASE WHEN len(t) BETWEEN 5 AND 5000
+       |   AND len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / len(text) >= 0.5
+       |   AND len(list_filter(t, x -> list_contains($en, x))) >= 1
+       |  THEN 1 ELSE 0 END AS keep FROM toks),
+       |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+       |bt AS (SELECT doc_id,
+       |  ('0x' || substr(md5('clf:' || tok), 1, 15))::BIGINT % $B AS b FROM tok),
+       |trc AS (SELECT b, sum(keep) AS nk, sum(1 - keep) AS nd
+       |  FROM bt JOIN labs USING (doc_id) GROUP BY 1),
+       |tot AS (SELECT sum(nk) AS tk, sum(nd) AS td FROM trc),
+       |wt AS (SELECT b, ${lgSql("nk + 1")} - ${lgSql("nd + 1")}
+       |    - ((SELECT ${lgSql(s"tk + $B")} - ${lgSql(s"td + $B")} FROM tot)) AS w
+       |  FROM trc),
+       |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+       |    CAST(sum(w) AS BIGINT) AS clf_q16
+       |  FROM bt JOIN wt USING (b) GROUP BY 1)""".stripMargin
+  }
+
+  // the raw-URL mess + canonicalization chain of dedup_url (raw…canon) —
+  // shared by dedup_url and the crawl-clean capstone. NB: no line here may
+  // BEGIN with `||` — this fragment is re-embedded inside stripMargin'ed
+  // oracle strings, whose margin stripping would eat the first pipe.
+  private[queries] val urlCanonCtes: String =
+    """raw AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END || '://' ||
+      |  CASE WHEN doc_id % 4 = 0 THEN 'WWW.'
+      |       WHEN doc_id % 4 = 1 THEN 'www.' ELSE '' END ||
+      |  'd' || CAST(base % 37 AS VARCHAR) ||
+      |  CASE WHEN doc_id % 2 = 0 THEN '.Example.COM' ELSE '.example.com' END ||
+      |  CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+      |  '/p/' || CAST(base % 101 AS VARCHAR) ||
+      |  CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+      |  '?' ||
+      |  CASE WHEN doc_id % 2 = 0
+      |       THEN 'id=' || CAST(base % 53 AS VARCHAR) || '&a=' || CAST(base % 7 AS VARCHAR)
+      |       ELSE 'a=' || CAST(base % 7 AS VARCHAR) || '&id=' || CAST(base % 53 AS VARCHAR) END ||
+      |  CASE WHEN doc_id % 3 = 1 THEN '&utm_source=feed' ELSE '' END ||
+      |  CASE WHEN doc_id % 7 = 0 THEN '&fbclid=x' || CAST(doc_id AS VARCHAR) ELSE '' END ||
+      |  CASE WHEN doc_id % 6 = 0 THEN '#sec' || CAST(doc_id % 9 AS VARCHAR) ELSE '' END AS u
+      |  FROM (SELECT doc_id,
+      |    CASE WHEN doc_id % 4 = 3 THEN doc_id // 16 ELSE doc_id // 2 END AS base
+      |    FROM documents)),
+      |nofrag AS (SELECT doc_id, regexp_replace(u, '#.*$', '') AS u FROM raw),
+      |parts AS (SELECT doc_id,
+      |  lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) AS scheme,
+      |  regexp_replace(regexp_replace(
+      |    lower(regexp_extract(u, '^[A-Za-z]+://([^/?#]+)', 1)),
+      |    ':(443|80)$', ''), '^www\.', '') AS host,
+      |  regexp_replace(regexp_extract(u, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+      |    '/+$', '') AS path,
+      |  array_to_string(list_sort(list_filter(
+      |    string_split(regexp_extract(u, '\?([^#]*)', 1), '&'),
+      |    p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)=') AND p != '')),
+      |    '&') AS params
+      |  FROM nofrag),
+      |canon AS (SELECT doc_id, scheme || '://' || host || path ||
+      |  CASE WHEN params != '' THEN '?' || params ELSE '' END AS url_canonical
+      |  FROM parts)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "pipeline_pack_clean" -> pipelineOracleSql,
     "text_repetition" ->
@@ -1229,41 +1339,39 @@ object TextDedupQueries {
     // the per-bucket counts, the 1/16-bit log2 (exponent from bin-length +
     // the SAME 16-entry mantissa table), and the per-doc threshold all
     // replayed with pure integer arithmetic
-    "text_quality_clf" -> {
-      val en = TextOps.StopwordTable.toMap.apply("en")
-        .map(w => s"'$w'").mkString("[", ", ", "]")
-      val mant = Log2MantissaQ16.mkString("[", ", ", "]")
-      // NB: floor() is mandatory — DuckDB's `//` with a DOUBLE divisor is
-      // plain division, and CAST alone rounds half-even (off-by-one mantissa)
-      def lg(q: String) =
-        s"(16 * (length(bin($q)) - 1) + ($mant)[CAST(floor(($q) * 16 / power(2, length(bin($q)) - 1)) AS INT) - 15])"
-      val B = ClfBuckets
+    "text_quality_clf" ->
       s"""WITH $toksCte,
-         |labs AS (SELECT doc_id,
-         |  CASE WHEN len(t) BETWEEN 5 AND 5000
-         |   AND len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / len(text) >= 0.5
-         |   AND len(list_filter(t, x -> list_contains($en, x))) >= 1
-         |  THEN 1 ELSE 0 END AS keep FROM toks),
-         |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
-         |bt AS (SELECT doc_id,
-         |  ('0x' || substr(md5('clf:' || tok), 1, 15))::BIGINT % $B AS b FROM tok),
-         |tr AS (SELECT b, sum(keep) AS nk, sum(1 - keep) AS nd
-         |  FROM bt JOIN labs USING (doc_id) GROUP BY 1),
-         |tot AS (SELECT sum(nk) AS tk, sum(nd) AS td FROM tr),
-         |wt AS (SELECT b, ${lg("nk + 1")} - ${lg("nd + 1")}
-         |    - ((SELECT ${lg(s"tk + $B")} - ${lg(s"td + $B")} FROM tot)) AS w
-         |  FROM tr),
-         |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
-         |    CAST(sum(w) AS BIGINT) AS clf_q16
-         |  FROM bt JOIN wt USING (b) GROUP BY 1)
+         |$clfScoreCtes
          |SELECT l.doc_id,
          |  coalesce(n_toks, 0) AS n_toks,
          |  coalesce(clf_q16, 0) AS clf_q16,
          |  CAST(coalesce(clf_q16, 0) >= coalesce(n_toks, 0) * $ClfQ16PerTok AS INT)
          |    AS pred_keep,
          |  l.keep AS rule_keep
-         |FROM labs l LEFT JOIN sc USING (doc_id)""".stripMargin
-    },
+         |FROM labs l LEFT JOIN sc USING (doc_id)""".stripMargin,
+    // the capstone oracle rebinds the proven fragments — URL canon chain,
+    // classifier train+score, rank window, hash threshold — into one chain;
+    // a drift in any stage breaks the final hash
+    "pipeline_crawl_clean" ->
+      s"""WITH $toksCte,
+         |$clfScoreCtes,
+         |$urlCanonCtes,
+         |u1 AS (SELECT min(doc_id) AS doc_id FROM canon GROUP BY url_canonical),
+         |c2 AS (SELECT l.doc_id FROM labs l LEFT JOIN sc USING (doc_id)
+         |  WHERE coalesce(sc.clf_q16, 0) >= coalesce(sc.n_toks, 0) * $ClfQ16PerTok),
+         |s2 AS (SELECT doc_id FROM u1 JOIN c2 USING (doc_id)),
+         |dom AS (SELECT d.doc_id, d.n_chars,
+         |  'd' || CAST(d.doc_id % 37 AS VARCHAR) || '.example.com' AS domain
+         |  FROM documents d JOIN s2 USING (doc_id)),
+         |rk AS (SELECT domain, doc_id, n_chars,
+         |  row_number() OVER (PARTITION BY domain
+         |    ORDER BY n_chars DESC, doc_id) AS r FROM dom),
+         |s3 AS (SELECT domain, doc_id, n_chars FROM rk WHERE r <= $DomainCapK)
+         |SELECT doc_id, domain, n_chars,
+         |  CAST(least(1000000, n_chars * 4000) AS BIGINT) AS rate_ppm
+         |FROM s3
+         |WHERE ('0x' || substr(md5('ws:' || doc_id), 1, 15))::BIGINT % 1000000
+         |  < least(1000000, n_chars * 4000)""".stripMargin,
     // the heap operator's result == the window-rank formulation it replaces
     "text_domain_cap" ->
       s"""WITH dom AS (SELECT doc_id, n_chars,
@@ -1277,41 +1385,7 @@ object TextDedupQueries {
     // canonicalization chain (regexes are the dialect-portable subset; the
     // param sort is byte-lex over ASCII in both engines)
     "dedup_url" ->
-      """WITH raw AS (SELECT doc_id,
-        |  CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'https' END || '://'
-        |  || CASE WHEN doc_id % 4 = 0 THEN 'WWW.'
-        |       WHEN doc_id % 4 = 1 THEN 'www.' ELSE '' END
-        |  || 'd' || CAST(base % 37 AS VARCHAR)
-        |  || CASE WHEN doc_id % 2 = 0 THEN '.Example.COM' ELSE '.example.com' END
-        |  || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
-        |  || '/p/' || CAST(base % 101 AS VARCHAR)
-        |  || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
-        |  || '?'
-        |  || CASE WHEN doc_id % 2 = 0
-        |       THEN 'id=' || CAST(base % 53 AS VARCHAR) || '&a=' || CAST(base % 7 AS VARCHAR)
-        |       ELSE 'a=' || CAST(base % 7 AS VARCHAR) || '&id=' || CAST(base % 53 AS VARCHAR) END
-        |  || CASE WHEN doc_id % 3 = 1 THEN '&utm_source=feed' ELSE '' END
-        |  || CASE WHEN doc_id % 7 = 0 THEN '&fbclid=x' || CAST(doc_id AS VARCHAR) ELSE '' END
-        |  || CASE WHEN doc_id % 6 = 0 THEN '#sec' || CAST(doc_id % 9 AS VARCHAR) ELSE '' END AS u
-        |  FROM (SELECT doc_id,
-        |    CASE WHEN doc_id % 4 = 3 THEN doc_id // 16 ELSE doc_id // 2 END AS base
-        |    FROM documents)),
-        |nofrag AS (SELECT doc_id, regexp_replace(u, '#.*$', '') AS u FROM raw),
-        |parts AS (SELECT doc_id,
-        |  lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) AS scheme,
-        |  regexp_replace(regexp_replace(
-        |    lower(regexp_extract(u, '^[A-Za-z]+://([^/?#]+)', 1)),
-        |    ':(443|80)$', ''), '^www\.', '') AS host,
-        |  regexp_replace(regexp_extract(u, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
-        |    '/+$', '') AS path,
-        |  array_to_string(list_sort(list_filter(
-        |    string_split(regexp_extract(u, '\?([^#]*)', 1), '&'),
-        |    p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)=') AND p != '')),
-        |    '&') AS params
-        |  FROM nofrag),
-        |canon AS (SELECT doc_id, scheme || '://' || host || path
-        |  || CASE WHEN params != '' THEN '?' || params ELSE '' END AS url_canonical
-        |  FROM parts)
+      s"""WITH $urlCanonCtes
         |SELECT url_canonical, CAST(count(*) AS BIGINT) AS n_docs,
         |  min(doc_id) AS keep_doc
         |FROM canon GROUP BY 1""".stripMargin,

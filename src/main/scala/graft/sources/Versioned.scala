@@ -139,4 +139,45 @@ object Versioned {
         s.stripPrefix("v").stripSuffix(".csv").toInt }
       .foldLeft(0)(math.max)
   }
+
+  /** VACUUM — the retention pass every snapshot store eventually needs:
+    * drop manifests older than the `keep` most recent versions and delete
+    * every data directory no SURVIVING manifest references. The subtlety
+    * the manifest discipline forces (and VersionedSpec pins): a bucket
+    * directory WRITTEN BY a vacuumed version often outlives it, because
+    * later manifests still point at it for buckets no later commit touched
+    * — liveness is "referenced by a kept manifest", never "written by a
+    * kept version". Metadata-only decisioning (manifests are bucket-count
+    * sized); deletes are the only data IO. Time travel to vacuumed
+    * versions is gone by design — that is the retention trade. */
+  def vacuum(dir: String, keep: Int): Unit = {
+    require(keep >= 1, "must keep at least the latest version")
+    val latest = latestVersion(dir)
+    val keptVersions = (math.max(1, latest - keep + 1) to latest).toSet
+    val live: Set[(Int, Int)] = keptVersions.flatMap { v =>
+      readManifest(dir, v).map { case (b, ver) => (ver, b) }
+    }
+    val dataDir = java.nio.file.Paths.get(dir, "data").toFile
+    Option(dataDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v")).foreach { vd =>
+        val ver = vd.getName.stripPrefix("v").toInt
+        Option(vd.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.contains("=")).foreach { bd =>
+            val b = bd.getName.split("=")(1).toInt
+            if (!live((ver, b))) deleteRecursively(bd)
+          }
+        if (Option(vd.listFiles()).forall(_.forall(!_.isDirectory))) {
+          // only loose non-partition files (e.g. _SUCCESS) remain
+          deleteRecursively(vd)
+        }
+      }
+    (1 until math.max(1, latest - keep + 1)).foreach { v =>
+      java.nio.file.Files.deleteIfExists(manifestPath(dir, v))
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
 }

@@ -85,5 +85,31 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.latestVersion(dir) == 5)
     assert(Versioned.readManifest(dir, 5) == Versioned.readManifest(dir, 4))
     assert(Versioned.readVersion(spark, dir, 5).count() == 41)
+
+    // VACUUM keeping the last 2 versions (4, 5). Liveness is "referenced
+    // by a kept manifest": v1 wrote buckets 2 and 3, and bucket 2 is STILL
+    // what v5 points at — its files must survive v1's retirement; v1's
+    // bucket 0/1 dirs (superseded by v2/v4) must go, as must all of v2's
+    // bucket 0 (superseded? no — v5 manifest is {0->2, 1->4, 2->1, 3->3}):
+    // kept live set = v2/b0, v4/b1, v1/b2, v3/b3.
+    Versioned.vacuum(dir, keep = 2)
+    assert(Versioned.latestVersion(dir) == 5)
+    assert(!Versioned.hasVersion(dir, 1) && !Versioned.hasVersion(dir, 3))
+    assert(Versioned.hasVersion(dir, 4) && Versioned.hasVersion(dir, 5))
+    // still-referenced old-version bucket dirs survive
+    assert(new java.io.File(s"$dir/data/v1/bucket=2").exists)
+    assert(new java.io.File(s"$dir/data/v3/bucket=3").exists)
+    assert(new java.io.File(s"$dir/data/v2/bucket=0").exists)
+    assert(new java.io.File(s"$dir/data/v4/bucket=1").exists)
+    // unreferenced dirs are gone
+    assert(!new java.io.File(s"$dir/data/v1/bucket=0").exists)
+    assert(!new java.io.File(s"$dir/data/v1/bucket=1").exists)
+    assert(!new java.io.File(s"$dir/data/v1/bucket=3").exists)
+    assert(!new java.io.File(s"$dir/data/v2/bucket=1").exists)
+    // the kept versions read exactly as before
+    val v5r = Versioned.readVersion(spark, dir, 5)
+    assert(v5r.count() == 41)
+    assert(v5r.where(col("k") === 5).head().getAs[String]("w") == "x")
+    assert(v5r.where(col("k") === 3).head().getLong(1) == 3000L)
   }
 }
