@@ -315,11 +315,14 @@ object SimilarityQueries {
     * equi-join over 8 bands of [[graft.operators.Similarity.bitsPerBand]]
     * bits, candidates ~linear — the sf10-audited machinery of
     * `dedup_embedding_lsh`) confirmed by exact cosine ≥ [[SemTau]].
-    * Everything downstream is unchanged and linear: the min-label fixpoint
-    * labels components over the |E|-sized edge set, and the diversity rule
-    * (keep the member FARTHEST from its k-means/IVF cell centroid — the
-    * quantizer ASSIGNMENT is one broadcast-argmin scan, linear; only the
-    * within-cell pair enumeration was ever super-linear) reduces map-side.
+    * Everything downstream is unchanged: the min-label fixpoint labels
+    * components over the |E|-sized edge set, and the diversity rule (keep
+    * the member FARTHEST from its k-means/IVF cell centroid) reduces
+    * map-side. The quantizer survives only as its ASSIGNMENT — one
+    * broadcast-argmin scan, O(N·cells) flops with no shuffle growth
+    * (GEMM-shaped; linear in N at production's FIXED cell count, N^1.5
+    * flops under this catalog's √N-cell convention — but scan-shaped flops,
+    * not the pair JOIN whose output row count was the real scale hazard).
     * LSH recall at a given τ is governed by the band geometry — the recall
     * the banding loses shows up ONLY as extra singletons, never a wrong
     * group (both engines replay the identical bands, so the hash gate
