@@ -93,6 +93,41 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** [[decodeBmp24]]'s raw-pixel twin: (width, height, row-major TOP-DOWN
+    * argb) for the standard uncompressed bottom-up 24-bit form, None for
+    * anything else (caller falls back to ImageIO). Same bounds discipline. */
+  private[operators] def decodeBmp24Raw(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (payload == null || payload.length < 54) return None
+    try {
+      def le16(o: Int) = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+      def le32(o: Int) = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
+        ((payload(o + 2) & 0xff) << 16) | ((payload(o + 3) & 0xff) << 24)
+      if (payload(0) != 'B' || payload(1) != 'M') return None
+      val pixOff = le32(10)
+      val hdrSz = le32(14)
+      val w = le32(18); val h = le32(22)
+      if (hdrSz < 40 || w <= 0 || h <= 0) return None
+      if (w > (1 << 12) || h > (1 << 12)) return None // raw pixels materialize: cap dims
+      if (le16(28) != 24 || le32(30) != 0) return None
+      val rowSz = (w * 3 + 3) & ~3
+      if (pixOff < 54 || pixOff.toLong + rowSz.toLong * h > payload.length) return None
+      val argb = new Array[Int](w * h)
+      var r = 0
+      while (r < h) {
+        var o = pixOff + r * rowSz
+        val y = h - 1 - r // bottom-up file rows → top-down array
+        var x = 0
+        while (x < w) {
+          argb(y * w + x) = ((payload(o + 2) & 0xff) << 16) |
+            ((payload(o + 1) & 0xff) << 8) | (payload(o) & 0xff)
+          o += 3; x += 1
+        }
+        r += 1
+      }
+      Some((w, h, argb))
+    } catch { case _: Exception => None }
+  }
+
   /** Minimal standard 24-bit BMP encode (54-byte header, bottom-up BGR rows
     * padded to 4 bytes — byte-compatible with what ImageIO and every other
     * reader expects). `argb` is row-major top-down, like
@@ -295,28 +330,34 @@ object Multimodal {
   /** Deterministic TILE-STRUCTURED image for crop-robust image dedup:
     * `heightTiles − cropTopRows` rows × `widthTiles` cols of `tile`×`tile`
     * tile-constant pixels. Channel c of ORIGINAL tile b (row-major index
-    * BEFORE cropping) is `(byte c of md5(decimal(iid·64+b) ++ "t")) mod
+    * BEFORE cropping) is `(byte c of md5(decimal(iid·1024+b) ++ "t")) mod
     * 128`, `gain`-multiplied (×2 stays < 256 by the half-range base — the
     * same no-clipping discipline as [[syntheticFrameAvi]]); tile 0 bumped
     * `+7 (mod 128)` when `bumpTile0`. `cropTopRows` > 0 removes the first
     * tile rows (the banner crop: output tile row r shows original row
     * r+crop). The "t" suffix keys this space apart from the block-image
     * tiles `md5(iid·64+b)` the dHash/pHash entries hash. Replayable in
-    * SQL: `('0x'||substr(md5(CAST(iid*64+b AS VARCHAR)||'t'),1,2))::INT % 128`. */
+    * SQL: `('0x'||substr(md5(CAST(iid*1024+b AS VARCHAR)||'t'),1,2))::INT % 128`. */
   def syntheticTileImage(iid: Long, widthTiles: Int, heightTiles: Int,
                          tile: Int, gain: Int = 1, bumpTile0: Boolean = false,
-                         cropTopRows: Int = 0,
+                         cropTopRows: Int = 0, cropLeftCols: Int = 0,
                          format: String = "png"): Array[Byte] = {
+    // 1024-stride tile keys: the grid must fit the stride or neighbor
+    // docs would share tile colors (the first 12x12 cut used a 64 stride
+    // and adjacent originals silently shared up to 80 of 144 tokens -
+    // below the Jaccard bar by luck, not design)
+    require(widthTiles * heightTiles <= 1024, "tile grid exceeds the key stride")
     val md = java.security.MessageDigest.getInstance("MD5")
     val outRows = heightTiles - cropTopRows
-    val img = new BufferedImage(widthTiles * tile, outRows * tile,
-      BufferedImage.TYPE_INT_RGB)
+    val outCols = widthTiles - cropLeftCols
+    val (w, h) = (outCols * tile, outRows * tile)
+    val argb = new Array[Int](w * h)
     var by = 0
     while (by < outRows) {
       var bx = 0
-      while (bx < widthTiles) {
-        val b = (by + cropTopRows) * widthTiles + bx
-        val d = md.digest((iid * 64 + b).toString.concat("t").getBytes("US-ASCII"))
+      while (bx < outCols) {
+        val b = (by + cropTopRows) * widthTiles + (bx + cropLeftCols)
+        val d = md.digest((iid * 1024 + b).toString.concat("t").getBytes("US-ASCII"))
         val bump = if (bumpTile0 && b == 0) 7 else 0
         val r = (((d(0) & 0xff) % 128 + bump) % 128) * gain
         val g = (((d(1) & 0xff) % 128 + bump) % 128) * gain
@@ -325,16 +366,21 @@ object Multimodal {
         var y = by * tile
         while (y < (by + 1) * tile) {
           var x = bx * tile
-          while (x < (bx + 1) * tile) { img.setRGB(x, y, rgb); x += 1 }
+          while (x < (bx + 1) * tile) { argb(y * w + x) = rgb; x += 1 }
           y += 1
         }
         bx += 1
       }
       by += 1
     }
-    val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, format, bos)
-    bos.toByteArray
+    if (format == "bmp") encodeBmp24(w, h, argb) // direct: builder isn't under test
+    else {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, w, h, argb, 0, w)
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, format, bos)
+      bos.toByteArray
+    }
   }
 
   /** IMAGE-AS-TOKENS — the crop-robust member of the image dedup family,
@@ -357,37 +403,54 @@ object Multimodal {
   def imageTokens(payload: Array[Byte], tile: Int = 2): Option[String] = {
     if (payload == null) return None
     try {
-      val img = ImageIO.read(new ByteArrayInputStream(payload))
-      if (img == null) return None
-      val rows = img.getHeight / tile
-      val cols = img.getWidth / tile
-      if (rows == 0 || cols == 0) return None
-      @annotation.tailrec
-      def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
-      val toks = new Array[String](rows * cols)
-      var by = 0
-      while (by < rows) {
-        var bx = 0
-        while (bx < cols) {
-          var (sr, sg, sb) = (0L, 0L, 0L)
-          var y = by * tile
-          while (y < (by + 1) * tile) {
-            var x = bx * tile
-            while (x < (bx + 1) * tile) {
-              val rgb = img.getRGB(x, y)
-              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
-              x += 1
-            }
-            y += 1
+      // BMP fast path first (the crop-dedup corpora are BMP for exactly
+      // this reason: 5k ImageIO.read calls were the measured hot spot of
+      // mm_image_dedup_crop); anything else decodes via ImageIO
+      val raw: Option[(Int, Int, (Int, Int) => Int)] =
+        decodeBmp24Raw(payload)
+          .map { case (w, h, a) => (w, h, (x: Int, y: Int) => a(y * w + x)) }
+          .orElse {
+            val img = ImageIO.read(new ByteArrayInputStream(payload))
+            if (img == null) None
+            else Some((img.getWidth, img.getHeight,
+              (x: Int, y: Int) => img.getRGB(x, y)))
           }
-          toks(by * cols + bx) =
-            if (sr == 0 && sg == 0 && sb == 0) "0/0/0"
-            else { val d = gcd(gcd(sr, sg), sb); s"${sr / d}/${sg / d}/${sb / d}" }
-          bx += 1
+      raw.flatMap { case (w, h, pix) =>
+        val rows = h / tile
+        val cols = w / tile
+        if (rows == 0 || cols == 0) None
+        else {
+          @annotation.tailrec
+          def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+          val sb2 = new StringBuilder
+          var by = 0
+          while (by < rows) {
+            var bx = 0
+            while (bx < cols) {
+              var (sr, sg, sb) = (0L, 0L, 0L)
+              var y = by * tile
+              while (y < (by + 1) * tile) {
+                var x = bx * tile
+                while (x < (bx + 1) * tile) {
+                  val rgb = pix(x, y)
+                  sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              if (by > 0 || bx > 0) sb2 += ' '
+              if (sr == 0 && sg == 0 && sb == 0) sb2 ++= "0/0/0"
+              else {
+                val d = gcd(gcd(sr, sg), sb)
+                sb2 ++= s"${sr / d}/${sg / d}/${sb / d}"
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          Some(sb2.toString)
         }
-        by += 1
       }
-      Some(toks.mkString(" "))
     } catch { case _: Exception => None }
   }
 

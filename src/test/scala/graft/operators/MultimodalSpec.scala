@@ -367,6 +367,42 @@ class MultimodalSpec extends SparkSpec {
     assert(dhashMissed > 90, s"banner crop should defeat dHash ($dhashMissed/100)")
   }
 
+  test("2-D image crops: wide rows make row-major token SETS side-crop-robust; narrow rows fail") {
+    def jac(a: String, b: String) = {
+      val as = a.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      val bs = b.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      as.intersect(bs).size.toDouble / as.union(bs).size
+    }
+    for (k <- 0 until 50) {
+      val iid = k * 16L
+      // the 1-D entry's 12-wide grid: a left-column crop drops J below the
+      // bar (row-interior shingles are only 9 of 12 per row) — the measured
+      // motivation for the WIDE grid, not for separator tokens (a
+      // separator variant measured within noise of plain tokens: shingle
+      // sets never cared about position)
+      val n12 = Multimodal.imageTokens(
+        Multimodal.syntheticTileImage(iid, 12, 12, 2, format = "bmp")).get
+      val n12lc = Multimodal.imageTokens(
+        Multimodal.syntheticTileImage(iid, 12, 12, 2, cropLeftCols = 1, format = "bmp")).get
+      assert(jac(n12, n12lc) < 0.8, s"narrow rows should fail the side crop (iid=$iid)")
+      // the 24-wide grid: BOTH crop axes clear the bar with plain tokens
+      val o = Multimodal.imageTokens(
+        Multimodal.syntheticTileImage(iid, 24, 12, 2, format = "bmp")).get
+      val lc = Multimodal.imageTokens(
+        Multimodal.syntheticTileImage(iid, 24, 12, 2, cropLeftCols = 1, format = "bmp")).get
+      val tc = Multimodal.imageTokens(
+        Multimodal.syntheticTileImage(iid, 24, 12, 2, cropTopRows = 2, format = "bmp")).get
+      assert(jac(o, lc) >= 0.8, s"side crop must clear the bar on wide rows (iid=$iid, j=${jac(o, lc)})")
+      assert(jac(o, tc) >= 0.8, s"banner crop must clear the bar (iid=$iid)")
+      // gain invariance; and the BMP fast path decodes identically to ImageIO
+      assert(Multimodal.imageTokens(
+        Multimodal.syntheticTileImage(iid, 24, 12, 2, gain = 2, format = "bmp")).get == o)
+      assert(Multimodal.imageTokens(
+        Multimodal.syntheticTileImage(iid, 24, 12, 2)).get == o,
+        "png/ImageIO path must token-match the bmp fast path")
+    }
+  }
+
   test("audioFingerprint: gain-doubled and decimated copies collide; byte digest misses them") {
     val F = Multimodal.AudioFpFrames
     val orig = Multimodal.syntheticFrameWav(40L, F, 64)
