@@ -96,11 +96,47 @@ object Versioned {
       prev.map { case (b, ver) => b -> (if (touched(b)) v else ver) }.toSeq)
   }
 
+  /** Commit version `v` DELETING the keys of `ids` (columns `keyCol` +
+    * `bucketCol`) from version v-1 — the right-to-be-forgotten commit on
+    * the versioned store: only buckets holding a doomed key are rewritten
+    * (broadcast anti join, the `deletePartitioned` discipline), a bucket
+    * whose every row is doomed maps to the EMPTY sentinel (version 0) in
+    * the manifest rather than leaving a stale pointer or an unreadable
+    * empty directory. Old versions still SERVE the deleted rows by design
+    * — snapshot isolation — so a complete forget is `commitDelete` +
+    * [[vacuum]] with a retention window that expires every pre-delete
+    * version (exactly the production table formats' documented GDPR
+    * recipe). */
+  def commitDelete(spark: SparkSession, ids: DataFrame, dir: String, v: Int,
+                   keyCol: String, bucketCol: String): Unit = {
+    require(v > 1, s"commitDelete is for versions after the base, got $v")
+    val prev = readManifest(dir, v - 1)
+    val touched = ids.select(col(bucketCol)).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (touched.isEmpty) { writeManifest(dir, v, prev.toSeq); return }
+    val current = readBuckets(spark, dir, prev.filter { case (b, _) => touched(b) })
+    val kept = current.join(
+      broadcast(ids.select(col(keyCol)).distinct()), Seq(keyCol), "left_anti")
+      .localCheckpoint(eager = true) // two consumers: survivor count + write
+    val survivors = kept.groupBy(col(bucketCol)).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    kept.write.mode(SaveMode.Overwrite).partitionBy(bucketCol)
+      .parquet(s"$dir/data/v$v")
+    writeManifest(dir, v, prev.map { case (b, ver) =>
+      b -> (if (!touched(b)) ver
+            else if (survivors.getOrElse(b, 0L) > 0L) v
+            else 0) // emptied: the manifest's empty sentinel
+    }.toSeq)
+  }
+
   /** The rows of exactly the (bucket → version) assignment given: one
-    * partition-pruned read per distinct version, metadata-concat union. */
+    * partition-pruned read per distinct version, metadata-concat union.
+    * Version-0 entries are the EMPTY sentinel (a fully-deleted bucket). */
   private def readBuckets(spark: SparkSession, dir: String,
                           assign: Map[Int, Int]): DataFrame = {
-    val byVer = assign.groupBy(_._2).toSeq.sortBy(_._1)
+    val byVer = assign.filter(_._2 > 0).groupBy(_._2).toSeq.sortBy(_._1)
+    require(byVer.nonEmpty,
+      "every bucket is the empty sentinel — no data files to read a schema from")
     byVer.map { case (ver, entries) =>
       val buckets = entries.keys.toSeq.map(lit(_))
       spark.read.parquet(s"$dir/data/v$ver")

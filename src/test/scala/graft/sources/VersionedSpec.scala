@@ -111,5 +111,27 @@ class VersionedSpec extends SparkSpec {
     assert(v5r.count() == 41)
     assert(v5r.where(col("k") === 5).head().getAs[String]("w") == "x")
     assert(v5r.where(col("k") === 3).head().getLong(1) == 3000L)
+
+    // v6: DELETE commit — two keys from bucket 0, and bucket 2 ENTIRELY
+    // (all ten of its keys: 2, 6, ..., 38)
+    val bucket2 = (0L until 40L).filter(_ % 4 == 2)
+    val doomed = (Seq(0L, 4L) ++ bucket2).map(k => (k, (k % 4).toInt))
+      .toDF("k", "bucket")
+    Versioned.commitDelete(spark, doomed, dir, 6, "k", "bucket")
+    val v6 = Versioned.readVersion(spark, dir, 6)
+    assert(v6.count() == 29)
+    assert(v6.where(col("k").isin(Seq(0L, 4L) ++ bucket2: _*)).count() == 0)
+    // bucket 2 was fully doomed -> the empty sentinel, not a stale pointer
+    assert(Versioned.readManifest(dir, 6)(2) == 0)
+    assert(v6.where(col("bucket") === 2).count() == 0)
+    // untouched buckets still never rewritten; pre-delete versions still
+    // SERVE the deleted rows (snapshot isolation — the full forget is
+    // commitDelete + vacuum expiring pre-delete versions)
+    assert(Versioned.readVersion(spark, dir, 5).where(col("k") === 0).count() == 1)
+    Versioned.vacuum(dir, keep = 1)
+    assert(!Versioned.hasVersion(dir, 5))
+    assert(!new java.io.File(s"$dir/data/v1/bucket=2").exists,
+      "after retention expiry the deleted bucket's files are physically gone")
+    assert(Versioned.readVersion(spark, dir, 6).count() == 29)
   }
 }
