@@ -339,6 +339,41 @@ object TextDedupQueries {
       .select(col("doc_id"), col("domain"), col("n_chars"), col("rate_ppm"))
   }
 
+  /** PER-SOURCE CORPUS CARD — the observability report a pipeline publishes
+    * with every data drop (the "datasheet" row per source): document count,
+    * REAL BPE token total, rule-filter keep count, language mix, and
+    * character volume, every number drawn from the already-proven kernels
+    * (BPE count, quality rule, stopword language ID) so the card cannot
+    * drift from the operators it summarizes. ONE scan + one
+    * source-cardinality groupBy (all five aggregates partial-combine
+    * map-side); at 100 TB this is the cheapest query in the catalog per
+    * byte scanned — and the first thing run on an unfamiliar drop. */
+  def docCorpusCard(s: SparkSession, dir: String): DataFrame = {
+    val t = TextOps.tokensFast(col("text"))
+    val hits = TextOps.StopwordTable.map { case (lang, words) =>
+      lang -> TextOps.stopwordHits(col("text"), words)
+    }.toMap
+    val (en, de, es, fr, zh) = (hits("en"), hits("de"), hits("es"), hits("fr"), hits("zh"))
+    val langPred = when(en >= de && en >= es && en >= fr && en >= zh, "en")
+      .when(de >= es && de >= fr && de >= zh, "de")
+      .when(es >= fr && es >= zh, "es")
+      .when(fr >= zh, "fr")
+      .otherwise("zh")
+    val ruleKeep = (size(t).between(5, 5000) &&
+      round(TextOps.alphaRatio(col("text")), 6) >= 0.5 &&
+      TextOps.stopwordHits(col("text"), TextOps.StopwordTable.toMap.apply("en")) >= 1)
+      .cast("int")
+    docs(s, dir).select(col("source"), col("n_chars"),
+        TextOps.bpeTokenCount(col("text")).as("bpe"),
+        ruleKeep.as("rk"), (langPred === "en").cast("int").as("is_en"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("bpe")).cast("long").as("bpe_tokens"),
+        sum(col("rk")).cast("long").as("n_rule_keep"),
+        sum(col("is_en")).cast("long").as("n_pred_en"),
+        sum(col("n_chars")).cast("long").as("tot_chars"))
+  }
+
   /** Document fingerprints: mod-64-selected shingle hashes (winnowing-style
     * content signature). */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
@@ -903,6 +938,7 @@ object TextDedupQueries {
     "text_domain_cap" -> textDomainCap _,
     "dedup_url" -> dedupUrl _,
     "pipeline_crawl_clean" -> pipelineCrawlClean _,
+    "doc_corpus_card" -> docCorpusCard _,
     "text_pii_redact" -> textPiiRedact _,
     "text_normalize" -> textNormalize _,
     "ml_split_leakfree" -> mlSplitLeakfree _,
@@ -1349,6 +1385,28 @@ object TextDedupQueries {
          |    AS pred_keep,
          |  l.keep AS rule_keep
          |FROM labs l LEFT JOIN sc USING (doc_id)""".stripMargin,
+    // every card number drawn from the proven kernels: the BPE count CTE,
+    // the rule-filter CASE, the stopword language-ID case
+    "doc_corpus_card" -> {
+      val en = graft.operators.TextOps.StopwordTable.toMap.apply("en")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH ${graft.functions.Bpe.oracleCountCte("documents", "m")},
+         |$langScoredCtes,
+         |lp AS (SELECT doc_id, $langCaseSql AS lang_pred FROM scored),
+         |rules AS (SELECT doc_id,
+         |  CASE WHEN len(t) BETWEEN 5 AND 5000
+         |   AND len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / len(text) >= 0.5
+         |   AND len(list_filter(t, x -> list_contains($en, x))) >= 1
+         |  THEN 1 ELSE 0 END AS keep FROM toks)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(mcnt.bpe_tokens) AS BIGINT) AS bpe_tokens,
+         |  CAST(sum(rules.keep) AS BIGINT) AS n_rule_keep,
+         |  CAST(sum(CASE WHEN lp.lang_pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en,
+         |  CAST(sum(d.n_chars) AS BIGINT) AS tot_chars
+         |FROM documents d
+         |JOIN mcnt USING (doc_id) JOIN lp USING (doc_id) JOIN rules USING (doc_id)
+         |GROUP BY 1""".stripMargin
+    },
     // the capstone oracle rebinds the proven fragments — URL canon chain,
     // classifier train+score, rank window, hash threshold — into one chain;
     // a drift in any stage breaks the final hash
