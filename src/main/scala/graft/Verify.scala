@@ -31,7 +31,7 @@ object Verify {
     // reported as a failing query dump.
     val artifactsDir = s"${outDir.stripSuffix("/")}_artifacts"
     val wantArtifacts = Set("dedup_keep_list", "dedup_quality_rep",
-        "dedup_cc_keep_list", "ml_split_leakfree")
+        "dedup_cc_keep_list", "ml_split_leakfree", "dedup_multimodal_cc")
       .exists(n => only.forall(_(n)))
     if (wantArtifacts)
       try graft.queries.TextDedupQueries.dumpOracleArtifacts(spark, sfDir, artifactsDir)

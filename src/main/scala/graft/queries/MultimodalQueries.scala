@@ -272,6 +272,29 @@ object MultimodalQueries {
         maxChunkDf = Some(64), hashBits = Multimodal.FpBits)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
 
+  /** CROSS-MODAL dedup — one connected-component pass over the UNION of
+    * the text near-dup pair graph (the shared MinHash+Jaccard artifact
+    * every cluster entry builds on) and the image perceptual pair graph
+    * (dHash through the band machinery, doc ↔ media by the established
+    * id link): the real crawl case where one page survives as a rewrite
+    * with the SAME image (text pairs miss it, image pairs catch it) or
+    * the same text with a re-encoded image (vice versa) — either edge is
+    * enough for the component, so the keep decision spans modalities.
+    * Linear composition: both edge sets are the proven banded joins, the
+    * union is a metadata concat, and the min-label fixpoint runs once
+    * over |E_text| + |E_image|. Oracle: the text pairs replay from the
+    * dumped artifact (the cluster-family convention — full-chain proven
+    * by `dedup_minhash_pairs`), the image pairs replay full-chain from
+    * the tile formula, and the closure is the recursive-CTE transitive
+    * closure. Output: (doc, canonical) for every document. */
+  def dedupMultimodalCc(s: SparkSession, dir: String): DataFrame = {
+    val textPairs = TextDedupQueries.sharedPairs(s, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val imgPairs = mmImageDedup(s, dir).select(col("doc_a"), col("doc_b"))
+    val d = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))
+    Dedup.keepListConverged(d, "doc_id", textPairs.unionByName(imgPairs))
+  }
+
   /** DCT-pHash near-dup pairs — the image dedup family closed over
     * NON-monotone-on-gray tone edits (VERDICT r7 ask #3). Per doc group of
     * 8: doc 8k is an original bright-R 16×16 block PNG; 8k+1 its BMP
@@ -554,7 +577,43 @@ object MultimodalQueries {
     "mm_video_dedup_crop" -> mmVideoDedupCrop _,
     "mm_image_dedup_crop" -> mmImageDedupCrop _,
     "mm_image_dedup_crop2d" -> mmImageDedupCrop2d _,
+    "dedup_multimodal_cc" -> dedupMultimodalCc _,
   )
+
+  // the full-chain image dHash pair replay (decode formula + banding) —
+  // the mm_image_dedup oracle, factored so dedup_multimodal_cc can embed
+  // it as a subquery
+  private[queries] val imageDhashPairsSql: String =
+    s"""WITH media AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 8 IN (1, 2, 3)
+        |      THEN doc_id - doc_id % 8 ELSE doc_id END AS iid,
+        |    (doc_id % 8 = 3) AS edited
+        |  FROM documents),
+        |grays AS (
+        |  SELECT media_id, b,
+        |    CASE WHEN edited AND b = 0
+        |      THEN (('0x' || substr(h, 1, 2))::INT + 7) % 256
+        |         + (('0x' || substr(h, 3, 2))::INT + 7) % 256
+        |         + (('0x' || substr(h, 5, 2))::INT + 7) % 256
+        |      ELSE ('0x' || substr(h, 1, 2))::INT
+        |         + ('0x' || substr(h, 3, 2))::INT
+        |         + ('0x' || substr(h, 5, 2))::INT END AS gray
+        |  FROM (SELECT media_id, edited, bb.b AS b,
+        |          md5(CAST(iid * 64 + bb.b AS VARCHAR)) AS h
+        |        FROM media CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb)),
+        |bits AS (
+        |  SELECT gc.media_id,
+        |    CASE WHEN gn.gray > gc.gray
+        |      THEN (CAST(1 AS BIGINT) << ((gc.b // 8) * 7 + gc.b % 8))
+        |      ELSE CAST(0 AS BIGINT) END AS bit
+        |  FROM grays gc JOIN grays gn
+        |    ON gn.media_id = gc.media_id AND gn.b = gc.b + 1
+        |  WHERE gc.b % 8 < 7),
+        |hashes AS (
+        |  SELECT media_id AS doc, CAST(sum(bit) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY 1),
+        |${graft.operators.Dedup.simhashBandSql("hashes", graft.operators.Multimodal.FpBits, 64)}""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "mm_byte_stats" ->
@@ -664,37 +723,7 @@ object MultimodalQueries {
         |  SELECT media_id AS doc, CAST(sum(bit) AS BIGINT) AS simhash
         |  FROM bits GROUP BY 1),
         |${graft.operators.Dedup.simhashBandSql("hashes", graft.operators.Multimodal.FpBits, 64)}""".stripMargin,
-    "mm_image_dedup" ->
-      s"""WITH media AS (
-        |  SELECT doc_id AS media_id,
-        |    CASE WHEN doc_id % 8 IN (1, 2, 3)
-        |      THEN doc_id - doc_id % 8 ELSE doc_id END AS iid,
-        |    (doc_id % 8 = 3) AS edited
-        |  FROM documents),
-        |grays AS (
-        |  SELECT media_id, b,
-        |    CASE WHEN edited AND b = 0
-        |      THEN (('0x' || substr(h, 1, 2))::INT + 7) % 256
-        |         + (('0x' || substr(h, 3, 2))::INT + 7) % 256
-        |         + (('0x' || substr(h, 5, 2))::INT + 7) % 256
-        |      ELSE ('0x' || substr(h, 1, 2))::INT
-        |         + ('0x' || substr(h, 3, 2))::INT
-        |         + ('0x' || substr(h, 5, 2))::INT END AS gray
-        |  FROM (SELECT media_id, edited, bb.b AS b,
-        |          md5(CAST(iid * 64 + bb.b AS VARCHAR)) AS h
-        |        FROM media CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb)),
-        |bits AS (
-        |  SELECT gc.media_id,
-        |    CASE WHEN gn.gray > gc.gray
-        |      THEN (CAST(1 AS BIGINT) << ((gc.b // 8) * 7 + gc.b % 8))
-        |      ELSE CAST(0 AS BIGINT) END AS bit
-        |  FROM grays gc JOIN grays gn
-        |    ON gn.media_id = gc.media_id AND gn.b = gc.b + 1
-        |  WHERE gc.b % 8 < 7),
-        |hashes AS (
-        |  SELECT media_id AS doc, CAST(sum(bit) AS BIGINT) AS simhash
-        |  FROM bits GROUP BY 1),
-        |${graft.operators.Dedup.simhashBandSql("hashes", graft.operators.Multimodal.FpBits, 64)}""".stripMargin,
+    "mm_image_dedup" -> imageDhashPairsSql,
     // video: bits replayed from the md5 FRAME-COLOR formula — brightness
     // gain and spatial rescale scale every frame's gray sum by one positive
     // factor, so gray(f+1) > gray(f) on the raw per-frame colors IS the
@@ -960,6 +989,23 @@ object MultimodalQueries {
          |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
          |FROM jac WHERE jaccard >= 0.8""".stripMargin
     },
+    // cross-modal CC: text pairs from the dumped artifact (the
+    // cluster-family convention), image pairs full-chain, one recursive
+    // transitive closure over the union
+    "dedup_multimodal_cc" ->
+      s"""WITH RECURSIVE
+         |jp AS (SELECT doc_a, doc_b FROM '__GRAFT_ARTIFACTS__/pairs.parquet/*.parquet'),
+         |imgp AS (SELECT doc_a, doc_b FROM ($imageDhashPairsSql)),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+         |  UNION ALL SELECT doc_b, doc_a FROM jp
+         |  UNION ALL SELECT doc_a, doc_b FROM imgp
+         |  UNION ALL SELECT doc_b, doc_a FROM imgp
+         |  UNION ALL SELECT doc_id, doc_id FROM documents),
+         |reach AS (SELECT src AS doc, dst AS r FROM edges
+         |  UNION
+         |  SELECT reach.doc, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+         |cc AS (SELECT doc, min(r) AS canonical FROM reach GROUP BY 1)
+         |SELECT doc, canonical FROM cc""".stripMargin,
     // spectral: bits replayed from the md5 BAND-AMPLITUDE formula — the
     // per-band gains cancel inside a band (exact Walsh orthogonality:
     // E_b = 64·(g_b·a_b)², so E_b(f+1) > E_b(f) IS a_b(f+1) > a_b(f)),

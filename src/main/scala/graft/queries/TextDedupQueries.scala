@@ -606,7 +606,7 @@ object TextDedupQueries {
     * materialized once per corpus. The exact-Jaccard confirm re-shingles ONLY
     * candidate docs — the full corpus is touched exactly once, by the
     * signature scan. */
-  private def sharedPairs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def sharedPairs(s: SparkSession, dir: String): DataFrame =
     Artifacts.shared(s"minhash_pairs:$dir") {
       // maxBandDf: hot-bucket skew guard (star fallback above 64 docs per
       // band key — giant exact-dup clusters stay linear, see Dedup scaladoc).

@@ -403,6 +403,26 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("cross-modal CC: the union graph merges components neither modality alone forms") {
+    import org.apache.spark.sql.functions._
+    val dir = sf("sf0.001")
+    val d = spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"))
+    def nComponents(pairs: org.apache.spark.sql.DataFrame): Long =
+      graft.operators.Dedup.keepListConverged(d, "doc_id", pairs)
+        .select(col("canonical")).distinct().count()
+    val textPairs = graft.queries.TextDedupQueries.sharedPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val imgPairs = graft.queries.MultimodalQueries.mmImageDedup(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val nText = nComponents(textPairs)
+    val nImg = nComponents(imgPairs)
+    val mm = graft.queries.MultimodalQueries.dedupMultimodalCc(spark, dir)
+    val nMm = mm.select(col("canonical")).distinct().count()
+    assert(nMm < nText && nMm < nImg,
+      s"union must merge across modalities: text=$nText img=$nImg mm=$nMm")
+    assert(mm.count() == d.count(), "every doc labeled exactly once")
+  }
+
   test("audioFingerprint: gain-doubled and decimated copies collide; byte digest misses them") {
     val F = Multimodal.AudioFpFrames
     val orig = Multimodal.syntheticFrameWav(40L, F, 64)
