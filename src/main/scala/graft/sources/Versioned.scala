@@ -159,6 +159,64 @@ object Versioned {
   def readVersion(spark: SparkSession, dir: String, v: Int): DataFrame =
     readBuckets(spark, dir, readManifest(dir, v))
 
+  private def statsPath(dir: String, v: Int) =
+    java.nio.file.Paths.get(dir, "manifests", s"v$v.stats.csv")
+
+  /** ZONE MAPS in the commit log: record per-bucket (min, max) of a LONG
+    * stats column alongside version `v`'s manifest — the file-level-stats
+    * half of a table format's metadata, at bucket granularity. One
+    * bucket-cardinality aggregate over the version's rows (metadata-scale
+    * output; the scan is the data already being committed — a real writer
+    * collects these during the write itself). */
+  def writeStats(spark: SparkSession, dir: String, v: Int, statsCol: String): Unit = {
+    val rows = readVersion(spark, dir, v)
+      .groupBy(col(bucketColOfManifest(spark, dir, v)))
+      .agg(min(col(statsCol)).cast("long").as("mn"),
+        max(col(statsCol)).cast("long").as("mx"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val body = rows.sorted.map { case (b, mn, mx) => s"$b,$mn,$mx" }.mkString("\n")
+    java.nio.file.Files.write(statsPath(dir, v), body.getBytes("UTF-8"))
+  }
+
+  private def bucketColOfManifest(spark: SparkSession, dir: String, v: Int): String = {
+    val anyVer = readManifest(dir, v).values.find(_ > 0)
+      .getOrElse(sys.error("empty table"))
+    bucketColOf(spark, dir, anyVer)
+  }
+
+  /** bucket → (min, max) of the stats column for version `v`. */
+  def readStats(dir: String, v: Int): Map[Int, (Long, Long)] =
+    new String(java.nio.file.Files.readAllBytes(statsPath(dir, v)), "UTF-8")
+      .split("\n").filter(_.nonEmpty)
+      .map { l => val Array(b, mn, mx) = l.split(","); b.toInt -> (mn.toLong, mx.toLong) }
+      .toMap
+
+  /** Version `v` restricted to `lo <= statsCol <= hi`, PRUNED by the zone
+    * maps: buckets whose recorded [min, max] misses the range are never
+    * read (their files contribute zero IO — the data-skipping contract);
+    * surviving buckets still apply the exact predicate. Returns the pruned
+    * DataFrame and the bucket ids actually read (the skip evidence
+    * VersionedSpec asserts on). Buckets absent from the stats file (e.g.
+    * emptied by a delete) are skipped. */
+  def readVersionWhere(spark: SparkSession, dir: String, v: Int,
+                       statsCol: String, lo: Long, hi: Long): (DataFrame, Set[Int]) = {
+    val stats = readStats(dir, v)
+    val manifest = readManifest(dir, v)
+    val keep = manifest.keySet.filter { b =>
+      stats.get(b).exists { case (mn, mx) => mx >= lo && mn <= hi }
+    }
+    val assign = manifest.filter { case (b, _) => keep(b) }
+    if (assign.forall(_._2 == 0))
+      // nothing overlaps: an empty frame with the version's schema, no IO
+      // (the false literal folds to an empty LocalRelation)
+      (readVersion(spark, dir, v).where(lit(false)), Set.empty[Int])
+    else {
+      val df = readBuckets(spark, dir, assign)
+        .where(col(statsCol).between(lo, hi))
+      (df, keep)
+    }
+  }
+
   /** True iff version `v` has been committed (its manifest exists) — the
     * idempotence guard a streaming CDC applier keys on its deterministic
     * batch id (the Delta txn-app-id discipline): a foreachBatch re-run

@@ -134,4 +134,36 @@ class VersionedSpec extends SparkSpec {
       "after retention expiry the deleted bucket's files are physically gone")
     assert(Versioned.readVersion(spark, dir, 6).count() == 29)
   }
+
+  test("zone maps: stats-range reads prune buckets; results equal the full filter") {
+    val dir = tmp()
+    // disjoint value bands per bucket so pruning has teeth
+    val base = (0L until 40L).map(k => (k, (k % 4) * 1000 + k, (k % 4).toInt))
+      .toDF("k", "v", "bucket")
+    Versioned.commitBase(base, dir, "bucket", 4)
+    Versioned.writeStats(spark, dir, 1, "v")
+    assert(Versioned.readStats(dir, 1)(1) == (1001L, 1037L))
+
+    val (d1, read1) = Versioned.readVersionWhere(spark, dir, 1, "v", 1000, 1999)
+    assert(read1 == Set(1), s"only bucket 1 overlaps: $read1")
+    assert(d1.count() == base.where(col("v").between(1000, 1999)).count())
+
+    val (d2, read2) = Versioned.readVersionWhere(spark, dir, 1, "v", 1010, 2010)
+    assert(read2 == Set(1, 2))
+    assert(d2.count() == base.where(col("v").between(1010, 2010)).count())
+
+    // a range nothing overlaps reads no bucket and returns empty
+    val (d0, read0) = Versioned.readVersionWhere(spark, dir, 1, "v", 50000, 60000)
+    assert(read0.isEmpty && d0.count() == 0)
+
+    // stats survive a copy-on-write commit: recompute for v2, old stats kept
+    val delta = Seq((1L, 9999L, 1)).toDF("k", "v", "bucket")
+    Versioned.commitUpsert(spark, delta, dir, 2, "k", "bucket")
+    Versioned.writeStats(spark, dir, 2, "v")
+    val (d3, read3) = Versioned.readVersionWhere(spark, dir, 2, "v", 9000, 10000)
+    assert(read3 == Set(1) && d3.count() == 1)
+    // the v1 zone maps still serve v1 reads unchanged
+    val (d4, read4) = Versioned.readVersionWhere(spark, dir, 1, "v", 9000, 10000)
+    assert(read4.isEmpty && d4.count() == 0)
+  }
 }
