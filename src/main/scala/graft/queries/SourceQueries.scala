@@ -275,6 +275,38 @@ object SourceQueries {
     }.reduce(_ unionByName _)
   }
 
+  /** ZONE-MAP pruned range read over the versioned store
+    * ([[graft.sources.Versioned.readVersionWhere]]): orders committed with
+    * o_orderkey-mod-16 buckets and per-bucket (min, max) ORDER-DAY stats
+    * beside the manifest; a half-year range read consults the zone maps
+    * and PRUNES buckets whose recorded day range misses the predicate
+    * before any file IO — the commit-log twin of `q_zorder_prune`'s
+    * layout-level skipping. Mod-16 buckets correlate poorly with date, so
+    * most buckets overlap most ranges — exactly the honest case: the
+    * entry also emits the read-bucket count so the oracle pins how much
+    * the maps actually skipped (a layout clustered BY date, e.g. the
+    * z-order entry's, is what makes skipping dramatic; zone maps report
+    * truthfully either way). Oracle = the plain filter + the bucket count
+    * recomputed relationally from the same min/max definition. */
+  def qZonemapPrune(s: SparkSession, dir: String): DataFrame = {
+    val layout = graft.operators.Artifacts.sharedPath(s"zonemap:$dir") { path =>
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("bucket", (col("o_orderkey") % 16).cast("int"))
+        .withColumn("order_day", datediff(col("o_orderdate"), lit("1970-01-01")).cast("long"))
+      graft.sources.Versioned.commitBase(orders, path, "bucket", 16)
+      graft.sources.Versioned.writeStats(s, path, 1, "order_day")
+    }
+    val lo = java.time.LocalDate.of(1995, 1, 1).toEpochDay
+    val hi = java.time.LocalDate.of(1995, 6, 30).toEpochDay
+    val (df, read) = graft.sources.Versioned.readVersionWhere(
+      s, layout, 1, "order_day", lo, hi)
+    df.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        expr("cast(sum(cast(o_totalprice as decimal(18,4))) * 10000 as bigint)")
+          .as("sum_price_e4"))
+      .withColumn("n_buckets_read", lit(read.size))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_csv_nation" -> srcCsvNation _,
     "src_json_nation" -> srcJsonNation _,
@@ -284,9 +316,30 @@ object SourceQueries {
     "q_gdpr_delete" -> qGdprDelete _,
     "q_time_travel" -> qTimeTravel _,
     "q_cdc_stream" -> qCdcStream _,
+    "q_zonemap_prune" -> qZonemapPrune _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the plain filter the pruned read must be indistinguishable from,
+    // plus the read-bucket count recomputed from the same min/max maps
+    "q_zonemap_prune" ->
+      """WITH days AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  CAST(o_orderkey % 16 AS INT) AS bucket,
+        |  datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS order_day
+        |  FROM orders),
+        |bounds AS (SELECT
+        |  datediff('day', DATE '1970-01-01', DATE '1995-01-01') AS lo,
+        |  datediff('day', DATE '1970-01-01', DATE '1995-06-30') AS hi),
+        |zm AS (SELECT bucket, min(order_day) AS mn, max(order_day) AS mx
+        |  FROM days GROUP BY 1),
+        |nb AS (SELECT count(*) AS n_buckets_read FROM zm CROSS JOIN bounds
+        |  WHERE mx >= lo AND mn <= hi)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_price_e4,
+        |  CAST((SELECT n_buckets_read FROM nb) AS INT) AS n_buckets_read
+        |FROM days CROSS JOIN bounds
+        |WHERE order_day BETWEEN lo AND hi
+        |GROUP BY 1""".stripMargin,
     // base + final states computed relationally; batch boundaries are out
     // of contract (disjoint-key upserts commute), versioning mechanics are
     // CdcStreamSpec's job
