@@ -195,6 +195,36 @@ object SomQueries {
         / count(lit(1)), 6).as("quant_error"))
   }
 
+  /** U-MATRIX — the classic SOM visualization surface (Ultsch's unified
+    * distance matrix) the reference never computes: per grid cell the
+    * summed Euclidean distance to its rectangular-grid NEIGHBOR prototypes
+    * (Manhattan-1 cells). High-ridge cells mark cluster boundaries on the
+    * map; together with `som_quality`'s QE/TE this completes the standard
+    * SOM evaluation toolkit. Exact-integer discipline: per-neighbor
+    * distances round to 6 decimals and sum as e6 micro-units (neighbor
+    * counts ≤ 4, so the sum order never matters once quantized); the mean
+    * is left to the reader as `sum_ndist_e6 / n_neighbors` — no float
+    * division crosses the engine boundary. The prototype self-join is
+    * 9×9 — grid-sized, never data-sized. */
+  def umatrix(s: SparkSession, dir: String): DataFrame = {
+    val p = protos(s, dir)
+    val a = p.select(col("proto_id").as("k"), col("c").as("ck"))
+    val b = p.select(col("proto_id").as("j"), col("c").as("cj"))
+    val adj = (abs(expr(s"k div $Width") - expr(s"j div $Width")) +
+      abs(col("k") % Width - col("j") % Width)) === 1
+    a.join(b, adj)
+      .select(col("k"),
+        (round(sqrt(graft.functions.VectorSql.sqDistFast(col("ck"), col("cj"))), 6)
+          * 1000000).cast("long").as("nd_e6"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).cast("int").as("n_neighbors"),
+        sum(col("nd_e6")).cast("long").as("sum_ndist_e6"))
+      .select(col("k").as("cell"),
+        expr(s"cast(cell div $Width as int)").as("row"),
+        (col("cell") % Width).cast("int").as("col"),
+        col("n_neighbors"), col("sum_ndist_e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "som_assign"     -> assign _,
     "som_assign_sql" -> assignSql _,
@@ -203,6 +233,7 @@ object SomQueries {
     "som_update"     -> updateStep _,
     "som_update_hex" -> updateStepHex _,
     "som_quality"    -> quality _,
+    "som_umatrix"    -> umatrix _,
   )
 
   // ---- DuckDB oracle SQL (ANSI-ish; bare table names are driver-registered
@@ -232,6 +263,21 @@ object SomQueries {
     "som_cost" ->
       s"""WITH $ptsCte, $protosCte, $distCte, $bmuCte
          |SELECT CAST(count(*) AS BIGINT) AS n, round(sum(d2), 2) AS cost FROM a""".stripMargin,
+        "som_umatrix" ->
+      s"""WITH $protosCte,
+         |adj AS (SELECT a.proto_id AS k, b.proto_id AS j, a.c AS ck, b.c AS cj
+         |  FROM protos a JOIN protos b
+         |    ON abs(a.proto_id // $Width - b.proto_id // $Width)
+         |     + abs(a.proto_id % $Width - b.proto_id % $Width) = 1),
+         |nd AS (SELECT k,
+         |  CAST(round(sqrt(list_sum(list_transform(range(1, ${Dim + 1}),
+         |    i -> (ck[i]-cj[i])*(ck[i]-cj[i])))), 6) * 1000000 AS BIGINT) AS nd_e6
+         |  FROM adj)
+         |SELECT k AS cell, CAST(k // $Width AS INT) AS row,
+         |  CAST(k % $Width AS INT) AS col,
+         |  CAST(count(*) AS INT) AS n_neighbors,
+         |  CAST(sum(nd_e6) AS BIGINT) AS sum_ndist_e6
+         |FROM nd GROUP BY 1 ORDER BY 1""".stripMargin,
     "som_quality" ->
       s"""WITH $ptsCte, $protosCte, $distCte,
          |r2 AS (SELECT vec_id, proto_id, d2,
