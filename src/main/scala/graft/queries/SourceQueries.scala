@@ -281,18 +281,22 @@ object SourceQueries {
     * beside the manifest; a half-year range read consults the zone maps
     * and PRUNES buckets whose recorded day range misses the predicate
     * before any file IO — the commit-log twin of `q_zorder_prune`'s
-    * layout-level skipping. Mod-16 buckets correlate poorly with date, so
-    * most buckets overlap most ranges — exactly the honest case: the
-    * entry also emits the read-bucket count so the oracle pins how much
-    * the maps actually skipped (a layout clustered BY date, e.g. the
-    * z-order entry's, is what makes skipping dramatic; zone maps report
-    * truthfully either way). Oracle = the plain filter + the bucket count
-    * recomputed relationally from the same min/max definition. */
+    * layout-level skipping. Bucketing POLICY is what gives zone maps
+    * teeth: bucketing by the hash of a key (the upsert-friendly choice,
+    * `q_time_travel`'s layout) leaves every bucket spanning every date, so
+    * maps prune nothing; here the table is bucketed by a DATE-derived
+    * value (160-day stripes mod 16 — the time-partitioned fact-table
+    * convention), so a half-year read overlaps ~2 of 16 buckets and the
+    * maps skip the rest. The entry emits the read-bucket count so the
+    * ORACLE pins exactly how much was skipped — the skipping is part of
+    * the hash-gated contract, not a plan-inspection claim. Oracle = the
+    * plain filter + the bucket count recomputed relationally from the
+    * same min/max definition. */
   def qZonemapPrune(s: SparkSession, dir: String): DataFrame = {
     val layout = graft.operators.Artifacts.sharedPath(s"zonemap:$dir") { path =>
       val orders = s.read.parquet(s"$dir/orders.parquet")
-        .withColumn("bucket", (col("o_orderkey") % 16).cast("int"))
         .withColumn("order_day", datediff(col("o_orderdate"), lit("1970-01-01")).cast("long"))
+        .withColumn("bucket", expr("cast((order_day div 160) % 16 as int)"))
       graft.sources.Versioned.commitBase(orders, path, "bucket", 16)
       graft.sources.Versioned.writeStats(s, path, 1, "order_day")
     }
@@ -324,7 +328,7 @@ object SourceQueries {
     // plus the read-bucket count recomputed from the same min/max maps
     "q_zonemap_prune" ->
       """WITH days AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
-        |  CAST(o_orderkey % 16 AS INT) AS bucket,
+        |  CAST((datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) // 160) % 16 AS INT) AS bucket,
         |  datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS order_day
         |  FROM orders),
         |bounds AS (SELECT
