@@ -421,6 +421,34 @@ object SimilarityQueries {
       .select(col("q_id"), col("rank"), col("doc_id"), col("rrf_e9"))
   }
 
+  /** RETRIEVAL EVALUATION — the eval-harness data op every serving stack
+    * runs before shipping a ranker change: judge the hybrid RRF system
+    * against a deterministic ground truth (the exact-cosine top-[[K]],
+    * `ann_brute`'s contract) and emit per-query hits@10, the rank of the
+    * first relevant result, and its reciprocal rank in exact e6 integers
+    * (the MRR numerator — no float division crosses the engine boundary;
+    * corpus-level MRR is `avg(rr_e6)/1e6` for the reader). Evaluation is
+    * itself a dataflow: one broadcast-sized join of the system's ranked
+    * list against the truth set — at 100 TB the corpus-side work is the
+    * two retrieval systems' own (already-measured) cost, and the eval
+    * join touches only their top-k outputs. Fusing lexical evidence
+    * MOVES results relative to the vector-only truth by design — the
+    * metrics quantify exactly how much, under the hash gate. */
+  def retrievalEval(s: SparkSession, dir: String): DataFrame = {
+    val sys = retrievalRrf(s, dir).select(col("q_id"), col("rank"), col("doc_id"))
+    val truth = annBrute(s, dir)
+      .select(col("probe_id").as("q_id"), col("neighbor_id").as("doc_id"),
+        lit(1).as("rel"))
+    sys.join(broadcast(truth), Seq("q_id", "doc_id"), "left_outer")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("rel"), lit(0))).cast("long").as("hits_at_10"),
+        min(when(col("rel") === 1, col("rank"))).as("frr"))
+      .select(col("q_id"),
+        col("hits_at_10"),
+        coalesce(col("frr"), lit(0)).cast("int").as("first_rel_rank"),
+        coalesce(expr("cast(1000000 div frr as bigint)"), lit(0L)).as("rr_e6"))
+  }
+
   def nearDupLsh(s: SparkSession, dir: String): DataFrame = {
     val p = pts(s, dir)
     val bpb = Similarity.bitsPerBand(p.count())
@@ -574,6 +602,7 @@ object SimilarityQueries {
     "dedup_semantic_lsh" -> dedupSemanticLsh _,
     "dedup_contamination_semantic" -> contaminationSemantic _,
     "retrieval_rrf" -> retrievalRrf _,
+    "retrieval_eval" -> retrievalEval _,
   )
 
   // ---- oracle CTEs ----
@@ -669,6 +698,57 @@ object SimilarityQueries {
        |SELECT probe_id, CAST(rn AS INT) AS rank, vec_id AS neighbor_id,
        | round(cos, 6) AS cos_sim
        |FROM r WHERE rn <= $K""".stripMargin
+
+  // the full RRF replay (BM25 quantization + vector ranking + integer
+  // fusion) — the retrieval_rrf oracle, factored so retrieval_eval can
+  // embed it as the system-under-eval subquery
+  private lazy val rrfOracleSql: String =
+    s"""WITH ${TextDedupQueries.toksCte},
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM
+         |  (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2),
+         |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS tot_dl FROM dl),
+         |qt AS (SELECT DISTINCT q_id, term FROM
+         |  (SELECT doc_id AS q_id, unnest(t) AS term FROM toks
+         |   WHERE doc_id < $NumProbes)),
+         |hits AS (SELECT qt.q_id, tf.doc_id,
+         |    CAST(sum(CAST(round(round(
+         |      round(ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0), 9)
+         |      * (tf * 2.25)
+         |      / (tf + round(1.25 * (1.0 - 0.75 + 0.75 * dl
+         |                    / (CAST(tot_dl AS DOUBLE) / n_docs)), 9)), 6)
+         |      * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS score_e6
+         |  FROM qt JOIN tf USING (term) JOIN dft USING (term)
+         |  JOIN dl ON tf.doc_id = dl.doc_id
+         |  CROSS JOIN n CROSS JOIN tot
+         |  WHERE tf.doc_id != qt.q_id
+         |  GROUP BY 1, 2),
+         |lex AS (SELECT q_id, doc_id, lr FROM
+         |  (SELECT q_id, doc_id, row_number() OVER
+         |     (PARTITION BY q_id ORDER BY score_e6 DESC, doc_id) AS lr FROM hits)
+         |  WHERE lr <= $RrfListK),
+         |pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |probes AS (SELECT vec_id AS probe_id, v AS p FROM pts
+         |  WHERE vec_id < $NumProbes),
+         |vc AS (SELECT probe_id AS q_id, vec_id AS doc_id, ${cosE("v", "p")} AS cos
+         |  FROM pts CROSS JOIN probes WHERE vec_id != probe_id),
+         |vec AS (SELECT q_id, doc_id, vr FROM
+         |  (SELECT q_id, doc_id, row_number() OVER
+         |     (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS vr FROM vc)
+         |  WHERE vr <= $RrfListK),
+         |fused AS (SELECT COALESCE(l.q_id, v.q_id) AS q_id,
+         |    COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         |    COALESCE($RrfScale // ($RrfC + l.lr), 0)
+         |      + COALESCE($RrfScale // ($RrfC + v.vr), 0) AS rrf_e9
+         |  FROM lex l FULL OUTER JOIN vec v
+         |    ON l.q_id = v.q_id AND l.doc_id = v.doc_id)
+         |SELECT q_id, CAST(rank AS INT) AS rank, doc_id,
+         |  CAST(rrf_e9 AS BIGINT) AS rrf_e9 FROM
+         |  (SELECT q_id, doc_id, rrf_e9, row_number() OVER
+         |     (PARTITION BY q_id ORDER BY rrf_e9 DESC, doc_id) AS rank FROM fused)
+         |WHERE rank <= $RrfOutK""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "ann_brute" ->
@@ -879,52 +959,28 @@ object SimilarityQueries {
     // lexical list = text_bm25_topk's quantization verbatim, per-term
     // contributions integer-scaled BEFORE the per-doc sum; vector list =
     // ann_brute's ranking; fusion and the final cut are pure integers
-    "retrieval_rrf" ->
-      s"""WITH ${TextDedupQueries.toksCte},
-         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM
-         |  (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2),
-         |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
-         |n AS (SELECT count(*) AS n_docs FROM documents),
-         |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS tot_dl FROM dl),
-         |qt AS (SELECT DISTINCT q_id, term FROM
-         |  (SELECT doc_id AS q_id, unnest(t) AS term FROM toks
-         |   WHERE doc_id < $NumProbes)),
-         |hits AS (SELECT qt.q_id, tf.doc_id,
-         |    CAST(sum(CAST(round(round(
-         |      round(ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0), 9)
-         |      * (tf * 2.25)
-         |      / (tf + round(1.25 * (1.0 - 0.75 + 0.75 * dl
-         |                    / (CAST(tot_dl AS DOUBLE) / n_docs)), 9)), 6)
-         |      * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS score_e6
-         |  FROM qt JOIN tf USING (term) JOIN dft USING (term)
-         |  JOIN dl ON tf.doc_id = dl.doc_id
-         |  CROSS JOIN n CROSS JOIN tot
-         |  WHERE tf.doc_id != qt.q_id
-         |  GROUP BY 1, 2),
-         |lex AS (SELECT q_id, doc_id, lr FROM
-         |  (SELECT q_id, doc_id, row_number() OVER
-         |     (PARTITION BY q_id ORDER BY score_e6 DESC, doc_id) AS lr FROM hits)
-         |  WHERE lr <= $RrfListK),
-         |pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |probes AS (SELECT vec_id AS probe_id, v AS p FROM pts
-         |  WHERE vec_id < $NumProbes),
-         |vc AS (SELECT probe_id AS q_id, vec_id AS doc_id, ${cosE("v", "p")} AS cos
+    "retrieval_rrf" -> rrfOracleSql,
+    // eval harness: the system-under-eval is the ENTIRE rrf replay as a
+    // subquery; the truth is ann_brute's exact-cosine ranking; metrics in
+    // exact integers (hits@10, first relevant rank, reciprocal-rank e6)
+    "retrieval_eval" ->
+      s"""WITH sys AS (SELECT q_id, rank, doc_id FROM ($rrfOracleSql)),
+         |$base,
+         |d AS (SELECT probe_id, vec_id, ${cosE("v", "p")} AS cos
          |  FROM pts CROSS JOIN probes WHERE vec_id != probe_id),
-         |vec AS (SELECT q_id, doc_id, vr FROM
-         |  (SELECT q_id, doc_id, row_number() OVER
-         |     (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS vr FROM vc)
-         |  WHERE vr <= $RrfListK),
-         |fused AS (SELECT COALESCE(l.q_id, v.q_id) AS q_id,
-         |    COALESCE(l.doc_id, v.doc_id) AS doc_id,
-         |    COALESCE($RrfScale // ($RrfC + l.lr), 0)
-         |      + COALESCE($RrfScale // ($RrfC + v.vr), 0) AS rrf_e9
-         |  FROM lex l FULL OUTER JOIN vec v
-         |    ON l.q_id = v.q_id AND l.doc_id = v.doc_id)
-         |SELECT q_id, CAST(rank AS INT) AS rank, doc_id,
-         |  CAST(rrf_e9 AS BIGINT) AS rrf_e9 FROM
-         |  (SELECT q_id, doc_id, rrf_e9, row_number() OVER
-         |     (PARTITION BY q_id ORDER BY rrf_e9 DESC, doc_id) AS rank FROM fused)
-         |WHERE rank <= $RrfOutK""".stripMargin,
+         |truth AS (SELECT probe_id AS q_id, vec_id AS doc_id FROM
+         |  (SELECT probe_id, vec_id, row_number() OVER
+         |    (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn FROM d)
+         |  WHERE rn <= $K),
+         |j AS (SELECT s.q_id, s.rank,
+         |    CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+         |  FROM sys s LEFT JOIN truth t
+         |    ON s.q_id = t.q_id AND s.doc_id = t.doc_id)
+         |SELECT q_id, CAST(sum(rel) AS BIGINT) AS hits_at_10,
+         |  CAST(coalesce(min(CASE WHEN rel = 1 THEN rank END), 0) AS INT)
+         |    AS first_rel_rank,
+         |  CAST(coalesce(1000000 // min(CASE WHEN rel = 1 THEN rank END), 0) AS BIGINT)
+         |    AS rr_e6
+         |FROM j GROUP BY 1""".stripMargin,
   )
 }
