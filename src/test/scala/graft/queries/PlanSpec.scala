@@ -86,6 +86,27 @@ class PlanSpec extends SparkSpec {
       s"the join must be the shuffle regime the filter exists for:\n$p")
   }
 
+  test("doc_corpus_card: one partial-combining aggregate, no join, no UDF fence") {
+    val p = plan(TextDedupQueries.docCorpusCard(spark, dir))
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"card aggregates must combine map-side:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"the card is a single-scan report:\n$p")
+    assert(!p.contains("ScalaUDF"), s"card signals must stay native:\n$p")
+  }
+
+  test("dedup_multimodal_cc: banded joins only — no cartesian, no nested-loop pairing") {
+    val p = plan(MultimodalQueries.dedupMultimodalCc(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"the union pair graph must come from banded equi-joins:\n$p")
+  }
+
+  test("retrieval_eval: the truth set broadcasts to the eval join") {
+    val p = plan(SimilarityQueries.retrievalEval(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the top-k truth set must broadcast:\n$p")
+  }
+
   test("q_topk_rewrite: the SQL-text window idiom actually plans as the heap operator") {
     val p = plan(AdvancedQueries.qTopKRewrite(spark, dir))
     assert(p.contains("TopKPerKeyFinal"),
