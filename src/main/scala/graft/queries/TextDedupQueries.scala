@@ -339,6 +339,34 @@ object TextDedupQueries {
       .select(col("doc_id"), col("domain"), col("n_chars"), col("rate_ppm"))
   }
 
+  /** CLASSIFIER CALIBRATION TABLE — the ML-ops check run before trusting a
+    * learned filter in production: bucket the corpus into deciles of the
+    * classifier's per-token score and report each decile's rule-label keep
+    * rate. A calibrated score is MONOTONE in the teacher's keep rate
+    * (bottom deciles mostly drops, top mostly keeps — CalibrationSpec
+    * asserts it); a flat curve would mean the hashed features learned
+    * nothing. Integer discipline: the per-token score is
+    * `clf_q16·1000 div n_toks` (milli-1/16-bit units), the decile is
+    * `ntile(10)` over the TOTAL order (score, doc_id) — deterministic in
+    * both engines. The global ntile is one sort of doc-COUNT-sized rows
+    * (id + two ints — metadata weight next to the corpus); at 100 TB the
+    * cutpoints come from a quantile sketch (`q_approx_quantile` proves the
+    * path) and the decile becomes an in-scan comparison. */
+  def clfCalibration(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("spt_milli"), col("doc_id"))
+    textQualityClf(s, dir)
+      .select(col("doc_id"), col("rule_keep"),
+        expr("cast(clf_q16 * 1000 div greatest(n_toks, 1) as bigint)")
+          .as("spt_milli"))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("rule_keep")).cast("long").as("n_rule_keep"),
+        min(col("spt_milli")).as("min_spt_milli"),
+        max(col("spt_milli")).as("max_spt_milli"))
+  }
+
   /** PER-SOURCE CORPUS CARD — the observability report a pipeline publishes
     * with every data drop (the "datasheet" row per source): document count,
     * REAL BPE token total, rule-filter keep count, language mix, and
@@ -939,6 +967,7 @@ object TextDedupQueries {
     "dedup_url" -> dedupUrl _,
     "pipeline_crawl_clean" -> pipelineCrawlClean _,
     "doc_corpus_card" -> docCorpusCard _,
+    "clf_calibration" -> clfCalibration _,
     "text_pii_redact" -> textPiiRedact _,
     "text_normalize" -> textNormalize _,
     "ml_split_leakfree" -> mlSplitLeakfree _,
@@ -1385,6 +1414,23 @@ object TextDedupQueries {
          |    AS pred_keep,
          |  l.keep AS rule_keep
          |FROM labs l LEFT JOIN sc USING (doc_id)""".stripMargin,
+    // calibration: the classifier chain's per-doc scores re-derived, the
+    // milli-per-token normalization, ntile over the identical total order
+    "clf_calibration" ->
+      s"""WITH $toksCte,
+         |$clfScoreCtes,
+         |perdoc AS (SELECT l.doc_id, l.keep AS rule_keep,
+         |    coalesce(clf_q16, 0) * 1000 // greatest(coalesce(n_toks, 0), 1)
+         |      AS spt_milli
+         |  FROM labs l LEFT JOIN sc USING (doc_id)),
+         |dec AS (SELECT rule_keep, spt_milli,
+         |    ntile(10) OVER (ORDER BY spt_milli, doc_id) AS decile
+         |  FROM perdoc)
+         |SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(rule_keep) AS BIGINT) AS n_rule_keep,
+         |  CAST(min(spt_milli) AS BIGINT) AS min_spt_milli,
+         |  CAST(max(spt_milli) AS BIGINT) AS max_spt_milli
+         |FROM dec GROUP BY 1""".stripMargin,
     // every card number drawn from the proven kernels: the BPE count CTE,
     // the rule-filter CASE, the stopword language-ID case
     "doc_corpus_card" -> {

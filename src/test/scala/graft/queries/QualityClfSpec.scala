@@ -39,6 +39,22 @@ class QualityClfSpec extends SparkSpec {
     }
   }
 
+  test("calibration: decile keep-rate is monotone non-decreasing; bottom < top") {
+    val rows = TextDedupQueries.clfCalibration(spark, sf("sf0.01"))
+      .orderBy(col("decile")).collect()
+    assert(rows.length == 10)
+    val rates = rows.map(r => r.getLong(2).toDouble / r.getLong(1))
+    rates.sliding(2).foreach { case Array(a, b) =>
+      assert(b >= a - 0.05, s"keep rate must not collapse between deciles: $a -> $b")
+    }
+    assert(rates.head < rates.last,
+      s"a flat curve means the features learned nothing: ${rates.toSeq}")
+    // decile bounds tile the score axis in order
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(4) <= b.getLong(3), "decile score ranges must be ordered")
+    }
+  }
+
   test("classifier agrees with its rule teacher on >90% of docs and both classes") {
     val out = TextDedupQueries.textQualityClf(spark, sf("sf0.001")).cache()
     val n = out.count()
