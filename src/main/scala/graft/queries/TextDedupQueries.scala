@@ -339,6 +339,26 @@ object TextDedupQueries {
       .select(col("doc_id"), col("domain"), col("n_chars"), col("rate_ppm"))
   }
 
+  /** URL/CONTENT CONFLICT REPORT — the crawl-QA pass after URL dedup: a
+    * canonical URL backed by MULTIPLE distinct content digests means the
+    * canonicalizer is merging pages it shouldn't (lost a significant
+    * param), the site serves dynamic/per-visit content, or a soft-404 is
+    * shadowing real pages — each a different fix, all found by the same
+    * report. One groupBy on the canonical key with an exact distinct-digest
+    * count (exact is affordable because the group sizes are the URL-dup
+    * cluster sizes — tiny by construction; at 100 TB the same query runs
+    * with HLL per `q_approx_distinct`'s proven path). Emits only the
+    * conflicted canonicals with their spread. */
+  def urlContentConflicts(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(TextOps.urlCanonicalize(rawUrl).as("url_canonical"),
+        md5(col("text")).as("digest"), col("doc_id"))
+      .groupBy(col("url_canonical"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        countDistinct(col("digest")).cast("long").as("n_digests"),
+        min(col("doc_id")).as("first_doc"))
+      .where(col("n_digests") > 1)
+
   /** CLASSIFIER CALIBRATION TABLE — the ML-ops check run before trusting a
     * learned filter in production: bucket the corpus into deciles of the
     * classifier's per-token score and report each decile's rule-label keep
@@ -968,6 +988,7 @@ object TextDedupQueries {
     "pipeline_crawl_clean" -> pipelineCrawlClean _,
     "doc_corpus_card" -> docCorpusCard _,
     "clf_calibration" -> clfCalibration _,
+    "url_content_conflicts" -> urlContentConflicts _,
     "text_pii_redact" -> textPiiRedact _,
     "text_normalize" -> textNormalize _,
     "ml_split_leakfree" -> mlSplitLeakfree _,
@@ -1414,6 +1435,15 @@ object TextDedupQueries {
          |    AS pred_keep,
          |  l.keep AS rule_keep
          |FROM labs l LEFT JOIN sc USING (doc_id)""".stripMargin,
+    // the same canon chain + md5 digests; only conflicted canonicals emit
+    "url_content_conflicts" ->
+      s"""WITH $urlCanonCtes,
+         |cd AS (SELECT c.url_canonical, md5(d.text) AS digest, d.doc_id
+         |  FROM canon c JOIN documents d USING (doc_id))
+         |SELECT url_canonical, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT digest) AS BIGINT) AS n_digests,
+         |  min(doc_id) AS first_doc
+         |FROM cd GROUP BY 1 HAVING count(DISTINCT digest) > 1""".stripMargin,
     // calibration: the classifier chain's per-doc scores re-derived, the
     // milli-per-token normalization, ntile over the identical total order
     "clf_calibration" ->
