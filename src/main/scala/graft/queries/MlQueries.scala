@@ -173,6 +173,39 @@ object MlQueries {
         expr("cast(1000000000000 div greatest(rate_ppm, 1) as bigint)")
           .as("ipw_micro"))
 
+  /** EMBEDDING-NORM OUTLIER REPORT — the vector-QA pass before an index
+    * build: the corpus's extreme-norm vectors (a zeroed or exploded
+    * embedding is an upstream encoder bug, and cosine serving quietly
+    * misbehaves around them). Exact integer-free discipline: norm² is the
+    * shared left-to-right fold (bit-identical cross-engine), ranking is
+    * total-ordered (norm², vec_id), and both tails ride the per-key heap
+    * operator (the two "keys" are the tail labels — never a global sort).
+    * Top/bottom 20 at any corpus size: the report is constant-sized. */
+  def mlNormOutliers(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    fork.experimental.extraStrategies =
+      fork.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
+    val n2 = fork.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        graft.functions.VectorSql.dotFast(
+          col("embedding").cast("array<double>"),
+          col("embedding").cast("array<double>")).as("norm2"))
+    // per-tail sort key precomputed in the union projection (negated for
+    // the high tail) so the heap operator orders by a plain column
+    val both = n2.select(lit("high").as("tail"), col("vec_id"), col("norm2"),
+        (-col("norm2")).as("key"))
+      .unionByName(n2.select(lit("low").as("tail"), col("vec_id"), col("norm2"),
+        col("norm2").as("key")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("tail"))
+      .orderBy(col("key"), col("vec_id"))
+    graft.plans.TopKPerKey.topKPerKey(both,
+      keys = Seq(col("tail")),
+      order = Seq(col("key").asc, col("vec_id").asc),
+      k = 20)
+      .withColumn("rank", row_number().over(w))
+      .select(col("tail"), col("rank"), col("vec_id"),
+        round(col("norm2"), 6).as("norm2"))
+  }
+
   def mlDomainMixture(s: SparkSession, dir: String): DataFrame = {
     val share = when(col("source").isin(MixTier1: _*), 100)
       .when(col("source").isin(MixTier2: _*), 60)
@@ -401,6 +434,7 @@ object MlQueries {
     "ml_quantize_int8" -> mlQuantizeInt8 _,
     "ml_train_test_split" -> mlTrainTestSplit _,
     "ml_weighted_sample" -> mlWeightedSample _,
+    "ml_norm_outliers" -> mlNormOutliers _,
     "ml_lang_centroids" -> mlLangCentroids _,
     "ml_domain_mixture" -> mlDomainMixture _,
     "ml_export_shards" -> mlExportShards _,
@@ -438,6 +472,17 @@ object MlQueries {
          |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
          |  CAST(cum_tokens AS BIGINT) AS cum_tokens
          |FROM c WHERE cum_tokens <= budget""".stripMargin,
+    "ml_norm_outliers" ->
+      """WITH n2 AS (SELECT vec_id,
+        |  list_sum(list_transform(range(1, 65),
+        |    i -> CAST(embedding AS DOUBLE[])[i] * CAST(embedding AS DOUBLE[])[i])) AS norm2
+        |  FROM embeddings),
+        |hi AS (SELECT 'high' AS tail, vec_id, norm2, row_number() OVER
+        |  (ORDER BY norm2 DESC, vec_id) AS rank FROM n2),
+        |lo AS (SELECT 'low' AS tail, vec_id, norm2, row_number() OVER
+        |  (ORDER BY norm2 ASC, vec_id) AS rank FROM n2)
+        |SELECT tail, CAST(rank AS INT) AS rank, vec_id, round(norm2, 6) AS norm2
+        |FROM (SELECT * FROM hi UNION ALL SELECT * FROM lo) WHERE rank <= 20""".stripMargin,
     "ml_weighted_sample" ->
       """WITH r AS (SELECT doc_id,
         |  least(1000000, n_chars * 4000) AS rate_ppm FROM documents)
