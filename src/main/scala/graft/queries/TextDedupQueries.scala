@@ -339,6 +339,21 @@ object TextDedupQueries {
       .select(col("doc_id"), col("domain"), col("n_chars"), col("rate_ppm"))
   }
 
+  /** LOG₂ LENGTH HISTOGRAM — the distribution companion to
+    * [[docCorpusCard]]'s per-source means: document character lengths in
+    * power-of-two buckets (the bucket IS the binary-string length of
+    * n_chars — integer-exact, in-scan, no boundary arithmetic to get
+    * wrong), per source. Length pathologies a mean hides — a spike of
+    * empty docs, a truncation cliff, a runaway tail — each show as a
+    * bucket anomaly. One scan, (source × ~12 buckets) output. */
+  def docLengthHistogram(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("source"),
+        when(col("n_chars") <= 0, lit(0))
+          .otherwise(length(bin(col("n_chars")))).cast("int").as("log2_bucket"))
+      .groupBy(col("source"), col("log2_bucket"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+
   /** URL/CONTENT CONFLICT REPORT — the crawl-QA pass after URL dedup: a
     * canonical URL backed by MULTIPLE distinct content digests means the
     * canonicalizer is merging pages it shouldn't (lost a significant
@@ -989,6 +1004,7 @@ object TextDedupQueries {
     "doc_corpus_card" -> docCorpusCard _,
     "clf_calibration" -> clfCalibration _,
     "url_content_conflicts" -> urlContentConflicts _,
+    "doc_length_histogram" -> docLengthHistogram _,
     "text_pii_redact" -> textPiiRedact _,
     "text_normalize" -> textNormalize _,
     "ml_split_leakfree" -> mlSplitLeakfree _,
@@ -1435,6 +1451,12 @@ object TextDedupQueries {
          |    AS pred_keep,
          |  l.keep AS rule_keep
          |FROM labs l LEFT JOIN sc USING (doc_id)""".stripMargin,
+    "doc_length_histogram" ->
+      """SELECT source,
+        |  CAST(CASE WHEN n_chars <= 0 THEN 0
+        |       ELSE length(bin(n_chars)) END AS INT) AS log2_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY 1, 2""".stripMargin,
     // the same canon chain + md5 digests; only conflicted canonicals emit
     "url_content_conflicts" ->
       s"""WITH $urlCanonCtes,
