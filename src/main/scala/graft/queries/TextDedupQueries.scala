@@ -339,6 +339,39 @@ object TextDedupQueries {
       .select(col("doc_id"), col("domain"), col("n_chars"), col("rate_ppm"))
   }
 
+  /** CORPUS DRIFT MONITOR — the check between two ingest batches: per
+    * source, compare document count, rule-filter keep rate, and mean
+    * length across batch A and batch B (the interleaved doc-id halves play
+    * the two drops; in production the batch key is the ingest date). A
+    * keep-rate delta flags an upstream quality shift BEFORE it poisons a
+    * training mix; rates are exact integer ppm (`n_keep·10⁶ div n_docs`),
+    * mean lengths exact char-per-kilodoc integers, so the drift report
+    * rides the hash gate. One scan, conditional aggregates, per-source
+    * output. */
+  def docCorpusDrift(s: SparkSession, dir: String): DataFrame = {
+    val t = TextOps.tokensFast(col("text"))
+    val rk = (size(t).between(5, 5000) &&
+      round(TextOps.alphaRatio(col("text")), 6) >= 0.5 &&
+      TextOps.stopwordHits(col("text"), TextOps.StopwordTable.toMap.apply("en")) >= 1)
+      .cast("long")
+    docs(s, dir)
+      .select(col("source"), (col("doc_id") % 2).as("b"), rk.as("rk"), col("n_chars"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("b") === 0, 1L).otherwise(0L)).as("a_docs"),
+        sum(when(col("b") === 1, 1L).otherwise(0L)).as("b_docs"),
+        sum(when(col("b") === 0, col("rk")).otherwise(0L)).as("a_keep"),
+        sum(when(col("b") === 1, col("rk")).otherwise(0L)).as("b_keep"),
+        sum(when(col("b") === 0, col("n_chars")).otherwise(0L)).as("a_chars"),
+        sum(when(col("b") === 1, col("n_chars")).otherwise(0L)).as("b_chars"))
+      .select(col("source"), col("a_docs"), col("b_docs"),
+        expr("a_keep * 1000000 div greatest(a_docs, 1)").as("a_keep_ppm"),
+        expr("b_keep * 1000000 div greatest(b_docs, 1)").as("b_keep_ppm"),
+        expr("b_keep * 1000000 div greatest(b_docs, 1) - a_keep * 1000000 div greatest(a_docs, 1)")
+          .as("keep_delta_ppm"),
+        expr("a_chars * 1000 div greatest(a_docs, 1)").as("a_chars_per_kdoc"),
+        expr("b_chars * 1000 div greatest(b_docs, 1)").as("b_chars_per_kdoc"))
+  }
+
   /** LOG₂ LENGTH HISTOGRAM — the distribution companion to
     * [[docCorpusCard]]'s per-source means: document character lengths in
     * power-of-two buckets (the bucket IS the binary-string length of
@@ -1005,6 +1038,7 @@ object TextDedupQueries {
     "clf_calibration" -> clfCalibration _,
     "url_content_conflicts" -> urlContentConflicts _,
     "doc_length_histogram" -> docLengthHistogram _,
+    "doc_corpus_drift" -> docCorpusDrift _,
     "text_pii_redact" -> textPiiRedact _,
     "text_normalize" -> textNormalize _,
     "ml_split_leakfree" -> mlSplitLeakfree _,
@@ -1451,6 +1485,34 @@ object TextDedupQueries {
          |    AS pred_keep,
          |  l.keep AS rule_keep
          |FROM labs l LEFT JOIN sc USING (doc_id)""".stripMargin,
+    "doc_corpus_drift" -> {
+      val en = TextOps.StopwordTable.toMap.apply("en")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH $toksCte,
+         |r AS (SELECT doc_id, text, source, n_chars, doc_id % 2 AS b,
+         |  CASE WHEN len(t) BETWEEN 5 AND 5000
+         |   AND len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / len(text) >= 0.5
+         |   AND len(list_filter(t, x -> list_contains($en, x))) >= 1
+         |  THEN 1 ELSE 0 END AS rk
+         |  FROM toks JOIN documents USING (doc_id, text)),
+         |agg AS (SELECT source,
+         |  sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS a_docs,
+         |  sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS b_docs,
+         |  sum(CASE WHEN b = 0 THEN rk ELSE 0 END) AS a_keep,
+         |  sum(CASE WHEN b = 1 THEN rk ELSE 0 END) AS b_keep,
+         |  sum(CASE WHEN b = 0 THEN n_chars ELSE 0 END) AS a_chars,
+         |  sum(CASE WHEN b = 1 THEN n_chars ELSE 0 END) AS b_chars
+         | FROM r GROUP BY 1)
+         |SELECT source, CAST(a_docs AS BIGINT) AS a_docs,
+         |  CAST(b_docs AS BIGINT) AS b_docs,
+         |  CAST(a_keep * 1000000 // greatest(a_docs, 1) AS BIGINT) AS a_keep_ppm,
+         |  CAST(b_keep * 1000000 // greatest(b_docs, 1) AS BIGINT) AS b_keep_ppm,
+         |  CAST(b_keep * 1000000 // greatest(b_docs, 1)
+         |     - a_keep * 1000000 // greatest(a_docs, 1) AS BIGINT) AS keep_delta_ppm,
+         |  CAST(a_chars * 1000 // greatest(a_docs, 1) AS BIGINT) AS a_chars_per_kdoc,
+         |  CAST(b_chars * 1000 // greatest(b_docs, 1) AS BIGINT) AS b_chars_per_kdoc
+         |FROM agg""".stripMargin
+    },
     "doc_length_histogram" ->
       """SELECT source,
         |  CAST(CASE WHEN n_chars <= 0 THEN 0
