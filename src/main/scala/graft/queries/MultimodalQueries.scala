@@ -272,6 +272,46 @@ object MultimodalQueries {
         maxChunkDf = Some(64), hashBits = Multimodal.FpBits)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
 
+  /** COMBINED 2-D BORDER crop — closing the gap [[mmImageDedupCrop2d]]
+    * documents ("combined top+left crops need a finer grid or a lower
+    * bar"): the finer grid. On 40×16 tiles a SIMULTANEOUS top-1-row +
+    * left-1-column crop loses ~8.6% of content and the row-interior
+    * shingle sets still clear the 0.8 bar (J = 555/666 ≈ 0.833 planted —
+    * the J ≈ (1−ℓ)/(1+ℓ) content-loss law made concrete: deeper combined
+    * crops need proportionally finer grids, a corpus-policy dial, not new
+    * machinery). Quarter corpus (doc_id % 4 = 0): the 640-token grid is
+    * ~4.4× the 1-D entry's token volume. Per group of 8 on (id/4):
+    * 8k+1 the combined crop, 8k+2 a ×2 gain copy, 8k+3 a one-tile edit. */
+  val ImgCbCols = 40
+  val ImgCbRows = 16
+  private[graft] def mmImageCropCombinedDocs(s: SparkSession, dir: String): DataFrame = {
+    val makeMedia = udf { (id: Long) =>
+      val v = (id / 4) % 8
+      val iid = if (v >= 1 && v <= 3) id - 4 * v else id
+      v match {
+        case 1 => Multimodal.syntheticTileImage(iid, ImgCbCols, ImgCbRows, VidFpW,
+          cropTopRows = 1, cropLeftCols = 1, format = "bmp")
+        case 2 => Multimodal.syntheticTileImage(iid, ImgCbCols, ImgCbRows, VidFpW, gain = 2, format = "bmp")
+        case 3 => Multimodal.syntheticTileImage(iid, ImgCbCols, ImgCbRows, VidFpW, bumpTile0 = true, format = "bmp")
+        case _ => Multimodal.syntheticTileImage(iid, ImgCbCols, ImgCbRows, VidFpW, format = "bmp")
+      }
+    }
+    val media = s.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") % 4 === 0)
+      .select(col("doc_id").as("media_id"))
+      .withColumn("payload", makeMedia(col("media_id")))
+    Multimodal.imageTokenColumn(media, tile = VidFpW)
+      .where(col("text").isNotNull)
+      .select(col("media_id").as("doc_id"), col("text"))
+  }
+
+  def mmImageDedupCropCombined(s: SparkSession, dir: String): DataFrame = {
+    val d = mmImageCropCombinedDocs(s, dir)
+    val sh = Dedup.docShinglesRaw(d, "doc_id", "text")
+    val sigs = Dedup.minhashSignatures(sh)
+    Dedup.jaccardPairs(sh, 0.8, candidates = Some(Dedup.lshCandidates(sigs)))
+  }
+
   /** CROSS-MODAL dedup — one connected-component pass over the UNION of
     * the text near-dup pair graph (the shared MinHash+Jaccard artifact
     * every cluster entry builds on) and the image perceptual pair graph
@@ -577,6 +617,7 @@ object MultimodalQueries {
     "mm_video_dedup_crop" -> mmVideoDedupCrop _,
     "mm_image_dedup_crop" -> mmImageDedupCrop _,
     "mm_image_dedup_crop2d" -> mmImageDedupCrop2d _,
+    "mm_image_dedup_crop_combined" -> mmImageDedupCropCombined _,
     "dedup_multimodal_cc" -> dedupMultimodalCc _,
   )
 
@@ -972,6 +1013,50 @@ object MultimodalQueries {
          |  FROM (SELECT media_id, brow, bcol,
          |          md5(CAST(iid * 1024 + b AS VARCHAR) || 't') AS h
          |        FROM tiles) th),
+         |toksrc AS (
+         |  SELECT media_id, brow, bcol,
+         |    CASE WHEN r = 0 AND g = 0 AND bl = 0 THEN '0/0/0'
+         |         ELSE (r // gcd(gcd(r, g), bl)) || '/' || (g // gcd(gcd(r, g), bl))
+         |           || '/' || (bl // gcd(gcd(r, g), bl))
+         |    END AS tok
+         |  FROM colors),
+         |texts AS (SELECT media_id AS doc_id,
+         |    string_agg(tok, ' ' ORDER BY brow, bcol) AS text
+         |  FROM toksrc GROUP BY 1),
+         |toks AS (SELECT doc_id, text,
+         |  list_filter(string_split(text, ' '), x -> x != '') AS t FROM texts),
+         |${TextDedupQueries.shinglesCte}, ${TextDedupQueries.sigCte},
+         |${TextDedupQueries.pairsCtesUncapped}
+         |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+         |FROM jac WHERE jaccard >= 0.8""".stripMargin
+    },
+    // combined 2-D border crop: both axis restrictions on the original
+    // tile indices, the quarter-corpus variant keying, the shared chain
+    "mm_image_dedup_crop_combined" -> {
+      val (tcols, trows) = (ImgCbCols, ImgCbRows)
+      s"""WITH media AS (
+         |  SELECT doc_id AS media_id, (doc_id // 4) % 8 AS v,
+         |    CASE WHEN (doc_id // 4) % 8 IN (1, 2, 3)
+         |      THEN doc_id - 4 * ((doc_id // 4) % 8) ELSE doc_id END AS iid
+         |  FROM documents WHERE doc_id % 4 = 0),
+         |tiles AS (
+         |  SELECT media_id, v, iid, bb.b AS b,
+         |    bb.b // $tcols AS brow, bb.b % $tcols AS bcol
+         |  FROM media CROSS JOIN (SELECT unnest(range(0, ${tcols * trows})) AS b) bb
+         |  WHERE bb.b // $tcols >= CASE WHEN v = 1 THEN 1 ELSE 0 END
+         |    AND bb.b % $tcols >= CASE WHEN v = 1 THEN 1 ELSE 0 END),
+         |colors AS (
+         |  SELECT media_id, brow, bcol,
+         |    CASE WHEN v = 3 AND b = 0 THEN (r + 7) % 128 ELSE r END AS r,
+         |    CASE WHEN v = 3 AND b = 0 THEN (g + 7) % 128 ELSE g END AS g,
+         |    CASE WHEN v = 3 AND b = 0 THEN (bl + 7) % 128 ELSE bl END AS bl
+         |  FROM (SELECT media_id, v, b, brow, bcol,
+         |          ('0x' || substr(h, 1, 2))::INT % 128 AS r,
+         |          ('0x' || substr(h, 3, 2))::INT % 128 AS g,
+         |          ('0x' || substr(h, 5, 2))::INT % 128 AS bl
+         |        FROM (SELECT media_id, v, b, brow, bcol,
+         |                md5(CAST(iid * 1024 + b AS VARCHAR) || 't') AS h
+         |              FROM tiles) th) tc),
          |toksrc AS (
          |  SELECT media_id, brow, bcol,
          |    CASE WHEN r = 0 AND g = 0 AND bl = 0 THEN '0/0/0'
