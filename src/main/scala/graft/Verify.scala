@@ -38,7 +38,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] artifact dump failed: ${e.getMessage}")
       }
-    SparkEntry.queries.filter(kv => only.forall(_(kv._1))).foreach { case (name, fn) =>
+    // SPARK_GRAFT_SQL_ONLY=1: dump the FULL (unfiltered) oracle_sql.json and
+    // skip query execution — feeds tools/typelint.py a whole-catalog sweep
+    // in seconds without a Spark run.
+    val sqlOnly = sys.env.contains("SPARK_GRAFT_SQL_ONLY")
+    val run = if (sqlOnly) Map.empty[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]
+              else SparkEntry.queries.filter(kv => only.forall(_(kv._1)))
+    run.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -57,7 +63,8 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => only.forall(_(kv._1)))
+    val json = SparkEntry.oracleSql
+      .filter(kv => sqlOnly || only.forall(_(kv._1)))
       .map { case (k, v) =>
         s"${q(k)}: ${q(v.replace("__GRAFT_ARTIFACTS__", artifactsDir))}" }
       .mkString("{", ",", "}")

@@ -127,7 +127,9 @@ object TextOps {
   /** URL canonicalization — the crawl-pipeline normalization that maps the
     * many raw spellings of one resource to a single key for exact URL-level
     * dedup: lowercase scheme and host (ONLY those — paths are
-    * case-sensitive), strip the fragment, strip default ports (:80/:443),
+    * case-sensitive), strip the fragment, strip the scheme's OWN default
+    * port (:80 for http, :443 for https — `http://h:443/x` keeps its
+    * non-default port and stays distinct),
     * strip a leading `www.`, strip trailing path slashes, drop tracking
     * params ([[TrackingParamRe]]), and sort the surviving query params
     * (param ORDER varies per emitter, the resource doesn't). Pure column
@@ -137,11 +139,11 @@ object TextOps {
   def urlCanonicalize(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
-    val host = regexp_replace(
-      regexp_replace(
-        lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/?#]+)", 1)),
-        ":(443|80)$", ""),
-      "^www\\.", "")
+    val hostRaw = lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/?#]+)", 1))
+    val noPort = when(scheme === "http", regexp_replace(hostRaw, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostRaw, ":443$", ""))
+      .otherwise(hostRaw)
+    val host = regexp_replace(noPort, "^www\\.", "")
     val path = regexp_replace(
       regexp_extract(noFrag, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/+$", "")
     val q = regexp_extract(noFrag, "\\?([^#]*)", 1)

@@ -453,7 +453,7 @@ object MlQueries {
          |  COALESCE(sum(t) OVER (ORDER BY doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
          | FROM t)
-         |SELECT cum_before // $ShardBudgetTokens AS shard,
+         |SELECT CAST(cum_before // $ShardBudgetTokens AS BIGINT) AS shard,
          |  CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(t) AS BIGINT) AS n_tokens,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc

@@ -214,8 +214,8 @@ object SomQueries {
       abs(col("k") % Width - col("j") % Width)) === 1
     a.join(b, adj)
       .select(col("k"),
-        (round(sqrt(graft.functions.VectorSql.sqDistFast(col("ck"), col("cj"))), 6)
-          * 1000000).cast("long").as("nd_e6"))
+        round(round(sqrt(graft.functions.VectorSql.sqDistFast(col("ck"), col("cj"))), 6)
+          * 1000000, 0).cast("long").as("nd_e6"))
       .groupBy(col("k"))
       .agg(count(lit(1)).cast("int").as("n_neighbors"),
         sum(col("nd_e6")).cast("long").as("sum_ndist_e6"))
@@ -270,8 +270,8 @@ object SomQueries {
          |    ON abs(a.proto_id // $Width - b.proto_id // $Width)
          |     + abs(a.proto_id % $Width - b.proto_id % $Width) = 1),
          |nd AS (SELECT k,
-         |  CAST(round(sqrt(list_sum(list_transform(range(1, ${Dim + 1}),
-         |    i -> (ck[i]-cj[i])*(ck[i]-cj[i])))), 6) * 1000000 AS BIGINT) AS nd_e6
+         |  CAST(round(round(sqrt(list_sum(list_transform(range(1, ${Dim + 1}),
+         |    i -> (ck[i]-cj[i])*(ck[i]-cj[i])))), 6) * 1000000, 0) AS BIGINT) AS nd_e6
          |  FROM adj)
          |SELECT k AS cell, CAST(k // $Width AS INT) AS row,
          |  CAST(k % $Width AS INT) AS col,

@@ -84,6 +84,11 @@ object Versioned {
     }
     val cols = delta.columns
     val currentRaw = readBuckets(spark, dir, prev.filter { case (b, _) => touched(b) })
+    val missing = currentRaw.columns.filterNot(cols.contains)
+    require(missing.isEmpty,
+      s"commitUpsert delta lacks table columns ${missing.mkString(", ")} — " +
+        "dropping columns is unsupported; select them into the delta (null-filled " +
+        "for new keys) or evolve the schema additively")
     val current = cols.foldLeft(currentRaw) { (df, c) =>
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(delta.schema(c).dataType))
@@ -229,7 +234,7 @@ object Versioned {
   def latestVersion(dir: String): Int = {
     val d = manifestPath(dir, 1).getParent.toFile
     Option(d.listFiles()).getOrElse(Array.empty)
-      .map(_.getName).collect { case s if s.startsWith("v") && s.endsWith(".csv") =>
+      .map(_.getName).collect { case s if s.matches("v\\d+\\.csv") =>
         s.stripPrefix("v").stripSuffix(".csv").toInt }
       .foldLeft(0)(math.max)
   }
@@ -267,6 +272,7 @@ object Versioned {
       }
     (1 until math.max(1, latest - keep + 1)).foreach { v =>
       java.nio.file.Files.deleteIfExists(manifestPath(dir, v))
+      java.nio.file.Files.deleteIfExists(statsPath(dir, v))
     }
   }
 

@@ -12,6 +12,7 @@ Usage: python3 tools/check.py [sfdir] [outdir]
 """
 import sys, json, glob, os, struct
 import duckdb
+import typelint  # oracle output-type lint (HUGEINT/DECIMAL → driver hash-red)
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -57,6 +58,14 @@ def main():
         spark_files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not spark_files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        bad_types = typelint.lint(con, name, sql)
+        if any(c != "<describe>" for c, _ in bad_types):
+            # int128/decimal oracle outputs byte-hash-fail on the driver even
+            # when values match numerically here — fail loudly and locally
+            print(f"FAIL {name}: oracle type lint: " +
+                  ", ".join(f"{c} is {t}" for c, t in bad_types))
+            n_fail += 1
+            continue
         try:
             orc = con.execute(sql)
             ocols = [d[0] for d in orc.description]
