@@ -39,6 +39,53 @@ object SimilarityQueries {
       .select(col("vec_id"), col("v"), col("m.proto_id").as("cell"))
   }
 
+  /** Lloyd iterations for the TRAINED coarse quantizer (r8 verdict #4):
+    * fixed and small — a coarse quantizer needs balanced cells, not
+    * convergence; every iterate is oracle-replayed (see [[kmChain]]). */
+  val KmIters = 3
+
+  /** The TRAINED K9-cell Lloyd quantizer ([[graft.operators.Kmeans]]),
+    * fitted once per session via Artifacts and exposed under the hash gate
+    * as `km_fit` / `km_fit_spherical`.
+    *
+    * MEASURED DECISION — why the `ann_ivf*` serving entries stay on the
+    * data-sampled heuristic (the r8-verdict ask was to re-point them; the
+    * measurement said no, and the honest move is the r8 adaptive-probing
+    * precedent of documenting a signal-free knob rather than shipping it):
+    * on THIS corpus the embeddings are direction-random — there is no
+    * cluster structure for Lloyd to discover — so training only
+    * redistributes cell boundaries. Recall@10 at nprobe=2 vs exact:
+    * heuristic 0.92 / 0.98 (sf0.01 / sf0.1, euclid or spherical
+    * assignment); first-K-seeded Lloyd 0.86 / 0.98 (spherical 0.84);
+    * MAXIMIN-seeded Lloyd 0.52 / 0.54 — farthest-point seeds are outliers,
+    * and with no density structure three Lloyd iterations leave cells
+    * centered on noise. Balance (max/min cell population, sf0.01):
+    * heuristic 1.53 → trained 1.41 — real but marginal, and not worth any
+    * recall regression. KmeansSpec carries the numbers AND the
+    * counter-case: on a corpus with planted cluster structure (first 9
+    * rows all one cluster — ingest order correlating with source) the
+    * maximin-seeded trained quantizer reaches recall 1.0 scanning 3.3×
+    * fewer rows than the first-K heuristic's degenerate giant cell, which
+    * is exactly when a user reaches for [[kmFit]]'s quantizer over the
+    * default. */
+  private def kmCentroids(s: SparkSession, dir: String, spherical: Boolean): DataFrame =
+    graft.operators.Kmeans.centroids(s, pts(s, dir), K9, KmIters, spherical, dir)
+
+  /** The trained quantizer itself under the hash gate (the som_fit5
+    * convention: the fit is verified, not just the serving built on it):
+    * (cell, dim, nv) after [[KmIters]] quantized Lloyd iterations. */
+  def kmFit(s: SparkSession, dir: String): DataFrame =
+    kmCentroids(s, dir, spherical = false)
+      .select(col("cell").cast("int").as("cell"),
+        posexplode(col("c")).as(Seq("dim", "nv")))
+
+  /** Spherical (cosine-assignment) twin of [[kmFit]] — the quantizer the
+    * spilled multi-probe index serves from. */
+  def kmFitSpherical(s: SparkSession, dir: String): DataFrame =
+    kmCentroids(s, dir, spherical = true)
+      .select(col("cell").cast("int").as("cell"),
+        posexplode(col("c")).as(Seq("dim", "nv")))
+
   /** √N-scaled IVF cell count (never below the 3×3 SOM grid): keeps the
     * within-cell all-pairs of [[nearDupNN]] at ~N^1.5 total work instead of
     * O(N²/const) — the constant-cell-count variant is quadratic at 100×. */
@@ -590,6 +637,8 @@ object SimilarityQueries {
     "ann_brute" -> annBrute _,
     "ann_filtered" -> annFiltered _,
     "ann_int8" -> annInt8 _,
+    "km_fit" -> kmFit _,
+    "km_fit_spherical" -> kmFitSpherical _,
     "ann_ivf" -> annIvf _,
     "ann_ivf_multiprobe" -> annIvfMultiprobe _,
     "ann_ivf_multiprobe_pruned" -> annIvfMultiprobePruned _,
@@ -656,6 +705,69 @@ object SimilarityQueries {
        |  (SELECT vec_id, v, cell, row_number() OVER
        |    (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM dn)
        |  WHERE rn = 1)""".stripMargin
+
+  /** The trained-quantizer replay (r8 verdict #4), mirroring
+    * [[graft.operators.Kmeans.fitLloyd]] under the som_fit5 discipline:
+    * km0 = the MAXIMIN (Gonzalez farthest-point) seed rows in selection
+    * order, r4-quantized — the seeding itself is replayed (kmd/seeds
+    * CTEs: exact min/argmax over the shared folds); each iteration assigns
+    * every vector to its nearest centroid — the SAME left-to-right
+    * list_sum folds Spark runs, so the argmin ranks bit-identically — then
+    * recomputes each cell's mean with component sums rounded to 6 decimals
+    * and means to 4 (an emptied cell carries its previous centroid via
+    * LEFT JOIN + COALESCE). Ends with a `protos AS (cell, c)` CTE in the
+    * serving fragments' shape, so re-pointing a serving oracle at the
+    * trained quantizer is a one-line base swap if a future corpus makes
+    * the [[kmCentroids]] decision note flip. */
+  private def kmChain(iters: Int, spherical: Boolean): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """kpx AS (SELECT vec_id, CAST(i - 1 AS INT) AS dim, v[i] AS x
+        |       FROM (SELECT vec_id, v, unnest(range(1, 65)) AS i FROM pts)),
+        |seeds0 AS (SELECT min(vec_id) AS sid, 0 AS ord FROM pts)""".stripMargin)
+    // maximin (Gonzalez) seeding replay: seed i = the point farthest from
+    // the chosen set — exact min/argmax over the shared list_sum folds
+    for (i <- 1 until K9) {
+      val prox =
+        if (spherical) s"max(${cosE("p.v", "q.v")})"
+        else "min(list_sum(list_transform(range(1, 65), i -> (p.v[i]-q.v[i])*(p.v[i]-q.v[i]))))"
+      val ord = if (spherical) "prox ASC" else "prox DESC"
+      sb.append(s""",
+        |kmd$i AS (SELECT p.vec_id, $prox AS prox
+        |  FROM pts p CROSS JOIN
+        |    (SELECT q.v FROM pts q JOIN seeds${i - 1} s ON q.vec_id = s.sid) q
+        |  GROUP BY p.vec_id),
+        |seeds$i AS (SELECT sid, ord FROM seeds${i - 1} UNION ALL
+        |  SELECT vec_id AS sid, $i AS ord FROM (
+        |    SELECT vec_id, row_number() OVER (ORDER BY $ord, vec_id) AS rn
+        |    FROM kmd$i) WHERE rn = 1)""".stripMargin)
+    }
+    sb.append(s""",
+      |km0 AS (SELECT CAST(s.ord AS INT) AS cell, kpx.dim, round(kpx.x, 4) AS nv
+      |        FROM seeds${K9 - 1} s JOIN kpx ON kpx.vec_id = s.sid)""".stripMargin)
+    for (i <- 0 until iters) {
+      val prev = s"km$i"
+      val order =
+        if (spherical) s"${cosE("p.v", "kl.c")} DESC"
+        else "list_sum(list_transform(range(1, 65), i -> (p.v[i]-kl.c[i])*(p.v[i]-kl.c[i]))) ASC"
+      sb.append(s""",
+        |kl$i AS (SELECT cell, list(nv ORDER BY dim) AS c FROM $prev GROUP BY cell),
+        |ka$i AS (SELECT vec_id, cell FROM (
+        |  SELECT p.vec_id, kl.cell, row_number() OVER
+        |    (PARTITION BY p.vec_id ORDER BY $order, kl.cell) AS rn
+        |  FROM pts p CROSS JOIN kl$i kl) WHERE rn = 1),
+        |ks$i AS (SELECT ka.cell, kpx.dim, round(sum(kpx.x), 6) AS s2,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM ka$i ka JOIN kpx USING (vec_id) GROUP BY 1, 2),
+        |km${i + 1} AS (SELECT p.cell, p.dim,
+        |    COALESCE(round(s.s2 / s.n, 4), p.nv) AS nv
+        |  FROM $prev p LEFT JOIN ks$i s ON p.cell = s.cell AND p.dim = s.dim)""".stripMargin)
+    }
+    sb.append(s""",
+      |protos AS (SELECT CAST(cell AS BIGINT) AS cell, list(nv ORDER BY dim) AS c
+      |  FROM km$iters GROUP BY cell)""".stripMargin)
+    sb.toString
+  }
 
   /** Nearest-2-cells IVF top-k over the full corpus — shared verbatim by
     * `ann_ivf`, `ann_ivf_pruned`, and `ann_ivf_delta` (layout and append
@@ -874,6 +986,16 @@ object SimilarityQueries {
     // ONE oracle for the in-memory query, the pruned layout, and the
     // delta-appended layout: the disk hop AND the append seam must both be
     // invisible in the results
+    // the fit replay alone (`nv + 0` normalizes DuckDB's -0.0, the
+    // som_fit5 convention; Spark's round never emits -0.0)
+    "km_fit" ->
+      s"""WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |${kmChain(KmIters, spherical = false)}
+         |SELECT cell, dim, nv + 0 AS nv FROM km$KmIters""".stripMargin,
+    "km_fit_spherical" ->
+      s"""WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |${kmChain(KmIters, spherical = true)}
+         |SELECT cell, dim, nv + 0 AS nv FROM km$KmIters""".stripMargin,
     "ann_ivf_pruned" -> ivfServeOracle,
     "ann_ivf" -> ivfServeOracle,
     "ann_ivf_delta" -> ivfServeOracle,
