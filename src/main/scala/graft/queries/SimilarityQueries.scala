@@ -502,6 +502,46 @@ object SimilarityQueries {
     Similarity.lshNearDupPairs(p, MinCos, nBits = 8 * bpb, bands = 8)
   }
 
+  /** STREAMING semantic near-dup pairs under the hash gate (r8 verdict
+    * #5) — the embedding-family member of the streaming dedup pair
+    * (`dedup_pairs_stream` is the text member): the embedding corpus
+    * flows through `readStream` into [[graft.streaming.EmbStream]]
+    * (per-row sign-LSH band keys → stateful per-bucket exact-cosine
+    * confirm) and the parquet sink, read back and band-deduped, must
+    * hash-match the BATCH `dedup_embedding_lsh` oracle. Band width is
+    * sized from the staged corpus count, like the batch entry; a live
+    * deployment re-bands on width thresholds (the incremental-fingerprint
+    * discipline). EmbStreamSpec proves batch-split and restart
+    * invariance. */
+  def dedupEmbeddingLshStream(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    import fork.implicits._
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_stream_emb_lsh_${ProcessHandle.current().pid()}")
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+    val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    val points = pts(fork, dir)
+    points.write.parquet(inDir)
+    val bpb = Similarity.bitsPerBand(points.count())
+    val stream = fork.readStream.schema("vec_id LONG, v ARRAY<DOUBLE>").parquet(inDir)
+    val q = graft.streaming.EmbStream.pairsStream(
+        graft.streaming.EmbStream.bandRows(stream, nBits = 8 * bpb, bands = 8)
+          .as[graft.streaming.EmbStream.BandVec])
+      .toDF()
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    fork.read.schema("vec_a LONG, vec_b LONG, cos_sim DOUBLE").parquet(outDir)
+      .distinct()
+  }
+
   /** `ann_ivf` served FROM THE DISK LAYOUT: the cell-assigned corpus is
     * written `partitionBy(cell)` ([[graft.sources.Sources.writeIvfLayout]]),
     * the probes' nprobe cells become a LITERAL partition filter on the
@@ -647,6 +687,7 @@ object SimilarityQueries {
     "ann_pq" -> annPq _,
     "dedup_embedding_nn" -> nearDupNN _,
     "dedup_embedding_lsh" -> nearDupLsh _,
+    "dedup_embedding_lsh_stream" -> dedupEmbeddingLshStream _,
     "dedup_semantic" -> dedupSemantic _,
     "dedup_semantic_lsh" -> dedupSemanticLsh _,
     "dedup_contamination_semantic" -> contaminationSemantic _,
@@ -789,6 +830,16 @@ object SimilarityQueries {
        |SELECT probe_id, CAST(rn AS INT) AS rank, vec_id AS neighbor_id,
        | round(cos, 6) AS cos_sim
        |FROM r WHERE rn <= $K""".stripMargin
+
+  // the literal-hyperplane sign-LSH confirm — shared verbatim by the
+  // batch entry and its streaming twin
+  private lazy val embLshOracle: String =
+    s"""WITH $base, $lshCandCtes,
+       |conf AS (SELECT vec_a, vec_b, ${cosE("pa.v", "pb.v")} AS cos
+       |  FROM cand JOIN pts pa ON vec_a = pa.vec_id
+       |            JOIN pts pb ON vec_b = pb.vec_id)
+       |SELECT vec_a, vec_b, round(cos, 6) AS cos_sim
+       |FROM conf WHERE cos >= $MinCos""".stripMargin
 
   private lazy val multiprobeOracle: String =
     s"""WITH $base,
@@ -1010,13 +1061,10 @@ object SimilarityQueries {
     // from the SAME left-to-right fold, packed into corpus-sized band keys
     // (params.bpb = integer twin of Similarity.bitsPerBand — bit-length
     // arithmetic, no libm log)
-    "dedup_embedding_lsh" ->
-      s"""WITH $base, $lshCandCtes,
-         |conf AS (SELECT vec_a, vec_b, ${cosE("pa.v", "pb.v")} AS cos
-         |  FROM cand JOIN pts pa ON vec_a = pa.vec_id
-         |            JOIN pts pb ON vec_b = pb.vec_id)
-         |SELECT vec_a, vec_b, round(cos, 6) AS cos_sim
-         |FROM conf WHERE cos >= $MinCos""".stripMargin,
+    "dedup_embedding_lsh" -> embLshOracle,
+    // the streaming form must be indistinguishable from the batch
+    // pipeline: same oracle verbatim (the dedup_pairs_stream convention)
+    "dedup_embedding_lsh_stream" -> embLshOracle,
     // the linear SemDeDup: the SAME LSH chain supplies the candidate pairs
     // (confirmed at τ), then the dedup_semantic closure/diversity replay
     // verbatim — the quantizer appears ONLY in the farthest-from-centroid

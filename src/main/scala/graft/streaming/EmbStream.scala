@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** STREAMING semantic (embedding-space) near-dup dedup — the
+  * embedding-family member of the streaming dedup pair
+  * ([[DocStream]] is the text/MinHash member): vectors arrive as a
+  * stream, and exact-cosine-confirmed near-dup pairs leave as a stream,
+  * equal to the batch sign-LSH pipeline
+  * ([[graft.operators.Similarity.lshNearDupPairs]]) over whatever prefix
+  * of the corpus has arrived. A continuous-crawl pipeline dedups
+  * embeddings on arrival exactly like text (r8 verdict ask #5).
+  *
+  * Spark-first shape, mirroring [[DocStream]]:
+  *  - band keys are PER-ROW column expressions (the batch
+  *    `lshSignBands` is already per-row: 64 codegen dots → sign bits →
+  *    packed band keys; [[bandRows]] just carries the vector alongside),
+  *    so the stream stays shuffle-free until the band grouping;
+  *  - pair discovery is ONE stateful operator: `groupByKey(band, key)` +
+  *    `flatMapGroupsWithState`, state = the bucket's carried (vec_id,
+  *    vector, norm) members. A new vector emits confirmed pairs against
+  *    every carried member — exactly the candidates the batch band
+  *    self-join finds, because band keys are per-row (union-of-banded ==
+  *    banded-of-union);
+  *  - the exact-cosine confirm runs INSIDE the state function as the
+  *    SAME left-to-right IEEE folds the batch codegen kernels run
+  *    (`dot/(sqrt(dot(a,a))·sqrt(dot(b,b)))`, norms computed once per
+  *    carried member), same HALF_UP round(6) — so the emitted pairs
+  *    hash-match the batch oracle.
+  *
+  * Scale notes: per-bucket state is the bucket's membership, bounded by
+  * the near-dup structure exactly as the batch band join's bucket cost
+  * is; band WIDTH must grow with corpus size ([[graft.operators
+  * .Similarity.bitsPerBand]]) — a deployment re-bands when the corpus
+  * crosses a width threshold (the `dedup_simhash_incremental`
+  * discipline); the bounded-corpus entry sizes bands from the staged
+  * corpus count up front. A pair found through two bands is emitted by
+  * two groups; the sink read-back collapses them with a distinct, like
+  * the batch candidate DISTINCT. */
+object EmbStream {
+
+  final case class BandVec(band: Int, key: Long, vec_id: Long, v: Array[Double])
+  final case class CosPair(vec_a: Long, vec_b: Long, cos_sim: Double)
+  final case class VecBucket(vecs: List[(Long, Array[Double], Double)])
+
+  /** Per-row sign-LSH band keys carrying the vector: (band, key, vec_id,
+    * v) — the batch [[graft.operators.Similarity.lshSignBands]] columns
+    * plus `v` for the in-state confirm. */
+  def bandRows(points: DataFrame, nBits: Int, bands: Int): DataFrame = {
+    require(nBits % bands == 0, "bands must divide nBits")
+    val bpb = nBits / bands
+    require(bpb <= 62, "band keys are packed into a long")
+    val bitCols = (0 until nBits).map { j =>
+      val w = array(graft.operators.Similarity.hyperplane(j).map(lit): _*)
+      (graft.functions.VectorSql.dotFast(col("v"), w) > 0.0)
+        .cast("int").as(s"bit_$j")
+    }
+    val withBits = points.select(col("vec_id") +: col("v") +: bitCols: _*)
+    val keyCols = (0 until bands).map { b =>
+      (0 until bpb).map(t => col(s"bit_${b * bpb + t}").cast("long") * lit(1L << t))
+        .reduce(_ + _).as(s"key_$b")
+    }
+    withBits.select(col("vec_id"), col("v"),
+        posexplode(array(keyCols: _*)).as(Seq("band", "key")))
+      .select(col("band"), col("key"), col("vec_id"), col("v"))
+  }
+
+  // the batch codegen kernels' exact folds (ArrayDot is a left-to-right
+  // acc += a(i)*b(i); norm2Fast = sqrt(dot(v,v))) — bit-identical here
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var (i, acc) = (0, 0.0)
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  val MinCos = 0.3
+
+  private def emit(key: (Int, Long), rows: Iterator[BandVec],
+                   state: GroupState[VecBucket]): Iterator[CosPair] = {
+    val carried = state.getOption.map(_.vecs).getOrElse(Nil)
+    val incoming = rows.toSeq.sortBy(_.vec_id)
+    val out = scala.collection.mutable.ListBuffer.empty[CosPair]
+    var acc = carried
+    for (b <- incoming) {
+      val nb = math.sqrt(dot(b.v, b.v))
+      for ((id2, v2, n2) <- acc if id2 != b.vec_id) {
+        val cos = dot(b.v, v2) / (nb * n2)
+        if (cos >= MinCos)
+          out += CosPair(math.min(b.vec_id, id2), math.max(b.vec_id, id2), r6(cos))
+      }
+      acc = (b.vec_id, b.v, nb) :: acc
+    }
+    state.update(VecBucket(acc))
+    out.iterator
+  }
+
+  /** The stateful pair stream: one row per (discovering band, confirmed
+    * pair) — read-back distinct collapses multi-band finds. */
+  def pairsStream(bands: Dataset[BandVec]): Dataset[CosPair] = {
+    import bands.sparkSession.implicits._
+    bands.groupByKey(b => (b.band, b.key))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(emit)
+  }
+}
