@@ -63,6 +63,24 @@ object TextDedupQueries {
       textQualityFilter(s, dir).select(col("doc_id")),
       "doc_id", "text", maxQuarterBits = LmQuarterBitsPerTok)
 
+  /** Quarter-bits-per-trigram keep threshold for [[textLmQuality3]]:
+    * measured at sf0.01 the rule-keep band tops out at 16.02 and the
+    * rule-drop band starts at 17.07 — 17 sits in the gap (the trigram
+    * model separates where the corpus bands overlap under the bigram,
+    * LmScorerSpec pins the planted case). */
+  private val Lm3QuarterBitsPerTok = 17
+
+  /** TRIGRAM back-off upgrade of [[textLmQuality]] (r8 verdict #8, KenLM
+    * shape): [[LmScorer.lmQuality3]] — add-one trigram surprisal with
+    * stupid-backoff to the bigram on unseen contexts, every quantity
+    * integer ([[LmScorer.BackoffBits]] whole-bit penalty), trained on the
+    * same rule-filter keep set. Catches bigram-chained gibberish the
+    * order-2 model scores as clean. */
+  def textLmQuality3(s: SparkSession, dir: String): DataFrame =
+    LmScorer.lmQuality3(docs(s, dir),
+      textQualityFilter(s, dir).select(col("doc_id")),
+      "doc_id", "text", maxQuarterBits = Lm3QuarterBitsPerTok)
+
   /** Hashed-feature bucket count for [[textQualityClf]] — small enough that
     * the learned weight table broadcasts, large enough that a 10k-token
     * vocabulary averages ~20 tokens/bucket (the hashing-trick regime). */
@@ -1030,6 +1048,7 @@ object TextDedupQueries {
     "text_stats" -> textStats _,
     "text_quality_filter" -> textQualityFilter _,
     "text_lm_quality" -> textLmQuality _,
+    "text_lm_quality3" -> textLmQuality3 _,
     "text_quality_clf" -> textQualityClf _,
     "text_domain_cap" -> textDomainCap _,
     "dedup_url" -> dedupUrl _,
@@ -1474,6 +1493,52 @@ object TextDedupQueries {
          |  coalesce(n_bigrams, 0) AS n_bigrams,
          |  coalesce(lm_bits, 0) AS lm_bits,
          |  CAST(coalesce(lm_bits, 0) * 4 <= coalesce(n_bigrams, 0) * $LmQuarterBitsPerTok AS INT) AS keep
+         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
+    },
+    // the trigram back-off replay: order-3 counts + context counts + the
+    // bigram fallback tables; seen contexts score the add-one trigram
+    // floor-log2, unseen contexts pay the whole-bit stupid-backoff penalty
+    // plus the add-one bigram floor-log2 of the LAST pair — all integer
+    "text_lm_quality3" -> {
+      val en = TextOps.StopwordTable.toMap.apply("en")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH $toksCte,
+         |keeps AS (SELECT doc_id FROM toks
+         | WHERE len(t) BETWEEN 5 AND 5000
+         |   AND len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / len(text) >= 0.5
+         |   AND len(list_filter(t, x -> list_contains($en, x))) >= 1),
+         |tg2 AS (SELECT doc_id, p.a AS a, p.b AS b, p.c AS c FROM
+         |  (SELECT doc_id, unnest(list_transform(range(1, len(t)-1),
+         |     i -> {'a': t[i], 'b': t[i+1], 'c': t[i+2]})) AS p
+         |   FROM toks WHERE len(t) >= 3)),
+         |bg2 AS (SELECT doc_id, p.a AS a, p.b AS b FROM
+         |  (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+         |     i -> {'a': t[i], 'b': t[i+1]})) AS p
+         |   FROM toks WHERE len(t) >= 2)),
+         |tr3 AS (SELECT tg2.* FROM tg2 JOIN keeps USING (doc_id)),
+         |trb AS (SELECT bg2.* FROM bg2 JOIN keeps USING (doc_id)),
+         |c3 AS (SELECT a, b, c, count(*) AS c3 FROM tr3 GROUP BY 1, 2, 3),
+         |c2 AS (SELECT a, b, count(*) AS c2 FROM tr3 GROUP BY 1, 2),
+         |cbc AS (SELECT a AS b, b AS c, count(*) AS cbc FROM trb GROUP BY 1, 2),
+         |c1b AS (SELECT a AS b, count(*) AS c1 FROM trb GROUP BY 1),
+         |vocab AS (SELECT count(DISTINCT tok) AS v
+         |  FROM (SELECT unnest(t) AS tok FROM toks JOIN keeps USING (doc_id))),
+         |sc AS (SELECT tg2.doc_id,
+         |  CASE WHEN c2.c2 IS NOT NULL
+         |    THEN length(bin((c2.c2 + (SELECT v FROM vocab))
+         |                    // (coalesce(c3.c3, 0) + 1))) - 1
+         |    ELSE ${LmScorer.BackoffBits}
+         |         + length(bin((coalesce(c1b.c1, 0) + (SELECT v FROM vocab))
+         |                       // (coalesce(cbc.cbc, 0) + 1))) - 1
+         |  END AS bits
+         |  FROM tg2 LEFT JOIN c3 USING (a, b, c) LEFT JOIN c2 USING (a, b)
+         |           LEFT JOIN cbc USING (b, c) LEFT JOIN c1b USING (b)),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         |   CAST(sum(bits) AS BIGINT) AS lm_bits FROM sc GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(n_trigrams, 0) AS n_trigrams,
+         |  coalesce(lm_bits, 0) AS lm_bits,
+         |  CAST(coalesce(lm_bits, 0) * 4 <= coalesce(n_trigrams, 0) * $Lm3QuarterBitsPerTok AS INT) AS keep
          |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
     },
     // hashed-feature NB classifier: the rule labels, the md5 bucket hash,

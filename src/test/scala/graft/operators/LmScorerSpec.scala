@@ -48,6 +48,45 @@ class LmScorerSpec extends SparkSpec {
     assert((0L until 30L).forall(scored(_)._3 == 1), "clean docs kept")
   }
 
+  // BIGRAM-CHAINED gibberish: every consecutive PAIR appears in the clean
+  // corpus (pivoting mid-phrase across source sentences), so the order-2
+  // model sees nothing unusual — but the pivots create trigram contexts /
+  // trigrams the training set never contains.
+  private val chained =
+    (41L, "the quick brown fox slept under the warm mat the cat watched from the old tree")
+
+  test("trigram back-off flags bigram-chained gibberish the bigram LM passes") {
+    val docs2 = (clean :+ chained).toDF("doc_id", "text")
+    val ids = docs2.select(col("doc_id"))
+    def perUnit(rows: Array[org.apache.spark.sql.Row]): Map[Long, Double] =
+      rows.map(r => r.getLong(0) ->
+        (if (r.getLong(1) == 0) 0.0 else r.getLong(2).toDouble / r.getLong(1))).toMap
+    val bg = perUnit(LmScorer.lmQuality(docs2, ids, "doc_id", "text", 14).collect())
+    val tg = perUnit(LmScorer.lmQuality3(docs2, ids, "doc_id", "text", 14).collect())
+    val cleanIds = (0L until 30L)
+    val (bgCleanMax, tgCleanMax) =
+      (cleanIds.map(bg).max, cleanIds.map(tg).max)
+    info(s"bits/unit — bigram: chained ${bg(41L)}, clean max $bgCleanMax; " +
+      s"trigram: chained ${tg(41L)}, clean max $tgCleanMax")
+    // the order-2 model scores the chained doc INSIDE the clean band (its
+    // pairs are all high-count): no bigram threshold separates it without
+    // also dropping a clean doc
+    assert(bg(41L) <= bgCleanMax,
+      s"fixture broken: bigram already separates (${bg(41L)} > $bgCleanMax)")
+    // the order-3 model pushes it STRICTLY above every clean doc — a
+    // threshold in the gap drops it and keeps the corpus
+    assert(tg(41L) > tgCleanMax + 0.5,
+      s"trigram must separate the chained doc: ${tg(41L)} vs $tgCleanMax")
+  }
+
+  test("trigram scorer: sub-3-token docs score 0 over 0 trigrams and are kept") {
+    val tiny = Seq((1L, "one two"), (2L, "")).toDF("doc_id", "text")
+    val out = LmScorer.lmQuality3(tiny, tiny.select(col("doc_id")),
+        "doc_id", "text", maxQuarterBits = 14)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    assert(out(1L) == (0L, 0L, 1) && out(2L) == (0L, 0L, 1))
+  }
+
   test("sub-2-token docs score 0 over 0 bigrams and are kept") {
     val tiny = Seq((1L, "single"), (2L, "")).toDF("doc_id", "text")
     val out = LmScorer.lmQuality(tiny, tiny.select(col("doc_id")),
