@@ -130,4 +130,25 @@ class AnnRecallSpec extends SparkSpec {
     // full-precision rerank must recover the quantization loss
     assert(mean >= 0.9, s"int8 shortlist+rerank lost true neighbors: $mean ($recalls)")
   }
+
+  test("ann_nsw beam walk recall@10 vs ann_brute is >= 0.95 on sf0.01") {
+    val dir = sf("sf0.01")
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect()
+        .map(r => r.getLong(r.fieldIndex("probe_id")) ->
+          r.getLong(r.fieldIndex("neighbor_id")))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topSets(SimilarityQueries.annBrute(spark, dir))
+    val graph = topSets(SimilarityQueries.annNsw(spark, dir))
+    assert(exact.keySet == graph.keySet)
+    val recalls = exact.map { case (p, t) =>
+      p -> graph(p).intersect(t).size.toDouble / t.size
+    }
+    val mean = recalls.values.sum / recalls.size
+    info(s"ann_nsw recall@10: $mean ($recalls)")
+    // the r8-verdict bar for the graph tier; walk budget is
+    // steps·beam·m = 320 expansions per probe, corpus-size-independent
+    assert(mean >= 0.95, s"graph-ANN recall@10 degraded: $mean ($recalls)")
+    assert(recalls.values.forall(_ >= 0.8), s"a probe collapsed: $recalls")
+  }
 }
