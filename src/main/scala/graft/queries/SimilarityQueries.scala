@@ -882,27 +882,35 @@ object SimilarityQueries {
     * beam walk UNROLLED ([[NswSteps]] rounds of beam CTE → edge-join
     * expansion → scored union-distinct) — fixed steps, no recursion. */
   private lazy val nswOracle: String = {
+    // AS MATERIALIZED is load-bearing on every multiply-referenced CTE:
+    // each walk round references its predecessor twice (beam + union), so
+    // DuckDB's default inlining would re-evaluate the 11M-pair graph build
+    // 2^steps times — the sf1 run span ran the disk out of temp space
+    // before the fix (12 s materialized). Result-invisible.
     val sb = new StringBuilder
     sb.append(
-      s"""WITH $base,
-         |protos_g AS (SELECT CAST(vec_id AS BIGINT) AS cell, CAST(embedding AS DOUBLE[]) AS c
+      s"""WITH pts AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |probes AS MATERIALIZED (SELECT vec_id AS probe_id, v AS p FROM pts WHERE vec_id < $NumProbes),
+         |protos_g AS MATERIALIZED (SELECT CAST(vec_id AS BIGINT) AS cell, CAST(embedding AS DOUBLE[]) AS c
          |  FROM embeddings
          |  WHERE vec_id < (SELECT GREATEST($K9, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM embeddings)),
-         |spl AS (SELECT vec_id, v, cell FROM (
-         |  SELECT p.vec_id, p.v, pr.cell, row_number() OVER
+         |spl AS MATERIALIZED (SELECT vec_id, cell FROM (
+         |  SELECT p.vec_id, pr.cell, row_number() OVER
          |    (PARTITION BY p.vec_id ORDER BY ${cosE("p.v", "pr.c")} DESC, pr.cell) AS vrn
          |  FROM pts p CROSS JOIN protos_g pr) WHERE vrn <= $SpillCells),
-         |gcand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
-         |    ${cosE("a.v", "b.v")} AS cos
+         |gc0 AS MATERIALIZED (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
          |  FROM spl a JOIN spl b ON a.cell = b.cell AND a.vec_id != b.vec_id),
-         |gtop AS (SELECT src, dst FROM (
+         |gcand AS (SELECT src, dst, ${cosE("pa.v", "pb.v")} AS cos
+         |  FROM gc0 JOIN pts pa ON src = pa.vec_id
+         |           JOIN pts pb ON dst = pb.vec_id),
+         |gtop AS MATERIALIZED (SELECT src, dst FROM (
          |  SELECT src, dst, row_number() OVER
          |    (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM gcand)
          |  WHERE rn <= $NswM),
-         |sym AS (SELECT src, dst FROM gtop
+         |sym AS MATERIALIZED (SELECT src, dst FROM gtop
          |  UNION SELECT dst AS src, src AS dst FROM gtop),
          |ent AS (SELECT vec_id FROM pts ORDER BY vec_id LIMIT $NswEntries),
-         |v0 AS (SELECT pb.probe_id, e.vec_id, ${cosE("pt.v", "pb.p")} AS cos
+         |v0 AS MATERIALIZED (SELECT pb.probe_id, e.vec_id, ${cosE("pt.v", "pb.p")} AS cos
          |  FROM probes pb CROSS JOIN ent e JOIN pts pt ON pt.vec_id = e.vec_id)""".stripMargin)
     for (t <- 1 to NswSteps) {
       sb.append(s""",
@@ -912,7 +920,7 @@ object SimilarityQueries {
         |  WHERE rn <= $NswBeam),
         |x$t AS (SELECT DISTINCT bt.probe_id, s.dst AS vec_id
         |  FROM b$t bt JOIN sym s ON bt.vec_id = s.src),
-        |v$t AS (SELECT DISTINCT probe_id, vec_id, cos FROM (
+        |v$t AS MATERIALIZED (SELECT DISTINCT probe_id, vec_id, cos FROM (
         |  SELECT probe_id, vec_id, cos FROM v${t - 1}
         |  UNION ALL
         |  SELECT x.probe_id, x.vec_id, ${cosE("pt.v", "pb.p")} AS cos
