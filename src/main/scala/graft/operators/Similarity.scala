@@ -314,18 +314,76 @@ object Similarity {
     * (~N^1.5, the [[semanticPairs]] bound), never global N².
     * @param spilled (vec_id, v, cell) — multi-assigned corpus
     * @return (src, dst) directed edge list, both directions present */
-  def knnGraphEdges(spilled: DataFrame, m: Int): DataFrame = {
-    val an = spilled.select(col("vec_id"), col("v"), col("cell"))
-      .withColumn("nrm", norm2Fast(col("v"))).localCheckpoint(eager = true)
+  /** Directed top-`m` kNN edges from candidate pair KEYS: one cosine per
+    * distinct pair (keys deduped BEFORE vectors join — never carry 64-dim
+    * payloads through a data-scale DISTINCT, the lesson the sf1 oracle
+    * spill taught), then the per-src rank cut. */
+  private def directedTopM(candKeys: DataFrame, points: DataFrame, m: Int): DataFrame = {
+    val pn = points.withColumn("nrm", norm2Fast(col("v")))
+      .select(col("vec_id"), col("v"), col("nrm"))
     val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
-    val top = an.as("a").join(an.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
-        cosFromNorms(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")).as("cos"))
-      .distinct() // a pair reachable through two shared cells counts once
+    candKeys
+      .join(pn.select(col("vec_id").as("src"), col("v").as("va"), col("nrm").as("na")), "src")
+      .join(pn.select(col("vec_id").as("dst"), col("v").as("vb"), col("nrm").as("nb")), "dst")
+      .select(col("src"), col("dst"),
+        cosFromNorms(col("va"), col("vb"), col("na"), col("nb")).as("cos"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= m)
       .select(col("src"), col("dst"))
+  }
+
+  /** Distinct directed same-cell pair keys of a spilled assignment. */
+  private def cellPairKeys(spilled: DataFrame): DataFrame = {
+    val slim = spilled.select(col("vec_id"), col("cell"))
+    slim.as("a").join(slim.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+      .distinct() // a pair reachable through two shared cells counts once
+  }
+
+  /** Directed top-M edges of a spilled assignment — the carried artifact
+    * of [[knnGraphEdgesIncremental]] (symmetrization happens at serve
+    * time; the carry must stay directed or mergeability breaks). */
+  def knnGraphDirected(spilled: DataFrame, m: Int): DataFrame = {
+    // one vector row per id (the spill multi-assigns): dedupe BEFORE the
+    // pair join so a pair isn't scored twice and rank positions stay true
+    val pts = spilled.select(col("vec_id"), col("v")).dropDuplicates("vec_id")
+    directedTopM(cellPairKeys(spilled), pts, m)
+  }
+
+  def knnGraphEdges(spilled: DataFrame, m: Int): DataFrame = {
+    val top = knnGraphDirected(spilled, m)
+    top.union(top.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+  }
+
+  /** INCREMENTAL kNN-graph maintenance (the `ann_ivf_delta` discipline on
+    * the graph tier): yesterday's DIRECTED top-M edges are carried; the
+    * delta contributes only the pair keys that involve a NEW vector
+    * (new→member and member→new through the FROZEN spilled cells). Because
+    * top-M is mergeable — topM(old_all ∪ new) = topM(topM(old_all) ∪ new)
+    * — re-ranking the carried edges against the new candidates yields
+    * EXACTLY the full-rebuild graph (KnnGraphDeltaSpec asserts edge-set
+    * equality), at delta-sized cost: |Δ|·cellsize pair work + one re-rank
+    * over (N·m + Δ·cellsize) rows, never the N^1.5 rebuild. This is what
+    * amortizes the build at 100 TB: the corpus-scale construction runs
+    * once; each day pays its increment.
+    * @param spilledOld / spilledNew frozen-quantizer assignments
+    * @param oldDirected yesterday's directed top-M (src, dst) */
+  def knnGraphEdgesIncremental(spilledOld: DataFrame, spilledNew: DataFrame,
+                               oldDirected: DataFrame, points: DataFrame,
+                               m: Int): DataFrame = {
+    val slimOld = spilledOld.select(col("vec_id"), col("cell"))
+    val slimNew = spilledNew.select(col("vec_id"), col("cell"))
+    val all = slimOld.unionByName(slimNew)
+    val newIn = slimNew.as("a").join(all.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+    val candKeys = oldDirected.select(col("src"), col("dst"))
+      .unionByName(newIn)
+      .unionByName(newIn.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val pts = points.select(col("vec_id"), col("v")).dropDuplicates("vec_id")
+    val top = directedTopM(candKeys, pts, m)
     top.union(top.select(col("dst").as("src"), col("src").as("dst"))).distinct()
   }
 

@@ -547,6 +547,33 @@ object SimilarityQueries {
       NswEntries, NswBeam, NswSteps)
   }
 
+  /** [[annNsw]] served from an INCREMENTALLY-MAINTAINED graph — the daily
+    * index-maintenance shape on the graph tier (the `ann_ivf_delta`
+    * convention): yesterday's corpus (all but the newest n/10 vectors)
+    * builds its directed top-M edge artifact once; today's delta assigns
+    * to the SAME frozen spilled cells and contributes only delta-touching
+    * candidate pairs; re-ranking carried edges against those yields
+    * EXACTLY the full-rebuild graph (top-M is mergeable —
+    * KnnGraphDeltaSpec asserts edge-set equality), so the served top-k is
+    * REBUILD-INVISIBLE and the oracle is `ann_nsw`'s replay verbatim.
+    * Daily cost is |Δ|·cellsize pair work + one edge re-rank — the
+    * amortization that retires the N^1.5 build from the steady state. */
+  def annNswDelta(s: SparkSession, dir: String): DataFrame = {
+    val edges = graft.operators.Artifacts.shared(s"nsw_graph_delta:$dir") {
+      val full = spilledSqrtN(s, dir).localCheckpoint(eager = true)
+      val n = pts(s, dir).count()
+      val cut = n - n / 10
+      val splOld = full.where(col("vec_id") < cut)
+      val splNew = full.where(col("vec_id") >= cut)
+      // yesterday's artifact: directed top-M over old-only candidates
+      val oldDirected = Similarity.knnGraphDirected(splOld, NswM)
+      Similarity.knnGraphEdgesIncremental(splOld, splNew, oldDirected,
+        pts(s, dir), NswM)
+    }
+    Similarity.nswTopK(edges, pts(s, dir), probes(s, dir), K,
+      NswEntries, NswBeam, NswSteps)
+  }
+
   /** STREAMING semantic near-dup pairs under the hash gate (r8 verdict
     * #5) — the embedding-family member of the streaming dedup pair
     * (`dedup_pairs_stream` is the text member): the embedding corpus
@@ -731,6 +758,7 @@ object SimilarityQueries {
     "ann_ivf_delta" -> annIvfDelta _,
     "ann_pq" -> annPq _,
     "ann_nsw" -> annNsw _,
+    "ann_nsw_delta" -> annNswDelta _,
     "dedup_embedding_nn" -> nearDupNN _,
     "dedup_embedding_lsh" -> nearDupLsh _,
     "dedup_embedding_lsh_stream" -> dedupEmbeddingLshStream _,
@@ -1154,6 +1182,9 @@ object SimilarityQueries {
          |${kmChain(KmIters, spherical = true)}
          |SELECT cell, dim, nv + 0 AS nv FROM km$KmIters""".stripMargin,
     "ann_nsw" -> nswOracle,
+    // the incremental graph must be rebuild-invisible: ann_nsw's full
+    // replay verbatim (the ann_ivf_delta convention)
+    "ann_nsw_delta" -> nswOracle,
     "ann_ivf_pruned" -> ivfServeOracle,
     "ann_ivf" -> ivfServeOracle,
     "ann_ivf_delta" -> ivfServeOracle,
