@@ -22,6 +22,12 @@ import graft.functions.VectorSql._
   */
 object Similarity {
 
+  /** Canonical near-dup cosine threshold — the ONE definition the batch
+    * LSH pipeline, the streaming confirm ([[graft.streaming.EmbStream]]),
+    * and the DuckDB oracles all read; a fork here is a silent batch/stream
+    * hash divergence. */
+  val MinCos = 0.3
+
   /** Norms are precomputed per side — one O(d) fold per VECTOR instead of
     * two per PAIR; the value is bit-identical to computing sqrt(dot(v,v))
     * inside the pair (same expression, same input), so the oracle needs no
@@ -220,7 +226,8 @@ object Similarity {
     * [[nearestInCell]]. Wider bands (bits/band) push random collisions
     * toward zero at the cost of recall on low-cosine pairs — size them to
     * the corpus with [[bitsPerBand]]. */
-  def lshSignBands(points: DataFrame, nBits: Int = 64, bands: Int = 8): DataFrame = {
+  def lshSignBands(points: DataFrame, nBits: Int = 64, bands: Int = 8,
+                   carry: Seq[String] = Nil): DataFrame = {
     require(nBits % bands == 0, "bands must divide nBits")
     val bpb = nBits / bands
     require(bpb <= 62, "band keys are packed into a long")
@@ -228,12 +235,16 @@ object Similarity {
       val w = array(hyperplane(j).map(lit): _*)
       (dotFast(col("v"), w) > 0.0).cast("int").as(s"bit_$j")
     }
-    val withBits = points.select(col("vec_id") +: bitCols: _*)
+    // `carry` columns (e.g. the vector itself, for a streaming confirm)
+    // ride along unchanged — ONE definition of the bit/key construction
+    // for the batch and streaming pipelines, so they can't drift
+    val withBits = points.select((col("vec_id") +: carry.map(col)) ++ bitCols: _*)
     val keyCols = (0 until bands).map { b =>
       (0 until bpb).map(t => col(s"bit_${b * bpb + t}").cast("long") * lit(1L << t))
         .reduce(_ + _).as(s"key_$b")
     }
-    withBits.select(col("vec_id"), posexplode(array(keyCols: _*)).as(Seq("band", "key")))
+    withBits.select((col("vec_id") +: carry.map(col)) :+
+      posexplode(array(keyCols: _*)).as(Seq("band", "key")): _*)
   }
 
   /** Hyperplane-LSH embedding near-dup: pairs sharing ≥1 band key, confirmed
@@ -301,19 +312,6 @@ object Similarity {
       .select(col("doc_a"), col("doc_b"))
   }
 
-  /** GRAPH-ANN build (r8 verdict #7): the kNN-graph base layer of the
-    * NSW/DiskANN family, built DISTRIBUTED — each node's top-`m` cosine
-    * neighbors among candidates sharing a spilled spherical cell (the
-    * multiprobe index's boundary-loss mitigation applied to graph
-    * construction: a true neighbor across a cell seam is still a candidate
-    * through the second assignment), then symmetrized (undirected edges,
-    * the NSW convention). This is the production shape: a sequential
-    * insert-order HNSW build is inherently serial, but the kNN-graph +
-    * beam-walk family serves the same role and every stage here is a
-    * Spark join/agg — candidate work is Σ cell² with √N-scaled cells
-    * (~N^1.5, the [[semanticPairs]] bound), never global N².
-    * @param spilled (vec_id, v, cell) — multi-assigned corpus
-    * @return (src, dst) directed edge list, both directions present */
   /** Directed top-`m` kNN edges from candidate pair KEYS: one cosine per
     * distinct pair (keys deduped BEFORE vectors join — never carry 64-dim
     * payloads through a data-scale DISTINCT, the lesson the sf1 oracle
@@ -351,6 +349,19 @@ object Similarity {
     directedTopM(cellPairKeys(spilled), pts, m)
   }
 
+  /** GRAPH-ANN build (r8 verdict #7): the kNN-graph base layer of the
+    * NSW/DiskANN family, built DISTRIBUTED — each node's top-`m` cosine
+    * neighbors among candidates sharing a spilled spherical cell (the
+    * multiprobe index's boundary-loss mitigation applied to graph
+    * construction: a true neighbor across a cell seam is still a candidate
+    * through the second assignment), then symmetrized (undirected edges,
+    * the NSW convention). This is the production shape: a sequential
+    * insert-order HNSW build is inherently serial, but the kNN-graph +
+    * beam-walk family serves the same role and every stage here is a
+    * Spark join/agg — candidate work is Σ cell² with √N-scaled cells
+    * (~N^1.5, the [[semanticPairs]] bound), never global N².
+    * @param spilled (vec_id, v, cell) — multi-assigned corpus
+    * @return (src, dst) undirected edge list, both directions present */
   def knnGraphEdges(spilled: DataFrame, m: Int): DataFrame = {
     val top = knnGraphDirected(spilled, m)
     top.union(top.select(col("dst").as("src"), col("src").as("dst"))).distinct()

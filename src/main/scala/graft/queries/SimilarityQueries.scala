@@ -15,7 +15,7 @@ object SimilarityQueries {
   val K = 10
   val NProbe = 2
   val NumProbes = 5
-  val MinCos = 0.3
+  val MinCos = Similarity.MinCos
   private val K9 = SomQueries.K // the 3×3 SOM grid used by ann_ivf
 
   private def pts(s: SparkSession, dir: String): DataFrame =
@@ -836,10 +836,15 @@ object SimilarityQueries {
     * the [[kmCentroids]] decision note flip. */
   private def kmChain(iters: Int, spherical: Boolean): String = {
     val sb = new StringBuilder
+    // AS MATERIALIZED on every multiply-referenced CTE: each seeding step
+    // references its predecessor twice (distance scan + union) and each
+    // Lloyd iterate twice (list form + carryover join) — DuckDB's default
+    // inlining would re-evaluate the prefix exponentially, the exact
+    // blowup that ENOSPC'd the ann_nsw sf1 oracle before its fix.
     sb.append(
-      """kpx AS (SELECT vec_id, CAST(i - 1 AS INT) AS dim, v[i] AS x
+      """kpx AS MATERIALIZED (SELECT vec_id, CAST(i - 1 AS INT) AS dim, v[i] AS x
         |       FROM (SELECT vec_id, v, unnest(range(1, 65)) AS i FROM pts)),
-        |seeds0 AS (SELECT min(vec_id) AS sid, 0 AS ord FROM pts)""".stripMargin)
+        |seeds0 AS MATERIALIZED (SELECT min(vec_id) AS sid, 0 AS ord FROM pts)""".stripMargin)
     // maximin (Gonzalez) seeding replay: seed i = the point farthest from
     // the chosen set — exact min/argmax over the shared list_sum folds
     for (i <- 1 until K9) {
@@ -852,13 +857,13 @@ object SimilarityQueries {
         |  FROM pts p CROSS JOIN
         |    (SELECT q.v FROM pts q JOIN seeds${i - 1} s ON q.vec_id = s.sid) q
         |  GROUP BY p.vec_id),
-        |seeds$i AS (SELECT sid, ord FROM seeds${i - 1} UNION ALL
+        |seeds$i AS MATERIALIZED (SELECT sid, ord FROM seeds${i - 1} UNION ALL
         |  SELECT vec_id AS sid, $i AS ord FROM (
         |    SELECT vec_id, row_number() OVER (ORDER BY $ord, vec_id) AS rn
         |    FROM kmd$i) WHERE rn = 1)""".stripMargin)
     }
     sb.append(s""",
-      |km0 AS (SELECT CAST(s.ord AS INT) AS cell, kpx.dim, round(kpx.x, 4) AS nv
+      |km0 AS MATERIALIZED (SELECT CAST(s.ord AS INT) AS cell, kpx.dim, round(kpx.x, 4) AS nv
       |        FROM seeds${K9 - 1} s JOIN kpx ON kpx.vec_id = s.sid)""".stripMargin)
     for (i <- 0 until iters) {
       val prev = s"km$i"
@@ -874,7 +879,7 @@ object SimilarityQueries {
         |ks$i AS (SELECT ka.cell, kpx.dim, round(sum(kpx.x), 6) AS s2,
         |    CAST(count(*) AS BIGINT) AS n
         |  FROM ka$i ka JOIN kpx USING (vec_id) GROUP BY 1, 2),
-        |km${i + 1} AS (SELECT p.cell, p.dim,
+        |km${i + 1} AS MATERIALIZED (SELECT p.cell, p.dim,
         |    COALESCE(round(s.s2 / s.n, 4), p.nv) AS nv
         |  FROM $prev p LEFT JOIN ks$i s ON p.cell = s.cell AND p.dim = s.dim)""".stripMargin)
     }
@@ -1174,11 +1179,11 @@ object SimilarityQueries {
     // the fit replay alone (`nv + 0` normalizes DuckDB's -0.0, the
     // som_fit5 convention; Spark's round never emits -0.0)
     "km_fit" ->
-      s"""WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH pts AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |${kmChain(KmIters, spherical = false)}
          |SELECT cell, dim, nv + 0 AS nv FROM km$KmIters""".stripMargin,
     "km_fit_spherical" ->
-      s"""WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH pts AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |${kmChain(KmIters, spherical = true)}
          |SELECT cell, dim, nv + 0 AS nv FROM km$KmIters""".stripMargin,
     "ann_nsw" -> nswOracle,

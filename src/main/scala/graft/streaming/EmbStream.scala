@@ -46,26 +46,12 @@ object EmbStream {
   final case class VecBucket(vecs: List[(Long, Array[Double], Double)])
 
   /** Per-row sign-LSH band keys carrying the vector: (band, key, vec_id,
-    * v) — the batch [[graft.operators.Similarity.lshSignBands]] columns
-    * plus `v` for the in-state confirm. */
-  def bandRows(points: DataFrame, nBits: Int, bands: Int): DataFrame = {
-    require(nBits % bands == 0, "bands must divide nBits")
-    val bpb = nBits / bands
-    require(bpb <= 62, "band keys are packed into a long")
-    val bitCols = (0 until nBits).map { j =>
-      val w = array(graft.operators.Similarity.hyperplane(j).map(lit): _*)
-      (graft.functions.VectorSql.dotFast(col("v"), w) > 0.0)
-        .cast("int").as(s"bit_$j")
-    }
-    val withBits = points.select(col("vec_id") +: col("v") +: bitCols: _*)
-    val keyCols = (0 until bands).map { b =>
-      (0 until bpb).map(t => col(s"bit_${b * bpb + t}").cast("long") * lit(1L << t))
-        .reduce(_ + _).as(s"key_$b")
-    }
-    withBits.select(col("vec_id"), col("v"),
-        posexplode(array(keyCols: _*)).as(Seq("band", "key")))
+    * v) — [[graft.operators.Similarity.lshSignBands]] with `v` carried
+    * for the in-state confirm (shared construction BY CONSTRUCTION, not
+    * by parallel code). */
+  def bandRows(points: DataFrame, nBits: Int, bands: Int): DataFrame =
+    graft.operators.Similarity.lshSignBands(points, nBits, bands, carry = Seq("v"))
       .select(col("band"), col("key"), col("vec_id"), col("v"))
-  }
 
   // the batch codegen kernels' exact folds (ArrayDot is a left-to-right
   // acc += a(i)*b(i); norm2Fast = sqrt(dot(v,v))) — bit-identical here
@@ -78,7 +64,7 @@ object EmbStream {
   private def r6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  val MinCos = 0.3
+  val MinCos = graft.operators.Similarity.MinCos
 
   private def emit(key: (Int, Long), rows: Iterator[BandVec],
                    state: GroupState[VecBucket]): Iterator[CosPair] = {

@@ -27,7 +27,8 @@ class KnnGraphDeltaSpec extends SparkSpec {
       .partitionBy(col("vec_id")).orderBy(col("vcos").desc, col("cell"))
     val full = pts.crossJoin(broadcast(protos))
       .select(col("vec_id"), col("v"), col("cell"), cosC.as("vcos"))
-      .withColumn("vrn", row_number().over(w)).where(col("vrn") <= 2)
+      .withColumn("vrn", row_number().over(w))
+      .where(col("vrn") <= graft.queries.SimilarityQueries.SpillCells)
       .select(col("vec_id"), col("v"), col("cell"))
       .localCheckpoint(eager = true)
     val cut = n - n / 10

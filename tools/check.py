@@ -14,7 +14,7 @@ import sys, json, glob, os, struct
 import duckdb
 import typelint  # oracle output-type lint (HUGEINT/DECIMAL → driver hash-red)
 
-TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+TABLES = typelint.TABLES  # ONE table list for both tools
 
 def _canon(v):
     # floats compare by IEEE bit pattern: Python's == hides -0.0 vs +0.0
@@ -35,12 +35,7 @@ def main():
     sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
     con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sfdir}/{t}.parquet"
-        if os.path.isdir(p):  # Spark-written directory (e.g. GenScale sf1)
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
-        elif os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    typelint.register_views(con, sfdir)  # shared registration (dir vs file)
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
     # rows-only check for query dumps without an oracle entry
