@@ -443,6 +443,38 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** INCREMENTAL DELETE on the kNN graph — GDPR reaching the serving
+    * index (the `scrubArtifacts` discipline on the graph tier): doomed
+    * vectors leave both endpoints, and ONLY the srcs that LOSE a top-M
+    * edge re-rank against their full survivor cell candidates (losing an
+    * edge frees a slot the next-best candidate must fill — naive edge
+    * dropping under-fills the graph). Everyone else carries verbatim: a
+    * src with no edge to a doomed vector had it outside its top-M, and
+    * removing non-top candidates can't change a top-M. Result is EXACTLY
+    * the rebuild on survivors under the frozen quantizer
+    * (KnnGraphDeltaSpec pins the equality), at cost |affected|·cellsize —
+    * delete-sized, not corpus-sized.
+    * @param spilled FULL-corpus frozen-quantizer assignment
+    * @param directed current directed top-M edges
+    * @param doomed single-column id list */
+  def knnGraphDeleteIncremental(spilled: DataFrame, directed: DataFrame,
+                                doomed: DataFrame, m: Int): DataFrame = {
+    val did = doomed.select(doomed.columns.head).toDF("id")
+    val splS = spilled.join(did, spilled("vec_id") === did("id"), "left_anti")
+    val affected = directed.join(did, directed("dst") === did("id"), "left_semi")
+      .select(col("src")).distinct()
+      .join(did, col("src") === did("id"), "left_anti")
+    val carried = directed
+      .join(did, directed("src") === did("id"), "left_anti")
+      .join(did, directed("dst") === did("id"), "left_anti")
+      .join(affected, Seq("src"), "left_anti")
+      .select(col("src"), col("dst"))
+    val freshKeys = cellPairKeys(splS).join(affected, Seq("src"), "left_semi")
+    val pts = splS.select(col("vec_id"), col("v")).dropDuplicates("vec_id")
+    val top = carried.unionByName(directedTopM(freshKeys, pts, m))
+    top.union(top.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+  }
+
   /** Embedding near-dup: each vector's nearest neighbor within its IVF cell
     * (blocked all-pairs — never the global N² join), kept if cosine ≥
     * minCos. @param assigned (vec_id, v, cell) */

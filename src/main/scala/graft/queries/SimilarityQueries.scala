@@ -510,6 +510,10 @@ object SimilarityQueries {
   val NswSteps = 5
   val NswEntries = 4
 
+  /** GDPR doomed-set stride for the graph index (the dedup cascade's %97
+    * convention on the embeddings table). */
+  val NswGdprMod = 97
+
   /** Corpus multi-assigned to its √N-scaled SPHERICAL cells with spill=2
     * (the multiprobe boundary-loss mitigation, at graph-build scale):
     * candidates for the kNN-graph come from shared spilled cells. */
@@ -571,6 +575,37 @@ object SimilarityQueries {
         pts(s, dir), NswM)
     }
     Similarity.nswTopK(edges, pts(s, dir), probes(s, dir), K,
+      NswEntries, NswBeam, NswSteps)
+  }
+
+  /** GDPR delete reaching the GRAPH SERVING INDEX — the right-to-be-
+    * forgotten member of the graph family (completing the cascade:
+    * `dedup_gdpr_cascade` scrubs the dedup artifacts, `q_gdpr_delete` /
+    * the versioned store scrub tables, this scrubs the ANN index):
+    * every [[NswGdprMod]]-th non-centroid vector files a delete;
+    * [[Similarity.knnGraphDeleteIncremental]] removes both endpoints and
+    * re-ranks ONLY the srcs that lost a top-M edge (delete-sized work),
+    * provably equal to rebuilding the graph on survivors under the frozen
+    * quantizer — the oracle IS that rebuild's replay, and the walk runs
+    * over survivors only (a doomed vector can neither be served nor
+    * navigate). A doomed CENTROID row escalates to quantizer retrain +
+    * full rebuild (documented, excluded from the stride by construction —
+    * the Versioned copy-on-write analogue). */
+  def annNswGdpr(s: SparkSession, dir: String): DataFrame = {
+    val p = pts(s, dir)
+    val cells = centroidCount(p.count())
+    val doomed = p.where(col("vec_id") % NswGdprMod === 0 && col("vec_id") >= cells)
+      .select(col("vec_id"))
+    val edges = graft.operators.Artifacts.shared(s"nsw_graph_gdpr:$dir") {
+      val full = spilledSqrtN(s, dir).localCheckpoint(eager = true)
+      val directed = Similarity.knnGraphDirected(full, NswM)
+      Similarity.knnGraphDeleteIncremental(full, directed, doomed, NswM)
+    }
+    val survivors = p.join(doomed.withColumnRenamed("vec_id", "did"),
+      p("vec_id") === col("did"), "left_anti")
+    val sprobes = survivors.where(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("p"))
+    Similarity.nswTopK(edges, survivors, sprobes, K,
       NswEntries, NswBeam, NswSteps)
   }
 
@@ -759,6 +794,7 @@ object SimilarityQueries {
     "ann_pq" -> annPq _,
     "ann_nsw" -> annNsw _,
     "ann_nsw_delta" -> annNswDelta _,
+    "ann_nsw_gdpr" -> annNswGdpr _,
     "dedup_embedding_nn" -> nearDupNN _,
     "dedup_embedding_lsh" -> nearDupLsh _,
     "dedup_embedding_lsh_stream" -> dedupEmbeddingLshStream _,
@@ -914,7 +950,18 @@ object SimilarityQueries {
     * spilled-cell candidates → top-[[NswM]] per src → symmetrize; then the
     * beam walk UNROLLED ([[NswSteps]] rounds of beam CTE → edge-join
     * expansion → scored union-distinct) — fixed steps, no recursion. */
-  private lazy val nswOracle: String = {
+  private lazy val nswOracle: String = nswOracleFor("")
+
+  /** [[nswOracle]] over the GDPR survivor set: same frozen quantizer
+    * (the doomed set excludes centroid rows by construction — a doomed
+    * CENTROID is the documented retrain-and-rebuild escalation), graph
+    * and walk over survivors only. The incremental delete must be
+    * indistinguishable from this rebuild. */
+  private lazy val nswGdprOracle: String = nswOracleFor(
+    s""" WHERE NOT (vec_id % $NswGdprMod = 0
+       | AND vec_id >= (SELECT GREATEST($K9, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM embeddings))""".stripMargin)
+
+  private def nswOracleFor(ptsFilter: String): String = {
     // AS MATERIALIZED is load-bearing on every multiply-referenced CTE:
     // each walk round references its predecessor twice (beam + union), so
     // DuckDB's default inlining would re-evaluate the 11M-pair graph build
@@ -922,7 +969,7 @@ object SimilarityQueries {
     // before the fix (12 s materialized). Result-invisible.
     val sb = new StringBuilder
     sb.append(
-      s"""WITH pts AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH pts AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings$ptsFilter),
          |probes AS MATERIALIZED (SELECT vec_id AS probe_id, v AS p FROM pts WHERE vec_id < $NumProbes),
          |protos_g AS MATERIALIZED (SELECT CAST(vec_id AS BIGINT) AS cell, CAST(embedding AS DOUBLE[]) AS c
          |  FROM embeddings
@@ -1190,6 +1237,8 @@ object SimilarityQueries {
     // the incremental graph must be rebuild-invisible: ann_nsw's full
     // replay verbatim (the ann_ivf_delta convention)
     "ann_nsw_delta" -> nswOracle,
+    // the incremental DELETE must be rebuild-on-survivors-invisible
+    "ann_nsw_gdpr" -> nswGdprOracle,
     "ann_ivf_pruned" -> ivfServeOracle,
     "ann_ivf" -> ivfServeOracle,
     "ann_ivf_delta" -> ivfServeOracle,
