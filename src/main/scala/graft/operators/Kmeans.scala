@@ -66,7 +66,13 @@ object Kmeans {
         if (spherical) max(dotFast(col("v"), col("sv"))
           / (norm2Fast(col("v")) * norm2Fast(col("sv"))))
         else min(sqDistFast(col("v"), col("sv")))
-      val next = points.crossJoin(broadcast(seeds))
+      // already-chosen seeds are excluded from the candidate set: on a
+      // degenerate corpus where every remaining point ties at the
+      // worst-case proximity (exact-duplicate vectors), the min-id
+      // tie-break could otherwise re-select a seed and emit duplicate
+      // centroids. The oracle's kmd CTE carries the same NOT IN.
+      val next = points.where(!col("vec_id").isin(ids.toSeq: _*))
+        .crossJoin(broadcast(seeds))
         .groupBy(col("vec_id")).agg(prox.as("prox"))
         .orderBy(if (spherical) col("prox").asc else col("prox").desc,
           col("vec_id").asc)

@@ -892,6 +892,7 @@ object SimilarityQueries {
         |kmd$i AS (SELECT p.vec_id, $prox AS prox
         |  FROM pts p CROSS JOIN
         |    (SELECT q.v FROM pts q JOIN seeds${i - 1} s ON q.vec_id = s.sid) q
+        |  WHERE p.vec_id NOT IN (SELECT sid FROM seeds${i - 1})
         |  GROUP BY p.vec_id),
         |seeds$i AS MATERIALIZED (SELECT sid, ord FROM seeds${i - 1} UNION ALL
         |  SELECT vec_id AS sid, $i AS ord FROM (

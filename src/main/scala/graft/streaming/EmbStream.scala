@@ -30,15 +30,30 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    carried member), same HALF_UP round(6) — so the emitted pairs
   *    hash-match the batch oracle.
   *
-  * Scale notes: per-bucket state is the bucket's membership, bounded by
-  * the near-dup structure exactly as the batch band join's bucket cost
-  * is; band WIDTH must grow with corpus size ([[graft.operators
-  * .Similarity.bitsPerBand]]) — a deployment re-bands when the corpus
-  * crosses a width threshold (the `dedup_simhash_incremental`
-  * discipline); the bounded-corpus entry sizes bands from the staged
-  * corpus count up front. A pair found through two bands is emitted by
-  * two groups; the sink read-back collapses them with a distinct, like
-  * the batch candidate DISTINCT. */
+  * Scale notes: per-bucket PAIR WORK is bounded by the bucket's
+  * population like the batch band join's, but STATE is not — every
+  * vector lands in one bucket per band and each bucket carries its full
+  * (vec_id, vector, norm) membership under NoTimeout, so total state is
+  * bands × N full vectors (~`bands`× the corpus), corpus-sized
+  * regardless of duplicate structure. That is fine for this gated
+  * bounded-corpus entry; a CONTINUOUS deployment needs an eviction
+  * story, which the semantics admit because near-dup discovery only
+  * needs each incoming vector compared against the dedup HORIZON:
+  * (a) event-time watermark + `GroupStateTimeout.EventTimeTimeout`
+  * expiring buckets idle past the horizon (pairs against expired history
+  * are, by policy, no longer deletions), or (b) per-bucket compaction to
+  * cluster exemplars — carried members already confirmed ≥ MinCos
+  * against an earlier member collapse to the earliest member, the
+  * transitive-keep rule the batch `dedup_cc_keep_list` applies — which
+  * bounds state by the DISTINCT-cluster count, or (c) tiering cold
+  * buckets to the versioned store and confirming against them in a
+  * `foreachBatch` join (state holds only the hot set). Band WIDTH must
+  * grow with corpus size ([[graft.operators.Similarity.bitsPerBand]]) —
+  * a deployment re-bands when the corpus crosses a width threshold (the
+  * `dedup_simhash_incremental` discipline); the bounded-corpus entry
+  * sizes bands from the staged corpus count up front. A pair found
+  * through two bands is emitted by two groups; the sink read-back
+  * collapses them with a distinct, like the batch candidate DISTINCT. */
 object EmbStream {
 
   final case class BandVec(band: Int, key: Long, vec_id: Long, v: Array[Double])
