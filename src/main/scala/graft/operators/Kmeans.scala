@@ -82,6 +82,28 @@ object Kmeans {
     ids.toArray
   }
 
+  /** [[maximinSeeds]] over a DETERMINISTIC HASH-SAMPLE of the corpus —
+    * the 100 TB seeding path the full-corpus variant's scaladoc promises
+    * (r9 verdict #4): each of the k−1 selection scans reads only the
+    * `ratePpm`-per-million sample (the `ml_weighted_sample` md5 keep-rule,
+    * salt `"mx:"`), so seeding cost is k·sample-sized instead of
+    * k·corpus-sized while the seeds stay actual corpus rows, deterministic,
+    * and oracle-replayable (the sample predicate is one portable md5
+    * expression — `km_fit_sampled` replays filter + seeding + Lloyd).
+    * Spread degrades gracefully: maximin over a uniform sample still
+    * separates direction regions whenever each region keeps ≥1 sampled row
+    * (KmeansSpec asserts cluster coverage at 50% sampling, and identity
+    * with the full-corpus seeds at ratePpm = 1e6, where the predicate
+    * keeps everything). */
+  def maximinSeedsSampled(points: DataFrame, k: Int, spherical: Boolean,
+                          ratePpm: Long): Array[Long] =
+    maximinSeeds(seedSample(points, ratePpm), k, spherical)
+
+  /** The shared keep-rule: md5-derived per-id uniform in [0, 1e6). */
+  def seedSample(points: DataFrame, ratePpm: Long): DataFrame =
+    points.where(graft.functions.VectorSql.md5Hash60(
+      concat(lit("mx:"), col("vec_id").cast("string"))) % 1000000L < ratePpm)
+
   /** Fixed-iteration Lloyd fit. `points`: (vec_id, v: array<double>).
     * Initial centroids = the [[maximinSeeds]] rows (or rows vec_id < k
     * when `firstKSeeds` — the data-sampled heuristic, kept for controlled
@@ -91,7 +113,8 @@ object Kmeans {
     * forward (no respawn heuristics — deterministic and oracle-replayable
     * as a LEFT JOIN + COALESCE). */
   def fitLloyd(points: DataFrame, k: Int, iters: Int, spherical: Boolean,
-               firstKSeeds: Boolean = false): Array[Array[Double]] = {
+               firstKSeeds: Boolean = false,
+               seedRatePpm: Long = 1000000L): Array[Array[Double]] = {
     val spark = points.sparkSession
     import spark.implicits._
     var protos: Array[Array[Double]] =
@@ -99,7 +122,7 @@ object Kmeans {
         points.where(col("vec_id") < k).orderBy("vec_id").collect()
           .map(_.getAs[Seq[Double]]("v").toArray.map(r4))
       else {
-        val seedIds = maximinSeeds(points, k, spherical)
+        val seedIds = maximinSeedsSampled(points, k, spherical, seedRatePpm)
         val byId = points.where(col("vec_id").isin(seedIds.toSeq: _*)).collect()
           .map(r => r.getLong(0) -> r.getAs[Seq[Double]]("v").toArray.map(r4)).toMap
         seedIds.map(byId)
@@ -148,10 +171,12 @@ object Kmeans {
     * one quantizer pay the fit once per session (production trains once and
     * publishes the centroid table; this is that boundary). */
   def centroids(spark: SparkSession, points: => DataFrame, k: Int, iters: Int,
-                spherical: Boolean, shareKey: String): DataFrame =
-    Artifacts.shared(s"kmeans:$shareKey:$k:$iters:$spherical") {
+                spherical: Boolean, shareKey: String,
+                seedRatePpm: Long = 1000000L): DataFrame =
+    Artifacts.shared(s"kmeans:$shareKey:$k:$iters:$spherical:$seedRatePpm") {
       import spark.implicits._
-      fitLloyd(points, k, iters, spherical, firstKSeeds = false).zipWithIndex
+      fitLloyd(points, k, iters, spherical, firstKSeeds = false,
+        seedRatePpm = seedRatePpm).zipWithIndex
         .map { case (c, i) => (i.toLong, c) }.toSeq.toDF("cell", "c")
     }
 }

@@ -399,20 +399,28 @@ object Similarity {
   }
 
   /** GRAPH-ANN serve: fixed-step BEAM WALK over [[knnGraphEdges]] — from
-    * `entries` fixed entry nodes, each of `steps` rounds expands the
+    * the `entryIds` entry nodes, each of `steps` rounds expands the
     * current top-`beam` visited nodes' edges, scores the newly reached
     * nodes exactly, and keeps the union; final answer is the exact top-k
-    * of everything visited. Deterministic (fixed entries, fixed unroll,
-    * total-ordered ranks) and oracle-replayable as `steps` unrolled CTEs —
-    * no recursion, the som_fit5 discipline. THE SCALE PROPERTY the graph
-    * tier buys: walk cost is O(steps·beam·m) per probe — independent of
-    * corpus size — vs the IVF family's nprobe·N/K scan; the graph (N·m
-    * edges) lives partitioned by src and each expansion is an equi-join on
-    * it. Visited frames are probe-bounded (≤ probes·steps·beam·m rows);
-    * each round localCheckpoints to keep the plan flat.
-    * @param points (vec_id, v); probes (probe_id, p) */
+    * of everything visited. Deterministic (deterministic entries, fixed
+    * unroll, total-ordered ranks) and oracle-replayable as `steps`
+    * unrolled CTEs — no recursion, the som_fit5 discipline. THE SCALE
+    * PROPERTY the graph tier buys: walk cost is O(steps·beam·m) per probe
+    * — independent of corpus size — vs the IVF family's nprobe·N/K scan;
+    * the graph (N·m edges) lives partitioned by src and each expansion is
+    * an equi-join on it. Visited frames are probe-bounded
+    * (≤ probes·steps·beam·m rows); each round localCheckpoints to keep
+    * the plan flat.
+    *
+    * Entry QUALITY is the caller's contract: `entryIds` must be spread
+    * across the corpus's direction space or a clustered corpus strands
+    * the walk in the entries' region (NswEntrySpec plants exactly that
+    * corpus) — the serving entries derive them by spherical maximin
+    * ([[Kmeans.maximinSeeds]]), never by row order.
+    * @param points (vec_id, v); probes (probe_id, p);
+    * @param entryIds single-column (vec_id) entry nodes, ≤ a few rows */
   def nswTopK(edges: DataFrame, points: DataFrame, probes: DataFrame,
-              k: Int, entries: Int, beam: Int, steps: Int): DataFrame = {
+              entryIds: DataFrame, k: Int, beam: Int, steps: Int): DataFrame = {
     val pn = points.withColumn("nrm", norm2Fast(col("v")))
       .select(col("vec_id"), col("v"), col("nrm"))
     val pr = probes.withColumn("np", norm2Fast(col("p")))
@@ -421,10 +429,8 @@ object Similarity {
       reached.join(pn, "vec_id").join(broadcast(pr), "probe_id")
         .select(col("probe_id"), col("vec_id"),
           cosFromNorms(col("v"), col("p"), col("nrm"), col("np")).as("cos"))
-    val entryIds = points.select(col("vec_id"))
-      .orderBy(col("vec_id")).limit(entries)
     var visited = score(broadcast(pr.select(col("probe_id")))
-        .crossJoin(broadcast(entryIds)))
+        .crossJoin(broadcast(entryIds.select(col("vec_id")))))
       .localCheckpoint(eager = true)
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
     for (_ <- 1 to steps) {

@@ -86,6 +86,25 @@ object SimilarityQueries {
       .select(col("cell").cast("int").as("cell"),
         posexplode(col("c")).as(Seq("dim", "nv")))
 
+  /** Seed-sample rate for [[kmFitSampled]]: half the corpus — small enough
+    * that the sampled path provably diverges from (and is cheaper than)
+    * full-corpus seeding, large enough that every direction region keeps
+    * sampled rows at every gated SF. */
+  val KmSeedPpm = 500000L
+
+  /** The 100 TB SEEDING PATH under the hash gate (r9 verdict #4):
+    * maximin seeds chosen from a deterministic md5 half-sample
+    * ([[graft.operators.Kmeans.maximinSeedsSampled]]) — the k−1 selection
+    * scans read the sample, Lloyd then runs over the FULL corpus. The
+    * oracle replays the sample predicate, the seeding, and every Lloyd
+    * iterate; KmeansSpec pins seed identity at ratePpm = 1e6 and cluster
+    * coverage under sampling on the planted-cluster corpus. */
+  def kmFitSampled(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Kmeans.centroids(s, pts(s, dir), K9, KmIters,
+        spherical = false, s"sampled:$dir", seedRatePpm = KmSeedPpm)
+      .select(col("cell").cast("int").as("cell"),
+        posexplode(col("c")).as(Seq("dim", "nv")))
+
   /** √N-scaled IVF cell count (never below the 3×3 SOM grid): keeps the
     * within-cell all-pairs of [[nearDupNN]] at ~N^1.5 total work instead of
     * O(N²/const) — the constant-cell-count variant is quadratic at 100×. */
@@ -510,6 +529,26 @@ object SimilarityQueries {
   val NswSteps = 5
   val NswEntries = 4
 
+  /** Graph-walk ENTRY NODES (r9 verdict #3): the first [[NswEntries]]
+    * SPHERICAL MAXIMIN seeds ([[graft.operators.Kmeans.maximinSeeds]] —
+    * Gonzalez farthest-point under cosine), replacing the r8 lowest-ids
+    * heuristic. Row-order entries are the planted-cluster failure mode:
+    * a corpus whose leading rows share one direction region strands every
+    * walk there (NswEntrySpec demonstrates recall collapse); maximin
+    * entries are maximally spread in direction space BY CONSTRUCTION, so
+    * each probe starts near some entry's region. Deterministic (exact
+    * min/argmax over the shared folds, id tie-breaks) and replayed by the
+    * oracle's `es*` CTE chain. Cost: [[NswEntries]]−1 linear scans, paid
+    * once per corpus beside the graph build (shared artifact); a 100 TB
+    * run seeds from a deterministic hash-sample the same way
+    * ([[graft.operators.Kmeans.maximinSeedsSampled]]). */
+  private def nswEntries(s: SparkSession, points: DataFrame, key: String): DataFrame =
+    graft.operators.Artifacts.shared(s"nsw_entries:$key") {
+      import s.implicits._
+      graft.operators.Kmeans.maximinSeeds(points, NswEntries, spherical = true)
+        .toSeq.toDF("vec_id")
+    }
+
   /** GDPR doomed-set stride for the graph index (the dedup cascade's %97
     * convention on the embeddings table). */
   val NswGdprMod = 97
@@ -547,8 +586,8 @@ object SimilarityQueries {
     val edges = graft.operators.Artifacts.shared(s"nsw_graph:$dir") {
       Similarity.knnGraphEdges(spilledSqrtN(s, dir), NswM)
     }
-    Similarity.nswTopK(edges, pts(s, dir), probes(s, dir), K,
-      NswEntries, NswBeam, NswSteps)
+    Similarity.nswTopK(edges, pts(s, dir), probes(s, dir),
+      nswEntries(s, pts(s, dir), dir), K, NswBeam, NswSteps)
   }
 
   /** [[annNsw]] served from an INCREMENTALLY-MAINTAINED graph — the daily
@@ -574,8 +613,8 @@ object SimilarityQueries {
       Similarity.knnGraphEdgesIncremental(splOld, splNew, oldDirected,
         pts(s, dir), NswM)
     }
-    Similarity.nswTopK(edges, pts(s, dir), probes(s, dir), K,
-      NswEntries, NswBeam, NswSteps)
+    Similarity.nswTopK(edges, pts(s, dir), probes(s, dir),
+      nswEntries(s, pts(s, dir), dir), K, NswBeam, NswSteps)
   }
 
   /** GDPR delete reaching the GRAPH SERVING INDEX — the right-to-be-
@@ -605,8 +644,11 @@ object SimilarityQueries {
       p("vec_id") === col("did"), "left_anti")
     val sprobes = survivors.where(col("vec_id") < NumProbes)
       .select(col("vec_id").as("probe_id"), col("v").as("p"))
-    Similarity.nswTopK(edges, survivors, sprobes, K,
-      NswEntries, NswBeam, NswSteps)
+    // entries re-derived over SURVIVORS: a doomed entry could neither be
+    // served nor navigate, and the oracle's seeding chain runs over the
+    // filtered pts — same corpus, same seeds
+    Similarity.nswTopK(edges, survivors, sprobes,
+      nswEntries(s, survivors, s"gdpr:$dir"), K, NswBeam, NswSteps)
   }
 
   /** STREAMING semantic near-dup pairs under the hash gate (r8 verdict
@@ -786,6 +828,7 @@ object SimilarityQueries {
     "ann_int8" -> annInt8 _,
     "km_fit" -> kmFit _,
     "km_fit_spherical" -> kmFitSpherical _,
+    "km_fit_sampled" -> kmFitSampled _,
     "ann_ivf" -> annIvf _,
     "ann_ivf_multiprobe" -> annIvfMultiprobe _,
     "ann_ivf_multiprobe_pruned" -> annIvfMultiprobePruned _,
@@ -870,7 +913,8 @@ object SimilarityQueries {
     * serving fragments' shape, so re-pointing a serving oracle at the
     * trained quantizer is a one-line base swap if a future corpus makes
     * the [[kmCentroids]] decision note flip. */
-  private def kmChain(iters: Int, spherical: Boolean): String = {
+  private def kmChain(iters: Int, spherical: Boolean,
+                      seedSrc: String = "pts"): String = {
     val sb = new StringBuilder
     // AS MATERIALIZED on every multiply-referenced CTE: each seeding step
     // references its predecessor twice (distance scan + union) and each
@@ -878,9 +922,9 @@ object SimilarityQueries {
     // inlining would re-evaluate the prefix exponentially, the exact
     // blowup that ENOSPC'd the ann_nsw sf1 oracle before its fix.
     sb.append(
-      """kpx AS MATERIALIZED (SELECT vec_id, CAST(i - 1 AS INT) AS dim, v[i] AS x
+      s"""kpx AS MATERIALIZED (SELECT vec_id, CAST(i - 1 AS INT) AS dim, v[i] AS x
         |       FROM (SELECT vec_id, v, unnest(range(1, 65)) AS i FROM pts)),
-        |seeds0 AS MATERIALIZED (SELECT min(vec_id) AS sid, 0 AS ord FROM pts)""".stripMargin)
+        |seeds0 AS MATERIALIZED (SELECT min(vec_id) AS sid, 0 AS ord FROM $seedSrc)""".stripMargin)
     // maximin (Gonzalez) seeding replay: seed i = the point farthest from
     // the chosen set — exact min/argmax over the shared list_sum folds
     for (i <- 1 until K9) {
@@ -890,8 +934,8 @@ object SimilarityQueries {
       val ord = if (spherical) "prox ASC" else "prox DESC"
       sb.append(s""",
         |kmd$i AS (SELECT p.vec_id, $prox AS prox
-        |  FROM pts p CROSS JOIN
-        |    (SELECT q.v FROM pts q JOIN seeds${i - 1} s ON q.vec_id = s.sid) q
+        |  FROM $seedSrc p CROSS JOIN
+        |    (SELECT q.v FROM $seedSrc q JOIN seeds${i - 1} s ON q.vec_id = s.sid) q
         |  WHERE p.vec_id NOT IN (SELECT sid FROM seeds${i - 1})
         |  GROUP BY p.vec_id),
         |seeds$i AS MATERIALIZED (SELECT sid, ord FROM seeds${i - 1} UNION ALL
@@ -990,7 +1034,27 @@ object SimilarityQueries {
          |  WHERE rn <= $NswM),
          |sym AS MATERIALIZED (SELECT src, dst FROM gtop
          |  UNION SELECT dst AS src, src AS dst FROM gtop),
-         |ent AS (SELECT vec_id FROM pts ORDER BY vec_id LIMIT $NswEntries),
+         |es0 AS MATERIALIZED (SELECT min(vec_id) AS sid FROM pts)""".stripMargin)
+    // entry nodes = the first NswEntries SPHERICAL MAXIMIN seeds (Kmeans
+    // .maximinSeeds replay, the kmChain discipline): seed i is the point
+    // whose WORST-CASE cosine to the chosen set is smallest — maximally
+    // spread in direction space, immune to the row-order clustering that
+    // strands a lowest-ids walk (NswEntrySpec). NOT IN mirrors the Scala
+    // candidate exclusion.
+    for (i <- 1 until NswEntries) {
+      sb.append(s""",
+        |ed$i AS (SELECT p.vec_id, max(${cosE("p.v", "q.v")}) AS prox
+        |  FROM pts p CROSS JOIN
+        |    (SELECT q.v FROM pts q JOIN es${i - 1} s ON q.vec_id = s.sid) q
+        |  WHERE p.vec_id NOT IN (SELECT sid FROM es${i - 1})
+        |  GROUP BY p.vec_id),
+        |es$i AS MATERIALIZED (SELECT sid FROM es${i - 1} UNION ALL
+        |  SELECT vec_id AS sid FROM (
+        |    SELECT vec_id, row_number() OVER (ORDER BY prox ASC, vec_id) AS rn
+        |    FROM ed$i) WHERE rn = 1)""".stripMargin)
+    }
+    sb.append(s""",
+         |ent AS (SELECT sid AS vec_id FROM es${NswEntries - 1}),
          |v0 AS MATERIALIZED (SELECT pb.probe_id, e.vec_id, ${cosE("pt.v", "pb.p")} AS cos
          |  FROM probes pb CROSS JOIN ent e JOIN pts pt ON pt.vec_id = e.vec_id)""".stripMargin)
     for (t <- 1 to NswSteps) {
@@ -1233,6 +1297,15 @@ object SimilarityQueries {
     "km_fit_spherical" ->
       s"""WITH pts AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |${kmChain(KmIters, spherical = true)}
+         |SELECT cell, dim, nv + 0 AS nv FROM km$KmIters""".stripMargin,
+    // seeding from the md5 half-sample (the ml_weighted_sample keep-rule,
+    // salt "mx:"); Lloyd itself over the full corpus — the sample CTE is
+    // the only delta vs km_fit
+    "km_fit_sampled" ->
+      s"""WITH pts AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sp AS MATERIALIZED (SELECT vec_id, v FROM pts
+         |  WHERE ('0x' || substr(md5('mx:' || vec_id), 1, 15))::BIGINT % 1000000 < $KmSeedPpm),
+         |${kmChain(KmIters, spherical = false, seedSrc = "sp")}
          |SELECT cell, dim, nv + 0 AS nv FROM km$KmIters""".stripMargin,
     "ann_nsw" -> nswOracle,
     // the incremental graph must be rebuild-invisible: ann_nsw's full

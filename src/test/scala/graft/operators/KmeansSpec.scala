@@ -137,6 +137,33 @@ class KmeansSpec extends SparkSpec {
       s"trained must reach that recall at a fraction of the scan: $sk vs $sh rows")
   }
 
+  test("sampled maximin: identity at full rate, cluster coverage at half rate") {
+    val pts = clustered(60).localCheckpoint(true)
+    // ratePpm = 1e6 keeps every row — the sampled path must select the
+    // EXACT same seeds as the full-corpus scan (sample ⊇ corpus)
+    val full = Kmeans.maximinSeeds(pts, 9, spherical = false)
+    val all = Kmeans.maximinSeedsSampled(pts, 9, spherical = false,
+      ratePpm = 1000000L)
+    assert(all.toSeq == full.toSeq,
+      s"ratePpm=1e6 must reproduce full-corpus seeds: ${all.toSeq} vs ${full.toSeq}")
+    // the 100 TB path: seeds chosen from the md5 half-sample still land
+    // one per planted cluster (each cluster keeps ~30 sampled rows)
+    val half = Kmeans.maximinSeedsSampled(pts, 9, spherical = false,
+      ratePpm = graft.queries.SimilarityQueries.KmSeedPpm)
+    val clustersOf = half.map(id => if (id < 60) 0L else id / 60)
+    info(s"half-sample seeds ${half.toSeq} in clusters ${clustersOf.toSeq}")
+    assert(half.toSet.size == 9, "sampled seeding emitted a duplicate seed")
+    assert(clustersOf.toSet.size == 9,
+      s"half-sample maximin must still cover all 9 clusters: ${clustersOf.toSeq}")
+    // and the sample genuinely excluded the majority path somewhere: the
+    // seed sets must differ (the corpus has no exact duplicate directions,
+    // so any dropped chosen-seed forces a different selection)
+    val kept = Kmeans.seedSample(pts, graft.queries.SimilarityQueries.KmSeedPpm)
+      .count()
+    info(s"half-sample kept $kept of ${pts.count()} rows")
+    assert(kept < pts.count() && kept > 0)
+  }
+
   test("fit is deterministic and an emptied cell carries its centroid") {
     import spark.implicits._
     // seed 1 duplicates seed 0, so every point (ties included, min-cell
