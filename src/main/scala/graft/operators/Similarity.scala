@@ -367,6 +367,105 @@ object Similarity {
     top.union(top.select(col("dst").as("src"), col("src").as("dst"))).distinct()
   }
 
+  /** NN-DESCENT kNN-graph construction (r9 verdict #1) — the LINEAR-TIME
+    * 100 TB alternative to [[knnGraphEdges]]'s cell-blocked Σcell² ≈ N^1.5
+    * build, which was the catalog's one super-linear sf10 row (421 s at
+    * ×100). Classic NN-descent ("Efficient k-nearest neighbor graph
+    * construction for generic similarity measures", Dong et al., WWW'11)
+    * relies on sampled randomness; this is its DETERMINISTIC, fully
+    * oracle-replayable Spark form:
+    *
+    *  1. INIT — a ring over each spilled cell's membership: members
+    *     ordered by vec_id, node at position j proposes positions
+    *     j+1 … j+`initDeg` (mod cellsize) as candidates. O(N·spill·initDeg)
+    *     candidate keys from pure window arithmetic — no pair blow-up, no
+    *     RNG — already direction-LOCAL because the cell is (the id-ring
+    *     inside a cell is as good as the random sample the paper starts
+    *     from), then top-`m` per src by exact cosine.
+    *  2. ROUNDS — `rounds` × (neighbor-of-neighbor ∪ fresh ring window):
+    *     with U = current edges ∪ reversed, candidates(a) =
+    *     { c : a→b, b→c ∈ U } ∪ ring offsets t·initDeg+1 … (t+1)·initDeg,
+    *     re-ranked together with the carried edges to a new top-`m`. The
+    *     ROTATING ring window is the deterministic stand-in for the
+    *     paper's per-round random sampling ρ — measured necessary here:
+    *     on a direction-random corpus the NoN transitivity signal alone
+    *     plateaus (serve recall 0.90 after any number of pure-NoN
+    *     rounds), because "neighbor of my neighbor" carries little
+    *     information when cosines have no cluster structure; each round's
+    *     fresh cell slice restores the exploration the random sample
+    *     provides. `initDeg` is the caller's knob for how much: the
+    *     serving entry passes m × (bitlen(N)/2) — a LOG-GROWING window
+    *     (the [[bitsPerBand]] integer-arithmetic discipline), because a
+    *     FIXED window's sampled cell fraction shrinks as cells grow √N
+    *     and measured serve recall decays with it (sf0.1: 0.74 fixed vs
+    *     1.0 blocked). Total work O(N·rounds·(spill·initDeg + (2m)²)) =
+    *     O(N·log N) — still far under the blocked build's N^1.5, with
+    *     the crossover documented in BASELINE.md.
+    *
+    * Every stage is a Spark join/window over (src, dst) keys; vectors join
+    * in only at scoring ([[directedTopM]]'s dedupe-keys-first discipline).
+    * Per-round localCheckpoint keeps the plan flat (the walk convention).
+    * AnnRecallSpec pins serve-walk recall@10 ≥ 0.95 over the NND graph;
+    * BASELINE.md carries the measured linear growth vs the blocked
+    * build's N^1.5.
+    * @param spilled (vec_id, v, cell) multi-assigned corpus
+    * @param points (vec_id, v)
+    * @return (src, dst) undirected edge list, both directions present */
+  def knnGraphEdgesNnd(spilled: DataFrame, points: DataFrame, m: Int,
+                       initDeg: Int, rounds: Int): DataFrame = {
+    val pts = points.select(col("vec_id"), col("v")).dropDuplicates("vec_id")
+    val posW = Window.partitionBy(col("cell")).orderBy(col("vec_id"))
+    val mem = spilled.select(col("vec_id"), col("cell"))
+      .withColumn("pos", row_number().over(posW) - 1)
+      .localCheckpoint(eager = true)
+    val sz = mem.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    // round t's fresh cell slice: ring offsets t·initDeg+1 … (t+1)·initDeg.
+    // `o < n` pins offset == modular ring distance, so the oracle can
+    // replay the window as a modular-distance BAND JOIN (its Σcell² scan
+    // is oracle-only; this side stays O(N·initDeg) explode + equi-join) —
+    // and a window past the cell size proposes nothing on both sides.
+    def ringKeys(t: Int): DataFrame = mem.join(sz, "cell")
+      .select(col("cell"), col("vec_id").as("src"), col("pos"), col("n"),
+        explode(array((t * initDeg + 1 to (t + 1) * initDeg).map(lit): _*))
+          .as("o"))
+      .where(col("o") < col("n"))
+      .select(col("cell"), col("src"),
+        ((col("pos") + col("o")) % col("n")).as("tpos"))
+      .join(mem.select(col("cell"), col("vec_id").as("dst"),
+        col("pos").as("tpos")), Seq("cell", "tpos"))
+      .where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    def rev(df: DataFrame): DataFrame =
+      df.select(col("dst").as("src"), col("src").as("dst"))
+    var prev: DataFrame = null // e(t-2), for the new-edge flag
+    var e = directedTopM(ringKeys(0), pts, m).localCheckpoint(eager = true)
+    for (t <- 1 to rounds) {
+      val u = e.union(rev(e)).distinct().localCheckpoint(eager = true)
+      // FLAGGED NoN (the paper's incremental rule): only pairs with at
+      // least one hop through an edge NEW this round are examined. This
+      // is RESULT-IDENTICAL to the full NoN — an old-old pair (a→b, b→c
+      // both carried from round t-1) was already a candidate in round
+      // t-1 and lost to e(t-1)'s top-m; since e(t-1) is still in the
+      // candidate set, re-examining it cannot enter the top-m. The
+      // ORACLE computes the UNFLAGGED form, so the hash gate itself
+      // proves the equivalence at every SF. Late rounds then pay
+      // new-edge-sized NoN work instead of the full (2m)² per node.
+      val nw = (if (prev == null) e else e.except(prev))
+        .localCheckpoint(eager = true)
+      val nwu = nw.union(rev(nw)).distinct()
+      val non = nwu.as("a").join(u.as("b"), col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"))
+        .unionByName(
+          u.as("a").join(nwu.as("b"), col("a.dst") === col("b.src"))
+            .select(col("a.src").as("src"), col("b.dst").as("dst")))
+        .where(col("src") =!= col("dst"))
+      val cand = e.unionByName(non).unionByName(ringKeys(t)).distinct()
+      prev = e
+      e = directedTopM(cand, pts, m).localCheckpoint(eager = true)
+    }
+    e.union(rev(e)).distinct()
+  }
+
   /** INCREMENTAL kNN-graph maintenance (the `ann_ivf_delta` discipline on
     * the graph tier): yesterday's DIRECTED top-M edges are carried; the
     * delta contributes only the pair keys that involve a NEW vector
@@ -421,6 +520,28 @@ object Similarity {
     * @param entryIds single-column (vec_id) entry nodes, ≤ a few rows */
   def nswTopK(edges: DataFrame, points: DataFrame, probes: DataFrame,
               entryIds: DataFrame, k: Int, beam: Int, steps: Int): DataFrame = {
+    val entryPairs = probes.select(col("probe_id"))
+      .crossJoin(entryIds.select(col("vec_id")))
+    rankVisited(nswWalkVisited(edges, points, probes, entryPairs, beam, steps), k)
+  }
+
+  /** [[nswTopK]] with PER-PROBE entry nodes — the serve shape of the
+    * two-layer walk ([[graft.queries.SimilarityQueries.annNswHier]]):
+    * the caller derives each probe's own entries (e.g. from a coarse
+    * centroid layer), so the walk starts inside the probe's region and
+    * needs fewer steps as the corpus grows.
+    * @param entryPairs (probe_id, vec_id) entry nodes, a few per probe */
+  def nswTopKPerProbe(edges: DataFrame, points: DataFrame, probes: DataFrame,
+                      entryPairs: DataFrame, k: Int, beam: Int,
+                      steps: Int): DataFrame =
+    rankVisited(nswWalkVisited(edges, points, probes, entryPairs, beam, steps), k)
+
+  /** The walk core: every (probe, node, cos) SCORED over `steps` beam
+    * rounds — package-visible so specs can count scored rows (the serve
+    * cost) as well as rank them. */
+  private[graft] def nswWalkVisited(edges: DataFrame, points: DataFrame,
+                                    probes: DataFrame, entryPairs: DataFrame,
+                                    beam: Int, steps: Int): DataFrame = {
     val pn = points.withColumn("nrm", norm2Fast(col("v")))
       .select(col("vec_id"), col("v"), col("nrm"))
     val pr = probes.withColumn("np", norm2Fast(col("p")))
@@ -429,8 +550,8 @@ object Similarity {
       reached.join(pn, "vec_id").join(broadcast(pr), "probe_id")
         .select(col("probe_id"), col("vec_id"),
           cosFromNorms(col("v"), col("p"), col("nrm"), col("np")).as("cos"))
-    var visited = score(broadcast(pr.select(col("probe_id")))
-        .crossJoin(broadcast(entryIds.select(col("vec_id")))))
+    var visited = score(
+        broadcast(entryPairs.select(col("probe_id"), col("vec_id")).distinct()))
       .localCheckpoint(eager = true)
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
     for (_ <- 1 to steps) {
@@ -441,6 +562,11 @@ object Similarity {
       visited = visited.unionByName(score(reached)).distinct()
         .localCheckpoint(eager = true)
     }
+    visited
+  }
+
+  private def rankVisited(visited: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
     visited
       .where(col("vec_id") =!= col("probe_id"))
       .withColumn("rank", row_number().over(w))

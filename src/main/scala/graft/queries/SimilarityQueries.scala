@@ -553,10 +553,30 @@ object SimilarityQueries {
     * convention on the embeddings table). */
   val NswGdprMod = 97
 
+  /** NN-descent build constants: base ring fan-out and refinement
+    * rounds; the per-round window is [[nndRingDeg]]'s corpus-adaptive
+    * multiple of the base. Rounds stay fixed (each adds a full NoN
+    * pass); the WINDOW grows log-N so exploration keeps pace with the
+    * √N-growing cells — fixed windows measured recall-decaying at ×10
+    * (0.74 vs blocked 1.0), adaptive ones hold ([[annNswNnd]]). */
+  val NndInitDeg = 8
+  val NndRounds = 3
+
+  /** Per-round ring window = [[NndInitDeg]] × (bitlen(N−1)/2) — integer
+    * bit-length arithmetic, no libm (the [[Similarity.bitsPerBand]]
+    * discipline); oracle twin `GREATEST(1, LENGTH(BIN(n−1)) // 2) * 8`.
+    * Keeps total build work at O(N·log N): the window samples a
+    * SHRINKING fraction of the √N-sized cell while NoN propagates what
+    * the samples find. */
+  def nndRingDeg(n: Long): Int = {
+    val blen = if (n <= 1L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    NndInitDeg * math.max(1, blen / 2)
+  }
+
   /** Corpus multi-assigned to its √N-scaled SPHERICAL cells with spill=2
     * (the multiprobe boundary-loss mitigation, at graph-build scale):
     * candidates for the kNN-graph come from shared spilled cells. */
-  private def spilledSqrtN(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def spilledSqrtN(s: SparkSession, dir: String): DataFrame = {
     val p = pts(s, dir)
     val cells = centroidCount(p.count())
     val protos = p.where(col("vec_id") < cells)
@@ -588,6 +608,91 @@ object SimilarityQueries {
     }
     Similarity.nswTopK(edges, pts(s, dir), probes(s, dir),
       nswEntries(s, pts(s, dir), dir), K, NswBeam, NswSteps)
+  }
+
+  /** [[annNsw]] with the graph built by NN-DESCENT
+    * ([[Similarity.knnGraphEdgesNnd]]) — the LINEAR-time cold-start
+    * construction that retires the blocked build's N^1.5 from the 100 TB
+    * first-build path (r9 verdict #1): id-ring init over the spilled
+    * cells, [[NndRounds]] neighbor-of-neighbor re-rank rounds, then the
+    * IDENTICAL serve walk. The oracle replays init and every round
+    * unrolled; AnnRecallSpec pins serve recall@10 ≥ 0.95 over this graph,
+    * and BASELINE.md carries the measured growth (linear, vs 34.9× on
+    * ×10 data for the blocked build). Steady state still belongs to
+    * [[annNswDelta]]'s increments — this is the day-zero path. */
+  def annNswNnd(s: SparkSession, dir: String): DataFrame = {
+    val edges = graft.operators.Artifacts.shared(s"nsw_graph_nnd:$dir") {
+      Similarity.knnGraphEdgesNnd(spilledSqrtN(s, dir), pts(s, dir),
+        NswM, nndRingDeg(pts(s, dir).count()), NndRounds)
+    }
+    Similarity.nswTopK(edges, pts(s, dir), probes(s, dir),
+      nswEntries(s, pts(s, dir), dir), K, NswBeam, NswSteps)
+  }
+
+  /** Walk steps for the TWO-LAYER serve: the coarse layer drops the walk
+    * inside the probe's own region, so the fine walk needs local
+    * refinement only — measured at parity recall with the flat walk's
+    * [[NswSteps]] while scoring fewer rows (NswHierSpec counts both at
+    * ×10 data). As the corpus grows, the flat walk's required steps grow
+    * with graph diameter; the coarse layer keeps them FIXED. */
+  val NswHierSteps = 2
+
+  /** Beam width for the two-layer serve — NARROWER than the flat walk's
+    * [[NswBeam]], the HNSW trade: when the entry points are already in
+    * the probe's region, the walk needs local refinement, not broad
+    * exploration. Measured (HierTune sweep, sf0.01/sf0.1): recall
+    * 0.98/1.00 at beam 4 — identical to beam 8 — while the scored-row
+    * serve cost drops below the flat walk's at both scales (NswHierSpec
+    * pins the win at ×10 data). */
+  val NswHierBeam = 4
+
+  /** TWO-LAYER graph serve (r9 verdict #6) — the HNSW hierarchy idea in
+    * deterministic Spark form, over the SAME graph artifact as [[annNsw]]
+    * (the hierarchy changes where the walk STARTS, not what it walks):
+    * layer 1 scores the √N cell protos per probe (broadcast cross join —
+    * √N rows per probe, the IVF probe shape) and picks its
+    * [[NswEntries]] best cells; each cell contributes its REPRESENTATIVE
+    * (spilled member nearest the proto by direction) as a per-probe
+    * entry; layer 0 is the beam walk with [[NswHierSteps]] < [[NswSteps]]
+    * rounds at the narrower [[NswHierBeam]]. Oracle replays both layers;
+    * NswHierSpec pins recall ≥ the 0.95 bar AND fewer scored rows than
+    * the flat walk at ×10 data. */
+  def annNswHier(s: SparkSession, dir: String): DataFrame = {
+    val edges = graft.operators.Artifacts.shared(s"nsw_graph:$dir") {
+      Similarity.knnGraphEdges(spilledSqrtN(s, dir), NswM)
+    }
+    Similarity.nswTopKPerProbe(edges, pts(s, dir), probes(s, dir),
+      hierEntryPairs(s, dir), K, NswHierBeam, NswHierSteps)
+  }
+
+  /** The coarse layer's (probe_id, vec_id) entry pairs — shared between
+    * the entry and NswHierSpec's scored-row accounting. */
+  private[graft] def hierEntryPairs(s: SparkSession, dir: String): DataFrame = {
+    val p = pts(s, dir)
+    val cells = centroidCount(p.count())
+    val protos = p.where(col("vec_id") < cells)
+      .select(col("vec_id").cast("long").as("cell"), col("v").as("c"))
+    val cosC = graft.functions.VectorSql.dotFast(col("p"), col("c")) /
+      (graft.functions.VectorSql.norm2Fast(col("p")) *
+        graft.functions.VectorSql.norm2Fast(col("c")))
+    val crnW = Window.partitionBy(col("probe_id")).orderBy(col("pcos").desc, col("cell"))
+    val probeCells = probes(s, dir).crossJoin(broadcast(protos))
+      .select(col("probe_id"), col("cell"), cosC.as("pcos"))
+      .withColumn("crn", row_number().over(crnW))
+      .where(col("crn") <= NswEntries)
+      .select(col("probe_id"), col("cell"))
+    val cosR = graft.functions.VectorSql.dotFast(col("v"), col("c")) /
+      (graft.functions.VectorSql.norm2Fast(col("v")) *
+        graft.functions.VectorSql.norm2Fast(col("c")))
+    val repW = Window.partitionBy(col("cell")).orderBy(col("rcos").desc, col("vec_id"))
+    val reps = spilledSqrtN(s, dir).select(col("vec_id"), col("v"), col("cell"))
+      .join(broadcast(protos), "cell")
+      .select(col("cell"), col("vec_id"), cosR.as("rcos"))
+      .withColumn("rn", row_number().over(repW))
+      .where(col("rn") === 1)
+      .select(col("cell"), col("vec_id"))
+    probeCells.join(broadcast(reps), "cell")
+      .select(col("probe_id"), col("vec_id")).distinct()
   }
 
   /** [[annNsw]] served from an INCREMENTALLY-MAINTAINED graph — the daily
@@ -836,6 +941,8 @@ object SimilarityQueries {
     "ann_ivf_delta" -> annIvfDelta _,
     "ann_pq" -> annPq _,
     "ann_nsw" -> annNsw _,
+    "ann_nsw_hier" -> annNswHier _,
+    "ann_nsw_nnd" -> annNswNnd _,
     "ann_nsw_delta" -> annNswDelta _,
     "ann_nsw_gdpr" -> annNswGdpr _,
     "dedup_embedding_nn" -> nearDupNN _,
@@ -1002,45 +1109,100 @@ object SimilarityQueries {
     * CENTROID is the documented retrain-and-rebuild escalation), graph
     * and walk over survivors only. The incremental delete must be
     * indistinguishable from this rebuild. */
+  /** [[nswOracle]] with the NN-descent build CTEs in place of the
+    * cell-blocked ones — everything else (base, entries, walk) shared
+    * verbatim. */
+  private lazy val nndOracle: String = nswOracleFor("", nndBuildCtes)
+
   private lazy val nswGdprOracle: String = nswOracleFor(
     s""" WHERE NOT (vec_id % $NswGdprMod = 0
        | AND vec_id >= (SELECT GREATEST($K9, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM embeddings))""".stripMargin)
 
-  private def nswOracleFor(ptsFilter: String): String = {
-    // AS MATERIALIZED is load-bearing on every multiply-referenced CTE:
-    // each walk round references its predecessor twice (beam + union), so
-    // DuckDB's default inlining would re-evaluate the 11M-pair graph build
-    // 2^steps times — the sf1 run span ran the disk out of temp space
-    // before the fix (12 s materialized). Result-invisible.
+  /** The cell-blocked graph build as oracle CTEs ending in `sym` — the
+    * [[graft.operators.Similarity.knnGraphEdges]] replay. Pre-stripped
+    * (no margin pipes): nested-stripMargin eats a leading `|`. */
+  private lazy val cellBlockedBuildCtes: String =
+    s"""gc0 AS MATERIALIZED (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |  FROM spl a JOIN spl b ON a.cell = b.cell AND a.vec_id != b.vec_id),
+       |gcand AS (SELECT src, dst, ${cosE("pa.v", "pb.v")} AS cos
+       |  FROM gc0 JOIN pts pa ON src = pa.vec_id
+       |           JOIN pts pb ON dst = pb.vec_id),
+       |gtop AS MATERIALIZED (SELECT src, dst FROM (
+       |  SELECT src, dst, row_number() OVER
+       |    (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM gcand)
+       |  WHERE rn <= $NswM),
+       |sym AS MATERIALIZED (SELECT src, dst FROM gtop
+       |  UNION SELECT dst AS src, src AS dst FROM gtop)""".stripMargin
+
+  /** The NN-DESCENT build as oracle CTEs ending in `sym` — the
+    * [[graft.operators.Similarity.knnGraphEdgesNnd]] replay: id-ring init
+    * over each spilled cell, then [[NndRounds]] unrolled
+    * neighbor-of-neighbor re-rank rounds. Candidate keys dedupe BEFORE
+    * vectors join (the directedTopM discipline). */
+  private lazy val nndBuildCtes: String = {
+    // ring windows replay as modular-distance BAND JOINS over each cell —
+    // the oracle pays the Σcell² scan the Spark side avoids (its explode
+    // form is O(N·deg)), but a band predicate over pair keys is exactly
+    // what DuckDB grinds cheaply; dd is the adaptive window width
+    // (bitlen(N−1)/2 windows of NndInitDeg — the bitsPerBand twin).
+    val d = "(SELECT d FROM dd)"
     val sb = new StringBuilder
     sb.append(
-      s"""WITH pts AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings$ptsFilter),
-         |probes AS MATERIALIZED (SELECT vec_id AS probe_id, v AS p FROM pts WHERE vec_id < $NumProbes),
-         |protos_g AS MATERIALIZED (SELECT CAST(vec_id AS BIGINT) AS cell, CAST(embedding AS DOUBLE[]) AS c
-         |  FROM embeddings
-         |  WHERE vec_id < (SELECT GREATEST($K9, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM embeddings)),
-         |spl AS MATERIALIZED (SELECT vec_id, cell FROM (
-         |  SELECT p.vec_id, pr.cell, row_number() OVER
-         |    (PARTITION BY p.vec_id ORDER BY ${cosE("p.v", "pr.c")} DESC, pr.cell) AS vrn
-         |  FROM pts p CROSS JOIN protos_g pr) WHERE vrn <= $SpillCells),
-         |gc0 AS MATERIALIZED (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-         |  FROM spl a JOIN spl b ON a.cell = b.cell AND a.vec_id != b.vec_id),
-         |gcand AS (SELECT src, dst, ${cosE("pa.v", "pb.v")} AS cos
-         |  FROM gc0 JOIN pts pa ON src = pa.vec_id
-         |           JOIN pts pb ON dst = pb.vec_id),
-         |gtop AS MATERIALIZED (SELECT src, dst FROM (
-         |  SELECT src, dst, row_number() OVER
-         |    (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM gcand)
-         |  WHERE rn <= $NswM),
-         |sym AS MATERIALIZED (SELECT src, dst FROM gtop
-         |  UNION SELECT dst AS src, src AS dst FROM gtop),
-         |es0 AS MATERIALIZED (SELECT min(vec_id) AS sid FROM pts)""".stripMargin)
-    // entry nodes = the first NswEntries SPHERICAL MAXIMIN seeds (Kmeans
-    // .maximinSeeds replay, the kmChain discipline): seed i is the point
-    // whose WORST-CASE cosine to the chosen set is smallest — maximally
-    // spread in direction space, immune to the row-order clustering that
-    // strands a lowest-ids walk (NswEntrySpec). NOT IN mirrors the Scala
-    // candidate exclusion.
+      s"""mem AS MATERIALIZED (SELECT vec_id, cell,
+         |  row_number() OVER (PARTITION BY cell ORDER BY vec_id) - 1 AS pos
+         |  FROM spl),
+         |msz AS MATERIALIZED (SELECT cell, count(*) AS n FROM spl GROUP BY cell),
+         |dd AS MATERIALIZED (SELECT CAST(GREATEST(1, LENGTH(BIN(count(*) - 1)) // 2)
+         |  * $NndInitDeg AS BIGINT) AS d FROM pts)""".stripMargin)
+    for (t <- 0 to NndRounds) {
+      sb.append(s""",
+        |ik$t AS MATERIALIZED (SELECT DISTINCT m1.vec_id AS src, m2.vec_id AS dst
+        |  FROM mem m1
+        |  JOIN mem m2 ON m2.cell = m1.cell AND m2.vec_id != m1.vec_id
+        |  JOIN msz ON msz.cell = m1.cell
+        |  WHERE ((m2.pos - m1.pos) % msz.n + msz.n) % msz.n
+        |    BETWEEN $t * $d + 1 AND ${t + 1} * $d)""".stripMargin)
+    }
+    sb.append(s""",
+      |sc0 AS (SELECT src, dst, ${cosE("pa.v", "pb.v")} AS cos
+      |  FROM ik0 JOIN pts pa ON src = pa.vec_id
+      |           JOIN pts pb ON dst = pb.vec_id),
+      |ne0 AS MATERIALIZED (SELECT src, dst FROM (
+      |  SELECT src, dst, row_number() OVER
+      |    (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM sc0)
+      |  WHERE rn <= $NswM)""".stripMargin)
+    for (t <- 1 to NndRounds) {
+      sb.append(s""",
+        |nu$t AS MATERIALIZED (SELECT src, dst FROM ne${t - 1}
+        |  UNION SELECT dst AS src, src AS dst FROM ne${t - 1}),
+        |nc$t AS MATERIALIZED (SELECT src, dst FROM ne${t - 1}
+        |  UNION SELECT a.src, b.dst FROM nu$t a JOIN nu$t b ON a.dst = b.src
+        |    WHERE a.src != b.dst
+        |  UNION SELECT src, dst FROM ik$t),
+        |sc$t AS (SELECT c.src, c.dst, ${cosE("pa.v", "pb.v")} AS cos
+        |  FROM nc$t c JOIN pts pa ON c.src = pa.vec_id
+        |              JOIN pts pb ON c.dst = pb.vec_id),
+        |ne$t AS MATERIALIZED (SELECT src, dst FROM (
+        |  SELECT src, dst, row_number() OVER
+        |    (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM sc$t)
+        |  WHERE rn <= $NswM)""".stripMargin)
+    }
+    sb.append(s""",
+      |sym AS MATERIALIZED (SELECT src, dst FROM ne$NndRounds
+      |  UNION SELECT dst AS src, src AS dst FROM ne$NndRounds)""".stripMargin)
+    sb.toString
+  }
+
+  /** Entry nodes = the first [[NswEntries]] SPHERICAL MAXIMIN seeds
+    * (Kmeans.maximinSeeds replay, the kmChain discipline): seed i is the
+    * point whose WORST-CASE cosine to the chosen set is smallest —
+    * maximally spread in direction space, immune to the row-order
+    * clustering that strands a lowest-ids walk (NswEntrySpec). NOT IN
+    * mirrors the Scala candidate exclusion. Ends in `v0` (the entries
+    * scored for every probe). */
+  private lazy val maximinEntryV0Ctes: String = {
+    val sb = new StringBuilder
+    sb.append("es0 AS MATERIALIZED (SELECT min(vec_id) AS sid FROM pts)")
     for (i <- 1 until NswEntries) {
       sb.append(s""",
         |ed$i AS (SELECT p.vec_id, max(${cosE("p.v", "q.v")}) AS prox
@@ -1054,15 +1216,61 @@ object SimilarityQueries {
         |    FROM ed$i) WHERE rn = 1)""".stripMargin)
     }
     sb.append(s""",
-         |ent AS (SELECT sid AS vec_id FROM es${NswEntries - 1}),
-         |v0 AS MATERIALIZED (SELECT pb.probe_id, e.vec_id, ${cosE("pt.v", "pb.p")} AS cos
-         |  FROM probes pb CROSS JOIN ent e JOIN pts pt ON pt.vec_id = e.vec_id)""".stripMargin)
-    for (t <- 1 to NswSteps) {
+      |ent AS (SELECT sid AS vec_id FROM es${NswEntries - 1}),
+      |v0 AS MATERIALIZED (SELECT pb.probe_id, e.vec_id, ${cosE("pt.v", "pb.p")} AS cos
+      |  FROM probes pb CROSS JOIN ent e JOIN pts pt ON pt.vec_id = e.vec_id)""".stripMargin)
+    sb.toString
+  }
+
+  /** PER-PROBE entries from the COARSE layer (the two-layer walk,
+    * [[annNswHier]]): each probe's top-[[NswEntries]] cells by cosine
+    * over the √N protos; each cell's entry is its REPRESENTATIVE — the
+    * spilled member nearest its proto by direction. Ends in `v0`. */
+  private lazy val hierEntryV0Ctes: String =
+    s"""hpc AS (SELECT probe_id, cell FROM (
+       |  SELECT pb.probe_id, pr.cell, row_number() OVER
+       |    (PARTITION BY pb.probe_id ORDER BY ${cosE("pb.p", "pr.c")} DESC, pr.cell) AS crn
+       |  FROM probes pb CROSS JOIN protos_g pr) WHERE crn <= $NswEntries),
+       |hrep AS MATERIALIZED (SELECT cell, vec_id FROM (
+       |  SELECT s.cell, s.vec_id, row_number() OVER
+       |    (PARTITION BY s.cell ORDER BY ${cosE("pt.v", "pr.c")} DESC, s.vec_id) AS rn
+       |  FROM spl s JOIN pts pt ON pt.vec_id = s.vec_id
+       |             JOIN protos_g pr ON pr.cell = s.cell) WHERE rn = 1),
+       |v0 AS MATERIALIZED (SELECT DISTINCT pb.probe_id, r.vec_id, ${cosE("pt.v", "pb.p")} AS cos
+       |  FROM hpc JOIN hrep r ON hpc.cell = r.cell
+       |           JOIN probes pb ON pb.probe_id = hpc.probe_id
+       |           JOIN pts pt ON pt.vec_id = r.vec_id)""".stripMargin
+
+  private def nswOracleFor(ptsFilter: String,
+                           buildCtes: String = cellBlockedBuildCtes,
+                           entryV0Ctes: String = null,
+                           steps: Int = NswSteps,
+                           beam: Int = NswBeam): String = {
+    // AS MATERIALIZED is load-bearing on every multiply-referenced CTE:
+    // each walk round references its predecessor twice (beam + union), so
+    // DuckDB's default inlining would re-evaluate the 11M-pair graph build
+    // 2^steps times — the sf1 run span ran the disk out of temp space
+    // before the fix (12 s materialized). Result-invisible.
+    val entries = Option(entryV0Ctes).getOrElse(maximinEntryV0Ctes)
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH pts AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings$ptsFilter),
+         |probes AS MATERIALIZED (SELECT vec_id AS probe_id, v AS p FROM pts WHERE vec_id < $NumProbes),
+         |protos_g AS MATERIALIZED (SELECT CAST(vec_id AS BIGINT) AS cell, CAST(embedding AS DOUBLE[]) AS c
+         |  FROM embeddings
+         |  WHERE vec_id < (SELECT GREATEST($K9, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM embeddings)),
+         |spl AS MATERIALIZED (SELECT vec_id, cell FROM (
+         |  SELECT p.vec_id, pr.cell, row_number() OVER
+         |    (PARTITION BY p.vec_id ORDER BY ${cosE("p.v", "pr.c")} DESC, pr.cell) AS vrn
+         |  FROM pts p CROSS JOIN protos_g pr) WHERE vrn <= $SpillCells),
+         |$buildCtes,
+         |$entries""".stripMargin)
+    for (t <- 1 to steps) {
       sb.append(s""",
         |b$t AS (SELECT probe_id, vec_id FROM (
         |  SELECT probe_id, vec_id, row_number() OVER
         |    (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn FROM v${t - 1})
-        |  WHERE rn <= $NswBeam),
+        |  WHERE rn <= $beam),
         |x$t AS (SELECT DISTINCT bt.probe_id, s.dst AS vec_id
         |  FROM b$t bt JOIN sym s ON bt.vec_id = s.src),
         |v$t AS MATERIALIZED (SELECT DISTINCT probe_id, vec_id, cos FROM (
@@ -1077,7 +1285,7 @@ object SimilarityQueries {
       |  round(cos, 6) AS cos_sim
       |FROM (SELECT probe_id, vec_id, cos, row_number() OVER
       |    (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn
-      |  FROM v$NswSteps WHERE vec_id != probe_id)
+      |  FROM v$steps WHERE vec_id != probe_id)
       |WHERE rn <= $K""".stripMargin)
     sb.toString
   }
@@ -1308,6 +1516,13 @@ object SimilarityQueries {
          |${kmChain(KmIters, spherical = false, seedSrc = "sp")}
          |SELECT cell, dim, nv + 0 AS nv FROM km$KmIters""".stripMargin,
     "ann_nsw" -> nswOracle,
+    // the two-layer serve: same graph, coarse-layer per-probe entries,
+    // shorter walk — both layers replayed
+    "ann_nsw_hier" -> nswOracleFor("", cellBlockedBuildCtes,
+      hierEntryV0Ctes, NswHierSteps, NswHierBeam),
+    // the NN-descent build replayed round by round — a DIFFERENT graph
+    // than ann_nsw's (linear-time construction), same serve walk
+    "ann_nsw_nnd" -> nndOracle,
     // the incremental graph must be rebuild-invisible: ann_nsw's full
     // replay verbatim (the ann_ivf_delta convention)
     "ann_nsw_delta" -> nswOracle,

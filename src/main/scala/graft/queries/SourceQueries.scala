@@ -275,6 +275,64 @@ object SourceQueries {
     }.reduce(_ unionByName _)
   }
 
+  /** STREAMING GDPR — delete REQUESTS as a stream, applied through
+    * `foreachBatch` to the versioned store (r9 verdict #7, completing the
+    * streaming × GDPR matrix: `q_cdc_stream` streams upserts in,
+    * `dedup_gdpr_cascade`/`ann_nsw_gdpr` scrub derived artifacts, this
+    * streams the forget requests themselves). Mechanics are
+    * `q_cdc_stream`'s exactly-once discipline verbatim — each micro-batch
+    * commits version `batchId + 2` IFF its manifest doesn't exist (the
+    * Delta txn-app-id guard; GdprStreamSpec kills and resumes a stream
+    * mid-apply) — but the commit is [[graft.sources.Versioned.commitDelete]]
+    * (bucket-scoped anti-join rewrite, delete-sized work), and the run
+    * ends with [[graft.sources.Versioned.vacuum]] retaining only the
+    * final version: the COMPLETE forget, because snapshot isolation means
+    * every pre-delete version still serves the doomed rows until its
+    * files expire (the production table formats' documented GDPR recipe).
+    * GdprStreamSpec additionally asserts no doomed key survives in ANY
+    * file on disk after the vacuum. Batch boundaries are out of contract
+    * (disjoint doomed-key deletes commute); the hash gate pins the final
+    * state = the plain anti-join, same oracle as `q_gdpr_delete`. */
+  def qGdprStream(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    val layout = graft.operators.Artifacts.sharedPath(s"gdprstream:$dir") { path =>
+      val table = s"$path/table"
+      val inDir = s"$path/in"
+      val ckpt = s"$path/ckpt"
+      val docs = fork.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("bucket", (col("doc_id") % 16).cast("int"))
+      graft.sources.Versioned.commitBase(docs, table, "bucket", 16)
+      val doomed = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id"), col("bucket"))
+      // four request files -> four micro-batches (maxFilesPerTrigger=1)
+      (0 until 4).foreach { c =>
+        doomed.where((col("doc_id") / 97) % 4 === c).coalesce(1)
+          .write.mode("append").parquet(inDir)
+      }
+      val stream = fork.readStream.schema(doomed.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
+          val v = batchId.toInt + 2
+          if (!graft.sources.Versioned.hasVersion(table, v))
+            graft.sources.Versioned.commitDelete(b.sparkSession, b, table, v,
+              "doc_id", "bucket")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.sources.Versioned.vacuum(table, keep = 1)
+    }
+    val table = s"$layout/table"
+    val vLast = graft.sources.Versioned.latestVersion(table)
+    graft.sources.Versioned.readVersion(fork, table, vLast)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("tot_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+  }
+
   /** ZONE-MAP pruned range read over the versioned store
     * ([[graft.sources.Versioned.readVersionWhere]]): orders committed with
     * o_orderkey-mod-16 buckets and per-bucket (min, max) ORDER-DAY stats
@@ -321,6 +379,7 @@ object SourceQueries {
     "q_time_travel" -> qTimeTravel _,
     "q_cdc_stream" -> qCdcStream _,
     "q_zonemap_prune" -> qZonemapPrune _,
+    "gdpr_delete_stream" -> qGdprStream _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -379,6 +438,15 @@ object SourceQueries {
         |FROM v2""".stripMargin,
     // the delete must be indistinguishable from the anti-join it implements
     "q_gdpr_delete" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS tot_chars,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents WHERE doc_id % 97 != 0
+        |GROUP BY 1""".stripMargin,
+    // the streamed, versioned, vacuumed forget must land on the SAME
+    // anti-join state — streaming mechanics and version/vacuum machinery
+    // are GdprStreamSpec's job
+    "gdpr_delete_stream" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS tot_chars,
         | min(doc_id) AS min_id, max(doc_id) AS max_id

@@ -254,7 +254,12 @@ object Versioned {
     val latest = latestVersion(dir)
     val keptVersions = (math.max(1, latest - keep + 1) to latest).toSet
     val live: Set[(Int, Int)] = keptVersions.flatMap { v =>
-      readManifest(dir, v).map { case (b, ver) => (ver, b) }
+      // .toSeq before the swap: mapping a Map keyed by bucket into
+      // (version, bucket) pairs would DEDUPE ON VERSION — two buckets
+      // last-written by the same commit would collapse to one live entry
+      // and vacuum would delete a live bucket directory (caught by
+      // GdprStreamSpec: a two-bucket delete commit lost a bucket)
+      readManifest(dir, v).toSeq.map { case (b, ver) => (ver, b) }
     }
     val dataDir = java.nio.file.Paths.get(dir, "data").toFile
     Option(dataDir.listFiles()).getOrElse(Array.empty)

@@ -131,6 +131,27 @@ class AnnRecallSpec extends SparkSpec {
     assert(mean >= 0.9, s"int8 shortlist+rerank lost true neighbors: $mean ($recalls)")
   }
 
+  test("ann_nsw_nnd (NN-descent build) recall@10 vs ann_brute is >= 0.95 on sf0.01") {
+    val dir = sf("sf0.01")
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect()
+        .map(r => r.getLong(r.fieldIndex("probe_id")) ->
+          r.getLong(r.fieldIndex("neighbor_id")))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topSets(SimilarityQueries.annBrute(spark, dir))
+    val nnd = topSets(SimilarityQueries.annNswNnd(spark, dir))
+    assert(exact.keySet == nnd.keySet)
+    val recalls = exact.map { case (p, t) =>
+      p -> nnd(p).intersect(t).size.toDouble / t.size
+    }
+    val mean = recalls.values.sum / recalls.size
+    info(s"ann_nsw_nnd recall@10: $mean ($recalls)")
+    // the linear-time build must serve at parity with the N^1.5 blocked
+    // build — same bar as ann_nsw
+    assert(mean >= 0.95, s"NN-descent graph recall@10 degraded: $mean ($recalls)")
+    assert(recalls.values.forall(_ >= 0.8), s"a probe collapsed: $recalls")
+  }
+
   test("ann_nsw beam walk recall@10 vs ann_brute is >= 0.95 on sf0.01") {
     val dir = sf("sf0.01")
     def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
