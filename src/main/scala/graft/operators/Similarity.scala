@@ -316,7 +316,12 @@ object Similarity {
     * distinct pair (keys deduped BEFORE vectors join — never carry 64-dim
     * payloads through a data-scale DISTINCT, the lesson the sf1 oracle
     * spill taught), then the per-src rank cut. */
-  private def directedTopM(candKeys: DataFrame, points: DataFrame, m: Int): DataFrame = {
+  private def directedTopM(candKeys: DataFrame, points: DataFrame, m: Int): DataFrame =
+    directedTopMCos(candKeys, points, m).select(col("src"), col("dst"))
+
+  /** [[directedTopM]] keeping the winning cosine — the NND reverse-degree
+    * cap ranks reverse edges by it. */
+  private def directedTopMCos(candKeys: DataFrame, points: DataFrame, m: Int): DataFrame = {
     val pn = points.withColumn("nrm", norm2Fast(col("v")))
       .select(col("vec_id"), col("v"), col("nrm"))
     val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
@@ -327,7 +332,7 @@ object Similarity {
         cosFromNorms(col("va"), col("vb"), col("na"), col("nb")).as("cos"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= m)
-      .select(col("src"), col("dst"))
+      .select(col("src"), col("dst"), col("cos"))
   }
 
   /** Distinct directed same-cell pair keys of a spilled assignment. */
