@@ -96,8 +96,22 @@ object Kmeans {
     * with the full-corpus seeds at ratePpm = 1e6, where the predicate
     * keeps everything). */
   def maximinSeedsSampled(points: DataFrame, k: Int, spherical: Boolean,
-                          ratePpm: Long): Array[Long] =
-    maximinSeeds(seedSample(points, ratePpm), k, spherical)
+                          ratePpm: Long): Array[Long] = {
+    // materialize the sample ONCE: the k−1 selection scans otherwise each
+    // re-read the source and re-evaluate the md5 keep-rule. The sample is
+    // bounded by design (a 100 TB run passes a ppm-scale rate), so the
+    // checkpoint is seed-pool-sized, never corpus-sized.
+    val sample = seedSample(points, ratePpm)
+      .select(col("vec_id"), col("v")).localCheckpoint(eager = true)
+    // guard the degenerate pool (low ratePpm × small corpus): without it,
+    // maximinSeeds' seed-excluding argmax runs out of candidates and dies
+    // in an opaque empty-head. The count is free on the checkpoint.
+    val n = sample.count()
+    require(n >= k,
+      s"seed sample has $n rows but k=$k seeds were requested — " +
+        s"raise ratePpm ($ratePpm/1e6 keep rate) or seed from the full corpus")
+    maximinSeeds(sample, k, spherical)
+  }
 
   /** The shared keep-rule: md5-derived per-id uniform in [0, 1e6). */
   def seedSample(points: DataFrame, ratePpm: Long): DataFrame =
