@@ -796,6 +796,57 @@ object SimilarityQueries {
       .distinct()
   }
 
+  /** [[dedupEmbeddingLshStream]] through the HORIZON-EVICTION state mode
+    * ([[graft.streaming.EmbStream.pairsStreamEvicting]] — r10 verdict #6):
+    * the continuous-deployment path where per-bucket state is bounded by
+    * the dedup horizon's arrival volume (watermark-retired members
+    * evicted, idle buckets expired via EventTimeTimeout) instead of being
+    * corpus-sized. Event time is the deterministic `timestamp_seconds
+    * (vec_id)` ingest clock; the gated run sizes the horizon to the
+    * corpus's event-time span, so within-horizon covers everything and
+    * the output sits under the UNCHANGED batch oracle while the eviction
+    * machinery (watermark plumbing, member filter, timeout registration)
+    * runs live — the bounded-corpus discipline the band-width sizing
+    * already follows. EmbStreamSpec plants cross-horizon near-dups and
+    * measures the state-row drop that this entry's configuration
+    * deliberately avoids. */
+  def dedupEmbeddingLshStreamEvict(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    import fork.implicits._
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_stream_emb_evict_${ProcessHandle.current().pid()}")
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+    val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    val points = pts(fork, dir)
+    points.write.parquet(inDir)
+    val n = points.count()
+    val bpb = Similarity.bitsPerBand(n)
+    // span of the vec_id ingest clock, in seconds; horizon covers it all
+    val horizonMs = (n + 1L) * 1000L
+    // +1 day keeps every event time strictly above the INITIAL watermark
+    // (0): a row AT the watermark is dropped as late by the stateful
+    // operator, which would silently lose vec_id 0's pairs
+    val stream = fork.readStream.schema("vec_id LONG, v ARRAY<DOUBLE>").parquet(inDir)
+      .withColumn("ts", timestamp_seconds(col("vec_id") + lit(86400L)))
+    val q = graft.streaming.EmbStream.pairsStreamEvicting(
+        graft.streaming.EmbStream.bandRowsT(stream, nBits = 8 * bpb, bands = 8)
+          .as[graft.streaming.EmbStream.BandVecT],
+        horizonMs, watermarkDelay = s"$n seconds")
+      .toDF()
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    fork.read.schema("vec_a LONG, vec_b LONG, cos_sim DOUBLE").parquet(outDir)
+      .distinct()
+  }
+
   /** `ann_ivf` served FROM THE DISK LAYOUT: the cell-assigned corpus is
     * written `partitionBy(cell)` ([[graft.sources.Sources.writeIvfLayout]]),
     * the probes' nprobe cells become a LITERAL partition filter on the
@@ -948,6 +999,7 @@ object SimilarityQueries {
     "dedup_embedding_nn" -> nearDupNN _,
     "dedup_embedding_lsh" -> nearDupLsh _,
     "dedup_embedding_lsh_stream" -> dedupEmbeddingLshStream _,
+    "dedup_embedding_lsh_stream_evict" -> dedupEmbeddingLshStreamEvict _,
     "dedup_semantic" -> dedupSemantic _,
     "dedup_semantic_lsh" -> dedupSemanticLsh _,
     "dedup_contamination_semantic" -> contaminationSemantic _,
@@ -1546,6 +1598,9 @@ object SimilarityQueries {
     // the streaming form must be indistinguishable from the batch
     // pipeline: same oracle verbatim (the dedup_pairs_stream convention)
     "dedup_embedding_lsh_stream" -> embLshOracle,
+    // horizon-eviction mode sized so the whole corpus is within-horizon:
+    // the eviction machinery runs live, the pair set must not move
+    "dedup_embedding_lsh_stream_evict" -> embLshOracle,
     // the linear SemDeDup: the SAME LSH chain supplies the candidate pairs
     // (confirmed at τ), then the dedup_semantic closure/diversity replay
     // verbatim — the quantizer appears ONLY in the farthest-from-centroid

@@ -31,23 +31,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    hash-match the batch oracle.
   *
   * Scale notes: per-bucket PAIR WORK is bounded by the bucket's
-  * population like the batch band join's, but STATE is not — every
-  * vector lands in one bucket per band and each bucket carries its full
-  * (vec_id, vector, norm) membership under NoTimeout, so total state is
-  * bands × N full vectors (~`bands`× the corpus), corpus-sized
-  * regardless of duplicate structure. That is fine for this gated
-  * bounded-corpus entry; a CONTINUOUS deployment needs an eviction
-  * story, which the semantics admit because near-dup discovery only
-  * needs each incoming vector compared against the dedup HORIZON:
-  * (a) event-time watermark + `GroupStateTimeout.EventTimeTimeout`
-  * expiring buckets idle past the horizon (pairs against expired history
-  * are, by policy, no longer deletions), or (b) per-bucket compaction to
-  * cluster exemplars — carried members already confirmed ≥ MinCos
-  * against an earlier member collapse to the earliest member, the
-  * transitive-keep rule the batch `dedup_cc_keep_list` applies — which
-  * bounds state by the DISTINCT-cluster count, or (c) tiering cold
-  * buckets to the versioned store and confirming against them in a
-  * `foreachBatch` join (state holds only the hot set). Band WIDTH must
+  * population like the batch band join's, but under the NoTimeout path
+  * STATE is not — every vector lands in one bucket per band and each
+  * bucket carries its full (vec_id, vector, norm) membership, so total
+  * state is bands × N full vectors (~`bands`× the corpus), corpus-sized
+  * regardless of duplicate structure. That is fine for a gated
+  * bounded-corpus run; the CONTINUOUS deployment runs
+  * [[pairsStreamEvicting]] — the event-time HORIZON mode (r10 verdict
+  * #6): watermark-retired members are evicted per bucket, idle buckets
+  * expire whole via `EventTimeTimeout`, and pairs are confirmed only
+  * within the horizon, so live state is horizon-bounded, not
+  * corpus-sized. (The alternatives the semantics also admit — per-bucket
+  * compaction to cluster exemplars bounding state by distinct-cluster
+  * count, or tiering cold buckets to the versioned store with a
+  * `foreachBatch` confirm — remain documented options; the horizon mode
+  * is the shipped one because it keeps the within-horizon pair set
+  * EXACTLY equal to the batch pipeline's.) Band WIDTH must
   * grow with corpus size ([[graft.operators.Similarity.bitsPerBand]]) —
   * a deployment re-bands when the corpus crosses a width threshold (the
   * `dedup_simhash_incremental` discipline); the bounded-corpus entry
@@ -106,5 +105,88 @@ object EmbStream {
     import bands.sparkSession.implicits._
     bands.groupByKey(b => (b.band, b.key))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(emit)
+  }
+
+  /** [[BandVec]] with the row's EVENT TIME — the horizon-mode input shape
+    * ([[bandRowsT]] carries it through the shared band-key construction). */
+  final case class BandVecT(band: Int, key: Long, vec_id: Long,
+                            v: Array[Double], ts: java.sql.Timestamp)
+
+  /** Horizon-mode bucket state: members carry their event-time millis so
+    * the confirm can evict what the watermark has retired. */
+  final case class VecBucketT(vecs: List[(Long, Array[Double], Double, Long)])
+
+  /** [[bandRows]] carrying an event-time column `ts` alongside the vector
+    * — same shared [[graft.operators.Similarity.lshSignBands]] key
+    * construction, so horizon-mode keys cannot drift from batch keys. */
+  def bandRowsT(points: DataFrame, nBits: Int, bands: Int): DataFrame =
+    graft.operators.Similarity.lshSignBands(points, nBits, bands, carry = Seq("v", "ts"))
+      .select(col("band"), col("key"), col("vec_id"), col("v"), col("ts"))
+
+  /** The CONTINUOUS-deployment eviction story the NoTimeout path's
+    * scaladoc promises (r10 verdict #6) — near-dup discovery only needs
+    * each incoming vector compared against the dedup HORIZON, so state
+    * stops being corpus-sized:
+    *
+    *  - a pair is confirmed iff the two rows' event times are within
+    *    `horizonMs` (pairs against history past the horizon are, by
+    *    policy, no longer deletions);
+    *  - carried members with `ts < watermark − horizonMs` are EVICTED on
+    *    every bucket invocation: any future row has `ts ≥ watermark`
+    *    (later rows are dropped as late by the upstream watermark), so an
+    *    evicted member can never again land within the horizon of
+    *    anything — eviction is invisible to the emitted pair set. Live
+    *    state is bounded by the horizon's arrival volume, not the corpus;
+    *  - a bucket IDLE past the horizon is removed whole via
+    *    `EventTimeTimeout` (timeout at newest member + horizon), so the
+    *    bucket-count dimension of state is horizon-bounded too.
+    *
+    * Exactness contract: within-horizon pairs equal the batch pipeline's
+    * on the same rows PROVIDED event-time disorder stays inside the
+    * upstream watermark delay (the standard Structured Streaming
+    * correctness envelope); cross-horizon pairs are never emitted, by
+    * policy. With `horizonMs` ≥ the corpus's event-time span (the gated
+    * bounded-corpus configuration) no member is ever evicted and the
+    * output equals [[pairsStream]] — which is why the catalog entry built
+    * on this mode sits under the UNCHANGED batch oracle while the
+    * eviction machinery runs live. EmbStreamSpec plants cross-horizon
+    * near-dups and measures the state-row drop. */
+  def pairsStreamEvicting(bands: Dataset[BandVecT], horizonMs: Long,
+                          watermarkDelay: String): Dataset[CosPair] = {
+    import bands.sparkSession.implicits._
+    bands.withWatermark("ts", watermarkDelay)
+      .as[BandVecT]
+      .groupByKey(b => (b.band, b.key))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        emitEvicting(horizonMs))
+  }
+
+  private def emitEvicting(horizonMs: Long)(
+      key: (Int, Long), rows: Iterator[BandVecT],
+      state: GroupState[VecBucketT]): Iterator[CosPair] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val wm = state.getCurrentWatermarkMs()
+    // members the watermark has retired can never pair with a future row
+    val carried = state.getOption.map(_.vecs).getOrElse(Nil)
+      .filter(_._4 >= wm - horizonMs)
+    val incoming = rows.toSeq.sortBy(b => (b.ts.getTime, b.vec_id))
+    val out = scala.collection.mutable.ListBuffer.empty[CosPair]
+    var acc = carried
+    for (b <- incoming) {
+      val bt = b.ts.getTime
+      val nb = math.sqrt(dot(b.v, b.v))
+      for ((id2, v2, n2, t2) <- acc if id2 != b.vec_id && math.abs(bt - t2) <= horizonMs) {
+        val cos = dot(b.v, v2) / (nb * n2)
+        if (cos >= MinCos)
+          out += CosPair(math.min(b.vec_id, id2), math.max(b.vec_id, id2), r6(cos))
+      }
+      acc = (b.vec_id, b.v, nb, bt) :: acc
+    }
+    state.update(VecBucketT(acc))
+    // expire the whole bucket once it has been idle past the horizon; the
+    // max(wm+1, ·) keeps the timestamp ahead of the watermark as required
+    val newest = acc.iterator.map(_._4).max
+    state.setTimeoutTimestamp(math.max(wm + 1, newest + horizonMs))
+    out.iterator
   }
 }

@@ -105,6 +105,114 @@ class EmbStreamSpec extends SparkSpec {
       "fixture must contain cross-day pairs (state was load-bearing)")
   }
 
+  // ---- horizon-eviction mode (r10 verdict #6) ----
+
+  private val HourMs = 3600L * 1000L
+
+  /** Planted timeline: a near-dup pair (0,1) plus filler at t=0; two hours
+    * later a near-dup of 0 (id 100, CROSS-horizon) and a fresh within-
+    * horizon pair (110,111); a lone late row advances the watermark past
+    * the t=0 buckets' timeout. Horizon = 1 h. */
+  private def timedCorpus: Seq[Seq[(Long, Array[Double], java.sql.Timestamp)]] = {
+    def h(a: Long, d: Int): Double = {
+      val x = (a * 2654435761L + d * 40503L) & 0xffffL
+      x.toDouble / 0xffff.toDouble - 0.5
+    }
+    def vec(base: Long): Array[Double] = Array.tabulate(Dim)(d => h(base, d))
+    def jitter(base: Long, salt: Long): Array[Double] =
+      vec(base).zipWithIndex.map { case (x, d) => x + h(salt, d) * 0.01 }
+    // +1 day: a row AT the initial watermark (epoch 0) is dropped as late
+    def ts(sec: Long) = new java.sql.Timestamp((86400L + sec) * 1000L)
+    val t0: Seq[(Long, Array[Double], java.sql.Timestamp)] =
+      Seq((0L, vec(0), ts(0)), (1L, jitter(0, 1), ts(0))) ++
+        (2L to 5L).map(i => (i, vec(i * 2), ts(0)))
+    val t2h: Seq[(Long, Array[Double], java.sql.Timestamp)] = Seq(
+      (100L, jitter(0, 100), ts(7200)), // near-dup of 0, two horizons late
+      (110L, vec(55), ts(7200)), (111L, jitter(55, 111), ts(7200)))
+    val late: Seq[(Long, Array[Double], java.sql.Timestamp)] =
+      Seq((200L, vec(77), ts(7201)))
+    Seq(t0, t2h, late)
+  }
+
+  private def lastStateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.flatMap(_.stateOperators).lastOption.map(_.numRowsTotal)
+      .getOrElse(sys.error("no state operator progress recorded"))
+
+  test("horizon mode: cross-horizon dups suppressed, state evicted, within-horizon exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // reference run: NoTimeout path on the same rows (event time ignored)
+    val memN = MemoryStream[(Long, Array[Double])]
+    val qN = EmbStream.pairsStream(
+        EmbStream.bandRows(memN.toDF().toDF("vec_id", "v"), NBits, Bands)
+          .as[EmbStream.BandVec]).toDF()
+      .writeStream.format("memory").queryName("emb_noevict")
+      .outputMode("append").start()
+    val (noEvictPairs, noEvictState) = try {
+      timedCorpus.foreach { b =>
+        memN.addData(b.map(r => (r._1, r._2)): _*); qN.processAllAvailable()
+      }
+      (spark.table("emb_noevict").select("vec_a", "vec_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+        lastStateRows(qN))
+    } finally { qN.stop(); spark.sql("DROP TABLE IF EXISTS emb_noevict") }
+    assert(noEvictPairs.contains((0L, 100L)),
+      "fixture: without a horizon the stale near-dup must be found (collision is real)")
+    assert(noEvictPairs.contains((0L, 1L)) && noEvictPairs.contains((110L, 111L)))
+
+    // horizon run: 1 h horizon, zero watermark delay (event times ordered)
+    val memE = MemoryStream[(Long, Array[Double], java.sql.Timestamp)]
+    val qE = EmbStream.pairsStreamEvicting(
+        EmbStream.bandRowsT(memE.toDF().toDF("vec_id", "v", "ts"), NBits, Bands)
+          .as[EmbStream.BandVecT],
+        horizonMs = HourMs, watermarkDelay = "0 seconds").toDF()
+      .writeStream.format("memory").queryName("emb_evict")
+      .outputMode("append").start()
+    val (evictPairs, evictState) = try {
+      timedCorpus.foreach { b => memE.addData(b: _*); qE.processAllAvailable() }
+      (spark.table("emb_evict").select("vec_a", "vec_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+        lastStateRows(qE))
+    } finally { qE.stop(); spark.sql("DROP TABLE IF EXISTS emb_evict") }
+
+    assert(!evictPairs.contains((0L, 100L)),
+      "a pair straddling the horizon must not be emitted")
+    assert(evictPairs.contains((0L, 1L)) && evictPairs.contains((110L, 111L)),
+      "within-horizon pairs stay exact")
+    // cross-horizon = any pair joining the t=0 cohort (ids ≤ 5) to the
+    // t≥2h cohort (ids ≥ 100); everything else must survive untouched
+    val expected = noEvictPairs.filterNot { case (a, b) => a <= 5L && b >= 100L }
+    assert(evictPairs == expected,
+      s"horizon mode may only drop cross-horizon pairs: $evictPairs vs $noEvictPairs")
+    assert(evictState < noEvictState,
+      s"eviction must shrink state: $evictState !< $noEvictState (NoTimeout carries every bucket)")
+  }
+
+  test("horizon mode with horizon >= corpus span equals the batch pipeline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Double], java.sql.Timestamp)]
+    val timed = corpus.map { case (i, v) =>
+      (i, v, new java.sql.Timestamp((86400L + i) * 1000L))
+    }
+    val q = EmbStream.pairsStreamEvicting(
+        EmbStream.bandRowsT(mem.toDF().toDF("vec_id", "v", "ts"), NBits, Bands)
+          .as[EmbStream.BandVecT],
+        horizonMs = (corpus.size + 1L) * 1000L,
+        watermarkDelay = s"${corpus.size} seconds").toDF()
+      .writeStream.format("memory").queryName("emb_evict_span")
+      .outputMode("append").start()
+    val got = try {
+      val (b1, b2) = timed.splitAt(21)
+      Seq(b1, b2).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      spark.table("emb_evict_span").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS emb_evict_span") }
+    assert(got == batchPairs,
+      "a horizon covering the whole span must be output-invisible vs the batch pipeline")
+  }
+
   test("per-row streaming band keys equal the batch lshSignBands keys") {
     import spark.implicits._
     val pts = corpus.toDF("vec_id", "v")
