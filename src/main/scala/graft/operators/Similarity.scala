@@ -417,7 +417,59 @@ object Similarity {
     * @param points (vec_id, v)
     * @return (src, dst) undirected edge list, both directions present */
   def knnGraphEdgesNnd(spilled: DataFrame, points: DataFrame, m: Int,
-                       initDeg: Int, rounds: Int): DataFrame = {
+                       initDeg: Int, rounds: Int): DataFrame =
+    nndDescent(spilled, points, m, initDeg, rounds, epsPpm = None)._1
+
+  /** CONVERGENCE-DRIVEN [[knnGraphEdgesNnd]] (r10 verdict #8) — the
+    * parameter-free form: instead of a fixed round count, rounds run
+    * until the previous round's NEW directed edge count (the `nw` frame
+    * the flagged-NoN optimization already materializes) falls below
+    * `epsPpm` parts-per-million of the N·m directed-edge capacity, or
+    * `maxRounds` is hit. Integer ppm knob — the [[bitsPerBand]]
+    * no-floating-knob discipline. Returns (edges, realized round count):
+    * a caller that must stay oracle-replayable replays the REALIZED
+    * count as a literal — NndGraphSpec asserts converged(eps) equals the
+    * fixed-round build at its own realized count bit-for-bit, which is
+    * exactly the replay seam. MEASURED (NndGraphSpec prints the
+    * trajectories): the converged count is CORPUS-DEPENDENT — 2 rounds
+    * on a clustered corpus (NoN transitivity closes the graph fast;
+    * round 3 changes nothing there), 5 on the direction-random floor at
+    * n=500 (structureless residual churn decays slowly, and the extra
+    * rounds buy no serve recall — AnnRecallSpec's bar holds at 3). The
+    * catalog therefore keeps `NndRounds` = 3 pinned by the RECALL bar,
+    * and this variant is the parameter-free option for corpora where
+    * measuring beats pinning. The convergence check costs one count per
+    * round on an already-checkpointed frame. */
+  def knnGraphEdgesNndConverged(spilled: DataFrame, points: DataFrame, m: Int,
+                                initDeg: Int, maxRounds: Int,
+                                epsPpm: Long = NndEpsPpm): (DataFrame, Int) = {
+    val (e, realized, _) = nndDescent(spilled, points, m, initDeg, maxRounds, Some(epsPpm))
+    (e, realized)
+  }
+
+  /** [[knnGraphEdgesNndConverged]] also returning the per-round
+    * new-directed-edge ppm trajectory (element i = the nw share examined
+    * at the top of round i+1; the first element is the whole init) —
+    * NndGraphSpec prints it, and it is what [[NndEpsPpm]] was read off. */
+  private[graft] def knnGraphEdgesNndTrace(spilled: DataFrame, points: DataFrame,
+                                           m: Int, initDeg: Int, maxRounds: Int,
+                                           epsPpm: Long): (DataFrame, Int, Seq[Long]) =
+    nndDescent(spilled, points, m, initDeg, maxRounds, Some(epsPpm))
+
+  /** Default convergence threshold for [[knnGraphEdgesNndConverged]]:
+    * stop when a round changes fewer than 2% of the N·m directed edges.
+    * Measured trajectories (new-edge ppm at the top of rounds 1, 2, …;
+    * NndGraphSpec reproduces them): clustered n=3200 —
+    * 1e6, 548750, 0 (converged after round 2); direction-random n=500 —
+    * 1e6, 445500, 147000, 67000, 36000, 14000 (converged after round 5,
+    * but rounds 4–5 are structureless churn that does not move serve
+    * recall). 2% separates "the graph is still moving" from that
+    * residual-churn tail without chasing it. */
+  val NndEpsPpm = 20000L
+
+  private def nndDescent(spilled: DataFrame, points: DataFrame, m: Int,
+                         initDeg: Int, rounds: Int,
+                         epsPpm: Option[Long]): (DataFrame, Int, Seq[Long]) = {
     val pts = points.select(col("vec_id"), col("v")).dropDuplicates("vec_id")
     val posW = Window.partitionBy(col("cell")).orderBy(col("vec_id"))
     val mem = spilled.select(col("vec_id"), col("cell"))
@@ -442,10 +494,15 @@ object Similarity {
       .select(col("src"), col("dst")).distinct()
     def rev(df: DataFrame): DataFrame =
       df.select(col("dst").as("src"), col("src").as("dst"))
+    // edge capacity for the convergence ratio (only paid in eps mode)
+    lazy val capacity = pts.count() * m
     var prev: DataFrame = null // e(t-2), for the new-edge flag
     var e = directedTopM(ringKeys(0), pts, m).localCheckpoint(eager = true)
-    for (t <- 1 to rounds) {
-      val u = e.union(rev(e)).distinct().localCheckpoint(eager = true)
+    var realized = 0
+    var t = 1
+    var stop = false
+    val ppmTrace = scala.collection.mutable.ListBuffer.empty[Long]
+    while (t <= rounds && !stop) {
       // FLAGGED NoN (the paper's incremental rule): only pairs with at
       // least one hop through an edge NEW this round are examined. This
       // is RESULT-IDENTICAL to the full NoN — an old-old pair (a→b, b→c
@@ -457,18 +514,30 @@ object Similarity {
       // new-edge-sized NoN work instead of the full (2m)² per node.
       val nw = (if (prev == null) e else e.except(prev))
         .localCheckpoint(eager = true)
-      val nwu = nw.union(rev(nw)).distinct()
-      val non = nwu.as("a").join(u.as("b"), col("a.dst") === col("b.src"))
-        .select(col("a.src").as("src"), col("b.dst").as("dst"))
-        .unionByName(
-          u.as("a").join(nwu.as("b"), col("a.dst") === col("b.src"))
-            .select(col("a.src").as("src"), col("b.dst").as("dst")))
-        .where(col("src") =!= col("dst"))
-      val cand = e.unionByName(non).unionByName(ringKeys(t)).distinct()
-      prev = e
-      e = directedTopM(cand, pts, m).localCheckpoint(eager = true)
+      // eps mode: round t-1 changed < epsPpm ppm of the N·m capacity →
+      // converged; skip this round (checked on the nw the flagged NoN
+      // needs anyway — prev==null means nw is the whole init, never small)
+      val nwPpm = epsPpm.map(_ => nw.count() * 1000000L / capacity)
+      nwPpm.foreach(ppmTrace += _)
+      if (epsPpm.exists(eps => prev != null && nwPpm.get < eps)) {
+        stop = true
+      } else {
+        val u = e.union(rev(e)).distinct().localCheckpoint(eager = true)
+        val nwu = nw.union(rev(nw)).distinct()
+        val non = nwu.as("a").join(u.as("b"), col("a.dst") === col("b.src"))
+          .select(col("a.src").as("src"), col("b.dst").as("dst"))
+          .unionByName(
+            u.as("a").join(nwu.as("b"), col("a.dst") === col("b.src"))
+              .select(col("a.src").as("src"), col("b.dst").as("dst")))
+          .where(col("src") =!= col("dst"))
+        val cand = e.unionByName(non).unionByName(ringKeys(t)).distinct()
+        prev = e
+        e = directedTopM(cand, pts, m).localCheckpoint(eager = true)
+        realized = t
+        t += 1
+      }
     }
-    e.union(rev(e)).distinct()
+    (e.union(rev(e)).distinct(), realized, ppmTrace.toList)
   }
 
   /** INCREMENTAL kNN-graph maintenance (the `ann_ivf_delta` discipline on

@@ -36,6 +36,25 @@ class NndGraphSpec extends SparkSpec {
     rows.toDF("vec_id", "v")
   }
 
+  /** The spilled √N-cell multi-assignment the serving entries build on
+    * (the [[SimilarityQueries.spilledSqrtN]] construction over an
+    * in-memory corpus). */
+  private def spilledFor(pts: org.apache.spark.sql.DataFrame, n: Long) = {
+    val cells = SimilarityQueries.centroidCount(n)
+    val protos = pts.where(col("vec_id") < cells)
+      .select(col("vec_id").cast("long").as("cell"), col("v").as("c"))
+    val cosC = graft.functions.VectorSql.dotFast(col("v"), col("c")) /
+      (graft.functions.VectorSql.norm2Fast(col("v")) *
+        graft.functions.VectorSql.norm2Fast(col("c")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("vcos").desc, col("cell"))
+    pts.crossJoin(broadcast(protos))
+      .select(col("vec_id"), col("v"), col("cell"), cosC.as("vcos"))
+      .withColumn("vrn", row_number().over(w))
+      .where(col("vrn") <= SimilarityQueries.SpillCells)
+      .select(col("vec_id"), col("v"), col("cell")).localCheckpoint(true)
+  }
+
   test("NND graph accuracy converges to the blocked build's on a clustered corpus") {
     val pts = clustered(16, 200).localCheckpoint(true)
     val n = pts.count()
@@ -49,18 +68,7 @@ class NndGraphSpec extends SparkSpec {
       .localCheckpoint(true)
     val nTruth = truth.count()
     val cells = SimilarityQueries.centroidCount(n)
-    val protos = pts.where(col("vec_id") < cells)
-      .select(col("vec_id").cast("long").as("cell"), col("v").as("c"))
-    val cosC = graft.functions.VectorSql.dotFast(col("v"), col("c")) /
-      (graft.functions.VectorSql.norm2Fast(col("v")) *
-        graft.functions.VectorSql.norm2Fast(col("c")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("vcos").desc, col("cell"))
-    val spilled = pts.crossJoin(broadcast(protos))
-      .select(col("vec_id"), col("v"), col("cell"), cosC.as("vcos"))
-      .withColumn("vrn", row_number().over(w))
-      .where(col("vrn") <= SimilarityQueries.SpillCells)
-      .select(col("vec_id"), col("v"), col("cell")).localCheckpoint(true)
+    val spilled = spilledFor(pts, n)
     def acc(edges: org.apache.spark.sql.DataFrame): Double =
       edges.intersect(truth).count().toDouble / nTruth
     val blockedAcc = acc(Similarity.knnGraphEdges(spilled, m))
@@ -82,5 +90,66 @@ class NndGraphSpec extends SparkSpec {
     assert(smallWindow >= 0.95,
       s"NoN rounds must close what the ring samples: $smallWindow")
     assert(serving >= 0.95, s"serving config accuracy degraded: $serving")
+  }
+
+  /** MEASURED convergence trajectories for the eps-stop variant (r10
+    * verdict #8) — the honest finding: the converged round count is
+    * CORPUS-DEPENDENT, so the shipped `NndRounds` = 3 is pinned by the
+    * serve-recall bar (AnnRecallSpec), NOT by edge convergence. On the
+    * clustered corpus NoN transitivity closes the graph after 2 rounds
+    * (round 3 changes zero edges); on the direction-random floor the
+    * new-edge share decays slowly through structureless churn (14.7% →
+    * 6.7% → 3.6% → 1.4% at n=500) and crosses the 2% bar after round 5 —
+    * but those extra rounds buy no serve recall (the accuracy test
+    * above: 3 rounds already ≥ 0.95). What MUST hold — and is the
+    * oracle-replay seam the variant exists for — is that the eps stop's
+    * output equals the fixed-round build at its own realized count,
+    * bit for bit. */
+  test("eps-stop NND: realized count is corpus-dependent and replayable as a literal") {
+    import graft.operators.Similarity.NndEpsPpm
+    val m = SimilarityQueries.NswM
+    def run(pts: org.apache.spark.sql.DataFrame, spilled: org.apache.spark.sql.DataFrame,
+            label: String): (org.apache.spark.sql.DataFrame, Int, Seq[Long]) = {
+      val n = pts.count()
+      val (e, realized, trace) = Similarity.knnGraphEdgesNndTrace(
+        spilled, pts, m, SimilarityQueries.nndRingDeg(n), maxRounds = 6, NndEpsPpm)
+      info(s"$label: n=$n realized=$realized newEdgePpm=${trace.mkString(",")}")
+      (e, realized, trace)
+    }
+    // the clustered corpus (NoN transitivity has signal) …
+    val ptsC = clustered(16, 200).localCheckpoint(true)
+    val spC = spilledFor(ptsC, ptsC.count())
+    val (eC, rC, trC) = run(ptsC, spC, "clustered")
+    // … and the catalog's direction-random corpus (the adversarial floor)
+    val dir = sf("sf0.001")
+    val ptsR = SomQueries.points(spark, dir).localCheckpoint(true)
+    val spR = SimilarityQueries.spilledSqrtN(spark, dir).localCheckpoint(true)
+    val (eR, rR, trR) = run(ptsR, spR, "random")
+    // structure ⇒ early convergence; no structure ⇒ a residual-churn tail
+    assert(rC <= SimilarityQueries.NndRounds,
+      s"clustered: NoN should converge within the shipped rounds, realized $rC")
+    assert(rR >= SimilarityQueries.NndRounds,
+      s"random: the structureless tail should not stop early, realized $rR")
+    for ((r, tr, label) <- Seq((rC, trC, "clustered"), (rR, trR, "random"))) {
+      // the stop is not vacuous: every executed round after init was above
+      // the bar, the round after the last executed one fell below it
+      assert(tr.size == r + 1, s"$label: trace $tr")
+      assert(tr.init.tail.forall(_ >= NndEpsPpm),
+        s"$label: an executed round was already converged: $tr")
+      assert(tr.last < NndEpsPpm, s"$label: stop round not converged: $tr")
+      assert(tr.tail == tr.tail.sorted.reverse,
+        s"$label: new-edge share must decay monotonically: $tr")
+    }
+    // THE replay seam: converged(eps) == fixed(realized), bit for bit
+    val nC = ptsC.count()
+    val fixedC = Similarity.knnGraphEdgesNnd(spC, ptsC, m,
+      SimilarityQueries.nndRingDeg(nC), rC)
+    assert(eC.except(fixedC).isEmpty && fixedC.except(eC).isEmpty,
+      "clustered: converged build must equal the fixed build at the realized count")
+    val nR = ptsR.count()
+    val fixedR = Similarity.knnGraphEdgesNnd(spR, ptsR, m,
+      SimilarityQueries.nndRingDeg(nR), rR)
+    assert(eR.except(fixedR).isEmpty && fixedR.except(eR).isEmpty,
+      "random: converged build must equal the fixed build at the realized count")
   }
 }
