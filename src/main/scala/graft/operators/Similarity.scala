@@ -404,21 +404,41 @@ object Similarity {
     *     FIXED window's sampled cell fraction shrinks as cells grow √N
     *     and measured serve recall decays with it (sf0.1: 0.74 fixed vs
     *     1.0 blocked). Total work O(N·rounds·(spill·initDeg + (2m)²)) =
-    *     O(N·log N) — still far under the blocked build's N^1.5, with
-    *     the crossover documented in BASELINE.md.
+    *     O(N·log N) — still far under the blocked build's N^1.5.
     *
     * Every stage is a Spark join/window over (src, dst) keys; vectors join
     * in only at scoring ([[directedTopM]]'s dedupe-keys-first discipline).
     * Per-round localCheckpoint keeps the plan flat (the walk convention).
-    * AnnRecallSpec pins serve-walk recall@10 ≥ 0.95 over the NND graph;
-    * BASELINE.md carries the measured linear growth vs the blocked
-    * build's N^1.5.
+    * AnnRecallSpec pins serve-walk recall@10 ≥ 0.95 over the NND graph.
+    * MEASURED (BASELINE.md "Round-11: NND build growth law", same
+    * box/session): crossover vs the blocked build is below sf1 (20k
+    * vectors: 40.2 s vs 63.6 s); sf1→sf10 growth 15.7× on ×10 data
+    * (≈ the 12.9× N·log N prediction from the ring window's bitlen
+    * 15→18) vs the blocked build's 34.9× — which at sf10 did not
+    * finish at all this round (ENOSPC in the Σcell² pair-shuffle
+    * spill) while this build completed in 631.7 s.
     * @param spilled (vec_id, v, cell) multi-assigned corpus
     * @param points (vec_id, v)
     * @return (src, dst) undirected edge list, both directions present */
   def knnGraphEdgesNnd(spilled: DataFrame, points: DataFrame, m: Int,
                        initDeg: Int, rounds: Int): DataFrame =
+    symEdges(knnGraphDirectedNnd(spilled, points, m, initDeg, rounds))
+
+  /** [[knnGraphEdgesNnd]] BEFORE symmetrization — the directed top-M
+    * artifact a day-zero NND build hands to
+    * [[knnGraphEdgesIncremental]]: the delta-merge rule is
+    * build-agnostic (it re-ranks whatever directed edges are carried
+    * against the delta-touching pair keys), so the measured-linear NND
+    * cold start composes with increment-sized dailies —
+    * `ann_nsw_nnd_delta` is that composition under its own hash gate,
+    * and NndGraphSpec pins that compounding two delta batches equals
+    * applying them at once over this artifact. */
+  def knnGraphDirectedNnd(spilled: DataFrame, points: DataFrame, m: Int,
+                          initDeg: Int, rounds: Int): DataFrame =
     nndDescent(spilled, points, m, initDeg, rounds, epsPpm = None)._1
+
+  private def symEdges(e: DataFrame): DataFrame =
+    e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
 
   /** CONVERGENCE-DRIVEN [[knnGraphEdgesNnd]] (r10 verdict #8) — the
     * parameter-free form: instead of a fixed round count, rounds run
@@ -444,7 +464,7 @@ object Similarity {
                                 initDeg: Int, maxRounds: Int,
                                 epsPpm: Long = NndEpsPpm): (DataFrame, Int) = {
     val (e, realized, _) = nndDescent(spilled, points, m, initDeg, maxRounds, Some(epsPpm))
-    (e, realized)
+    (symEdges(e), realized)
   }
 
   /** [[knnGraphEdgesNndConverged]] also returning the per-round
@@ -453,8 +473,11 @@ object Similarity {
     * NndGraphSpec prints it, and it is what [[NndEpsPpm]] was read off. */
   private[graft] def knnGraphEdgesNndTrace(spilled: DataFrame, points: DataFrame,
                                            m: Int, initDeg: Int, maxRounds: Int,
-                                           epsPpm: Long): (DataFrame, Int, Seq[Long]) =
-    nndDescent(spilled, points, m, initDeg, maxRounds, Some(epsPpm))
+                                           epsPpm: Long): (DataFrame, Int, Seq[Long]) = {
+    val (e, realized, trace) =
+      nndDescent(spilled, points, m, initDeg, maxRounds, Some(epsPpm))
+    (symEdges(e), realized, trace)
+  }
 
   /** Default convergence threshold for [[knnGraphEdgesNndConverged]]:
     * stop when a round changes fewer than 2% of the N·m directed edges.
@@ -537,7 +560,7 @@ object Similarity {
         t += 1
       }
     }
-    (e.union(rev(e)).distinct(), realized, ppmTrace.toList)
+    (e, realized, ppmTrace.toList)
   }
 
   /** INCREMENTAL kNN-graph maintenance (the `ann_ivf_delta` discipline on
@@ -555,7 +578,20 @@ object Similarity {
     * @param oldDirected yesterday's directed top-M (src, dst) */
   def knnGraphEdgesIncremental(spilledOld: DataFrame, spilledNew: DataFrame,
                                oldDirected: DataFrame, points: DataFrame,
-                               m: Int): DataFrame = {
+                               m: Int): DataFrame =
+    symEdges(knnGraphDirectedIncremental(spilledOld, spilledNew, oldDirected,
+      points, m))
+
+  /** [[knnGraphEdgesIncremental]] BEFORE symmetrization — the directed
+    * top-M artifact a deployment CARRIES between days (symmetrization is
+    * a serve-time view). Exposed so increments can COMPOUND: applying
+    * tomorrow's delta to today's directed result equals applying both
+    * deltas at once (top-M mergeability — NndGraphSpec pins it over an
+    * NND day-zero artifact), so dailies never drift from the one-shot
+    * merge. */
+  def knnGraphDirectedIncremental(spilledOld: DataFrame, spilledNew: DataFrame,
+                                  oldDirected: DataFrame, points: DataFrame,
+                                  m: Int): DataFrame = {
     val slimOld = spilledOld.select(col("vec_id"), col("cell"))
     val slimNew = spilledNew.select(col("vec_id"), col("cell"))
     val all = slimOld.unionByName(slimNew)
@@ -567,8 +603,7 @@ object Similarity {
       .unionByName(newIn.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
     val pts = points.select(col("vec_id"), col("v")).dropDuplicates("vec_id")
-    val top = directedTopM(candKeys, pts, m)
-    top.union(top.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    directedTopM(candKeys, pts, m)
   }
 
   /** GRAPH-ANN serve: fixed-step BEAM WALK over [[knnGraphEdges]] — from

@@ -616,10 +616,14 @@ object SimilarityQueries {
     * first-build path (r9 verdict #1): id-ring init over the spilled
     * cells, [[NndRounds]] neighbor-of-neighbor re-rank rounds, then the
     * IDENTICAL serve walk. The oracle replays init and every round
-    * unrolled; AnnRecallSpec pins serve recall@10 ≥ 0.95 over this graph,
-    * and BASELINE.md carries the measured growth (linear, vs 34.9× on
-    * ×10 data for the blocked build). Steady state still belongs to
-    * [[annNswDelta]]'s increments — this is the day-zero path. */
+    * unrolled; AnnRecallSpec pins serve recall@10 ≥ 0.95 over this graph.
+    * MEASURED (BASELINE.md "Round-11: NND build growth law"): sf1→sf10
+    * growth 15.7× on ×10 data vs the blocked build's 34.9× — and at sf10
+    * the blocked build exhausted local disk (ENOSPC) while this one
+    * completed; the same-box crossover sits below sf1 (40.2 s vs
+    * 63.6 s at 20k vectors). Steady state still belongs to
+    * [[annNswDelta]]'s increments — this is the day-zero path, and
+    * [[annNswNndDelta]] composes the two. */
   def annNswNnd(s: SparkSession, dir: String): DataFrame = {
     val edges = graft.operators.Artifacts.shared(s"nsw_graph_nnd:$dir") {
       Similarity.knnGraphEdgesNnd(spilledSqrtN(s, dir), pts(s, dir),
@@ -717,6 +721,42 @@ object SimilarityQueries {
       val oldDirected = Similarity.knnGraphDirected(splOld, NswM)
       Similarity.knnGraphEdgesIncremental(splOld, splNew, oldDirected,
         pts(s, dir), NswM)
+    }
+    Similarity.nswTopK(edges, pts(s, dir), probes(s, dir),
+      nswEntries(s, pts(s, dir), dir), K, NswBeam, NswSteps)
+  }
+
+  /** The MEASURED 100 TB lifecycle of the graph tier in one entry
+    * (r10 verdict #7, decided by the round-11 BASELINE.md growth rows):
+    * day-zero builds the directed artifact by NN-DESCENT
+    * ([[Similarity.knnGraphDirectedNnd]] — the build that stays linear
+    * and actually completes at sf10, where the blocked build exhausted
+    * local disk), and the daily delta then merges through the SAME
+    * build-agnostic [[Similarity.knnGraphEdgesIncremental]] rule as
+    * [[annNswDelta]] — carried directed edges re-ranked against the
+    * delta-touching pair keys, at increment-sized cost. Unlike
+    * [[annNswDelta]] (whose carried blocked edges make the merge equal
+    * the full blocked rebuild — the rebuild-invisibility its oracle
+    * replays), the NND-carried merge equals "NND over yesterday ∪
+    * delta candidates", which is exactly what this oracle replays:
+    * the NND chain over the old 90% (same frozen full-corpus
+    * quantizer, ring width from the OLD count) + the delta merge +
+    * the shared serve walk. NndGraphSpec pins that compounding two
+    * delta batches equals applying both at once (top-M mergeability
+    * over the NND artifact), so dailies don't drift. */
+  def annNswNndDelta(s: SparkSession, dir: String): DataFrame = {
+    val edges = graft.operators.Artifacts.shared(s"nsw_graph_nnd_delta:$dir") {
+      val full = spilledSqrtN(s, dir).localCheckpoint(eager = true)
+      val p = pts(s, dir)
+      val n = p.count()
+      val cut = n - n / 10
+      val splOld = full.where(col("vec_id") < cut)
+      val splNew = full.where(col("vec_id") >= cut)
+      // yesterday's artifact: the directed NND build over the old corpus
+      // (ring width sized from the count yesterday's build could see)
+      val oldDirected = Similarity.knnGraphDirectedNnd(splOld,
+        p.where(col("vec_id") < cut), NswM, nndRingDeg(cut), NndRounds)
+      Similarity.knnGraphEdgesIncremental(splOld, splNew, oldDirected, p, NswM)
     }
     Similarity.nswTopK(edges, pts(s, dir), probes(s, dir),
       nswEntries(s, pts(s, dir), dir), K, NswBeam, NswSteps)
@@ -994,6 +1034,7 @@ object SimilarityQueries {
     "ann_nsw" -> annNsw _,
     "ann_nsw_hier" -> annNswHier _,
     "ann_nsw_nnd" -> annNswNnd _,
+    "ann_nsw_nnd_delta" -> annNswNndDelta _,
     "ann_nsw_delta" -> annNswDelta _,
     "ann_nsw_gdpr" -> annNswGdpr _,
     "dedup_embedding_nn" -> nearDupNN _,
@@ -1191,7 +1232,53 @@ object SimilarityQueries {
     * over each spilled cell, then [[NndRounds]] unrolled
     * neighbor-of-neighbor re-rank rounds. Candidate keys dedupe BEFORE
     * vectors join (the directedTopM discipline). */
-  private lazy val nndBuildCtes: String = {
+  private lazy val nndBuildCtes: String =
+    nndChainCtes("spl", "pts") + s""",
+      |sym AS MATERIALIZED (SELECT src, dst FROM ne$NndRounds
+      |  UNION SELECT dst AS src, src AS dst FROM ne$NndRounds)""".stripMargin
+
+  /** The [[annNswNndDelta]] build as oracle CTEs ending in `sym`: the
+    * NND chain over the OLD 90% of the corpus (same frozen full-corpus
+    * quantizer `spl`, ring width from the old count — the
+    * [[Similarity.knnGraphDirectedNnd]] replay), then the
+    * [[Similarity.knnGraphEdgesIncremental]] merge: carried directed
+    * edges ∪ delta-touching pair keys (new→member and member→new
+    * through the frozen cells), re-ranked to a new directed top-M and
+    * symmetrized. */
+  private lazy val nndDeltaBuildCtes: String =
+    s"""cutc AS MATERIALIZED (SELECT count(*) - count(*) // 10 AS c FROM pts),
+       |splo AS MATERIALIZED (SELECT vec_id, cell FROM spl
+       |  WHERE vec_id < (SELECT c FROM cutc)),
+       |ptso AS MATERIALIZED (SELECT vec_id, v FROM pts
+       |  WHERE vec_id < (SELECT c FROM cutc)),
+       |""".stripMargin + nndChainCtes("splo", "ptso") + s""",
+       |nin AS (SELECT a.vec_id AS src, b.vec_id AS dst
+       |  FROM spl a JOIN spl b ON a.cell = b.cell AND a.vec_id != b.vec_id
+       |  WHERE a.vec_id >= (SELECT c FROM cutc)),
+       |dcand AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM ne$NndRounds
+       |  UNION ALL SELECT src, dst FROM nin
+       |  UNION ALL SELECT dst AS src, src AS dst FROM nin)),
+       |dsc AS (SELECT src, dst, ${cosE("pa.v", "pb.v")} AS cos
+       |  FROM dcand JOIN pts pa ON src = pa.vec_id
+       |             JOIN pts pb ON dst = pb.vec_id),
+       |dtop AS MATERIALIZED (SELECT src, dst FROM (
+       |  SELECT src, dst, row_number() OVER
+       |    (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM dsc)
+       |  WHERE rn <= $NswM),
+       |sym AS MATERIALIZED (SELECT src, dst FROM dtop
+       |  UNION SELECT dst AS src, src AS dst FROM dtop)""".stripMargin
+
+  /** The NND round chain as oracle CTEs ending in `ne`[[NndRounds]] (the
+    * DIRECTED top-M artifact): id-ring init + unrolled
+    * neighbor-of-neighbor re-rank rounds over the spilled source `spl`
+    * (membership + ring positions), with the adaptive ring width taken
+    * from `ptsCnt`'s row count — parameterized so the same chain replays
+    * both the full build (`spl`/`pts`) and the delta entry's
+    * old-corpus day-zero build (`splo`/`ptso`). Candidate SCORING joins
+    * the full `pts` in both cases: every src/dst is a member of the
+    * source spill, so the joined vectors are identical. */
+  private def nndChainCtes(spl: String, ptsCnt: String): String = {
     // ring windows replay as modular-distance BAND JOINS over each cell —
     // the oracle pays the Σcell² scan the Spark side avoids (its explode
     // form is O(N·deg)), but a band predicate over pair keys is exactly
@@ -1202,10 +1289,10 @@ object SimilarityQueries {
     sb.append(
       s"""mem AS MATERIALIZED (SELECT vec_id, cell,
          |  row_number() OVER (PARTITION BY cell ORDER BY vec_id) - 1 AS pos
-         |  FROM spl),
-         |msz AS MATERIALIZED (SELECT cell, count(*) AS n FROM spl GROUP BY cell),
+         |  FROM $spl),
+         |msz AS MATERIALIZED (SELECT cell, count(*) AS n FROM $spl GROUP BY cell),
          |dd AS MATERIALIZED (SELECT CAST(GREATEST(1, LENGTH(BIN(count(*) - 1)) // 2)
-         |  * $NndInitDeg AS BIGINT) AS d FROM pts)""".stripMargin)
+         |  * $NndInitDeg AS BIGINT) AS d FROM $ptsCnt)""".stripMargin)
     for (t <- 0 to NndRounds) {
       sb.append(s""",
         |ik$t AS MATERIALIZED (SELECT DISTINCT m1.vec_id AS src, m2.vec_id AS dst
@@ -1239,9 +1326,6 @@ object SimilarityQueries {
         |    (PARTITION BY src ORDER BY cos DESC, dst) AS rn FROM sc$t)
         |  WHERE rn <= $NswM)""".stripMargin)
     }
-    sb.append(s""",
-      |sym AS MATERIALIZED (SELECT src, dst FROM ne$NndRounds
-      |  UNION SELECT dst AS src, src AS dst FROM ne$NndRounds)""".stripMargin)
     sb.toString
   }
 
@@ -1575,6 +1659,9 @@ object SimilarityQueries {
     // the NN-descent build replayed round by round — a DIFFERENT graph
     // than ann_nsw's (linear-time construction), same serve walk
     "ann_nsw_nnd" -> nndOracle,
+    // the NND day-zero + incremental-merge composition: NND chain over
+    // the old 90% + delta-touching keys re-ranked, then the shared walk
+    "ann_nsw_nnd_delta" -> nswOracleFor("", nndDeltaBuildCtes),
     // the incremental graph must be rebuild-invisible: ann_nsw's full
     // replay verbatim (the ann_ivf_delta convention)
     "ann_nsw_delta" -> nswOracle,

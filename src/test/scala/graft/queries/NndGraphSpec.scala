@@ -152,4 +152,48 @@ class NndGraphSpec extends SparkSpec {
     assert(eR.except(fixedR).isEmpty && fixedR.except(eR).isEmpty,
       "random: converged build must equal the fixed build at the realized count")
   }
+
+  /** The `ann_nsw_nnd_delta` lifecycle property: increments over an NND
+    * day-zero artifact COMPOUND — applying delta batch 1 then batch 2 to
+    * the carried DIRECTED result equals applying both at once. (Top-M
+    * mergeability: topM(topM(A)∪B) = topM(A∪B) with A = the NND chain's
+    * candidate set; the candidate coverage of split batches equals the
+    * one-shot's because batch 2's member→new keys reach batch 1 both
+    * directions.) Without this, a daily pipeline would drift from the
+    * gated one-shot merge after two days. */
+  test("NND day-zero + compounding increments == one-shot delta merge") {
+    val pts = clustered(8, 80).localCheckpoint(true)
+    val n = pts.count()
+    val m = SimilarityQueries.NswM
+    val spilled = spilledFor(pts, n)
+    val cut1 = n - n / 5  // day-zero corpus: oldest 80%
+    val cut2 = n - n / 10 // after batch 1: 90%
+    val splD0 = spilled.where(col("vec_id") < cut1)
+    val d0 = Similarity.knnGraphDirectedNnd(splD0,
+        pts.where(col("vec_id") < cut1), m,
+        SimilarityQueries.nndRingDeg(cut1), SimilarityQueries.NndRounds)
+      .localCheckpoint(eager = true)
+    def edgeSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneShot = edgeSet(Similarity.knnGraphEdgesIncremental(
+      splD0, spilled.where(col("vec_id") >= cut1), d0, pts, m))
+    val afterB1 = Similarity.knnGraphDirectedIncremental(
+        splD0, spilled.where(col("vec_id") >= cut1 && col("vec_id") < cut2),
+        d0, pts, m)
+      .localCheckpoint(eager = true)
+    val compounded = edgeSet(Similarity.knnGraphEdgesIncremental(
+      spilled.where(col("vec_id") < cut2),
+      spilled.where(col("vec_id") >= cut2), afterB1, pts, m))
+    assert(compounded == oneShot,
+      s"compounded dailies drifted from the one-shot merge: " +
+        s"only-compounded=${(compounded -- oneShot).take(5)}, " +
+        s"only-oneshot=${(oneShot -- compounded).take(5)}")
+    // the fixture is not trivial: batch 2 really displaced a carried edge
+    val carried = {
+      val t = edgeSet(afterB1)
+      t ++ t.map(_.swap)
+    }
+    assert((carried -- compounded).nonEmpty,
+      "fixture too easy: no carried edge was displaced by batch 2")
+  }
 }
