@@ -97,6 +97,13 @@ object Kmeans {
     * keeps everything). */
   def maximinSeedsSampled(points: DataFrame, k: Int, spherical: Boolean,
                           ratePpm: Long): Array[Long] = {
+    // rate 1e6 keeps every row, so the sampling machinery (per-row md5
+    // filter, eager corpus-sized checkpoint, count) would be pure
+    // overhead for an identical result — take the full-corpus path the
+    // seeds are defined to equal (KmeansSpec pins the identity). This is
+    // km_fit's default path; the r10→r11 bench adjudication measured the
+    // machinery at ~2 extra jobs per fit.
+    if (ratePpm >= 1000000L) return maximinSeeds(points, k, spherical)
     // materialize the sample ONCE: the k−1 selection scans otherwise each
     // re-read the source and re-evaluate the md5 keep-rule. The sample is
     // bounded by design (a 100 TB run passes a ppm-scale rate), so the

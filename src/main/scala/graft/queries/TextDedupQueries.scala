@@ -916,6 +916,57 @@ object TextDedupQueries {
       .distinct()
   }
 
+  /** [[dedupPairsStreamed]] through the HORIZON-EVICTION state mode
+    * ([[graft.streaming.DocStream.pairsStreamEvicting]] — the text twin
+    * of `dedup_embedding_lsh_stream_evict`): the continuous-crawl path
+    * where per-bucket state is bounded by the dedup horizon's crawl
+    * volume (watermark-retired members evicted, idle buckets expired via
+    * EventTimeTimeout) instead of carrying the whole corpus. Event time
+    * is the deterministic `timestamp_seconds(doc_id)` ingest clock; the
+    * gated run sizes the horizon to the corpus's event-time span, so
+    * within-horizon covers everything and the output sits under the
+    * UNCHANGED batch oracle while the eviction machinery (watermark
+    * plumbing, member filter, timeout registration) runs live.
+    * DedupStreamSpec plants cross-horizon near-dups and measures the
+    * state-row drop this entry's configuration deliberately avoids. */
+  def dedupPairsStreamEvict(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    import fork.implicits._
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_stream_dedup_evict_${ProcessHandle.current().pid()}")
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+    val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    val docsIn = fork.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    docsIn.write.parquet(inDir)
+    // span of the doc_id ingest clock (ids need not be dense); horizon
+    // covers it all, and the watermark delay keeps every row un-late
+    val maxId = docsIn.agg(max(col("doc_id"))).head.getLong(0)
+    val horizonMs = (maxId + 1L) * 1000L
+    // +1 day keeps every event time strictly above the INITIAL watermark
+    // (0): a row AT the watermark is dropped as late by the stateful
+    // operator, which would silently lose doc_id 0's pairs
+    val stream = fork.readStream.schema(docsIn.schema).parquet(inDir)
+      .withColumn("ts", timestamp_seconds(col("doc_id") + lit(86400L)))
+    val q = graft.streaming.DocStream.pairsStreamEvicting(
+        graft.streaming.DocStream.bandRowsT(stream, "doc_id", "text")
+          .as[graft.streaming.DocStream.BandDocT],
+        horizonMs, watermarkDelay = s"$maxId seconds")
+      .toDF()
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    fork.read.schema("doc_a LONG, doc_b LONG, jaccard DOUBLE").parquet(outDir)
+      .distinct()
+  }
+
   /** Span width for the exact repeated-span (substring) dedup family:
     * Lee et al. 2022 run 50-token spans on web-scale corpora; the fixture
     * docs are 10–99 tokens (median 56), so 15 keeps the same
@@ -1083,6 +1134,7 @@ object TextDedupQueries {
     "dedup_cc_keep_list" -> dedupCcKeepList _,
     "dedup_gdpr_cascade" -> dedupGdprCascade _,
     "dedup_pairs_stream" -> dedupPairsStreamed _,
+    "dedup_pairs_stream_evict" -> dedupPairsStreamEvict _,
     "dedup_simhash_incremental" -> dedupSimhashIncremental _,
     "dedup_simhash_pairs" -> dedupSimhashPairs _,
     "dedup_jaccard_pairs" -> dedupJaccardPairs _,
@@ -1871,6 +1923,9 @@ object TextDedupQueries {
     "dedup_incremental_pairs" -> incrementalPairsSql,
     // streaming twin: the sink must equal the same uncapped batch pairs
     "dedup_pairs_stream" -> incrementalPairsSql,
+    // horizon-eviction mode sized so the whole corpus is within-horizon:
+    // the eviction machinery runs live, the pair set must not move
+    "dedup_pairs_stream_evict" -> incrementalPairsSql,
     // incremental fingerprint maintenance == full recompute: the UNCAPPED
     // adaptive-banding replay (cap 2e9: the cold branch covers every
     // bucket, the star never fires — banding is result-invisible uncapped,

@@ -30,14 +30,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    `inter/(na+nb−inter)` double division, same HALF_UP round(6) as the
   *    batch kernel, so the emitted pairs hash-match the batch oracle.
   *
-  * Scale notes: per-bucket state is the bucket's membership — bounded by
-  * the duplicate structure the same way the batch join's bucket cost is;
-  * a production deployment puts the df-cap star OR a crawl-time watermark
-  * timeout on hot buckets (here NoTimeout: the fixture corpus is bounded
-  * and the batch-equality contract is the point). A pair found through
-  * two bands is emitted by two groups; the sink read-back collapses them
-  * with a distinct — the same dedup the batch candidate pipeline does
-  * before its confirm. */
+  * Scale notes: per-bucket PAIR WORK is bounded by the bucket's
+  * membership the same way the batch join's bucket cost is, but under
+  * the NoTimeout path STATE is corpus-sized (every doc carried in its
+  * bands buckets forever). The CONTINUOUS deployment runs
+  * [[pairsStreamEvicting]] — the event-time HORIZON mode, the text twin
+  * of [[EmbStream.pairsStreamEvicting]]: watermark-retired members are
+  * evicted per bucket, idle buckets expire whole, and live state is
+  * bounded by the horizon's crawl volume. (The df-cap star on hot
+  * buckets composes with either mode, the batch capping discipline.)
+  * A pair found through two bands is emitted by two groups; the sink
+  * read-back collapses them with a distinct — the same dedup the batch
+  * candidate pipeline does before its confirm. */
 object DocStream {
 
   final case class BandDoc(band: Int, key: String, doc: Long, hs: Array[Long])
@@ -52,7 +56,19 @@ object DocStream {
     * [[graft.operators.Dedup.bandedTable]] keys built from per-row
     * `array_min` minhashes instead of a groupBy. */
   def bandRows(docs: org.apache.spark.sql.DataFrame,
-               id: String, text: String): org.apache.spark.sql.DataFrame = {
+               id: String, text: String): org.apache.spark.sql.DataFrame =
+    bandRowsCarrying(docs, id, text, Nil)
+
+  /** [[bandRows]] carrying an event-time column `ts` alongside the hash
+    * array — the horizon-mode input shape; the SAME signature/band-key
+    * construction, so horizon-mode keys cannot drift from batch keys. */
+  def bandRowsT(docs: org.apache.spark.sql.DataFrame,
+                id: String, text: String): org.apache.spark.sql.DataFrame =
+    bandRowsCarrying(docs, id, text, Seq("ts"))
+
+  private def bandRowsCarrying(docs: org.apache.spark.sql.DataFrame,
+                               id: String, text: String,
+                               carry: Seq[String]): org.apache.spark.sql.DataFrame = {
     val hs = array_sort(array_distinct(transform(
       graft.operators.TextOps.shingles3Fast(col(text)),
       sh => graft.functions.VectorSql.md5Hash60(sh))))
@@ -63,10 +79,11 @@ object DocStream {
       struct(lit(b).as("band"),
         concat_ws(",", (0 until 4).map(i => minhash(4 * b + i).cast("string")): _*).as("key"))
     }
-    docs.select(col(id).as("doc"), hs.as("hs"))
-      .select(col("doc"), col("hs"), explode(array(bandKeys: _*)).as("bk"))
-      .select(col("bk.band").as("band"), col("bk.key").as("key"),
-        col("doc"), col("hs"))
+    docs.select(col(id).as("doc") +: hs.as("hs") +: carry.map(col): _*)
+      .select(col("doc") +: col("hs") +:
+        explode(array(bandKeys: _*)).as("bk") +: carry.map(col): _*)
+      .select(col("bk.band").as("band") +: col("bk.key").as("key") +:
+        col("doc") +: col("hs") +: carry.map(col): _*)
   }
 
   /** Count of common elements of two SORTED arrays (merge walk). */
@@ -117,5 +134,70 @@ object DocStream {
     import bands.sparkSession.implicits._
     bands.groupByKey(b => (b.band, b.key))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(emit)
+  }
+
+  /** [[BandDoc]] with the row's EVENT TIME — the horizon-mode input shape
+    * ([[bandRowsT]] carries it through the shared key construction). */
+  final case class BandDocT(band: Int, key: String, doc: Long,
+                            hs: Array[Long], ts: java.sql.Timestamp)
+
+  /** Horizon-mode bucket state: members carry their event-time millis so
+    * the confirm can evict what the watermark has retired. */
+  final case class BucketStateT(docs: List[(Long, Array[Long], Long)])
+
+  /** The CONTINUOUS-CRAWL eviction mode the NoTimeout path's scaladoc
+    * promises — the text twin of
+    * [[EmbStream.pairsStreamEvicting]] (same argument, same contract):
+    * a pair is confirmed iff the two docs' event times are within
+    * `horizonMs`; carried members with `ts < watermark − horizonMs` are
+    * evicted on every bucket invocation (no future row can land within
+    * their horizon, so eviction is invisible to the emitted pair set);
+    * a bucket idle past the horizon is removed whole via
+    * `EventTimeTimeout`. Live state is bounded by the horizon's crawl
+    * volume, not the corpus. With `horizonMs` ≥ the corpus's event-time
+    * span, no member is ever evicted and the output equals
+    * [[pairsStream]] — the gated bounded-corpus configuration
+    * (`dedup_pairs_stream_evict` sits under the UNCHANGED batch oracle
+    * while the eviction machinery runs live). DedupStreamSpec plants
+    * cross-horizon near-dups and measures the state-row drop. */
+  def pairsStreamEvicting(bands: Dataset[BandDocT], horizonMs: Long,
+                          watermarkDelay: String): Dataset[NearDupPair] = {
+    import bands.sparkSession.implicits._
+    bands.withWatermark("ts", watermarkDelay)
+      .as[BandDocT]
+      .groupByKey(b => (b.band, b.key))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        emitEvicting(horizonMs))
+  }
+
+  private def emitEvicting(horizonMs: Long)(
+      key: (Int, String), rows: Iterator[BandDocT],
+      state: GroupState[BucketStateT]): Iterator[NearDupPair] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val wm = state.getCurrentWatermarkMs()
+    // members the watermark has retired can never pair with a future row
+    val carried = state.getOption.map(_.docs).getOrElse(Nil)
+      .filter(_._3 >= wm - horizonMs)
+    val incoming = rows.toSeq.sortBy(b => (b.ts.getTime, b.doc))
+    val out = scala.collection.mutable.ListBuffer.empty[NearDupPair]
+    var acc = carried
+    for (b <- incoming) {
+      val bt = b.ts.getTime
+      for ((d2, hs2, t2) <- acc if d2 != b.doc && math.abs(bt - t2) <= horizonMs) {
+        val inter = sortedIntersect(b.hs, hs2)
+        if (inter > 0) {
+          val jac = inter.toDouble / (b.hs.length + hs2.length - inter)
+          if (jac >= MinJaccard)
+            out += NearDupPair(math.min(b.doc, d2), math.max(b.doc, d2), r6(jac))
+        }
+      }
+      acc = (b.doc, b.hs, bt) :: acc
+    }
+    state.update(BucketStateT(acc))
+    // expire the whole bucket once it has been idle past the horizon; the
+    // max(wm+1, ·) keeps the timestamp ahead of the watermark as required
+    val newest = acc.iterator.map(_._3).max
+    state.setTimeoutTimestamp(math.max(wm + 1, newest + horizonMs))
+    out.iterator
   }
 }

@@ -107,6 +107,112 @@ class DedupStreamSpec extends SparkSpec {
       "fixture must contain cross-day pairs")
   }
 
+  // ---- horizon-eviction mode (the text twin of EmbStream's) ----
+
+  private val HourMs = 3600L * 1000L
+
+  /** Planted timeline: an exact-dup pair (0,1) plus filler at t=0; two
+    * hours later a dup of doc 0 (id 100, CROSS-horizon) and a fresh
+    * within-horizon pair (110,111); a lone late row advances the
+    * watermark past the t=0 buckets' timeout. Horizon = 1 h. */
+  private def timedCorpus: Seq[Seq[(Long, String, java.sql.Timestamp)]] = {
+    val base = "the quick brown fox jumps over the lazy dog wearing number"
+    val b2 = "many colorful balloons drifted above the quiet harbor during festival number"
+    // +1 day: a row AT the initial watermark (epoch 0) is dropped as late
+    def ts(sec: Long) = new java.sql.Timestamp((86400L + sec) * 1000L)
+    val t0 = Seq((0L, s"$base 0 end", ts(0)), (1L, s"$base 0 end", ts(0))) ++
+      (2L to 5L).map(i => (i, s"$base ${i * 997} end", ts(0)))
+    val t2h = Seq(
+      (100L, s"$base 0 end", ts(7200)), // dup of doc 0, two horizons late
+      (110L, s"$b2 110 end", ts(7200)), (111L, s"$b2 110 end", ts(7200)))
+    val late = Seq((200L, s"$b2 424242 end", ts(7201)))
+    Seq(t0, t2h, late)
+  }
+
+  private def lastStateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.flatMap(_.stateOperators).lastOption.map(_.numRowsTotal)
+      .getOrElse(sys.error("no state operator progress recorded"))
+
+  test("horizon mode: cross-horizon dups suppressed, state evicted, within-horizon exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // reference run: NoTimeout path on the same rows (event time ignored)
+    val memN = MemoryStream[(Long, String)]
+    val qN = DocStream.pairsStream(
+        DocStream.bandRows(memN.toDF().toDF("doc_id", "text"), "doc_id", "text")
+          .as[DocStream.BandDoc]).toDF()
+      .writeStream.format("memory").queryName("dedup_noevict")
+      .outputMode("append").start()
+    val (noEvictPairs, noEvictState) = try {
+      timedCorpus.foreach { b =>
+        memN.addData(b.map(r => (r._1, r._2)): _*); qN.processAllAvailable()
+      }
+      (spark.table("dedup_noevict").select("doc_a", "doc_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+        lastStateRows(qN))
+    } finally { qN.stop(); spark.sql("DROP TABLE IF EXISTS dedup_noevict") }
+    assert(noEvictPairs.contains((0L, 100L)),
+      "fixture: without a horizon the stale dup must be found (collision is real)")
+    assert(noEvictPairs.contains((0L, 1L)) && noEvictPairs.contains((110L, 111L)))
+
+    // horizon run: 1 h horizon, zero watermark delay (event times ordered)
+    val memE = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val qE = DocStream.pairsStreamEvicting(
+        DocStream.bandRowsT(memE.toDF().toDF("doc_id", "text", "ts"),
+          "doc_id", "text").as[DocStream.BandDocT],
+        horizonMs = HourMs, watermarkDelay = "0 seconds").toDF()
+      .writeStream.format("memory").queryName("dedup_evict")
+      .outputMode("append").start()
+    val (evictPairs, evictState) = try {
+      timedCorpus.foreach { b => memE.addData(b: _*); qE.processAllAvailable() }
+      (spark.table("dedup_evict").select("doc_a", "doc_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+        lastStateRows(qE))
+    } finally { qE.stop(); spark.sql("DROP TABLE IF EXISTS dedup_evict") }
+
+    assert(!evictPairs.contains((0L, 100L)),
+      "a pair straddling the horizon must not be emitted")
+    assert(evictPairs.contains((0L, 1L)) && evictPairs.contains((110L, 111L)),
+      "within-horizon pairs stay exact")
+    // cross-horizon = any pair joining the t=0 cohort (ids ≤ 5) to the
+    // t≥2h cohort (ids ≥ 100); everything else must survive untouched
+    val expected = noEvictPairs.filterNot { case (a, b) => a <= 5L && b >= 100L }
+    assert(evictPairs == expected,
+      s"horizon mode may only drop cross-horizon pairs: $evictPairs vs $noEvictPairs")
+    assert(evictState < noEvictState,
+      s"eviction must shrink state: $evictState !< $noEvictState (NoTimeout carries every bucket)")
+  }
+
+  test("horizon mode with horizon >= corpus span equals the batch pipeline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = corpus.toDF("doc_id", "text")
+    val sh = Dedup.docShinglesRaw(docs, "doc_id", "text")
+    val batch = Dedup.jaccardPairs(sh, 0.8,
+        candidates = Some(Dedup.lshCandidates(Dedup.minhashSignatures(sh))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val timed = corpus.map { case (i, t) =>
+      (i, t, new java.sql.Timestamp((86400L + i) * 1000L))
+    }
+    val q = DocStream.pairsStreamEvicting(
+        DocStream.bandRowsT(mem.toDF().toDF("doc_id", "text", "ts"),
+          "doc_id", "text").as[DocStream.BandDocT],
+        horizonMs = (corpus.size + 1L) * 1000L,
+        watermarkDelay = s"${corpus.size} seconds").toDF()
+      .writeStream.format("memory").queryName("dedup_evict_span")
+      .outputMode("append").start()
+    val got = try {
+      val (b1, b2) = timed.splitAt(21)
+      Seq(b1, b2).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      spark.table("dedup_evict_span").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS dedup_evict_span") }
+    assert(got == batch,
+      "a horizon covering the whole span must be output-invisible vs the batch pipeline")
+  }
+
   test("per-row streaming signatures equal the batch groupBy signatures") {
     import spark.implicits._
     val docs = corpus.toDF("doc_id", "text")
