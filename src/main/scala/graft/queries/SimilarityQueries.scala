@@ -332,6 +332,122 @@ object SimilarityQueries {
         round(col("adc_dot"), 6).as("adc_dot"), round(col("dot"), 6).as("dot"))
   }
 
+  /** IVF-PQ — the two prunings COMPOSED, the canonical billion-scale
+    * serving structure (Jégou et al. 2011's IVFADC: coarse inverted lists
+    * + asymmetric-distance PQ codes): [[annIvf]]'s cell pruning decides
+    * WHICH rows are scanned (each probe reads only its [[NProbe]] nearest
+    * cells — `nprobe/K` of the corpus) and [[annPq]]'s 8 B/vec codes
+    * decide HOW WIDE each scanned row is (64× narrower than the fp64 it
+    * stands for), so the stage-1 bandwidth is `(nprobe/K) · N/64`
+    * fp64-equivalents — multiplicative, which is why every production
+    * vector store ships this pair rather than either alone. Stage 2
+    * reranks the shortlist at full precision, the same k'-sized
+    * point-read recovery [[annInt8]] and [[annPq]] proved. Every
+    * ingredient is the already-gated one: the K9 euclidean coarse
+    * quantizer and [[NProbe]]-cell probing replay `ann_ivf`'s CTEs
+    * verbatim, the first-[[PqNumCodes]]-rows codebook, ADC dot, and
+    * [[pqShortlistFor]] corpus-adaptive shortlist replay `ann_pq`'s —
+    * so the oracle is their literal composition and a hash mismatch
+    * localizes to the seam. Single cell assignment means a (probe, vec)
+    * pair is reachable through at most one probed cell — no DISTINCT
+    * needed where the spilled index needs one. At 100 TB the codes live
+    * in the `ann_ivf_pruned` partitioned layout (cell = partition dir,
+    * codes in-file), making stage 1 a partition-pruned scan of a
+    * 64×-compressed index; the two collects here are the 256-row codebook
+    * and the probe×nprobe cell list — bounded, never data-scale. */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    fork.experimental.extraStrategies =
+      fork.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
+    val cb = pqCodebook(fork, dir)
+    // write-side at scale: codes persist beside the cell-partitioned layout
+    // (ann_ivfpq_pruned serves from exactly that layout)
+    val coded = assigned(fork, dir).select(col("vec_id"), col("cell"),
+      Similarity.pqRecon(Similarity.pqCodes(col("v"), cb, PqSubDims), cb, PqSubDims).as("r"))
+    ivfPqServe(fork, dir, coded, ivfPqProbeCells(fork, dir))
+  }
+
+  /** [[annIvfPq]] served FROM THE DISK LAYOUT — the serving loop closed for
+    * the composed index exactly as `ann_ivf_pruned` closes it for the
+    * classic one, except the partitioned files hold the 8 B/vec PQ CODES
+    * instead of the fp64 vectors: the index on disk is both
+    * directory-prunable (cell = partition dir, the probes' nprobe cells a
+    * LITERAL partition filter) and 64× narrower than the corpus it serves.
+    * Codes are decoded in-scan by the codegen [[Similarity.pqRecon]]
+    * kernel (the codebook rides in as a 256-row plan constant); full
+    * vectors appear only in the stage-2 rerank's k'-sized point reads
+    * against the base table. Same oracle as `ann_ivfpq`: the layout hop
+    * must not change a neighbor. PlanSpec asserts the cell predicate
+    * reaches PartitionFilters on the code scan. */
+  def annIvfPqPruned(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    fork.experimental.extraStrategies =
+      fork.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
+    val cb = pqCodebook(fork, dir)
+    val layout = graft.operators.Artifacts.sharedPath(s"ivfpq_layout:$dir") { path =>
+      graft.sources.Sources.writePartitioned(
+        assigned(fork, dir).select(col("vec_id"),
+          Similarity.pqCodes(col("v"), cb, PqSubDims).as("codes"), col("cell")),
+        path, "cell")
+    }
+    val probeCells = ivfPqProbeCells(fork, dir)
+    // ≤ probes×nprobe ints — never data-scale
+    val wantedCells = probeCells.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val coded = fork.read.parquet(layout)
+      .where(col("cell").isin(wantedCells: _*))
+      .select(col("vec_id"), col("cell"),
+        Similarity.pqRecon(col("codes"), cb, PqSubDims).as("r"))
+    ivfPqServe(fork, dir, coded, probeCells)
+  }
+
+  /** The first-[[PqNumCodes]]-rows codebook both PQ tiers share — a
+    * driver-side collect bounded at 256 rows, never data-scale. */
+  private def pqCodebook(s: SparkSession, dir: String): Array[Array[Double]] =
+    pts(s, dir).where(col("vec_id") < PqNumCodes)
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
+
+  /** Probe → [[NProbe]] nearest cells by centroid L2 — `ann_ivf`'s probing
+    * rule verbatim (tiny cross join, all broadcast-side). */
+  private def ivfPqProbeCells(s: SparkSession, dir: String): DataFrame = {
+    val centroids = SomQueries.protos(s, dir)
+      .select(col("proto_id").as("cell"), col("c"))
+    val cellRank = Window.partitionBy(col("probe_id")).orderBy(col("cd2"), col("cell"))
+    probes(s, dir).crossJoin(broadcast(centroids))
+      .select(col("probe_id"), col("p"), col("cell"),
+        graft.functions.VectorSql.sqDistFast(col("p"), col("c")).as("cd2"))
+      .withColumn("crn", row_number().over(cellRank))
+      .where(col("crn") <= NProbe)
+      .select(col("probe_id"), col("p"), col("cell"))
+  }
+
+  /** The shared IVF-PQ serve: ADC scoring restricted to the probed cells,
+    * corpus-adaptive shortlist through the heap operator, full-precision
+    * rerank — `ann_pq`'s two-stage shape over `ann_ivf`'s pruned scan.
+    * @param coded (vec_id, cell, r) — the reconstructed-code view of
+    *              whichever index form (in-memory or disk layout) serves */
+  private def ivfPqServe(fork: SparkSession, dir: String,
+                         coded: DataFrame, probeCells: DataFrame): DataFrame = {
+    val p = pts(fork, dir)
+    val scored = coded.join(broadcast(probeCells), "cell")
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        graft.functions.VectorSql.dotFast(col("r"), col("p")).as("adc_dot"))
+    val shortlist = graft.plans.TopKPerKey.topKPerKey(scored,
+      keys = Seq(col("probe_id")),
+      order = Seq(col("adc_dot").desc, col("vec_id").asc), k = pqShortlistFor(p.count()))
+    val pr = probes(fork, dir)
+    val reranked = p.join(broadcast(shortlist), "vec_id")
+      .join(broadcast(pr), "probe_id")
+      .select(col("probe_id"), col("vec_id"), col("adc_dot"),
+        graft.functions.VectorSql.dotFast(col("v"), col("p")).as("dot"))
+    reranked
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("dot").desc, col("vec_id"))))
+      .where(col("rank") <= K)
+      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("adc_dot"), 6).as("adc_dot"), round(col("dot"), 6).as("dot"))
+  }
+
   /** SemDeDup cosine threshold: picked against this corpus's within-cell
     * cosine distribution (pairs top out near 0.49) so every SF yields
     * real multi-member groups without collapsing into one component. */
@@ -1031,6 +1147,8 @@ object SimilarityQueries {
     "ann_ivf_pruned" -> annIvfPruned _,
     "ann_ivf_delta" -> annIvfDelta _,
     "ann_pq" -> annPq _,
+    "ann_ivfpq" -> annIvfPq _,
+    "ann_ivfpq_pruned" -> annIvfPqPruned _,
     "ann_nsw" -> annNsw _,
     "ann_nsw_hier" -> annNswHier _,
     "ann_nsw_nnd" -> annNswNnd _,
@@ -1190,6 +1308,53 @@ object SimilarityQueries {
        |SELECT probe_id, CAST(rn AS INT) AS rank, vec_id AS neighbor_id,
        | round(cos, 6) AS cos_sim
        |FROM r WHERE rn <= $K""".stripMargin
+
+  /** The IVF-PQ replay: `ann_ivf`'s cell CTEs (asg, pc) and `ann_pq`'s
+    * code CTEs (cbt/enc/rc, shortlist, rerank) composed literally — the
+    * `d` stage (ADC restricted to probed cells) is the only new line. */
+  private lazy val ivfPqOracle: String =
+    s"""WITH $base, $assignedCte,
+       |pc AS (SELECT probe_id, p, cell FROM
+       |  (SELECT pb.probe_id, pb.p, pr.cell, row_number() OVER
+       |    (PARTITION BY pb.probe_id ORDER BY
+       |      list_sum(list_transform(range(1, 65), i -> (pb.p[i]-pr.c[i])*(pb.p[i]-pr.c[i]))),
+       |      pr.cell) AS crn
+       |   FROM probes pb CROSS JOIN protos pr)
+       |  WHERE crn <= $NProbe),
+       |cbt AS (SELECT vec_id AS code, v FROM pts WHERE vec_id < $PqNumCodes),
+       |enc AS (SELECT vec_id, m, code FROM (
+       |  SELECT p.vec_id, m.m AS m, c.code, row_number() OVER
+       |    (PARTITION BY p.vec_id, m.m ORDER BY
+       |      list_sum(list_transform(range(1, ${PqSubDims + 1}), i ->
+       |        (p.v[m.m*$PqSubDims+i] - c.v[m.m*$PqSubDims+i]) *
+       |        (p.v[m.m*$PqSubDims+i] - c.v[m.m*$PqSubDims+i]))),
+       |      c.code) AS rn
+       |  FROM pts p
+       |  CROSS JOIN (SELECT unnest(range(0, ${64 / PqSubDims})) AS m) m
+       |  CROSS JOIN cbt c)
+       |  WHERE rn = 1),
+       |rc AS (SELECT e.vec_id,
+       |  flatten(list(list_transform(range(1, ${PqSubDims + 1}),
+       |    i -> c.v[e.m*$PqSubDims+i]) ORDER BY e.m)) AS r
+       |  FROM enc e JOIN cbt c ON e.code = c.code GROUP BY e.vec_id),
+       |d AS (SELECT pc.probe_id, rc.vec_id, ${dotE("rc.r", "pc.p")} AS adc_dot
+       |  FROM rc JOIN asg a ON rc.vec_id = a.vec_id
+       |          JOIN pc ON a.cell = pc.cell
+       |  WHERE rc.vec_id != pc.probe_id),
+       |short AS (SELECT probe_id, vec_id, adc_dot FROM
+       |  (SELECT probe_id, vec_id, adc_dot, row_number() OVER
+       |    (PARTITION BY probe_id ORDER BY adc_dot DESC, vec_id) AS rn FROM d)
+       |  WHERE rn <= (SELECT GREATEST(${3 * K},
+       |    3 * CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM embeddings)),
+       |rr AS (SELECT s.probe_id, s.vec_id, s.adc_dot, ${dotE("pts.v", "probes.p")} AS dot
+       |  FROM short s
+       |  JOIN pts ON s.vec_id = pts.vec_id
+       |  JOIN probes ON s.probe_id = probes.probe_id),
+       |f AS (SELECT probe_id, vec_id, adc_dot, dot, row_number() OVER
+       |  (PARTITION BY probe_id ORDER BY dot DESC, vec_id) AS rn FROM rr)
+       |SELECT probe_id, CAST(rn AS INT) AS rank, vec_id AS neighbor_id,
+       |  round(adc_dot, 6) AS adc_dot, round(dot, 6) AS dot
+       |FROM f WHERE rn <= $K""".stripMargin
 
   /** The graph-ANN replay: √N spherical spill-2 assignment → distinct
     * spilled-cell candidates → top-[[NswM]] per src → symmetrize; then the
@@ -1629,6 +1794,14 @@ object SimilarityQueries {
          |SELECT probe_id, CAST(rn AS INT) AS rank, vec_id AS neighbor_id,
          |  round(adc_dot, 6) AS adc_dot, round(dot, 6) AS dot
          |FROM f WHERE rn <= $K""".stripMargin,
+    // IVF-PQ: ann_ivf's cell CTEs (asg, pc) and ann_pq's code CTEs
+    // (cbt/enc/rc, shortlist, rerank) composed LITERALLY — the d stage is
+    // the only new line (ADC restricted to probed cells), so a mismatch
+    // localizes to the seam. Shared VERBATIM with the disk-layout serve
+    // (the partition-pruned hop must not change a neighbor — the
+    // ann_ivf_pruned convention).
+    "ann_ivfpq" -> ivfPqOracle,
+    "ann_ivfpq_pruned" -> ivfPqOracle,
     // ONE oracle for the in-memory query, the pruned layout, and the
     // delta-appended layout: the disk hop AND the append seam must both be
     // invisible in the results

@@ -154,6 +154,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ScalaUDF"), "13-gram shingles must use the native kernel")
   }
 
+  test("ann_ivfpq_pruned: the cell predicate reaches PARTITION pruning on the CODE scan") {
+    val df = SimilarityQueries.annIvfPqPruned(spark, dir)
+    df.count() // materialize AQE stages so the final plan holds the real scans
+    val p = df.queryExecution.executedPlan.toString
+    assert(raw"PartitionFilters: \[[^\]]*cell".r.findFirstIn(p).isDefined,
+      s"the nprobe cell list must prune the code-layout partitions:\n$p")
+  }
+
   test("ann_ivf_pruned: the cell predicate reaches PARTITION pruning on the layout scan") {
     val df = SimilarityQueries.annIvfPruned(spark, dir)
     df.count() // materialize AQE stages so the final plan holds the real scans
