@@ -399,6 +399,51 @@ object SimilarityQueries {
     ivfPqServe(fork, dir, coded, probeCells)
   }
 
+  /** [[annIvfPqPruned]] served from an INCREMENTALLY-MAINTAINED code
+    * layout — the `ann_ivf_delta` discipline applied to the COMPRESSED
+    * index: yesterday's corpus (all but the newest n/10 vectors) is
+    * encoded and written `partitionBy(cell)` once; today's delta is
+    * assigned to the SAME frozen centroids, encoded with the SAME frozen
+    * codebook, and appended as new files inside its cells' directories
+    * ([[graft.sources.Sources.appendIvfPqLayout]]) — yesterday's files are
+    * never rewritten (IvfPqDeltaSpec asserts byte-identity). Because BOTH
+    * quantizers are frozen (retraining either is a REBUILD, not a delta),
+    * an appended row's (cell, codes) are exactly what a full re-encode
+    * would produce, so the served top-k is rebuild-invisible: the oracle
+    * is `ann_ivfpq`'s full-corpus replay verbatim. The day-zero corpus
+    * must CONTAIN the codebook rows (first [[PqNumCodes]] ids < cut) —
+    * guarded loudly; a smaller day-zero would mean a different day-zero
+    * codebook and a real rebuild boundary. At 100 TB the daily cost is
+    * encoding + appending the increment's 8 B/vec codes; the query path
+    * stays partition-pruned over the compressed index and never pays the
+    * base corpus again. */
+  def annIvfPqDelta(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    fork.experimental.extraStrategies =
+      fork.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
+    val n = pts(fork, dir).count()
+    val cut = n - n / 10
+    require(cut >= PqNumCodes,
+      s"day-zero corpus ($cut rows) must contain the $PqNumCodes codebook rows — " +
+        "a smaller day-zero trains a different codebook: that is a rebuild, not a delta")
+    val cb = pqCodebook(fork, dir)
+    val layout = graft.operators.Artifacts.sharedPath(s"ivfpq_delta:$dir") { path =>
+      val coded = assigned(fork, dir).select(col("vec_id"),
+        Similarity.pqCodes(col("v"), cb, PqSubDims).as("codes"), col("cell"))
+      graft.sources.Sources.writePartitioned(
+        coded.where(col("vec_id") < cut), path, "cell")
+      graft.sources.Sources.appendIvfPqLayout(
+        coded.where(col("vec_id") >= cut), path)
+    }
+    val probeCells = ivfPqProbeCells(fork, dir)
+    val wantedCells = probeCells.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val coded = fork.read.parquet(layout)
+      .where(col("cell").isin(wantedCells: _*))
+      .select(col("vec_id"), col("cell"),
+        Similarity.pqRecon(col("codes"), cb, PqSubDims).as("r"))
+    ivfPqServe(fork, dir, coded, probeCells)
+  }
+
   /** The first-[[PqNumCodes]]-rows codebook both PQ tiers share — a
     * driver-side collect bounded at 256 rows, never data-scale. */
   private def pqCodebook(s: SparkSession, dir: String): Array[Array[Double]] =
@@ -1149,6 +1194,7 @@ object SimilarityQueries {
     "ann_pq" -> annPq _,
     "ann_ivfpq" -> annIvfPq _,
     "ann_ivfpq_pruned" -> annIvfPqPruned _,
+    "ann_ivfpq_delta" -> annIvfPqDelta _,
     "ann_nsw" -> annNsw _,
     "ann_nsw_hier" -> annNswHier _,
     "ann_nsw_nnd" -> annNswNnd _,
@@ -1802,6 +1848,9 @@ object SimilarityQueries {
     // ann_ivf_pruned convention).
     "ann_ivfpq" -> ivfPqOracle,
     "ann_ivfpq_pruned" -> ivfPqOracle,
+    // the incremental code layout must be rebuild-invisible: ann_ivfpq's
+    // full replay verbatim (the ann_ivf_delta convention)
+    "ann_ivfpq_delta" -> ivfPqOracle,
     // ONE oracle for the in-memory query, the pruned layout, and the
     // delta-appended layout: the disk hop AND the append seam must both be
     // invisible in the results

@@ -126,6 +126,15 @@ object Sources {
     assignedDelta.select(col("vec_id"), col("v"), col("cell"))
       .write.mode(SaveMode.Append).partitionBy("cell").parquet(path)
 
+  /** The codes twin of [[appendIvfLayout]] for the COMPRESSED (IVF-PQ)
+    * index: the delta's 8 B/vec codes land as new files inside their
+    * cells' directories; base files are never rewritten. Valid only under
+    * frozen coarse centroids AND a frozen codebook — retraining either is
+    * a rebuild, not a delta. */
+  def appendIvfPqLayout(codedDelta: DataFrame, path: String): Unit =
+    codedDelta.select(col("vec_id"), col("codes"), col("cell"))
+      .write.mode(SaveMode.Append).partitionBy("cell").parquet(path)
+
   /** Z-ORDER (Morton) layout: a single partition column that clusters TWO
     * integer dimensions at once, so a 2-D box predicate prunes to the few
     * grid cells the box overlaps — the OPTIMIZE ZORDER data-skipping shape.
