@@ -67,7 +67,12 @@ object Plans {
     "dedup_pairs_stream_evict",
     // round-11 addition: the composed IVF-PQ serving tier (in-memory +
     // partitioned code-layout serve + incremental code-layout maintenance)
-    "ann_ivfpq", "ann_ivfpq_pruned", "ann_ivfpq_delta")
+    "ann_ivfpq", "ann_ivfpq_pruned", "ann_ivfpq_delta",
+    // round-11 addition: the two streaming halves of the index lifecycle —
+    // query-side micro-batch serving and index-side segment maintenance
+    "ann_serve_stream", "ann_ivf_delta_stream",
+    // round-11 addition: GDPR delete on the IVF serving layout
+    "ann_ivf_gdpr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -28,16 +28,26 @@ object SimilarityQueries {
   /** (vec_id, v, cell): corpus with IVF cell assignment (nearest prototype
     * among the first `cells` embedding rows — data-sampled coarse centroids,
     * the classic IVF quantizer). */
-  private def assigned(s: SparkSession, dir: String, cells: Int = K9): DataFrame = {
-    val protos = pts(s, dir).where(col("vec_id") < cells)
+  private def assigned(s: SparkSession, dir: String, cells: Int = K9): DataFrame =
+    assignAgainst(pts(s, dir), ivfProtos(s, dir, cells))
+
+  /** The frozen coarse quantizer itself: (proto_id, c). Factored out so the
+    * STREAMING maintenance path can assign each micro-batch against the
+    * exact same centroids the base layout used. */
+  private def ivfProtos(s: SparkSession, dir: String, cells: Int = K9): DataFrame =
+    pts(s, dir).where(col("vec_id") < cells)
       .select(col("vec_id").cast("long").as("proto_id"), col("v").as("c"))
-    pts(s, dir).crossJoin(broadcast(protos))
+
+  /** Nearest-centroid assignment of an ARBITRARY row set (vec_id, v) —
+    * the math of [[assigned]] applied to any frame (full corpus, a delta,
+    * or one micro-batch). */
+  private def assignAgainst(rows: DataFrame, protos: DataFrame): DataFrame =
+    rows.crossJoin(broadcast(protos))
       .select(col("vec_id"), col("v"), col("proto_id"),
         graft.functions.VectorSql.sqDistFast(col("v"), col("c")).as("d2"))
       .groupBy(col("vec_id"))
       .agg(min(struct(col("d2"), col("proto_id"))).as("m"), first(col("v")).as("v"))
       .select(col("vec_id"), col("v"), col("m.proto_id").as("cell"))
-  }
 
   /** Lloyd iterations for the TRAINED coarse quantizer (r8 verdict #4):
     * fixed and small — a coarse quantizer needs balanced cells, not
@@ -1097,13 +1107,29 @@ object SimilarityQueries {
     * probe → nprobe nearest cells, the cell list becomes a LITERAL
     * partition filter (≤ probes×nprobe ints — never data-scale), cosine +
     * rank only over the pruned cells. */
-  private def serveIvfLayout(s: SparkSession, dir: String, layout: String): DataFrame = {
+  private def serveIvfLayout(s: SparkSession, dir: String, layout: String): DataFrame =
+    serveIvfLayoutProbes(s, dir, layout, probes(s, dir))
+
+  /** [[serveIvfLayout]] for an EXPLICIT probe set — the seam the streaming
+    * serve reuses per micro-batch (a probe's entire result is computed in
+    * the batch it arrives in, so batch boundaries cannot split a top-k). */
+  private def serveIvfLayoutProbes(s: SparkSession, dir: String,
+                                   layout: String, probesDf: DataFrame): DataFrame =
+    serveIvfFrame(s, dir, s.read.parquet(layout), probesDf)
+
+  /** [[serveIvfLayoutProbes]] for an EXPLICIT corpus frame — the seam the
+    * streaming-maintained index uses to serve the UNION of the immutable
+    * base layout and the per-batch delta segments. `cell` must be a
+    * partition column of every member of the union so the `isin` filter
+    * still prunes directories, not rows. */
+  private def serveIvfFrame(s: SparkSession, dir: String,
+                            corpus: DataFrame, probesDf: DataFrame): DataFrame = {
     val centroids = SomQueries.protos(s, dir)
       .select(col("proto_id").as("cell"), col("c"))
     // probe → nprobe nearest cells (same math as ivfTopK's probeCells)
     val cellRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("cd2"), col("cell"))
-    val probeCells = probes(s, dir).crossJoin(broadcast(centroids))
+    val probeCells = probesDf.crossJoin(broadcast(centroids))
       .select(col("probe_id"), col("p"), col("cell"),
         graft.functions.VectorSql.sqDistFast(col("p"), col("c")).as("cd2"))
       .withColumn("crn", row_number().over(cellRank))
@@ -1111,7 +1137,7 @@ object SimilarityQueries {
       .select(col("probe_id"), col("p"), col("cell"))
     val wantedCells = probeCells.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val pruned = s.read.parquet(layout).where(col("cell").isin(wantedCells: _*))
+    val pruned = corpus.where(col("cell").isin(wantedCells: _*))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
     pruned.withColumn("nv", graft.functions.VectorSql.norm2Fast(col("v")))
@@ -1125,6 +1151,153 @@ object SimilarityQueries {
       .where(col("rank") <= K)
       .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
         round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** CONTINUOUS ANN SERVING — the query-side streaming half the index
+    * lifecycle was missing: probe traffic arrives as a STREAM (file
+    * source, `maxFilesPerTrigger = 1`, so the gated run genuinely crosses
+    * micro-batch boundaries) and each batch is served against the
+    * MAINTAINED static index — the same `ivf_layout` artifact
+    * `ann_ivf_pruned` builds and `ann_ivf_delta` appends to. Inside
+    * `foreachBatch` the batch's probes get full batch semantics
+    * ([[serveIvfLayoutProbes]]: nprobe cell selection, literal
+    * partition-filter scan, per-probe rank window); a probe's ENTIRE
+    * top-k is computed in the batch it arrives in — per-probe results
+    * never span batches, so batch boundaries cannot split or reorder a
+    * ranking and the union over batches equals the all-at-once serve.
+    * The sink is idempotent per batch (each batch OVERWRITES its own
+    * `batch=<id>` directory — the versioned-store batchId discipline), so
+    * a restart that replays a batch rewrites the same bytes instead of
+    * duplicating rows. Oracle: `ann_ivf`'s replay VERBATIM — the stream
+    * hop, like the layout hop, must not change a neighbor. At 100 TB this
+    * is the serving deployment: a long-lived query with the compressed/
+    * partitioned index on shared storage; per-batch driver work is the
+    * ≤ batch×nprobe cell collect, never data-scale. AnnServeStreamSpec
+    * asserts the run really took multiple micro-batches. */
+  def annServeStream(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    val root = annServeStreamRoot
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+    val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    // probe traffic split across files: one file per trigger
+    probes(fork, dir).repartition(3).write.parquet(inDir)
+    val layout = graft.operators.Artifacts.sharedPath(s"ivf_layout:$dir") { path =>
+      graft.sources.Sources.writeIvfLayout(assigned(fork, dir), path)
+    }
+    val stream = fork.readStream.schema("probe_id LONG, p ARRAY<DOUBLE>")
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        serveIvfLayoutProbes(fork, dir, layout, batch)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    fork.read.parquet(outDir)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+
+  /** The pid-scoped stream root — derivable by AnnServeStreamSpec, which
+    * inspects the checkpoint's offsets after a run. */
+  def annServeStreamRoot: java.nio.file.Path =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_stream_ann_serve_${ProcessHandle.current().pid()}")
+
+  /** CONTINUOUS ANN INDEX MAINTENANCE — the index-side streaming half
+    * ([[annServeStream]] is the query side): new embeddings arrive as a
+    * STREAM and the serving index absorbs them WITHOUT rewriting the base.
+    * Yesterday's corpus (all but the newest n/10 vectors) is the immutable
+    * base layout (`partitionBy(cell)`, the `ann_ivf_pruned` artifact
+    * discipline); each micro-batch of arrivals is assigned to the SAME
+    * frozen coarse centroids ([[assignAgainst]] over [[ivfProtos]]) and
+    * lands as its own SEGMENT directory `batch=<id>/cell=<c>/…` — the
+    * LSM shape: base + ordered immutable segments, compaction
+    * (= [[graft.sources.Sources.appendIvfLayout]], the `ann_ivf_delta`
+    * entry) folds segments into the base off the write path. The per-batch
+    * sink is idempotent (each batch OVERWRITES its own `batch=<id>` dir),
+    * so a restart that replays a batch rewrites the same bytes — base
+    * files are NEVER touched (IvfDeltaStreamSpec asserts byte-identity).
+    * Serving reads the UNION of base and segments ([[serveIvfFrame]]);
+    * `cell` is a partition column of BOTH sides, so the nprobe cell list
+    * still prunes directories across every segment. Because the quantizer
+    * is frozen, a streamed-in vector is served exactly where a full
+    * rebuild would put it — the oracle is `ann_ivf`'s full-corpus replay
+    * VERBATIM. At 100 TB this is continuous ingestion: per-batch work is
+    * sized by the batch (assign vs K broadcast centroids + one
+    * partitioned write), the base is write-once, and query cost grows
+    * only with segment COUNT until compaction folds them in. */
+  def annIvfDeltaStream(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    val root = annIvfDeltaStreamRoot
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+    val (inDir, segDir, ckpt) = (s"$root/in", s"$root/seg", s"$root/ckpt")
+    val n = pts(fork, dir).count()
+    val cut = n - n / 10
+    // the immutable base: yesterday's 90%, written once per session
+    val base = graft.operators.Artifacts.sharedPath(s"ivf_base90:$dir") { path =>
+      graft.sources.Sources.writeIvfLayout(
+        assigned(fork, dir).where(col("vec_id") < cut), path)
+    }
+    // today's arrivals: raw (vec_id, v) rows split across files, one per
+    // trigger, so the gated run genuinely crosses micro-batch boundaries
+    pts(fork, dir).where(col("vec_id") >= cut)
+      .select(col("vec_id"), col("v")).repartition(3).write.parquet(inDir)
+    val protos = ivfProtos(fork, dir)
+    val stream = fork.readStream.schema("vec_id LONG, v ARRAY<DOUBLE>")
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        assignAgainst(batch, protos)
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$segDir/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val corpus = fork.read.parquet(base)
+      .unionByName(fork.read.parquet(segDir).drop("batch"))
+    serveIvfFrame(fork, dir, corpus, probes(fork, dir))
+  }
+
+  /** The pid-scoped stream root for [[annIvfDeltaStream]] — derivable by
+    * IvfDeltaStreamSpec, which inspects segments and checkpoint offsets. */
+  def annIvfDeltaStreamRoot: java.nio.file.Path =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_stream_ann_ivf_delta_${ProcessHandle.current().pid()}")
+
+  /** GDPR delete reaching the IVF SERVING LAYOUT — the partition-pruned
+    * member of the right-to-be-forgotten family ([[annNswGdpr]] scrubs the
+    * graph tier; this scrubs the cell layout every `ann_ivf*` entry serves
+    * from): every [[NswGdprMod]]-th non-centroid vector files a delete and
+    * [[graft.sources.Sources.deletePartitioned]] rewrites ONLY the cell
+    * directories holding a doomed row (dynamic partition overwrite +
+    * fully-doomed-dir removal — IvfDeltaSpec pins byte-identity of
+    * untouched cells). With the coarse quantizer frozen (doomed centroid
+    * rows are the documented retrain-and-rebuild escalation, excluded from
+    * the stride by construction), the surgical delete is indistinguishable
+    * from a rebuild over survivors — the oracle IS that rebuild's serve
+    * replay. At 100 TB the delete cost is proportional to the cells that
+    * hold doomed keys, never the corpus; the serve path is unchanged. */
+  def annIvfGdpr(s: SparkSession, dir: String): DataFrame = {
+    val doomed = pts(s, dir)
+      .where(col("vec_id") % NswGdprMod === 0 && col("vec_id") >= K9)
+      .select(col("vec_id"))
+    val layout = graft.operators.Artifacts.sharedPath(s"ivf_gdpr:$dir") { path =>
+      graft.sources.Sources.writeIvfLayout(assigned(s, dir), path)
+      graft.sources.Sources.deletePartitioned(s, path, "cell", "vec_id", doomed)
+    }
+    serveIvfLayout(s, dir, layout)
   }
 
   /** SEMANTIC eval-set decontamination — the embedding-space member of the
@@ -1195,6 +1368,9 @@ object SimilarityQueries {
     "ann_ivfpq" -> annIvfPq _,
     "ann_ivfpq_pruned" -> annIvfPqPruned _,
     "ann_ivfpq_delta" -> annIvfPqDelta _,
+    "ann_serve_stream" -> annServeStream _,
+    "ann_ivf_delta_stream" -> annIvfDeltaStream _,
+    "ann_ivf_gdpr" -> annIvfGdpr _,
     "ann_nsw" -> annNsw _,
     "ann_nsw_hier" -> annNswHier _,
     "ann_nsw_nnd" -> annNswNnd _,
@@ -1337,7 +1513,16 @@ object SimilarityQueries {
   /** Nearest-2-cells IVF top-k over the full corpus — shared verbatim by
     * `ann_ivf`, `ann_ivf_pruned`, and `ann_ivf_delta` (layout and append
     * mechanics must never change a neighbor). */
-  private lazy val ivfServeOracle: String =
+  private lazy val ivfServeOracle: String = ivfServeOracleFor("")
+
+  /** [[ivfServeOracle]] over the GDPR survivor set: same frozen quantizer
+    * (survivor assignments don't depend on doomed rows), scoring restricted
+    * to survivors. The surgical layout delete must be indistinguishable
+    * from this rebuild-over-survivors replay. */
+  private lazy val ivfGdprOracle: String = ivfServeOracleFor(
+    s" AND NOT (a.vec_id % $NswGdprMod = 0 AND a.vec_id >= $K9)")
+
+  private def ivfServeOracleFor(survivorFilter: String): String =
     s"""WITH $base, $assignedCte,
        |pc AS (SELECT probe_id, p, cell FROM
        |  (SELECT pb.probe_id, pb.p, pr.cell, row_number() OVER
@@ -1348,7 +1533,7 @@ object SimilarityQueries {
        |  WHERE crn <= $NProbe),
        |d AS (SELECT pc.probe_id, a.vec_id, ${cosE("a.v", "pc.p")} AS cos
        |  FROM asg a JOIN pc ON a.cell = pc.cell
-       |  WHERE a.vec_id != pc.probe_id),
+       |  WHERE a.vec_id != pc.probe_id$survivorFilter),
        |r AS (SELECT probe_id, vec_id, cos, row_number() OVER
        |  (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn FROM d)
        |SELECT probe_id, CAST(rn AS INT) AS rank, vec_id AS neighbor_id,
@@ -1892,6 +2077,14 @@ object SimilarityQueries {
     "ann_ivf_pruned" -> ivfServeOracle,
     "ann_ivf" -> ivfServeOracle,
     "ann_ivf_delta" -> ivfServeOracle,
+    // the stream hop, like the layout hop, must not change a neighbor:
+    // micro-batch serving under the batch replay verbatim
+    "ann_serve_stream" -> ivfServeOracle,
+    // frozen quantizer ⇒ a streamed-in vector serves exactly where a full
+    // rebuild would put it: base+segments under the full replay verbatim
+    "ann_ivf_delta_stream" -> ivfServeOracle,
+    // surgical cell-granular delete == rebuild over survivors
+    "ann_ivf_gdpr" -> ivfGdprOracle,
     // multi-probe via write-side spilling: vectors dual-assigned to their
     // top-SpillCells spherical cells, probes scan their single nearest
     // cell; DISTINCT dedups vectors reachable through two probed cells.

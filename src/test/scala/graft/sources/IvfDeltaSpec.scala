@@ -89,4 +89,26 @@ class IvfDeltaSpec extends SparkSpec {
     assert(served(root) == served(rebuiltRoot),
       "surgical delete must equal rebuild-from-survivors")
   }
+
+  test("ann_ivf_gdpr serve: doomed ids absent from layout and from results") {
+    // end-to-end over real sf0.01 data (sf0.001 has <97 vectors — empty
+    // doomed set; the oracle gate covers that degenerate case)
+    val dir = sf("sf0.01")
+    graft.operators.Artifacts.clear()
+    val res = SimilarityQueries.annIvfGdpr(spark, dir)
+    val doomedServed = res.where(
+      col("neighbor_id") % SimilarityQueries.NswGdprMod === 0 &&
+        col("neighbor_id") >= 9).count()
+    assert(doomedServed == 0, "a deleted vector was served as a neighbor")
+    val layout = graft.operators.Artifacts.sharedPath(s"ivf_gdpr:$dir")(_ =>
+      fail("layout missing — expected it cached from the serve"))
+    val left = spark.read.parquet(layout)
+      .where(col("vec_id") % SimilarityQueries.NswGdprMod === 0 &&
+        col("vec_id") >= 9).count()
+    assert(left == 0, "doomed vectors still present in the serving layout")
+    // and the delete really removed something at this SF
+    val total = spark.read.parquet(dir + "/embeddings.parquet").count()
+    assert(spark.read.parquet(layout).count() < total,
+      "GDPR stride deleted nothing at sf0.01 — test is vacuous")
+  }
 }
