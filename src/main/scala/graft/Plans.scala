@@ -71,8 +71,8 @@ object Plans {
     // round-11 addition: the two streaming halves of the index lifecycle —
     // query-side micro-batch serving and index-side segment maintenance
     "ann_serve_stream", "ann_ivf_delta_stream",
-    // round-11 addition: GDPR delete on the IVF serving layout
-    "ann_ivf_gdpr")
+    // round-11 addition: GDPR deletes on the serving layouts (fp64 + codes)
+    "ann_ivf_gdpr", "ann_ivfpq_gdpr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -454,6 +454,45 @@ object SimilarityQueries {
     ivfPqServe(fork, dir, coded, probeCells)
   }
 
+  /** GDPR delete reaching the COMPRESSED code layout — the IVF-PQ leg of
+    * the right-to-be-forgotten cascade ([[annIvfGdpr]] scrubs the fp64
+    * cell layout, [[annNswGdpr]] the graph; this scrubs the 8 B/vec code
+    * files a billion-scale deployment actually serves from): every
+    * [[NswGdprMod]]-th vector above the codebook rows files a delete and
+    * [[graft.sources.Sources.deletePartitioned]] rewrites only the cell
+    * directories holding a doomed code row. The stride excludes codebook
+    * rows (`vec_id < PqNumCodes`) by construction — a doomed CODEBOOK row
+    * still embeds the user's vector verbatim in every reconstruction, so
+    * its deletion is the documented retrain-and-rebuild escalation, not a
+    * surgical delete. Both quantizers frozen ⇒ the surgical delete equals
+    * a re-encode over survivors: the oracle is that rebuild's replay
+    * (`ann_ivfpq`'s chain with doomed rows absent from the ADC stage;
+    * shortlist width stays the full-corpus [[pqShortlistFor]] — a width
+    * knob, not a function of the forgotten rows). */
+  def annIvfPqGdpr(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    fork.experimental.extraStrategies =
+      fork.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
+    val cb = pqCodebook(fork, dir)
+    val doomed = pts(fork, dir)
+      .where(col("vec_id") % NswGdprMod === 0 && col("vec_id") >= PqNumCodes)
+      .select(col("vec_id"))
+    val layout = graft.operators.Artifacts.sharedPath(s"ivfpq_gdpr:$dir") { path =>
+      graft.sources.Sources.writePartitioned(
+        assigned(fork, dir).select(col("vec_id"),
+          Similarity.pqCodes(col("v"), cb, PqSubDims).as("codes"), col("cell")),
+        path, "cell")
+      graft.sources.Sources.deletePartitioned(fork, path, "cell", "vec_id", doomed)
+    }
+    val probeCells = ivfPqProbeCells(fork, dir)
+    val wantedCells = probeCells.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val coded = fork.read.parquet(layout)
+      .where(col("cell").isin(wantedCells: _*))
+      .select(col("vec_id"), col("cell"),
+        Similarity.pqRecon(col("codes"), cb, PqSubDims).as("r"))
+    ivfPqServe(fork, dir, coded, probeCells)
+  }
+
   /** The first-[[PqNumCodes]]-rows codebook both PQ tiers share — a
     * driver-side collect bounded at 256 rows, never data-scale. */
   private def pqCodebook(s: SparkSession, dir: String): Array[Array[Double]] =
@@ -1368,6 +1407,7 @@ object SimilarityQueries {
     "ann_ivfpq" -> annIvfPq _,
     "ann_ivfpq_pruned" -> annIvfPqPruned _,
     "ann_ivfpq_delta" -> annIvfPqDelta _,
+    "ann_ivfpq_gdpr" -> annIvfPqGdpr _,
     "ann_serve_stream" -> annServeStream _,
     "ann_ivf_delta_stream" -> annIvfDeltaStream _,
     "ann_ivf_gdpr" -> annIvfGdpr _,
@@ -1543,7 +1583,18 @@ object SimilarityQueries {
   /** The IVF-PQ replay: `ann_ivf`'s cell CTEs (asg, pc) and `ann_pq`'s
     * code CTEs (cbt/enc/rc, shortlist, rerank) composed literally — the
     * `d` stage (ADC restricted to probed cells) is the only new line. */
-  private lazy val ivfPqOracle: String =
+  private lazy val ivfPqOracle: String = ivfPqOracleFor("")
+
+  /** [[ivfPqOracle]] over the GDPR survivor set: both quantizers frozen
+    * (the stride excludes codebook rows — a doomed codebook row is the
+    * retrain-and-rebuild escalation), doomed rows absent from the ADC
+    * stage, shortlist width unchanged (full-corpus knob). The surgical
+    * code-layout delete must be indistinguishable from this
+    * re-encode-over-survivors replay. */
+  private lazy val ivfPqGdprOracle: String = ivfPqOracleFor(
+    s" AND NOT (rc.vec_id % $NswGdprMod = 0 AND rc.vec_id >= $PqNumCodes)")
+
+  private def ivfPqOracleFor(survivorFilter: String): String =
     s"""WITH $base, $assignedCte,
        |pc AS (SELECT probe_id, p, cell FROM
        |  (SELECT pb.probe_id, pb.p, pr.cell, row_number() OVER
@@ -1571,7 +1622,7 @@ object SimilarityQueries {
        |d AS (SELECT pc.probe_id, rc.vec_id, ${dotE("rc.r", "pc.p")} AS adc_dot
        |  FROM rc JOIN asg a ON rc.vec_id = a.vec_id
        |          JOIN pc ON a.cell = pc.cell
-       |  WHERE rc.vec_id != pc.probe_id),
+       |  WHERE rc.vec_id != pc.probe_id$survivorFilter),
        |short AS (SELECT probe_id, vec_id, adc_dot FROM
        |  (SELECT probe_id, vec_id, adc_dot, row_number() OVER
        |    (PARTITION BY probe_id ORDER BY adc_dot DESC, vec_id) AS rn FROM d)
@@ -2036,6 +2087,8 @@ object SimilarityQueries {
     // the incremental code layout must be rebuild-invisible: ann_ivfpq's
     // full replay verbatim (the ann_ivf_delta convention)
     "ann_ivfpq_delta" -> ivfPqOracle,
+    // surgical code-layout delete == re-encode over survivors
+    "ann_ivfpq_gdpr" -> ivfPqGdprOracle,
     // ONE oracle for the in-memory query, the pruned layout, and the
     // delta-appended layout: the disk hop AND the append seam must both be
     // invisible in the results

@@ -58,4 +58,27 @@ class IvfPqDeltaSpec extends SparkSpec {
     val n2 = SimilarityQueries.annIvfPqDelta(spark, sf("sf0.001")).count()
     assert(n1 == n2) // a second append would double-count the delta
   }
+
+  test("ann_ivfpq_gdpr: doomed ids absent from the code layout and from results") {
+    import org.apache.spark.sql.functions.col
+    // sf0.1 (2k vectors) — the smallest SF where the stride (every 97th id
+    // above the 256 codebook rows) dooms anything; smaller SFs degenerate
+    // to the plain serve, which the oracle gate covers
+    val dir = sf("sf0.1")
+    graft.operators.Artifacts.clear()
+    val res = SimilarityQueries.annIvfPqGdpr(spark, dir)
+    val mod = SimilarityQueries.NswGdprMod
+    val cb = SimilarityQueries.PqNumCodes
+    val doomedServed = res.where(
+      col("neighbor_id") % mod === 0 && col("neighbor_id") >= cb).count()
+    assert(doomedServed == 0, "a deleted vector was served as a neighbor")
+    val layout = graft.operators.Artifacts.sharedPath(s"ivfpq_gdpr:$dir")(_ =>
+      fail("layout missing — expected it cached from the serve"))
+    val codes = spark.read.parquet(layout)
+    assert(codes.where(col("vec_id") % mod === 0 && col("vec_id") >= cb).count() == 0,
+      "doomed codes still present in the serving layout")
+    val total = spark.read.parquet(dir + "/embeddings.parquet").count()
+    assert(codes.count() < total,
+      "GDPR stride deleted nothing at sf0.1 — test is vacuous")
+  }
 }
