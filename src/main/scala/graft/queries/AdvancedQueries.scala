@@ -51,6 +51,44 @@ object AdvancedQueries {
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
         count(lit(1)).as("n"))
 
+  /** KMV (k-minimum-values) distinct sketch — the HASH-GATEABLE member of
+    * the approx family ([[qApproxDistinct]]'s HLL is rows-only because
+    * register layouts are engine-specific; KMV's state is just the k
+    * smallest values of a PORTABLE hash, so DuckDB replays the whole
+    * sketch and the ESTIMATE ITSELF sits under the byte-hash gate).
+    * Per group: distinct portable-md5 hashes of the key, the k smallest
+    * kept through the custom [[graft.plans.TopKPerKeyNode]] heap operator
+    * (partial per-partition k-heaps → key exchange → final merge — the
+    * mergeable-sketch shuffle shape, k-sized state per group, no
+    * per-group sort), then the classic Bar-Yossef estimator
+    * `(k−1) / hₖ` with the k-th smallest hash normalized to [0,1) by
+    * 2⁶⁰ (the hash width): `floor((k−1)·2⁶⁰ / hₖ)`. Groups with fewer
+    * than k distinct hashes report their exact count (the standard KMV
+    * small-set exactness). Every arithmetic step is IEEE-identical in
+    * both engines ((k−1)·2⁶⁰ is exactly representable, one division,
+    * floor — no rounding-mode ambiguity), so unlike every other sketch
+    * this one is bit-gateable. AdvancedOpsSpec asserts the error
+    * envelope vs exact counts; std-err at k=64 is 1/√62 ≈ 13%. At
+    * 100 TB this is the same one-pass + mergeable-partials shape as the
+    * HLL entry with a deterministic-replay guarantee HLL cannot give. */
+  val KmvK = 64
+  def qApproxDistinctKmv(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    fork.experimental.extraStrategies =
+      fork.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
+    val hashes = fork.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_returnflag"),
+        graft.functions.VectorSql.md5Hash60(col("l_partkey").cast("string")).as("h"))
+      .distinct()
+    val mins = graft.plans.TopKPerKey.topKPerKey(hashes,
+      keys = Seq(col("l_returnflag")), order = Seq(col("h").asc), k = KmvK)
+    mins.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("nh"), max(col("h")).as("hk"))
+      .select(col("l_returnflag"),
+        when(col("nh") < KmvK, col("nh").cast("double"))
+          .otherwise(floor(lit((KmvK - 1).toDouble * (1L << 60).toDouble) / col("hk")))
+          .cast("bigint").as("kmv_distinct"))
+  }
+
   /** Mergeable quantile sketch per return flag (approx_percentile /
     * Greenwald-Khanna) — rows-only like [[qApproxDistinct]] (sketch
     * internals are engine-specific by design); AdvancedOpsSpec asserts the
@@ -166,6 +204,7 @@ object AdvancedQueries {
     "q_salted_join" -> qSaltedJoin _,
     "q_runtime_filter" -> qRuntimeFilter _,
     "q_approx_distinct" -> qApproxDistinct _,
+    "q_approx_distinct_kmv" -> qApproxDistinctKmv _,
     "q_approx_quantile" -> qApproxQuantile _,
     "q_topk_per_key" -> qTopKPerKey _,
     "q_topk_rewrite" -> qTopKRewrite _,
@@ -208,6 +247,24 @@ object AdvancedQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY 1""".stripMargin,
+    // KMV sketch replayed in full: distinct portable hashes, k smallest per
+    // group via row_number, Bar-Yossef estimate floor((k-1)*2^60 / h_k) —
+    // every step deterministic, so the ESTIMATE is hash-gated (the HLL twin
+    // q_approx_distinct stays rows-only by design)
+    "q_approx_distinct_kmv" ->
+      s"""WITH h AS (SELECT DISTINCT l_returnflag,
+        |  ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM lineitem),
+        |r AS (SELECT l_returnflag, h, row_number() OVER
+        |  (PARTITION BY l_returnflag ORDER BY h) AS rn FROM h),
+        |g AS (SELECT l_returnflag, count(*) AS nh,
+        |  max(CASE WHEN rn = $KmvK THEN h END) AS hk
+        |  FROM r WHERE rn <= $KmvK GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  CAST(CASE WHEN nh < $KmvK THEN CAST(nh AS DOUBLE)
+        |    ELSE FLOOR(${KmvK - 1}.0 * 1152921504606846976.0 / hk) END
+        |  AS BIGINT) AS kmv_distinct
+        |FROM g""".stripMargin,
     "q_topk_per_key" -> windowTopKSql("lineitem"),
     // identical oracle: the rewrite must be output-equal to the window SQL
     // the user actually wrote

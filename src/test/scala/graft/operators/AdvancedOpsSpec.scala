@@ -69,6 +69,30 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx=$approx exact=$exact")
   }
 
+  test("KMV distinct estimate stays inside the k=64 error envelope per group") {
+    // std-err at k=64 is 1/sqrt(62) ~ 12.7%; gate at 4 sigma. Also assert
+    // the estimator branch is actually exercised (>= k distinct hashes in
+    // at least one group) — exact-count passthrough alone proves nothing.
+    val dir = sf("sf0.1")
+    val est = graft.queries.AdvancedQueries.qApproxDistinctKmv(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val li = spark.read.parquet(dir + "/lineitem.parquet")
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    assert(exact.values.exists(_ >= graft.queries.AdvancedQueries.KmvK),
+      "no group reached k distinct keys — estimator branch never ran")
+    for ((flag, nd) <- exact) {
+      val e = est(flag)
+      if (nd < graft.queries.AdvancedQueries.KmvK)
+        assert(e == nd, s"small-set exactness violated for $flag: $e != $nd")
+      else
+        assert(math.abs(e - nd).toDouble / nd < 4.0 / math.sqrt(62.0),
+          s"KMV estimate for $flag off: est=$e exact=$nd")
+    }
+  }
+
   test("approx_percentile stays inside the 1/accuracy rank-error envelope") {
     // accuracy 1000 guarantees rank error ≤ n/1000: the sketch's p50 must
     // sit between the EXACT p49.8 and p50.2 values (and same at p90).
