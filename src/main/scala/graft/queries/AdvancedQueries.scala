@@ -89,6 +89,41 @@ object AdvancedQueries {
           .cast("bigint").as("kmv_distinct"))
   }
 
+  /** Deterministic HASH-SAMPLED quantiles — the hash-gateable twin of
+    * [[qApproxQuantile]] (whose GK sketch is rows-only by design, exactly
+    * like the HLL/KMV pairing above): a deterministic md5-hash sample of
+    * the rows (keep ≡ `h % mod = 0` on the unique line key — an IN-SCAN
+    * filter, no RNG, no shuffle, reproducible across engines AND runs, the
+    * auditable-sampling property `ml_weighted_sample` established), then
+    * the p50/p90 as ORDER STATISTICS over the sample (the rank-⌈p·n⌉
+    * element — type-1 quantile, no interpolation arithmetic to disagree
+    * on; the selected value is a raw parquet double, so the gate compares
+    * bytes). At 100 TB the sample rate makes the per-group sort
+    * sample-sized while the scan stays one pass; sampling theory gives
+    * rank error O(√(p(1−p)/m)) — AdvancedOpsSpec asserts the sampled p50
+    * sits inside the exact p40–p60 band. */
+  val QhMod = 4
+  def qApproxQuantileHash(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    val keyed = graft.functions.VectorSql.md5Hash60(
+      concat(col("l_orderkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string")))
+    val sampled = li.where(keyed % QhMod === 0)
+      .select(col("l_returnflag"), col("l_extendedprice").as("p"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag")).orderBy(col("p"))
+    val g = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag"))
+    sampled
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(g))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        max(when(col("rn") === ceil(col("n") * 0.5).cast("long"), col("p"))).as("p50"),
+        max(when(col("rn") === ceil(col("n") * 0.9).cast("long"), col("p"))).as("p90"),
+        max(col("n")).cast("bigint").as("n_sample"))
+  }
+
   /** Mergeable quantile sketch per return flag (approx_percentile /
     * Greenwald-Khanna) — rows-only like [[qApproxDistinct]] (sketch
     * internals are engine-specific by design); AdvancedOpsSpec asserts the
@@ -206,6 +241,7 @@ object AdvancedQueries {
     "q_approx_distinct" -> qApproxDistinct _,
     "q_approx_distinct_kmv" -> qApproxDistinctKmv _,
     "q_approx_quantile" -> qApproxQuantile _,
+    "q_approx_quantile_hash" -> qApproxQuantileHash _,
     "q_topk_per_key" -> qTopKPerKey _,
     "q_topk_rewrite" -> qTopKRewrite _,
     "q_topk_rank_rewrite" -> qTopKRankRewrite _,
@@ -265,6 +301,20 @@ object AdvancedQueries {
         |    ELSE FLOOR(${KmvK - 1}.0 * 1152921504606846976.0 / hk) END
         |  AS BIGINT) AS kmv_distinct
         |FROM g""".stripMargin,
+    // deterministic md5 sample + type-1 order statistics: both replayable,
+    // selected values are raw parquet doubles — the estimate is hash-gated
+    "q_approx_quantile_hash" ->
+      s"""WITH s AS (SELECT l_returnflag, l_extendedprice AS p FROM lineitem
+        |  WHERE ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+        |    CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT % $QhMod = 0),
+        |r AS (SELECT l_returnflag, p,
+        |  row_number() OVER (PARTITION BY l_returnflag ORDER BY p) AS rn,
+        |  count(*) OVER (PARTITION BY l_returnflag) AS n FROM s)
+        |SELECT l_returnflag,
+        |  max(CASE WHEN rn = CAST(CEIL(n * 0.5) AS BIGINT) THEN p END) AS p50,
+        |  max(CASE WHEN rn = CAST(CEIL(n * 0.9) AS BIGINT) THEN p END) AS p90,
+        |  CAST(max(n) AS BIGINT) AS n_sample
+        |FROM r GROUP BY 1""".stripMargin,
     "q_topk_per_key" -> windowTopKSql("lineitem"),
     // identical oracle: the rewrite must be output-equal to the window SQL
     // the user actually wrote

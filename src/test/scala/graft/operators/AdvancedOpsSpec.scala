@@ -93,6 +93,24 @@ class AdvancedOpsSpec extends SparkSpec {
     }
   }
 
+  test("hash-sampled quantile lands inside the exact p40-p60 / p85-p95 bands") {
+    // a 1/4 deterministic sample at sf0.1 leaves m ~ 50k rows per flag;
+    // rank error ~ sqrt(p(1-p)/m) < 0.3% of rank — the bands are generous
+    val dir = sf("sf0.1")
+    val est = graft.queries.AdvancedQueries.qApproxQuantileHash(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = spark.read.parquet(dir + "/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, array(0.40, 0.60, 0.85, 0.95))").as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(est.keySet == exact.keySet)
+    for ((flag, (p50, p90)) <- est) {
+      val Seq(q40, q60, q85, q95) = exact(flag).toSeq
+      assert(p50 >= q40 && p50 <= q60, s"$flag sampled p50=$p50 outside [$q40,$q60]")
+      assert(p90 >= q85 && p90 <= q95, s"$flag sampled p90=$p90 outside [$q85,$q95]")
+    }
+  }
+
   test("approx_percentile stays inside the 1/accuracy rank-error envelope") {
     // accuracy 1000 guarantees rank error ≤ n/1000: the sketch's p50 must
     // sit between the EXACT p49.8 and p50.2 values (and same at p90).
