@@ -89,6 +89,61 @@ object AdvancedQueries {
           .cast("bigint").as("kmv_distinct"))
   }
 
+  /** STREAMING KMV distinct tracking — continuous cardinality monitoring
+    * over the same sketch as [[qApproxDistinctKmv]]: keyed rows stream in
+    * (file source split across files, one per trigger — the gated run
+    * crosses real micro-batch boundaries), one stateful operator
+    * ([[graft.streaming.KmvStream.sketchStream]]) maintains the k
+    * smallest distinct hashes per group — state BOUNDED at k longs + a
+    * counter per group forever, the property that makes KMV the sketch
+    * you actually stream (the dedup streams need horizon eviction; this
+    * needs nothing). The fold is commutative + idempotent + monotone, so
+    * the final state is independent of row order, batch boundaries, and
+    * at-least-once replays — the read-back (each group's max-`seen`
+    * emission) computes the Bar-Yossef estimate with the batch entry's
+    * exact arithmetic and shares its DuckDB oracle VERBATIM.
+    * KmvStreamSpec asserts split-invariance and duplicate-feed
+    * idempotence. */
+  def kmvDistinctStream(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    import fork.implicits._
+    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_stream_kmv_${ProcessHandle.current().pid()}")
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+    val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    fork.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_partkey"))
+      .repartition(3).write.parquet(inDir)
+    val sch = fork.read.parquet(inDir).schema
+    val stream = fork.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val keyed = stream.select(col("l_returnflag").as("flag"),
+      graft.functions.VectorSql.md5Hash60(col("l_partkey").cast("string")).as("h"))
+      .as[graft.streaming.KmvStream.KeyedHash]
+    val q = graft.streaming.KmvStream.sketchStream(keyed, KmvK).toDF()
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = fork.read
+      .schema("l_returnflag STRING, seen BIGINT, nh INT, hk BIGINT")
+      .parquet(outDir)
+    // final state per group: `seen` is monotone and strictly grows on every
+    // emission, so max-seen is the last state
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag")).orderBy(col("seen").desc)
+    out.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("l_returnflag"),
+        when(col("nh") < KmvK, col("nh").cast("double"))
+          .otherwise(floor(lit((KmvK - 1).toDouble * (1L << 60).toDouble) / col("hk")))
+          .cast("bigint").as("kmv_distinct"))
+  }
+
   /** Deterministic HASH-SAMPLED quantiles — the hash-gateable twin of
     * [[qApproxQuantile]] (whose GK sketch is rows-only by design, exactly
     * like the HLL/KMV pairing above): a deterministic md5-hash sample of
@@ -242,10 +297,30 @@ object AdvancedQueries {
     "q_approx_distinct_kmv" -> qApproxDistinctKmv _,
     "q_approx_quantile" -> qApproxQuantile _,
     "q_approx_quantile_hash" -> qApproxQuantileHash _,
+    "kmv_distinct_stream" -> kmvDistinctStream _,
     "q_topk_per_key" -> qTopKPerKey _,
     "q_topk_rewrite" -> qTopKRewrite _,
     "q_topk_rank_rewrite" -> qTopKRankRewrite _,
   )
+
+  /** The full KMV replay: distinct portable hashes, k smallest per group
+    * via row_number, Bar-Yossef estimate floor((k−1)·2⁶⁰ / hₖ). Shared by
+    * the batch entry and its streaming twin (order/batch-invariant fold —
+    * same final state). */
+  private lazy val kmvOracle: String =
+    s"""WITH h AS (SELECT DISTINCT l_returnflag,
+      |  ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM lineitem),
+      |r AS (SELECT l_returnflag, h, row_number() OVER
+      |  (PARTITION BY l_returnflag ORDER BY h) AS rn FROM h),
+      |g AS (SELECT l_returnflag, count(*) AS nh,
+      |  max(CASE WHEN rn = $KmvK THEN h END) AS hk
+      |  FROM r WHERE rn <= $KmvK GROUP BY l_returnflag)
+      |SELECT l_returnflag,
+      |  CAST(CASE WHEN nh < $KmvK THEN CAST(nh AS DOUBLE)
+      |    ELSE FLOOR(${KmvK - 1}.0 * 1152921504606846976.0 / hk) END
+      |  AS BIGINT) AS kmv_distinct
+      |FROM g""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "events_asof" ->
@@ -287,20 +362,10 @@ object AdvancedQueries {
     // group via row_number, Bar-Yossef estimate floor((k-1)*2^60 / h_k) —
     // every step deterministic, so the ESTIMATE is hash-gated (the HLL twin
     // q_approx_distinct stays rows-only by design)
-    "q_approx_distinct_kmv" ->
-      s"""WITH h AS (SELECT DISTINCT l_returnflag,
-        |  ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
-        |  FROM lineitem),
-        |r AS (SELECT l_returnflag, h, row_number() OVER
-        |  (PARTITION BY l_returnflag ORDER BY h) AS rn FROM h),
-        |g AS (SELECT l_returnflag, count(*) AS nh,
-        |  max(CASE WHEN rn = $KmvK THEN h END) AS hk
-        |  FROM r WHERE rn <= $KmvK GROUP BY l_returnflag)
-        |SELECT l_returnflag,
-        |  CAST(CASE WHEN nh < $KmvK THEN CAST(nh AS DOUBLE)
-        |    ELSE FLOOR(${KmvK - 1}.0 * 1152921504606846976.0 / hk) END
-        |  AS BIGINT) AS kmv_distinct
-        |FROM g""".stripMargin,
+    "q_approx_distinct_kmv" -> kmvOracle,
+    // KMV's fold is commutative+idempotent+monotone: the streamed sketch's
+    // final state equals the batch sketch's, so the oracle is shared verbatim
+    "kmv_distinct_stream" -> kmvOracle,
     // deterministic md5 sample + type-1 order statistics: both replayable,
     // selected values are raw parquet doubles — the estimate is hash-gated
     "q_approx_quantile_hash" ->
