@@ -43,6 +43,33 @@ class IvfDeltaStreamSpec extends SparkSpec {
     }
   }
 
+  test("segment compaction (appendIvfLayout) folds segments into the base; serve input unchanged") {
+    import org.apache.spark.sql.functions.col
+    val dir = sf("sf0.001")
+    graft.operators.Artifacts.clear()
+    SimilarityQueries.annIvfDeltaStream(spark, dir).collect()
+    val root = SimilarityQueries.annIvfDeltaStreamRoot
+    val base = java.nio.file.Paths.get(
+      graft.operators.Artifacts.sharedPath(s"ivf_base90:$dir")(_ =>
+        fail("base artifact missing — expected it cached from the run")))
+    // compact into a COPY of the base (the shared artifact must stay
+    // pristine for other tests), as a real compactor would off the write path
+    val compacted = Files.createTempDirectory("graft_ivf_compacted")
+    Files.walk(base).iterator().asScala.filter(Files.isRegularFile(_)).foreach { f =>
+      val to = compacted.resolve(base.relativize(f).toString)
+      Files.createDirectories(to.getParent)
+      Files.copy(f, to)
+    }
+    val segRows = spark.read.parquet(root.resolve("seg").toString).drop("batch")
+    graft.sources.Sources.appendIvfLayout(segRows, compacted.toString)
+    def rows(p: String) = spark.read.parquet(p)
+      .select(col("vec_id"), col("v"), col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2))).toSet
+    val unioned = rows(base.toString) ++ rows(root.resolve("seg").toString)
+    assert(rows(compacted.toString) == unioned,
+      "compaction changed the serve input (base ∪ segments)")
+  }
+
   test("restart replay is idempotent and never rewrites the base layout") {
     val dir = sf("sf0.001")
     graft.operators.Artifacts.clear()
