@@ -72,7 +72,10 @@ object Plans {
     // query-side micro-batch serving and index-side segment maintenance
     "ann_serve_stream", "ann_ivf_delta_stream",
     // round-11 addition: GDPR deletes on the serving layouts (fp64 + codes)
-    "ann_ivf_gdpr", "ann_ivfpq_gdpr")
+    "ann_ivf_gdpr", "ann_ivfpq_gdpr",
+    // round-11 addition: the hash-gated sketch family (KMV through the heap
+    // operator, its streaming twin, deterministic sampled quantiles)
+    "q_approx_distinct_kmv", "kmv_distinct_stream", "q_approx_quantile_hash")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
