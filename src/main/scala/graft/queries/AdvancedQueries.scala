@@ -89,6 +89,64 @@ object AdvancedQueries {
           .cast("bigint").as("kmv_distinct"))
   }
 
+  /** KMV SKETCH SET ALGEBRA — union/intersection cardinality estimates for
+    * every group pair from the SKETCHES ALONE (theta-sketch style, no
+    * rescan, no join of the underlying data): the reason mergeable
+    * sketches matter at 100 TB is exactly this — "how much do source A
+    * and source B overlap?" answered from two k-longs summaries instead
+    * of a corpus-scale distinct join. Per pair: the union sketch is the k
+    * smallest of the two sketches' distinct values with θ = its k-th
+    * value; |A∪B| ≈ (k−1)·2⁶⁰/θ (plain KMV on the union sketch), and
+    * |A∩B| ≈ |{h ∈ A_sk ∩ B_sk : h < θ}|·2⁶⁰/θ (the common survivors
+    * below the threshold are a uniform sample of the intersection at
+    * rate θ/2⁶⁰). Pairs with fewer than k union values report exact
+    * counts (both sketches are then complete). Everything after the
+    * per-flag sketch is metadata-scale (flags × k rows); the arithmetic
+    * is integer except one exactly-representable product and one IEEE
+    * division each — hash-gated like its siblings. AdvancedOpsSpec
+    * asserts both estimates against exact distinct-set algebra. */
+  def qKmvSetOps(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    fork.experimental.extraStrategies =
+      fork.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
+    val hashes = fork.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_returnflag").as("flag"),
+        graft.functions.VectorSql.md5Hash60(col("l_partkey").cast("string")).as("h"))
+      .distinct()
+    val sk = graft.plans.TopKPerKey.topKPerKey(hashes,
+      keys = Seq(col("flag")), order = Seq(col("h").asc), k = KmvK)
+      .localCheckpoint(eager = true) // consumed by three joins below
+    val flags = sk.select(col("flag")).distinct()
+    val pairs = flags.select(col("flag").as("fa"))
+      .crossJoin(flags.select(col("flag").as("fb")))
+      .where(col("fa") < col("fb"))
+    // union sketch per pair: distinct values across both sketches, k kept
+    val u = pairs.join(sk,
+        sk("flag") === col("fa") || sk("flag") === col("fb"))
+      .select(col("fa"), col("fb"), col("h")).distinct()
+    val uw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fa"), col("fb")).orderBy(col("h"))
+    val th = u.withColumn("urn", row_number().over(uw))
+      .groupBy(col("fa"), col("fb"))
+      .agg(max(when(col("urn") === KmvK, col("h"))).as("theta"),
+        count(lit(1)).as("un"))
+    // sketch-intersection members below the threshold
+    val sa = sk.select(col("flag").as("fa"), col("h"))
+    val sb = sk.select(col("flag").as("fb"), col("h"))
+    val cm = pairs.join(sa, "fa").join(sb, Seq("fb", "h"))
+      .join(th, Seq("fa", "fb"))
+      .where(col("theta").isNull || col("h") < col("theta"))
+      .groupBy(col("fa"), col("fb")).agg(count(lit(1)).as("ncom"))
+    val scale = lit((1L << 60).toDouble)
+    th.join(cm, Seq("fa", "fb"), "left")
+      .select(col("fa").as("flag_a"), col("fb").as("flag_b"),
+        when(col("un") < KmvK, col("un").cast("double"))
+          .otherwise(floor(lit((KmvK - 1).toDouble) * scale / col("theta")))
+          .cast("bigint").as("union_distinct"),
+        when(col("un") < KmvK, coalesce(col("ncom"), lit(0L)).cast("double"))
+          .otherwise(floor(coalesce(col("ncom"), lit(0L)).cast("double") * scale / col("theta")))
+          .cast("bigint").as("inter_distinct"))
+  }
+
   /** STREAMING KMV distinct tracking — continuous cardinality monitoring
     * over the same sketch as [[qApproxDistinctKmv]]: keyed rows stream in
     * (file source split across files, one per trigger — the gated run
@@ -298,6 +356,7 @@ object AdvancedQueries {
     "q_approx_quantile" -> qApproxQuantile _,
     "q_approx_quantile_hash" -> qApproxQuantileHash _,
     "kmv_distinct_stream" -> kmvDistinctStream _,
+    "q_kmv_set_ops" -> qKmvSetOps _,
     "q_topk_per_key" -> qTopKPerKey _,
     "q_topk_rewrite" -> qTopKRewrite _,
     "q_topk_rank_rewrite" -> qTopKRankRewrite _,
@@ -366,6 +425,38 @@ object AdvancedQueries {
     // KMV's fold is commutative+idempotent+monotone: the streamed sketch's
     // final state equals the batch sketch's, so the oracle is shared verbatim
     "kmv_distinct_stream" -> kmvOracle,
+    // theta-style set algebra replayed from the same per-flag sketch CTEs:
+    // union sketch = k smallest across both sketches (theta = its k-th),
+    // intersection sample = common sketch members below theta
+    "q_kmv_set_ops" ->
+      s"""WITH h AS (SELECT DISTINCT l_returnflag AS flag,
+        |  ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM lineitem),
+        |r AS (SELECT flag, h, row_number() OVER
+        |  (PARTITION BY flag ORDER BY h) AS rn FROM h),
+        |sk AS (SELECT flag, h FROM r WHERE rn <= $KmvK),
+        |fl AS (SELECT DISTINCT flag FROM h),
+        |p AS (SELECT a.flag AS fa, b.flag AS fb FROM fl a JOIN fl b ON a.flag < b.flag),
+        |u AS (SELECT DISTINCT p.fa, p.fb, s.h FROM p
+        |  JOIN sk s ON s.flag = p.fa OR s.flag = p.fb),
+        |ur AS (SELECT fa, fb, h, row_number() OVER
+        |  (PARTITION BY fa, fb ORDER BY h) AS urn FROM u),
+        |th AS (SELECT fa, fb, max(CASE WHEN urn = $KmvK THEN h END) AS theta,
+        |  CAST(count(*) AS BIGINT) AS un FROM ur GROUP BY fa, fb),
+        |cm AS (SELECT p.fa, p.fb, CAST(count(*) AS BIGINT) AS ncom FROM p
+        |  JOIN sk sa ON sa.flag = p.fa
+        |  JOIN sk sb ON sb.flag = p.fb AND sb.h = sa.h
+        |  JOIN th t ON t.fa = p.fa AND t.fb = p.fb
+        |  WHERE t.theta IS NULL OR sa.h < t.theta
+        |  GROUP BY p.fa, p.fb)
+        |SELECT th.fa AS flag_a, th.fb AS flag_b,
+        |  CAST(CASE WHEN un < $KmvK THEN CAST(un AS DOUBLE)
+        |    ELSE FLOOR(${KmvK - 1}.0 * 1152921504606846976.0 / theta) END
+        |  AS BIGINT) AS union_distinct,
+        |  CAST(CASE WHEN un < $KmvK THEN CAST(COALESCE(ncom, 0) AS DOUBLE)
+        |    ELSE FLOOR(CAST(COALESCE(ncom, 0) AS DOUBLE) * 1152921504606846976.0 / theta) END
+        |  AS BIGINT) AS inter_distinct
+        |FROM th LEFT JOIN cm ON cm.fa = th.fa AND cm.fb = th.fb""".stripMargin,
     // deterministic md5 sample + type-1 order statistics: both replayable,
     // selected values are raw parquet doubles — the estimate is hash-gated
     "q_approx_quantile_hash" ->

@@ -93,6 +93,28 @@ class AdvancedOpsSpec extends SparkSpec {
     }
   }
 
+  test("KMV set-algebra estimates land inside the theta-sketch envelope") {
+    // union estimate: plain KMV on the union sketch — 4 sigma at k=64.
+    // intersection: a theta-rate sample of the overlap — same order; exact
+    // values computed by real distinct-set algebra per flag pair.
+    val dir = sf("sf0.1")
+    val est = graft.queries.AdvancedQueries.qKmvSetOps(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val sets = spark.read.parquet(dir + "/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_partkey")).distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(est.nonEmpty)
+    val tol = 4.0 / math.sqrt(62.0)
+    for (((fa, fb), (uEst, iEst)) <- est) {
+      val (a, b) = (sets(fa), sets(fb))
+      val (u, i) = ((a ++ b).size, (a & b).size)
+      assert(math.abs(uEst - u).toDouble / u < tol, s"($fa,$fb) union est=$uEst exact=$u")
+      assert(math.abs(iEst - i).toDouble / math.max(i, 1) < tol,
+        s"($fa,$fb) inter est=$iEst exact=$i")
+    }
+  }
+
   test("hash-sampled quantile lands inside the exact p40-p60 / p85-p95 bands") {
     // a 1/4 deterministic sample at sf0.1 leaves m ~ 50k rows per flag;
     // rank error ~ sqrt(p(1-p)/m) < 0.3% of rank — the bands are generous
