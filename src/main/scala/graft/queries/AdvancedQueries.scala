@@ -89,6 +89,48 @@ object AdvancedQueries {
           .cast("bigint").as("kmv_distinct"))
   }
 
+  /** COUNT-MIN frequency sketch + heavy hitters — the FREQUENCY member of
+    * the hash-gated sketch triad (KMV = cardinality, hash-sample =
+    * quantiles, CMS = frequency): a d×w counter matrix over d independent
+    * portable-md5 hash rows (state d·w integers — BOUNDED regardless of
+    * key cardinality, and counters ADD, so partial sketches merge
+    * map-side like any sum), point estimates `min_i counter[i][h_i(key)]`
+    * (never an underestimate — CmsSpec proves the one-sided property on
+    * every key), heavy hitters = the top-10 keys by estimate with
+    * deterministic tie-breaks. Fixed hashes make the whole matrix AND the
+    * estimates engine-replayable — DuckDB rebuilds the sketch and the
+    * byte-hash gates the heavy-hitter list itself. Candidates here are
+    * the corpus' distinct keys (bounded); a true streaming deployment
+    * feeds arriving keys through the same estimate-min into a heap. At
+    * 100 TB the sketch pass is one scan + a d·w-row aggregate; the
+    * estimate pass is a broadcast join against the 1024-row matrix. */
+  val CmsW = 256
+  val CmsD = 4
+  val CmsTopK = 10
+  def qTopkFreqCms(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet").select(col("l_partkey"))
+    def buckets(key: org.apache.spark.sql.Column) = array((0 until CmsD).map { i =>
+      struct(lit(i).as("r"),
+        pmod(graft.functions.VectorSql.md5Hash60(
+          concat(lit(s"$i:"), key.cast("string"))), lit(CmsW.toLong)).as("c"))
+    }: _*)
+    val sketch = li.select(explode(buckets(col("l_partkey"))).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+    val keys = li.distinct()
+    val est = keys.select(col("l_partkey"), explode(buckets(col("l_partkey"))).as("rc"))
+      .select(col("l_partkey"), col("rc.r").as("r"), col("rc.c").as("c"))
+      .join(broadcast(sketch), Seq("r", "c"))
+      .groupBy(col("l_partkey")).agg(min(col("cnt")).as("est_freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("est_freq").desc, col("l_partkey"))
+    // global top-10 window over the DISTINCT-KEY estimates (bounded by key
+    // cardinality, not corpus rows) — the driver-facing heavy-hitter report
+    est.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= CmsTopK)
+      .select(col("rank"), col("l_partkey"), col("est_freq"))
+  }
+
   /** KMV SKETCH SET ALGEBRA — union/intersection cardinality estimates for
     * every group pair from the SKETCHES ALONE (theta-sketch style, no
     * rescan, no join of the underlying data): the reason mergeable
@@ -357,6 +399,7 @@ object AdvancedQueries {
     "q_approx_quantile_hash" -> qApproxQuantileHash _,
     "kmv_distinct_stream" -> kmvDistinctStream _,
     "q_kmv_set_ops" -> qKmvSetOps _,
+    "q_topk_freq_cms" -> qTopkFreqCms _,
     "q_topk_per_key" -> qTopKPerKey _,
     "q_topk_rewrite" -> qTopKRewrite _,
     "q_topk_rank_rewrite" -> qTopKRankRewrite _,
@@ -425,6 +468,22 @@ object AdvancedQueries {
     // KMV's fold is commutative+idempotent+monotone: the streamed sketch's
     // final state equals the batch sketch's, so the oracle is shared verbatim
     "kmv_distinct_stream" -> kmvOracle,
+    // the count-min matrix rebuilt from the same fixed hashes, estimates =
+    // min over rows, heavy hitters under deterministic tie-breaks — the
+    // sketch, the estimates, and the report all byte-hash-gated
+    "q_topk_freq_cms" ->
+      s"""WITH b AS (SELECT l_partkey, d.r AS r,
+        |  ('0x' || substr(md5(CAST(d.r AS VARCHAR) || ':' ||
+        |    CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT % $CmsW AS c
+        |  FROM lineitem CROSS JOIN (SELECT unnest(range(0, $CmsD)) AS r) d),
+        |sk AS (SELECT r, c, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY r, c),
+        |kb AS (SELECT DISTINCT l_partkey, r, c FROM b),
+        |e AS (SELECT kb.l_partkey, min(cnt) AS est_freq
+        |  FROM kb JOIN sk USING (r, c) GROUP BY 1),
+        |t AS (SELECT l_partkey, est_freq, row_number() OVER
+        |  (ORDER BY est_freq DESC, l_partkey) AS rank FROM e)
+        |SELECT CAST(rank AS INT) AS rank, l_partkey, est_freq
+        |FROM t WHERE rank <= $CmsTopK""".stripMargin,
     // theta-style set algebra replayed from the same per-flag sketch CTEs:
     // union sketch = k smallest across both sketches (theta = its k-th),
     // intersection sample = common sketch members below theta
