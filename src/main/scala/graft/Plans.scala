@@ -70,7 +70,7 @@ object Plans {
     "ann_ivfpq", "ann_ivfpq_pruned", "ann_ivfpq_delta",
     // round-11 addition: the two streaming halves of the index lifecycle —
     // query-side micro-batch serving and index-side segment maintenance
-    "ann_serve_stream", "ann_ivf_delta_stream",
+    "ann_serve_stream", "ann_ivf_delta_stream", "ann_serve_stream_live",
     // round-11 addition: GDPR deletes on the serving layouts (fp64 + codes)
     "ann_ivf_gdpr", "ann_ivfpq_gdpr",
     // round-11 addition: the hash-gated sketch family (KMV through the heap

@@ -1272,7 +1272,16 @@ object SimilarityQueries {
     * partitioned write), the base is write-once, and query cost grows
     * only with segment COUNT until compaction folds them in. */
   def annIvfDeltaStream(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
-    val root = annIvfDeltaStreamRoot
+    val corpus = streamMaintainedIndex(fork, dir, annIvfDeltaStreamRoot)
+    serveIvfFrame(fork, dir, corpus, probes(fork, dir))
+  }
+
+  /** The index half shared by [[annIvfDeltaStream]] and
+    * [[annServeStreamLive]]: stream today's arrivals into per-batch
+    * segments beside the immutable base, return the base∪segments serve
+    * frame (cell a partition column of both union legs). */
+  private def streamMaintainedIndex(fork: SparkSession, dir: String,
+                                    root: java.nio.file.Path): DataFrame = {
     if (java.nio.file.Files.exists(root)) {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
@@ -1304,10 +1313,48 @@ object SimilarityQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val corpus = fork.read.parquet(base)
+    fork.read.parquet(base)
       .unionByName(fork.read.parquet(segDir).drop("batch"))
-    serveIvfFrame(fork, dir, corpus, probes(fork, dir))
   }
+
+  /** THE COMPOSED LIFECYCLE — both streaming halves in one entry, which is
+    * the actual production deployment: arrivals stream into per-batch
+    * SEGMENTS beside the immutable base ([[streamMaintainedIndex]], the
+    * `ann_ivf_delta_stream` half) and probe traffic then streams against
+    * that LIVE base∪segments index ([[serveIvfFrame]] per micro-batch, the
+    * `ann_serve_stream` half — per-batch idempotent sinks, a probe's whole
+    * top-k in its arrival batch). Because the quantizer is frozen and the
+    * serve unions base with every segment, the composition is
+    * rebuild-invisible end to end: the oracle is STILL `ann_ivf`'s
+    * full-corpus replay verbatim — one hash gate over ingestion, layout,
+    * segment maintenance, and micro-batch serving at once. The spec
+    * asserts BOTH checkpoints really crossed micro-batch boundaries. */
+  def annServeStreamLive(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    val root = annServeStreamLiveRoot
+    val corpus = streamMaintainedIndex(fork, dir, root.resolve("index"))
+    val (inDir, outDir, ckpt) =
+      (s"$root/serve/in", s"$root/serve/out", s"$root/serve/ckpt")
+    probes(fork, dir).repartition(3).write.parquet(inDir)
+    val stream = fork.readStream.schema("probe_id LONG, p ARRAY<DOUBLE>")
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        serveIvfFrame(fork, dir, corpus, batch)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    fork.read.parquet(outDir)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+
+  /** The pid-scoped root for [[annServeStreamLive]] (index + serve trees). */
+  def annServeStreamLiveRoot: java.nio.file.Path =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_stream_ann_live_${ProcessHandle.current().pid()}")
 
   /** The pid-scoped stream root for [[annIvfDeltaStream]] — derivable by
     * IvfDeltaStreamSpec, which inspects segments and checkpoint offsets. */
@@ -1410,6 +1457,7 @@ object SimilarityQueries {
     "ann_ivfpq_gdpr" -> annIvfPqGdpr _,
     "ann_serve_stream" -> annServeStream _,
     "ann_ivf_delta_stream" -> annIvfDeltaStream _,
+    "ann_serve_stream_live" -> annServeStreamLive _,
     "ann_ivf_gdpr" -> annIvfGdpr _,
     "ann_nsw" -> annNsw _,
     "ann_nsw_hier" -> annNswHier _,
@@ -2136,6 +2184,9 @@ object SimilarityQueries {
     // frozen quantizer ⇒ a streamed-in vector serves exactly where a full
     // rebuild would put it: base+segments under the full replay verbatim
     "ann_ivf_delta_stream" -> ivfServeOracle,
+    // both streaming halves composed — ingestion, segments, and micro-batch
+    // serving under ONE hash gate: still the full replay verbatim
+    "ann_serve_stream_live" -> ivfServeOracle,
     // surgical cell-granular delete == rebuild over survivors
     "ann_ivf_gdpr" -> ivfGdprOracle,
     // multi-probe via write-side spilling: vectors dual-assigned to their

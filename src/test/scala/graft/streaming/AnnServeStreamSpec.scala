@@ -27,6 +27,23 @@ class AnnServeStreamSpec extends SparkSpec {
     assert(batches > 1, s"expected multiple micro-batches, saw $batches")
   }
 
+  test("composed lifecycle (ann_serve_stream_live): streamed probes against the stream-maintained index == batch ann_ivf; both streams multi-batch") {
+    val dir = sf("sf0.001")
+    graft.operators.Artifacts.clear()
+    val live = SimilarityQueries.annServeStreamLive(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val batch = SimilarityQueries.annIvf(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(live == batch, "the composed lifecycle changed a neighbor")
+    val root = SimilarityQueries.annServeStreamLiveRoot
+    for (ck <- Seq("index/ckpt/offsets", "serve/ckpt/offsets")) {
+      val offsets = root.resolve(ck)
+      assert(Files.exists(offsets), s"no checkpoint offsets at $offsets")
+      assert(Files.list(offsets).count() > 1,
+        s"$ck: expected multiple micro-batches")
+    }
+  }
+
   test("per-batch sink is idempotent: re-writing a batch directory leaves one copy") {
     val dir = sf("sf0.001")
     val first = SimilarityQueries.annServeStream(spark, dir)
