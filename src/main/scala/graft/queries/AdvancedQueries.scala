@@ -206,13 +206,7 @@ object AdvancedQueries {
     * idempotence. */
   def kmvDistinctStream(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
     import fork.implicits._
-    val root = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_stream_kmv_${ProcessHandle.current().pid()}")
-    if (java.nio.file.Files.exists(root)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.delete)
-    }
+    val root = StreamScratch.fresh("kmv")
     val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
     fork.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_returnflag"), col("l_partkey"))

@@ -398,8 +398,16 @@ object SimilarityQueries {
           Similarity.pqCodes(col("v"), cb, PqSubDims).as("codes"), col("cell")),
         path, "cell")
     }
+    servePqLayout(fork, dir, layout, cb)
+  }
+
+  /** The partition-pruned code-layout serve tail shared by every IVF-PQ
+    * disk entry (pruned / delta / GDPR): probe cells → literal cell filter
+    * on the code scan (≤ probes×nprobe ints — never data-scale) → in-scan
+    * [[Similarity.pqRecon]] → the two-stage [[ivfPqServe]]. */
+  private def servePqLayout(fork: SparkSession, dir: String, layout: String,
+                            cb: Array[Array[Double]]): DataFrame = {
     val probeCells = ivfPqProbeCells(fork, dir)
-    // ≤ probes×nprobe ints — never data-scale
     val wantedCells = probeCells.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).toSeq
     val coded = fork.read.parquet(layout)
@@ -437,21 +445,17 @@ object SimilarityQueries {
         "a smaller day-zero trains a different codebook: that is a rebuild, not a delta")
     val cb = pqCodebook(fork, dir)
     val layout = graft.operators.Artifacts.sharedPath(s"ivfpq_delta:$dir") { path =>
+      // materialize once: base write + delta append each consume the
+      // assignment+encode pipeline (the multiply-consumed-frame discipline)
       val coded = assigned(fork, dir).select(col("vec_id"),
         Similarity.pqCodes(col("v"), cb, PqSubDims).as("codes"), col("cell"))
+        .localCheckpoint(eager = true)
       graft.sources.Sources.writePartitioned(
         coded.where(col("vec_id") < cut), path, "cell")
       graft.sources.Sources.appendIvfPqLayout(
         coded.where(col("vec_id") >= cut), path)
     }
-    val probeCells = ivfPqProbeCells(fork, dir)
-    val wantedCells = probeCells.select(col("cell")).distinct()
-      .collect().map(_.getLong(0)).toSeq
-    val coded = fork.read.parquet(layout)
-      .where(col("cell").isin(wantedCells: _*))
-      .select(col("vec_id"), col("cell"),
-        Similarity.pqRecon(col("codes"), cb, PqSubDims).as("r"))
-    ivfPqServe(fork, dir, coded, probeCells)
+    servePqLayout(fork, dir, layout, cb)
   }
 
   /** GDPR delete reaching the COMPRESSED code layout — the IVF-PQ leg of
@@ -483,14 +487,7 @@ object SimilarityQueries {
         path, "cell")
       graft.sources.Sources.deletePartitioned(fork, path, "cell", "vec_id", doomed)
     }
-    val probeCells = ivfPqProbeCells(fork, dir)
-    val wantedCells = probeCells.select(col("cell")).distinct()
-      .collect().map(_.getLong(0)).toSeq
-    val coded = fork.read.parquet(layout)
-      .where(col("cell").isin(wantedCells: _*))
-      .select(col("vec_id"), col("cell"),
-        Similarity.pqRecon(col("codes"), cb, PqSubDims).as("r"))
-    ivfPqServe(fork, dir, coded, probeCells)
+    servePqLayout(fork, dir, layout, cb)
   }
 
   /** The first-[[PqNumCodes]]-rows codebook both PQ tiers share — a
@@ -501,11 +498,19 @@ object SimilarityQueries {
 
   /** Probe → [[NProbe]] nearest cells by centroid L2 — `ann_ivf`'s probing
     * rule verbatim (tiny cross join, all broadcast-side). */
-  private def ivfPqProbeCells(s: SparkSession, dir: String): DataFrame = {
+  private def ivfPqProbeCells(s: SparkSession, dir: String): DataFrame =
+    probeCellsFor(s, dir, probes(s, dir))
+
+  /** probe → its [[NProbe]] nearest coarse cells, for an EXPLICIT probe
+    * frame — the one block every IVF/IVF-PQ serve path derives its cell
+    * pruning from (euclidean argmin over the K9 quantizer, deterministic
+    * cell tie-break). */
+  private def probeCellsFor(s: SparkSession, dir: String,
+                            probesDf: DataFrame): DataFrame = {
     val centroids = SomQueries.protos(s, dir)
       .select(col("proto_id").as("cell"), col("c"))
     val cellRank = Window.partitionBy(col("probe_id")).orderBy(col("cd2"), col("cell"))
-    probes(s, dir).crossJoin(broadcast(centroids))
+    probesDf.crossJoin(broadcast(centroids))
       .select(col("probe_id"), col("p"), col("cell"),
         graft.functions.VectorSql.sqDistFast(col("p"), col("c")).as("cd2"))
       .withColumn("crn", row_number().over(cellRank))
@@ -1019,14 +1024,7 @@ object SimilarityQueries {
     * invariance. */
   def dedupEmbeddingLshStream(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
     import fork.implicits._
-    val root = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_stream_emb_lsh_${ProcessHandle.current().pid()}")
-    if (java.nio.file.Files.exists(root)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.delete)
-    }
+    val root = StreamScratch.fresh("emb_lsh")
     val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
     val points = pts(fork, dir)
     points.write.parquet(inDir)
@@ -1062,17 +1060,15 @@ object SimilarityQueries {
     * deliberately avoids. */
   def dedupEmbeddingLshStreamEvict(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
     import fork.implicits._
-    val root = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_stream_emb_evict_${ProcessHandle.current().pid()}")
-    if (java.nio.file.Files.exists(root)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.delete)
-    }
+    val root = StreamScratch.fresh("emb_evict")
     val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
     val points = pts(fork, dir)
-    points.write.parquet(inDir)
+    // split across files, one per trigger: the watermark genuinely ADVANCES
+    // between micro-batches, so the eviction machinery runs live (a
+    // single-batch run exercises it only vacuously — r11 self-review);
+    // horizon covers the whole span, so nothing is ever evicted or late
+    // and the batch oracle is unchanged
+    points.repartition(3).write.parquet(inDir)
     val n = points.count()
     val bpb = Similarity.bitsPerBand(n)
     // span of the vec_id ingest clock, in seconds; horizon covers it all
@@ -1080,7 +1076,8 @@ object SimilarityQueries {
     // +1 day keeps every event time strictly above the INITIAL watermark
     // (0): a row AT the watermark is dropped as late by the stateful
     // operator, which would silently lose vec_id 0's pairs
-    val stream = fork.readStream.schema("vec_id LONG, v ARRAY<DOUBLE>").parquet(inDir)
+    val stream = fork.readStream.schema("vec_id LONG, v ARRAY<DOUBLE>")
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
       .withColumn("ts", timestamp_seconds(col("vec_id") + lit(86400L)))
     val q = graft.streaming.EmbStream.pairsStreamEvicting(
         graft.streaming.EmbStream.bandRowsT(stream, nBits = 8 * bpb, bands = 8)
@@ -1163,17 +1160,7 @@ object SimilarityQueries {
     * still prunes directories, not rows. */
   private def serveIvfFrame(s: SparkSession, dir: String,
                             corpus: DataFrame, probesDf: DataFrame): DataFrame = {
-    val centroids = SomQueries.protos(s, dir)
-      .select(col("proto_id").as("cell"), col("c"))
-    // probe → nprobe nearest cells (same math as ivfTopK's probeCells)
-    val cellRank = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("probe_id")).orderBy(col("cd2"), col("cell"))
-    val probeCells = probesDf.crossJoin(broadcast(centroids))
-      .select(col("probe_id"), col("p"), col("cell"),
-        graft.functions.VectorSql.sqDistFast(col("p"), col("c")).as("cd2"))
-      .withColumn("crn", row_number().over(cellRank))
-      .where(col("crn") <= NProbe)
-      .select(col("probe_id"), col("p"), col("cell"))
+    val probeCells = probeCellsFor(s, dir, probesDf)
     val wantedCells = probeCells.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).toSeq
     val pruned = corpus.where(col("cell").isin(wantedCells: _*))
@@ -1214,12 +1201,7 @@ object SimilarityQueries {
     * ≤ batch×nprobe cell collect, never data-scale. AnnServeStreamSpec
     * asserts the run really took multiple micro-batches. */
   def annServeStream(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
-    val root = annServeStreamRoot
-    if (java.nio.file.Files.exists(root)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.delete)
-    }
+    val root = StreamScratch.fresh("ann_serve")
     val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
     // probe traffic split across files: one file per trigger
     probes(fork, dir).repartition(3).write.parquet(inDir)
@@ -1244,9 +1226,7 @@ object SimilarityQueries {
 
   /** The pid-scoped stream root — derivable by AnnServeStreamSpec, which
     * inspects the checkpoint's offsets after a run. */
-  def annServeStreamRoot: java.nio.file.Path =
-    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_stream_ann_serve_${ProcessHandle.current().pid()}")
+  def annServeStreamRoot: java.nio.file.Path = StreamScratch.path("ann_serve")
 
   /** CONTINUOUS ANN INDEX MAINTENANCE — the index-side streaming half
     * ([[annServeStream]] is the query side): new embeddings arrive as a
@@ -1272,21 +1252,18 @@ object SimilarityQueries {
     * partitioned write), the base is write-once, and query cost grows
     * only with segment COUNT until compaction folds them in. */
   def annIvfDeltaStream(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
-    val corpus = streamMaintainedIndex(fork, dir, annIvfDeltaStreamRoot)
+    val corpus = streamMaintainedIndex(fork, dir, StreamScratch.fresh("ann_ivf_delta"))
     serveIvfFrame(fork, dir, corpus, probes(fork, dir))
   }
 
   /** The index half shared by [[annIvfDeltaStream]] and
     * [[annServeStreamLive]]: stream today's arrivals into per-batch
     * segments beside the immutable base, return the base∪segments serve
-    * frame (cell a partition column of both union legs). */
+    * frame (cell a partition column of both union legs). `root` must be
+    * FRESH (callers clear via [[StreamScratch.fresh]] — a stale checkpoint
+    * would mark input files already-processed and serve stale segments). */
   private def streamMaintainedIndex(fork: SparkSession, dir: String,
                                     root: java.nio.file.Path): DataFrame = {
-    if (java.nio.file.Files.exists(root)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.delete)
-    }
     val (inDir, segDir, ckpt) = (s"$root/in", s"$root/seg", s"$root/ckpt")
     val n = pts(fork, dir).count()
     val cut = n - n / 10
@@ -1330,7 +1307,7 @@ object SimilarityQueries {
     * segment maintenance, and micro-batch serving at once. The spec
     * asserts BOTH checkpoints really crossed micro-batch boundaries. */
   def annServeStreamLive(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
-    val root = annServeStreamLiveRoot
+    val root = StreamScratch.fresh("ann_live") // WHOLE root: index AND serve
     val corpus = streamMaintainedIndex(fork, dir, root.resolve("index"))
     val (inDir, outDir, ckpt) =
       (s"$root/serve/in", s"$root/serve/out", s"$root/serve/ckpt")
@@ -1352,15 +1329,12 @@ object SimilarityQueries {
   }
 
   /** The pid-scoped root for [[annServeStreamLive]] (index + serve trees). */
-  def annServeStreamLiveRoot: java.nio.file.Path =
-    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_stream_ann_live_${ProcessHandle.current().pid()}")
+  def annServeStreamLiveRoot: java.nio.file.Path = StreamScratch.path("ann_live")
 
   /** The pid-scoped stream root for [[annIvfDeltaStream]] — derivable by
     * IvfDeltaStreamSpec, which inspects segments and checkpoint offsets. */
   def annIvfDeltaStreamRoot: java.nio.file.Path =
-    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_stream_ann_ivf_delta_${ProcessHandle.current().pid()}")
+    StreamScratch.path("ann_ivf_delta")
 
   /** GDPR delete reaching the IVF SERVING LAYOUT — the partition-pruned
     * member of the right-to-be-forgotten family ([[annNswGdpr]] scrubs the

@@ -884,14 +884,7 @@ object TextDedupQueries {
     * batch). */
   def dedupPairsStreamed(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
     import fork.implicits._
-    val root = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_stream_dedup_pairs_${ProcessHandle.current().pid()}")
-    if (java.nio.file.Files.exists(root)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.delete)
-    }
+    val root = StreamScratch.fresh("dedup_pairs")
     val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
     // stage the corpus into a directory: the file stream source reads
     // directories, and the driver testdata is a single parquet file
@@ -931,31 +924,32 @@ object TextDedupQueries {
     * state-row drop this entry's configuration deliberately avoids. */
   def dedupPairsStreamEvict(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
     import fork.implicits._
-    val root = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_stream_dedup_evict_${ProcessHandle.current().pid()}")
-    if (java.nio.file.Files.exists(root)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.delete)
-    }
+    val root = StreamScratch.fresh("dedup_evict")
     val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
     val docsIn = fork.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
-    docsIn.write.parquet(inDir)
+    // split across files, one per trigger: the watermark genuinely ADVANCES
+    // between micro-batches, so the eviction machinery runs live (a
+    // single-batch run exercises it only vacuously — r11 self-review)
+    docsIn.repartition(3).write.parquet(inDir)
     // span of the doc_id ingest clock (ids need not be dense); horizon
-    // covers it all, and the watermark delay keeps every row un-late
+    // covers it all, and the watermark delay keeps every row un-late:
+    // delay = maxId+1 s puts the fully-advanced watermark one second BELOW
+    // doc 0's event time — a row AT the watermark is dropped as late, so
+    // delay = maxId would silently lose doc 0's pairs once batches split
+    // (the embedding twin had this right; fixed here by r11 self-review)
     val maxId = docsIn.agg(max(col("doc_id"))).head.getLong(0)
     val horizonMs = (maxId + 1L) * 1000L
     // +1 day keeps every event time strictly above the INITIAL watermark
     // (0): a row AT the watermark is dropped as late by the stateful
     // operator, which would silently lose doc_id 0's pairs
-    val stream = fork.readStream.schema(docsIn.schema).parquet(inDir)
+    val stream = fork.readStream.schema(docsIn.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
       .withColumn("ts", timestamp_seconds(col("doc_id") + lit(86400L)))
     val q = graft.streaming.DocStream.pairsStreamEvicting(
         graft.streaming.DocStream.bandRowsT(stream, "doc_id", "text")
           .as[graft.streaming.DocStream.BandDocT],
-        horizonMs, watermarkDelay = s"$maxId seconds")
+        horizonMs, watermarkDelay = s"${maxId + 1} seconds")
       .toDF()
       .writeStream.format("parquet")
       .option("path", outDir).option("checkpointLocation", ckpt)
