@@ -89,6 +89,52 @@ object AdvancedQueries {
           .cast("bigint").as("kmv_distinct"))
   }
 
+  /** BLOOM-FILTER membership — the MEMBERSHIP member of the hash-gated
+    * sketch family (cardinality/quantile/frequency/set-algebra are the
+    * others), and the explicit-artifact twin of `q_runtime_filter` (there
+    * Spark injects a bloom into the scan; here the filter is OUR artifact
+    * with every property measured under the gate). Keys = the URGENT
+    * orders; the filter is the DISTINCT set of d=3 portable-hash bit
+    * positions with a CORPUS-ADAPTIVE width `m = 2^(bitlen(n−1)+4)` —
+    * ≥16 bits per key, the same integer-bit-length sizing as
+    * `bitsPerBand` (any FIXED m saturates at some scale: the r5 LSH
+    * lesson applied to membership). Probes = every distinct lineitem
+    * order key; a probe hits iff all d positions are present. The output
+    * is the measured contract: probe/member/hit counts, the
+    * false-positive count, and the fp rate — and the defining ONE-SIDED
+    * guarantee (a true member can never miss) is spec-proved, not
+    * assumed. At 100 TB the artifact is ≤ d·n positions (bit-set sized,
+    * broadcastable next to the scan it guards); build and probe are each
+    * one scan + bounded joins. */
+  val BloomD = 3
+  def qBloomMembership(s: SparkSession, dir: String): DataFrame = {
+    val urgent = s.read.parquet(s"$dir/orders.parquet")
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("key")).distinct()
+    val nKeys = urgent.count()
+    val mBits = 1L << (64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, nKeys - 1)) + 4)
+    def positions(key: org.apache.spark.sql.Column) =
+      array((0 until BloomD).map { i =>
+        pmod(graft.functions.VectorSql.md5Hash60(
+          concat(lit(s"$i:"), key.cast("string"))), lit(mBits))
+      }: _*)
+    val bits = urgent.select(explode(positions(col("key"))).as("pos")).distinct()
+    val probes = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("key")).distinct()
+    val hits = probes.select(col("key"), explode(positions(col("key"))).as("pos"))
+      .join(bits, Seq("pos"), "left_semi")
+      .groupBy(col("key")).agg(count(lit(1)).as("d_hit"))
+      .where(col("d_hit") === BloomD)
+    val members = probes.join(broadcast(urgent), Seq("key"), "left_semi")
+    val (nProbes, nMembers, nHits) = (probes.count(), members.count(), hits.count())
+    import s.implicits._
+    Seq((nProbes, nMembers, nHits, nHits - nMembers))
+      .toDF("n_probes", "n_members", "n_hits", "n_false_pos")
+      .select(col("*"), round(col("n_false_pos") /
+        (col("n_probes") - col("n_members")), 6).as("fp_rate"))
+  }
+
   /** COUNT-MIN frequency sketch + heavy hitters — the FREQUENCY member of
     * the hash-gated sketch triad (KMV = cardinality, hash-sample =
     * quantiles, CMS = frequency): a d×w counter matrix over d independent
@@ -394,6 +440,7 @@ object AdvancedQueries {
     "kmv_distinct_stream" -> kmvDistinctStream _,
     "q_kmv_set_ops" -> qKmvSetOps _,
     "q_topk_freq_cms" -> qTopkFreqCms _,
+    "q_bloom_membership" -> qBloomMembership _,
     "q_topk_per_key" -> qTopKPerKey _,
     "q_topk_rewrite" -> qTopKRewrite _,
     "q_topk_rank_rewrite" -> qTopKRankRewrite _,
@@ -462,6 +509,32 @@ object AdvancedQueries {
     // KMV's fold is commutative+idempotent+monotone: the streamed sketch's
     // final state equals the batch sketch's, so the oracle is shared verbatim
     "kmv_distinct_stream" -> kmvOracle,
+    // the bloom rebuilt bit-for-bit: corpus-adaptive width from the same
+    // integer bit-length, distinct d-position set, all-positions-present
+    // membership — counts, FP count, and fp rate all byte-hash-gated
+    "q_bloom_membership" ->
+      s"""WITH k AS (SELECT DISTINCT o_orderkey AS key FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'),
+        |m AS (SELECT CAST(POWER(2, LENGTH(BIN(GREATEST(1, count(*) - 1))) + 4)
+        |  AS BIGINT) AS m FROM k),
+        |d AS (SELECT unnest(range(0, $BloomD)) AS r),
+        |kb AS (SELECT DISTINCT ('0x' || substr(md5(CAST(d.r AS VARCHAR) || ':' ||
+        |    CAST(key AS VARCHAR)), 1, 15))::BIGINT % m.m AS pos
+        |  FROM k CROSS JOIN d CROSS JOIN m),
+        |p AS (SELECT DISTINCT l_orderkey AS key FROM lineitem),
+        |pp AS (SELECT p.key, ('0x' || substr(md5(CAST(d.r AS VARCHAR) || ':' ||
+        |    CAST(p.key AS VARCHAR)), 1, 15))::BIGINT % m.m AS pos
+        |  FROM p CROSS JOIN d CROSS JOIN m),
+        |h AS (SELECT key FROM pp JOIN kb USING (pos)
+        |  GROUP BY key HAVING count(*) = $BloomD),
+        |agg AS (SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_probes,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM p JOIN k USING (key)) AS n_members,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM h) AS n_hits)
+        |SELECT n_probes, n_members, n_hits,
+        |  n_hits - n_members AS n_false_pos,
+        |  round((n_hits - n_members) / (n_probes - n_members), 6) AS fp_rate
+        |FROM agg""".stripMargin,
     // the count-min matrix rebuilt from the same fixed hashes, estimates =
     // min over rows, heavy hitters under deterministic tie-breaks — the
     // sketch, the estimates, and the report all byte-hash-gated

@@ -93,6 +93,44 @@ class AdvancedOpsSpec extends SparkSpec {
     }
   }
 
+  test("bloom membership: no member ever misses; FP branch exercised; rate bounded") {
+    // replicate the entry's construction at key level to prove CONTAINMENT
+    // (hits ⊇ members — the defining one-sided guarantee the summary counts
+    // alone can't distinguish from a miss+FP coincidence), then cross-check
+    // the summary equals the entry's output
+    val dir = sf("sf0.1")
+    val adv = graft.queries.AdvancedQueries
+    val urgent = spark.read.parquet(dir + "/orders.parquet")
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("key")).distinct()
+    val nKeys = urgent.count()
+    val m = 1L << (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nKeys - 1)) + 4)
+    def positions(key: org.apache.spark.sql.Column) =
+      array((0 until adv.BloomD).map { i =>
+        pmod(graft.functions.VectorSql.md5Hash60(
+          concat(lit(s"$i:"), key.cast("string"))), lit(m))
+      }: _*)
+    val bits = urgent.select(explode(positions(col("key"))).as("pos")).distinct()
+    val probes = spark.read.parquet(dir + "/lineitem.parquet")
+      .select(col("l_orderkey").as("key")).distinct()
+    val hitKeys = probes.select(col("key"), explode(positions(col("key"))).as("pos"))
+      .join(bits, Seq("pos"), "left_semi")
+      .groupBy(col("key")).count().where(col("count") === adv.BloomD)
+      .select(col("key")).collect().map(_.getLong(0)).toSet
+    val memberKeys = probes.join(urgent, Seq("key"), "left_semi")
+      .collect().map(_.getLong(0)).toSet
+    assert(memberKeys.subsetOf(hitKeys),
+      s"one-sided guarantee broken: ${(memberKeys -- hitKeys).take(3)} missed")
+    val fp = hitKeys -- memberKeys
+    assert(fp.nonEmpty, "no false positives at sf0.1 — the FP branch is untested")
+    val rate = fp.size.toDouble / (probes.count() - memberKeys.size)
+    assert(rate < 0.05, s"fp rate $rate — corpus-adaptive sizing failed")
+    // and the catalog entry reports exactly these counts
+    val row = adv.qBloomMembership(spark, dir).head()
+    assert(row.getLong(1) == memberKeys.size && row.getLong(2) == hitKeys.size,
+      "entry summary disagrees with the key-level construction")
+  }
+
   test("count-min estimates never underestimate and stay inside the d*N/w envelope") {
     // CMS one-sided error: est >= exact ALWAYS (min over d counters each of
     // which includes every occurrence of the key); overestimate bounded in
