@@ -28,7 +28,9 @@ object SimilarityQueries {
   /** (vec_id, v, cell): corpus with IVF cell assignment (nearest prototype
     * among the first `cells` embedding rows — data-sampled coarse centroids,
     * the classic IVF quantizer). */
-  private def assigned(s: SparkSession, dir: String, cells: Int = K9): DataFrame =
+  // private[graft]: AnnServeStreamSpec rebuilds the serve layout when its
+  // session's artifact cache misses (the batch-replay idempotence test)
+  private[graft] def assigned(s: SparkSession, dir: String, cells: Int = K9): DataFrame =
     assignAgainst(pts(s, dir), ivfProtos(s, dir, cells))
 
   /** The frozen coarse quantizer itself: (proto_id, c). Factored out so the
@@ -1144,13 +1146,18 @@ object SimilarityQueries {
     * partition filter (≤ probes×nprobe ints — never data-scale), cosine +
     * rank only over the pruned cells. */
   private def serveIvfLayout(s: SparkSession, dir: String, layout: String): DataFrame =
-    serveIvfLayoutProbes(s, dir, layout, probes(s, dir))
+    // fork here so [[serveIvfFrame]]'s heap-strategy injection never
+    // touches the caller's session (the streaming callers fork themselves)
+    Scoped(s) { fork => serveIvfLayoutProbes(fork, dir, layout, probes(fork, dir)) }
 
   /** [[serveIvfLayout]] for an EXPLICIT probe set — the seam the streaming
     * serve reuses per micro-batch (a probe's entire result is computed in
     * the batch it arrives in, so batch boundaries cannot split a top-k). */
-  private def serveIvfLayoutProbes(s: SparkSession, dir: String,
-                                   layout: String, probesDf: DataFrame): DataFrame =
+  // private[graft] so AnnServeStreamSpec can re-invoke ONE batch's
+  // foreachBatch body against an existing sink directory (the idempotence
+  // claim replayed for real, not just re-run from a fresh checkpoint)
+  private[graft] def serveIvfLayoutProbes(s: SparkSession, dir: String,
+                                          layout: String, probesDf: DataFrame): DataFrame =
     serveIvfFrame(s, dir, s.read.parquet(layout), probesDf)
 
   /** [[serveIvfLayoutProbes]] for an EXPLICIT corpus frame — the seam the
@@ -1160,21 +1167,33 @@ object SimilarityQueries {
     * still prunes directories, not rows. */
   private def serveIvfFrame(s: SparkSession, dir: String,
                             corpus: DataFrame, probesDf: DataFrame): DataFrame = {
+    // the heap operator needs its strategy on the session that planned the
+    // input frames; every caller passes a Scoped fork, so the injection
+    // dies with it (idempotent — repeated serves don't stack copies)
+    if (!s.experimental.extraStrategies.exists(_ eq graft.plans.TopKPerKeyStrategy))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
     val probeCells = probeCellsFor(s, dir, probesDf)
     val wantedCells = probeCells.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).toSeq
     val pruned = corpus.where(col("cell").isin(wantedCells: _*))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
-    pruned.withColumn("nv", graft.functions.VectorSql.norm2Fast(col("v")))
+    val scored = pruned
+      .withColumn("nv", graft.functions.VectorSql.norm2Fast(col("v")))
       .join(broadcast(probeCells
         .withColumn("np", graft.functions.VectorSql.norm2Fast(col("p")))), "cell")
       .where(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id"),
         (graft.functions.VectorSql.dotFast(col("v"), col("p")) /
           (col("nv") * col("np"))).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= K)
+    // per-probe candidate sets are corpus×nprobe/K-sized — prune them to K
+    // map-side through the heap operator (the PQ tiers' convention); only
+    // the probes×K survivors pay the rank window
+    val kept = graft.plans.TopKPerKey.topKPerKey(scored,
+      keys = Seq(col("probe_id")),
+      order = Seq(col("cos").desc, col("vec_id").asc), k = K)
+    kept.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))))
       .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
         round(col("cos"), 6).as("cos_sim"))
   }

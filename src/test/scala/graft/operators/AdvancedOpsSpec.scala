@@ -133,20 +133,27 @@ class AdvancedOpsSpec extends SparkSpec {
 
   test("count-min estimates never underestimate and stay inside the d*N/w envelope") {
     // CMS one-sided error: est >= exact ALWAYS (min over d counters each of
-    // which includes every occurrence of the key); overestimate bounded in
-    // expectation by N/w per row — gate the reported heavy hitters at 8*N/w.
+    // which includes every occurrence of the key) — swept over EVERY key via
+    // a distributed violation join, not just the reported top-10;
+    // overestimate bounded in expectation by N/w per row — gate the
+    // reported heavy hitters at 8*N/w.
     val dir = sf("sf0.1")
     val adv = graft.queries.AdvancedQueries
-    val rep = adv.qTopkFreqCms(spark, dir)
-      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
     val li = spark.read.parquet(dir + "/lineitem.parquet")
     val n = li.count()
-    val exact = li.groupBy(col("l_partkey")).count()
+    val exactDf = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("exact"))
+    val underCount = adv.cmsEstimates(spark, dir)
+      .join(exactDf, "l_partkey")
+      .where(col("est_freq") < col("exact")).count()
+    assert(underCount == 0L,
+      s"CMS underestimated $underCount keys — one-sided guarantee broken")
+    val rep = adv.qTopkFreqCms(spark, dir)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val exact = exactDf
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rep.size == adv.CmsTopK)
     for ((key, est) <- rep) {
       val ex = exact(key)
-      assert(est >= ex, s"CMS underestimated key $key: est=$est exact=$ex")
       assert(est - ex <= 8L * n / adv.CmsW,
         s"CMS overestimate for $key out of envelope: est=$est exact=$ex n=$n")
     }

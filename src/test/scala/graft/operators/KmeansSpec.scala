@@ -139,13 +139,21 @@ class KmeansSpec extends SparkSpec {
 
   test("sampled maximin: identity at full rate, cluster coverage at half rate") {
     val pts = clustered(60).localCheckpoint(true)
-    // ratePpm = 1e6 keeps every row — the sampled path must select the
-    // EXACT same seeds as the full-corpus scan (sample ⊇ corpus)
+    // ratePpm = 1e6 short-circuits to the full-corpus path by design, so
+    // exercising the MACHINERY's identity needs a rate < 1e6 that still
+    // keeps every row: one above the corpus' largest md5 keep-residual
+    // (deterministic — the corpus and the salt are fixed)
     val full = Kmeans.maximinSeeds(pts, 9, spherical = false)
+    val maxResid = pts.select(max(graft.functions.VectorSql.md5Hash60(
+        concat(lit("mx:"), col("vec_id").cast("string"))) % 1000000L))
+      .head().getLong(0)
+    assert(maxResid + 1 < 1000000L,
+      s"corpus residuals reach $maxResid — pick a different corpus size")
     val all = Kmeans.maximinSeedsSampled(pts, 9, spherical = false,
-      ratePpm = 1000000L)
+      ratePpm = maxResid + 1)
     assert(all.toSeq == full.toSeq,
-      s"ratePpm=1e6 must reproduce full-corpus seeds: ${all.toSeq} vs ${full.toSeq}")
+      s"an everything-kept sample must reproduce full-corpus seeds: " +
+        s"${all.toSeq} vs ${full.toSeq}")
     // the 100 TB path: seeds chosen from the md5 half-sample still land
     // one per planted cluster (each cluster keeps ~30 sampled rows)
     val half = Kmeans.maximinSeedsSampled(pts, 9, spherical = false,

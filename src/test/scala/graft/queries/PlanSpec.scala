@@ -266,4 +266,30 @@ class PlanSpec extends SparkSpec {
       "fingerprint + banding must stay on native kernels end to end")
     assert(!pl.contains("CartesianProduct"), "banding must join on (chunk, ckey)")
   }
+
+  test("q_topk_freq_cms: heavy hitters via TakeOrderedAndProject, no window over estimates") {
+    // key cardinality is itself data-scale — an un-partitioned row_number
+    // window over the estimates would funnel every distinct key through ONE
+    // task (r11 verdict #1). The only Window allowed is the rank stamp over
+    // the already-limited CmsTopK rows, i.e. it must sit ABOVE the limit.
+    val df = AdvancedQueries.qTopkFreqCms(spark, dir)
+    val pl = plan(df)
+    assert(pl.contains("TakeOrderedAndProject"),
+      s"top-${AdvancedQueries.CmsTopK} must plan as distributed TakeOrderedAndProject:\n$pl")
+    val windowIdx = pl.indexOf("Window")
+    val takeIdx = pl.indexOf("TakeOrderedAndProject")
+    assert(windowIdx >= 0 && takeIdx > windowIdx,
+      s"the rank window must consume the limited rows, not the raw estimates:\n$pl")
+  }
+
+  test("ann_ivf serve tail: heap operator cuts candidates map-side, no corpus window") {
+    // the IVF fp64 tail matches the PQ tiers' convention: TopKPerKey prunes
+    // each probe's corpus×nprobe/K candidate set to K per partition before
+    // the exchange; only probes×K survivors reach the rank window
+    val df = SimilarityQueries.annIvfPruned(spark, dir)
+    df.count() // materialize AQE stages
+    val pl = df.queryExecution.executedPlan.toString
+    assert(pl.contains("TopKPerKey"),
+      s"the IVF serve tail must prune through the heap operator:\n$pl")
+  }
 }

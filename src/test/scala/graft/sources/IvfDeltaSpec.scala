@@ -91,8 +91,10 @@ class IvfDeltaSpec extends SparkSpec {
   }
 
   test("ann_ivf_gdpr serve: doomed ids absent from layout and from results") {
-    // end-to-end over real sf0.01 data (sf0.001 has <97 vectors — empty
-    // doomed set; the oracle gate covers that degenerate case)
+    // end-to-end over real sf0.01 data: sf0.001's doomed stride is only 5
+    // ids, usually confined to a couple of cells — sf0.01 dooms rows across
+    // enough cells to exercise multi-directory surgical rewrites (the
+    // oracle gate still covers the small-SF case)
     val dir = sf("sf0.01")
     graft.operators.Artifacts.clear()
     val res = SimilarityQueries.annIvfGdpr(spark, dir)

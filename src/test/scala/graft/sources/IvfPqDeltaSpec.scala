@@ -61,9 +61,10 @@ class IvfPqDeltaSpec extends SparkSpec {
 
   test("ann_ivfpq_gdpr: doomed ids absent from the code layout and from results") {
     import org.apache.spark.sql.functions.col
-    // sf0.1 (2k vectors) — the smallest SF where the stride (every 97th id
-    // above the 256 codebook rows) dooms anything; smaller SFs degenerate
-    // to the plain serve, which the oracle gate covers
+    // sf0.1 (2k vectors): the stride (every 97th id above the 256 codebook
+    // rows) dooms ~18 ids here vs 3 at sf0.001 — enough doomed cells for the
+    // partition-rewrite path to be meaningfully exercised (the oracle gate
+    // still covers the small-SF cases)
     val dir = sf("sf0.1")
     graft.operators.Artifacts.clear()
     val res = SimilarityQueries.annIvfPqGdpr(spark, dir)

@@ -44,15 +44,40 @@ class AnnServeStreamSpec extends SparkSpec {
     }
   }
 
-  test("per-batch sink is idempotent: re-writing a batch directory leaves one copy") {
+  test("per-batch sink is idempotent: replaying ONE batch against the existing outDir leaves it unchanged") {
     val dir = sf("sf0.001")
     val first = SimilarityQueries.annServeStream(spark, dir)
       .collect().map(_.toSeq).sortBy(_.toString).toVector
-    // simulate a restart replaying the LAST batch: re-run the whole entry
-    // (fresh checkpoint, same batch split) — every batch directory is
-    // overwritten in place, so row counts cannot double
-    val second = SimilarityQueries.annServeStream(spark, dir)
+    // a restart replays the last committed batch AGAINST THE EXISTING SINK:
+    // re-invoke the foreachBatch body for that batchId — same serve, same
+    // mode("overwrite") write into the same batch=<id> directory — and the
+    // sink must hold exactly the same rows afterwards (no duplication, no
+    // drift). This exercises the overwrite-in-place claim itself, not just
+    // end-to-end determinism from a fresh checkpoint.
+    val root = SimilarityQueries.annServeStreamRoot
+    val outDir = root.resolve("out")
+    import scala.jdk.CollectionConverters._
+    val batchDirs = Files.list(outDir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("batch=")).toVector
+      .sortBy(_.getFileName.toString)
+    assert(batchDirs.size > 1, "need multiple batch dirs for a meaningful replay")
+    val target = batchDirs.last
+    val batchId = target.getFileName.toString.stripPrefix("batch=")
+    // the batch's probe set, reconstructed from what the sink recorded
+    val servedIds = spark.read.parquet(target.toString)
+      .select("probe_id").distinct().collect().map(_.getLong(0))
+    val batchProbes = spark.read.parquet(root.resolve("in").toString)
+      .where(org.apache.spark.sql.functions.col("probe_id")
+        .isin(servedIds.toSeq: _*))
+    val layout = graft.operators.Artifacts.sharedPath(s"ivf_layout:$dir") { path =>
+      graft.sources.Sources.writeIvfLayout(
+        SimilarityQueries.assigned(spark, dir), path)
+    }
+    SimilarityQueries.serveIvfLayoutProbes(spark, dir, layout, batchProbes)
+      .write.mode("overwrite").parquet(target.toString)
+    val after = spark.read.parquet(outDir.toString)
+      .select("probe_id", "rank", "neighbor_id", "cos_sim")
       .collect().map(_.toSeq).sortBy(_.toString).toVector
-    assert(first == second, "batch replay duplicated or changed rows")
+    assert(after == first, "batch replay duplicated or changed sink rows")
   }
 }
