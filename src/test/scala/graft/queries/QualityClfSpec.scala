@@ -49,9 +49,11 @@ class QualityClfSpec extends SparkSpec {
     }
     assert(rates.head < rates.last,
       s"a flat curve means the features learned nothing: ${rates.toSeq}")
-    // decile bounds tile the score axis in order
+    // value-cutpoint semantics: equal scores always share a decile, so
+    // consecutive ranges are DISJOINT (strictly ordered), not just tiled
     rows.sliding(2).foreach { case Array(a, b) =>
-      assert(a.getLong(4) <= b.getLong(3), "decile score ranges must be ordered")
+      assert(a.getLong(4) < b.getLong(3),
+        "a score value must never straddle two deciles")
     }
   }
 
