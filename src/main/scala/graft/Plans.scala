@@ -76,7 +76,9 @@ object Plans {
     // round-11 addition: the hash-gated sketch family (KMV through the heap
     // operator, its streaming twin, deterministic sampled quantiles)
     "q_approx_distinct_kmv", "kmv_distinct_stream", "q_approx_quantile_hash",
-    "q_kmv_set_ops", "q_topk_freq_cms", "q_bloom_membership")
+    "q_kmv_set_ops", "q_topk_freq_cms", "q_bloom_membership",
+    // round-12 addition: the CMS matrix as stream state (additive fold)
+    "cms_freq_stream")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -193,30 +193,86 @@ object AdvancedQueries {
       .agg(count(lit(1)).as("cnt"))
 
   /** Point estimates `min_i counter[i][h_i(key)]` for every distinct
-    * corpus key — the frame AdvancedOpsSpec sweeps for the one-sided
-    * guarantee and [[qTopkFreqCms]] ranks. */
-  private[graft] def cmsEstimates(s: SparkSession, dir: String): DataFrame = {
-    val li = s.read.parquet(s"$dir/lineitem.parquet").select(col("l_partkey"))
-    val sketch = cmsSketch(li)
-    li.distinct()
+    * corpus key against an EXPLICIT sketch matrix — the seam
+    * [[cmsFreqStream]]'s read-back shares with the batch path. */
+  private[graft] def cmsEstimatesFrom(s: SparkSession, dir: String,
+                                      sketch: DataFrame): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet").select(col("l_partkey"))
+      .distinct()
       .select(col("l_partkey"), explode(cmsBuckets(col("l_partkey"))).as("rc"))
       .select(col("l_partkey"), col("rc.r").as("r"), col("rc.c").as("c"))
       .join(broadcast(sketch), Seq("r", "c"))
       .groupBy(col("l_partkey")).agg(min(col("cnt")).as("est_freq"))
-  }
 
-  def qTopkFreqCms(s: SparkSession, dir: String): DataFrame = {
-    // distributed top-10: orderBy+limit plans as TakeOrderedAndProject —
-    // per-partition 10-heaps, driver merges partitions×10 rows (the q_top20
-    // shape). The rank window runs AFTER the limit, over exactly CmsTopK
-    // rows — never an un-partitioned window over the data-scale estimates
-    // (r11 verdict #1; PlanSpec pins the shape).
-    val top = cmsEstimates(s, dir)
-      .orderBy(col("est_freq").desc, col("l_partkey")).limit(CmsTopK)
+  /** [[cmsEstimatesFrom]] over the batch-built sketch — the frame
+    * AdvancedOpsSpec sweeps for the one-sided guarantee and
+    * [[qTopkFreqCms]] ranks. */
+  private[graft] def cmsEstimates(s: SparkSession, dir: String): DataFrame =
+    cmsEstimatesFrom(s, dir, cmsSketch(
+      s.read.parquet(s"$dir/lineitem.parquet").select(col("l_partkey"))))
+
+  /** The shared heavy-hitter report tail: distributed top-10 via
+    * orderBy+limit (plans as TakeOrderedAndProject — per-partition
+    * 10-heaps, driver merges partitions×10 rows, the q_top20 shape). The
+    * rank window runs AFTER the limit, over exactly CmsTopK rows — never
+    * an un-partitioned window over the data-scale estimates (r11 verdict
+    * #1; PlanSpec pins the shape). */
+  private def cmsTopkReport(est: DataFrame): DataFrame = {
+    val top = est.orderBy(col("est_freq").desc, col("l_partkey")).limit(CmsTopK)
     top.withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("est_freq").desc, col("l_partkey"))))
       .select(col("rank"), col("l_partkey"), col("est_freq"))
+  }
+
+  def qTopkFreqCms(s: SparkSession, dir: String): DataFrame =
+    cmsTopkReport(cmsEstimates(s, dir))
+
+  /** STREAMING CMS heavy hitters — the frequency matrix maintained as
+    * STREAM STATE ([[graft.streaming.CmsStream]]: one group per sketch
+    * row, w counters each — d·w longs forever) while keys arrive in
+    * micro-batches (file source, `maxFilesPerTrigger = 1`, so the gated
+    * run genuinely crosses batch boundaries). Counters ADD, so the final
+    * streamed matrix equals the batch matrix verbatim (sum-of-batch-sums
+    * == sum; CmsStreamSpec replays the corpus under different file splits
+    * and asserts the identical matrix) — the read-back picks each row's
+    * max-`seen` snapshot, re-derives the per-key estimates through
+    * [[cmsEstimatesFrom]], and ranks through the SAME distributed top-10
+    * tail, so the ENTIRE chain — fold, matrix, estimates, report — sits
+    * under `q_topk_freq_cms`'s DuckDB oracle VERBATIM. At 100 TB this is
+    * continuous frequency observability: bounded state, no rescan of
+    * history, and the report side still a broadcast join + TakeOrdered. */
+  def cmsFreqStream(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    import fork.implicits._
+    val root = StreamScratch.fresh("cms")
+    val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    fork.read.parquet(s"$dir/lineitem.parquet").select(col("l_partkey"))
+      .repartition(3).write.parquet(inDir)
+    val stream = fork.readStream.schema("l_partkey LONG")
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val buckets = stream
+      .select(explode(cmsBuckets(col("l_partkey"))).as("rc"))
+      .select(col("rc.r").as("r"), col("rc.c").as("c"))
+      .as[graft.streaming.CmsStream.Bucket]
+    val q = graft.streaming.CmsStream.sketchStream(buckets, CmsW).toDF()
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = fork.read
+      .schema("r INT, seen BIGINT, counts ARRAY<BIGINT>").parquet(outDir)
+    // final state per sketch row: seen grows on every emission → max-seen
+    // is the last snapshot (and replayed-emission duplicates collapse)
+    val wspec = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("r")).orderBy(col("seen").desc)
+    val sketch = out.withColumn("rn", row_number().over(wspec))
+      .where(col("rn") === 1)
+      .select(col("r"), posexplode(col("counts")).as(Seq("c", "cnt")))
+      .where(col("cnt") > 0) // batch sketch materializes touched cells only
+      .select(col("r"), col("c").cast("long").as("c"), col("cnt"))
+    cmsTopkReport(cmsEstimatesFrom(fork, dir, sketch))
   }
 
   /** KMV SKETCH SET ALGEBRA — union/intersection cardinality estimates for
@@ -482,6 +538,7 @@ object AdvancedQueries {
     "kmv_distinct_stream" -> kmvDistinctStream _,
     "q_kmv_set_ops" -> qKmvSetOps _,
     "q_topk_freq_cms" -> qTopkFreqCms _,
+    "cms_freq_stream" -> cmsFreqStream _,
     "q_bloom_membership" -> qBloomMembership _,
     "q_topk_per_key" -> qTopKPerKey _,
     "q_topk_rewrite" -> qTopKRewrite _,
@@ -506,6 +563,20 @@ object AdvancedQueries {
       |    ELSE FLOOR(${KmvK - 1}.0 * 1152921504606846976.0 / hk) END
       |  AS BIGINT) AS kmv_distinct
       |FROM g""".stripMargin
+
+  private lazy val cmsOracle: String =
+    s"""WITH b AS (SELECT l_partkey, d.r AS r,
+      |  ('0x' || substr(md5(CAST(d.r AS VARCHAR) || ':' ||
+      |    CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT % $CmsW AS c
+      |  FROM lineitem CROSS JOIN (SELECT unnest(range(0, $CmsD)) AS r) d),
+      |sk AS (SELECT r, c, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY r, c),
+      |kb AS (SELECT DISTINCT l_partkey, r, c FROM b),
+      |e AS (SELECT kb.l_partkey, min(cnt) AS est_freq
+      |  FROM kb JOIN sk USING (r, c) GROUP BY 1),
+      |t AS (SELECT l_partkey, est_freq, row_number() OVER
+      |  (ORDER BY est_freq DESC, l_partkey) AS rank FROM e)
+      |SELECT CAST(rank AS INT) AS rank, l_partkey, est_freq
+      |FROM t WHERE rank <= $CmsTopK""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "events_asof" ->
@@ -582,19 +653,11 @@ object AdvancedQueries {
     // the count-min matrix rebuilt from the same fixed hashes, estimates =
     // min over rows, heavy hitters under deterministic tie-breaks — the
     // sketch, the estimates, and the report all byte-hash-gated
-    "q_topk_freq_cms" ->
-      s"""WITH b AS (SELECT l_partkey, d.r AS r,
-        |  ('0x' || substr(md5(CAST(d.r AS VARCHAR) || ':' ||
-        |    CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT % $CmsW AS c
-        |  FROM lineitem CROSS JOIN (SELECT unnest(range(0, $CmsD)) AS r) d),
-        |sk AS (SELECT r, c, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY r, c),
-        |kb AS (SELECT DISTINCT l_partkey, r, c FROM b),
-        |e AS (SELECT kb.l_partkey, min(cnt) AS est_freq
-        |  FROM kb JOIN sk USING (r, c) GROUP BY 1),
-        |t AS (SELECT l_partkey, est_freq, row_number() OVER
-        |  (ORDER BY est_freq DESC, l_partkey) AS rank FROM e)
-        |SELECT CAST(rank AS INT) AS rank, l_partkey, est_freq
-        |FROM t WHERE rank <= $CmsTopK""".stripMargin,
+    "q_topk_freq_cms" -> cmsOracle,
+    // counters ADD: the streamed matrix's final state equals the batch
+    // matrix (sum-of-batch-sums == sum), so fold, estimates, and the
+    // ranked report share the batch oracle verbatim
+    "cms_freq_stream" -> cmsOracle,
     // theta-style set algebra replayed from the same per-flag sketch CTEs:
     // union sketch = k smallest across both sketches (theta = its k-th),
     // intersection sample = common sketch members below theta
