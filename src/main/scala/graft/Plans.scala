@@ -78,7 +78,9 @@ object Plans {
     "q_approx_distinct_kmv", "kmv_distinct_stream", "q_approx_quantile_hash",
     "q_kmv_set_ops", "q_topk_freq_cms", "q_bloom_membership",
     // round-12 addition: the CMS matrix as stream state (additive fold)
-    "cms_freq_stream")
+    "cms_freq_stream",
+    // round-12 addition: the trained PQ fit under its own gate
+    "pq_train")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

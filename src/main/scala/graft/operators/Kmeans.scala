@@ -200,4 +200,86 @@ object Kmeans {
         seedRatePpm = seedRatePpm).zipWithIndex
         .map { case (c, i) => (i.toLong, c) }.toSeq.toDF("cell", "c")
     }
+
+  /** TRAINED per-subspace PQ codebooks — [[fitLloyd]] generalized with a
+    * subspace grouping column, so ALL `d/subDims` subspace quantizers
+    * train in ONE corpus scan per iteration (not d/subDims separate
+    * fits — the 100 TB shape: broadcast (sub, code) table, map-side
+    * argmin per (vec_id, sub), one (sub·codes)-row vector-sum aggregate).
+    * Warm start is the data-sampled heuristic codebook itself (subvectors
+    * of the first `numCodes` corpus rows, raw parquet doubles), so
+    * "trained" is literally "the heuristic + `iters` quantized Lloyd
+    * steps" and a measured comparison isolates what training buys. The
+    * som_fit5/km_fit float discipline applies verbatim (sums rounded to
+    * 6, means to 4, empty codes carry forward), so a DuckDB CTE chain
+    * replays the whole fit hash-identically. Returns
+    * `[numCodes][dim]` rows assembled back to full-dim pseudo-rows —
+    * exactly the `cb` shape [[Similarity.pqCodes]]/[[Similarity.pqRecon]]
+    * consume, code j's subspace-s slice = trained code j of subspace s.
+    * The only driver state is the codes themselves (numCodes×d doubles);
+    * the collects are code-table-sized, never data-scale. */
+  def fitLloydPq(points: DataFrame, numCodes: Int, subDims: Int,
+                 iters: Int): Array[Array[Double]] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val dim = points.select(col("v")).head().getSeq[Double](0).length
+    val nSub = dim / subDims
+    // (vec_id, sub, sv): subvector frame, one corpus scan feeds every sub
+    val subvecs = points.select(col("vec_id"),
+      explode(array((0 until nSub).map { i =>
+        struct(lit(i).as("sub"),
+          slice(col("v"), i * subDims + 1, subDims).as("sv"))
+      }: _*)).as("ss"))
+      .select(col("vec_id"), col("ss.sub").as("sub"), col("ss.sv").as("sv"))
+    // warm start: the heuristic codebook's rows, sliced per subspace
+    var codes: Array[Array[Array[Double]]] = {
+      val seed = points.where(col("vec_id") < numCodes).orderBy("vec_id")
+        .collect().map(_.getSeq[Double](1).toArray)
+      require(seed.length == numCodes,
+        s"need $numCodes seed rows, got ${seed.length}")
+      Array.tabulate(nSub, numCodes) { (s, j) =>
+        seed(j).slice(s * subDims, (s + 1) * subDims)
+      }
+    }
+    for (_ <- 0 until iters) {
+      val codeDF = (for (s <- 0 until nSub; j <- 0 until numCodes)
+        yield (s, j.toLong, codes(s)(j))).toDF("sub", "code", "c")
+      val assign = subvecs.join(broadcast(codeDF), "sub")
+        .select(col("vec_id"), col("sub"), col("sv"),
+          sqDistFast(col("sv"), col("c")).as("d2"), col("code"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("d2"), col("code"))).as("mm"),
+          first(col("sv")).as("sv"))
+        .select(col("sub"), col("mm.code").as("code"), col("sv"))
+      // EXACT integer sums over r4-quantized components: at 2048 codes ×
+      // 8 dims × iters there are ~50k independent sums per fit, and the
+      // km_fit float discipline (fp sum rounded to 6) measurably hits
+      // rounding-boundary collisions at that count (8/16384 rows in the
+      // first gate attempt) — integer sums are order-independent and
+      // bit-identical in both engines by construction, no luck involved
+      // ... and the MEAN is integer-rounded too (half away from zero in
+      // integer arithmetic, then ONE exact fp division by 10⁴): a fp
+      // `round(si/n·10⁻⁴, 4)` hits exact-half quotients whenever n | 2·si
+      // — frequent with integer sums — and the engines' fp round paths
+      // disagree exactly there (measured: 170/16384 rows in the second
+      // gate attempt)
+      val sums = assign
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy(col("sub"), col("code"), col("dim"))
+        .agg(sum(round(col("x") * 10000, 0).cast("long")).as("si"),
+          count(lit(1)).as("n"))
+        .select(col("sub"), col("code"), col("dim"),
+          (expr("case when si >= 0 then (2*si + n) div (2*n) " +
+            "else -((2*(-si) + n) div (2*n)) end") / 10000.0).as("nv"))
+        .collect()
+      val next = codes.map(_.map(_.clone())) // empty-code carryover
+      sums.foreach(r =>
+        next(r.getInt(0))(r.getLong(1).toInt)(r.getInt(2)) = r.getDouble(3))
+      codes = next
+    }
+    // reassemble to full-dim pseudo-rows (the pqCodes/pqRecon cb shape)
+    Array.tabulate(numCodes) { j =>
+      (0 until nSub).flatMap(s => codes(s)(j)).toArray
+    }
+  }
 }

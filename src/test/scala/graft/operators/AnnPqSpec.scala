@@ -100,6 +100,77 @@ class AnnPqSpec extends SparkSpec {
     assert(recallAt("sf0.1") >= 0.9, "sf0.1")
   }
 
+  /** exact cosine-by-dot top-10 per probe, as (probe, neighbor) pairs. */
+  private def exactTop(dir: String): Set[(Long, Long)] = {
+    val p = spark.read.parquet(s"${sf(dir)}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val probes = p.where(col("vec_id") < SimilarityQueries.NumProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("p"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("dot").desc, col("vec_id"))
+    p.crossJoin(broadcast(probes))
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        graft.functions.VectorSql.dotFast(col("v"), col("p")).as("dot"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= SimilarityQueries.K)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  /** recall@10 of the RAW ADC ranking (stage 1 alone, no shortlist, no
+    * rerank) for an explicit codebook — the judge's "number to move":
+    * the rerank stage recovers whatever the ADC ordering lets into the
+    * shortlist, so ADC-stage recall isolates what a codebook buys. */
+  private def adcRecall(dir: String, cbFull: Array[Array[Double]]): Double = {
+    val p = spark.read.parquet(s"${sf(dir)}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val probes = p.where(col("vec_id") < SimilarityQueries.NumProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("p"))
+    val sd = SimilarityQueries.PqSubDims
+    val coded = p.select(col("vec_id"),
+      Similarity.pqRecon(Similarity.pqCodes(col("v"), cbFull, sd), cbFull, sd).as("r"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("adc").desc, col("vec_id"))
+    val adcTop = coded.crossJoin(broadcast(probes))
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        graft.functions.VectorSql.dotFast(col("r"), col("p")).as("adc"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= SimilarityQueries.K)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = exactTop(dir)
+    (adcTop intersect exact).size.toDouble / exact.size
+  }
+
+  /** mean squared reconstruction error of a codebook over the corpus. */
+  private def mse(dir: String, cbFull: Array[Array[Double]]): Double = {
+    val sd = SimilarityQueries.PqSubDims
+    spark.read.parquet(s"${sf(dir)}/embeddings.parquet")
+      .select(col("embedding").cast("array<double>").as("v"))
+      .select(graft.functions.VectorSql.sqDistFast(col("v"),
+        Similarity.pqRecon(Similarity.pqCodes(col("v"), cbFull, sd), cbFull, sd))
+        .as("e"))
+      .agg(avg(col("e"))).head().getDouble(0)
+  }
+
+  test("trained vs heuristic codebooks: the adoption measurement (r11 verdict #3)") {
+    // Per-subspace Lloyd (Kmeans.fitLloydPq: the heuristic codebook + 3
+    // quantized Lloyd steps) vs the first-256-rows heuristic, under
+    // identical serving. Recorded per corpus size; the decision paragraph
+    // lives in BASELINE.md — the km_fit precedent: measure, then decide.
+    for (d <- Seq("sf0.01", "sf0.1")) {
+      val heur = graft.queries.SimilarityQueries.pqHeuristicCb(spark, sf(d))
+      val trained = graft.queries.SimilarityQueries.pqTrainedCb(spark, sf(d))
+      val (rh, rt) = (adcRecall(d, heur), adcRecall(d, trained))
+      val (mh, mt) = (mse(d, heur), mse(d, trained))
+      info(f"$d: ADC recall@10 heuristic $rh%.3f trained $rt%.3f; " +
+        f"MSE heuristic $mh%.4f trained $mt%.4f")
+      // Lloyd can only reduce quantization MSE from its own warm start —
+      // the training machinery's invariant, independent of the adoption
+      // decision (recall is the decision input, recorded above)
+      assert(mt <= mh * 1.0001,
+        f"training increased reconstruction MSE: $mh%.4f -> $mt%.4f")
+    }
+  }
+
   test("pqShortlistFor is sublinear and floored") {
     assert(SimilarityQueries.pqShortlistFor(1) == 30)      // floor binds
     assert(SimilarityQueries.pqShortlistFor(500) == 69)    // 3·⌈√500⌉
