@@ -77,8 +77,9 @@ object Plans {
     // operator, its streaming twin, deterministic sampled quantiles)
     "q_approx_distinct_kmv", "kmv_distinct_stream", "q_approx_quantile_hash",
     "q_kmv_set_ops", "q_topk_freq_cms", "q_bloom_membership",
-    // round-12 addition: the CMS matrix as stream state (additive fold)
-    "cms_freq_stream",
+    // round-12 additions: the CMS matrix as stream state (additive fold)
+    // and the sharded Bloom bit array as stream state (idempotent fold)
+    "cms_freq_stream", "bloom_membership_stream",
     // round-12 addition: the trained PQ fit under its own gate
     "pq_train")
 
