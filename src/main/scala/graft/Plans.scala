@@ -80,6 +80,9 @@ object Plans {
     // round-12 additions: the CMS matrix as stream state (additive fold)
     // and the sharded Bloom bit array as stream state (idempotent fold)
     "cms_freq_stream", "bloom_membership_stream",
+    // round-12 additions: sketch mergeability as a gated artifact and the
+    // bloom-fill cardinality estimator
+    "q_cms_merge", "q_bloom_cardinality",
     // round-12 addition: the trained PQ fit under its own gate
     "pq_train")
 

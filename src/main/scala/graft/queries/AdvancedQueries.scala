@@ -228,6 +228,31 @@ object AdvancedQueries {
     bloomContract(fork, dir, urgent, bits, mBits)
   }
 
+  /** BLOOM-FILL CARDINALITY — the Swamidass–Baldi estimator: a filter
+    * built for membership ALSO carries a cardinality estimate,
+    * n̂ = −(m/d)·ln(1 − X/m) with X = set bits — so a deployment that
+    * already ships per-slice Bloom filters (runtime join filters, skip
+    * indexes) gets distinct counts from the artifacts it has, without a
+    * second sketch or a rescan. One distributed aggregate over the
+    * distinct-position frame produces X; m and the exact count ride the
+    * same single driver action the width rule already needs. The whole
+    * computation — width, positions, fill, the one ln — is
+    * engine-replayable, so the ESTIMATE ITSELF is hash-gated (the KMV
+    * discipline applied to a second estimator class); AdvancedOpsSpec
+    * asserts the envelope vs the exact count. */
+  def qBloomCardinality(s: SparkSession, dir: String): DataFrame = {
+    val urgent = bloomKeys(s, dir)
+    val nKeys = urgent.count()
+    val mBits = bloomWidth(nKeys)
+    urgent.select(explode(bloomPositions(col("key"), mBits)).as("pos")).distinct()
+      .agg(count(lit(1)).as("n_set"))
+      .select(lit(mBits).as("m_bits"), col("n_set"),
+        lit(nKeys).as("n_exact"),
+        round(-((lit(mBits).cast("double") / lit(BloomD)) *
+          log(lit(1.0) - col("n_set").cast("double") /
+            lit(mBits).cast("double"))), 4).as("est_keys"))
+  }
+
   /** COUNT-MIN frequency sketch + heavy hitters — the FREQUENCY member of
     * the hash-gated sketch triad (KMV = cardinality, hash-sample =
     * quantiles, CMS = frequency): a d×w counter matrix over d independent
@@ -349,6 +374,33 @@ object AdvancedQueries {
       .select(col("r"), col("c").cast("long").as("c"), col("cnt"))
     cmsTopkReport(cmsEstimatesFrom(fork, dir, sketch))
   }
+
+  /** CMS MERGE — sketch mergeability as an explicit gated artifact, not a
+    * scaladoc claim: the corpus is split into three DISJOINT shards (by
+    * `l_orderkey mod 3` — an attribute the sketch key ignores, so shard
+    * membership is adversarial to the hash family), each shard builds its
+    * OWN d×w matrix independently, and the partials merge by elementwise
+    * ADD (a union + d·w-row sum — metadata-scale, no data rescan). Because
+    * counters add, merged == whole-corpus matrix cell for cell, so the
+    * estimates and the heavy-hitter report flow through the SAME tail and
+    * sit under `q_topk_freq_cms`'s DuckDB oracle VERBATIM. This is the
+    * 100 TB deployment shape: every day/tenant/cluster summarizes its own
+    * slice into d·w integers, and cross-slice frequency questions are
+    * answered by adding matrices — never by co-locating the slices.
+    * AdvancedOpsSpec asserts the merged matrix equals the monolithic one
+    * exactly (not just the top-10 surviving). */
+  private[graft] def cmsMergedSketch(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_partkey"), pmod(col("l_orderkey"), lit(3)).as("shard"))
+    val partials = (0 until 3).map { sh =>
+      cmsSketch(li.where(col("shard") === sh).select(col("l_partkey")))
+    }
+    partials.reduce(_.unionByName(_))
+      .groupBy(col("r"), col("c")).agg(sum(col("cnt")).as("cnt"))
+  }
+
+  def qCmsMerge(s: SparkSession, dir: String): DataFrame =
+    cmsTopkReport(cmsEstimatesFrom(s, dir, cmsMergedSketch(s, dir)))
 
   /** KMV SKETCH SET ALGEBRA — union/intersection cardinality estimates for
     * every group pair from the SKETCHES ALONE (theta-sketch style, no
@@ -616,6 +668,8 @@ object AdvancedQueries {
     "cms_freq_stream" -> cmsFreqStream _,
     "q_bloom_membership" -> qBloomMembership _,
     "bloom_membership_stream" -> bloomMembershipStream _,
+    "q_bloom_cardinality" -> qBloomCardinality _,
+    "q_cms_merge" -> qCmsMerge _,
     "q_topk_per_key" -> qTopKPerKey _,
     "q_topk_rewrite" -> qTopKRewrite _,
     "q_topk_rank_rewrite" -> qTopKRankRewrite _,
@@ -740,6 +794,28 @@ object AdvancedQueries {
     // matrix (sum-of-batch-sums == sum), so fold, estimates, and the
     // ranked report share the batch oracle verbatim
     "cms_freq_stream" -> cmsOracle,
+    // counters ADD across disjoint shards too: three independently-built
+    // partial matrices merged by elementwise sum equal the monolithic
+    // matrix cell for cell, so the merged path shares the batch oracle
+    "q_cms_merge" -> cmsOracle,
+    // the filter replayed (same width rule, same d-position set), X = its
+    // set-bit count, and the one-ln Swamidass-Baldi estimate — all
+    // deterministic, the estimate itself byte-hash-gated
+    "q_bloom_cardinality" ->
+      s"""WITH k AS (SELECT DISTINCT o_orderkey AS key FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM k),
+        |m AS (SELECT CAST(POWER(2, LENGTH(BIN(GREATEST(1, n - 1))) + 4)
+        |  AS BIGINT) AS m FROM n),
+        |d AS (SELECT unnest(range(0, $BloomD)) AS r),
+        |kb AS (SELECT DISTINCT ('0x' || substr(md5(CAST(d.r AS VARCHAR) || ':' ||
+        |    CAST(key AS VARCHAR)), 1, 15))::BIGINT % m.m AS pos
+        |  FROM k CROSS JOIN d CROSS JOIN m),
+        |x AS (SELECT CAST(count(*) AS BIGINT) AS x FROM kb)
+        |SELECT m.m AS m_bits, x.x AS n_set, n.n AS n_exact,
+        |  round(-((CAST(m.m AS DOUBLE) / $BloomD) *
+        |    ln(1.0 - CAST(x.x AS DOUBLE) / CAST(m.m AS DOUBLE))), 4) AS est_keys
+        |FROM m CROSS JOIN x CROSS JOIN n""".stripMargin,
     // theta-style set algebra replayed from the same per-flag sketch CTEs:
     // union sketch = k smallest across both sketches (theta = its k-th),
     // intersection sample = common sketch members below theta

@@ -159,6 +159,36 @@ class AdvancedOpsSpec extends SparkSpec {
     }
   }
 
+  test("CMS merge: three disjoint-shard partials summed equal the monolithic matrix") {
+    // counters add, so merged == whole MUST hold cell for cell (not merely
+    // the top-10 surviving) — the property that makes per-slice sketches
+    // composable at all; asserted by symmetric-difference join on (r, c).
+    val dir = sf("sf0.01")
+    val adv = graft.queries.AdvancedQueries
+    val whole = adv.cmsSketch(spark.read.parquet(dir + "/lineitem.parquet")
+      .select(col("l_partkey")))
+    val merged = adv.cmsMergedSketch(spark, dir)
+    val diff = whole.withColumnRenamed("cnt", "a")
+      .join(merged.withColumnRenamed("cnt", "b"), Seq("r", "c"), "full")
+      .where(col("a").isNull || col("b").isNull || col("a") =!= col("b"))
+      .count()
+    assert(diff == 0L, s"merged CMS differs from monolithic in $diff cells")
+  }
+
+  test("bloom-fill cardinality estimate lands within 2% of exact") {
+    // at >=16 bits/key the filter is sparse (fill <= ~17%), where the
+    // Swamidass-Baldi estimator's relative error is well under a percent in
+    // expectation — 2% is a loose deterministic gate on the real corpora.
+    for (d <- Seq("sf0.001", "sf0.01")) {
+      val r = graft.queries.AdvancedQueries.qBloomCardinality(spark, sf(d)).head()
+      val (m, x, exact, est) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(x < m / 4, s"$d: filter unexpectedly dense: $x/$m")
+      assert(math.abs(est - exact) <= 0.02 * exact,
+        s"$d: bloom-fill estimate $est vs exact $exact out of 2% envelope")
+    }
+  }
+
   test("KMV set-algebra estimates land inside the theta-sketch envelope") {
     // union estimate: plain KMV on the union sketch — 4 sigma at k=64.
     // intersection: a theta-rate sample of the overlap — same order; exact
