@@ -369,7 +369,51 @@ object SourceQueries {
       .withColumn("n_buckets_read", lit(read.size))
   }
 
+  /** BLOOM SKIP INDEX on the versioned store — the point-lookup half of
+    * table-format file statistics ([[qZonemapPrune]] is the range half;
+    * production formats pair zone maps with per-file bloom column
+    * indexes): commit the customer snapshot bucketed by `c_custkey mod
+    * 16`, write a per-bucket corpus-adaptive bloom over the key column
+    * into the commit log ([[graft.sources.Versioned.writeBloomIndex]]),
+    * then serve a bounded point-lookup batch — 6 present keys (every
+    * 97th, first 6 in key order) plus the same 6 offset by max key + 1
+    * (guaranteed absent) — through
+    * [[graft.sources.Versioned.lookupKeys]]: the probe batch is tested
+    * against every bucket's filter (metadata work, no IO — the index
+    * assumes nothing about key→bucket placement, exactly like file-level
+    * bloom skipping over an unclustered column), and only may-contain
+    * buckets are scanned. The output gates the rows AND `n_buckets_read`
+    * — the skip evidence itself is hash-checked: DuckDB replays every
+    * per-bucket width, the d=3 position sets, and the all-positions-
+    * present test (distinct-position counting on both sides, so a
+    * within-key position collision cannot diverge the engines). Without
+    * the index a key-equality scan over these uniformly-spread keys
+    * reads every bucket — zone maps cannot help; that miss-shaped
+    * workload is precisely what bloom indexes exist for. VersionedSpec
+    * pins the mechanics: no false negatives, absent-only probes skip
+    * (near-)everything, rows equal the direct filter. */
+  def qStoreBloomSkip(s: SparkSession, dir: String): DataFrame = {
+    val layout = graft.operators.Artifacts.sharedPath(s"bloomskip:$dir") { path =>
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .withColumn("bucket", pmod(col("c_custkey"), lit(16)).cast("int"))
+      graft.sources.Versioned.commitBase(cust, path, "bucket", 16)
+      graft.sources.Versioned.writeBloomIndex(s, path, 1, "c_custkey")
+    }
+    val cust = s.read.parquet(s"$dir/customer.parquet")
+    val present = cust.where(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey")).orderBy(col("c_custkey")).limit(6)
+      .collect().map(_.getLong(0)).toSeq // the bounded point-lookup batch
+    val maxKey = cust.agg(max(col("c_custkey"))).head().getLong(0)
+    val probes = present ++ present.map(_ + maxKey + 1)
+    val (rows, read) = graft.sources.Versioned.lookupKeys(
+      s, layout, 1, "c_custkey", probes)
+    rows.select(col("c_custkey").as("key"), col("c_name").as("name"),
+        col("c_nationkey").cast("long").as("nat"))
+      .withColumn("n_buckets_read", lit(read.size))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "store_bloom_skip" -> qStoreBloomSkip _,
     "src_csv_nation" -> srcCsvNation _,
     "src_json_nation" -> srcJsonNation _,
     "src_orc_nation" -> srcOrcNation _,
@@ -385,6 +429,37 @@ object SourceQueries {
   val oracleSql: Map[String, String] = Map(
     // the plain filter the pruned read must be indistinguishable from,
     // plus the read-bucket count recomputed from the same min/max maps
+    // the whole skip decision replayed: per-bucket adaptive widths, d=3
+    // position sets, all-positions-present via distinct-position counting
+    // (collision-proof on both engines) — rows AND n_buckets_read gated
+    "store_bloom_skip" ->
+      """WITH cust AS (SELECT c_custkey, c_name, c_nationkey,
+        |  CAST(c_custkey % 16 AS INT) AS b FROM customer),
+        |pres AS (SELECT c_custkey AS k FROM cust WHERE c_custkey % 97 = 0
+        |  ORDER BY c_custkey LIMIT 6),
+        |mx AS (SELECT max(c_custkey) AS mx FROM cust),
+        |probes AS (SELECT k FROM pres
+        |  UNION ALL SELECT k + mx.mx + 1 FROM pres CROSS JOIN mx),
+        |bk AS (SELECT DISTINCT b, c_custkey AS k FROM cust),
+        |w AS (SELECT b, CAST(POWER(2, LENGTH(BIN(GREATEST(1, count(*) - 1))) + 4)
+        |  AS BIGINT) AS m FROM bk GROUP BY b),
+        |d AS (SELECT unnest(range(0, 3)) AS r),
+        |kb AS (SELECT DISTINCT bk.b, ('0x' || substr(md5(CAST(d.r AS VARCHAR) || ':' ||
+        |    CAST(bk.k AS VARCHAR)), 1, 15))::BIGINT % w.m AS pos
+        |  FROM bk JOIN w USING (b) CROSS JOIN d),
+        |pp AS (SELECT DISTINCT w.b, probes.k,
+        |    ('0x' || substr(md5(CAST(d.r AS VARCHAR) || ':' ||
+        |    CAST(probes.k AS VARCHAR)), 1, 15))::BIGINT % w.m AS pos
+        |  FROM probes CROSS JOIN w CROSS JOIN d),
+        |need AS (SELECT b, k, count(*) AS npos FROM pp GROUP BY b, k),
+        |hitc AS (SELECT pp.b, pp.k, count(*) AS nhit FROM pp
+        |  JOIN kb ON pp.b = kb.b AND pp.pos = kb.pos GROUP BY pp.b, pp.k),
+        |nb AS (SELECT CAST(count(DISTINCT need.b) AS INT) AS n_buckets_read
+        |  FROM need JOIN hitc ON need.b = hitc.b AND need.k = hitc.k
+        |  WHERE nhit = npos)
+        |SELECT c.c_custkey AS key, c.c_name AS name,
+        |  CAST(c.c_nationkey AS BIGINT) AS nat, nb.n_buckets_read
+        |FROM cust c JOIN pres ON c.c_custkey = pres.k CROSS JOIN nb""".stripMargin,
     "q_zonemap_prune" ->
       """WITH days AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
         |  CAST((datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) // 160) % 16 AS INT) AS bucket,

@@ -222,6 +222,117 @@ object Versioned {
     }
   }
 
+  private def bloomIdxPath(dir: String, v: Int) =
+    java.nio.file.Paths.get(dir, "manifests", s"v$v.bloom.csv")
+
+  /** Hashes per key in the commit-log bloom index. */
+  val BloomIdxD = 3
+
+  /** The key's d bit positions at width `m` — driver twin of the
+    * distributed hash below (same `"$i:key"` input convention as the
+    * q_bloom_membership family; [[graft.functions.HashKernels.md5Prefix60]]
+    * is the single md5→60-bit kernel both sides call). */
+  private def bloomIdxPositions(key: Long, m: Long): Seq[Long] =
+    (0 until BloomIdxD).map { i =>
+      val h = graft.functions.HashKernels.md5Prefix60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"$i:$key"))
+      java.lang.Math.floorMod(h, m)
+    }
+
+  /** BLOOM INDEX in the commit log — the point-lookup half of a table
+    * format's file statistics (zone maps are [[writeStats]]; this is the
+    * bloom-filter column index of production formats): per bucket, a
+    * corpus-adaptive filter (width `2^(bitlen(n−1)+4)` ≥ 16 bits/key,
+    * d=3 portable-md5 hashes) over the bucket's distinct keys, written
+    * alongside version `v`'s manifest. The build is ONE distributed pass:
+    * distinct (bucket, key) → per-row positions at the bucket's width
+    * (broadcast width join) → words packed by a `bit_or` aggregate; the
+    * only driver materialization is the packed words — filter-sized
+    * metadata (~16 bits/key), the same class as the manifest itself. At
+    * petabyte scale production formats keep these per FILE in footers;
+    * bucket granularity in the commit log demonstrates the identical
+    * skipping contract at the store's pruning unit. */
+  def writeBloomIndex(spark: SparkSession, dir: String, v: Int, keyCol: String): Unit = {
+    val bcol = bucketColOfManifest(spark, dir, v)
+    val keys = readVersion(spark, dir, v)
+      .select(col(bcol).as("b"), col(keyCol).cast("long").as("k")).distinct()
+    val widths = keys.groupBy(col("b")).count()
+      .collect().map { r =>
+        val n = r.getLong(1)
+        r.getInt(0) -> (1L << (64 - java.lang.Long.numberOfLeadingZeros(
+          math.max(1L, n - 1)) + 4))
+      }.toMap // bucket-count-sized (metadata)
+    val widthDf = {
+      import spark.implicits._
+      broadcast(widths.toSeq.toDF("b", "m"))
+    }
+    val posCol = array((0 until BloomIdxD).map { i =>
+      pmod(graft.functions.VectorSql.md5Hash60(
+        concat(lit(s"$i:"), col("k").cast("string"))), col("m"))
+    }: _*)
+    val words = keys.join(widthDf, "b")
+      .select(col("b"), explode(posCol).as("pos"))
+      .select(col("b"), (col("pos") / 64).cast("int").as("widx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("w"))
+      .groupBy(col("b"), col("widx")).agg(expr("bit_or(w)").as("word"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val body = words.groupBy(_._1).toSeq.sortBy(_._1).map { case (b, ws) =>
+      val packed = ws.sortBy(_._2)
+        .map { case (_, widx, w) => s"$widx:${java.lang.Long.toHexString(w)}" }
+        .mkString(";")
+      s"$b,${widths(b)},$packed"
+    }.mkString("\n")
+    java.nio.file.Files.write(bloomIdxPath(dir, v), body.getBytes("UTF-8"))
+  }
+
+  /** bucket → (width, sparse widx→word) for version `v`'s bloom index. */
+  def readBloomIndex(dir: String, v: Int): Map[Int, (Long, Map[Int, Long])] =
+    new String(java.nio.file.Files.readAllBytes(bloomIdxPath(dir, v)), "UTF-8")
+      .split("\n").filter(_.nonEmpty).map { line =>
+        val Array(b, m, ws) = line.split(",", 3)
+        val words = ws.split(";").filter(_.nonEmpty).map { e =>
+          val Array(widx, w) = e.split(":")
+          widx.toInt -> java.lang.Long.parseUnsignedLong(w, 16)
+        }.toMap
+        b.toInt -> (m.toLong, words)
+      }.toMap
+
+  /** True iff bucket-filter (`m`, `words`) may contain `key` — all d bits
+    * set. False ⇒ DEFINITELY absent (the one-sided contract pruning
+    * leans on). */
+  def bloomMayContain(m: Long, words: Map[Int, Long], key: Long): Boolean =
+    bloomIdxPositions(key, m).forall { pos =>
+      (words.getOrElse((pos / 64).toInt, 0L) & (1L << (pos % 64).toInt)) != 0L
+    }
+
+  /** POINT LOOKUP through the bloom index: test every bucket's filter
+    * against the probe batch (metadata work — buckets × probes bit
+    * tests, no IO), then read ONLY buckets where some probe may be
+    * present. Returns the matching rows and the buckets actually read
+    * (the skip evidence). No false negatives by the bloom contract; a
+    * false-positive bucket costs one pruned-partition scan that the
+    * exact `isin` filter then empties. The index assumes NOTHING about
+    * how keys map to buckets — it tests every bucket's filter, exactly
+    * like file-level bloom skipping over an unclustered column. */
+  def lookupKeys(spark: SparkSession, dir: String, v: Int, keyCol: String,
+                 probes: Seq[Long]): (DataFrame, Set[Int]) = {
+    val idx = readBloomIndex(dir, v)
+    val manifest = readManifest(dir, v)
+    val toRead = manifest.keySet.filter { b =>
+      idx.get(b).exists { case (m, words) =>
+        probes.exists(k => bloomMayContain(m, words, k))
+      }
+    }
+    if (toRead.isEmpty)
+      (readVersion(spark, dir, v).where(lit(false)), Set.empty[Int])
+    else {
+      val df = readBuckets(spark, dir,
+          manifest.filter { case (b, _) => toRead(b) })
+        .where(col(keyCol).isin(probes.map(Long.box): _*))
+      (df, toRead)
+    }
+  }
+
   /** True iff version `v` has been committed (its manifest exists) — the
     * idempotence guard a streaming CDC applier keys on its deterministic
     * batch id (the Delta txn-app-id discipline): a foreachBatch re-run

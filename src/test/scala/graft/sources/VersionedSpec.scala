@@ -166,4 +166,46 @@ class VersionedSpec extends SparkSpec {
     val (d4, read4) = Versioned.readVersionWhere(spark, dir, 1, "v", 9000, 10000)
     assert(read4.isEmpty && d4.count() == 0)
   }
+
+  test("bloom index: point lookups skip buckets, never miss, and FP buckets stay empty") {
+    val dir = tmp()
+    // keys spread uniformly over 8 buckets by a NON-key-derived column
+    // order (bucket = k mod 8 here, but the index never assumes it — it
+    // tests every bucket's filter)
+    val base = (0L until 400L).map(k => (k, s"p$k", (k % 8).toInt))
+      .toDF("k", "payload", "bucket")
+    Versioned.commitBase(base, dir, "bucket", 8)
+    Versioned.writeBloomIndex(spark, dir, 1, "k")
+
+    // present probes: 3 keys in 3 distinct buckets
+    val present = Seq(8L, 17L, 26L)
+    val (d1, read1) = Versioned.lookupKeys(spark, dir, 1, "k", present)
+    val got = d1.select(col("k"), col("payload"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == present.map(k => k -> s"p$k").toMap,
+      s"present probes must all be found exactly: $got")
+    assert(read1.subsetOf((0 until 8).toSet) && read1.size < 8,
+      s"lookup must skip buckets: read $read1")
+    assert(Set(0, 1, 2).subsetOf(read1),
+      s"true buckets of present keys must be read: $read1")
+
+    // absent probes: beyond the key space — at 16+ bits/key nearly every
+    // bucket should be skipped, and ANY false-positive bucket read must
+    // yield zero rows (the exact filter empties it)
+    val absent = Seq(4000L, 4001L, 4002L, 4003L)
+    val (d0, read0) = Versioned.lookupKeys(spark, dir, 1, "k", absent)
+    assert(d0.count() == 0, "absent probes must return no rows")
+    assert(read0.size <= 2, s"absent-only batch read too many buckets: $read0")
+
+    // the index survives a copy-on-write commit: rebuild for v2 after a
+    // delta adds a brand-new key; the v1 index still serves v1 state
+    val delta = Seq((1000L, "new", 0)).toDF("k", "payload", "bucket")
+    Versioned.commitUpsert(spark, delta, dir, 2, "k", "bucket")
+    Versioned.writeBloomIndex(spark, dir, 2, "k")
+    val (d2, read2) = Versioned.lookupKeys(spark, dir, 2, "k", Seq(1000L))
+    assert(d2.count() == 1 && read2.contains(0),
+      s"new key must be found in v2: read=$read2")
+    val (d3, _) = Versioned.lookupKeys(spark, dir, 1, "k", Seq(1000L))
+    assert(d3.count() == 0, "v1 lookup must not see the v2 key")
+  }
 }
