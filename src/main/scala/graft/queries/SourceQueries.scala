@@ -412,8 +412,54 @@ object SourceQueries {
       .withColumn("n_buckets_read", lit(read.size))
   }
 
+  /** INCREMENTAL index maintenance under copy-on-write
+    * ([[graft.sources.Versioned.writeBloomIndexIncremental]]): commit v2
+    * upserts UPDATED payloads for keys `c_custkey % 64 = 0` (all in
+    * bucket 0 — same key set, payloads changed) plus three BRAND-NEW keys
+    * `max+1+32j` (all in one bucket, `(max+1) mod 16`), so the delta
+    * touches at most two of 16 buckets; the v2 bloom index rebuilds ONLY
+    * those buckets' filters and copies every other entry from v1
+    * verbatim — index maintenance costs O(delta), the manifest argument
+    * applied to metadata (VersionedSpec asserts byte-identity with a
+    * full rebuild). The lookup batch probes an updated key, a new key,
+    * and absent keys through the v2 index: new keys MUST be found (the
+    * incremental filter includes them), updated rows carry v2 payloads,
+    * and `n_buckets_read` — gated — shows the batch touching only the
+    * probe buckets. Oracle replays the upserted table AND the whole
+    * index decision relationally. */
+  def qStoreBloomSkipDelta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val layout = graft.operators.Artifacts.sharedPath(s"bloomskipdelta:$dir") { path =>
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .withColumn("bucket", pmod(col("c_custkey"), lit(16)).cast("int"))
+      graft.sources.Versioned.commitBase(cust, path, "bucket", 16)
+      graft.sources.Versioned.writeBloomIndex(s, path, 1, "c_custkey")
+      val maxKey = cust.agg(max(col("c_custkey"))).head().getLong(0)
+      val upd = cust.where(col("c_custkey") % 64 === 0)
+        .withColumn("c_name", concat(lit("UPD:"), col("c_name")))
+      val fresh = (0 until 3).map(j =>
+          (maxKey + 1 + 32L * j, s"NEW:$j", j, 0.0, "NEW"))
+        .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .withColumn("bucket", pmod(col("c_custkey"), lit(16)).cast("int"))
+      graft.sources.Versioned.commitUpsert(s,
+        upd.unionByName(fresh), path, 2, "c_custkey", "bucket")
+      graft.sources.Versioned.writeBloomIndexIncremental(s, path, 2)
+    }
+    val maxKey = s.read.parquet(s"$dir/customer.parquet")
+      .agg(max(col("c_custkey"))).head().getLong(0)
+    val probes = Seq(0L, 64L) ++                      // updated keys
+      (0 until 3).map(j => maxKey + 1 + 32L * j) ++   // new keys
+      (0 until 3).map(j => maxKey + 7 + 32L * j)      // guaranteed absent
+    val (rows, read) = graft.sources.Versioned.lookupKeys(
+      s, layout, 2, "c_custkey", probes)
+    rows.select(col("c_custkey").as("key"), col("c_name").as("name"),
+        col("c_nationkey").cast("long").as("nat"))
+      .withColumn("n_buckets_read", lit(read.size))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "store_bloom_skip" -> qStoreBloomSkip _,
+    "store_bloom_skip_delta" -> qStoreBloomSkipDelta _,
     "src_csv_nation" -> srcCsvNation _,
     "src_json_nation" -> srcJsonNation _,
     "src_orc_nation" -> srcOrcNation _,
@@ -429,6 +475,46 @@ object SourceQueries {
   val oracleSql: Map[String, String] = Map(
     // the plain filter the pruned read must be indistinguishable from,
     // plus the read-bucket count recomputed from the same min/max maps
+    // the upserted table AND the whole index decision replayed: the
+    // incremental index must be indistinguishable from a full rebuild
+    // over v2 state (untouched buckets' key sets are unchanged, so their
+    // copied filters equal rebuilt ones bit for bit)
+    "store_bloom_skip_delta" ->
+      """WITH mx AS (SELECT max(c_custkey) AS mx FROM customer),
+        |cust2 AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 64 = 0 THEN 'UPD:' || c_name ELSE c_name END AS c_name,
+        |    c_nationkey, CAST(c_custkey % 16 AS INT) AS b FROM customer
+        |  UNION ALL
+        |  SELECT mx.mx + 1 + 32 * j.j, 'NEW:' || CAST(j.j AS VARCHAR),
+        |    CAST(j.j AS INT), CAST((mx.mx + 1 + 32 * j.j) % 16 AS INT)
+        |  FROM mx CROSS JOIN (SELECT unnest(range(0, 3)) AS j) j),
+        |probes AS (
+        |  SELECT 0 AS k UNION ALL SELECT 64
+        |  UNION ALL SELECT mx.mx + 1 + 32 * j.j
+        |    FROM mx CROSS JOIN (SELECT unnest(range(0, 3)) AS j) j
+        |  UNION ALL SELECT mx.mx + 7 + 32 * j.j
+        |    FROM mx CROSS JOIN (SELECT unnest(range(0, 3)) AS j) j),
+        |bk AS (SELECT DISTINCT b, c_custkey AS k FROM cust2),
+        |w AS (SELECT b, CAST(POWER(2, LENGTH(BIN(GREATEST(1, count(*) - 1))) + 4)
+        |  AS BIGINT) AS m FROM bk GROUP BY b),
+        |d AS (SELECT unnest(range(0, 3)) AS r),
+        |kb AS (SELECT DISTINCT bk.b, ('0x' || substr(md5(CAST(d.r AS VARCHAR) || ':' ||
+        |    CAST(bk.k AS VARCHAR)), 1, 15))::BIGINT % w.m AS pos
+        |  FROM bk JOIN w USING (b) CROSS JOIN d),
+        |pp AS (SELECT DISTINCT w.b, probes.k,
+        |    ('0x' || substr(md5(CAST(d.r AS VARCHAR) || ':' ||
+        |    CAST(probes.k AS VARCHAR)), 1, 15))::BIGINT % w.m AS pos
+        |  FROM probes CROSS JOIN w CROSS JOIN d),
+        |need AS (SELECT b, k, count(*) AS npos FROM pp GROUP BY b, k),
+        |hitc AS (SELECT pp.b, pp.k, count(*) AS nhit FROM pp
+        |  JOIN kb ON pp.b = kb.b AND pp.pos = kb.pos GROUP BY pp.b, pp.k),
+        |nb AS (SELECT CAST(count(DISTINCT need.b) AS INT) AS n_buckets_read
+        |  FROM need JOIN hitc ON need.b = hitc.b AND need.k = hitc.k
+        |  WHERE nhit = npos)
+        |SELECT c.c_custkey AS key, c.c_name AS name,
+        |  CAST(c.c_nationkey AS BIGINT) AS nat, nb.n_buckets_read
+        |FROM cust2 c JOIN probes ON c.c_custkey = probes.k CROSS JOIN nb""".stripMargin,
     // the whole skip decision replayed: per-bucket adaptive widths, d=3
     // position sets, all-positions-present via distinct-position counting
     // (collision-proof on both engines) — rows AND n_buckets_read gated

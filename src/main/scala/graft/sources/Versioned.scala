@@ -256,6 +256,15 @@ object Versioned {
     val bcol = bucketColOfManifest(spark, dir, v)
     val keys = readVersion(spark, dir, v)
       .select(col(bcol).as("b"), col(keyCol).cast("long").as("k")).distinct()
+    writeBloomFile(dir, v, keyCol, buildBloomEntries(spark, keys))
+  }
+
+  /** The distributed filter build over a distinct (bucket, key) frame:
+    * per-bucket adaptive widths (bucket-count-sized driver map), one
+    * positions pass at the broadcast width, words packed by `bit_or`.
+    * Only the filter-sized packed words reach the driver. */
+  private def buildBloomEntries(spark: SparkSession,
+                                keys: DataFrame): Map[Int, (Long, Map[Int, Long])] = {
     val widths = keys.groupBy(col("b")).count()
       .collect().map { r =>
         val n = r.getLong(1)
@@ -276,19 +285,64 @@ object Versioned {
         expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("w"))
       .groupBy(col("b"), col("widx")).agg(expr("bit_or(w)").as("word"))
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
-    val body = words.groupBy(_._1).toSeq.sortBy(_._1).map { case (b, ws) =>
-      val packed = ws.sortBy(_._2)
-        .map { case (_, widx, w) => s"$widx:${java.lang.Long.toHexString(w)}" }
-        .mkString(";")
-      s"$b,${widths(b)},$packed"
-    }.mkString("\n")
+    words.groupBy(_._1).map { case (b, ws) =>
+      b -> (widths(b), ws.map { case (_, widx, w) => widx -> w }.toMap)
+    }
+  }
+
+  private def writeBloomFile(dir: String, v: Int, keyCol: String,
+                             entries: Map[Int, (Long, Map[Int, Long])]): Unit = {
+    val body = (s"#key=$keyCol" +: entries.toSeq.sortBy(_._1).map {
+      case (b, (m, words)) =>
+        val packed = words.toSeq.sortBy(_._1)
+          .map { case (widx, w) => s"$widx:${java.lang.Long.toHexString(w)}" }
+          .mkString(";")
+        s"$b,$m,$packed"
+    }).mkString("\n")
     java.nio.file.Files.write(bloomIdxPath(dir, v), body.getBytes("UTF-8"))
+  }
+
+  /** The key column version `v`'s bloom index was built over (recorded in
+    * the file header — an index is meaningless without it). */
+  def bloomIdxKeyCol(dir: String, v: Int): String =
+    new String(java.nio.file.Files.readAllBytes(bloomIdxPath(dir, v)), "UTF-8")
+      .split("\n").head.stripPrefix("#key=")
+
+  /** INCREMENTAL bloom-index maintenance — the index follows the
+    * manifest's copy-on-write discipline: buckets the commit didn't
+    * rewrite keep their v-1 filter entry VERBATIM (their key sets are
+    * unchanged by construction — zero recompute, zero IO), and only the
+    * rewritten buckets' filters rebuild from their current keys. At
+    * petabyte scale this is the difference between index maintenance
+    * costing O(delta) and O(table) — the same argument the manifest
+    * itself makes for data files. Result is byte-identical to a full
+    * [[writeBloomIndex]] at `v` (VersionedSpec asserts it): widths
+    * depend only on each bucket's key count, so an untouched bucket's
+    * rebuilt filter would reproduce the copied one bit for bit. */
+  def writeBloomIndexIncremental(spark: SparkSession, dir: String, v: Int): Unit = {
+    require(v > 1, s"incremental index needs a prior version, got $v")
+    val prev = readManifest(dir, v - 1)
+    val cur = readManifest(dir, v)
+    val touched = cur.filter { case (b, ver) => prev.get(b) != Some(ver) }.keySet
+    val prevIdx = readBloomIndex(dir, v - 1)
+    val kept = prevIdx.filter { case (b, _) => !touched(b) }
+    val rebuilt: Map[Int, (Long, Map[Int, Long])] =
+      if (touched.isEmpty) Map.empty
+      else {
+        val bcol = bucketColOfManifest(spark, dir, v)
+        val keyCol = bloomIdxKeyCol(dir, v - 1)
+        val keys = readBuckets(spark, dir,
+            cur.filter { case (b, ver) => touched(b) && ver > 0 })
+          .select(col(bcol).as("b"), col(keyCol).cast("long").as("k")).distinct()
+        buildBloomEntries(spark, keys)
+      }
+    writeBloomFile(dir, v, bloomIdxKeyCol(dir, v - 1), kept ++ rebuilt)
   }
 
   /** bucket → (width, sparse widx→word) for version `v`'s bloom index. */
   def readBloomIndex(dir: String, v: Int): Map[Int, (Long, Map[Int, Long])] =
     new String(java.nio.file.Files.readAllBytes(bloomIdxPath(dir, v)), "UTF-8")
-      .split("\n").filter(_.nonEmpty).map { line =>
+      .split("\n").filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
         val Array(b, m, ws) = line.split(",", 3)
         val words = ws.split(";").filter(_.nonEmpty).map { e =>
           val Array(widx, w) = e.split(":")

@@ -208,4 +208,40 @@ class VersionedSpec extends SparkSpec {
     val (d3, _) = Versioned.lookupKeys(spark, dir, 1, "k", Seq(1000L))
     assert(d3.count() == 0, "v1 lookup must not see the v2 key")
   }
+
+  test("incremental bloom index equals a full rebuild byte for byte; untouched entries copied") {
+    val dir = tmp()
+    val base = (0L until 200L).map(k => (k, s"p$k", (k % 8).toInt))
+      .toDF("k", "payload", "bucket")
+    Versioned.commitBase(base, dir, "bucket", 8)
+    Versioned.writeBloomIndex(spark, dir, 1, "k")
+    val v1Lines = Files.readAllLines(
+      java.nio.file.Paths.get(dir, "manifests", "v1.bloom.csv"))
+
+    // delta confined to bucket 3: one updated payload + one new key
+    val delta = Seq((3L, "upd", 3), (1003L, "new", 3)).toDF("k", "payload", "bucket")
+    Versioned.commitUpsert(spark, delta, dir, 2, "k", "bucket")
+    Versioned.writeBloomIndexIncremental(spark, dir, 2)
+    val incPath = java.nio.file.Paths.get(dir, "manifests", "v2.bloom.csv")
+    val incBytes = Files.readAllBytes(incPath).toSeq
+    val incLines = Files.readAllLines(incPath)
+
+    // untouched buckets' entries are the v1 lines verbatim
+    def entry(lines: java.util.List[String], b: Int) =
+      lines.toArray.map(_.toString).find(_.startsWith(s"$b,"))
+    for (b <- 0 until 8 if b != 3)
+      assert(entry(incLines, b) == entry(v1Lines, b),
+        s"untouched bucket $b entry must be copied verbatim")
+    assert(entry(incLines, 3) != entry(v1Lines, 3),
+      "bucket 3 gained a key — its filter must have been rebuilt")
+
+    // and the whole file equals a from-scratch rebuild over v2 state
+    Versioned.writeBloomIndex(spark, dir, 2, "k")
+    assert(Files.readAllBytes(incPath).toSeq == incBytes,
+      "incremental index must be byte-identical to a full rebuild")
+
+    // the new key is findable through the incremental index
+    val (d, read) = Versioned.lookupKeys(spark, dir, 2, "k", Seq(1003L))
+    assert(d.count() == 1 && read.contains(3))
+  }
 }
