@@ -375,6 +375,88 @@ object AdvancedQueries {
     cmsTopkReport(cmsEstimatesFrom(fork, dir, sketch))
   }
 
+  /** WINDOWED streaming CMS heavy hitters — the sketch family meets the
+    * event-time/watermark discipline ([[graft.streaming.WinCmsStream]]):
+    * per-10-day-window user-frequency matrices maintained as stream
+    * state that is bounded in BOTH dimensions — d·w longs per window ×
+    * only watermark-live windows (each window's matrix is DROPPED the
+    * first batch after the watermark passes its end; the unbounded
+    * `cms_freq_stream` keeps one matrix forever, this one's state is
+    * independent of stream LENGTH too). Staging is event-time-ordered
+    * (one file per window, names+mtimes pinned via
+    * [[StreamScratch.stageOrdered]]) with a 1-day watermark delay, so
+    * the watermark genuinely advances across micro-batches, early
+    * windows evict DURING the run (WinCmsStreamSpec proves state-row
+    * drop and late-row exclusion), and yet no staged row is ever late —
+    * which is exactly why the emitted snapshots replay the batch
+    * per-window matrices and the whole chain (fold, eviction, estimates,
+    * per-window top-5 through the heap operator) sits under one DuckDB
+    * oracle. At 100 TB this is the production shape of frequency
+    * observability: finite state, continuous reports, history never
+    * rescanned and never retained. */
+  val CmsWinDays = 10
+  val CmsWinTopK = 5
+  def cmsFreqStreamWindowed(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    import fork.implicits._
+    val root = StreamScratch.fresh("cmswin")
+    val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    val winUs = CmsWinDays * 86400L * 1000000L
+    // events read on THIS fork (not the ev() helper's nested one) so the
+    // heap-operator strategy registered below is visible to the planner
+    fork.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    fork.conf.set("spark.sql.session.timeZone", "UTC")
+    val raw = fork.read.parquet(s"$dir/events.parquet")
+    val evDf = raw.withColumn("ts_us", EventTs.tsUs(raw))
+    val keyed = evDf
+      .select(col("user_id"), col("ts_us"), expr(s"ts_us DIV $winUs").as("win"))
+    val wins = keyed.select(col("win")).distinct().orderBy(col("win"))
+      .collect().map(_.getLong(0)) // window-count-sized (span/width)
+    StreamScratch.stageOrdered(inDir,
+      wins.toSeq.map(w => keyed.where(col("win") === w)))
+    val stream = fork.readStream.schema("user_id LONG, ts_us LONG, win LONG")
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val buckets = stream
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 day")
+      .select(col("win"), explode(cmsBuckets(col("user_id"))).as("rc"), col("ts"))
+      .select(col("win"), col("rc.r").as("r"), col("rc.c").as("c"), col("ts"))
+      .as[graft.streaming.WinCmsStream.WinBucket]
+    val q = graft.streaming.WinCmsStream
+      .sketchStream(buckets, CmsW, winMs = winUs / 1000L).toDF()
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = fork.read
+      .schema("win BIGINT, r INT, seen BIGINT, counts ARRAY<BIGINT>").parquet(outDir)
+    val wspec = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("win"), col("r")).orderBy(col("seen").desc)
+    val sketch = out.withColumn("rn", row_number().over(wspec))
+      .where(col("rn") === 1)
+      .select(col("win"), col("r"), posexplode(col("counts")).as(Seq("c", "cnt")))
+      .where(col("cnt") > 0)
+      .select(col("win"), col("r"), col("c").cast("long").as("c"), col("cnt"))
+    val keys = evDf
+      .select(expr(s"ts_us DIV $winUs").as("win"), col("user_id")).distinct()
+    val est = keys
+      .select(col("win"), col("user_id"), explode(cmsBuckets(col("user_id"))).as("rc"))
+      .select(col("win"), col("user_id"), col("rc.r").as("r"), col("rc.c").as("c"))
+      .join(broadcast(sketch), Seq("win", "r", "c"))
+      .groupBy(col("win"), col("user_id")).agg(min(col("cnt")).as("est_freq"))
+    fork.experimental.extraStrategies =
+      fork.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
+    val top = graft.plans.TopKPerKey.topKPerKey(est,
+      keys = Seq(col("win")),
+      order = Seq(col("est_freq").desc, col("user_id").asc), k = CmsWinTopK)
+    // the rank window runs over <= topK rows per window (post-heap)
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("win"))
+          .orderBy(col("est_freq").desc, col("user_id").asc)))
+      .select(col("win"), col("rank"), col("user_id"), col("est_freq"))
+  }
+
   /** CMS MERGE — sketch mergeability as an explicit gated artifact, not a
     * scaladoc claim: the corpus is split into three DISJOINT shards (by
     * `l_orderkey mod 3` — an attribute the sketch key ignores, so shard
@@ -670,6 +752,7 @@ object AdvancedQueries {
     "bloom_membership_stream" -> bloomMembershipStream _,
     "q_bloom_cardinality" -> qBloomCardinality _,
     "q_cms_merge" -> qCmsMerge _,
+    "cms_freq_stream_win" -> cmsFreqStreamWindowed _,
     "q_topk_per_key" -> qTopKPerKey _,
     "q_topk_rewrite" -> qTopKRewrite _,
     "q_topk_rank_rewrite" -> qTopKRankRewrite _,
@@ -798,6 +881,30 @@ object AdvancedQueries {
     // partial matrices merged by elementwise sum equal the monolithic
     // matrix cell for cell, so the merged path shares the batch oracle
     "q_cms_merge" -> cmsOracle,
+    // per-window matrices replayed relationally: ordered staging + the
+    // 1-day watermark guarantee that no staged row is late, so the
+    // streamed (and mid-run-evicted) snapshots equal the batch windows
+    "cms_freq_stream_win" ->
+      s"""WITH e AS (SELECT user_id,
+        |    epoch_us(ts) // ${CmsWinDays * 86400L * 1000000L} AS win FROM events),
+        |d AS (SELECT unnest(range(0, $CmsD)) AS r),
+        |sk AS (SELECT win, d.r,
+        |    ('0x' || substr(md5(CAST(d.r AS VARCHAR) || ':' ||
+        |    CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % $CmsW AS c,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM e CROSS JOIN d GROUP BY 1, 2, 3),
+        |k AS (SELECT DISTINCT win, user_id FROM e),
+        |kb AS (SELECT k.win, k.user_id, d.r,
+        |    ('0x' || substr(md5(CAST(d.r AS VARCHAR) || ':' ||
+        |    CAST(k.user_id AS VARCHAR)), 1, 15))::BIGINT % $CmsW AS c
+        |  FROM k CROSS JOIN d),
+        |est AS (SELECT kb.win, kb.user_id, min(sk.cnt) AS est_freq
+        |  FROM kb JOIN sk ON kb.win = sk.win AND kb.r = sk.r AND kb.c = sk.c
+        |  GROUP BY 1, 2),
+        |t AS (SELECT win, user_id, est_freq, row_number() OVER
+        |  (PARTITION BY win ORDER BY est_freq DESC, user_id) AS rank FROM est)
+        |SELECT win, CAST(rank AS INT) AS rank, user_id, est_freq
+        |FROM t WHERE rank <= $CmsWinTopK""".stripMargin,
     // the filter replayed (same width rule, same d-position set), X = its
     // set-bit count, and the one-ln Swamidass-Baldi estimate — all
     // deterministic, the estimate itself byte-hash-gated

@@ -17,6 +17,32 @@ private[graft] object StreamScratch {
     Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft_stream_${name}_${ProcessHandle.current().pid()}")
 
+  /** Stage `slices` into `inDir` as single parquet files whose NAMES and
+    * MTIMES both encode arrival order. The file source orders pending
+    * files by (modification time, path); a plain sequence of writes can
+    * tie on coarse filesystem timestamps and then fall back to RANDOM
+    * part-file names — so an entry that needs slices consumed in a given
+    * order (e.g. event-time-ordered staging, so the watermark advances
+    * monotonically and eviction fires mid-stream without any row being
+    * genuinely late) must pin both. Each slice lands as `slice-K.parquet`
+    * with a fixed, strictly increasing mtime. */
+  def stageOrdered(inDir: String, slices: Seq[org.apache.spark.sql.DataFrame]): Unit = {
+    Files.createDirectories(Paths.get(inDir))
+    slices.zipWithIndex.foreach { case (df, k) =>
+      val tmp = s"$inDir/_stage$k"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      val dst = Paths.get(inDir, f"slice-$k%05d.parquet")
+      Files.move(part.toPath, dst)
+      new java.io.File(tmp).listFiles().foreach(_.delete())
+      Files.delete(Paths.get(tmp))
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + k * 60000L))
+    }
+  }
+
   /** The fixed per-entry root, deleted recursively if present. */
   def fresh(name: String): Path = {
     val root = path(name)
