@@ -83,8 +83,9 @@ object Plans {
     // round-12 additions: sketch mergeability as a gated artifact and the
     // bloom-fill cardinality estimator
     "q_cms_merge", "q_bloom_cardinality",
-    // round-12 addition: windowed streaming CMS with watermark eviction
-    "cms_freq_stream_win",
+    // round-12 additions: windowed streaming CMS + KMV with watermark
+    // eviction
+    "cms_freq_stream_win", "kmv_distinct_stream_win",
     // round-12 additions: per-bucket bloom index on the versioned store
     // and its O(delta) incremental maintenance
     "store_bloom_skip", "store_bloom_skip_delta",

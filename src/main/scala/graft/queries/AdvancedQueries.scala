@@ -457,6 +457,60 @@ object AdvancedQueries {
       .select(col("win"), col("rank"), col("user_id"), col("est_freq"))
   }
 
+  /** WINDOWED streaming KMV — per-10-day-window distinct-user counting
+    * with watermark eviction ([[graft.streaming.WinKmvStream]]), the
+    * cardinality twin of [[cmsFreqStreamWindowed]]: state is k longs per
+    * LIVE window (sketch-bounded in the key dimension, watermark-bounded
+    * in time), staging is event-time-ordered so windows genuinely evict
+    * mid-run while no staged row is late, and the read-back applies the
+    * batch Bar-Yossef arithmetic per window — the whole chain under one
+    * DuckDB oracle. The SF spread exercises both estimator branches:
+    * sf0.001 has ~15 users/window (< k=64 → the small-set exact path),
+    * sf0.1 ~1500 (the (k−1)·2⁶⁰/hₖ estimate). At 100 TB: per-period
+    * distinct observability with finite state and no history. */
+  def kmvDistinctStreamWindowed(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    import fork.implicits._
+    val root = StreamScratch.fresh("kmvwin")
+    val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    val winUs = CmsWinDays * 86400L * 1000000L
+    fork.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    fork.conf.set("spark.sql.session.timeZone", "UTC")
+    val raw = fork.read.parquet(s"$dir/events.parquet")
+    val evDf = raw.withColumn("ts_us", EventTs.tsUs(raw))
+    val keyed = evDf
+      .select(col("user_id"), col("ts_us"), expr(s"ts_us DIV $winUs").as("win"))
+    val wins = keyed.select(col("win")).distinct().orderBy(col("win"))
+      .collect().map(_.getLong(0)) // window-count-sized (span/width)
+    StreamScratch.stageOrdered(inDir,
+      wins.toSeq.map(w => keyed.where(col("win") === w)))
+    val stream = fork.readStream.schema("user_id LONG, ts_us LONG, win LONG")
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val hashes = stream
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 day")
+      .select(col("win"),
+        graft.functions.VectorSql.md5Hash60(col("user_id").cast("string")).as("h"),
+        col("ts"))
+      .as[graft.streaming.WinKmvStream.WinHash]
+    val q = graft.streaming.WinKmvStream
+      .sketchStream(hashes, KmvK, winMs = winUs / 1000L).toDF()
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = fork.read
+      .schema("win BIGINT, seen BIGINT, nh INT, hk BIGINT").parquet(outDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("win")).orderBy(col("seen").desc)
+    out.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("win"),
+        when(col("nh") < KmvK, col("nh").cast("double"))
+          .otherwise(floor(lit((KmvK - 1).toDouble * (1L << 60).toDouble) / col("hk")))
+          .cast("bigint").as("kmv_distinct"))
+  }
+
   /** CMS MERGE — sketch mergeability as an explicit gated artifact, not a
     * scaladoc claim: the corpus is split into three DISJOINT shards (by
     * `l_orderkey mod 3` — an attribute the sketch key ignores, so shard
@@ -753,6 +807,7 @@ object AdvancedQueries {
     "q_bloom_cardinality" -> qBloomCardinality _,
     "q_cms_merge" -> qCmsMerge _,
     "cms_freq_stream_win" -> cmsFreqStreamWindowed _,
+    "kmv_distinct_stream_win" -> kmvDistinctStreamWindowed _,
     "q_topk_per_key" -> qTopKPerKey _,
     "q_topk_rewrite" -> qTopKRewrite _,
     "q_topk_rank_rewrite" -> qTopKRankRewrite _,
@@ -881,6 +936,26 @@ object AdvancedQueries {
     // partial matrices merged by elementwise sum equal the monolithic
     // matrix cell for cell, so the merged path shares the batch oracle
     "q_cms_merge" -> cmsOracle,
+    // the per-window sketch replayed relationally: within a window the
+    // idempotent min-set fold equals the batch sketch, and ordered staging
+    // + the 1-day watermark keep every staged row on time while early
+    // windows evict mid-run
+    "kmv_distinct_stream_win" ->
+      s"""WITH e AS (SELECT user_id,
+        |    epoch_us(ts) // ${CmsWinDays * 86400L * 1000000L} AS win FROM events),
+        |h AS (SELECT DISTINCT win,
+        |  ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM e),
+        |r AS (SELECT win, h, row_number() OVER
+        |  (PARTITION BY win ORDER BY h) AS rn FROM h),
+        |g AS (SELECT win, count(*) AS nh,
+        |  max(CASE WHEN rn = $KmvK THEN h END) AS hk
+        |  FROM r WHERE rn <= $KmvK GROUP BY win)
+        |SELECT win,
+        |  CAST(CASE WHEN nh < $KmvK THEN CAST(nh AS DOUBLE)
+        |    ELSE FLOOR(${KmvK - 1}.0 * 1152921504606846976.0 / hk) END
+        |  AS BIGINT) AS kmv_distinct
+        |FROM g""".stripMargin,
     // per-window matrices replayed relationally: ordered staging + the
     // 1-day watermark guarantee that no staged row is late, so the
     // streamed (and mid-run-evicted) snapshots equal the batch windows
