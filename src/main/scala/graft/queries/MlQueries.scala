@@ -288,6 +288,56 @@ object MlQueries {
         graft.som.Grid.cellDist(SomQueries.Width)(k, j), t))
   }
 
+  /** ONE quantized SOM iteration over `pts` against `protos` — the shared
+    * update both the batch fit ([[somFit5]]) and the streaming fit
+    * ([[somFitStream]], where `pts` is one arriving slice) apply.
+    * Argmin carries the point vector through the aggregate (first(v) — v
+    * is constant across a point's K candidate rows), so the per-cell sums
+    * need no second join against pts: one shuffle per iteration instead
+    * of two plus a join (the assignedVec pattern from SomQueries).
+    * Vector-shaped aggregate (the som_update/cellStats shape): N in-place
+    * vector adds and a K-row shuffle, with the K×d explode AFTER the agg —
+    * the posexplode-first formulation pushed N·d rows (2M at sf0.1)
+    * through the aggregate every iteration. round(·, 6) on the
+    * order-dependent component sums keeps every input of the weighted
+    * ratio identical across engines and partition counts by
+    * construction. */
+  private def somUpdateOnce(pts: DataFrame, protos: Array[Array[Double]],
+                            iter: Int): Array[Array[Double]] = {
+    val s = pts.sparkSession
+    import s.implicits._
+    val protoDF = protos.zipWithIndex
+      .map { case (c, k) => (k.toLong, c) }.toSeq.toDF("proto_id", "c")
+    val assign = pts.crossJoin(broadcast(protoDF))
+      .select(col("vec_id"), col("v"),
+        graft.functions.VectorSql.sqDistFast(col("v"), col("c")).as("d2"),
+        col("proto_id"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("proto_id"))).as("m"), first(col("v")).as("v"))
+      .select(col("m.proto_id").as("bmu"), col("v"))
+    val sums = assign
+      .select(col("bmu"), org.apache.spark.ml.functions.array_to_vector(col("v")).as("fv"))
+      .groupBy(col("bmu"))
+      .agg(org.apache.spark.ml.stat.Summarizer.sum(col("fv")).as("sv"), count(lit(1)).as("n"))
+      .select(col("bmu"), col("n"),
+        posexplode(org.apache.spark.ml.functions.vector_to_array(col("sv"))).as(Seq("dim", "x")))
+      .select(col("bmu"), col("dim"), round(col("x"), 6).as("s"), col("n"))
+    val w = fitWeights(iter).toDF("k", "j", "w")
+    val next = sums.join(broadcast(w), sums("bmu") === w("j"))
+      .groupBy(col("k"), col("dim"))
+      .agg(round(sum(col("w") * col("s")) / sum(col("w") * col("n")), 4).as("nv"))
+      .collect()
+    val arr = Array.fill(SomQueries.K, SomQueries.Dim)(0.0)
+    next.foreach(r => arr(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    arr
+  }
+
+  /** The deterministic r4-rounded init (embeddings vec_id < 9) both fit
+    * forms start from. */
+  private def initProtos(s: SparkSession, dir: String): Array[Array[Double]] =
+    SomQueries.protos(s, dir).orderBy("proto_id").collect()
+      .map(_.getAs[Seq[Double]]("c").toArray.map(r4))
+
   /** Final prototypes after [[FitIters]] oracle-checked iterations:
     * (cell, dim, nv). */
   def somFit5(s: SparkSession, dir: String): DataFrame = {
@@ -295,45 +345,54 @@ object MlQueries {
     val pts = SomQueries.points(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // init: embeddings vec_id < 9, rounded like every later iterate
-    var protos: Array[Array[Double]] = SomQueries.protos(s, dir)
-      .orderBy("proto_id").collect()
-      .map(_.getAs[Seq[Double]]("c").toArray.map(r4))
-    for (iter <- 0 until FitIters) {
-      val protoDF = protos.zipWithIndex
-        .map { case (c, k) => (k.toLong, c) }.toSeq.toDF("proto_id", "c")
-      // argmin carries the point vector through the aggregate (first(v) — v
-      // is constant across a point's K candidate rows), so the per-cell sums
-      // need no second join against pts: one shuffle per iteration instead
-      // of two plus a join (the assignedVec pattern from SomQueries).
-      val assign = pts.crossJoin(broadcast(protoDF))
-        .select(col("vec_id"), col("v"),
-          graft.functions.VectorSql.sqDistFast(col("v"), col("c")).as("d2"),
-          col("proto_id"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("d2"), col("proto_id"))).as("m"), first(col("v")).as("v"))
-        .select(col("m.proto_id").as("bmu"), col("v"))
-      // Vector-shaped aggregate (the som_update/cellStats shape): N in-place
-      // vector adds and a K-row shuffle, with the K×d explode AFTER the agg —
-      // the posexplode-first formulation pushed N·d rows (2M at sf0.1) through
-      // the aggregate every iteration. round(·, 6) on the order-dependent
-      // component sums keeps every input of the weighted ratio identical
-      // across engines and partition counts by construction.
-      val sums = assign
-        .select(col("bmu"), org.apache.spark.ml.functions.array_to_vector(col("v")).as("fv"))
-        .groupBy(col("bmu"))
-        .agg(org.apache.spark.ml.stat.Summarizer.sum(col("fv")).as("sv"), count(lit(1)).as("n"))
-        .select(col("bmu"), col("n"),
-          posexplode(org.apache.spark.ml.functions.vector_to_array(col("sv"))).as(Seq("dim", "x")))
-        .select(col("bmu"), col("dim"), round(col("x"), 6).as("s"), col("n"))
-      val w = fitWeights(iter).toDF("k", "j", "w")
-      val next = sums.join(broadcast(w), sums("bmu") === w("j"))
-        .groupBy(col("k"), col("dim"))
-        .agg(round(sum(col("w") * col("s")) / sum(col("w") * col("n")), 4).as("nv"))
-        .collect()
-      val arr = Array.fill(SomQueries.K, SomQueries.Dim)(0.0)
-      next.foreach(r => arr(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-      protos = arr
-    }
+    var protos = initProtos(s, dir)
+    for (iter <- 0 until FitIters)
+      protos = somUpdateOnce(pts, protos, iter)
+    protos.zipWithIndex
+      .flatMap { case (c, k) => c.zipWithIndex.map { case (x, d) => (k, d, x) } }
+      .toSeq.toDF("cell", "dim", "nv")
+  }
+
+  /** ONLINE (mini-batch) SOM TRAINING as a stream — the reference's core
+    * estimator meets the streaming discipline: the corpus arrives in
+    * [[FitIters]] event-ordered slices (`vec_id mod FitIters`, staged
+    * one file per micro-batch via [[StreamScratch.stageOrdered]]), and
+    * each micro-batch applies ONE [[somUpdateOnce]] step — assign →
+    * cell sums → kernel smoothing — using ONLY its slice, with the
+    * iteration-indexed temperature schedule keyed on the deterministic
+    * batch id. Model state is the K×d prototype matrix (bounded, never
+    * data-sized); each arriving slice refines it without rescanning
+    * history — the classic online-SOM deployment where yesterday's
+    * model warm-starts today's data. A replayed batch is guarded by the
+    * monotone batch-id check (the CDC txn-app-id discipline), so
+    * at-least-once delivery cannot double-apply an update. Every
+    * iterate is quantized exactly like [[somFit5]] (r6 sums, r4
+    * prototypes), so DuckDB replays the ENTIRE five-slice training run
+    * as one CTE chain and the final model itself is hash-gated —
+    * SomStreamSpec additionally pins that the stream crossed one
+    * micro-batch per slice. */
+  def somFitStream(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    import fork.implicits._
+    val root = StreamScratch.fresh("somfit")
+    val (inDir, ckpt) = (s"$root/in", s"$root/ckpt")
+    val pts = SomQueries.points(fork, dir)
+    StreamScratch.stageOrdered(inDir, (0 until FitIters).map(b =>
+      pts.where(pmod(col("vec_id"), lit(FitIters)) === b)))
+    var protos = initProtos(fork, dir)
+    var lastApplied = -1L
+    val stream = fork.readStream.schema("vec_id LONG, v ARRAY<DOUBLE>")
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > lastApplied) { // idempotent replay guard
+          protos = somUpdateOnce(batch, protos, batchId.toInt)
+          lastApplied = batchId
+        }
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
     protos.zipWithIndex
       .flatMap { case (c, k) => c.zipWithIndex.map { case (x, d) => (k, d, x) } }
       .toSeq.toDF("cell", "dim", "nv")
@@ -360,8 +419,17 @@ object MlQueries {
       |   (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM df)
       |WHERE rn = 1""".stripMargin
 
+  /** Oracle for the streaming mini-batch fit: the same 5-iteration chain,
+    * but iteration `i`'s distance/assign/sum CTEs see ONLY slice
+    * `vec_id % FitIters = i` — the whole training run, slice schedule
+    * included, replayed relationally. */
+  def somFitStreamOracle: String =
+    fitChain(sliced = true) + s"\nSELECT cell, dim, nv + 0 AS nv FROM p$FitIters"
+
   /** The shared WITH chain: init p0 → 5 quantized iterations → p5. */
-  private def fit5Chain: String = {
+  private def fit5Chain: String = fitChain(sliced = false)
+
+  private def fitChain(sliced: Boolean): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH pts AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -374,12 +442,16 @@ object MlQueries {
       val cur = s"p${iter + 1}"
       val wRows = fitWeights(iter)
         .map { case (k, j, w) => s"($k, $j, ${w}::DOUBLE)" }.mkString(", ")
+      // sliced: iteration i's argmin candidates are slice i's points only
+      val pxSrc =
+        if (sliced) s"(SELECT * FROM px WHERE vec_id % $FitIters = $iter) px"
+        else "px"
       sb.append(s""",
         |w$iter(k, j, w) AS (VALUES $wRows),
         |d$iter AS (
         |  SELECT px.vec_id, $prev.cell,
         |    sum((px.x - $prev.nv) * (px.x - $prev.nv)) AS d2
-        |  FROM px JOIN $prev USING (dim) GROUP BY 1, 2),
+        |  FROM $pxSrc JOIN $prev USING (dim) GROUP BY 1, 2),
         |a$iter AS (
         |  SELECT vec_id, cell AS bmu FROM
         |  (SELECT vec_id, cell, row_number() OVER
@@ -430,6 +502,7 @@ object MlQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "som_fit_predict" -> somFitPredict _,
     "som_fit5" -> somFit5 _,
+    "som_fit_stream" -> somFitStream _,
     "ml_standardize" -> mlStandardize _,
     "ml_quantize_int8" -> mlQuantizeInt8 _,
     "ml_train_test_split" -> mlTrainTestSplit _,
@@ -510,6 +583,10 @@ object MlQueries {
          |FROM ex JOIN pred p ON ex.vec_id = p.doc_id
          |GROUP BY 1, 2""".stripMargin,
     "som_fit5" -> somFit5Oracle,
+    // the full five-slice online training run — init, slice schedule,
+    // temperature decay, quantized smoothing — replayed as one CTE chain;
+    // the final MODEL is what's hash-gated
+    "som_fit_stream" -> somFitStreamOracle,
     "som_fit_predict" -> somFitPredictOracle,
     // same explode shape as ml_standardize; code/recon are the identical
     // IEEE folds Spark runs (floor(x/s*127 + 0.5), code*s/127)
