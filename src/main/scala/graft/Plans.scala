@@ -86,8 +86,9 @@ object Plans {
     // round-12 additions: windowed streaming CMS + KMV with watermark
     // eviction
     "cms_freq_stream_win", "kmv_distinct_stream_win",
-    // round-12 addition: online mini-batch SOM training under the gate
-    "som_fit_stream",
+    // round-12 additions: online mini-batch SOM training under the gate
+    // and its composed train-then-serve lifecycle
+    "som_fit_stream", "som_predict_stream",
     // round-12 additions: per-bucket bloom index on the versioned store
     // and its O(delta) incremental maintenance
     "store_bloom_skip", "store_bloom_skip_delta",

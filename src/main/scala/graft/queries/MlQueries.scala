@@ -371,31 +371,72 @@ object MlQueries {
     * as one CTE chain and the final model itself is hash-gated —
     * SomStreamSpec additionally pins that the stream crossed one
     * micro-batch per slice. */
-  def somFitStream(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
-    import fork.implicits._
-    val root = StreamScratch.fresh("somfit")
-    val (inDir, ckpt) = (s"$root/in", s"$root/ckpt")
-    val pts = SomQueries.points(fork, dir)
-    StreamScratch.stageOrdered(inDir, (0 until FitIters).map(b =>
-      pts.where(pmod(col("vec_id"), lit(FitIters)) === b)))
-    var protos = initProtos(fork, dir)
-    var lastApplied = -1L
+  def somFitStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    somFitStreamModel(s, dir).zipWithIndex
+      .flatMap { case (c, k) => c.zipWithIndex.map { case (x, d) => (k, d, x) } }
+      .toSeq.toDF("cell", "dim", "nv")
+  }
+
+  /** The online fit itself: runs the slice-scheduled training stream and
+    * returns the final K×d prototype matrix. */
+  private def somFitStreamModel(s: SparkSession, dir: String): Array[Array[Double]] =
+    Scoped(s) { fork =>
+      val root = StreamScratch.fresh("somfit")
+      val (inDir, ckpt) = (s"$root/in", s"$root/ckpt")
+      val pts = SomQueries.points(fork, dir)
+      StreamScratch.stageOrdered(inDir, (0 until FitIters).map(b =>
+        pts.where(pmod(col("vec_id"), lit(FitIters)) === b)))
+      var protos = initProtos(fork, dir)
+      var lastApplied = -1L
+      val stream = fork.readStream.schema("vec_id LONG, v ARRAY<DOUBLE>")
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (batchId > lastApplied) { // idempotent replay guard
+            protos = somUpdateOnce(batch, protos, batchId.toInt)
+            lastApplied = batchId
+          }
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      protos
+    }
+
+  /** The ONLINE LIFECYCLE COMPOSED — train on a stream, then SERVE a
+    * scoring stream with the trained model (`ann_serve_stream_live`'s
+    * shape applied to the reference's own estimator): the model from
+    * [[somFitStreamModel]]'s five-slice online run scores arriving
+    * points micro-batch by micro-batch with the fully-codegen argmin
+    * projection ([[graft.som.SOMModel.transformNative]]'s expression
+    * shape — per-row distances to the broadcast K×d literals,
+    * `array_position(d, array_min(d))` tie-break, no UDF, NO STATE: a
+    * scoring stream is stateless by construction, so at 100 TB it scales
+    * with executor count alone). Both halves sit under ONE DuckDB
+    * oracle: the sliced training chain feeds an argmin CTE, so training
+    * schedule, final model, and every served assignment are hash-gated
+    * together. */
+  def somPredictStream(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    val protos = somFitStreamModel(fork, dir)
+    val root = StreamScratch.fresh("sompredict")
+    val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    SomQueries.points(fork, dir).repartition(3).write.parquet(inDir)
     val stream = fork.readStream.schema("vec_id LONG, v ARRAY<DOUBLE>")
       .option("maxFilesPerTrigger", 1).parquet(inDir)
-    val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (batchId > lastApplied) { // idempotent replay guard
-          protos = somUpdateOnce(batch, protos, batchId.toInt)
-          lastApplied = batchId
-        }
-      }
-      .option("checkpointLocation", ckpt)
+    val dists = array(protos.map(p =>
+      graft.functions.VectorSql.sqDistFast(col("v"), typedLit(p.toSeq))): _*)
+    val q = stream
+      .select(col("vec_id"),
+        (array_position(dists, array_min(dists)) - 1).cast("int").as("prediction"))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    protos.zipWithIndex
-      .flatMap { case (c, k) => c.zipWithIndex.map { case (x, d) => (k, d, x) } }
-      .toSeq.toDF("cell", "dim", "nv")
+    fork.read.schema("vec_id LONG, prediction INT").parquet(outDir)
   }
 
   /** Generated oracle: the same 5 iterations as one DuckDB CTE chain with
@@ -425,6 +466,20 @@ object MlQueries {
     * included, replayed relationally. */
   def somFitStreamOracle: String =
     fitChain(sliced = true) + s"\nSELECT cell, dim, nv + 0 AS nv FROM p$FitIters"
+
+  /** Oracle for the composed online lifecycle: the sliced training chain's
+    * final prototypes plus the argmin assignment CTE (the
+    * somFitPredictOracle shape over the STREAMED model). */
+  def somPredictStreamOracle: String =
+    fitChain(sliced = true) + s""",
+      |df AS (
+      |  SELECT px.vec_id, p$FitIters.cell,
+      |    sum((px.x - p$FitIters.nv) * (px.x - p$FitIters.nv)) AS d2
+      |  FROM px JOIN p$FitIters USING (dim) GROUP BY 1, 2)
+      |SELECT vec_id, CAST(cell AS INT) AS prediction FROM
+      |(SELECT vec_id, cell, row_number() OVER
+      |   (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM df)
+      |WHERE rn = 1""".stripMargin
 
   /** The shared WITH chain: init p0 → 5 quantized iterations → p5. */
   private def fit5Chain: String = fitChain(sliced = false)
@@ -503,6 +558,7 @@ object MlQueries {
     "som_fit_predict" -> somFitPredict _,
     "som_fit5" -> somFit5 _,
     "som_fit_stream" -> somFitStream _,
+    "som_predict_stream" -> somPredictStream _,
     "ml_standardize" -> mlStandardize _,
     "ml_quantize_int8" -> mlQuantizeInt8 _,
     "ml_train_test_split" -> mlTrainTestSplit _,
@@ -587,6 +643,10 @@ object MlQueries {
     // temperature decay, quantized smoothing — replayed as one CTE chain;
     // the final MODEL is what's hash-gated
     "som_fit_stream" -> somFitStreamOracle,
+    // the full online lifecycle under one gate: the sliced training chain
+    // feeds the argmin serve CTE — schedule, model, and every served
+    // assignment hash-checked together
+    "som_predict_stream" -> somPredictStreamOracle,
     "som_fit_predict" -> somFitPredictOracle,
     // same explode shape as ml_standardize; code/recon are the identical
     // IEEE folds Spark runs (floor(x/s*127 + 0.5), code*s/127)

@@ -30,4 +30,16 @@ class SomStreamSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
     assert(m1 == m2, "online fit must be deterministic across runs")
   }
+
+  test("composed serve: streamed scoring crosses batches and covers every point") {
+    val dir = sf("sf0.001")
+    val served = graft.queries.MlQueries.somPredictStream(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val n = spark.read.parquet(dir + "/embeddings.parquet").count()
+    assert(served.size == n, s"every point must be scored: ${served.size} of $n")
+    assert(served.values.toSet.subsetOf((0 until 9).toSet))
+    val offsets = graft.queries.StreamScratch.path("sompredict").resolve("ckpt/offsets")
+    assert(java.nio.file.Files.list(offsets).count() > 1,
+      "expected multiple scoring micro-batches")
+  }
 }
