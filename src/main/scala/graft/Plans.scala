@@ -89,6 +89,8 @@ object Plans {
     // round-12 additions: online mini-batch SOM training under the gate
     // and its composed train-then-serve lifecycle
     "som_fit_stream", "som_predict_stream",
+    // round-12 addition: mixed-op MERGE INTO commits from a CDC stream
+    "q_cdc_merge_stream",
     // round-12 additions: per-bucket bloom index on the versioned store
     // and its O(delta) incremental maintenance
     "store_bloom_skip", "store_bloom_skip_delta",

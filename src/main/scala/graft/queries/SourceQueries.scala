@@ -275,6 +275,68 @@ object SourceQueries {
     }.reduce(_ unionByName _)
   }
 
+  /** STREAMING CDC with MIXED OPS — the real change feed shape (`op`
+    * column: 'U' upsert / 'D' delete) applied through
+    * [[graft.sources.Versioned.commitMerge]], the MERGE INTO commit:
+    * WHEN MATCHED UPDATE, WHEN NOT MATCHED INSERT, and WHEN MATCHED
+    * DELETE land in ONE copy-on-write pass per micro-batch — a bucket
+    * touched by both an update and a delete rewrites once, not twice,
+    * and no version number is burned per op kind. Exactly-once is the
+    * `q_cdc_stream` txn-app-id discipline verbatim (commit `batchId + 2`
+    * iff absent). Change set: keys `o_orderkey % 10 = 3`, split
+    * deterministically into deletes (`% 20 = 3`) and price-tripling
+    * updates (`% 20 = 13`); batch boundaries stay out of contract
+    * (batches carry disjoint keys, so merges commute) and the hash gate
+    * pins base + final states relationally — the deleted stripe GONE,
+    * the updated stripe tripled, everything else untouched. */
+  def qCdcMergeStream(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    val layout = graft.operators.Artifacts.sharedPath(s"cdcmerge:$dir") { path =>
+      val table = s"$path/table"
+      val inDir = s"$path/in"
+      val ckpt = s"$path/ckpt"
+      val orders = fork.read.parquet(s"$dir/orders.parquet")
+        .withColumn("bucket", (col("o_orderkey") % 16).cast("int"))
+      graft.sources.Versioned.commitBase(orders, table, "bucket", 16)
+      val changes = orders.where(col("o_orderkey") % 10 === 3)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 20 === 13, col("o_totalprice") * 3)
+            .otherwise(col("o_totalprice")))
+        .withColumn("op",
+          when(col("o_orderkey") % 20 === 3, "D").otherwise("U"))
+      (0 until 4).foreach { c =>
+        changes.where(expr("(o_orderkey DIV 10) % 4") === c).coalesce(1)
+          .write.mode("append").parquet(inDir)
+      }
+      val stream = fork.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
+          val v = batchId.toInt + 2
+          if (!graft.sources.Versioned.hasVersion(table, v))
+            graft.sources.Versioned.commitMerge(b.sparkSession, b, table, v,
+              "o_orderkey", "bucket")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val table = s"$layout/table"
+    val vLast = graft.sources.Versioned.latestVersion(table)
+    Seq("base" -> 1, "final" -> vLast).map { case (tag, v) =>
+      graft.sources.Versioned.readVersion(fork, table, v)
+        .agg(count(lit(1)).as("n_rows"),
+          expr("cast(sum(cast(o_totalprice as decimal(18,4))) * 10000 as bigint)")
+            .as("sum_price_e4"),
+          sum(when(col("o_orderkey") % 20 === 3, 1).otherwise(0)).cast("long")
+            .as("n_del_stripe"),
+          sum(when(col("o_orderkey") % 20 === 13, 1).otherwise(0)).cast("long")
+            .as("n_upd_stripe"))
+        .select(lit(tag).as("version_tag"), col("n_rows"), col("sum_price_e4"),
+          col("n_del_stripe"), col("n_upd_stripe"))
+    }.reduce(_ unionByName _)
+  }
+
   /** STREAMING GDPR — delete REQUESTS as a stream, applied through
     * `foreachBatch` to the versioned store (r9 verdict #7, completing the
     * streaming × GDPR matrix: `q_cdc_stream` streams upserts in,
@@ -468,6 +530,7 @@ object SourceQueries {
     "q_gdpr_delete" -> qGdprDelete _,
     "q_time_travel" -> qTimeTravel _,
     "q_cdc_stream" -> qCdcStream _,
+    "q_cdc_merge_stream" -> qCdcMergeStream _,
     "q_zonemap_prune" -> qZonemapPrune _,
     "gdpr_delete_stream" -> qGdprStream _,
   )
@@ -564,6 +627,25 @@ object SourceQueries {
         |FROM days CROSS JOIN bounds
         |WHERE order_day BETWEEN lo AND hi
         |GROUP BY 1""".stripMargin,
+    // base + final states computed relationally: the deleted stripe gone,
+    // the updated stripe tripled — MERGE semantics pinned end to end;
+    // batch boundaries out of contract (disjoint-key merges commute)
+    "q_cdc_merge_stream" ->
+      """WITH fin AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 3
+        |       ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 20 <> 3)
+        |SELECT 'base' AS version_tag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_price_e4,
+        |  CAST(sum(CASE WHEN o_orderkey % 20 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_del_stripe,
+        |  CAST(sum(CASE WHEN o_orderkey % 20 = 13 THEN 1 ELSE 0 END) AS BIGINT) AS n_upd_stripe
+        |FROM orders
+        |UNION ALL
+        |SELECT 'final' AS version_tag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_price_e4,
+        |  CAST(sum(CASE WHEN o_orderkey % 20 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_del_stripe,
+        |  CAST(sum(CASE WHEN o_orderkey % 20 = 13 THEN 1 ELSE 0 END) AS BIGINT) AS n_upd_stripe
+        |FROM fin""".stripMargin,
     // base + final states computed relationally; batch boundaries are out
     // of contract (disjoint-key upserts commute), versioning mechanics are
     // CdcStreamSpec's job

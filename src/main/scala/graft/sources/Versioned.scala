@@ -134,6 +134,44 @@ object Versioned {
     }.toSeq)
   }
 
+  /** Commit version `v` applying a MIXED change batch in ONE commit — the
+    * MERGE INTO shape of production table formats (WHEN MATCHED UPDATE /
+    * WHEN NOT MATCHED INSERT / WHEN MATCHED DELETE): `changes` carries an
+    * `op` column ('U' = upsert row, 'D' = delete key) beside the table
+    * columns. One copy-on-write pass over the union of touched buckets:
+    * survivors = current ∖ (U-keys ∪ D-keys), new state = survivors ∪
+    * U-rows — a single broadcast anti join + union, ONE rewrite per
+    * touched bucket regardless of how ops mix (two sequential commits
+    * would rewrite a bucket touched by both kinds twice and burn a
+    * version number per kind). Fully-deleted buckets map to the empty
+    * sentinel like [[commitDelete]]; untouched buckets are never read or
+    * written. */
+  def commitMerge(spark: SparkSession, changes: DataFrame, dir: String, v: Int,
+                  keyCol: String, bucketCol: String): Unit = {
+    require(v > 1, s"commitMerge is for versions after the base, got $v")
+    val prev = readManifest(dir, v - 1)
+    val touched = changes.select(col(bucketCol)).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (touched.isEmpty) { writeManifest(dir, v, prev.toSeq); return }
+    val cols = changes.columns.filterNot(_ == "op")
+    val current = readBuckets(spark, dir, prev.filter { case (b, _) => touched(b) })
+      .select(cols.map(col): _*)
+    val upserts = changes.where(col("op") === "U").select(cols.map(col): _*)
+    val survivors = current.join(
+        broadcast(changes.select(col(keyCol)).distinct()), Seq(keyCol), "left_anti")
+      .unionByName(upserts)
+      .localCheckpoint(eager = true) // two consumers: bucket census + write
+    val counts = survivors.groupBy(col(bucketCol)).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    survivors.write.mode(SaveMode.Overwrite).partitionBy(bucketCol)
+      .parquet(s"$dir/data/v$v")
+    writeManifest(dir, v, prev.map { case (b, ver) =>
+      b -> (if (!touched(b)) ver
+            else if (counts.getOrElse(b, 0L) > 0L) v
+            else 0) // emptied: the manifest's empty sentinel
+    }.toSeq)
+  }
+
   /** The rows of exactly the (bucket → version) assignment given: one
     * partition-pruned read per distinct version, metadata-concat union.
     * Version-0 entries are the EMPTY sentinel (a fully-deleted bucket). */

@@ -209,6 +209,38 @@ class VersionedSpec extends SparkSpec {
     assert(d3.count() == 0, "v1 lookup must not see the v2 key")
   }
 
+  test("commitMerge: mixed U/D ops in ONE commit — update, insert, delete, sentinel, untouched files intact") {
+    val dir = tmp()
+    val base = (0L until 40L).map(k => (k, s"p$k", (k % 4).toInt))
+      .toDF("k", "payload", "bucket")
+    Versioned.commitBase(base, dir, "bucket", 4)
+    val before = files(dir, 1, 3)
+
+    // one batch: update k=0 (bucket 0), insert k=100 (bucket 0), delete
+    // k=1 (bucket 1), delete ALL of bucket 2's keys (sentinel); bucket 3
+    // untouched
+    val b2Keys = (0L until 40L).filter(_ % 4 == 2)
+    val changes = (Seq((0L, "updated", 0, "U"), (100L, "new", 0, "U"),
+        (1L, "", 1, "D")) ++ b2Keys.map(k => (k, "", 2, "D")))
+      .toDF("k", "payload", "bucket", "op")
+    Versioned.commitMerge(spark, changes, dir, 2, "k", "bucket")
+
+    val v2 = Versioned.readVersion(spark, dir, 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v2(0L) == "updated" && v2(100L) == "new", "U ops must update+insert")
+    assert(!v2.contains(1L), "D op must delete")
+    assert(b2Keys.forall(k => !v2.contains(k)), "bucket 2 must be emptied")
+    assert(v2.size == 40 - 1 - b2Keys.size + 1)
+    // one commit: exactly one new version; bucket 2 is the empty sentinel
+    val manifest = Versioned.readManifest(dir, 2)
+    assert(manifest(2) == 0, "fully-deleted bucket must map to the sentinel")
+    assert(manifest(3) == 1 && files(dir, 1, 3) == before,
+      "untouched bucket's files must remain the v1 files, byte-identical")
+    assert(manifest(0) == 2 && manifest(1) == 2)
+    // v1 still serves the pre-merge state (snapshot isolation)
+    assert(Versioned.readVersion(spark, dir, 1).count() == 40)
+  }
+
   test("incremental bloom index equals a full rebuild byte for byte; untouched entries copied") {
     val dir = tmp()
     val base = (0L until 200L).map(k => (k, s"p$k", (k % 8).toInt))
