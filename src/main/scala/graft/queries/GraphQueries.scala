@@ -42,8 +42,25 @@ object GraphQueries {
       .select(col("id").as("doc_id"), col("rank"))
   }
 
+  /** Exact per-document triangle participation over the same derived link
+    * graph — the link-ring / spam-farm density signal beside
+    * [[graphPagerank]]'s centrality. Spark runs the degree-ORIENTED
+    * algorithm ([[graft.operators.Graph.triangleCounts]]: wedge work
+    * capped at m^1.5 by orientation, no hub blowup); the oracle lists
+    * triangles from the plain u<v canonical form with the textbook
+    * three-way self-join — two different algorithms, one exact integer
+    * answer, which is the point of the gate. */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val n = docs.count()
+    graft.operators.Graph.triangleCounts(
+      linkGraph(docs, n), docs.select(col("doc_id").as("id")))
+      .select(col("id").as("doc_id"), col("n_tri"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> graphPagerank _,
+    "graph_triangles" -> graphTriangles _,
   )
 
   /** The oracle replays the edge formula and all [[PrIters]] rounds as
@@ -71,6 +88,28 @@ object GraphQueries {
            |  FROM documents),
            |$iterCtes
            |SELECT doc_id, CAST(rank AS BIGINT) AS rank FROM r$PrIters""".stripMargin,
+      // same edge formula; triangles listed once each via the u<v ordered
+      // three-way self-join (x<y<z ⇒ edges (x,y),(y,z),(x,z)), then each
+      // corner credited
+      "graph_triangles" ->
+        """WITH deg AS (SELECT doc_id AS src,
+          |    1 + (('0x' || substr(md5('deg:' || doc_id), 1, 15))::BIGINT % 8) AS k
+          |  FROM documents),
+          |e AS (SELECT src,
+          |    ('0x' || substr(md5('lnk:' || src || ':' || j.j), 1, 15))::BIGINT
+          |      % (SELECT count(*) FROM documents) AS dst
+          |  FROM deg, range(8) AS j(j) WHERE j.j < k),
+          |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
+          |    greatest(src, dst) AS v FROM e WHERE src <> dst),
+          |tri AS (SELECT a.u AS x, a.v AS y, b.v AS z
+          |  FROM und a JOIN und b ON b.u = a.v
+          |  JOIN und c ON c.u = a.u AND c.v = b.v),
+          |corners AS (SELECT x AS doc_id FROM tri
+          |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+          |SELECT d.doc_id, CAST(COALESCE(t.n, 0) AS BIGINT) AS n_tri
+          |FROM documents d LEFT JOIN
+          |  (SELECT doc_id, count(*) AS n FROM corners GROUP BY 1) t
+          |  USING (doc_id)""".stripMargin,
     )
   }
 }

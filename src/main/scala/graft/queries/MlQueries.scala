@@ -554,7 +554,43 @@ object MlQueries {
           concat(lit("split:"), col("vec_id").cast("string"))) % 100 < 80, "train")
           .otherwise("test").as("split"))
 
+  /** Hashed feature-space width for [[mlFeatureHash]] (the hashing-trick
+    * dimensionality — fixed and vocabulary-independent by design). */
+  val FhDims = 256
+
+  /** FEATURE HASHING (the hashing trick) — the vocabulary-free featurizer
+    * every large-scale text classifier/regressor front-ends with when a
+    * fitted vocabulary is impossible (streaming corpora) or too large to
+    * broadcast: token → dimension `h(tok) mod [[FhDims]]`, signed ±1 by an
+    * independent hash (the signed variant that makes collision noise
+    * zero-mean), per-doc sparse vector = sum of signs per dimension,
+    * exact-zero cancellations dropped (sparse representation). NO fitted
+    * state, NO shuffle to build a dictionary — one map pass plus the
+    * (doc, dim)-keyed aggregate, which is the entire 100 TB story: the
+    * featurizer is embarrassingly parallel and its width never grows with
+    * the corpus. The gate aggregates the full-corpus featurization down
+    * to the per-dimension profile (nnz / signed mass / max magnitude over
+    * all [[FhDims]] dims — every doc's vector feeds it, nothing sampled),
+    * keeping the oracle dump dimension-sized. Both hash lanes ride the
+    * portable md5 kernel the oracle replays verbatim. */
+  def mlFeatureHash(s: SparkSession, dir: String): DataFrame = {
+    val md5 = graft.functions.VectorSql.md5Hash60 _
+    val vecs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        explode(graft.operators.TextOps.tokensFast(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        pmod(md5(concat(lit("fh:"), col("tok"))), lit(FhDims)).cast("int").as("dim"),
+        (md5(concat(lit("fs:"), col("tok"))) % 2 * 2 - 1).as("sgn"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(sum(col("sgn")).as("w"))
+      .where(col("w") =!= 0)
+    vecs.groupBy(col("dim"))
+      .agg(count(lit(1)).as("nnz"), sum(col("w")).as("sum_w"),
+        max(abs(col("w"))).as("max_abs_w"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_feature_hash" -> mlFeatureHash _,
     "som_fit_predict" -> somFitPredict _,
     "som_fit5" -> somFit5 _,
     "som_fit_stream" -> somFitStream _,
@@ -573,6 +609,23 @@ object MlQueries {
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ", ", ")")
 
   val oracleSql: Map[String, String] = Map(
+    // both hash lanes replayed on the portable md5 kernel; sign mapping
+    // h%2=0 → −1 mirrors Spark's `% 2 * 2 - 1`; zero-cancelled entries
+    // dropped BEFORE the profile (the sparse-representation contract)
+    "ml_feature_hash" ->
+      s"""WITH ${graft.queries.TextDedupQueries.toksCte},
+         |tf AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         |h AS (SELECT doc_id,
+         |    CAST(('0x' || substr(md5('fh:' || tok), 1, 15))::BIGINT % $FhDims AS INT) AS dim,
+         |    CASE WHEN ('0x' || substr(md5('fs:' || tok), 1, 15))::BIGINT % 2 = 0
+         |      THEN -1 ELSE 1 END AS sgn
+         |  FROM tf),
+         |v AS (SELECT doc_id, dim, CAST(sum(sgn) AS BIGINT) AS w
+         |  FROM h GROUP BY 1, 2 HAVING sum(sgn) <> 0)
+         |SELECT dim, CAST(count(*) AS BIGINT) AS nnz,
+         |  CAST(sum(w) AS BIGINT) AS sum_w,
+         |  CAST(max(abs(w)) AS BIGINT) AS max_abs_w
+         |FROM v GROUP BY 1""".stripMargin,
     // the plain global cumsum — the bucketed decomposition must be invisible
     "ml_export_shards" ->
       s"""WITH ${graft.functions.Bpe.oracleCountCte("documents", "m")},

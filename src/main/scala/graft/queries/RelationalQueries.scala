@@ -135,6 +135,35 @@ object RelationalQueries {
         min(col("c_custkey")).as("min_key"), max(col("c_custkey")).as("max_key"))
       .where(col("cohort_n") < KAnon)
 
+  /** Minimum distinct sensitive values per quasi-identifier cohort for
+    * [[qPrivLDiversity]]'s l-diversity audit. */
+  val LDiv = 4
+
+  /** l-DIVERSITY audit — the companion check to [[qPrivKAnon]]: k-anonymity
+    * alone fails the homogeneity attack (a cohort of 50 people who ALL
+    * share one sensitive value re-identifies the attribute without
+    * re-identifying anyone), so release pipelines also require each
+    * quasi-identifier cohort to span ≥ l distinct sensitive values. QI =
+    * (nation, segment), sensitive = the 2000-unit balance band. Emits the
+    * full per-cohort audit table — cohort size, distinct sensitive count,
+    * the dominant band's count (the recursive-(c,l) ingredient), and the
+    * l≥[[LDiv]] verdict — rather than violators only, so the result is
+    * scale-stable (a violators-only cut empties at large SF where every
+    * cohort diversifies). One two-level aggregate: per-(QI, band) counts,
+    * then per-QI rollup — both with map-side partials, QI-cardinality
+    * output. */
+  def qPrivLDiversity(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy(col("c_nationkey").cast("int").as("nation"),
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / 2000).cast("long").as("band"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("nation"), col("segment"))
+      .agg(sum(col("n")).as("cohort_n"),
+        count(lit(1)).as("n_sensitive"),
+        max(col("n")).as("max_sens_n"))
+      .withColumn("l_ok", (col("n_sensitive") >= LDiv).cast("int"))
+
   /** Ship-months at or after this fall in the "delta" (today's increment);
     * earlier months live in the stored base rollup. */
   val IncrCutoff = "1997-01-01"
@@ -478,6 +507,7 @@ object RelationalQueries {
     "q_monthly" -> qMonthly _,
     "q_incr_rollup" -> qIncrRollup _,
     "priv_k_anon" -> qPrivKAnon _,
+    "priv_l_diversity" -> qPrivLDiversity _,
     "q_rollup" -> qRollup _,
     "q_cube" -> qCube _,
     "q_grouping_sets" -> qGroupingSets _,
@@ -627,6 +657,16 @@ object RelationalQueries {
          | min(c_custkey) AS min_key, max(c_custkey) AS max_key
          |FROM customer GROUP BY 1, 2, 3
          |HAVING count(*) < ${RelationalQueries.KAnon}""".stripMargin,
+    "priv_l_diversity" ->
+      s"""WITH s AS (SELECT c_nationkey AS nation, c_mktsegment AS segment,
+         |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS band, count(*) AS n
+         |  FROM customer GROUP BY 1, 2, 3)
+         |SELECT CAST(nation AS INT) AS nation, segment,
+         |  CAST(sum(n) AS BIGINT) AS cohort_n,
+         |  CAST(count(*) AS BIGINT) AS n_sensitive,
+         |  CAST(max(n) AS BIGINT) AS max_sens_n,
+         |  CAST(count(*) >= ${RelationalQueries.LDiv} AS INT) AS l_ok
+         |FROM s GROUP BY 1, 2""".stripMargin,
     // the full recompute — the incremental merge must be result-invisible
     "q_incr_rollup" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS month, l_returnflag,

@@ -519,7 +519,54 @@ object SourceQueries {
       .withColumn("n_buckets_read", lit(read.size))
   }
 
+  /** CHANGE DATA FEED read off the versioned store
+    * ([[graft.sources.Versioned.changes]]) — the "what changed between
+    * snapshots" question every downstream incremental consumer (index
+    * maintainer, replica, audit) asks a table format. The store commits
+    * three versions of an exact-integer orders projection, each touching
+    * DISJOINT buckets by construction: v2 upserts bucket-3 price updates
+    * (every other key ≡3 mod 16, price doubled) plus bucket-5 inserts
+    * (bucket preserved by a mod-16-aligned key shift, price offset +7),
+    * v3 deletes a third of bucket 9. The feed diffs manifests v1→v3 and
+    * reads ONLY the 3 touched buckets' old+new copies — `n_buckets_read`
+    * carries that IO bound into the hash gate (13 of 16 buckets never
+    * produce IO, the CDF analogue of `q_zonemap_prune`'s skip evidence).
+    * Copied-forward rows inside rewritten buckets (unchanged keys sharing
+    * a bucket with a changed one) must NOT appear — the null-safe payload
+    * diff, not mere bucket membership, decides 'U' rows. The oracle
+    * replays all three change formulas relationally and unions the net
+    * I/U/D sets; VersionedSpec pins the net-window semantics (insert-
+    * then-delete invisible) and the untouched-bucket zero-IO claim. */
+  def qStoreChanges(s: SparkSession, dir: String): DataFrame = {
+    val layout = graft.operators.Artifacts.sharedPath(s"storechanges:$dir") { path =>
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          expr("cast(cast(o_totalprice as decimal(18,4)) * 10000 as bigint)")
+            .as("price_e4"))
+        .withColumn("bucket", pmod(col("o_orderkey"), lit(16)).cast("int"))
+      graft.sources.Versioned.commitBase(orders, path, "bucket", 16)
+      val k0 = (orders.agg(max(col("o_orderkey"))).head().getLong(0) / 16 + 1) * 16
+      val upd = orders
+        .where(expr("o_orderkey % 16 = 3 AND (o_orderkey div 16) % 2 = 0"))
+        .withColumn("price_e4", col("price_e4") * 2)
+      val ins = orders.where(expr("o_orderkey % 16 = 5"))
+        .withColumn("o_orderkey", col("o_orderkey") + k0)
+        .withColumn("price_e4", col("price_e4") + 7)
+      graft.sources.Versioned.commitUpsert(s, upd.unionByName(ins), path, 2,
+        "o_orderkey", "bucket")
+      val del = orders
+        .where(expr("o_orderkey % 16 = 9 AND (o_orderkey div 16) % 3 = 0"))
+        .select(col("o_orderkey"), col("bucket"))
+      graft.sources.Versioned.commitDelete(s, del, path, 3, "o_orderkey", "bucket")
+    }
+    val (cdf, read) = graft.sources.Versioned.changes(s, layout, 1, 3, "o_orderkey")
+    cdf.select(col("op"), col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("price_e4"))
+      .withColumn("n_buckets_read", lit(read.size))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "store_changes" -> qStoreChanges _,
     "store_bloom_skip" -> qStoreBloomSkip _,
     "store_bloom_skip_delta" -> qStoreBloomSkipDelta _,
     "src_csv_nation" -> srcCsvNation _,
@@ -536,6 +583,25 @@ object SourceQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the three commits' change formulas replayed relationally; the net
+    // I/U/D union IS the feed, and the touched-bucket count (3: upd
+    // bucket 3, ins bucket 5, del bucket 9 — disjoint by construction)
+    // pins the IO bound
+    "store_changes" ->
+      """WITH b0 AS (SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS price_e4
+        |  FROM orders),
+        |k0 AS (SELECT ((max(k) // 16) + 1) * 16 AS v FROM b0),
+        |ins AS (SELECT k + (SELECT v FROM k0) AS k, o_custkey, o_orderstatus,
+        |    price_e4 + 7 AS price_e4 FROM b0 WHERE k % 16 = 5),
+        |upd AS (SELECT k, o_custkey, o_orderstatus, price_e4 * 2 AS price_e4
+        |  FROM b0 WHERE k % 16 = 3 AND (k // 16) % 2 = 0),
+        |del AS (SELECT k, o_custkey, o_orderstatus, price_e4
+        |  FROM b0 WHERE k % 16 = 9 AND (k // 16) % 3 = 0)
+        |SELECT 'I' AS op, k AS o_orderkey, o_custkey, o_orderstatus, price_e4,
+        |  3 AS n_buckets_read FROM ins
+        |UNION ALL SELECT 'U', k, o_custkey, o_orderstatus, price_e4, 3 FROM upd
+        |UNION ALL SELECT 'D', k, o_custkey, o_orderstatus, price_e4, 3 FROM del""".stripMargin,
     // the plain filter the pruned read must be indistinguishable from,
     // plus the read-bucket count recomputed from the same min/max maps
     // the upserted table AND the whole index decision replayed: the

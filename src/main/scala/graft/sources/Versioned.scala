@@ -425,6 +425,70 @@ object Versioned {
     }
   }
 
+  /** CHANGE DATA FEED between two committed versions — the table-format
+    * "read change feed" contract (Delta CDF / Iceberg changelog scan)
+    * derived purely from the commit log, no change files needed: the
+    * manifests name exactly which buckets any commit in (fromV, toV]
+    * rewrote, so the diff reads ONLY those buckets' old and new copies
+    * (2×delta IO, never O(table)) and full-outer-joins them on the key.
+    * Emitted ops are NET between the endpoints — `op` = 'I' (key only in
+    * `toV`), 'D' (key only in `fromV`), 'U' (present in both with any
+    * payload column differing, null-safely). Copied-forward rows — keys
+    * in a rewritten bucket whose payload didn't change — are NOT changes
+    * and never appear; a key inserted and later deleted inside the window
+    * is invisible by the net contract (per-commit granularity is
+    * `changes(v-1, v)` per version, which `store_changes_stream` folds).
+    * Schema evolution follows the read contract: columns one endpoint
+    * predates null-fill on that side (an added column's backfilled values
+    * surface as 'U' rows exactly when they differ from null). Returns the
+    * change rows and the touched-bucket ids (the IO-bound evidence the
+    * caller gates). */
+  def changes(spark: SparkSession, dir: String, fromV: Int, toV: Int,
+              keyCol: String): (DataFrame, Set[Int]) = {
+    require(fromV < toV, s"changes needs fromV < toV, got $fromV..$toV")
+    val a = readManifest(dir, fromV)
+    val b = readManifest(dir, toV)
+    val touched = (a.keySet ++ b.keySet).filter(k => a.get(k) != b.get(k))
+    val oldAssign = a.filter { case (k, v) => touched(k) && v > 0 }
+    val newAssign = b.filter { case (k, v) => touched(k) && v > 0 }
+    // a side with no live touched bucket is an empty frame in the OTHER
+    // side's schema (all-inserts / all-deletes windows stay well-typed)
+    def sideOrEmpty(assign: Map[Int, Int], other: Map[Int, Int]): DataFrame =
+      if (assign.nonEmpty) readBuckets(spark, dir, assign)
+      else readBuckets(spark, dir, other).where(lit(false))
+    require(oldAssign.nonEmpty || newAssign.nonEmpty || touched.isEmpty,
+      "touched buckets exist but both endpoints are empty sentinels")
+    if (touched.isEmpty) {
+      // no commit in the window moved any bucket: empty feed, zero IO
+      val schema = readVersion(spark, dir, toV).where(lit(false))
+      return (schema.withColumn("op", lit("")).where(lit(false)), Set.empty)
+    }
+    val oldDf = sideOrEmpty(oldAssign, newAssign)
+    val newDf = sideOrEmpty(newAssign, oldAssign)
+    val cols = (oldDf.columns ++ newDf.columns).distinct.filterNot(_ == keyCol)
+    def pad(df: DataFrame, donor: DataFrame, pre: String): DataFrame = {
+      val padded = cols.foldLeft(df) { (d, c) =>
+        if (d.columns.contains(c)) d
+        else d.withColumn(c, lit(null).cast(donor.schema(c).dataType))
+      }
+      padded.select(col(keyCol).as(s"${pre}_k") +:
+        cols.map(c => col(c).as(s"${pre}_$c")): _*)
+    }
+    val joined = pad(oldDf, newDf, "o").join(
+      pad(newDf, oldDf, "n"), col("o_k") === col("n_k"), "full_outer")
+    val differs = cols.map(c => !(col(s"o_$c") <=> col(s"n_$c")))
+      .reduce(_ || _)
+    val op = when(col("o_k").isNull, "I")
+      .when(col("n_k").isNull, "D").otherwise("U")
+    (joined
+      .where(col("o_k").isNull || col("n_k").isNull || differs)
+      .select((op.as("op") +:
+        coalesce(col("n_k"), col("o_k")).as(keyCol) +:
+        cols.map(c => when(col("n_k").isNull, col(s"o_$c"))
+          .otherwise(col(s"n_$c")).as(c))): _*),
+      touched)
+  }
+
   /** True iff version `v` has been committed (its manifest exists) — the
     * idempotence guard a streaming CDC applier keys on its deterministic
     * batch id (the Delta txn-app-id discipline): a foreachBatch re-run

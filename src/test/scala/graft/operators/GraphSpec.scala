@@ -48,6 +48,40 @@ class GraphSpec extends SparkSpec {
     assert(r(2L) == base + 85L * share / 100L)
   }
 
+  private def tri(edges: Seq[(Long, Long)], n: Long): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.triangleCounts(edges.toDF("src", "dst"), (0L until n).toDF("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("triangles: K4 gives 3 per node; isolated and path nodes give 0") {
+    // K4 on 0..3 (4 triangles, each node in 3), pendant 4-5 edge, isolated 6
+    val k4 = for (i <- 0L until 4L; j <- (i + 1) until 4L) yield (i, j)
+    val r = tri(k4 ++ Seq((4L, 5L)), 7)
+    assert(r == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L,
+      4L -> 0L, 5L -> 0L, 6L -> 0L))
+  }
+
+  test("triangles: self-loops, duplicate and reversed edges don't inflate counts") {
+    // one triangle 0-1-2, listed with duplicates, both directions, a
+    // self-loop, and a chord-free square 3-4-5-6 (no triangle)
+    val messy = Seq((0L, 1L), (1L, 0L), (1L, 2L), (1L, 2L), (2L, 0L),
+      (0L, 0L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 3L))
+    val r = tri(messy, 7)
+    assert(r == Map(0L -> 1L, 1L -> 1L, 2L -> 1L,
+      3L -> 0L, 4L -> 0L, 5L -> 0L, 6L -> 0L))
+  }
+
+  test("triangles: hub skew — star plus one rim edge yields exactly one triangle") {
+    // hub 0 linked to 1..20; single rim edge 1-2: the only triangle is
+    // (0,1,2). Orientation sends rim nodes (degree ≤ 2) toward the hub,
+    // so the hub pivots no wedges — the skew-cap property in miniature.
+    val star = (1L to 20L).map(i => (0L, i))
+    val r = tri(star ++ Seq((1L, 2L)), 21)
+    assert(r(0L) == 1L && r(1L) == 1L && r(2L) == 1L)
+    assert((3L to 20L).forall(r(_) == 0L))
+  }
+
   test("iters = 0 returns uniform InitMass; shuffle-partition count is result-invisible") {
     import spark.implicits._
     val r0 = run(Seq((0L, 1L)), 2, 0)

@@ -241,6 +241,53 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.readVersion(spark, dir, 1).count() == 40)
   }
 
+  test("changes: net CDF — I/U/D ops, copied-forward rows excluded, untouched buckets unread") {
+    val dir = tmp()
+    val base = (0L until 40L).map(k => (k, s"p$k", (k % 4).toInt))
+      .toDF("k", "payload", "bucket")
+    Versioned.commitBase(base, dir, "bucket", 4)
+    // v2: update k=0, insert k=100 (both bucket 0 — bucket 0's OTHER
+    // nine keys are copied forward unchanged), insert-then-delete victim
+    // k=101 lands in bucket 1
+    Versioned.commitUpsert(spark,
+      Seq((0L, "upd", 0), (100L, "new", 0), (101L, "doomed", 1))
+        .toDF("k", "payload", "bucket"), dir, 2, "k", "bucket")
+    // v3: delete k=101 (bucket 1) and k=2 (bucket 2)
+    Versioned.commitDelete(spark,
+      Seq((101L, 1), (2L, 2)).toDF("k", "bucket"), dir, 3, "k", "bucket")
+
+    val (cdf13, touched13) = Versioned.changes(spark, dir, 1, 3, "k")
+    val rows = cdf13.select("op", "k", "payload").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(rows == Set(("U", 0L, "upd"), ("I", 100L, "new"), ("D", 2L, "p2")),
+      s"net window: doomed insert invisible, copied-forward rows absent; got $rows")
+    assert(touched13 == Set(0, 1, 2), "bucket 3 was never rewritten — no IO")
+
+    // the per-commit granularity: the doomed insert IS visible in (1,2]
+    val (cdf12, _) = Versioned.changes(spark, dir, 1, 2, "k")
+    val ops12 = cdf12.select("op", "k").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(ops12 == Set(("U", 0L), ("I", 100L), ("I", 101L)))
+    val (cdf23, touched23) = Versioned.changes(spark, dir, 2, 3, "k")
+    val ops23 = cdf23.select("op", "k").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(ops23 == Set(("D", 101L), ("D", 2L)) && touched23 == Set(1, 2))
+
+    // D-row payloads come from the OLD snapshot (v2's value for k=101)
+    val dPayload = cdf23.where(col("k") === 101L).select("payload")
+      .head().getString(0)
+    assert(dPayload == "doomed")
+
+    // an empty window (identical manifests) yields an empty feed
+    Versioned.commitUpsert(spark,
+      spark.emptyDataFrame
+        .withColumn("k", lit(0L)).withColumn("payload", lit(""))
+        .withColumn("bucket", lit(0)).where(lit(false)),
+      dir, 4, "k", "bucket")
+    val (cdf34, touched34) = Versioned.changes(spark, dir, 3, 4, "k")
+    assert(cdf34.count() == 0 && touched34.isEmpty)
+  }
+
   test("incremental bloom index equals a full rebuild byte for byte; untouched entries copied") {
     val dir = tmp()
     val base = (0L until 200L).map(k => (k, s"p$k", (k % 8).toInt))
