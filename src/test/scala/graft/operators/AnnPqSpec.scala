@@ -74,8 +74,12 @@ class AnnPqSpec extends SparkSpec {
   }
 
   /** recall@10 of the full PQ pipeline vs the exact-dot ranking it serves. */
-  private def recallAt(dir: String): Double = {
-    val pq = SimilarityQueries.annPq(spark, sf(dir))
+  private def recallAt(dir: String): Double =
+    recallOf(dir, SimilarityQueries.annPq(spark, sf(dir)))
+
+  /** recall@10 of a served (probe_id, neighbor_id) ranking vs exact dots. */
+  private def recallOf(dir: String, served: org.apache.spark.sql.DataFrame): Double = {
+    val pq = served
       .select("probe_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val p = spark.read.parquet(s"${sf(dir)}/embeddings.parquet")
@@ -91,6 +95,16 @@ class AnnPqSpec extends SparkSpec {
       .select("probe_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     (pq intersect exact).size.toDouble / exact.size
+  }
+
+  test("sign-bit Hamming tier (ann_hamming) recovers recall@10 >= 0.8 at both corpus sizes") {
+    // 64 sign bits are the coarsest stage-1 in the ladder; the adaptive
+    // shortlist + exact rerank must still recover most of the exact set
+    val r500 = recallOf("sf0.001", SimilarityQueries.annHamming(spark, sf("sf0.001")))
+    val r2000 = recallOf("sf0.1", SimilarityQueries.annHamming(spark, sf("sf0.1")))
+    info(f"hamming recall@10: 500-vec $r500%.3f, 2000-vec $r2000%.3f")
+    assert(r500 >= 0.8, f"sf0.001 recall $r500%.3f")
+    assert(r2000 >= 0.8, f"sf0.1 recall $r2000%.3f")
   }
 
   test("adaptive shortlist holds recall@10 >= 0.9 at BOTH 500 and 2000 vectors") {
