@@ -95,7 +95,15 @@ object Plans {
     // and its O(delta) incremental maintenance
     "store_bloom_skip", "store_bloom_skip_delta",
     // round-12 addition: the trained PQ fit under its own gate
-    "pq_train")
+    "pq_train",
+    // round-12 additions: change-data-feed on the versioned store —
+    // net window diff and the per-commit streaming consumer
+    "store_changes", "store_changes_stream",
+    // round-12 addition: the sign-bit Hamming ANN tier
+    "ann_hamming",
+    // round-12 additions: store compaction (OPTIMIZE) and dynamic
+    // partition pruning on a partitioned fact layout
+    "store_compact", "q_dpp_prune")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -774,6 +774,44 @@ object AdvancedQueries {
           .cast("decimal(18,4)")).cast("double"), 2).as("revenue"))
   }
 
+  /** Dynamic partition pruning — the OTHER runtime filter beside
+    * [[qRuntimeFilter]]'s bloom: the fact side is a REAL parquet layout
+    * partitioned by ship month (the TPC-DS date-partitioned-fact shape;
+    * staged once through [[graft.operators.Artifacts]]), the dim side a
+    * month dimension derived from orders carrying (year, quarter)
+    * attributes and filtered to one quarter. Catalyst's
+    * PartitionPruning rule sees a selective dim filter joined on the
+    * fact's PARTITION column and injects a `dynamicpruning` subquery
+    * into the scan's PartitionFilters: the dim's broadcast result prunes
+    * fact DIRECTORIES at runtime, before any fact IO — at 100 TB the
+    * difference between scanning ~84 months and the 3 the quarter
+    * touches, decided without a static literal anywhere in the query.
+    * PlanSpec asserts `dynamicpruningexpression` reaches the scan; the
+    * oracle is the plain unpartitioned join the pruning must be
+    * invisible to. Revenue in exact e4 integer units. */
+  def qDppPrune(s: SparkSession, dir: String): DataFrame = {
+    val layout = graft.operators.Artifacts.sharedPath(s"dpp:$dir") { path =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_shipdate"))
+        .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+        .repartition(col("ship_month"))
+        .write.partitionBy("ship_month").parquet(path)
+    }
+    val fact = s.read.parquet(layout)
+    val dim = s.read.parquet(s"$dir/orders.parquet")
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("ship_month"),
+        year(col("o_orderdate")).as("yr"), quarter(col("o_orderdate")).as("qtr"))
+      .distinct()
+      .where(col("yr") === 1996 && col("qtr") === 1)
+      .select(col("ship_month"))
+    fact.join(dim, Seq("ship_month"))
+      .groupBy(col("ship_month"))
+      .agg(count(lit(1)).as("n_items"),
+        expr("cast(sum(cast(l_extendedprice * (1 - l_discount) " +
+          "as decimal(18,4))) * 10000 as bigint)").as("revenue_e4"))
+  }
+
   /** Revenue per supplier nation through the salted-replicated join (big
     * side salted deterministically, small side replicated ×8) — output
     * identical to the plain join, so the oracle IS the plain join. */
@@ -794,6 +832,7 @@ object AdvancedQueries {
     "q_skew_agg" -> qSkewAgg _,
     "q_salted_join" -> qSaltedJoin _,
     "q_runtime_filter" -> qRuntimeFilter _,
+    "q_dpp_prune" -> qDppPrune _,
     "q_approx_distinct" -> qApproxDistinct _,
     "q_approx_distinct_kmv" -> qApproxDistinctKmv _,
     "q_approx_quantile" -> qApproxQuantile _,
@@ -907,6 +946,18 @@ object AdvancedQueries {
         | round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1""".stripMargin,
+    // the plain unpartitioned join the runtime partition pruning must be
+    // invisible to; revenue in exact e4 integer units
+    "q_dpp_prune" ->
+      """WITH dim AS (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS ship_month
+        |  FROM orders
+        |  WHERE year(o_orderdate) = 1996 AND quarter(o_orderdate) = 1)
+        |SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        |    * 10000 AS BIGINT) AS revenue_e4
+        |FROM lineitem JOIN dim ON strftime(l_shipdate, '%Y-%m') = dim.ship_month
         |GROUP BY 1""".stripMargin,
     // KMV sketch replayed in full: distinct portable hashes, k smallest per
     // group via row_number, Bar-Yossef estimate floor((k-1)*2^60 / h_k) —

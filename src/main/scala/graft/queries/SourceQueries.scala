@@ -538,7 +538,18 @@ object SourceQueries {
     * I/U/D sets; VersionedSpec pins the net-window semantics (insert-
     * then-delete invisible) and the untouched-bucket zero-IO claim. */
   def qStoreChanges(s: SparkSession, dir: String): DataFrame = {
-    val layout = graft.operators.Artifacts.sharedPath(s"storechanges:$dir") { path =>
+    val layout = storeChangesLayout(s, dir)
+    val (cdf, read) = graft.sources.Versioned.changes(s, layout, 1, 3, "o_orderkey")
+    cdf.select(col("op"), col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("price_e4"))
+      .withColumn("n_buckets_read", lit(read.size))
+  }
+
+  /** The three-version orders store [[qStoreChanges]] and
+    * [[qStoreChangesStream]] both read (one shared layout — a serving
+    * store is written once, consumed by many feeds). */
+  private def storeChangesLayout(s: SparkSession, dir: String): String =
+    graft.operators.Artifacts.sharedPath(s"storechanges:$dir") { path =>
       val orders = s.read.parquet(s"$dir/orders.parquet")
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           expr("cast(cast(o_totalprice as decimal(18,4)) * 10000 as bigint)")
@@ -559,14 +570,99 @@ object SourceQueries {
         .select(col("o_orderkey"), col("bucket"))
       graft.sources.Versioned.commitDelete(s, del, path, 3, "o_orderkey", "bucket")
     }
-    val (cdf, read) = graft.sources.Versioned.changes(s, layout, 1, 3, "o_orderkey")
-    cdf.select(col("op"), col("o_orderkey"), col("o_custkey"),
+
+  /** The change feed consumed INCREMENTALLY — per-commit granularity as a
+    * stream, the shape of a downstream replica / index maintainer tailing
+    * the commit log: each micro-batch carries one commit-signal row
+    * (version number), `foreachBatch` computes
+    * [[graft.sources.Versioned.changes]](v−1, v) — delta-bucket IO only —
+    * and lands it under an output directory KEYED BY VERSION with
+    * overwrite, so at-least-once batch delivery yields exactly-once feed
+    * files (the same deterministic-id discipline as `q_cdc_stream`, with
+    * the version as the id). Unlike [[qStoreChanges]]'s NET v1→v3 window,
+    * the per-commit feed keeps intra-window history: v2's bucket-3
+    * updates and bucket-5 inserts, then v3's bucket-9 deletes, each
+    * tagged with its version. VersionedSpec pins the fold invariant that
+    * makes such a feed consumable: base ⊕ changes(1,2) ⊕ changes(2,3) =
+    * snapshot v3. */
+  def qStoreChangesStream(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    val layout = storeChangesLayout(s, dir)
+    val vLast = graft.sources.Versioned.latestVersion(layout)
+    val root = StreamScratch.fresh("storechg").toString
+    val inDir = s"$root/in"; val ckpt = s"$root/ckpt"; val outDir = s"$root/out"
+    import fork.implicits._
+    StreamScratch.stageOrdered(inDir,
+      (2 to vLast).map(v => Seq(v).toDF("version")))
+    val stream = fork.readStream
+      .schema(StructType(Seq(StructField("version", IntegerType))))
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select(col("version")).distinct().collect().map(_.getInt(0))
+          .foreach { v =>
+            val (cdf, _) = graft.sources.Versioned.changes(
+              b.sparkSession, layout, v - 1, v, "o_orderkey")
+            cdf.withColumn("version", lit(v)).write.mode("overwrite")
+              .parquet(s"$outDir/v$v")
+          }
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    fork.read.parquet((2 to vLast).map(v => s"$outDir/v$v"): _*)
+      .select(col("version"), col("op"), col("o_orderkey"), col("o_custkey"),
         col("o_orderstatus"), col("price_e4"))
-      .withColumn("n_buckets_read", lit(read.size))
+  }
+
+  /** Small-file COMPACTION on the versioned store — the OPTIMIZE
+    * maintenance op ([[graft.sources.Versioned.commitCompact]]): an
+    * orders projection lands as THREE ingest stripes (each stripe its own
+    * input partition, so every bucket directory collects three parquet
+    * files — the fragmentation pattern of accumulated small streaming
+    * commits), except bucket 5 which is forced single-stripe as the
+    * already-compact control. Compaction commits v2 rewriting ONLY the
+    * fragmented buckets into one file each (one distributed pass,
+    * hash-repartitioned on the bucket column so each bucket's rows land
+    * in a single task); bucket 5's manifest pointer copies forward with
+    * its bytes untouched, and v1 still time-travels to the fragmented
+    * layout. The gate carries the full post-compaction content (identical
+    * to pre-compaction by construction — compaction must be invisible to
+    * readers) plus the evidence recomputed FROM DISK (manifest + file
+    * walk, not the staging return value): `n_buckets_rewritten` = 15 and
+    * `n_files_after` = 16, both replayed by DuckDB from the per-bucket
+    * distinct-stripe counts the layout was built from. VersionedSpec pins
+    * the mechanics (pointer copy, byte-untouched control, one-file
+    * postcondition, no-op recompaction). */
+  def qStoreCompact(s: SparkSession, dir: String): DataFrame = {
+    val layout = graft.operators.Artifacts.sharedPath(s"storecompact:$dir") { path =>
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          expr("cast(cast(o_totalprice as decimal(18,4)) * 10000 as bigint)")
+            .as("price_e4"))
+        .withColumn("bucket", expr("cast(o_orderkey % 16 as int)"))
+        .withColumn("stripe", expr(
+          "cast(case when o_orderkey % 16 = 5 then 0 " +
+            "else (o_orderkey DIV 16) % 3 end as int)"))
+      graft.sources.Versioned.commitBase(
+        orders.repartitionByRange(3, col("stripe")), path, "bucket", 16)
+      graft.sources.Versioned.commitCompact(s, path, 2, "bucket")
+    }
+    val mf = graft.sources.Versioned.readManifest(layout, 2)
+    val nRewritten = mf.count(_._2 == 2)
+    val nFiles = mf.toSeq.map { case (b, ver) =>
+      graft.sources.Versioned.parquetFileCount(layout, ver, b) }.sum
+    graft.sources.Versioned.readVersion(s, layout, 2)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("price_e4"))
+      .withColumn("n_buckets_rewritten", lit(nRewritten))
+      .withColumn("n_files_after", lit(nFiles))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "store_changes" -> qStoreChanges _,
+    "store_changes_stream" -> qStoreChangesStream _,
+    "store_compact" -> qStoreCompact _,
     "store_bloom_skip" -> qStoreBloomSkip _,
     "store_bloom_skip_delta" -> qStoreBloomSkipDelta _,
     "src_csv_nation" -> srcCsvNation _,
@@ -602,6 +698,40 @@ object SourceQueries {
         |  3 AS n_buckets_read FROM ins
         |UNION ALL SELECT 'U', k, o_custkey, o_orderstatus, price_e4, 3 FROM upd
         |UNION ALL SELECT 'D', k, o_custkey, o_orderstatus, price_e4, 3 FROM del""".stripMargin,
+    // per-commit granularity: v2 = upserts (I + U), v3 = deletes (D);
+    // delete payloads are v2 state = base state (disjoint key stripes)
+    "store_changes_stream" ->
+      """WITH b0 AS (SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS price_e4
+        |  FROM orders),
+        |k0 AS (SELECT ((max(k) // 16) + 1) * 16 AS v FROM b0),
+        |ins AS (SELECT k + (SELECT v FROM k0) AS k, o_custkey, o_orderstatus,
+        |    price_e4 + 7 AS price_e4 FROM b0 WHERE k % 16 = 5),
+        |upd AS (SELECT k, o_custkey, o_orderstatus, price_e4 * 2 AS price_e4
+        |  FROM b0 WHERE k % 16 = 3 AND (k // 16) % 2 = 0),
+        |del AS (SELECT k, o_custkey, o_orderstatus, price_e4
+        |  FROM b0 WHERE k % 16 = 9 AND (k // 16) % 3 = 0)
+        |SELECT 2 AS version, 'I' AS op, k AS o_orderkey, o_custkey,
+        |  o_orderstatus, price_e4 FROM ins
+        |UNION ALL SELECT 2, 'U', k, o_custkey, o_orderstatus, price_e4 FROM upd
+        |UNION ALL SELECT 3, 'D', k, o_custkey, o_orderstatus, price_e4 FROM del""".stripMargin,
+    // content identical to the pre-compaction projection; the evidence
+    // replayed from the per-bucket distinct-stripe counts the fragmented
+    // layout was built from (a bucket compacts iff it holds >1 stripe)
+    "store_compact" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS price_e4,
+        |    o_orderkey % 16 AS bucket,
+        |    CASE WHEN o_orderkey % 16 = 5 THEN 0
+        |         ELSE (o_orderkey // 16) % 3 END AS stripe
+        |  FROM orders),
+        |frag AS (SELECT bucket, count(DISTINCT stripe) AS nf FROM b GROUP BY bucket),
+        |ev AS (SELECT CAST(count(*) FILTER (WHERE nf > 1) AS INT) AS n_rewritten,
+        |              CAST(count(*) AS INT) AS n_files FROM frag)
+        |SELECT k AS o_orderkey, o_custkey, o_orderstatus, price_e4,
+        |  (SELECT n_rewritten FROM ev) AS n_buckets_rewritten,
+        |  (SELECT n_files FROM ev) AS n_files_after
+        |FROM b""".stripMargin,
     // the plain filter the pruned read must be indistinguishable from,
     // plus the read-bucket count recomputed from the same min/max maps
     // the upserted table AND the whole index decision replayed: the

@@ -443,6 +443,47 @@ object Versioned {
     * surface as 'U' rows exactly when they differ from null). Returns the
     * change rows and the touched-bucket ids (the IO-bound evidence the
     * caller gates). */
+  /** Commit version `v` COMPACTING the store — the OPTIMIZE maintenance
+    * op of production table formats, aimed at the small-file problem: a
+    * bucket whose directory holds more than one parquet file (ingest
+    * stripes, many small streaming commits) is rewritten into exactly one
+    * file; an already-compact bucket's manifest pointer copies forward
+    * untouched (its bytes are never read or written — compaction cost is
+    * O(fragmented data), not O(table)). The rewrite is ONE distributed
+    * pass: all multi-file buckets read together, hash-repartitioned on
+    * the bucket column so each bucket's rows land in a single task and
+    * its new directory gets a single file. Logical content is IDENTICAL
+    * by construction (same rows, new layout) — compaction is invisible to
+    * readers except through file counts, and old versions still time
+    * travel to the fragmented layout (a reader pinned mid-scan never sees
+    * files vanish; reclaim is [[vacuum]]'s job). Returns the rewritten
+    * bucket ids. */
+  def commitCompact(spark: SparkSession, dir: String, v: Int,
+                    bucketCol: String): Set[Int] = {
+    require(v > 1, s"commitCompact is for versions after the base, got $v")
+    val prev = readManifest(dir, v - 1)
+    val multi = prev.filter { case (b, ver) =>
+      ver > 0 && parquetFileCount(dir, ver, b) > 1 }.keySet
+    if (multi.isEmpty) { writeManifest(dir, v, prev.toSeq); return Set.empty }
+    readBuckets(spark, dir, prev.filter { case (b, _) => multi(b) })
+      .repartition(col(bucketCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(bucketCol)
+      .parquet(s"$dir/data/v$v")
+    writeManifest(dir, v,
+      prev.map { case (b, ver) => b -> (if (multi(b)) v else ver) }.toSeq)
+    multi
+  }
+
+  /** Parquet files in one bucket's directory of one version (the
+    * fragmentation metric [[commitCompact]] keys on). */
+  def parquetFileCount(dir: String, ver: Int, bucket: Int): Int = {
+    val root = new java.io.File(s"$dir/data/v$ver")
+    val part = Option(root.listFiles()).getOrElse(Array.empty)
+      .find(_.getName.endsWith(s"=$bucket"))
+    part.map(d => Option(d.listFiles()).getOrElse(Array.empty)
+      .count(_.getName.endsWith(".parquet"))).getOrElse(0)
+  }
+
   def changes(spark: SparkSession, dir: String, fromV: Int, toV: Int,
               keyCol: String): (DataFrame, Set[Int]) = {
     require(fromV < toV, s"changes needs fromV < toV, got $fromV..$toV")

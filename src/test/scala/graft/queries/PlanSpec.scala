@@ -86,6 +86,14 @@ class PlanSpec extends SparkSpec {
       s"the join must be the shuffle regime the filter exists for:\n$p")
   }
 
+  test("q_dpp_prune: dynamic partition pruning reaches the fact scan") {
+    val p = plan(AdvancedQueries.qDppPrune(spark, dir))
+    assert(p.contains("dynamicpruning"),
+      s"the dim filter must prune fact partitions at runtime:\n$p")
+    assert(p.contains("PartitionFilters"),
+      s"pruning must land in the scan's partition filters:\n$p")
+  }
+
   test("doc_corpus_card: one partial-combining aggregate, no join, no UDF fence") {
     val p = plan(TextDedupQueries.docCorpusCard(spark, dir))
     assert(p.contains("partial_count") || p.contains("partial"),

@@ -1,6 +1,7 @@
 package graft.sources
 
 import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
@@ -286,6 +287,71 @@ class VersionedSpec extends SparkSpec {
       dir, 4, "k", "bucket")
     val (cdf34, touched34) = Versioned.changes(spark, dir, 3, 4, "k")
     assert(cdf34.count() == 0 && touched34.isEmpty)
+  }
+
+  test("per-commit change feeds FOLD to the final snapshot (the CDF-consumer contract)") {
+    val dir = tmp()
+    val base = (0L until 60L).map(k => (k, s"p$k", (k % 4).toInt))
+      .toDF("k", "payload", "bucket")
+    Versioned.commitBase(base, dir, "bucket", 4)
+    Versioned.commitUpsert(spark,
+      Seq((1L, "u1", 1), (200L, "n200", 0)).toDF("k", "payload", "bucket"),
+      dir, 2, "k", "bucket")
+    Versioned.commitDelete(spark,
+      Seq((2L, 2), (200L, 0)).toDF("k", "bucket"), dir, 3, "k", "bucket")
+
+    // fold: state ⊕ feed = (state minus feed keys) ∪ (feed I/U rows)
+    def fold(state: DataFrame, feed: DataFrame): DataFrame = {
+      val keys = feed.select(col("k")).distinct()
+      state.join(keys, Seq("k"), "left_anti")
+        .unionByName(feed.where(col("op") =!= "D").drop("op"))
+    }
+    val folded = (2 to 3).foldLeft(Versioned.readVersion(spark, dir, 1)) {
+      (st, v) => fold(st, Versioned.changes(spark, dir, v - 1, v, "k")._1)
+    }
+    val want = Versioned.readVersion(spark, dir, 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = folded.select("k", "payload")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want, "replaying per-commit feeds must reproduce the snapshot")
+  }
+
+  test("compaction rewrites only fragmented buckets; content identical; old layout still travels") {
+    val dir = tmp()
+    // three ingest stripes, each its own input partition → every bucket
+    // dir collects one file per stripe; bucket 1 is forced single-stripe
+    // (the already-compact control)
+    val base = (0L until 120L)
+      .map(k => (k, s"p$k", (k % 4).toInt,
+        if (k % 4 == 1) 0 else ((k / 4) % 3).toInt))
+      .toDF("k", "payload", "bucket", "stripe")
+    // range partitioning: 3 distinct stripe values + 3 partitions → one
+    // value per partition (hash mod N can collide all three into one)
+    Versioned.commitBase(base.repartitionByRange(3, col("stripe")), dir, "bucket", 4)
+    assert(Versioned.parquetFileCount(dir, 1, 1) == 1)
+    Seq(0, 2, 3).foreach(b => assert(Versioned.parquetFileCount(dir, 1, b) > 1))
+
+    val before = Versioned.readVersion(spark, dir, 1)
+      .select("k", "payload").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b1Before = files(dir, 1, 1)
+
+    val rewritten = Versioned.commitCompact(spark, dir, 2, "bucket")
+    assert(rewritten == Set(0, 2, 3), "only fragmented buckets rewrite")
+    val mf2 = Versioned.readManifest(dir, 2)
+    assert(mf2(1) == 1, "compact bucket's pointer copies forward")
+    assert(files(dir, 1, 1) == b1Before, "compact bucket's bytes untouched")
+    Seq(0, 2, 3).foreach(b => assert(Versioned.parquetFileCount(dir, 2, b) == 1,
+      s"bucket $b must compact to one file"))
+
+    val after = Versioned.readVersion(spark, dir, 2)
+      .select("k", "payload").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after == before, "compaction is invisible to readers")
+    // time travel still serves the fragmented layout
+    assert(Versioned.readVersion(spark, dir, 1).count() == 120)
+
+    // compacting a compact store is a pointer-copy no-op commit
+    assert(Versioned.commitCompact(spark, dir, 3, "bucket").isEmpty)
+    assert(Versioned.readManifest(dir, 3) == mf2)
   }
 
   test("incremental bloom index equals a full rebuild byte for byte; untouched entries copied") {
