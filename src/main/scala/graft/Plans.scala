@@ -103,7 +103,9 @@ object Plans {
     "ann_hamming",
     // round-12 additions: store compaction (OPTIMIZE) and dynamic
     // partition pruning on a partitioned fact layout
-    "store_compact", "q_dpp_prune")
+    "store_compact", "q_dpp_prune",
+    // round-12 addition: CEP next-matching-event pattern, joinless
+    "events_pattern")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -111,6 +111,41 @@ object EventQueries {
       .agg(count(lit(1)).as("n_purchases_after_view"))
   }
 
+  /** CEP sequence pattern — the MATCH_RECOGNIZE shape ([[funnel]] is the
+    * unordered first-touch version; this is the ORDERED one with a time
+    * bound and a negative condition): a `view` matched by the NEXT
+    * `purchase` of the same user within 30 minutes, with no `error`
+    * strictly between them. One pass, no self-join: each user's timeline
+    * is scanned once in reverse (ts desc), and two conditional running
+    * mins over the strictly-later frame carry "earliest later purchase"
+    * and "earliest later error" to every row — the classic
+    * next-matching-event rewrite that replaces a per-view probe join
+    * (quadratic in dense streams) with ONE window sort, partition-
+    * parallel across users at any scale. The frame is ROWS-bounded on a
+    * total order (ts_us, event_id), so both engines walk identical
+    * frames; match condition and tie policy (an error AT the purchase's
+    * timestamp does not veto) are pure integer comparisons. */
+  def pattern(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("user_id"), col("event_type"),
+      col("ts_us"), col("event_id"))
+    val later = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+      .rowsBetween(Long.MinValue, -1)
+    e.withColumn("next_purchase_us",
+        min(when(col("event_type") === "purchase", col("ts_us"))).over(later))
+      .withColumn("next_error_us",
+        min(when(col("event_type") === "error", col("ts_us"))).over(later))
+      .where(col("event_type") === "view" &&
+        col("next_purchase_us") - col("ts_us") <= lit(30L * 60 * 1000000) &&
+        (col("next_error_us").isNull ||
+          col("next_error_us") >= col("next_purchase_us")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("ts_us")).as("first_view_us"),
+        max(col("ts_us")).as("last_view_us"))
+  }
+
   /** Point-in-interval range join through the binning rewrite
     * ([[graft.operators.RangeJoin]]): event values land in overlapping value
     * bands (21 literal ranges, [5k, 5k+12)) via a bin equi-join instead of
@@ -318,6 +353,7 @@ object EventQueries {
     "events_sessionize" -> sessionize _,
     "events_props_histogram" -> propsHistogram _,
     "events_funnel" -> funnel _,
+    "events_pattern" -> pattern _,
     "events_retention" -> retention _,
     "events_range_join" -> rangeJoin _,
   )
@@ -431,6 +467,26 @@ object EventQueries {
         |SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_purchases_after_view
         |FROM events e JOIN fv ON e.user_id = fv.user_id
         |WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > fv.first_view_us
+        |GROUP BY 1""".stripMargin,
+    // the identical reverse-scan window rewrite: ROWS frames on the same
+    // (ts_us, event_id) total order walk the same rows in both engines
+    "events_pattern" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+        |  FROM events),
+        |seq AS (SELECT *,
+        |  min(CASE WHEN event_type = 'purchase' THEN ts_us END) OVER
+        |    (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS next_purchase_us,
+        |  min(CASE WHEN event_type = 'error' THEN ts_us END) OVER
+        |    (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS next_error_us
+        |  FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_matches,
+        |  min(ts_us) AS first_view_us, max(ts_us) AS last_view_us
+        |FROM seq
+        |WHERE event_type = 'view'
+        |  AND next_purchase_us - ts_us <= 30 * 60 * 1000000
+        |  AND (next_error_us IS NULL OR next_error_us >= next_purchase_us)
         |GROUP BY 1""".stripMargin,
     // the streaming funnel drains to exactly the batch join's rows
     "events_funnel_stream" ->

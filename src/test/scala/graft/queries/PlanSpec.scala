@@ -86,6 +86,13 @@ class PlanSpec extends SparkSpec {
       s"the join must be the shuffle regime the filter exists for:\n$p")
   }
 
+  test("events_pattern: one window pass, no per-view probe join") {
+    val p = plan(EventQueries.pattern(spark, dir))
+    assert(p.contains("Window"), s"the reverse-scan window must plan:\n$p")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"the next-matching-event rewrite must not join:\n$p")
+  }
+
   test("q_dpp_prune: dynamic partition pruning reaches the fact scan") {
     val p = plan(AdvancedQueries.qDppPrune(spark, dir))
     assert(p.contains("dynamicpruning"),
