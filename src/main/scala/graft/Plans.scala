@@ -104,8 +104,9 @@ object Plans {
     // round-12 additions: store compaction (OPTIMIZE) and dynamic
     // partition pruning on a partitioned fact layout
     "store_compact", "q_dpp_prune",
-    // round-12 addition: CEP next-matching-event pattern, joinless
-    "events_pattern")
+    // round-12 additions: CEP next-matching-event pattern, joinless,
+    // and its bounded-state streaming twin
+    "events_pattern", "events_pattern_stream")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -146,6 +146,56 @@ object EventQueries {
         max(col("ts_us")).as("last_view_us"))
   }
 
+  /** STREAMING CEP — [[pattern]]'s incremental twin
+    * ([[graft.streaming.EventStream.patternStream]]): per-user pending
+    * views decided wholesale at each purchase (the pattern's next-purchase
+    * structure makes the state one purchase-to-purchase gap deep), error
+    * vetoes carried per view, horizon pruning + event-time timeout
+    * retiring users who never purchase. Staging is event-time-ordered
+    * year slices (names+mtimes pinned, one file per micro-batch) so the
+    * watermark advances monotonically across batches and no staged row is
+    * late; within a batch the operator sorts by (ts_us, event_id) — the
+    * batch twin's frame order — so the drained match set aggregates to
+    * the SAME rows and the oracle is shared verbatim. CepStreamSpec pins
+    * the state lifecycle (purchase flush, error veto, timeout eviction to
+    * zero state rows). */
+  def patternStreamed(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    import fork.implicits._
+    val root = StreamScratch.fresh("cep")
+    val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    fork.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    fork.conf.set("spark.sql.session.timeZone", "UTC")
+    val raw = fork.read.parquet(s"$dir/events.parquet")
+    val evDf = raw.withColumn("ts_us", EventTs.tsUs(raw))
+      .withColumn("slice", expr("ts_us DIV 31536000000000")) // ~year slices
+    val slices = evDf.select(col("slice")).distinct().orderBy(col("slice"))
+      .collect().map(_.getLong(0)) // span/year-sized
+    StreamScratch.stageOrdered(inDir, slices.toSeq.map(sl =>
+      evDf.where(col("slice") === sl)
+        .select(col("event_id"), col("ts_us"), col("user_id"),
+          col("event_type"), col("value"))))
+    val stream = fork.readStream
+      .schema("event_id LONG, ts_us LONG, user_id LONG, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[graft.streaming.EventStream.Event]
+    val q = graft.streaming.EventStream
+      .patternStream(stream, windowUs = 30L * 60 * 1000000).toDF()
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    fork.read.parquet(outDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("view_us")).as("first_view_us"),
+        max(col("view_us")).as("last_view_us"))
+  }
+
   /** Point-in-interval range join through the binning rewrite
     * ([[graft.operators.RangeJoin]]): event values land in overlapping value
     * bands (21 literal ranges, [5k, 5k+12)) via a bin equi-join instead of
@@ -354,6 +404,7 @@ object EventQueries {
     "events_props_histogram" -> propsHistogram _,
     "events_funnel" -> funnel _,
     "events_pattern" -> pattern _,
+    "events_pattern_stream" -> patternStreamed _,
     "events_retention" -> retention _,
     "events_range_join" -> rangeJoin _,
   )
@@ -385,6 +436,27 @@ object EventQueries {
       |  last_value(state IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS state
       |FROM g""".stripMargin
+
+  /** Shared by `events_pattern` and its streaming twin: the reverse-scan
+    * conditional-window-min rewrite on the (ts_us, event_id) total order. */
+  private val patternOracle =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+      |  FROM events),
+      |seq AS (SELECT *,
+      |  min(CASE WHEN event_type = 'purchase' THEN ts_us END) OVER
+      |    (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS next_purchase_us,
+      |  min(CASE WHEN event_type = 'error' THEN ts_us END) OVER
+      |    (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS next_error_us
+      |  FROM e)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_matches,
+      |  min(ts_us) AS first_view_us, max(ts_us) AS last_view_us
+      |FROM seq
+      |WHERE event_type = 'view'
+      |  AND next_purchase_us - ts_us <= 30 * 60 * 1000000
+      |  AND (next_error_us IS NULL OR next_error_us >= next_purchase_us)
+      |GROUP BY 1""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "events_json_extract" ->
@@ -470,24 +542,10 @@ object EventQueries {
         |GROUP BY 1""".stripMargin,
     // the identical reverse-scan window rewrite: ROWS frames on the same
     // (ts_us, event_id) total order walk the same rows in both engines
-    "events_pattern" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
-        |  FROM events),
-        |seq AS (SELECT *,
-        |  min(CASE WHEN event_type = 'purchase' THEN ts_us END) OVER
-        |    (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS next_purchase_us,
-        |  min(CASE WHEN event_type = 'error' THEN ts_us END) OVER
-        |    (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS next_error_us
-        |  FROM e)
-        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_matches,
-        |  min(ts_us) AS first_view_us, max(ts_us) AS last_view_us
-        |FROM seq
-        |WHERE event_type = 'view'
-        |  AND next_purchase_us - ts_us <= 30 * 60 * 1000000
-        |  AND (next_error_us IS NULL OR next_error_us >= next_purchase_us)
-        |GROUP BY 1""".stripMargin,
+    "events_pattern" -> patternOracle,
+    // the streamed state machine drains to exactly the batch rewrite's
+    // match set, so the oracle is shared verbatim
+    "events_pattern_stream" -> patternOracle,
     // the streaming funnel drains to exactly the batch join's rows
     "events_funnel_stream" ->
       """WITH fv AS (

@@ -250,6 +250,84 @@ object EventStream {
       }
   }
 
+  /** One pending view: its event-time plus the first error event-time
+    * ORDER-after it (None until one arrives) — exactly the two values the
+    * batch twin's conditional window mins carry to the view's row. */
+  case class PendingView(viewUs: Long, firstErrorUs: Option[Long])
+  case class PatternState(pending: List[PendingView]) // ascending viewUs
+  case class PatternMatch(user_id: Long, view_us: Long)
+
+  /** Streaming CEP — incremental twin of `EventQueries.pattern` (view
+    * matched by the user's NEXT purchase within `windowUs`, no error
+    * strictly between). The state machine exploits the pattern's
+    * decide-at-next-purchase structure: per user, pending views accumulate
+    * with the first error seen after each; when a purchase arrives it IS
+    * every pending view's next purchase, so all of them match (within
+    * window, unvetoed) or die NOW and the list clears — state never
+    * outlives one purchase-to-purchase gap. Pending views are also pruned
+    * as soon as any later event puts them beyond the match window (a
+    * future purchase would be later still), and an event-time timeout at
+    * the newest pending view's horizon retires users who never purchase —
+    * live state is horizon-bounded, not corpus-bounded. Within a batch,
+    * events sort by (ts_us, event_id) — the batch twin's frame order — so
+    * tie semantics (same-ts purchase with higher id matches; error AT the
+    * purchase's timestamp doesn't veto) reproduce exactly; across
+    * batches the caller must feed event-time-ordered slices (the
+    * staged-file discipline of the windowed-sketch entries). */
+  def patternStream(events: Dataset[Event], windowUs: Long): Dataset[PatternMatch] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PatternState, PatternMatch](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[PatternState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed every pending view's horizon: none can match
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            var pending = state.getOption.map(_.pending).getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer.empty[PatternMatch]
+            sorted.foreach { e =>
+              val t = micros(e.ts)
+              // any future purchase is ≥ t: views beyond the window are dead
+              pending = pending.filter(v => t - v.viewUs <= windowUs)
+              e.event_type match {
+                case "view" =>
+                  pending = pending :+ PendingView(t, None)
+                case "purchase" =>
+                  // this IS every pending view's next purchase: decide all
+                  pending.foreach { v =>
+                    if (v.firstErrorUs.forall(_ >= t)) out += PatternMatch(userId, v.viewUs)
+                  }
+                  pending = Nil
+                case "error" =>
+                  pending = pending.map(v =>
+                    if (v.firstErrorUs.isEmpty) v.copy(firstErrorUs = Some(t)) else v)
+                case _ => () // other event types don't participate
+              }
+            }
+            // views whose horizon the watermark already passed can never
+            // match (any admitted purchase is above the watermark)
+            val wmUs = state.getCurrentWatermarkMs() * 1000
+            pending = pending.filter(_.viewUs + windowUs >= wmUs)
+            if (pending.isEmpty) state.remove()
+            else {
+              state.update(PatternState(pending))
+              // newest view's horizon, CEILed to ms like sessionize; the
+              // wm-prune leaves horizon ≥ wm, but equality is rejected —
+              // clamp one ms past the watermark
+              val horizonMs = (pending.map(_.viewUs).max + windowUs + 999) / 1000
+              state.setTimeoutTimestamp(
+                math.max(horizonMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
+      }
+  }
+
   def sessionize(events: Dataset[Event]): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapUs = 30L * 60 * 1000000
