@@ -106,7 +106,9 @@ object Plans {
     "store_compact", "q_dpp_prune",
     // round-12 additions: CEP next-matching-event pattern, joinless,
     // and its bounded-state streaming twin
-    "events_pattern", "events_pattern_stream")
+    "events_pattern", "events_pattern_stream",
+    // round-12 addition: integer-exact rolling z-score anomaly flags
+    "events_anomaly")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

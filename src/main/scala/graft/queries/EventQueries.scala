@@ -146,6 +146,35 @@ object EventQueries {
         max(col("ts_us")).as("last_view_us"))
   }
 
+  /** Rolling z-score anomaly detection — the metrics-monitoring classic:
+    * an event is anomalous when its value sits more than 3 trailing
+    * standard deviations from the mean of the SAME user's previous 20
+    * events (at least 10 required — cold windows don't alarm). The whole
+    * test runs in EXACT integer arithmetic: values are exact cents
+    * (decimal-cast, not double-truncated), the trailing mean/variance
+    * stay as raw (n, Σx, Σx²) window sums, and 3σ is the integer
+    * inequality (x·n − Σx)² > 9·(n·Σx² − (Σx)²) — no float division or
+    * sqrt anywhere, so both engines agree to the bit. One window sort per
+    * user partition, ROWS-bounded frame ⇒ O(1) state per row; at 100 TB
+    * this is a single partition-parallel pass, and the same three running
+    * sums are exactly what a streaming form would carry. */
+  def anomaly(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(-20, -1)
+    ev(s, dir)
+      .withColumn("x", expr("cast(cast(value as decimal(18,2)) * 100 as bigint)"))
+      .withColumn("n", count(col("x")).over(w))
+      .withColumn("s", sum(col("x")).over(w))
+      .withColumn("ss", sum(expr("x * x")).over(w))
+      .where(col("n") >= 10 &&
+        (col("x") * col("n") - col("s")) * (col("x") * col("n") - col("s")) >
+          lit(9L) * (col("n") * col("ss") - col("s") * col("s")))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("x").as("value_e2"), col("n").as("n_window"))
+  }
+
   /** STREAMING CEP — [[pattern]]'s incremental twin
     * ([[graft.streaming.EventStream.patternStream]]): per-user pending
     * views decided wholesale at each purchase (the pattern's next-purchase
@@ -405,6 +434,7 @@ object EventQueries {
     "events_funnel" -> funnel _,
     "events_pattern" -> pattern _,
     "events_pattern_stream" -> patternStreamed _,
+    "events_anomaly" -> anomaly _,
     "events_retention" -> retention _,
     "events_range_join" -> rangeJoin _,
   )
@@ -546,6 +576,22 @@ object EventQueries {
     // the streamed state machine drains to exactly the batch rewrite's
     // match set, so the oracle is shared verbatim
     "events_pattern_stream" -> patternOracle,
+    // identical trailing ROWS frame; the 3-sigma test is a pure bigint
+    // inequality so no float can cross the gate
+    "events_anomaly" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM events),
+        |s AS (SELECT *,
+        |  count(x) OVER w AS n, sum(x) OVER w AS s, sum(x * x) OVER w AS ss
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, ts_us, x AS value_e2,
+        |  CAST(n AS BIGINT) AS n_window
+        |FROM s
+        |WHERE n >= 10
+        |  AND (x * n - s) * (x * n - s) > 9 * (n * ss - s * s)""".stripMargin,
     // the streaming funnel drains to exactly the batch join's rows
     "events_funnel_stream" ->
       """WITH fv AS (
