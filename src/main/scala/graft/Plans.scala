@@ -108,7 +108,10 @@ object Plans {
     // and its bounded-state streaming twin
     "events_pattern", "events_pattern_stream",
     // round-12 addition: integer-exact rolling z-score anomaly flags
-    "events_anomaly")
+    "events_anomaly",
+    // round-12 additions: automatic materialized-view rewrite (exact
+    // grain + containment)
+    "q_mv_rewrite", "q_mv_rewrite_coarse")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

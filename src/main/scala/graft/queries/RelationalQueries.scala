@@ -214,6 +214,72 @@ object RelationalQueries {
       expr("cast(rev * 10000 as bigint) div n_items").as("avg_item_e4"))
   }
 
+  /** The (month, l_returnflag)-grain monthly rollup MV both
+    * [[qMvRewrite]] entries serve from — n_items (long), sum_qty
+    * (exact integer-valued double sums), rev (decimal(18,4) partials,
+    * exactly the type whose re-aggregation reproduces the query's
+    * Sum-of-cast to the bit). Written once through Artifacts. */
+  private def mvMonthlyPath(s: SparkSession, dir: String): String =
+    graft.operators.Artifacts.sharedPath(s"mv_monthly:$dir") { path =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+          col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).as("sum_qty"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("decimal(18,4)").as("rev"))
+        .write.parquet(path)
+    }
+
+  private def mvQuery(fork: SparkSession, dir: String,
+                      groupFlag: Boolean): DataFrame = {
+    val mvPlan = fork.read.parquet(mvMonthlyPath(fork, dir))
+      .queryExecution.analyzed
+    fork.experimental.extraOptimizations =
+      fork.experimental.extraOptimizations :+
+        graft.plans.MvRollupRewrite(mvPlan, "lineitem.parquet")
+    // the USER'S query: a plain aggregate over the raw fact table — the
+    // MV appears nowhere in it; the optimizer rule alone routes it
+    val li = fork.read.parquet(s"$dir/lineitem.parquet")
+    val keys =
+      if (groupFlag) Seq(date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        col("l_returnflag"))
+      else Seq(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+    val agg = li.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).as("sum_qty"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).as("rev"))
+    val out = Seq(col("month")) ++
+      (if (groupFlag) Seq(col("l_returnflag")) else Nil) ++
+      Seq(col("n_items"), round(col("sum_qty"), 2).as("sum_qty"),
+        expr("cast(rev * 10000 as bigint)").as("revenue_e4"))
+    agg.select(out: _*)
+  }
+
+  /** AUTOMATIC materialized-view rewrite
+    * ([[graft.plans.MvRollupRewrite]], the `extraOptimizations` leg of
+    * the extension story): the entry runs the PLAIN monthly aggregate
+    * over raw lineitem — no MV reference anywhere in the query — and the
+    * injected rule rewrites the plan to re-aggregate the stored
+    * (month, flag) rollup instead (count→sum of partial counts, sums →
+    * sums of exact partials). PlanSpec asserts the fact scan is GONE
+    * from the physical plan and the MV layout is scanned; the oracle is
+    * the full recompute over lineitem the rewrite must be invisible to.
+    * At 100 TB the fact scan simply disappears: the query costs
+    * O(months × flags). */
+  def qMvRewrite(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    mvQuery(fork, dir, groupFlag = true)
+  }
+
+  /** The CONTAINMENT case: the user groups by month only — coarser than
+    * the MV's (month, flag) grain — and the same rule re-aggregates
+    * across flags (the partial-sum algebra that makes rollup MVs
+    * composable). Same oracle discipline: plain recompute. */
+  def qMvRewriteCoarse(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    mvQuery(fork, dir, groupFlag = false)
+  }
+
   /** Rollup: subtotals + grand total over two grouping columns. */
   def qRollup(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -506,6 +572,8 @@ object RelationalQueries {
     "q_distinct_having" -> qDistinctHaving _,
     "q_monthly" -> qMonthly _,
     "q_incr_rollup" -> qIncrRollup _,
+    "q_mv_rewrite" -> qMvRewrite _,
+    "q_mv_rewrite_coarse" -> qMvRewriteCoarse _,
     "priv_k_anon" -> qPrivKAnon _,
     "priv_l_diversity" -> qPrivLDiversity _,
     "q_rollup" -> qRollup _,
@@ -677,6 +745,21 @@ object RelationalQueries {
         | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) * 10000
         |   AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_item_e4
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    // the full fact recompute the automatic MV rewrite must be invisible to
+    "q_mv_rewrite" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS month, l_returnflag,
+        | CAST(count(*) AS BIGINT) AS n_items,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) * 10000
+        |   AS BIGINT) AS revenue_e4
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q_mv_rewrite_coarse" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS month,
+        | CAST(count(*) AS BIGINT) AS n_items,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) * 10000
+        |   AS BIGINT) AS revenue_e4
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS sum_qty

@@ -93,6 +93,20 @@ class PlanSpec extends SparkSpec {
       s"the next-matching-event rewrite must not join:\n$p")
   }
 
+  test("q_mv_rewrite: the fact scan is GONE — the query serves from the MV") {
+    val p = plan(RelationalQueries.qMvRewrite(spark, dir))
+    assert(!p.contains("lineitem.parquet"),
+      s"the MV rewrite must remove the fact scan:\n$p")
+    assert(p.contains("graft_layouts") || p.contains("mv_monthly"),
+      s"the MV layout must be the scanned source:\n$p")
+  }
+
+  test("q_mv_rewrite_coarse: containment — month-only query still serves from the MV") {
+    val p = plan(RelationalQueries.qMvRewriteCoarse(spark, dir))
+    assert(!p.contains("lineitem.parquet"),
+      s"the coarser grouping is contained in the MV grain:\n$p")
+  }
+
   test("q_dpp_prune: dynamic partition pruning reaches the fact scan") {
     val p = plan(AdvancedQueries.qDppPrune(spark, dir))
     assert(p.contains("dynamicpruning"),
