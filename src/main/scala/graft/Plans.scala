@@ -111,7 +111,10 @@ object Plans {
     "events_anomaly",
     // round-12 additions: automatic materialized-view rewrite (exact
     // grain + containment)
-    "q_mv_rewrite", "q_mv_rewrite_coarse")
+    "q_mv_rewrite", "q_mv_rewrite_coarse",
+    // round-12 addition: online re-clustering with hash-gated
+    // before/after pruning evidence
+    "store_recluster")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -659,8 +659,54 @@ object SourceQueries {
       .withColumn("n_files_after", lit(nFiles))
   }
 
+  /** RE-CLUSTERING maintenance on the versioned store
+    * ([[graft.sources.Versioned.commitRewrite]]) — the bucket-grain
+    * OPTIMIZE ZORDER: v1 buckets orders by KEY HASH, so every bucket's
+    * (min,max) order-day zone map spans the whole calendar and a
+    * half-year range read prunes NOTHING (16 of 16 buckets — zone maps
+    * are only as good as the clustering beneath them); v2 rewrites the
+    * same rows under 160-day DATE stripes and refreshes the stats, after
+    * which the same read touches 2 buckets. The gate carries the range
+    * read SERVED FROM THE RECLUSTERED LAYOUT plus BOTH bucket counts,
+    * all replayed by DuckDB from the two bucketing policies' recomputed
+    * zone maps — the before/after pruning delta is the hash-checked
+    * value of the rewrite, not a claim. v1 still time-travels to the
+    * hash layout (readers pinned mid-rewrite keep serving it); spec pins
+    * content equality across the rewrite and the one-file-per-bucket
+    * compaction side effect. */
+  def qStoreRecluster(s: SparkSession, dir: String): DataFrame = {
+    val layout = graft.operators.Artifacts.sharedPath(s"recluster:$dir") { path =>
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate"))
+        .withColumn("order_day",
+          datediff(col("o_orderdate"), lit("1970-01-01")).cast("long"))
+        .drop("o_orderdate")
+        .withColumn("bucket", expr("cast(o_orderkey % 16 as int)"))
+      graft.sources.Versioned.commitBase(orders, path, "bucket", 16)
+      graft.sources.Versioned.writeStats(s, path, 1, "order_day")
+      val reclustered = graft.sources.Versioned.readVersion(s, path, 1)
+        .withColumn("bucket", expr("cast((order_day div 160) % 16 as int)"))
+      graft.sources.Versioned.commitRewrite(reclustered, path, 2, "bucket", 16)
+      graft.sources.Versioned.writeStats(s, path, 2, "order_day")
+    }
+    val lo = java.time.LocalDate.of(1996, 1, 1).toEpochDay
+    val hi = java.time.LocalDate.of(1996, 6, 30).toEpochDay
+    val (_, readBefore) = graft.sources.Versioned.readVersionWhere(
+      s, layout, 1, "order_day", lo, hi)
+    val (df, readAfter) = graft.sources.Versioned.readVersionWhere(
+      s, layout, 2, "order_day", lo, hi)
+    df.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        expr("cast(sum(cast(o_totalprice as decimal(18,4))) * 10000 as bigint)")
+          .as("sum_price_e4"))
+      .withColumn("n_buckets_before", lit(readBefore.size))
+      .withColumn("n_buckets_after", lit(readAfter.size))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "store_changes" -> qStoreChanges _,
+    "store_recluster" -> qStoreRecluster _,
     "store_changes_stream" -> qStoreChangesStream _,
     "store_compact" -> qStoreCompact _,
     "store_bloom_skip" -> qStoreBloomSkip _,
@@ -805,6 +851,32 @@ object SourceQueries {
         |SELECT c.c_custkey AS key, c.c_name AS name,
         |  CAST(c.c_nationkey AS BIGINT) AS nat, nb.n_buckets_read
         |FROM cust c JOIN pres ON c.c_custkey = pres.k CROSS JOIN nb""".stripMargin,
+    // both pruning counts replayed from the two bucketing policies'
+    // recomputed zone maps; rows from the plain range filter
+    "store_recluster" ->
+      """WITH days AS (SELECT o_orderstatus, o_totalprice,
+        |  o_orderkey % 16 AS bh,
+        |  CAST((datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) // 160) % 16 AS INT) AS bs,
+        |  datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS order_day
+        |  FROM orders),
+        |bounds AS (SELECT
+        |  datediff('day', DATE '1970-01-01', DATE '1996-01-01') AS lo,
+        |  datediff('day', DATE '1970-01-01', DATE '1996-06-30') AS hi),
+        |zmb AS (SELECT bh, min(order_day) AS mn, max(order_day) AS mx
+        |  FROM days GROUP BY 1),
+        |nb AS (SELECT count(*) AS n FROM zmb CROSS JOIN bounds
+        |  WHERE mx >= lo AND mn <= hi),
+        |zma AS (SELECT bs, min(order_day) AS mn, max(order_day) AS mx
+        |  FROM days GROUP BY 1),
+        |na AS (SELECT count(*) AS n FROM zma CROSS JOIN bounds
+        |  WHERE mx >= lo AND mn <= hi)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_price_e4,
+        |  CAST((SELECT n FROM nb) AS INT) AS n_buckets_before,
+        |  CAST((SELECT n FROM na) AS INT) AS n_buckets_after
+        |FROM days CROSS JOIN bounds
+        |WHERE order_day BETWEEN lo AND hi
+        |GROUP BY 1""".stripMargin,
     "q_zonemap_prune" ->
       """WITH days AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
         |  CAST((datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) // 160) % 16 AS INT) AS bucket,

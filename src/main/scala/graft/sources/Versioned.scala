@@ -474,6 +474,28 @@ object Versioned {
     multi
   }
 
+  /** Commit version `v` as a FULL REWRITE under a (possibly new) bucket
+    * assignment — the re-clustering maintenance op (OPTIMIZE ZORDER's
+    * bucket-grain analogue): the caller passes the table with its bucket
+    * column RECOMPUTED under the new clustering policy (e.g. date stripes
+    * replacing key hash), and every bucket materializes fresh under
+    * version `v`. Unlike the O(delta) commits this is deliberately
+    * O(table) — clustering IS a rewrite; what the version chain buys is
+    * doing it ONLINE: readers pinned to v-1 keep serving the old layout
+    * mid-rewrite, the manifest swap is atomic, and [[vacuum]] reclaims
+    * the old files later. One distributed pass, hash-repartitioned on
+    * the bucket column (each bucket lands one task → one file — the
+    * rewrite compacts as a side effect); pair with [[writeStats]] so the
+    * new layout's zone maps exist the moment it serves. */
+  def commitRewrite(df: DataFrame, dir: String, v: Int,
+                    bucketCol: String, nBuckets: Int): Unit = {
+    require(v > 1, s"commitRewrite is for versions after the base, got $v")
+    df.repartition(col(bucketCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(bucketCol)
+      .parquet(s"$dir/data/v$v")
+    writeManifest(dir, v, (0 until nBuckets).map(_ -> v))
+  }
+
   /** Parquet files in one bucket's directory of one version (the
     * fragmentation metric [[commitCompact]] keys on). */
   def parquetFileCount(dir: String, ver: Int, bucket: Int): Int = {

@@ -354,6 +354,33 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.readManifest(dir, 3) == mf2)
   }
 
+  test("recluster rewrite: same rows under new buckets, one file each, old layout still travels") {
+    val dir = tmp()
+    val base = (0L until 96L).map(k => (k, s"p$k", (k % 4).toInt))
+      .toDF("k", "payload", "bucket")
+    Versioned.commitBase(base.repartition(4), dir, "bucket", 4)
+    val before = Versioned.readVersion(spark, dir, 1)
+      .select("k", "payload").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    // recluster: key-hash buckets → contiguous key-range stripes
+    val reclustered = Versioned.readVersion(spark, dir, 1)
+      .withColumn("bucket", expr("cast(k div 24 as int)"))
+    Versioned.commitRewrite(reclustered, dir, 2, "bucket", 4)
+
+    val after = Versioned.readVersion(spark, dir, 2)
+      .select("k", "payload").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after == before, "reclustering must not change the rows")
+    // the new clustering is real: bucket 0 holds exactly keys [0, 24)
+    val b0 = Versioned.readVersion(spark, dir, 2)
+      .where(col("bucket") === 0).select("k")
+      .collect().map(_.getLong(0)).toSet
+    assert(b0 == (0L until 24L).toSet)
+    // rewrite compacts as a side effect: one file per new bucket
+    (0 until 4).foreach(b => assert(Versioned.parquetFileCount(dir, 2, b) == 1))
+    // old layout intact for pinned readers
+    assert(Versioned.readVersion(spark, dir, 1).count() == 96)
+  }
+
   test("incremental bloom index equals a full rebuild byte for byte; untouched entries copied") {
     val dir = tmp()
     val base = (0L until 200L).map(k => (k, s"p$k", (k % 8).toInt))
