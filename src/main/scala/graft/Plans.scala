@@ -114,7 +114,9 @@ object Plans {
     "q_mv_rewrite", "q_mv_rewrite_coarse",
     // round-12 addition: online re-clustering with hash-gated
     // before/after pruning evidence
-    "store_recluster")
+    "store_recluster",
+    // round-12 addition: AS OF TIMESTAMP travel on the commit log
+    "store_asof_ts")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -704,9 +704,33 @@ object SourceQueries {
       .withColumn("n_buckets_after", lit(readAfter.size))
   }
 
+  /** `AS OF TIMESTAMP` time travel ([[graft.sources.Versioned.versionAsOf]])
+    * — the other half of the travel surface beside `q_time_travel`'s
+    * by-version read, and the form humans actually use ("the table as of
+    * yesterday 14:30"): each commit of the shared three-version store gets
+    * a recorded commit time (logical µs — deterministic staging; a real
+    * writer stamps wall clock), and a query AS OF a point BETWEEN v2 and
+    * v3 must resolve to v2 — the latest commit ≤ the asked time, never a
+    * later state. The gate serves the resolved snapshot (upserts applied,
+    * v3's deletes NOT visible) plus the resolved version number; the
+    * oracle recomputes the v2 state relationally. Monotone commit times
+    * are enforced at write ([[graft.sources.Versioned.writeCommitTime]]);
+    * asking before the first commit fails loudly. */
+  def qStoreAsofTs(s: SparkSession, dir: String): DataFrame = {
+    val layout = storeChangesLayout(s, dir)
+    (1 to 3).foreach(v =>
+      graft.sources.Versioned.writeCommitTime(layout, v, v * 1000000L))
+    val v = graft.sources.Versioned.versionAsOf(layout, 2500000L)
+    graft.sources.Versioned.readVersion(s, layout, v)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("price_e4"))
+      .withColumn("version_resolved", lit(v))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "store_changes" -> qStoreChanges _,
     "store_recluster" -> qStoreRecluster _,
+    "store_asof_ts" -> qStoreAsofTs _,
     "store_changes_stream" -> qStoreChangesStream _,
     "store_compact" -> qStoreCompact _,
     "store_bloom_skip" -> qStoreBloomSkip _,
@@ -851,6 +875,22 @@ object SourceQueries {
         |SELECT c.c_custkey AS key, c.c_name AS name,
         |  CAST(c.c_nationkey AS BIGINT) AS nat, nb.n_buckets_read
         |FROM cust c JOIN pres ON c.c_custkey = pres.k CROSS JOIN nb""".stripMargin,
+    // the v2 snapshot recomputed relationally: upserts applied, v3's
+    // deletes invisible, resolved version pinned to 2
+    "store_asof_ts" ->
+      """WITH b0 AS (SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS price_e4
+        |  FROM orders),
+        |k0 AS (SELECT ((max(k) // 16) + 1) * 16 AS v FROM b0),
+        |ins AS (SELECT k + (SELECT v FROM k0) AS k, o_custkey, o_orderstatus,
+        |    price_e4 + 7 AS price_e4 FROM b0 WHERE k % 16 = 5),
+        |upd AS (SELECT k, o_custkey, o_orderstatus, price_e4 * 2 AS price_e4
+        |  FROM b0 WHERE k % 16 = 3 AND (k // 16) % 2 = 0)
+        |SELECT k AS o_orderkey, o_custkey, o_orderstatus, price_e4,
+        |  2 AS version_resolved
+        |FROM (SELECT * FROM b0 WHERE k NOT IN (SELECT k FROM upd)
+        |      UNION ALL SELECT * FROM upd
+        |      UNION ALL SELECT * FROM ins)""".stripMargin,
     // both pruning counts replayed from the two bucketing policies'
     // recomputed zone maps; rows from the plain range filter
     "store_recluster" ->

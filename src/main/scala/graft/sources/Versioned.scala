@@ -552,6 +552,44 @@ object Versioned {
       touched)
   }
 
+  private def timePath(dir: String, v: Int) =
+    java.nio.file.Paths.get(dir, "manifests", s"v$v.time")
+
+  /** Record version `v`'s commit timestamp (epoch µs) beside its manifest
+    * — the metadata that powers `AS OF TIMESTAMP` travel. Times must be
+    * non-decreasing in version (a commit log is append-only in time);
+    * enforced against the previous version's recorded time. */
+  def writeCommitTime(dir: String, v: Int, tsUs: Long): Unit = {
+    require(hasVersion(dir, v), s"version $v has no manifest to timestamp")
+    if (v > 1 && java.nio.file.Files.exists(timePath(dir, v - 1))) {
+      val prev = new String(java.nio.file.Files.readAllBytes(
+        timePath(dir, v - 1)), "UTF-8").trim.toLong
+      require(tsUs >= prev,
+        s"commit time $tsUs for v$v precedes v${v - 1}'s $prev")
+    }
+    java.nio.file.Files.write(timePath(dir, v), tsUs.toString.getBytes("UTF-8"))
+  }
+
+  /** `AS OF TIMESTAMP` resolution: the LATEST version whose commit time
+    * is ≤ `tsUs` — exactly the production table formats' rule (a reader
+    * asking for 14:30 gets the table as the 14:25 commit left it, never
+    * a later state). Fails loudly before the first commit: there is no
+    * table to serve. */
+  def versionAsOf(dir: String, tsUs: Long): Int = {
+    val d = timePath(dir, 1).getParent.toFile
+    val timed = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".time"))
+      .map { f =>
+        val v = f.getName.stripPrefix("v").stripSuffix(".time").toInt
+        val t = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong
+        (v, t)
+      }
+    val eligible = timed.filter(_._2 <= tsUs)
+    require(eligible.nonEmpty,
+      s"AS OF $tsUs precedes the first commit (earliest: ${timed.map(_._2).sorted.headOption})")
+    eligible.maxBy(_._1)._1
+  }
+
   /** True iff version `v` has been committed (its manifest exists) — the
     * idempotence guard a streaming CDC applier keys on its deterministic
     * batch id (the Delta txn-app-id discipline): a foreachBatch re-run

@@ -354,6 +354,25 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.readManifest(dir, 3) == mf2)
   }
 
+  test("AS OF TIMESTAMP resolves to the latest commit at-or-before; edges fail loudly") {
+    val dir = tmp()
+    val base = (0L until 8L).map(k => (k, s"p$k", (k % 2).toInt))
+      .toDF("k", "payload", "bucket")
+    Versioned.commitBase(base, dir, "bucket", 2)
+    Versioned.commitUpsert(spark, Seq((1L, "u1", 1)).toDF("k", "payload", "bucket"),
+      dir, 2, "k", "bucket")
+    Versioned.writeCommitTime(dir, 1, 1000L)
+    Versioned.writeCommitTime(dir, 2, 2000L)
+    assert(Versioned.versionAsOf(dir, 1500L) == 1, "between commits → earlier")
+    assert(Versioned.versionAsOf(dir, 2000L) == 2, "exact boundary → that commit")
+    assert(Versioned.versionAsOf(dir, 99999L) == 2, "after last → latest")
+    intercept[IllegalArgumentException] { Versioned.versionAsOf(dir, 999L) }
+    // commit times are append-only in time
+    Versioned.commitUpsert(spark, Seq((2L, "u2", 0)).toDF("k", "payload", "bucket"),
+      dir, 3, "k", "bucket")
+    intercept[IllegalArgumentException] { Versioned.writeCommitTime(dir, 3, 1500L) }
+  }
+
   test("recluster rewrite: same rows under new buckets, one file each, old layout still travels") {
     val dir = tmp()
     val base = (0L until 96L).map(k => (k, s"p$k", (k % 4).toInt))
