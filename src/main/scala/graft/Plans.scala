@@ -116,7 +116,9 @@ object Plans {
     // before/after pruning evidence
     "store_recluster",
     // round-12 addition: AS OF TIMESTAMP travel on the commit log
-    "store_asof_ts")
+    "store_asof_ts",
+    // round-12 addition: gated stream-stream interval join
+    "events_join_stream")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

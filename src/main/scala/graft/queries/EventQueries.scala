@@ -225,6 +225,61 @@ object EventQueries {
         max(col("view_us")).as("last_view_us"))
   }
 
+  /** STREAM-STREAM interval join UNDER THE GATE (StreamStreamJoinSpec
+    * proves the semantics on MemoryStreams; this entry runs the real
+    * two-file-stream shape and hash-gates the drained pairs): views and
+    * clicks flow as two independent watermarked streams, joined per user
+    * with the click bounded to [view, view+30min] — the attribution-join
+    * shape. The event-time bound plus both watermarks is what lets Spark
+    * SIZE AND EVICT the join state (a view is dropped once the combined
+    * watermark passes its match window — state is horizon-bounded, the
+    * production-viability condition for stream-stream joins); ordered
+    * year-slice staging keeps every row on-time on its own stream, so
+    * the inner join's append output over all batches equals the batch
+    * interval join and the oracle is plain SQL. */
+  def joinStreamed(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    val root = StreamScratch.fresh("ssjoin")
+    val (inV, inC, outDir, ckpt) =
+      (s"$root/inv", s"$root/inc", s"$root/out", s"$root/ckpt")
+    fork.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    fork.conf.set("spark.sql.session.timeZone", "UTC")
+    val raw = fork.read.parquet(s"$dir/events.parquet")
+    val evDf = raw.withColumn("ts_us", EventTs.tsUs(raw))
+      .withColumn("slice", expr("ts_us DIV 31536000000000"))
+    val slices = evDf.select(col("slice")).distinct().orderBy(col("slice"))
+      .collect().map(_.getLong(0)) // span/year-sized
+    def stage(inDir: String, eventType: String): Unit =
+      StreamScratch.stageOrdered(inDir, slices.toSeq.map(sl =>
+        evDf.where(col("slice") === sl && col("event_type") === eventType)
+          .select(col("event_id"), col("ts_us"), col("user_id"))))
+    stage(inV, "view"); stage(inC, "click")
+    def side(inDir: String): DataFrame = fork.readStream
+      .schema("event_id LONG, ts_us LONG, user_id LONG")
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val vs = side(inV)
+      .withColumn("view_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("view_ts", "10 minutes")
+      .select(col("event_id").as("view_id"), col("view_ts"), col("user_id"))
+    val cs = side(inC)
+      .withColumn("click_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("click_ts", "10 minutes")
+      .select(col("event_id").as("click_id"), col("click_ts"),
+        col("user_id").as("c_user_id"))
+    val q = vs.join(cs, expr(
+        """user_id = c_user_id AND
+          |click_ts >= view_ts AND
+          |click_ts <= view_ts + interval 30 minutes""".stripMargin))
+      .select(col("user_id"), col("view_id"), col("click_id"))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    fork.read.parquet(outDir)
+      .select(col("user_id"), col("view_id"), col("click_id"))
+  }
+
   /** Point-in-interval range join through the binning rewrite
     * ([[graft.operators.RangeJoin]]): event values land in overlapping value
     * bands (21 literal ranges, [5k, 5k+12)) via a bin equi-join instead of
@@ -435,6 +490,7 @@ object EventQueries {
     "events_pattern" -> pattern _,
     "events_pattern_stream" -> patternStreamed _,
     "events_anomaly" -> anomaly _,
+    "events_join_stream" -> joinStreamed _,
     "events_retention" -> retention _,
     "events_range_join" -> rangeJoin _,
   )
@@ -576,6 +632,15 @@ object EventQueries {
     // the streamed state machine drains to exactly the batch rewrite's
     // match set, so the oracle is shared verbatim
     "events_pattern_stream" -> patternOracle,
+    // the batch interval join the two-stream append output must equal
+    "events_join_stream" ->
+      """WITH v AS (SELECT event_id AS view_id, epoch_us(ts) AS vt, user_id
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (SELECT event_id AS click_id, epoch_us(ts) AS ct, user_id
+        |  FROM events WHERE event_type = 'click')
+        |SELECT v.user_id, view_id, click_id
+        |FROM v JOIN c ON v.user_id = c.user_id
+        |  AND ct >= vt AND ct <= vt + 30 * 60 * 1000000""".stripMargin,
     // identical trailing ROWS frame; the 3-sigma test is a pure bigint
     // inequality so no float can cross the gate
     "events_anomaly" ->
