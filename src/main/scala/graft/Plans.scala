@@ -118,7 +118,10 @@ object Plans {
     // round-12 addition: AS OF TIMESTAMP travel on the commit log
     "store_asof_ts",
     // round-12 addition: gated stream-stream interval join
-    "events_join_stream")
+    "events_join_stream",
+    // round-12 addition: one-pass normal-equations OLS, float solve
+    // hash-gated via verbatim-shared formula strings
+    "ml_linreg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

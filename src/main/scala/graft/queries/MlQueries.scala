@@ -589,7 +589,61 @@ object MlQueries {
         max(abs(col("w"))).as("max_abs_w"))
   }
 
+  // ---- distributed OLS via normal equations (ml_linreg) ----
+  // The formula STRINGS are shared verbatim between the Spark selectExpr
+  // chain and the DuckDB oracle: identical expression trees over identical
+  // inputs make the IEEE double arithmetic bit-identical, which is what
+  // lets closed-form floating-point coefficients sit under the hash gate.
+  private val LinRegDoubles =
+    "cast(n as double) as dn, cast(sx1 as double) as d1, " +
+      "cast(sx2 as double) as d2, cast(sx11 as double) as d11, " +
+      "cast(sx12 as double) as d12, cast(sx22 as double) as d22, " +
+      "cast(sy as double) as dy, cast(sx1y as double) as d1y, " +
+      "cast(sx2y as double) as d2y, cast(syy as double) as dyy"
+  private val LinRegDets = Seq(
+    "dn*(d11*d22 - d12*d12) - d1*(d1*d22 - d12*d2) + d2*(d1*d12 - d11*d2) as det",
+    "dy*(d11*d22 - d12*d12) - d1*(d1y*d22 - d12*d2y) + d2*(d1y*d12 - d11*d2y) as det0",
+    "dn*(d1y*d22 - d12*d2y) - dy*(d1*d22 - d12*d2) + d2*(d1*d2y - d1y*d2) as det1",
+    "dn*(d11*d2y - d1y*d12) - d1*(d1*d2y - d1y*d2) + dy*(d1*d12 - d11*d2) as det2")
+  private val LinRegBetas = Seq(
+    "det0/det as beta0", "det1/det as beta1", "det2/det as beta2")
+  private val LinRegR2 =
+    "1.0 - (dyy - ((det0/det)*dy + (det1/det)*d1y + (det2/det)*d2y)) / (dyy - dy*dy/dn) as r2"
+
+  /** Distributed ORDINARY LEAST SQUARES — the regression member of the
+    * fit family (k-means, SOM, NB, BPE, PQ are the others): predict an
+    * order's revenue (whole dollars, exact floor of per-item integer
+    * cents — never a float sum) from its lineitem count and summed
+    * quantity. The 100 TB shape is normal equations: ONE
+    * partial-combining aggregate collects the ten exact-integer moments
+    * (Σx, Σxx', Σxy, Σy² — bigint throughout, no float
+    * order-dependence), and the 3×3 solve is closed-form Cramer on the
+    * driver-sized moment row. Coefficients and R² are IEEE doubles
+    * computed by formula strings SHARED verbatim with the oracle, so
+    * even the floating-point solve is hash-gated bit-for-bit. One fact
+    * scan; the model never sees the data twice (R² comes from the same
+    * moments — measured ≈0.9: quantity genuinely prices an order). */
+  def mlLinReg(s: SparkSession, dir: String): DataFrame = {
+    val feat = s.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("x1"),
+        expr("cast(sum(l_quantity) as bigint)").as("x2"),
+        expr("sum(cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)) DIV 100")
+          .as("y"))
+    feat.agg(count(lit(1)).as("n"),
+        sum(col("x1")).as("sx1"), sum(col("x2")).as("sx2"),
+        sum(expr("x1 * x1")).as("sx11"), sum(expr("x1 * x2")).as("sx12"),
+        sum(expr("x2 * x2")).as("sx22"),
+        sum(col("y")).as("sy"),
+        sum(expr("x1 * y")).as("sx1y"), sum(expr("x2 * y")).as("sx2y"),
+        sum(expr("y * y")).as("syy"))
+      .selectExpr(Seq("n") ++ LinRegDoubles.split(", "): _*)
+      .selectExpr(Seq("*") ++ LinRegDets: _*)
+      .selectExpr(Seq("n") ++ LinRegBetas ++ Seq(LinRegR2): _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_linreg" -> mlLinReg _,
     "ml_feature_hash" -> mlFeatureHash _,
     "som_fit_predict" -> somFitPredict _,
     "som_fit5" -> somFit5 _,
@@ -609,6 +663,21 @@ object MlQueries {
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ", ", ")")
 
   val oracleSql: Map[String, String] = Map(
+    // the identical moment aggregate and the VERBATIM-shared Cramer/R²
+    // formula strings — the float solve is bit-identical by construction
+    "ml_linreg" ->
+      s"""WITH feat AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS x1,
+        |         CAST(sum(l_quantity) AS BIGINT) AS x2,
+        |         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) // 100 AS y
+        |  FROM lineitem GROUP BY l_orderkey),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  sum(x1) AS sx1, sum(x2) AS sx2, sum(x1*x1) AS sx11,
+        |  sum(x1*x2) AS sx12, sum(x2*x2) AS sx22, sum(y) AS sy,
+        |  sum(x1*y) AS sx1y, sum(x2*y) AS sx2y, sum(y*y) AS syy FROM feat),
+        |d AS (SELECT n, $LinRegDoubles FROM m),
+        |dd AS (SELECT *, ${LinRegDets.mkString(", ")} FROM d)
+        |SELECT n, ${LinRegBetas.mkString(", ")}, $LinRegR2 FROM dd""".stripMargin,
     // both hash lanes replayed on the portable md5 kernel; sign mapping
     // h%2=0 → −1 mirrors Spark's `% 2 * 2 - 1`; zero-cancelled entries
     // dropped BEFORE the profile (the sparse-representation contract)
