@@ -121,7 +121,10 @@ object Plans {
     "events_join_stream",
     // round-12 addition: one-pass normal-equations OLS, float solve
     // hash-gated via verbatim-shared formula strings
-    "ml_linreg")
+    "ml_linreg",
+    // round-12 addition: streaming MV maintenance via idempotent
+    // partial-rollup appends
+    "mv_refresh_stream")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
