@@ -124,7 +124,9 @@ object Plans {
     "ml_linreg",
     // round-12 addition: streaming MV maintenance via idempotent
     // partial-rollup appends
-    "mv_refresh_stream")
+    "mv_refresh_stream",
+    // round-12 addition: positional phrase search over in-scan bigrams
+    "text_phrase_search")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

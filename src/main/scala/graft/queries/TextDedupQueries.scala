@@ -583,6 +583,40 @@ object TextDedupQueries {
     * Build cost at scale: one (term, doc) shuffle for tf, one
     * (term, block) shuffle whose groups are ≤ block width, then a
     * vocabulary-sized rollup. Nothing is ever corpus-sized in one task. */
+  /** Result cut for [[textPhraseSearch]]. */
+  val PhraseTopK = 50
+
+  /** PHRASE SEARCH — the positional half of the search-engine story
+    * ([[textInvertedIndex]] is the term half; real engines pair postings
+    * with positions exactly so multi-word queries stay index-serviceable):
+    * adjacent-bigram occurrences are the positional index here, the query
+    * phrase is the corpus's most frequent bigram (count desc, lexicographic
+    * tiebreak — a deterministic, corpus-derived query, no magic literal),
+    * and the serve is occurrences-per-document top-[[PhraseTopK]] on the
+    * (count, doc_id) total order. Bigrams build in-scan from the token
+    * array (1-based `element_at` mirroring DuckDB's 1-based list index —
+    * no window, no self-join on positions); the query side is a 1-row
+    * broadcast. At 100 TB: one scan + one count shuffle to pick the
+    * query, one scan + one per-doc count for the serve, global top-k via
+    * TakeOrderedAndProject. */
+  def textPhraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val toks = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        graft.functions.TextKernels.spaceTokens(col("text")).as("t"))
+      .where(size(col("t")) >= 2) // Spark sequence(1,0) would DESCEND
+    val big = toks.select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(t) - 1), " +
+        "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("bigram"))
+    val query = big.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram")).limit(1)
+      .select(col("bigram").as("phrase"))
+    big.join(broadcast(query), col("bigram") === col("phrase"))
+      .groupBy(col("phrase"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("doc_id"))
+      .limit(PhraseTopK)
+  }
+
   def textInvertedIndex(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorSql.md5Hash60
     val tf = docs(s, dir)
@@ -1138,6 +1172,7 @@ object TextDedupQueries {
     "bpe_vocab" -> bpeVocab _,
     "text_bm25_topk" -> textBm25Topk _,
     "text_inverted_index" -> textInvertedIndex _,
+    "text_phrase_search" -> textPhraseSearch _,
     "text_tfidf_topk" -> textTfidfTopk _,
     "text_simhash" -> textSimhash _,
     "dedup_exact" -> dedupExact _,
@@ -1850,6 +1885,20 @@ object TextDedupQueries {
     // expression shapes copied operator-for-operator from the Spark side
     // delta replayed as lag() defaulting to the block base; hashes chain
     // per-block delta streams in block order — the same strings Spark builds
+    // identical bigram extraction (1-based list indexing both sides), the
+    // same deterministic query pick, the same (count, doc_id) top-k cut
+    "text_phrase_search" ->
+      s"""WITH $toksCte,
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+         |    i -> t[i] || ' ' || t[i + 1])) AS bigram
+         |  FROM toks WHERE len(t) >= 2),
+         |q AS (SELECT bigram FROM bg GROUP BY 1
+         |  ORDER BY count(*) DESC, bigram LIMIT 1)
+         |SELECT (SELECT bigram FROM q) AS phrase, doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_occurrences
+         |FROM bg WHERE bigram = (SELECT bigram FROM q)
+         |GROUP BY 2
+         |ORDER BY n_occurrences DESC, doc_id LIMIT $PhraseTopK""".stripMargin,
     "text_inverted_index" ->
       s"""WITH $toksCte,
          |tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM
