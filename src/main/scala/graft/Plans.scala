@@ -126,7 +126,10 @@ object Plans {
     // partial-rollup appends
     "mv_refresh_stream",
     // round-12 addition: positional phrase search over in-scan bigrams
-    "text_phrase_search")
+    "text_phrase_search",
+    // round-12 addition: margin-criterion alignment mining over the
+    // query-side-broadcast cosine matrix
+    "bitext_mine")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

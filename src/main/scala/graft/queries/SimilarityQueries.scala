@@ -126,6 +126,59 @@ object SimilarityQueries {
   /** Exact top-k through the custom per-key heap operator (strategy injected
     * on a [[Scoped]] fork): candidates prune to k per (probe, partition)
     * before the exchange; only the survivors pay the rank window. */
+  /** Query-side size and neighborhood depth for [[bitextMine]]. */
+  val BtQueryN = 32
+  val BtK = 4
+
+  /** MARGIN-SCORED ALIGNMENT MINING — the parallel-corpus-mining shape
+    * (Artetxe & Schwenk's margin criterion, the CCMatrix recipe): find,
+    * for each query vector of sub-corpus A (label 0), its best candidate
+    * in sub-corpus B (label 1) scored not by raw cosine but by cosine
+    * RELATIVE to both endpoints' neighborhoods — margin(x,y) =
+    * cos(x,y) / ((avg top-k cos of x into B + avg top-k cos of y into A)/2)
+    * — which suppresses hubs (a vector close to everything scores no
+    * margin anywhere). Both neighborhoods fall out of the ONE query×B
+    * cosine matrix (rows give x's top-k, columns give y's top-k into the
+    * query set); cosines land as exact floor-e9 integers (the codegen
+    * dot's IEEE fold is bit-identical to DuckDB's list_sum), top-k sums
+    * are exact bigints, and the margin is one double division of exact
+    * integers — bit-identical again — so mined pairs, their cosines, and
+    * their margins all hash-gate. Kept: each query's best-margin
+    * candidate with margin > 1.05 and positive cosine. At 100 TB the
+    * query side is a broadcast batch and B streams through one scan —
+    * the IVF/PQ serving tiers this library already proves would replace
+    * the brute matrix per batch. */
+  def bitextMine(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorSql.{dotFast, norm2Fast}
+    import org.apache.spark.sql.expressions.Window
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"))
+    val xs = emb.where(col("label") === 0).orderBy(col("vec_id")).limit(BtQueryN)
+      .select(col("vec_id").as("x_id"), col("v").as("x"))
+    val ys = emb.where(col("label") === 1)
+      .select(col("vec_id").as("y_id"), col("v").as("y"))
+    val pairs = ys.crossJoin(broadcast(xs))
+      .select(col("x_id"), col("y_id"),
+        floor(dotFast(col("y"), col("x"))
+          / (norm2Fast(col("y")) * norm2Fast(col("x"))) * lit(1000000000.0))
+          .cast("bigint").as("c"))
+    val wRow = Window.partitionBy(col("x_id")).orderBy(col("c").desc, col("y_id"))
+    val sr = pairs.withColumn("rn", row_number().over(wRow))
+      .where(col("rn") <= BtK).groupBy(col("x_id")).agg(sum(col("c")).as("sr"))
+    val wCol = Window.partitionBy(col("y_id")).orderBy(col("c").desc, col("x_id"))
+    val sc = pairs.withColumn("rn", row_number().over(wCol))
+      .where(col("rn") <= BtK).groupBy(col("y_id")).agg(sum(col("c")).as("sc"))
+    val scored = pairs.join(sr, "x_id").join(sc, "y_id")
+      .withColumn("margin",
+        (lit(8.0) * col("c").cast("double")) / (col("sr") + col("sc")).cast("double"))
+    val wBest = Window.partitionBy(col("x_id")).orderBy(col("margin").desc, col("y_id"))
+    scored.withColumn("rn", row_number().over(wBest)).where(col("rn") === 1)
+      .where(col("c") > 0 && col("margin") > lit(1.05))
+      .select(col("x_id"), col("y_id"), col("c").as("cos_e9"),
+        floor(col("margin") * lit(1000000.0)).cast("bigint").as("margin_e6"))
+  }
+
   def annBrute(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
     fork.experimental.extraStrategies =
       fork.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
@@ -1538,6 +1591,7 @@ object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute" -> annBrute _,
+    "bitext_mine" -> bitextMine _,
     "ann_hamming" -> annHamming _,
     "ann_filtered" -> annFiltered _,
     "ann_int8" -> annInt8 _,
@@ -2149,6 +2203,35 @@ object SimilarityQueries {
          |WHERE rank <= $RrfOutK""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // the one query×B cosine matrix replayed: floor-e9 cosines, exact
+    // top-k sums both directions, one double division for the margin
+    "bitext_mine" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+         |  FROM embeddings),
+         |xs AS (SELECT vec_id AS x_id, v AS x FROM
+         |  (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn
+         |   FROM e WHERE label = 0) WHERE rn <= $BtQueryN),
+         |ys AS (SELECT vec_id AS y_id, v AS y FROM e WHERE label = 1),
+         |p AS (SELECT x_id, y_id, CAST(floor(${dotE("y", "x")}
+         |    / (sqrt(${dotE("y", "y")}) * sqrt(${dotE("x", "x")}))
+         |    * 1000000000.0) AS BIGINT) AS c
+         |  FROM ys CROSS JOIN xs),
+         |sr AS (SELECT x_id, CAST(sum(c) AS BIGINT) AS sr FROM
+         |  (SELECT x_id, c, row_number() OVER
+         |    (PARTITION BY x_id ORDER BY c DESC, y_id) AS rn FROM p)
+         |  WHERE rn <= $BtK GROUP BY 1),
+         |sc AS (SELECT y_id, CAST(sum(c) AS BIGINT) AS sc FROM
+         |  (SELECT y_id, c, row_number() OVER
+         |    (PARTITION BY y_id ORDER BY c DESC, x_id) AS rn FROM p)
+         |  WHERE rn <= $BtK GROUP BY 1),
+         |m AS (SELECT p.x_id, p.y_id, c,
+         |  (8.0 * CAST(c AS DOUBLE)) / CAST(sr + sc AS DOUBLE) AS margin
+         |  FROM p JOIN sr USING (x_id) JOIN sc USING (y_id)),
+         |b AS (SELECT *, row_number() OVER
+         |  (PARTITION BY x_id ORDER BY margin DESC, y_id) AS rn FROM m)
+         |SELECT x_id, y_id, c AS cos_e9,
+         |  CAST(floor(margin * 1000000.0) AS BIGINT) AS margin_e6
+         |FROM b WHERE rn = 1 AND c > 0 AND margin > 1.05""".stripMargin,
     "ann_brute" ->
       s"""WITH $base,
          |d AS (SELECT probe_id, vec_id, ${cosE("v", "p")} AS cos
