@@ -129,7 +129,9 @@ object Plans {
     "text_phrase_search",
     // round-12 addition: margin-criterion alignment mining over the
     // query-side-broadcast cosine matrix
-    "bitext_mine")
+    "bitext_mine",
+    // round-12 addition: value-based RANGE window frame
+    "q_range_frame")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

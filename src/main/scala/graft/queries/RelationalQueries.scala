@@ -330,6 +330,27 @@ object RelationalQueries {
         expr("cast(sum(rev) * 10000 as bigint)").as("revenue_e4"))
   }
 
+  /** RANGE-frame window — the VALUE-based frame beside the catalog's ROWS
+    * frames, and semantically different exactly where it matters: a
+    * customer's trailing-7-day spend must include every order in the day
+    * window regardless of how many rows share a day (a ROWS frame would
+    * cut same-day ties arbitrarily; RANGE frames are tie-complete by
+    * definition, which also makes them deterministic WITHOUT a unique
+    * tie-break column). Day offsets and money stay exact integers. One
+    * window sort per customer partition. */
+  def qRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("order_day"))
+      .rangeBetween(-6, 0)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("order_day"),
+        expr("cast(cast(o_totalprice as decimal(18,4)) * 10000 as bigint)")
+          .as("price_e4"))
+      .withColumn("spend_7d_e4", sum(col("price_e4")).over(w))
+      .withColumn("n_7d", count(lit(1)).over(w))
+  }
+
   /** Rollup: subtotals + grand total over two grouping columns. */
   def qRollup(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -624,6 +645,7 @@ object RelationalQueries {
     "q_incr_rollup" -> qIncrRollup _,
     "q_mv_rewrite" -> qMvRewrite _,
     "mv_refresh_stream" -> mvRefreshStream _,
+    "q_range_frame" -> qRangeFrame _,
     "q_mv_rewrite_coarse" -> qMvRewriteCoarse _,
     "priv_k_anon" -> qPrivKAnon _,
     "priv_l_diversity" -> qPrivLDiversity _,
@@ -818,6 +840,18 @@ object RelationalQueries {
         | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) * 10000
         |   AS BIGINT) AS revenue_e4
         |FROM lineitem GROUP BY 1""".stripMargin,
+    // identical integer RANGE frame; sums CAST from DuckDB's hugeint
+    "q_range_frame" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |  datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS order_day,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS price_e4
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, order_day, price_e4,
+        |  CAST(sum(price_e4) OVER w AS BIGINT) AS spend_7d_e4,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_7d
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY order_day
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS sum_qty
