@@ -131,7 +131,9 @@ object Plans {
     // query-side-broadcast cosine matrix
     "bitext_mine",
     // round-12 addition: value-based RANGE window frame
-    "q_range_frame")
+    "q_range_frame",
+    // round-12 addition: KMV as a custom TypedImperativeAggregate
+    "q_kmv_agg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

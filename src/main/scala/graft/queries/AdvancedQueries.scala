@@ -89,6 +89,34 @@ object AdvancedQueries {
           .cast("bigint").as("kmv_distinct"))
   }
 
+  /** KMV through a NATIVE Catalyst aggregate function
+    * ([[graft.functions.KmvAgg]], a TypedImperativeAggregate): the same
+    * per-flag distinct estimate as `q_approx_distinct_kmv`, but computed
+    * by Spark's own partial-aggregation protocol — map-side sketch
+    * updates per partition, k·8-byte serialized buffers across the
+    * exchange, reduce-side merges — instead of the distinct + per-key
+    * heap dataflow. Same estimate formula on top, SAME ORACLE VERBATIM:
+    * two entirely different execution strategies, one replayed answer.
+    * The function is what a library user would actually call
+    * (`agg(kmv(col))`), and its shuffle payload is the sketch, never the
+    * hash set — at 100 TB the exchange carries flags×k longs. KmvAggSpec
+    * pins partitioning invariance (the merge path) and duplicate
+    * idempotence. */
+  def qKmvAgg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val h = graft.functions.VectorSql.md5Hash60(col("l_partkey").cast("string"))
+    val sk = ColumnBridge.column(
+      graft.functions.KmvAgg(ColumnBridge.expression(h), KmvK)
+        .toAggregateExpression())
+    s.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(sk.as("sk"))
+      .select(col("l_returnflag"),
+        when(col("sk.nh") < KmvK, col("sk.nh").cast("double"))
+          .otherwise(floor(lit((KmvK - 1).toDouble * (1L << 60).toDouble) / col("sk.hk")))
+          .cast("bigint").as("kmv_distinct"))
+  }
+
   /** BLOOM-FILTER membership — the MEMBERSHIP member of the hash-gated
     * sketch family (cardinality/quantile/frequency/set-algebra are the
     * others), and the explicit-artifact twin of `q_runtime_filter` (there
@@ -835,6 +863,7 @@ object AdvancedQueries {
     "q_dpp_prune" -> qDppPrune _,
     "q_approx_distinct" -> qApproxDistinct _,
     "q_approx_distinct_kmv" -> qApproxDistinctKmv _,
+    "q_kmv_agg" -> qKmvAgg _,
     "q_approx_quantile" -> qApproxQuantile _,
     "q_approx_quantile_hash" -> qApproxQuantileHash _,
     "kmv_distinct_stream" -> kmvDistinctStream _,
@@ -964,6 +993,9 @@ object AdvancedQueries {
     // every step deterministic, so the ESTIMATE is hash-gated (the HLL twin
     // q_approx_distinct stays rows-only by design)
     "q_approx_distinct_kmv" -> kmvOracle,
+    // the custom TypedImperativeAggregate must land on the identical
+    // sketch — two execution strategies, one oracle
+    "q_kmv_agg" -> kmvOracle,
     // KMV's fold is commutative+idempotent+monotone: the streamed sketch's
     // final state equals the batch sketch's, so the oracle is shared verbatim
     "kmv_distinct_stream" -> kmvOracle,
