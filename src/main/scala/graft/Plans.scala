@@ -133,7 +133,10 @@ object Plans {
     // round-12 addition: value-based RANGE window frame
     "q_range_frame",
     // round-12 addition: KMV as a custom TypedImperativeAggregate
-    "q_kmv_agg")
+    "q_kmv_agg",
+    // round-12 additions: grid interpolation and the native
+    // session_window operator
+    "events_interpolate", "events_session_window")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -55,6 +55,27 @@ object EventQueries {
         round(sum(col("value")), 4).as("sum_value"))
   }
 
+  /** Sessionization through Spark's NATIVE `session_window` aggregate —
+    * the built-in operator beside [[sessionize]]'s gaps-and-islands
+    * rewrite (use the built-in where one exists; the rewrite remains for
+    * engines/dialects without it). Semantics differ at EXACTLY the gap:
+    * session_window's per-event interval is half-open [t, t+gap), so a
+    * successor at precisely t+gap starts a NEW session, where the
+    * gaps-and-islands form's `diff > gap` keeps it — the oracle splits
+    * on `>=` accordingly, and the hash gate pins the boundary contract
+    * rather than papering over it. Emits (start, last-event, count,
+    * value sum) per session; `end − gap` recovers the last event time
+    * exactly (fixed-gap sessions). */
+  def sessionWindowNative(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        (unix_micros(col("sw.end")) - lit(1800000000L)).as("last_us"),
+        col("n_events"), col("sum_value"))
+
   /** Sliding 1-hour windows every 15 minutes: each event lands in exactly 4
     * windows (slide divides width). Streaming twin:
     * `window($"ts", "1 hour", "15 minutes")`. */
@@ -144,6 +165,38 @@ object EventQueries {
       .agg(count(lit(1)).as("n_matches"),
         min(col("ts_us")).as("first_view_us"),
         max(col("ts_us")).as("last_view_us"))
+  }
+
+  /** LINEAR INTERPOLATION onto a 15-minute grid — the other resample
+    * policy beside [[resample]]'s forward-fill (ffill serves state-like
+    * signals, interpolation serves continuous measurements): for each
+    * user's consecutive event pair, every grid point in (t0, t1] gets
+    * the time-weighted value. The interpolation is EXACT integer
+    * arithmetic spelled divergence-proof: cents and microseconds are
+    * integers, and the weighted form (v0·(t1−g) + v1·(g−t0)) DIV (t1−t0)
+    * keeps the numerator NONNEGATIVE so Spark's truncating DIV and
+    * DuckDB's flooring `//` cannot disagree (the subtraction spelling
+    * v0 + (v1−v0)·α would go negative on falling signals and the two
+    * engines' integer divisions round opposite ways). One lead() window
+    * per user + an in-scan grid explode — no join, partition-parallel. */
+  def interpolate(s: SparkSession, dir: String): DataFrame = {
+    val stepUs = 15L * 60 * 1000000
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    ev(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("v"))
+      .withColumn("t1", lead(col("ts_us"), 1).over(w))
+      .withColumn("v1", lead(col("v"), 1).over(w))
+      .where(col("t1").isNotNull)
+      .withColumn("k0", expr(s"ts_us DIV $stepUs + 1"))
+      .withColumn("k1", expr(s"t1 DIV $stepUs"))
+      .where(col("k1") >= col("k0")) // Spark sequence() would DESCEND
+      .select(col("user_id"), col("ts_us"), col("t1"), col("v"), col("v1"),
+        explode(expr("sequence(k0, k1)")).as("k"))
+      .select(col("user_id"), expr(s"k * $stepUs").as("grid_us"),
+        expr(s"(v * (t1 - k * $stepUs) + v1 * (k * $stepUs - ts_us)) DIV (t1 - ts_us)")
+          .as("v_interp_e2"))
   }
 
   /** Rolling z-score anomaly detection — the metrics-monitoring classic:
@@ -485,11 +538,13 @@ object EventQueries {
     "events_hourly" -> hourly _,
     "events_sliding" -> sliding _,
     "events_sessionize" -> sessionize _,
+    "events_session_window" -> sessionWindowNative _,
     "events_props_histogram" -> propsHistogram _,
     "events_funnel" -> funnel _,
     "events_pattern" -> pattern _,
     "events_pattern_stream" -> patternStreamed _,
     "events_anomaly" -> anomaly _,
+    "events_interpolate" -> interpolate _,
     "events_join_stream" -> joinStreamed _,
     "events_retention" -> retention _,
     "events_range_join" -> rangeJoin _,
@@ -632,6 +687,36 @@ object EventQueries {
     // the streamed state machine drains to exactly the batch rewrite's
     // match set, so the oracle is shared verbatim
     "events_pattern_stream" -> patternOracle,
+    // gaps-and-islands with the HALF-OPEN split (diff >= gap starts a new
+    // session) — session_window's boundary semantics, pinned exactly
+    "events_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tu, value
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN lag(tu) OVER w IS NULL THEN 1
+        |    WHEN tu - lag(tu) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)),
+        |n AS (SELECT user_id, tu, value, sum(brk) OVER
+        |  (PARTITION BY user_id ORDER BY tu, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f)
+        |SELECT user_id, min(tu) AS start_us, max(tu) AS last_us,
+        |  CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM n GROUP BY user_id, sid""".stripMargin,
+    // identical lead pairing, identical nonnegative-numerator integer
+    // interpolation (floor == trunc there), identical grid arithmetic
+    "events_interpolate" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events),
+        |p AS (SELECT user_id, ts_us, v,
+        |  lead(ts_us) OVER w AS t1, lead(v) OVER w AS v1
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |g AS (SELECT user_id, ts_us, t1, v, v1,
+        |  unnest(range(ts_us // 900000000 + 1, t1 // 900000000 + 1)) AS k
+        |  FROM p WHERE t1 IS NOT NULL AND t1 // 900000000 >= ts_us // 900000000 + 1)
+        |SELECT user_id, k * 900000000 AS grid_us,
+        |  (v * (t1 - k * 900000000) + v1 * (k * 900000000 - ts_us))
+        |    // (t1 - ts_us) AS v_interp_e2
+        |FROM g""".stripMargin,
     // the batch interval join the two-stream append output must equal
     "events_join_stream" ->
       """WITH v AS (SELECT event_id AS view_id, epoch_us(ts) AS vt, user_id
