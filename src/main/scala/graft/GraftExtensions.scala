@@ -73,5 +73,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.BpeTokenize].getName, "bpe_tokenize"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.BpeTokenize(args(0))))
+    // custom AGGREGATE function: kmv_agg(hash_long, k) → struct(nh, hk)
+    ext.injectFunction((
+      FunctionIdentifier("kmv_agg"),
+      new ExpressionInfo(classOf[graft.functions.KmvAgg].getName, "kmv_agg"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.KmvAgg(args(0), args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(k, _) =>
+            k.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"kmv_agg k must be a literal, got $other")
+        }))) // raw AggregateFunction: the analyzer wraps it (distinct/filter)
   }
 }

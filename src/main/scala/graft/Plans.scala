@@ -136,7 +136,9 @@ object Plans {
     "q_kmv_agg",
     // round-12 additions: grid interpolation and the native
     // session_window operator
-    "events_interpolate", "events_session_window")
+    "events_interpolate", "events_session_window",
+    // round-12 addition: join strategy hints, all three plan-asserted
+    "q_join_hints")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

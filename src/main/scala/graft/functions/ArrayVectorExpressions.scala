@@ -112,5 +112,14 @@ object ArrayVectorExpressions {
         case other => throw new IllegalArgumentException(
           s"segments_n width must be a literal, got $other")
       }))
+    // the custom AGGREGATE: the registry builder returns the raw
+    // AggregateFunction and the analyzer wraps it (distinct/filter)
+    ColumnBridge.registerFunction(spark, "kmv_agg", args =>
+      KmvAgg(args(0), args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(k, _) =>
+          k.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"kmv_agg k must be a literal, got $other")
+      }))
   }
 }

@@ -330,6 +330,35 @@ object RelationalQueries {
         expr("cast(sum(rev) * 10000 as bigint)").as("revenue_e4"))
   }
 
+  /** The hinted join [[qJoinHints]] and PlanSpec share: revenue per order
+    * priority, lineitem ⋈ orders, with a caller-chosen strategy hint on
+    * the orders side ("" = no hint, Spark's own choice). */
+  def joinHinted(s: SparkSession, dir: String, hint: String): DataFrame = {
+    val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+    val hinted = if (hint.isEmpty) ord else ord.hint(hint)
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(hinted, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        expr("cast(sum(cast(l_extendedprice * (1 - l_discount) " +
+          "as decimal(18,4))) * 10000 as bigint)").as("revenue_e4"))
+  }
+
+  /** JOIN STRATEGY HINTS — the user-facing lever over Catalyst's join
+    * planning: the entry runs the SHUFFLE_HASH-hinted form (the strategy
+    * Spark would not pick here on its own — the orders side broadcasts by
+    * default at test scale, and sort-merge wins once both sides are big),
+    * and PlanSpec asserts all three hints land their physical operator
+    * (ShuffledHashJoin / SortMergeJoin / BroadcastHashJoin) on the SAME
+    * query. Hints choose the ALGORITHM, never the answer — one oracle for
+    * every strategy. The 100 TB relevance: a fact-fact join where the
+    * planner's size estimates are wrong is exactly where an explicit
+    * shuffle-hash hint (build the smaller-but-not-broadcastable side)
+    * beats both defaults. */
+  def qJoinHints(s: SparkSession, dir: String): DataFrame =
+    joinHinted(s, dir, "shuffle_hash")
+
   /** RANGE-frame window — the VALUE-based frame beside the catalog's ROWS
     * frames, and semantically different exactly where it matters: a
     * customer's trailing-7-day spend must include every order in the day
@@ -646,6 +675,7 @@ object RelationalQueries {
     "q_mv_rewrite" -> qMvRewrite _,
     "mv_refresh_stream" -> mvRefreshStream _,
     "q_range_frame" -> qRangeFrame _,
+    "q_join_hints" -> qJoinHints _,
     "q_mv_rewrite_coarse" -> qMvRewriteCoarse _,
     "priv_k_anon" -> qPrivKAnon _,
     "priv_l_diversity" -> qPrivLDiversity _,
@@ -840,6 +870,13 @@ object RelationalQueries {
         | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) * 10000
         |   AS BIGINT) AS revenue_e4
         |FROM lineitem GROUP BY 1""".stripMargin,
+    // hints choose the algorithm, never the answer — the plain join
+    "q_join_hints" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) * 10000
+        |   AS BIGINT) AS revenue_e4
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
     // identical integer RANGE frame; sums CAST from DuckDB's hugeint
     "q_range_frame" ->
       """WITH o AS (SELECT o_custkey, o_orderkey,

@@ -42,4 +42,18 @@ class GraftExtensionsSpec extends SparkSpec {
     // the fork owns the registrations — the shared session stays clean
     assert(!spark.catalog.functionExists("space_tokens"))
   }
+
+  test("kmv_agg is reachable from SQL text as a grouped aggregate") {
+    val fork = spark.newSession()
+    ArrayVectorExpressions.registerAll(fork)
+    import fork.implicits._
+    Seq(("a", 5L), ("a", 3L), ("a", 3L), ("a", 9L), ("b", 1L))
+      .toDF("g", "h").createOrReplaceTempView("kmv_in")
+    val rows = fork.sql(
+      "SELECT g, kmv_agg(h, 2).nh AS nh, kmv_agg(h, 2).hk AS hk " +
+        "FROM kmv_in GROUP BY g ORDER BY g")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    // group a: distinct {3,5,9}, k=2 keeps {3,5} → nh=2, hk=5
+    assert(rows.toSeq == Seq(("a", 2, 5L), ("b", 1, 1L)))
+  }
 }

@@ -93,6 +93,15 @@ class PlanSpec extends SparkSpec {
       s"the next-matching-event rewrite must not join:\n$p")
   }
 
+  test("q_join_hints: every strategy hint lands its physical join on the same query") {
+    assert(plan(RelationalQueries.joinHinted(spark, dir, "shuffle_hash"))
+      .contains("ShuffledHashJoin"), "shuffle_hash hint must plan a hash join")
+    assert(plan(RelationalQueries.joinHinted(spark, dir, "merge"))
+      .contains("SortMergeJoin"), "merge hint must plan a sort-merge join")
+    assert(plan(RelationalQueries.joinHinted(spark, dir, "broadcast"))
+      .contains("BroadcastHashJoin"), "broadcast hint must plan a broadcast join")
+  }
+
   test("q_mv_rewrite: the fact scan is GONE — the query serves from the MV") {
     val p = plan(RelationalQueries.qMvRewrite(spark, dir))
     assert(!p.contains("lineitem.parquet"),
