@@ -110,9 +110,26 @@ object GenScale {
       else d.withColumn("embedding", transform(rot, x => -x))
     })
     replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    // events scale by USER cardinality (event_id + user_id shift): per-user
+    // timeline length and event-time span stay constant while N grows —
+    // the scale-correct shape for per-user window/CEP/session entries
+    // (duplicating timestamps per user would deepen windows: skew, not
+    // scale). Timestamps pass through: copies are parallel user
+    // populations over the same calendar.
+    // (ts re-encoded as a proper µs TIMESTAMP: the nanosAsLong read would
+    // otherwise write plain int64 and break the oracle's epoch_us(ts))
+    replicate("events", Seq("event_id", "user_id"), (d, _) =>
+      d.withColumn("ts", graft.queries.EventTs.tsTimestamp(d)))
+    // orders scale by key shift on BOTH its own key and its customer ref;
+    // the o_orderkey span equals lineitem's l_orderkey span (same key
+    // domain), so copy i's lineitems join copy i's orders and fan-outs
+    // stay constant. (Scaled custkeys past copy 0 have no customer row —
+    // only relevant to entries joining customer, which stay on the
+    // unscaled tables.)
+    replicate("orders", Seq("o_orderkey", "o_custkey"))
     // pass the rest through unscaled so outDir is a complete sfdir (Bench
     // warms up on region; unfiltered runs must not hit missing paths)
-    Seq("region", "nation", "customer", "supplier", "part", "orders", "events")
+    Seq("region", "nation", "customer", "supplier", "part")
       .foreach { t =>
         spark.read.parquet(s"$src/$t.parquet")
           .write.mode("overwrite").parquet(s"$out/$t.parquet")
