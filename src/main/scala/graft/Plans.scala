@@ -138,7 +138,10 @@ object Plans {
     // session_window operator
     "events_interpolate", "events_session_window",
     // round-12 addition: join strategy hints, all three plan-asserted
-    "q_join_hints")
+    "q_join_hints",
+    // round-12 additions: PMI collocations and the Markov transition
+    // matrix, both in exact integer units
+    "text_collocations", "events_markov")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

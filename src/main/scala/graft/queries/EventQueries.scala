@@ -199,6 +199,29 @@ object EventQueries {
           .as("v_interp_e2"))
   }
 
+  /** First-order MARKOV TRANSITION MATRIX over per-user event sequences —
+    * the behavioral-model estimation pass (what follows a view? how
+    * absorbing is an error?): one lag() per user timeline on the
+    * (ts_us, event_id) total order, transition counts per (prev, next)
+    * pair, and row-normalized probabilities as exact floor-e6 integers
+    * (count·10⁶ DIV row total — no float division crosses the gate).
+    * Output is |types|² rows at ANY corpus size; the estimation is one
+    * window pass + one partial-combining count. */
+  def markov(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    ev(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_from", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("prev_type"))))
+      .select(col("prev_type"), col("event_type"), col("n"),
+        expr("(1000000 * n) DIV n_from").as("p_e6"))
+  }
+
   /** Rolling z-score anomaly detection — the metrics-monitoring classic:
     * an event is anomalous when its value sits more than 3 trailing
     * standard deviations from the mean of the SAME user's previous 20
@@ -544,6 +567,7 @@ object EventQueries {
     "events_pattern" -> pattern _,
     "events_pattern_stream" -> patternStreamed _,
     "events_anomaly" -> anomaly _,
+    "events_markov" -> markov _,
     "events_interpolate" -> interpolate _,
     "events_join_stream" -> joinStreamed _,
     "events_retention" -> retention _,
@@ -687,6 +711,20 @@ object EventQueries {
     // the streamed state machine drains to exactly the batch rewrite's
     // match set, so the oracle is shared verbatim
     "events_pattern_stream" -> patternOracle,
+    // identical lag pairing on the same total order; probabilities as
+    // exact floor-e6 integers
+    "events_markov" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events),
+        |p AS (SELECT event_type, lag(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type
+        |  FROM e),
+        |c AS (SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT *, CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT)
+        |  AS n_from FROM c)
+        |SELECT prev_type, event_type, n, (1000000 * n) // n_from AS p_e6
+        |FROM t""".stripMargin,
     // gaps-and-islands with the HALF-OPEN split (diff >= gap starts a new
     // session) — session_window's boundary semantics, pinned exactly
     "events_session_window" ->

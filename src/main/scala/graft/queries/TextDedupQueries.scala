@@ -617,6 +617,44 @@ object TextDedupQueries {
       .limit(PhraseTopK)
   }
 
+  /** Minimum bigram support and result cut for [[textCollocations]]. */
+  val CollocMinSupport = 5
+  val CollocTopK = 50
+
+  /** COLLOCATION MINING — PMI-ranked bigrams, the corpus-linguistics pass
+    * that surfaces multiword units ("new york") a frequency list buries:
+    * score = lift = N·c(x,y) / (c(x,·)·c(·,y)) over the bigram
+    * contingency table (left-marginal, right-marginal, total — the PMI
+    * exponential; taking the log would order identically and cost a
+    * transcendental whose last ulp differs across libms, so the gate
+    * carries the EXACT INTEGER floor-e6 lift instead). Support-filtered
+    * (≥[[CollocMinSupport]]) so rare exclusive pairs don't dominate,
+    * top-[[CollocTopK]] on the (lift, bigram) total order. Three
+    * aggregates over the in-scan bigram stream + two marginal joins —
+    * every count exact, partial-combining, at any corpus size. */
+  def textCollocations(s: SparkSession, dir: String): DataFrame = {
+    val toks = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        graft.functions.TextKernels.spaceTokens(col("text")).as("t"))
+      .where(size(col("t")) >= 2)
+    val big = toks.select(explode(expr(
+      "transform(sequence(1, size(t) - 1), " +
+        "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("bigram"))
+      .select(col("bigram"),
+        expr("split(bigram, ' ')[0]").as("x"), expr("split(bigram, ' ')[1]").as("y"))
+    val cxy = big.groupBy(col("bigram"), col("x"), col("y"))
+      .agg(count(lit(1)).as("c_xy"))
+    val cx = big.groupBy(col("x")).agg(count(lit(1)).as("c_x"))
+    val cy = big.groupBy(col("y")).agg(count(lit(1)).as("c_y"))
+    val n = big.agg(count(lit(1)).as("n_bigrams"))
+    cxy.join(cx, "x").join(cy, "y").crossJoin(broadcast(n))
+      .where(col("c_xy") >= CollocMinSupport)
+      .select(col("bigram"), col("c_xy"), col("c_x"), col("c_y"),
+        expr("(1000000 * n_bigrams * c_xy) DIV (c_x * c_y)").as("lift_e6"))
+      .orderBy(col("lift_e6").desc, col("bigram"))
+      .limit(CollocTopK)
+  }
+
   def textInvertedIndex(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorSql.md5Hash60
     val tf = docs(s, dir)
@@ -1173,6 +1211,7 @@ object TextDedupQueries {
     "text_bm25_topk" -> textBm25Topk _,
     "text_inverted_index" -> textInvertedIndex _,
     "text_phrase_search" -> textPhraseSearch _,
+    "text_collocations" -> textCollocations _,
     "text_tfidf_topk" -> textTfidfTopk _,
     "text_simhash" -> textSimhash _,
     "dedup_exact" -> dedupExact _,
@@ -1885,6 +1924,25 @@ object TextDedupQueries {
     // expression shapes copied operator-for-operator from the Spark side
     // delta replayed as lag() defaulting to the block base; hashes chain
     // per-block delta streams in block order — the same strings Spark builds
+    // the full contingency table in exact integers; floor-e6 lift instead
+    // of a log whose last ulp differs across libms
+    "text_collocations" ->
+      s"""WITH $toksCte,
+         |bg AS (SELECT unnest(list_transform(range(1, len(t)),
+         |    i -> t[i] || ' ' || t[i + 1])) AS bigram
+         |  FROM toks WHERE len(t) >= 2),
+         |b2 AS (SELECT bigram, string_split(bigram, ' ')[1] AS x,
+         |  string_split(bigram, ' ')[2] AS y FROM bg),
+         |cxy AS (SELECT bigram, x, y, CAST(count(*) AS BIGINT) AS c_xy
+         |  FROM b2 GROUP BY 1, 2, 3),
+         |cx AS (SELECT x, CAST(count(*) AS BIGINT) AS c_x FROM b2 GROUP BY 1),
+         |cy AS (SELECT y, CAST(count(*) AS BIGINT) AS c_y FROM b2 GROUP BY 1),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bigrams FROM b2)
+         |SELECT bigram, c_xy, c_x, c_y,
+         |  (1000000 * n_bigrams * c_xy) // (c_x * c_y) AS lift_e6
+         |FROM cxy JOIN cx USING (x) JOIN cy USING (y) CROSS JOIN nb
+         |WHERE c_xy >= $CollocMinSupport
+         |ORDER BY lift_e6 DESC, bigram LIMIT $CollocTopK""".stripMargin,
     // identical bigram extraction (1-based list indexing both sides), the
     // same deterministic query pick, the same (count, doc_id) top-k cut
     "text_phrase_search" ->
