@@ -144,4 +144,24 @@ class StreamRestartSpec extends SparkSpec {
     assert(onlyStraight.forall(_._3 == 0),
       s"only zero-fill rows may be elided, got: ${onlyStraight.filter(_._3 > 0).take(5)}")
   }
+
+  test("CEP pattern restarted from checkpoint is match-identical to an uninterrupted run") {
+    // pending views live in checkpointed state and the decision points
+    // (purchase arrival, event-time horizon) are all event-time, so a
+    // batch-boundary restart must be fully TRANSPARENT — unlike resample
+    // there is no dormancy divergence to allow for: a view pending at the
+    // kill either matches its next purchase after the restart or ages out
+    // identically in both runs.
+    val (a, b, _) = killRestartVsStraight("cep") { fork => df =>
+      import fork.implicits._
+      EventStream.patternStream(
+          df.as[EventStream.Event], windowUs = 30L * 60 * 1000000)
+        .filter(_.user_id >= 0).toDF()
+    }
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val (ra, rb) = (rows(a), rows(b))
+    assert(ra.nonEmpty, "the fixture must produce at least one match")
+    assert(ra == rb, "the CEP match set must be restart-transparent")
+  }
 }
