@@ -141,7 +141,9 @@ object Plans {
     "q_join_hints",
     // round-12 additions: PMI collocations and the Markov transition
     // matrix, both in exact integer units
-    "text_collocations", "events_markov")
+    "text_collocations", "events_markov",
+    // round-12 addition: integer-ppm confusion matrix for the learned filter
+    "clf_confusion")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -165,6 +165,28 @@ object TextDedupQueries {
         col("rule_keep"))
   }
 
+  /** CONFUSION MATRIX for the learned quality filter — the ML-ops
+    * acceptance report beside [[clfCalibration]]'s monotonicity check
+    * (calibration says scores ORDER well; this says where the DECISION
+    * threshold actually lands): the NB classifier's per-doc predictions
+    * against the rule labels it was trained on, folded to the 2×2 table
+    * plus precision / recall / F1 in exact ppm integers (count·10⁶ DIV
+    * denominator; F1 derived from the two ppm values by the same integer
+    * algebra — no float ratio anywhere). Consumes [[textQualityClf]]'s
+    * proven chain; constant-size output at any corpus. */
+  def clfConfusion(s: SparkSession, dir: String): DataFrame =
+    textQualityClf(s, dir)
+      .agg(
+        sum(expr("cast(rule_keep = 1 and pred_keep = 1 as bigint)")).as("tp"),
+        sum(expr("cast(rule_keep = 0 and pred_keep = 1 as bigint)")).as("fp"),
+        sum(expr("cast(rule_keep = 1 and pred_keep = 0 as bigint)")).as("fn"),
+        sum(expr("cast(rule_keep = 0 and pred_keep = 0 as bigint)")).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("(1000000 * tp) DIV (tp + fp)").as("precision_ppm"),
+        expr("(1000000 * tp) DIV (tp + fn)").as("recall_ppm"))
+      .withColumn("f1_ppm",
+        expr("(2 * precision_ppm * recall_ppm) DIV (precision_ppm + recall_ppm)"))
+
   /** PII/secret redaction — the pre-training hygiene pass: scrub emails,
     * phone numbers, and key-shaped tokens, reporting per-doc redaction
     * counts. The synthetic corpus carries no natural PII, so the query
@@ -1194,6 +1216,7 @@ object TextDedupQueries {
     "pipeline_crawl_clean" -> pipelineCrawlClean _,
     "doc_corpus_card" -> docCorpusCard _,
     "clf_calibration" -> clfCalibration _,
+    "clf_confusion" -> clfConfusion _,
     "url_content_conflicts" -> urlContentConflicts _,
     "doc_length_histogram" -> docLengthHistogram _,
     "doc_corpus_drift" -> docCorpusDrift _,
@@ -1697,6 +1720,27 @@ object TextDedupQueries {
          |    AS pred_keep,
          |  l.keep AS rule_keep
          |FROM labs l LEFT JOIN sc USING (doc_id)""".stripMargin,
+    // the same scoring chain folded to the 2x2 table; ppm metrics and F1
+    // all by integer division — nothing float crosses the gate
+    "clf_confusion" ->
+      s"""WITH $toksCte,
+         |$clfScoreCtes,
+         |pd AS (SELECT l.keep AS rule_keep,
+         |    CAST(coalesce(clf_q16, 0) >= coalesce(n_toks, 0) * $ClfQ16PerTok AS INT)
+         |      AS pred_keep
+         |  FROM labs l LEFT JOIN sc USING (doc_id)),
+         |m AS (SELECT
+         |  CAST(sum(CASE WHEN rule_keep = 1 AND pred_keep = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN rule_keep = 0 AND pred_keep = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN rule_keep = 1 AND pred_keep = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |  CAST(sum(CASE WHEN rule_keep = 0 AND pred_keep = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM pd),
+         |r AS (SELECT tp, fp, fn, tn,
+         |  (1000000 * tp) // (tp + fp) AS precision_ppm,
+         |  (1000000 * tp) // (tp + fn) AS recall_ppm FROM m)
+         |SELECT tp, fp, fn, tn, precision_ppm, recall_ppm,
+         |  (2 * precision_ppm * recall_ppm) // (precision_ppm + recall_ppm) AS f1_ppm
+         |FROM r""".stripMargin,
     "doc_corpus_drift" -> {
       val en = TextOps.StopwordTable.toMap.apply("en")
         .map(w => s"'$w'").mkString("[", ", ", "]")
