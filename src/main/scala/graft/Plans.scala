@@ -143,7 +143,9 @@ object Plans {
     // matrix, both in exact integer units
     "text_collocations", "events_markov",
     // round-12 addition: integer-ppm confusion matrix for the learned filter
-    "clf_confusion")
+    "clf_confusion",
+    // round-12 addition: Welch z two-sample test, statistic hash-gated
+    "ml_ab_test")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -642,8 +642,44 @@ object MlQueries {
       .selectExpr(Seq("n") ++ LinRegBetas ++ Seq(LinRegR2): _*)
   }
 
+  // ---- two-sample test (ml_ab_test): same shared-formula discipline ----
+  private val AbDoubles =
+    "cast(n1 as double) as dn1, cast(s1 as double) as ds1, " +
+      "cast(ss1 as double) as dss1, cast(n2 as double) as dn2, " +
+      "cast(s2 as double) as ds2, cast(ss2 as double) as dss2"
+  private val AbZ2 =
+    "((ds1/dn1 - ds2/dn2) * (ds1/dn1 - ds2/dn2)) / " +
+      "((dss1/dn1 - (ds1/dn1)*(ds1/dn1))/dn1 + (dss2/dn2 - (ds2/dn2)*(ds2/dn2))/dn2) as z2"
+
+  /** TWO-SAMPLE TEST (Welch z) — the A/B-experiment readout: does the
+    * 'purchase' population's value differ from 'click's? Exact integer
+    * cents moments (n, Σx, Σx² per arm — one conditional aggregate over
+    * one scan), then the z² statistic as IEEE doubles computed by a
+    * formula string SHARED VERBATIM with the oracle ([[mlLinReg]]'s
+    * discipline), so the statistic AND the z² > 3.841 significance
+    * verdict (the χ²₁ 95% cut) hash-gate bit-for-bit. Population
+    * variances (the z form — at corpus n the Welch-t correction is
+    * noise); constant-size output at any scale. */
+  def mlAbTest(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"),
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("x"))
+      .agg(
+        sum(expr("cast(event_type = 'purchase' as bigint)")).as("n1"),
+        sum(expr("if(event_type = 'purchase', x, 0L)")).as("s1"),
+        sum(expr("if(event_type = 'purchase', x * x, 0L)")).as("ss1"),
+        sum(expr("cast(event_type = 'click' as bigint)")).as("n2"),
+        sum(expr("if(event_type = 'click', x, 0L)")).as("s2"),
+        sum(expr("if(event_type = 'click', x * x, 0L)")).as("ss2"))
+      .selectExpr(Seq("n1", "s1", "ss1", "n2", "s2", "ss2") ++
+        AbDoubles.split(", "): _*)
+      .selectExpr("n1", "s1", "ss1", "n2", "s2", "ss2", AbZ2)
+      .withColumn("significant", expr("cast(z2 > 3.841 as int)"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_linreg" -> mlLinReg _,
+    "ml_ab_test" -> mlAbTest _,
     "ml_feature_hash" -> mlFeatureHash _,
     "som_fit_predict" -> somFitPredict _,
     "som_fit5" -> somFit5 _,
@@ -663,6 +699,24 @@ object MlQueries {
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ", ", ")")
 
   val oracleSql: Map[String, String] = Map(
+    // same conditional moment aggregate, same verbatim-shared z² formula
+    "ml_ab_test" ->
+      s"""WITH e AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |m AS (SELECT
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN x ELSE 0 END) AS BIGINT) AS s1,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN x * x ELSE 0 END) AS BIGINT) AS ss1,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN x ELSE 0 END) AS BIGINT) AS s2,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN x * x ELSE 0 END) AS BIGINT) AS ss2
+        |  FROM e),
+        |d AS (SELECT n1, s1, ss1, n2, s2, ss2, $AbDoubles FROM m),
+        |z AS (SELECT n1, s1, ss1, n2, s2, ss2, $AbZ2 FROM d)
+        |SELECT n1, s1, ss1, n2, s2, ss2, z2,
+        |  CAST(z2 > 3.841 AS INT) AS significant
+        |FROM z""".stripMargin,
     // the identical moment aggregate and the VERBATIM-shared Cramer/R²
     // formula strings — the float solve is bit-identical by construction
     "ml_linreg" ->
