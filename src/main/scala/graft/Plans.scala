@@ -145,7 +145,10 @@ object Plans {
     // round-12 addition: integer-ppm confusion matrix for the learned filter
     "clf_confusion",
     // round-12 addition: Welch z two-sample test, statistic hash-gated
-    "ml_ab_test")
+    "ml_ab_test",
+    // round-12 additions: behavioral path n-grams + link-graph degree
+    // distribution
+    "events_path_topk", "graph_degree_hist")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

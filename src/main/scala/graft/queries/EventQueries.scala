@@ -199,6 +199,27 @@ object EventQueries {
           .as("v_interp_e2"))
   }
 
+  /** TOP BEHAVIORAL PATHS — the sequence-mining companion to [[markov]]'s
+    * one-step model: the 20 most common 3-event paths across all user
+    * timelines (what do people actually DO, in order?), via two lead()
+    * columns on the same (ts_us, event_id) total order and one count —
+    * sequence n-grams as a window pass, no self-joins, global top-k on a
+    * total order (count desc, then the three steps). */
+  def pathTopk(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    ev(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("event_type").as("step1"))
+      .withColumn("step2", lead(col("step1"), 1).over(w))
+      .withColumn("step3", lead(col("step1"), 2).over(w))
+      .where(col("step3").isNotNull)
+      .groupBy(col("step1"), col("step2"), col("step3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+      .limit(20)
+  }
+
   /** First-order MARKOV TRANSITION MATRIX over per-user event sequences —
     * the behavioral-model estimation pass (what follows a view? how
     * absorbing is an error?): one lag() per user timeline on the
@@ -568,6 +589,7 @@ object EventQueries {
     "events_pattern_stream" -> patternStreamed _,
     "events_anomaly" -> anomaly _,
     "events_markov" -> markov _,
+    "events_path_topk" -> pathTopk _,
     "events_interpolate" -> interpolate _,
     "events_join_stream" -> joinStreamed _,
     "events_retention" -> retention _,
@@ -711,6 +733,18 @@ object EventQueries {
     // the streamed state machine drains to exactly the batch rewrite's
     // match set, so the oracle is shared verbatim
     "events_pattern_stream" -> patternOracle,
+    // identical double-lead pairing; top-20 on the same total order
+    "events_path_topk" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    event_type AS step1
+        |  FROM events),
+        |p AS (SELECT step1, lead(step1) OVER w AS step2,
+        |    lead(step1, 2) OVER w AS step3
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        |SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n
+        |FROM p WHERE step3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, step1, step2, step3 LIMIT 20""".stripMargin,
     // identical lag pairing on the same total order; probabilities as
     // exact floor-e6 integers
     "events_markov" ->

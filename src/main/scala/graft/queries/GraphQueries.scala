@@ -58,9 +58,28 @@ object GraphQueries {
       .select(col("id").as("doc_id"), col("n_tri"))
   }
 
+  /** IN-DEGREE DISTRIBUTION of the link graph — the graph-observability
+    * pass before trusting centrality numbers (a heavy-tailed in-degree
+    * histogram says hubs/spam-magnets exist; this uniform synthetic graph
+    * should look Poisson around its mean — and does): per-doc in-link
+    * counts from one groupBy over the derived edges, zero-in-degree docs
+    * kept via the left join (dropping them is the classic histogram bug),
+    * then one count per degree value. Degree-cardinality output at any
+    * corpus size; everything exact integers. */
+  def graphDegreeHist(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val n = docs.count()
+    val indeg = linkGraph(docs, n).groupBy(col("dst")).agg(count(lit(1)).as("d"))
+    docs.select(col("doc_id"))
+      .join(indeg, col("doc_id") === col("dst"), "left_outer")
+      .select(coalesce(col("d"), lit(0L)).as("in_degree"))
+      .groupBy(col("in_degree")).agg(count(lit(1)).as("n_docs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> graphPagerank _,
     "graph_triangles" -> graphTriangles _,
+    "graph_degree_hist" -> graphDegreeHist _,
   )
 
   /** The oracle replays the edge formula and all [[PrIters]] rounds as
@@ -110,6 +129,20 @@ object GraphQueries {
           |FROM documents d LEFT JOIN
           |  (SELECT doc_id, count(*) AS n FROM corners GROUP BY 1) t
           |  USING (doc_id)""".stripMargin,
+      // same edge formula; zero-in-degree docs kept by the left join
+      "graph_degree_hist" ->
+        s"""WITH deg AS (SELECT doc_id AS src,
+           |    1 + (('0x' || substr(md5('deg:' || doc_id), 1, 15))::BIGINT % 8) AS k
+           |  FROM documents),
+           |e AS (SELECT src, k,
+           |    ('0x' || substr(md5('lnk:' || src || ':' || j.j), 1, 15))::BIGINT
+           |      % (SELECT count(*) FROM documents) AS dst
+           |  FROM deg, range(8) AS j(j) WHERE j.j < k),
+           |indeg AS (SELECT dst, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+           |perdoc AS (SELECT COALESCE(i.d, 0) AS in_degree
+           |  FROM documents doc LEFT JOIN indeg i ON doc.doc_id = i.dst)
+           |SELECT in_degree, CAST(count(*) AS BIGINT) AS n_docs
+           |FROM perdoc GROUP BY 1""".stripMargin,
     )
   }
 }
