@@ -148,7 +148,9 @@ object Plans {
     "ml_ab_test",
     // round-12 additions: behavioral path n-grams + link-graph degree
     // distribution
-    "events_path_topk", "graph_degree_hist")
+    "events_path_topk", "graph_degree_hist",
+    // round-12 addition: weekly DAU/WAU stickiness in exact ppm
+    "events_dau_mau")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -199,6 +199,30 @@ object EventQueries {
           .as("v_interp_e2"))
   }
 
+  /** DAU/WAU STICKINESS — the product-metric classic (weekly grain: the
+    * synthetic corpus spans one calendar month, so weeks give the report
+    * real cardinality where months collapse to a single row): per
+    * epoch-week, the weekly-active-user count, the day-summed DAU mass,
+    * and the stickiness ratio avg-DAU/WAU as an exact ppm integer
+    * (Σdau·10⁶ DIV (days·wau) — the avg and the ratio fold into one
+    * integer division so no float crosses the gate). Two exact distinct
+    * aggregates (user-day, user-week) + one rollup; week-cardinality
+    * output at any corpus size. */
+  def dauMau(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("user_id"),
+      expr("ts_us DIV 86400000000").as("day"),
+      expr("ts_us DIV 604800000000").as("week"))
+    val dau = e.select(col("week"), col("day"), col("user_id")).distinct()
+      .groupBy(col("week"), col("day")).agg(count(lit(1)).as("dau"))
+    val wau = e.select(col("week"), col("user_id")).distinct()
+      .groupBy(col("week")).agg(count(lit(1)).as("wau"))
+    dau.groupBy(col("week"))
+      .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("sum_dau"))
+      .join(wau, "week")
+      .select(col("week"), col("n_days"), col("sum_dau"), col("wau"),
+        expr("(1000000 * sum_dau) DIV (n_days * wau)").as("stickiness_ppm"))
+  }
+
   /** TOP BEHAVIORAL PATHS — the sequence-mining companion to [[markov]]'s
     * one-step model: the 20 most common 3-event paths across all user
     * timelines (what do people actually DO, in order?), via two lead()
@@ -293,9 +317,9 @@ object EventQueries {
     fork.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = fork.read.parquet(s"$dir/events.parquet")
     val evDf = raw.withColumn("ts_us", EventTs.tsUs(raw))
-      .withColumn("slice", expr("ts_us DIV 31536000000000")) // ~year slices
+      .withColumn("slice", expr("ts_us DIV 259200000000")) // 3-day slices
     val slices = evDf.select(col("slice")).distinct().orderBy(col("slice"))
-      .collect().map(_.getLong(0)) // span/year-sized
+      .collect().map(_.getLong(0)) // span/3-days-sized
     StreamScratch.stageOrdered(inDir, slices.toSeq.map(sl =>
       evDf.where(col("slice") === sl)
         .select(col("event_id"), col("ts_us"), col("user_id"),
@@ -342,9 +366,9 @@ object EventQueries {
     fork.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = fork.read.parquet(s"$dir/events.parquet")
     val evDf = raw.withColumn("ts_us", EventTs.tsUs(raw))
-      .withColumn("slice", expr("ts_us DIV 31536000000000"))
+      .withColumn("slice", expr("ts_us DIV 259200000000")) // 3-day slices
     val slices = evDf.select(col("slice")).distinct().orderBy(col("slice"))
-      .collect().map(_.getLong(0)) // span/year-sized
+      .collect().map(_.getLong(0)) // span/3-days-sized
     def stage(inDir: String, eventType: String): Unit =
       StreamScratch.stageOrdered(inDir, slices.toSeq.map(sl =>
         evDf.where(col("slice") === sl && col("event_type") === eventType)
@@ -590,6 +614,7 @@ object EventQueries {
     "events_anomaly" -> anomaly _,
     "events_markov" -> markov _,
     "events_path_topk" -> pathTopk _,
+    "events_dau_mau" -> dauMau _,
     "events_interpolate" -> interpolate _,
     "events_join_stream" -> joinStreamed _,
     "events_retention" -> retention _,
@@ -733,6 +758,22 @@ object EventQueries {
     // the streamed state machine drains to exactly the batch rewrite's
     // match set, so the oracle is shared verbatim
     "events_pattern_stream" -> patternOracle,
+    // exact distinct user-day/user-week sets; stickiness by one integer
+    // division
+    "events_dau_mau" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    epoch_us(ts) // 604800000000 AS week
+        |  FROM events),
+        |dau AS (SELECT week, day, CAST(count(*) AS BIGINT) AS dau FROM
+        |  (SELECT DISTINCT week, day, user_id FROM e) GROUP BY 1, 2),
+        |wau AS (SELECT week, CAST(count(*) AS BIGINT) AS wau FROM
+        |  (SELECT DISTINCT week, user_id FROM e) GROUP BY 1),
+        |d AS (SELECT week, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(dau) AS BIGINT) AS sum_dau
+        |  FROM dau GROUP BY 1)
+        |SELECT week, n_days, sum_dau, wau,
+        |  (1000000 * sum_dau) // (n_days * wau) AS stickiness_ppm
+        |FROM d JOIN wau USING (week)""".stripMargin,
     // identical double-lead pairing; top-20 on the same total order
     "events_path_topk" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
