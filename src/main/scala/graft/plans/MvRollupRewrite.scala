@@ -161,13 +161,21 @@ case class MvRollupRewrite(mv: LogicalPlan, factSuffix: String)
           case e => isMonthExpr(e)
         })
       val mapped = aggExprs.map(mapOut(_, monthIds, flagIds))
-      if (groupingOk && mapped.forall(_.isDefined)) {
-        val newGrouping = grouping.map {
-          case a: AttributeReference if monthIds.contains(a.exprId) => mvAttr("month")
-          case al: Alias if isMonthExpr(al.child) => mvAttr("month")
-          case _ => mvAttr("l_returnflag")
-        }
-        Aggregate(newGrouping, mapped.map(_.get), mv)
+      // every grouping expression must map to a grain column EXPLICITLY —
+      // an unmapped shape (e.g. a bare non-aliased date_format) declines the
+      // rewrite rather than silently coarsening to l_returnflag
+      val newGrouping: Seq[Option[Expression]] = grouping.map {
+        case a: AttributeReference if monthIds.contains(a.exprId) =>
+          Some(mvAttr("month"))
+        case a: AttributeReference if flagIds.contains(a.exprId) =>
+          Some(mvAttr("l_returnflag"))
+        case al: Alias if isMonthExpr(al.child) => Some(mvAttr("month"))
+        case e if isMonthExpr(e) => Some(mvAttr("month"))
+        case _ => None
+      }
+      if (groupingOk && newGrouping.forall(_.isDefined) &&
+          mapped.forall(_.isDefined)) {
+        Aggregate(newGrouping.map(_.get), mapped.map(_.get), mv)
       } else agg
   }
 }

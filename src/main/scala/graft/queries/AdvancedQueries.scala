@@ -43,13 +43,26 @@ object AdvancedQueries {
         round(col("revenue").cast("double"), 2).as("revenue"), col("n_items"))
   }
 
-  /** HLL approx distinct parts per return flag — rows-only (sketches are
-    * engine-specific); accuracy asserted in AdvancedSpec. */
+  /** HLL approx distinct parts per return flag — HASH-GATED via the
+    * in-band error-envelope discipline: the raw HLL estimate is
+    * engine-internal (register layouts differ, so DuckDB can never match
+    * it byte-for-byte), so the GATED output carries the exact distinct
+    * count, the group size, and `hll_in_env` = 1 iff the estimate landed
+    * within ±15% of exact (3× the default 5% rsd — a drift or a broken
+    * sketch flips it to 0 and fails the hash). The exact countDistinct
+    * here is the in-band yardstick; at 100 TB the yardstick moves to a
+    * sampled audit and the HLL runs alone — the one-pass mergeable-partial
+    * shape is the same either way (and `q_approx_distinct_kmv` is the
+    * fully bit-gated sketch twin). */
   def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/lineitem.parquet")
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("exact_parts"), col("n"),
+        expr("cast(abs(cast(approx_parts as double) / cast(exact_parts as double) - 1.0d) <= 0.15d as int)")
+          .as("hll_in_env"))
 
   /** KMV (k-minimum-values) distinct sketch — the HASH-GATEABLE member of
     * the approx family ([[qApproxDistinct]]'s HLL is rows-only because
@@ -468,6 +481,13 @@ object AdvancedQueries {
       .select(col("win"), col("r"), col("c").cast("long").as("c"), col("cnt"))
     val keys = evDf
       .select(expr(s"ts_us DIV $winUs").as("win"), col("user_id")).distinct()
+    // the broadcast is live-window-bounded BY DESIGN: `sketch` is the
+    // read-back of watermark-surviving windows only, win × d × w exploded
+    // rows (w=128 per depth row) — small while eviction keeps live windows
+    // few. A long-horizon deployment with many live windows would instead
+    // keep the per-window matrices as a map-side lookup (bucket arrays
+    // keyed by (win, r), probed in-expression) rather than exploding them
+    // into a broadcast join.
     val est = keys
       .select(col("win"), col("user_id"), explode(cmsBuckets(col("user_id"))).as("rc"))
       .select(col("win"), col("user_id"), col("rc.r").as("r"), col("rc.c").as("c"))
@@ -709,18 +729,40 @@ object AdvancedQueries {
   }
 
   /** Mergeable quantile sketch per return flag (approx_percentile /
-    * Greenwald-Khanna) — rows-only like [[qApproxDistinct]] (sketch
-    * internals are engine-specific by design); AdvancedOpsSpec asserts the
-    * rank-error envelope against the exact percentiles. The sketch is the
-    * 100 TB path: exact percentiles need a full sort per group, the sketch
-    * is one pass + mergeable partials (same shuffle shape as any agg). */
-  def qApproxQuantile(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/lineitem.parquet")
-      .groupBy(col("l_returnflag"))
+    * Greenwald-Khanna) — HASH-GATED via the in-band rank-envelope
+    * discipline ([[qApproxDistinct]]'s): the sketch values themselves are
+    * engine-internal, so the gated output asserts their rank guarantee
+    * instead. accuracy=1000 bounds rank error by n/1000; a second pass
+    * (one broadcast join of the 3-row sketch output against the fact)
+    * counts rows ≤ / < each reported percentile value, and
+    * `p50_in_env`/`p90_in_env` = 1 iff the value's rank interval sits
+    * inside the target rank ± 1% of n (10× the guarantee). A broken or
+    * drifted sketch flips a flag to 0 and fails the byte hash. The sketch
+    * is the 100 TB path: exact percentiles need a full sort per group,
+    * the sketch is one pass + mergeable partials (the audit pass here is
+    * the in-band yardstick — production gates it by a sampled audit);
+    * `q_approx_quantile_hash` stays the fully bit-gated twin. */
+  def qApproxQuantile(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val sk = li.groupBy(col("l_returnflag"))
       .agg(
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50"),
-        percentile_approx(col("l_extendedprice"), lit(0.9), lit(1000)).as("p90"),
-        count(lit(1)).as("n"))
+        percentile_approx(col("l_extendedprice"), lit(0.9), lit(1000)).as("p90"))
+    li.join(broadcast(sk), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("cast(l_extendedprice <= p50 as bigint)")).as("le50"),
+        sum(expr("cast(l_extendedprice < p50 as bigint)")).as("lt50"),
+        sum(expr("cast(l_extendedprice <= p90 as bigint)")).as("le90"),
+        sum(expr("cast(l_extendedprice < p90 as bigint)")).as("lt90"))
+      .select(col("l_returnflag"), col("n"),
+        expr("cast(cast(le50 as double) >= 0.49d * cast(n as double) and " +
+          "cast(lt50 as double) <= 0.51d * cast(n as double) as int)").as("p50_in_env"),
+        expr("cast(cast(le90 as double) >= 0.89d * cast(n as double) and " +
+          "cast(lt90 as double) <= 0.91d * cast(n as double) as int)").as("p90_in_env"))
+  }
 
   /** Top-3 lineitems per supplier by price — through the CUSTOM physical
     * operator ([[graft.plans.TopKPerKeyNode]]): partial per-partition k-heaps
@@ -988,10 +1030,25 @@ object AdvancedQueries {
         |    * 10000 AS BIGINT) AS revenue_e4
         |FROM lineitem JOIN dim ON strftime(l_shipdate, '%Y-%m') = dim.ship_month
         |GROUP BY 1""".stripMargin,
+    // the legacy HLL/GK entries join the hash gate via the in-band
+    // error-envelope discipline: deterministic exact columns plus an
+    // envelope flag the oracle pins to 1 — a sketch outside its envelope
+    // flips the flag and fails the byte hash; the raw estimates stay
+    // engine-internal by design
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  1 AS hll_in_env
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_approx_quantile" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  1 AS p50_in_env, 1 AS p90_in_env
+        |FROM lineitem GROUP BY 1""".stripMargin,
     // KMV sketch replayed in full: distinct portable hashes, k smallest per
     // group via row_number, Bar-Yossef estimate floor((k-1)*2^60 / h_k) —
     // every step deterministic, so the ESTIMATE is hash-gated (the HLL twin
-    // q_approx_distinct stays rows-only by design)
+    // q_approx_distinct gates its error envelope in-band above)
     "q_approx_distinct_kmv" -> kmvOracle,
     // the custom TypedImperativeAggregate must land on the identical
     // sketch — two execution strategies, one oracle

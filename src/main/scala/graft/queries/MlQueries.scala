@@ -653,8 +653,11 @@ object MlQueries {
 
   /** TWO-SAMPLE TEST (Welch z) — the A/B-experiment readout: does the
     * 'purchase' population's value differ from 'click's? Exact integer
-    * cents moments (n, Σx, Σx² per arm — one conditional aggregate over
-    * one scan), then the z² statistic as IEEE doubles computed by a
+    * cents moments (n, Σx as bigint; Σx² as DECIMAL(38,0) — bigint x²
+    * would wrap silently under non-ANSI Spark while DuckDB raises, so
+    * both engines square through decimal(19,0) and stay exact and
+    * overflow-consistent; one conditional aggregate over one scan), then
+    * the z² statistic as IEEE doubles computed by a
     * formula string SHARED VERBATIM with the oracle ([[mlLinReg]]'s
     * discipline), so the statistic AND the z² > 3.841 significance
     * verdict (the χ²₁ 95% cut) hash-gate bit-for-bit. Population
@@ -668,13 +671,22 @@ object MlQueries {
       .agg(
         sum(expr("cast(event_type = 'purchase' as bigint)")).as("n1"),
         sum(expr("if(event_type = 'purchase', x, 0L)")).as("s1"),
-        sum(expr("if(event_type = 'purchase', x * x, 0L)")).as("ss1"),
+        // Σx² accumulates as DECIMAL(38,0): x*x over BIGINT cents would wrap
+        // silently under non-ANSI Spark while the DuckDB oracle raises —
+        // decimal(19,0)² = decimal(38,0) is exact and overflow-consistent
+        sum(expr("if(event_type = 'purchase', " +
+          "cast(x as decimal(19,0)) * cast(x as decimal(19,0)), " +
+          "cast(0 as decimal(38,0)))")).as("ss1"),
         sum(expr("cast(event_type = 'click' as bigint)")).as("n2"),
         sum(expr("if(event_type = 'click', x, 0L)")).as("s2"),
-        sum(expr("if(event_type = 'click', x * x, 0L)")).as("ss2"))
+        sum(expr("if(event_type = 'click', " +
+          "cast(x as decimal(19,0)) * cast(x as decimal(19,0)), " +
+          "cast(0 as decimal(38,0)))")).as("ss2"))
       .selectExpr(Seq("n1", "s1", "ss1", "n2", "s2", "ss2") ++
         AbDoubles.split(", "): _*)
-      .selectExpr("n1", "s1", "ss1", "n2", "s2", "ss2", AbZ2)
+      // Σx² surfaces as its DOUBLE rendering (decimal output columns are
+      // driver-hash-red; the z² arithmetic uses the same cast anyway)
+      .selectExpr("n1", "s1", "dss1 as ss1", "n2", "s2", "dss2 as ss2", AbZ2)
       .withColumn("significant", expr("cast(z2 > 3.841 as int)"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -707,13 +719,17 @@ object MlQueries {
         |m AS (SELECT
         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN x ELSE 0 END) AS BIGINT) AS s1,
-        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN x * x ELSE 0 END) AS BIGINT) AS ss1,
+        |  CAST(sum(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))
+        |    ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS ss1,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN x ELSE 0 END) AS BIGINT) AS s2,
-        |  CAST(sum(CASE WHEN event_type = 'click' THEN x * x ELSE 0 END) AS BIGINT) AS ss2
+        |  CAST(sum(CASE WHEN event_type = 'click'
+        |    THEN CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))
+        |    ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0)) AS ss2
         |  FROM e),
         |d AS (SELECT n1, s1, ss1, n2, s2, ss2, $AbDoubles FROM m),
-        |z AS (SELECT n1, s1, ss1, n2, s2, ss2, $AbZ2 FROM d)
+        |z AS (SELECT n1, s1, dss1 AS ss1, n2, s2, dss2 AS ss2, $AbZ2 FROM d)
         |SELECT n1, s1, ss1, n2, s2, ss2, z2,
         |  CAST(z2 > 3.841 AS INT) AS significant
         |FROM z""".stripMargin,

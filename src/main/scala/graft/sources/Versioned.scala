@@ -83,7 +83,13 @@ object Versioned {
       return
     }
     val cols = delta.columns
-    val currentRaw = readBuckets(spark, dir, prev.filter { case (b, _) => touched(b) })
+    val liveTouched = prev.filter { case (b, ver) => touched(b) && ver > 0 }
+    // every touched bucket may be the empty sentinel (a prior commitDelete
+    // emptied it): the upsert degenerates to a pure insert — "current" is an
+    // empty frame in the delta's schema, never a readBuckets over no files
+    val currentRaw =
+      if (liveTouched.isEmpty) delta.where(lit(false))
+      else readBuckets(spark, dir, liveTouched)
     val missing = currentRaw.columns.filterNot(cols.contains)
     require(missing.isEmpty,
       s"commitUpsert delta lacks table columns ${missing.mkString(", ")} — " +
@@ -154,8 +160,13 @@ object Versioned {
       .collect().map(_.getInt(0)).toSet
     if (touched.isEmpty) { writeManifest(dir, v, prev.toSeq); return }
     val cols = changes.columns.filterNot(_ == "op")
-    val current = readBuckets(spark, dir, prev.filter { case (b, _) => touched(b) })
-      .select(cols.map(col): _*)
+    val liveTouched = prev.filter { case (b, ver) => touched(b) && ver > 0 }
+    // all-sentinel touched set (delete-then-reinsert CDC): pure insert,
+    // same degenerate-current discipline as commitUpsert
+    val current =
+      (if (liveTouched.isEmpty) changes.where(lit(false))
+       else readBuckets(spark, dir, liveTouched))
+        .select(cols.map(col): _*)
     val upserts = changes.where(col("op") === "U").select(cols.map(col): _*)
     val survivors = current.join(
         broadcast(changes.select(col(keyCol)).distinct()), Seq(keyCol), "left_anti")
@@ -216,7 +227,13 @@ object Versioned {
       .groupBy(col(bucketColOfManifest(spark, dir, v)))
       .agg(min(col(statsCol)).cast("long").as("mn"),
         max(col(statsCol)).cast("long").as("mx"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .collect()
+      // a bucket whose stats column is entirely NULL has no zone — omit its
+      // line (readVersionWhere already treats stats-absent buckets as
+      // skippable only when a range is asked; an omitted bucket is skipped,
+      // which is correct: no non-null value can match any range)
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     val body = rows.sorted.map { case (b, mn, mx) => s"$b,$mn,$mx" }.mkString("\n")
     java.nio.file.Files.write(statsPath(dir, v), body.getBytes("UTF-8"))
   }
@@ -243,8 +260,15 @@ object Versioned {
     * emptied by a delete) are skipped. */
   def readVersionWhere(spark: SparkSession, dir: String, v: Int,
                        statsCol: String, lo: Long, hi: Long): (DataFrame, Set[Int]) = {
-    val stats = readStats(dir, v)
     val manifest = readManifest(dir, v)
+    if (!java.nio.file.Files.exists(statsPath(dir, v))) {
+      // a version without recorded zone maps serves UNPRUNED — skipping is
+      // an optimization the metadata earns, never a correctness requirement
+      val live = manifest.filter(_._2 > 0)
+      return (readBuckets(spark, dir, live).where(col(statsCol).between(lo, hi)),
+        live.keySet)
+    }
+    val stats = readStats(dir, v)
     val keep = manifest.keySet.filter { b =>
       stats.get(b).exists { case (mn, mx) => mx >= lo && mn <= hi }
     }
@@ -584,9 +608,13 @@ object Versioned {
         val t = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong
         (v, t)
       }
-    val eligible = timed.filter(_._2 <= tsUs)
+    // belt-and-braces beside vacuum's sidecar cleanup: never resolve to a
+    // version whose manifest is gone (a stale .time would point at deleted data)
+    val eligible = timed.filter { case (v, t) => t <= tsUs && hasVersion(dir, v) }
     require(eligible.nonEmpty,
-      s"AS OF $tsUs precedes the first commit (earliest: ${timed.map(_._2).sorted.headOption})")
+      s"AS OF $tsUs resolves to no retained commit (earliest retained: " +
+        s"${timed.filter(e => hasVersion(dir, e._1)).map(_._2).sorted.headOption}) — " +
+        "either it precedes the first commit or vacuum expired that range")
     eligible.maxBy(_._1)._1
   }
 
@@ -646,6 +674,11 @@ object Versioned {
     (1 until math.max(1, latest - keep + 1)).foreach { v =>
       java.nio.file.Files.deleteIfExists(manifestPath(dir, v))
       java.nio.file.Files.deleteIfExists(statsPath(dir, v))
+      // every per-version sidecar dies with the manifest: a surviving .time
+      // would make versionAsOf resolve into the vacuumed range and readVersion
+      // then throw NoSuchFileException instead of the clear retention error
+      java.nio.file.Files.deleteIfExists(timePath(dir, v))
+      java.nio.file.Files.deleteIfExists(bloomIdxPath(dir, v))
     }
   }
 

@@ -10,12 +10,12 @@ class CatalogSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
-  test("every query is oracle-checked unless explicitly rows-only by design") {
+  test("every query is oracle-checked — no rows-only cells") {
     // forgetting the oracleSql entry silently downgrades a query to the
-    // driver's weak rows-only check — only the sketches are exempt (their
-    // internals are engine-specific; error-envelope specs cover them)
-    val rowsOnlyByDesign = Set("q_approx_distinct", "q_approx_quantile")
-    val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyByDesign
+    // driver's weak rows-only check; since r13 even the HLL/GK sketch
+    // entries hash-gate (in-band error-envelope flags), so the exemption
+    // set is EMPTY and must stay empty
+    val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unchecked.isEmpty, s"queries silently lacking an oracle: $unchecked")
   }
 

@@ -60,4 +60,28 @@ class MvRewriteSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"))),
       "l_linestatus is not in the MV grain")
   }
+
+  test("a bare (non-aliased) date_format grouping rewrites to the MONTH grain, never the flag") {
+    // the DataFrame API always aliases grouping expressions (and the
+    // optimizer pulls complex ones into a Project), but the rule must not
+    // depend on that: hand-build the Aggregate with the raw expression in
+    // the grouping list — the old catch-all silently mapped this shape to
+    // l_returnflag, changing the grain
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, DateFormatClass, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Sum
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.types.TimestampType
+    val fact = li.select(col("l_shipdate"), col("l_quantity"))
+      .queryExecution.optimizedPlan
+    val ship = fact.output.find(_.name == "l_shipdate").get
+    val qty = fact.output.find(_.name == "l_quantity").get
+    val monthExpr = DateFormatClass(Cast(ship, TimestampType), Literal("yyyy-MM"))
+    val plan = Aggregate(Seq(monthExpr),
+      Seq(Alias(Sum(qty).toAggregateExpression(), "sum_qty")()), fact)
+    val out = rule.apply(plan)
+    assert(!out.fastEquals(plan), "the shape is contained — it must rewrite")
+    val g = out.asInstanceOf[Aggregate].groupingExpressions
+    assert(g.size == 1 && g.head.asInstanceOf[Attribute].name == "month",
+      s"bare month grouping must map to the month grain, got $g")
+  }
 }

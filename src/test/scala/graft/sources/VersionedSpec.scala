@@ -435,4 +435,80 @@ class VersionedSpec extends SparkSpec {
     val (d, read) = Versioned.lookupKeys(spark, dir, 2, "k", Seq(1003L))
     assert(d.count() == 1 && read.contains(3))
   }
+
+  test("delete-then-reinsert: upsert and merge into fully-emptied buckets degenerate to pure inserts") {
+    val dir = tmp()
+    val base = (0L until 12L).map(k => (k, k, (k % 2).toInt)).toDF("k", "v", "bucket")
+    Versioned.commitBase(base, dir, "bucket", 2)
+    // v2 empties bucket 1 completely (every odd key deleted)
+    val doomed = (0L until 12L).filter(_ % 2 == 1).map(k => (k, 1)).toDF("k", "bucket")
+    Versioned.commitDelete(spark, doomed, dir, 2, "k", "bucket")
+    assert(Versioned.readManifest(dir, 2)(1) == 0, "bucket 1 is the empty sentinel")
+    // v3 re-inserts keys into ONLY the emptied bucket — the normal CDC
+    // delete-then-reinsert sequence (used to crash readBuckets on an
+    // all-sentinel assignment)
+    val reins = Seq((1L, 100L, 1), (3L, 300L, 1)).toDF("k", "v", "bucket")
+    Versioned.commitUpsert(spark, reins, dir, 3, "k", "bucket")
+    val v3 = Versioned.readVersion(spark, dir, 3)
+    assert(v3.count() == 8, "6 surviving even keys + 2 reinserted")
+    assert(v3.where(col("k") === 1).head().getLong(1) == 100L)
+    // empty the bucket again, then reinsert through commitMerge's U path
+    Versioned.commitDelete(spark, Seq((1L, 1), (3L, 1)).toDF("k", "bucket"),
+      dir, 4, "k", "bucket")
+    assert(Versioned.readManifest(dir, 4)(1) == 0)
+    val changes = Seq(("U", 5L, 500L, 1)).toDF("op", "k", "v", "bucket")
+    Versioned.commitMerge(spark, changes, dir, 5, "k", "bucket")
+    val v5 = Versioned.readVersion(spark, dir, 5)
+    assert(v5.where(col("bucket") === 1).count() == 1)
+    assert(v5.where(col("k") === 5).head().getLong(1) == 500L)
+  }
+
+  test("vacuum drops .time/.bloom sidecars; AS OF into the vacuumed range fails loudly") {
+    val dir = tmp()
+    val base = (0L until 8L).map(k => (k, k, (k % 2).toInt)).toDF("k", "v", "bucket")
+    Versioned.commitBase(base, dir, "bucket", 2)
+    Versioned.writeBloomIndex(spark, dir, 1, "k")
+    Versioned.writeCommitTime(dir, 1, 1000L)
+    Versioned.commitUpsert(spark, Seq((0L, 10L, 0)).toDF("k", "v", "bucket"),
+      dir, 2, "k", "bucket")
+    Versioned.writeCommitTime(dir, 2, 2000L)
+    Versioned.commitUpsert(spark, Seq((1L, 11L, 1)).toDF("k", "v", "bucket"),
+      dir, 3, "k", "bucket")
+    Versioned.writeCommitTime(dir, 3, 3000L)
+    Versioned.vacuum(dir, keep = 2) // v1 expires
+    val m = java.nio.file.Paths.get(dir, "manifests")
+    assert(!Files.exists(m.resolve("v1.csv")))
+    assert(!Files.exists(m.resolve("v1.time")),
+      "a surviving .time would make versionAsOf resolve to deleted data")
+    assert(!Files.exists(m.resolve("v1.bloom.csv")))
+    // AS OF in the vacuumed range: the clear retention error, never a
+    // NoSuchFileException out of readVersion
+    val e = intercept[IllegalArgumentException] { Versioned.versionAsOf(dir, 1500L) }
+    assert(e.getMessage.contains("retained"))
+    assert(Versioned.versionAsOf(dir, 2500L) == 2, "retained commits still resolve")
+  }
+
+  test("zone maps: all-NULL stats bucket omitted (no NPE); stats-less version serves unpruned") {
+    val dir = tmp()
+    val base = (0L until 12L).map(k => (k, k, (k % 2).toInt)).toDF("k", "v", "bucket")
+      .withColumn("v", when(col("bucket") === 0, col("v"))) // bucket 1 all NULL
+    Versioned.commitBase(base, dir, "bucket", 2)
+    Versioned.writeStats(spark, dir, 1, "v") // used to NPE on the null min/max
+    val stats = Versioned.readStats(dir, 1)
+    assert(stats.contains(0) && !stats.contains(1),
+      "an all-NULL bucket has no zone line (no non-null value matches any range)")
+    val (df, read) = Versioned.readVersionWhere(spark, dir, 1, "v", 0L, 100L)
+    assert(read == Set(0), "the NULL-only bucket is skipped")
+    assert(df.count() == 6)
+    // a version with NO stats file serves unpruned but correct (skipping is
+    // an optimization the metadata earns, never a requirement)
+    val dir2 = tmp()
+    Versioned.commitBase(
+      (0L until 12L).map(k => (k, k, (k % 2).toInt)).toDF("k", "v", "bucket"),
+      dir2, "bucket", 2)
+    val (df2, read2) = Versioned.readVersionWhere(spark, dir2, 1, "v", 2L, 5L)
+    assert(read2 == Set(0, 1), "no stats file: every live bucket is read")
+    assert(df2.select("k").collect().map(_.getLong(0)).toSet ==
+      Set(2L, 3L, 4L, 5L))
+  }
 }
