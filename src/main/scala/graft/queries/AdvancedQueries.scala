@@ -440,7 +440,7 @@ object AdvancedQueries {
   def cmsFreqStreamWindowed(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
     import fork.implicits._
     val root = StreamScratch.fresh("cmswin")
-    val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    val (outDir, ckpt) = (s"$root/out", s"$root/ckpt")
     val winUs = CmsWinDays * 86400L * 1000000L
     // events read on THIS fork (not the ev() helper's nested one) so the
     // heap-operator strategy registered below is visible to the planner
@@ -450,10 +450,15 @@ object AdvancedQueries {
     val evDf = raw.withColumn("ts_us", EventTs.tsUs(raw))
     val keyed = evDf
       .select(col("user_id"), col("ts_us"), expr(s"ts_us DIV $winUs").as("win"))
-    val wins = keyed.select(col("win")).distinct().orderBy(col("win"))
-      .collect().map(_.getLong(0)) // window-count-sized (span/width)
-    StreamScratch.stageOrdered(inDir,
-      wins.toSeq.map(w => keyed.where(col("win") === w)))
+    // staged ordered windows cached per session; the KEY IS SHARED with
+    // kmv_distinct_stream_win — both entries stage the identical
+    // (user_id, ts_us, win) frame at the same window width, so one layout
+    // serves both (checkpoints and sinks stay per-run fresh)
+    val inDir = StreamScratch.stageOrderedShared(s"events_win${CmsWinDays}d:$dir") {
+      val wins = keyed.select(col("win")).distinct().orderBy(col("win"))
+        .collect().map(_.getLong(0)) // window-count-sized (span/width)
+      wins.toSeq.map(w => keyed.where(col("win") === w))
+    }
     val stream = fork.readStream.schema("user_id LONG, ts_us LONG, win LONG")
       .option("maxFilesPerTrigger", 1).parquet(inDir)
     val buckets = stream
@@ -519,7 +524,7 @@ object AdvancedQueries {
   def kmvDistinctStreamWindowed(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
     import fork.implicits._
     val root = StreamScratch.fresh("kmvwin")
-    val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    val (outDir, ckpt) = (s"$root/out", s"$root/ckpt")
     val winUs = CmsWinDays * 86400L * 1000000L
     fork.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     fork.conf.set("spark.sql.session.timeZone", "UTC")
@@ -527,10 +532,12 @@ object AdvancedQueries {
     val evDf = raw.withColumn("ts_us", EventTs.tsUs(raw))
     val keyed = evDf
       .select(col("user_id"), col("ts_us"), expr(s"ts_us DIV $winUs").as("win"))
-    val wins = keyed.select(col("win")).distinct().orderBy(col("win"))
-      .collect().map(_.getLong(0)) // window-count-sized (span/width)
-    StreamScratch.stageOrdered(inDir,
-      wins.toSeq.map(w => keyed.where(col("win") === w)))
+    // same staged layout as cms_freq_stream_win (identical frame + width)
+    val inDir = StreamScratch.stageOrderedShared(s"events_win${CmsWinDays}d:$dir") {
+      val wins = keyed.select(col("win")).distinct().orderBy(col("win"))
+        .collect().map(_.getLong(0)) // window-count-sized (span/width)
+      wins.toSeq.map(w => keyed.where(col("win") === w))
+    }
     val stream = fork.readStream.schema("user_id LONG, ts_us LONG, win LONG")
       .option("maxFilesPerTrigger", 1).parquet(inDir)
     val hashes = stream

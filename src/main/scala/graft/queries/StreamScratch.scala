@@ -43,6 +43,34 @@ private[graft] object StreamScratch {
     }
   }
 
+  /** [[stageOrdered]] through the [[graft.operators.Artifacts.sharedPath]]
+    * layout cache: a staged input is a DETERMINISTIC, IMMUTABLE function of
+    * (entry, table, sf dir, slice width) — the same artifact class as the
+    * IVF/z-order serving layouts — so one session stages it once and every
+    * later invocation (bench reps, repeated gates) reads the SAME files
+    * instead of re-paying the coalesce(1)-per-slice writes. ONLY the input
+    * layout is shared; checkpoints and sinks stay per-run fresh, so a fresh
+    * stream still consumes every staged file and exactly-once / restart
+    * claims are untouched. `build` (including any slice-bound collects it
+    * performs) runs only on the FIRST call per (session, key). Returns the
+    * cached input dir to `readStream` from. */
+  def stageOrderedShared(key: String)(
+      build: => Seq[org.apache.spark.sql.DataFrame]): String =
+    graft.operators.Artifacts.sharedPath(s"stage:$key") { path =>
+      stageOrdered(path, build)
+    }
+
+  /** Two-sided variant of [[stageOrderedShared]] for entries staging
+    * multiple coordinated inputs from ONE scan-and-slice pass (e.g. the
+    * stream-stream join's view and click sides): each named side lands
+    * under `<layout>/<name>`, and the returned dirs are stable across
+    * invocations. */
+  def stageOrderedSharedMulti(key: String)(
+      build: => Seq[(String, Seq[org.apache.spark.sql.DataFrame])]): String =
+    graft.operators.Artifacts.sharedPath(s"stage:$key") { path =>
+      build.foreach { case (name, slices) => stageOrdered(s"$path/$name", slices) }
+    }
+
   /** The fixed per-entry root, deleted recursively if present. */
   def fresh(name: String): Path = {
     val root = path(name)
