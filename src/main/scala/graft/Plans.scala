@@ -150,7 +150,12 @@ object Plans {
     // distribution
     "events_path_topk", "graph_degree_hist",
     // round-12 addition: weekly DAU/WAU stickiness in exact ppm
-    "events_dau_mau")
+    "events_dau_mau",
+    // round-13 additions: the DSv2 connector reads — versioned read,
+    // AS OF TIMESTAMP, zone-map range skip and bloom point-lookup skip
+    // all through format("graftstore") with pushed filters visible
+    "store_dsv2_travel", "store_dsv2_asof", "store_dsv2_skip",
+    "store_dsv2_lookup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

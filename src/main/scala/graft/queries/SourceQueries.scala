@@ -197,8 +197,15 @@ object SourceQueries {
     * later commits exist; the oracle computes both versions relationally
     * (the manifest machinery must be result-invisible). DECIMAL-e4 integer
     * price sums per the float-determinism discipline. */
-  def qTimeTravel(s: SparkSession, dir: String): DataFrame = {
-    val layout = graft.operators.Artifacts.sharedPath(s"timetravel:$dir") { path =>
+  def qTimeTravel(s: SparkSession, dir: String): DataFrame =
+    Seq(1, 2).map { v =>
+      timeTravelAgg(graft.sources.Versioned.readVersion(s, timeTravelLayout(s, dir), v), v)
+    }.reduce(_ unionByName _)
+
+  /** The two-version orders store [[qTimeTravel]] and [[qDsv2Travel]]
+    * both read (one shared layout, two read surfaces). */
+  private def timeTravelLayout(s: SparkSession, dir: String): String =
+    graft.operators.Artifacts.sharedPath(s"timetravel:$dir") { path =>
       val orders = s.read.parquet(s"$dir/orders.parquet")
         .withColumn("bucket", (col("o_orderkey") % 16).cast("int"))
       graft.sources.Versioned.commitBase(orders, path, "bucket", 16)
@@ -206,15 +213,28 @@ object SourceQueries {
         .withColumn("o_totalprice", col("o_totalprice") * 2)
       graft.sources.Versioned.commitUpsert(s, delta, path, 2, "o_orderkey", "bucket")
     }
+
+  private def timeTravelAgg(df: DataFrame, v: Int): DataFrame =
+    df.agg(count(lit(1)).as("n_rows"),
+        expr("cast(sum(cast(o_totalprice as decimal(18,4))) * 10000 as bigint)")
+          .as("sum_price_e4"),
+        sum(when(col("o_orderkey") % 64 < 4, 1).otherwise(0)).cast("long")
+          .as("n_delta_keys"))
+      .select(lit(v).as("version"), col("n_rows"), col("sum_price_e4"),
+        col("n_delta_keys"))
+
+  /** [[qTimeTravel]] THROUGH the DSv2 connector
+    * ([[graft.sources.GraftStoreSource]], `format("graftstore")` +
+    * `versionAsOf`) — same layout, same aggregation, same oracle VERBATIM:
+    * the reader-syntax seam must be result-invisible against the
+    * library-API read path it packages (GraftStoreSpec proves the
+    * mechanics; this entry puts the seam under the hash gate). */
+  def qDsv2Travel(s: SparkSession, dir: String): DataFrame = {
+    val layout = timeTravelLayout(s, dir)
     Seq(1, 2).map { v =>
-      graft.sources.Versioned.readVersion(s, layout, v)
-        .agg(count(lit(1)).as("n_rows"),
-          expr("cast(sum(cast(o_totalprice as decimal(18,4))) * 10000 as bigint)")
-            .as("sum_price_e4"),
-          sum(when(col("o_orderkey") % 64 < 4, 1).otherwise(0)).cast("long")
-            .as("n_delta_keys"))
-        .select(lit(v).as("version"), col("n_rows"), col("sum_price_e4"),
-          col("n_delta_keys"))
+      timeTravelAgg(
+        s.read.format("graftstore").option("path", layout)
+          .option("versionAsOf", v.toString).load(), v)
     }.reduce(_ unionByName _)
   }
 
@@ -413,15 +433,8 @@ object SourceQueries {
     * plain filter + the bucket count recomputed relationally from the
     * same min/max definition. */
   def qZonemapPrune(s: SparkSession, dir: String): DataFrame = {
-    val layout = graft.operators.Artifacts.sharedPath(s"zonemap:$dir") { path =>
-      val orders = s.read.parquet(s"$dir/orders.parquet")
-        .withColumn("order_day", datediff(col("o_orderdate"), lit("1970-01-01")).cast("long"))
-        .withColumn("bucket", expr("cast((order_day div 160) % 16 as int)"))
-      graft.sources.Versioned.commitBase(orders, path, "bucket", 16)
-      graft.sources.Versioned.writeStats(s, path, 1, "order_day")
-    }
-    val lo = java.time.LocalDate.of(1995, 1, 1).toEpochDay
-    val hi = java.time.LocalDate.of(1995, 6, 30).toEpochDay
+    val layout = zonemapLayout(s, dir)
+    val (lo, hi) = ZonemapRange
     val (df, read) = graft.sources.Versioned.readVersionWhere(
       s, layout, 1, "order_day", lo, hi)
     df.groupBy(col("o_orderstatus"))
@@ -429,6 +442,43 @@ object SourceQueries {
         expr("cast(sum(cast(o_totalprice as decimal(18,4))) * 10000 as bigint)")
           .as("sum_price_e4"))
       .withColumn("n_buckets_read", lit(read.size))
+  }
+
+  /** The date-striped orders store [[qZonemapPrune]] and [[qDsv2Skip]]
+    * both read. */
+  private def zonemapLayout(s: SparkSession, dir: String): String =
+    graft.operators.Artifacts.sharedPath(s"zonemap:$dir") { path =>
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("order_day", datediff(col("o_orderdate"), lit("1970-01-01")).cast("long"))
+        .withColumn("bucket", expr("cast((order_day div 160) % 16 as int)"))
+      graft.sources.Versioned.commitBase(orders, path, "bucket", 16)
+      graft.sources.Versioned.writeStats(s, path, 1, "order_day")
+    }
+
+  private val ZonemapRange = (
+    java.time.LocalDate.of(1995, 1, 1).toEpochDay,
+    java.time.LocalDate.of(1995, 6, 30).toEpochDay)
+
+  /** [[qZonemapPrune]] THROUGH the DSv2 connector: the range predicate is
+    * a plain `.where` on the loaded frame — Catalyst pushes it into the
+    * scan (`SupportsPushDownFilters`), the scan consults the zone-map
+    * sidecar ([[graft.sources.Versioned.writeStats]]' recorded `#col`) and
+    * prunes buckets BEFORE file IO. `n_buckets_read` carries the same
+    * skip-decision function the scan calls
+    * ([[graft.sources.GraftStoreSource.zoneKeepBuckets]] — one rule, both
+    * consumers; GraftStoreSpec proves behaviorally that the scan consults
+    * the sidecar), and the oracle is [[qZonemapPrune]]'s VERBATIM. */
+  def qDsv2Skip(s: SparkSession, dir: String): DataFrame = {
+    val layout = zonemapLayout(s, dir)
+    val (lo, hi) = ZonemapRange
+    val nRead = graft.sources.GraftStoreSource.zoneKeepBuckets(layout, 1, lo, hi).size
+    s.read.format("graftstore").option("path", layout).load()
+      .where(col("order_day").between(lo, hi))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        expr("cast(sum(cast(o_totalprice as decimal(18,4))) * 10000 as bigint)")
+          .as("sum_price_e4"))
+      .withColumn("n_buckets_read", lit(nRead))
   }
 
   /** BLOOM SKIP INDEX on the versioned store — the point-lookup half of
@@ -455,23 +505,52 @@ object SourceQueries {
     * pins the mechanics: no false negatives, absent-only probes skip
     * (near-)everything, rows equal the direct filter. */
   def qStoreBloomSkip(s: SparkSession, dir: String): DataFrame = {
-    val layout = graft.operators.Artifacts.sharedPath(s"bloomskip:$dir") { path =>
-      val cust = s.read.parquet(s"$dir/customer.parquet")
-        .withColumn("bucket", pmod(col("c_custkey"), lit(16)).cast("int"))
-      graft.sources.Versioned.commitBase(cust, path, "bucket", 16)
-      graft.sources.Versioned.writeBloomIndex(s, path, 1, "c_custkey")
-    }
-    val cust = s.read.parquet(s"$dir/customer.parquet")
-    val present = cust.where(col("c_custkey") % 97 === 0)
-      .select(col("c_custkey")).orderBy(col("c_custkey")).limit(6)
-      .collect().map(_.getLong(0)).toSeq // the bounded point-lookup batch
-    val maxKey = cust.agg(max(col("c_custkey"))).head().getLong(0)
-    val probes = present ++ present.map(_ + maxKey + 1)
+    val layout = bloomSkipLayout(s, dir)
+    val probes = bloomSkipProbes(s, dir)
     val (rows, read) = graft.sources.Versioned.lookupKeys(
       s, layout, 1, "c_custkey", probes)
     rows.select(col("c_custkey").as("key"), col("c_name").as("name"),
         col("c_nationkey").cast("long").as("nat"))
       .withColumn("n_buckets_read", lit(read.size))
+  }
+
+  /** The bloom-indexed customer store [[qStoreBloomSkip]] and
+    * [[qDsv2Lookup]] both read. */
+  private def bloomSkipLayout(s: SparkSession, dir: String): String =
+    graft.operators.Artifacts.sharedPath(s"bloomskip:$dir") { path =>
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .withColumn("bucket", pmod(col("c_custkey"), lit(16)).cast("int"))
+      graft.sources.Versioned.commitBase(cust, path, "bucket", 16)
+      graft.sources.Versioned.writeBloomIndex(s, path, 1, "c_custkey")
+    }
+
+  /** The bounded point-lookup batch: 6 present keys + the same 6 offset
+    * beyond the max key (guaranteed absent). */
+  private def bloomSkipProbes(s: SparkSession, dir: String): Seq[Long] = {
+    val cust = s.read.parquet(s"$dir/customer.parquet")
+    val present = cust.where(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey")).orderBy(col("c_custkey")).limit(6)
+      .collect().map(_.getLong(0)).toSeq
+    val maxKey = cust.agg(max(col("c_custkey"))).head().getLong(0)
+    present ++ present.map(_ + maxKey + 1)
+  }
+
+  /** [[qStoreBloomSkip]] THROUGH the DSv2 connector: the probe batch is a
+    * plain `.isin` predicate — Catalyst pushes the `In` filter into the
+    * scan, which tests every bucket's bloom filter (metadata work, no IO)
+    * and reads only may-contain buckets. `n_buckets_read` carries the same
+    * decision function the scan calls
+    * ([[graft.sources.GraftStoreSource.bloomKeepBuckets]]); oracle is
+    * [[qStoreBloomSkip]]'s VERBATIM. */
+  def qDsv2Lookup(s: SparkSession, dir: String): DataFrame = {
+    val layout = bloomSkipLayout(s, dir)
+    val probes = bloomSkipProbes(s, dir)
+    val nRead = graft.sources.GraftStoreSource.bloomKeepBuckets(layout, 1, probes).size
+    s.read.format("graftstore").option("path", layout).load()
+      .where(col("c_custkey").isin(probes.map(Long.box): _*))
+      .select(col("c_custkey").as("key"), col("c_name").as("name"),
+        col("c_nationkey").cast("long").as("nat"))
+      .withColumn("n_buckets_read", lit(nRead))
   }
 
   /** INCREMENTAL index maintenance under copy-on-write
@@ -727,10 +806,31 @@ object SourceQueries {
       .withColumn("version_resolved", lit(v))
   }
 
+  /** [[qStoreAsofTs]] THROUGH the DSv2 connector (`timestampAsOf` reader
+    * option): the connector resolves the timestamp with the SAME
+    * [[graft.sources.Versioned.versionAsOf]] rule the library call uses —
+    * one resolution rule, two surfaces — and the oracle is
+    * [[qStoreAsofTs]]'s VERBATIM (`version_resolved` pinned to 2). */
+  def qDsv2Asof(s: SparkSession, dir: String): DataFrame = {
+    val layout = storeChangesLayout(s, dir)
+    (1 to 3).foreach(v =>
+      graft.sources.Versioned.writeCommitTime(layout, v, v * 1000000L))
+    val v = graft.sources.Versioned.versionAsOf(layout, 2500000L)
+    s.read.format("graftstore").option("path", layout)
+      .option("timestampAsOf", "2500000").load()
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("price_e4"))
+      .withColumn("version_resolved", lit(v))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "store_changes" -> qStoreChanges _,
     "store_recluster" -> qStoreRecluster _,
     "store_asof_ts" -> qStoreAsofTs _,
+    "store_dsv2_travel" -> qDsv2Travel _,
+    "store_dsv2_asof" -> qDsv2Asof _,
+    "store_dsv2_skip" -> qDsv2Skip _,
+    "store_dsv2_lookup" -> qDsv2Lookup _,
     "store_changes_stream" -> qStoreChangesStream _,
     "store_compact" -> qStoreCompact _,
     "store_bloom_skip" -> qStoreBloomSkip _,
@@ -748,7 +848,7 @@ object SourceQueries {
     "gdpr_delete_stream" -> qGdprStream _,
   )
 
-  val oracleSql: Map[String, String] = Map(
+  private val baseOracleSql: Map[String, String] = Map(
     // the three commits' change formulas replayed relationally; the net
     // I/U/D union IS the feed, and the touched-bucket count (3: upd
     // bucket 3, ins bucket 5, del bucket 9 — disjoint by construction)
@@ -1047,5 +1147,16 @@ object SourceQueries {
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         | CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation WHERE n_regionkey < 3""".stripMargin,
+  )
+
+  /** The DSv2 connector entries share their library-API twins' oracles
+    * VERBATIM — the seam (reader syntax, pushdown, sidecar-driven
+    * skipping) must be result-invisible, including the gated
+    * `n_buckets_read` skip evidence. */
+  val oracleSql: Map[String, String] = baseOracleSql ++ Map(
+    "store_dsv2_travel" -> baseOracleSql("q_time_travel"),
+    "store_dsv2_asof" -> baseOracleSql("store_asof_ts"),
+    "store_dsv2_skip" -> baseOracleSql("q_zonemap_prune"),
+    "store_dsv2_lookup" -> baseOracleSql("store_bloom_skip"),
   )
 }

@@ -185,9 +185,11 @@ object Versioned {
 
   /** The rows of exactly the (bucket → version) assignment given: one
     * partition-pruned read per distinct version, metadata-concat union.
-    * Version-0 entries are the EMPTY sentinel (a fully-deleted bucket). */
-  private def readBuckets(spark: SparkSession, dir: String,
-                          assign: Map[Int, Int]): DataFrame = {
+    * Version-0 entries are the EMPTY sentinel (a fully-deleted bucket).
+    * `private[sources]`: the DSv2 connector ([[GraftStoreSource]]) plans
+    * its pruned scans through this same read path. */
+  private[sources] def readBuckets(spark: SparkSession, dir: String,
+                                   assign: Map[Int, Int]): DataFrame = {
     val byVer = assign.filter(_._2 > 0).groupBy(_._2).toSeq.sortBy(_._1)
     require(byVer.nonEmpty,
       "every bucket is the empty sentinel — no data files to read a schema from")
@@ -234,9 +236,32 @@ object Versioned {
       // which is correct: no non-null value can match any range)
       .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-    val body = rows.sorted.map { case (b, mn, mx) => s"$b,$mn,$mx" }.mkString("\n")
+    // header records WHICH column the zones cover (the bloom index's #key
+    // discipline) — a reader that doesn't know the column (the DSv2
+    // connector matching pushed filters) needs it in-band
+    val body = (s"#col=$statsCol" +:
+      rows.sorted.map { case (b, mn, mx) => s"$b,$mn,$mx" }).mkString("\n")
     java.nio.file.Files.write(statsPath(dir, v), body.getBytes("UTF-8"))
   }
+
+  /** The column version `v`'s zone maps cover, if stats were written and
+    * recorded (headerless legacy files yield None — readers then serve
+    * unpruned, the safe default). */
+  def statsCol(dir: String, v: Int): Option[String] = {
+    val p = statsPath(dir, v)
+    if (!java.nio.file.Files.exists(p)) None
+    else new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .split("\n").headOption.filter(_.startsWith("#col="))
+      .map(_.stripPrefix("#col="))
+  }
+
+  /** True iff version `v` has a recorded bloom index. */
+  def hasBloomIndex(dir: String, v: Int): Boolean =
+    java.nio.file.Files.exists(bloomIdxPath(dir, v))
+
+  /** True iff version `v` has recorded zone maps. */
+  def hasStats(dir: String, v: Int): Boolean =
+    java.nio.file.Files.exists(statsPath(dir, v))
 
   private def bucketColOfManifest(spark: SparkSession, dir: String, v: Int): String = {
     val anyVer = readManifest(dir, v).values.find(_ > 0)
@@ -247,7 +272,7 @@ object Versioned {
   /** bucket → (min, max) of the stats column for version `v`. */
   def readStats(dir: String, v: Int): Map[Int, (Long, Long)] =
     new String(java.nio.file.Files.readAllBytes(statsPath(dir, v)), "UTF-8")
-      .split("\n").filter(_.nonEmpty)
+      .split("\n").filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { l => val Array(b, mn, mx) = l.split(","); b.toInt -> (mn.toLong, mx.toLong) }
       .toMap
 
