@@ -155,7 +155,10 @@ object Plans {
     // AS OF TIMESTAMP, zone-map range skip and bloom point-lookup skip
     // all through format("graftstore") with pushed filters visible
     "store_dsv2_travel", "store_dsv2_asof", "store_dsv2_skip",
-    "store_dsv2_lookup")
+    "store_dsv2_lookup",
+    // round-13 addition: CDF-driven MV maintenance — signed partials from
+    // the preimage change feed retract updates/deletes exactly
+    "mv_refresh_cdf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

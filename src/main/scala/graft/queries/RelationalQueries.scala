@@ -333,6 +333,118 @@ object RelationalQueries {
         expr("cast(sum(rev) * 10000 as bigint)").as("revenue_e4"))
   }
 
+  /** The lineitem-derived versioned store [[mvRefreshCdf]] maintains its
+    * MV against: one row per order item (key lkey = l_orderkey·8 +
+    * l_linenumber; l_linenumber ≤ 7 — the synthetic generator DUPLICATES
+    * some (orderkey, linenumber) pairs, so collisions collapse to a
+    * canonical row, min per column, making the key genuinely unique; a
+    * real lineitem table has the uniqueness natively), the MV's grain
+    * columns (month, flag) plus the exact measures (integer-valued
+    * quantity, decimal(18,4) revenue), bucketed by lkey mod 16. Two MIXED
+    * commits: v2 doubles stripe-1 quantities (U) and deletes stripe 2
+    * (D); v3 inserts key-shifted copies of stripe 3 (I, bucket preserved
+    * — the shift is a multiple of 16) and bumps stripe-4 revenue by an
+    * exact 0.01 (U on the decimal measure). Stripe = l_orderkey mod 40. */
+  private def mvCdfLayout(s: SparkSession, dir: String): String =
+    graft.operators.Artifacts.sharedPath(s"mvcdf:$dir") { path =>
+      val table = s"$path/table"
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(expr("l_orderkey * 8 + l_linenumber").as("lkey"),
+          date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+          col("l_returnflag"), col("l_quantity"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)").as("rev"))
+        .groupBy(col("lkey"))
+        .agg(min(col("month")).as("month"),
+          min(col("l_returnflag")).as("l_returnflag"),
+          min(col("l_quantity")).as("l_quantity"),
+          min(col("rev")).as("rev"))
+        .withColumn("bucket", pmod(col("lkey"), lit(16)).cast("int"))
+      graft.sources.Versioned.commitBase(li, table, "bucket", 16)
+      val stripe = pmod(expr("lkey DIV 8"), lit(40))
+      val u2 = li.where(stripe === 1)
+        .withColumn("l_quantity", col("l_quantity") * 2).withColumn("op", lit("U"))
+      val d2 = li.where(stripe === 2).withColumn("op", lit("D"))
+      graft.sources.Versioned.commitMerge(s, u2.unionByName(d2), table, 2,
+        "lkey", "bucket")
+      val k0 = (li.agg(max(col("lkey"))).head().getLong(0) / 16 + 1) * 16
+      val i3 = li.where(stripe === 3)
+        .withColumn("lkey", col("lkey") + lit(k0)).withColumn("op", lit("U"))
+      val u3 = li.where(stripe === 4)
+        .withColumn("rev", expr("cast(rev + 0.01 as decimal(18,4))"))
+        .withColumn("op", lit("U"))
+      graft.sources.Versioned.commitMerge(s, i3.unionByName(u3), table, 3,
+        "lkey", "bucket")
+    }
+
+  /** CDF-DRIVEN MV MAINTENANCE — the fourth leg of the MV story closing
+    * the triangle's missing edge (manual `q_incr_rollup`, automatic
+    * serving `q_mv_rewrite`, append-only streaming `mv_refresh_stream`;
+    * this one maintains the MV against UPDATES AND DELETES, not just
+    * inserts): the input is the store's own per-commit change feed
+    * ([[graft.sources.Versioned.changes]] with preimages — the
+    * `store_changes_stream` composition the feed exists for), consumed as
+    * a stream of commit signals. Each micro-batch folds one commit's feed
+    * into (month, flag) DELTA partials with SIGNED measures — 'I'/'U+'
+    * rows add (+1, +qty, +rev), 'D'/'U-' rows subtract — so retraction is
+    * exact subtraction of exact partials (bigint counts, integer-valued
+    * qty, decimal(18,4) rev): no recompute, no approximation, and an
+    * update that MOVES a row across groups retracts from the old grain
+    * cell and adds to the new one by construction. Partials land under
+    * version-keyed overwrite dirs (deterministic-id exactly-once, the
+    * `mv_refresh_stream` discipline); serving re-aggregates base-MV ∪
+    * deltas and drops zeroed-out groups. The oracle recomputes the
+    * POST-CHANGE rollup relationally (the `q_mv_rewrite` oracle shape
+    * over the three commits' change formulas) — maintained must equal
+    * recomputed, bit for bit. At 100 TB each refresh costs one commit's
+    * delta feed (2×delta IO) + a months×flags-sized fold; the fact table
+    * is never rescanned. */
+  def mvRefreshCdf(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    import fork.implicits._
+    val table = s"${mvCdfLayout(fork, dir)}/table"
+    val vLast = graft.sources.Versioned.latestVersion(table)
+    val root = StreamScratch.fresh("mvcdf")
+    val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    // one commit-signal row per micro-batch (tiny; staged per-run)
+    StreamScratch.stageOrdered(inDir, (2 to vLast).map(v => Seq(v).toDF("version")))
+    val stream = fork.readStream.schema("version INT")
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select(col("version")).distinct().collect().map(_.getInt(0)).foreach { v =>
+          val (cdf, _) = graft.sources.Versioned.changes(
+            b.sparkSession, table, v - 1, v, "lkey", withPreimage = true)
+          val add = col("op").isin("I", "U+")
+          cdf.groupBy(col("month"), col("l_returnflag"))
+            .agg(sum(when(add, 1L).otherwise(-1L)).as("n_items"),
+              sum(when(add, col("l_quantity")).otherwise(-col("l_quantity")))
+                .as("sum_qty"),
+              sum(when(add, col("rev")).otherwise(-col("rev")))
+                .cast("decimal(18,4)").as("rev"))
+            .write.mode("overwrite").parquet(s"$outDir/v$v")
+        }
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val base = graft.sources.Versioned.readVersion(fork, table, 1)
+      .groupBy(col("month"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"),
+        sum(col("rev")).cast("decimal(18,4)").as("rev"))
+    val deltaDirs = (2 to vLast).map(v => s"$outDir/v$v")
+    base.unionByName(fork.read.parquet(deltaDirs: _*))
+      .groupBy(col("month"), col("l_returnflag"))
+      .agg(sum(col("n_items")).as("n_items"), sum(col("sum_qty")).as("sum_qty"),
+        sum(col("rev")).cast("decimal(18,4)").as("rev"))
+      // a grain cell whose rows are all deleted must VANISH, exactly as a
+      // recompute would never emit it
+      .where(col("n_items") > 0)
+      .select(col("month"), col("l_returnflag"), col("n_items"),
+        round(col("sum_qty"), 2).as("sum_qty"),
+        expr("cast(rev * 10000 as bigint)").as("revenue_e4"))
+  }
+
   /** The hinted join [[qJoinHints]] and PlanSpec share: revenue per order
     * priority, lineitem ⋈ orders, with a caller-chosen strategy hint on
     * the orders side ("" = no hint, Spark's own choice). */
@@ -677,6 +789,7 @@ object RelationalQueries {
     "q_incr_rollup" -> qIncrRollup _,
     "q_mv_rewrite" -> qMvRewrite _,
     "mv_refresh_stream" -> mvRefreshStream _,
+    "mv_refresh_cdf" -> mvRefreshCdf _,
     "q_range_frame" -> qRangeFrame _,
     "q_join_hints" -> qJoinHints _,
     "q_mv_rewrite_coarse" -> qMvRewriteCoarse _,
@@ -866,6 +979,29 @@ object RelationalQueries {
     // the streamed partial-append MV re-aggregates to the same full
     // recompute, so the oracle is shared verbatim
     "mv_refresh_stream" -> monthlyMvOracle,
+    // the POST-CHANGE rollup recomputed relationally: the q_mv_rewrite
+    // oracle shape over the three commits' change formulas (stripe =
+    // l_orderkey mod 40: 1 = qty doubled, 2 = deleted, 3 = re-inserted
+    // under shifted keys, 4 = rev + 0.01) — the maintained MV must be
+    // indistinguishable from this recompute
+    "mv_refresh_cdf" ->
+      """WITH li AS (SELECT (l_orderkey * 8 + l_linenumber) // 8 % 40 AS stripe,
+        |    min(strftime(l_shipdate, '%Y-%m')) AS month,
+        |    min(l_returnflag) AS l_returnflag,
+        |    min(l_quantity) AS l_quantity,
+        |    min(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev
+        |  FROM lineitem GROUP BY l_orderkey * 8 + l_linenumber),
+        |fin AS (
+        |  SELECT month, l_returnflag,
+        |    CASE WHEN stripe = 1 THEN l_quantity * 2 ELSE l_quantity END AS l_quantity,
+        |    CASE WHEN stripe = 4 THEN CAST(rev + 0.01 AS DECIMAL(18,4)) ELSE rev END AS rev
+        |  FROM li WHERE stripe <> 2
+        |  UNION ALL
+        |  SELECT month, l_returnflag, l_quantity, rev FROM li WHERE stripe = 3)
+        |SELECT month, l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(sum(rev) * 10000 AS BIGINT) AS revenue_e4
+        |FROM fin GROUP BY 1, 2""".stripMargin,
     "q_mv_rewrite_coarse" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS month,
         | CAST(count(*) AS BIGINT) AS n_items,

@@ -555,8 +555,15 @@ object Versioned {
       .count(_.getName.endsWith(".parquet"))).getOrElse(0)
   }
 
+  /** `withPreimage = true` switches the feed to the FOUR-op contract
+    * production CDFs emit (Delta's update_preimage/update_postimage): an
+    * updated key yields TWO rows — 'U-' carrying the OLD payload and 'U+'
+    * the new — so a downstream maintainer can RETRACT exactly what it
+    * once added without re-reading any snapshot ('I'/'D' are unchanged).
+    * The default net three-op feed ('I'/'U'/'D', new payload on 'U') is
+    * what the store_changes entries gate. */
   def changes(spark: SparkSession, dir: String, fromV: Int, toV: Int,
-              keyCol: String): (DataFrame, Set[Int]) = {
+              keyCol: String, withPreimage: Boolean = false): (DataFrame, Set[Int]) = {
     require(fromV < toV, s"changes needs fromV < toV, got $fromV..$toV")
     val a = readManifest(dir, fromV)
     val b = readManifest(dir, toV)
@@ -591,14 +598,21 @@ object Versioned {
     val differs = cols.map(c => !(col(s"o_$c") <=> col(s"n_$c")))
       .reduce(_ || _)
     val op = when(col("o_k").isNull, "I")
-      .when(col("n_k").isNull, "D").otherwise("U")
-    (joined
+      .when(col("n_k").isNull, "D").otherwise(if (withPreimage) "U+" else "U")
+    val net = joined
       .where(col("o_k").isNull || col("n_k").isNull || differs)
-      .select((op.as("op") +:
-        coalesce(col("n_k"), col("o_k")).as(keyCol) +:
-        cols.map(c => when(col("n_k").isNull, col(s"o_$c"))
-          .otherwise(col(s"n_$c")).as(c))): _*),
-      touched)
+    val feed = net.select((op.as("op") +:
+      coalesce(col("n_k"), col("o_k")).as(keyCol) +:
+      cols.map(c => when(col("n_k").isNull, col(s"o_$c"))
+        .otherwise(col(s"n_$c")).as(c))): _*)
+    if (!withPreimage) (feed, touched)
+    else {
+      val pre = net
+        .where(col("o_k").isNotNull && col("n_k").isNotNull)
+        .select((lit("U-").as("op") +: col("o_k").as(keyCol) +:
+          cols.map(c => col(s"o_$c").as(c))): _*)
+      (feed.unionByName(pre), touched)
+    }
   }
 
   private def timePath(dir: String, v: Int) =

@@ -488,6 +488,54 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.versionAsOf(dir, 2500L) == 2, "retained commits still resolve")
   }
 
+  test("change feed preimages: U- carries the OLD payload, U+ the new; I/D unchanged; default feed untouched") {
+    val dir = tmp()
+    val base = Seq((1L, 10L, 0), (2L, 20L, 0), (3L, 30L, 1)).toDF("k", "v", "bucket")
+    Versioned.commitBase(base, dir, "bucket", 2)
+    val changes = Seq(("U", 2L, 200L, 0), ("D", 3L, 0L, 1), ("U", 9L, 90L, 1))
+      .toDF("op", "k", "v", "bucket")
+    Versioned.commitMerge(spark, changes, dir, 2, "k", "bucket")
+    val (pre, _) = Versioned.changes(spark, dir, 1, 2, "k", withPreimage = true)
+    val rows = pre.select("op", "k", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set(("U-", 2L, 20L), ("U+", 2L, 200L), ("D", 3L, 30L),
+      ("I", 9L, 90L)), s"got $rows")
+    // the default three-op net feed is unchanged by the new parameter
+    val (net, _) = Versioned.changes(spark, dir, 1, 2, "k")
+    val netRows = net.select("op", "k", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(netRows == Set(("U", 2L, 200L), ("D", 3L, 30L), ("I", 9L, 90L)))
+  }
+
+  test("CDF-maintained rollup == recompute after mixed U/D/I — a group empties, a row moves groups") {
+    val dir = tmp()
+    // grain g, measure m: group c has ONE row (it must VANISH after the
+    // delete); one a-row MOVES to group b (U- retracts from a, U+ adds to b)
+    val base = Seq((1L, "a", 5L, 0), (2L, "a", 7L, 0), (3L, "b", 11L, 1), (4L, "c", 13L, 1))
+      .toDF("k", "g", "m", "bucket")
+    Versioned.commitBase(base, dir, "bucket", 2)
+    val changes = Seq(("U", 2L, "b", 7L, 0), ("D", 4L, "", 0L, 1), ("U", 5L, "a", 17L, 1))
+      .toDF("op", "k", "g", "m", "bucket")
+    Versioned.commitMerge(spark, changes, dir, 2, "k", "bucket")
+    def rollup(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("g")).agg(count(lit(1)).as("n"), sum(col("m")).as("sm"))
+    val (cdf, _) = Versioned.changes(spark, dir, 1, 2, "k", withPreimage = true)
+    val add = col("op").isin("I", "U+")
+    val delta = cdf.groupBy(col("g"))
+      .agg(sum(when(add, 1L).otherwise(-1L)).as("n"),
+        sum(when(add, col("m")).otherwise(-col("m"))).as("sm"))
+    val maintained = rollup(Versioned.readVersion(spark, dir, 1))
+      .unionByName(delta)
+      .groupBy(col("g")).agg(sum(col("n")).as("n"), sum(col("sm")).as("sm"))
+      .where(col("n") > 0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val recomputed = rollup(Versioned.readVersion(spark, dir, 2))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(maintained == recomputed, s"maintained $maintained != recompute $recomputed")
+    assert(recomputed == Set(("a", 2L, 22L), ("b", 2L, 18L)),
+      "group c gone; the moved row left a and joined b")
+  }
+
   test("zone maps: all-NULL stats bucket omitted (no NPE); stats-less version serves unpruned") {
     val dir = tmp()
     val base = (0L until 12L).map(k => (k, k, (k % 2).toInt)).toDF("k", "v", "bucket")
