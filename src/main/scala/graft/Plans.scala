@@ -158,7 +158,10 @@ object Plans {
     "store_dsv2_lookup",
     // round-13 addition: CDF-driven MV maintenance — signed partials from
     // the preimage change feed retract updates/deletes exactly
-    "mv_refresh_cdf")
+    "mv_refresh_cdf",
+    // round-13 addition: metadata-only COUNT/MIN/MAX served from the
+    // commit-log sidecars (complete aggregate pushdown, zero data IO)
+    "store_dsv2_agg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

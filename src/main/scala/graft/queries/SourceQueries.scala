@@ -453,6 +453,7 @@ object SourceQueries {
         .withColumn("bucket", expr("cast((order_day div 160) % 16 as int)"))
       graft.sources.Versioned.commitBase(orders, path, "bucket", 16)
       graft.sources.Versioned.writeStats(s, path, 1, "order_day")
+      graft.sources.Versioned.writeRowCounts(s, path, 1)
     }
 
   private val ZonemapRange = (
@@ -533,6 +534,26 @@ object SourceQueries {
       .collect().map(_.getLong(0)).toSeq
     val maxKey = cust.agg(max(col("c_custkey"))).head().getLong(0)
     present ++ present.map(_ + maxKey + 1)
+  }
+
+  /** METADATA-ONLY aggregation through the connector
+    * (`SupportsPushDownAggregates`, complete pushdown): a global
+    * COUNT(*) / MIN / MAX over the zone column is answered from the
+    * commit-log sidecars — row counts summed, zone mins/maxes folded —
+    * with ZERO data IO; the scan returns the one final row. This is the
+    * statistics query every production table format serves from its
+    * manifest. GraftStoreSpec proves the mechanics (PushedAggregates in
+    * the plan; the answer survives deleting every data file; inexact
+    * shapes — filters, groupings, other columns — decline to a data
+    * scan); the oracle pins the VALUES against the raw table. At 100 TB:
+    * a table-wide count or freshness watermark costs a sidecar read, not
+    * a scan. */
+  def qDsv2Agg(s: SparkSession, dir: String): DataFrame = {
+    val layout = zonemapLayout(s, dir)
+    s.read.format("graftstore").option("path", layout).load()
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("order_day")).as("min_day"),
+        max(col("order_day")).as("max_day"))
   }
 
   /** [[qStoreBloomSkip]] THROUGH the DSv2 connector: the probe batch is a
@@ -831,6 +852,7 @@ object SourceQueries {
     "store_dsv2_asof" -> qDsv2Asof _,
     "store_dsv2_skip" -> qDsv2Skip _,
     "store_dsv2_lookup" -> qDsv2Lookup _,
+    "store_dsv2_agg" -> qDsv2Agg _,
     "store_changes_stream" -> qStoreChangesStream _,
     "store_compact" -> qStoreCompact _,
     "store_bloom_skip" -> qStoreBloomSkip _,
@@ -1158,5 +1180,12 @@ object SourceQueries {
     "store_dsv2_asof" -> baseOracleSql("store_asof_ts"),
     "store_dsv2_skip" -> baseOracleSql("q_zonemap_prune"),
     "store_dsv2_lookup" -> baseOracleSql("store_bloom_skip"),
+    // the sidecar-served statistics must equal the raw-table aggregate —
+    // the metadata path is result-invisible (mechanics in GraftStoreSpec)
+    "store_dsv2_agg" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS BIGINT) AS min_day,
+        |  CAST(max(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS BIGINT) AS max_day
+        |FROM orders""".stripMargin,
   )
 }

@@ -6,7 +6,9 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
@@ -58,6 +60,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (SURVEY.md §7). */
 class GraftStoreSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graftstore"
+
+  /** A caller may supply the schema (skipping [[inferSchema]]'s data-file
+    * read) — with the sidecars present, a metadata-only aggregate then
+    * never opens a data file at all (GraftStoreSpec proves it by deleting
+    * every one). */
+  override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (dir, v) = GraftStoreSource.resolve(options)
@@ -181,11 +189,13 @@ private[sources] class GraftStoreTable(schema: StructType, dir: String, v: Int)
 
 private[sources] class GraftStoreScanBuilder(full: StructType, dir: String, v: Int)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var assign: Map[Int, Int] = _
+  private var aggResult: Option[(StructType, Seq[Any])] = None
 
   /** Every filter comes back as a residual (Spark re-applies row-level);
     * the ones the sidecars could act on are retained as `pushedFilters`
@@ -202,36 +212,107 @@ private[sources] class GraftStoreScanBuilder(full: StructType, dir: String, v: I
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** METADATA-ONLY aggregation — the statistics query a table format
+    * serves from its commit log with ZERO data IO: a global (no GROUP BY,
+    * no residual filter) COUNT(*) folds the row-count sidecar, MIN/MAX of
+    * the recorded zone column fold the zone maps (nulls excluded by the
+    * zone contract — exactly MIN/MAX's semantics). Complete pushdown: the
+    * scan returns the ONE final row. Anything the sidecars can't answer
+    * exactly — grouped aggregates, other functions/columns, a pushed
+    * filter, a missing sidecar, a non-long column — declines and scans
+    * data. (Spark only offers aggregates when every filter was fully
+    * pushed; ours are all residual, so this fires on filterless reads.) */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translateAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    aggResult = translateAgg(agg)
+    aggResult.isDefined
+  }
+
+  private def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames()(0))
+    case _ => None
+  }
+
+  private def translateAgg(agg: Aggregation): Option[(StructType, Seq[Any])] = {
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+    val zcol = Versioned.statsCol(dir, v)
+    def zoneIsLong = zcol.exists(c =>
+      full.fields.find(_.name == c).exists(_.dataType ==
+        org.apache.spark.sql.types.LongType))
+    val live = Versioned.readManifest(dir, v).filter(_._2 > 0).keySet
+    lazy val zones = Versioned.readStats(dir, v)
+    val cols = agg.aggregateExpressions.map { fn: AggregateFunc =>
+      fn match {
+        case _: CountStar if Versioned.hasRowCounts(dir, v) =>
+          val counts = Versioned.readRowCounts(dir, v)
+          // every live bucket must be covered or the sum is not the count
+          if (live.subsetOf(counts.keySet))
+            Some(("count_star", org.apache.spark.sql.types.LongType,
+              live.toSeq.map(counts).sum: Any))
+          else None
+        case m: Min if Versioned.hasStats(dir, v) && zoneIsLong &&
+            fieldOf(m.column) == zcol =>
+          val vs = live.toSeq.flatMap(zones.get).map(_._1)
+          Some(("min_" + zcol.get, org.apache.spark.sql.types.LongType,
+            if (vs.isEmpty) null else (vs.min: Any)))
+        case m: Max if Versioned.hasStats(dir, v) && zoneIsLong &&
+            fieldOf(m.column) == zcol =>
+          val vs = live.toSeq.flatMap(zones.get).map(_._2)
+          Some(("max_" + zcol.get, org.apache.spark.sql.types.LongType,
+            if (vs.isEmpty) null else (vs.max: Any)))
+        case _ => None
+      }
+    }
+    if (cols.exists(_.isEmpty)) None
+    else {
+      val defined = cols.map(_.get)
+      Some((StructType(defined.map { case (n, t, _) =>
+        org.apache.spark.sql.types.StructField(n, t) }),
+        defined.map(_._3).toSeq))
+    }
+  }
+
   override def build(): Scan = {
     if (assign == null) // no filter pushdown happened (e.g. bare scan)
       assign = Versioned.readManifest(dir, v).filter(_._2 > 0)
-    new GraftStoreScan(full, required, dir, v, assign)
+    new GraftStoreScan(full, required, dir, v, assign, aggResult)
   }
 }
 
 private[sources] class GraftStoreScan(full: StructType, required: StructType,
                                       dir: String, v: Int,
-                                      assign: Map[Int, Int]) extends V1Scan {
-  override def readSchema(): StructType = required
+                                      assign: Map[Int, Int],
+                                      aggResult: Option[(StructType, Seq[Any])] = None)
+    extends V1Scan {
+  override def readSchema(): StructType = aggResult.map(_._1).getOrElse(required)
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {
     new BaseRelation with TableScan {
       override def sqlContext: SQLContext = context
-      override def schema: StructType = required
-      override def buildScan(): RDD[Row] = {
-        val spark = context.sparkSession
-        val base =
-          if (assign.isEmpty)
-            // everything pruned: an empty frame in the version's schema
-            // (schema-only read, no bucket IO — the skip contract's floor)
-            Versioned.readVersion(spark, dir, v).where(lit(false))
-          else Versioned.readBuckets(spark, dir, assign)
-        base.select(required.fieldNames.map(col).toSeq: _*).rdd
+      override def schema: StructType = readSchema()
+      override def buildScan(): RDD[Row] = aggResult match {
+        case Some((_, values)) =>
+          // the completely-pushed aggregate: ONE row straight from the
+          // commit-log sidecars — no data file is ever opened
+          context.sparkContext.parallelize(Seq(Row(values: _*)), 1)
+        case None =>
+          val spark = context.sparkSession
+          val base =
+            if (assign.isEmpty)
+              // everything pruned: an empty frame in the version's schema
+              // (schema-only read, no bucket IO — the skip contract's floor)
+              Versioned.readVersion(spark, dir, v).where(lit(false))
+            else Versioned.readBuckets(spark, dir, assign)
+          base.select(required.fieldNames.map(col).toSeq: _*).rdd
       }
     }.asInstanceOf[T]
   }
 
   override def description(): String =
-    s"graftstore $dir@v$v buckets=${assign.keySet.toSeq.sorted.mkString(",")}"
+    s"graftstore $dir@v$v buckets=${assign.keySet.toSeq.sorted.mkString(",")}" +
+      aggResult.map(a => s" aggPushed=${a._1.fieldNames.mkString(",")}").getOrElse("")
 }

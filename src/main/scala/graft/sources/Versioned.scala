@@ -263,6 +263,36 @@ object Versioned {
   def hasStats(dir: String, v: Int): Boolean =
     java.nio.file.Files.exists(statsPath(dir, v))
 
+  private def countsPath(dir: String, v: Int) =
+    java.nio.file.Paths.get(dir, "manifests", s"v$v.counts.csv")
+
+  /** Per-bucket ROW COUNTS beside version `v`'s manifest — the third
+    * statistics sidecar (zone maps answer range skipping, the bloom index
+    * point skipping; counts answer METADATA-ONLY AGGREGATION): COUNT(*)
+    * over any bucket subset is a sidecar sum, zero data IO — the
+    * statistics query every production table format serves from its
+    * manifest (a real writer records these during the commit itself). */
+  def writeRowCounts(spark: SparkSession, dir: String, v: Int): Unit = {
+    val rows = readVersion(spark, dir, v)
+      .groupBy(col(bucketColOfManifest(spark, dir, v)))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val body = rows.sorted.map { case (b, c) => s"$b,$c" }.mkString("\n")
+    java.nio.file.Files.write(countsPath(dir, v), body.getBytes("UTF-8"))
+  }
+
+  /** bucket → row count for version `v` (live buckets only; a sentinel
+    * bucket has no rows and no line). */
+  def readRowCounts(dir: String, v: Int): Map[Int, Long] =
+    new String(java.nio.file.Files.readAllBytes(countsPath(dir, v)), "UTF-8")
+      .split("\n").filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l => val Array(b, c) = l.split(","); b.toInt -> c.toLong }
+      .toMap
+
+  /** True iff version `v` has recorded row counts. */
+  def hasRowCounts(dir: String, v: Int): Boolean =
+    java.nio.file.Files.exists(countsPath(dir, v))
+
   private def bucketColOfManifest(spark: SparkSession, dir: String, v: Int): String = {
     val anyVer = readManifest(dir, v).values.find(_ > 0)
       .getOrElse(sys.error("empty table"))
@@ -718,6 +748,7 @@ object Versioned {
       // then throw NoSuchFileException instead of the clear retention error
       java.nio.file.Files.deleteIfExists(timePath(dir, v))
       java.nio.file.Files.deleteIfExists(bloomIdxPath(dir, v))
+      java.nio.file.Files.deleteIfExists(countsPath(dir, v))
     }
   }
 

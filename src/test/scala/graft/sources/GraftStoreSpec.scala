@@ -124,6 +124,47 @@ class GraftStoreSpec extends SparkSpec {
     assert(read(dir2).where(col("k") >= 10L && col("k") < 20L).count() == 10)
   }
 
+  test("metadata-only aggregates: COUNT/MIN/MAX from sidecars with ZERO data IO; inexact shapes decline") {
+    val dir = tmp()
+    val base = (0 until 4).flatMap(b => (0 until 10).map(i =>
+      (b * 100L + i, 100L * b + i, b))).toDF("k", "v", "bucket")
+    Versioned.commitBase(base, dir, "bucket", 4)
+    Versioned.writeStats(spark, dir, 1, "v")
+    Versioned.writeRowCounts(spark, dir, 1)
+
+    val agg = read(dir).agg(count(lit(1)).as("n"),
+      min(col("v")).as("mn"), max(col("v")).as("mx"))
+    assert(agg.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+      "the statistics query must push completely")
+    assert(agg.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((40L, 0L, 309L)))
+
+    // shapes the sidecars can't answer exactly DECLINE and scan data:
+    // a residual filter, a grouping, a non-zone column
+    val filtered = read(dir).where(col("v") >= 100L).agg(count(lit(1)))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    assert(filtered.head().getLong(0) == 30L)
+    val grouped = read(dir).groupBy(col("bucket")).count()
+    assert(!grouped.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    assert(grouped.count() == 4)
+    val otherCol = read(dir).agg(min(col("k")))
+    assert(!otherCol.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    assert(otherCol.head().getLong(0) == 0L)
+
+    // the ZERO-IO proof: delete EVERY data file — with a caller-supplied
+    // schema the metadata aggregate still answers (nothing else could)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(s"$dir/data"))
+    val ghost = spark.read.format("graftstore")
+      .schema("k LONG, v LONG, bucket INT").option("path", dir).load()
+      .agg(count(lit(1)).as("n"), min(col("v")).as("mn"), max(col("v")).as("mx"))
+    assert(ghost.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((40L, 0L, 309L)),
+      "every data file is gone — only the sidecars could have answered")
+  }
+
   test("schema evolution and empty-sentinel buckets read through the connector") {
     val dir = tmp()
     val base = (0L until 12L).map(k => (k, k, (k % 2).toInt)).toDF("k", "v", "bucket")
