@@ -161,7 +161,10 @@ object Plans {
     "mv_refresh_cdf",
     // round-13 addition: metadata-only COUNT/MIN/MAX served from the
     // commit-log sidecars (complete aggregate pushdown, zero data IO)
-    "store_dsv2_agg")
+    "store_dsv2_agg",
+    // round-13 addition: the connector from plain SQL DDL (CREATE
+    // TEMPORARY VIEW ... USING graftstore)
+    "store_dsv2_sql")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

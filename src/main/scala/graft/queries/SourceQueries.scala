@@ -536,6 +536,27 @@ object SourceQueries {
     present ++ present.map(_ + maxKey + 1)
   }
 
+  /** The connector from PLAIN SQL TEXT — no DataFrame API anywhere: both
+    * versions are registered through DDL
+    * (`CREATE TEMPORARY VIEW ... USING graftstore OPTIONS (path, versionAsOf)`)
+    * and the whole query is one SQL string over them — the
+    * "consumable from SQL / BI tools" claim made checkable. Oracle is
+    * [[qTimeTravel]]'s VERBATIM (three surfaces, one result: library API,
+    * reader API, SQL). */
+  def qDsv2Sql(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    val layout = timeTravelLayout(fork, dir)
+    Seq(1, 2).foreach { v =>
+      fork.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_store_v$v " +
+        s"USING graftstore OPTIONS (path '$layout', versionAsOf '$v')")
+    }
+    def one(v: Int) =
+      s"""SELECT $v AS version, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_price_e4,
+         |  CAST(sum(CASE WHEN o_orderkey % 64 < 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta_keys
+         |FROM graft_store_v$v""".stripMargin
+    fork.sql(one(1) + "\nUNION ALL\n" + one(2))
+  }
+
   /** METADATA-ONLY aggregation through the connector
     * (`SupportsPushDownAggregates`, complete pushdown): a global
     * COUNT(*) / MIN / MAX over the zone column is answered from the
@@ -853,6 +874,7 @@ object SourceQueries {
     "store_dsv2_skip" -> qDsv2Skip _,
     "store_dsv2_lookup" -> qDsv2Lookup _,
     "store_dsv2_agg" -> qDsv2Agg _,
+    "store_dsv2_sql" -> qDsv2Sql _,
     "store_changes_stream" -> qStoreChangesStream _,
     "store_compact" -> qStoreCompact _,
     "store_bloom_skip" -> qStoreBloomSkip _,
@@ -1177,6 +1199,7 @@ object SourceQueries {
     * `n_buckets_read` skip evidence. */
   val oracleSql: Map[String, String] = baseOracleSql ++ Map(
     "store_dsv2_travel" -> baseOracleSql("q_time_travel"),
+    "store_dsv2_sql" -> baseOracleSql("q_time_travel"),
     "store_dsv2_asof" -> baseOracleSql("store_asof_ts"),
     "store_dsv2_skip" -> baseOracleSql("q_zonemap_prune"),
     "store_dsv2_lookup" -> baseOracleSql("store_bloom_skip"),
