@@ -164,7 +164,12 @@ object Plans {
     "store_dsv2_agg",
     // round-13 addition: the connector from plain SQL DDL (CREATE
     // TEMPORARY VIEW ... USING graftstore)
-    "store_dsv2_sql")
+    "store_dsv2_sql",
+    // round-13 additions: joinless RANGE-frame attribution, hub-capped
+    // link prediction, deterministic label-propagation communities,
+    // asymmetric shingle containment
+    "events_attribution", "graph_link_predict", "graph_communities",
+    "dedup_containment")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

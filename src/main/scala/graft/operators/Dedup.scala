@@ -175,6 +175,52 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Asymmetric shingle CONTAINMENT — Broder's second resemblance measure,
+    * the one Jaccard misses: C(a→b) = |A∩B| / |A| finds documents SUBSUMED
+    * by others (quotes, excerpts, boilerplate-wrapped copies) whose Jaccard
+    * is low because the container is much larger. The LLM-corpus use is
+    * exact-subset pruning: drop a doc whose shingles are ≥ threshold
+    * contained in another doc.
+    *
+    * Same inverted-index shape and df-cap skew guard as [[jaccardPairs]]
+    * (hashed 60-bit shingles, intersection computed ONCE per unordered
+    * pair, then both orientations scored from the one intersection row).
+    * The score is kept EXACT as ppm integers ((1e6·inter) div |A|) — no
+    * float division reaches the hash gate.
+    *
+    * @param docShinglesIn    (doc, sh) raw shingle stream
+    * @param minContainPpm    directed threshold in ppm (e.g. 800000 = 80%)
+    * @param maxShingleDf     df cap — shingles in more docs are dropped
+    * @return (doc_a, doc_b, inter, na, cont_ppm): doc_a's shingles are
+    *         cont_ppm-contained in doc_b's; both directions can emit */
+  def containmentPairs(docShinglesIn: DataFrame, minContainPpm: Long,
+                       maxShingleDf: Option[Int] = None): DataFrame = {
+    val docShingles = docShinglesIn
+      .select(col("doc"), md5Hash60(col("sh")).as("sh")).distinct()
+    val ds = maxShingleDf match {
+      case Some(cap) =>
+        val rare = docShingles.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .where(col("df") <= cap).select(col("sh"))
+        docShingles.join(rare, "sh")
+      case None => docShingles
+    }
+    val sizes = ds.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    val inter = ds.as("a").join(ds.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("u"), col("b.doc").as("v"))
+      .agg(count(lit(1)).as("inter"))
+    val sized = inter
+      .join(sizes.withColumnRenamed("doc", "u").withColumnRenamed("n", "nu"), "u")
+      .join(sizes.withColumnRenamed("doc", "v").withColumnRenamed("n", "nv"), "v")
+    val directed = sized.select(col("u").as("doc_a"), col("v").as("doc_b"),
+        col("inter"), col("nu").as("na"))
+      .unionAll(sized.select(col("v").as("doc_a"), col("u").as("doc_b"),
+        col("inter"), col("nv").as("na")))
+    directed.withColumn("cont_ppm", expr("(1000000 * inter) div na"))
+      .where(col("cont_ppm") >= minContainPpm)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("cont_ppm"))
+  }
+
   /** Duplicate-cluster keep-list: given undirected near-dup pairs, assign
     * every doc the minimum doc id reachable within `rounds` hops (min-label
     * propagation — the bounded-iteration core of connected components) and

@@ -135,4 +135,109 @@ object Graph {
     ids.join(corners, Seq("id"), "left")
       .select(col("id"), coalesce(col("n"), lit(0L)).as("n_tri"))
   }
+
+  /** Canonical undirected simple graph: self-loops dropped, multi-edges
+    * collapsed, u < v. Shared by [[triangleCounts]]'s spelling,
+    * [[commonNeighbors]] and [[labelPropagate]]. */
+  private def canonical(edges: DataFrame): DataFrame =
+    edges.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+
+  /** LINK PREDICTION by common-neighbor / resource-allocation scoring —
+    * the "which documents SHOULD be linked" signal (crawl-gap detection,
+    * related-content candidates): for every non-adjacent pair {u, v} that
+    * shares ≥ 1 neighbor, count the shared neighbors and sum the
+    * resource-allocation index Σ_p 1/deg(p) — kept EXACT as parts-per-
+    * million integer units (1000000 div deg), so the score is
+    * order-independent and hash-gates where a float sum would not. Top-k
+    * by the (ra_ppm, n_common, u, v) total order.
+    *
+    * Scale shape: wedge enumeration must pivot at the shared neighbor, so
+    * its cost is Σ deg(p)² — inherently hub-quadratic. The standard
+    * mitigation IS the model: common neighbors through hubs carry no
+    * signal (that's why RA down-weights by 1/deg), so pivots with
+    * deg > [[PivotCap]] are excluded outright — the df-cap discipline the
+    * dedup family uses, turning the worst case into cap²·|V|. The cap is
+    * part of the operator's contract and the oracle replays it literally.
+    *
+    * @param edges (src, dst) multigraph; canonicalized internally
+    * @param k     result rows (global top-k)
+    * @return (u, v, n_common, ra_ppm) — u < v, non-adjacent, top-k */
+  def commonNeighbors(edges: DataFrame, k: Int): DataFrame = {
+    val und = canonical(edges)
+    val deg = und.select(col("u").as("id"))
+      .unionAll(und.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    // pivot adjacency, both directions, hub-capped
+    val adj = und.select(col("u").as("p"), col("v").as("x"))
+      .unionAll(und.select(col("v").as("p"), col("u").as("x")))
+      .join(deg.withColumnRenamed("id", "p"), "p")
+      .where(col("d") <= PivotCap)
+      .localCheckpoint(eager = true) // both wedge sides read it
+    val wedges = adj.select(col("p"), col("x"), col("d"))
+      .join(adj.select(col("p"), col("x").as("y")), "p")
+      .where(col("x") < col("y"))
+    val scored = wedges
+      .join(und.select(col("u").as("x"), col("v").as("y")),
+        Seq("x", "y"), "left_anti") // drop already-linked pairs
+      .groupBy(col("x").as("u"), col("y").as("v"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(expr(s"${RaUnit}L div d")).as("ra_ppm"))
+    scored.orderBy(col("ra_ppm").desc, col("n_common").desc, col("u"), col("v"))
+      .limit(k)
+  }
+
+  /** Pivot-degree cap for [[commonNeighbors]] — shared-neighbor evidence
+    * through nodes linked more widely than this is treated as noise. */
+  val PivotCap = 64L
+
+  /** Exact-integer unit of the resource-allocation index (ppm). */
+  val RaUnit = 1000000L
+
+  /** COMMUNITY DETECTION by synchronous label propagation (Raghavan et
+    * al.'s LPA, made deterministic): every node starts labeled with its
+    * own id; each round it adopts the label the PLURALITY of its
+    * neighbors carry, ties broken by the smallest label, isolated nodes
+    * keeping their current label. Synchronous rounds + total-order
+    * tie-break make the result an exact function of the graph — no RNG,
+    * no update-order dependence — so a SQL oracle can replay every round.
+    *
+    * Scale shape per round (same ledger as [[pagerank]]): one join of the
+    * persisted adjacency against the label frame (|adj| rows, co-located
+    * on the persisted partitioning) and two map-side-combining aggregates
+    * whose output is bounded by |V| — nothing all-pairs, nothing
+    * hub-quadratic, state is one label per node. A long chain would
+    * checkpoint labels every few rounds; at small fixed iters the pure
+    * plan is cheaper.
+    *
+    * @param edges (src, dst) multigraph; canonicalized internally
+    * @param ids   (id) full node set
+    * @param iters synchronous rounds (≥ 0)
+    * @return (id, label) after `iters` rounds */
+  def labelPropagate(edges: DataFrame, ids: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val und = canonical(edges)
+    val adj = und.select(col("u").as("p"), col("v").as("x"))
+      .unionAll(und.select(col("v").as("p"), col("u").as("x")))
+      .repartition(col("x")).persist()
+    val idsP = ids.select(col("id")).repartition(col("id")).persist()
+    try {
+      adj.count()
+      var lab = idsP.withColumn("label", col("id"))
+      for (_ <- 1 to iters) {
+        val votes = adj.join(lab.withColumnRenamed("id", "x"), "x")
+          .groupBy(col("p"), col("label")).agg(count(lit(1)).as("c"))
+        // plurality label, ties to the smallest: max over (count, -label)
+        val winner = votes.groupBy(col("p"))
+          .agg(max(struct(col("c"), (-col("label")).as("neg"))).as("w"))
+          .select(col("p").as("id"), (-col("w.neg")).as("new_label"))
+        lab = lab.join(winner, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("new_label"), col("label")).as("label"))
+      }
+      lab.localCheckpoint(eager = true)
+    } finally { adj.unpersist(); idsP.unpersist() }
+  }
 }

@@ -120,6 +120,80 @@ object EventQueries {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** The 7-day attribution lookback, in epoch-micros. */
+  private val AttribWindowUs = 7L * 86400L * 1000000L
+
+  /** MULTI-TOUCH ATTRIBUTION — the marketing-analytics readout beside
+    * [[funnel]]: every purchase's value is credited to the user's
+    * preceding 'view'/'click' touches within a 7-day lookback under the
+    * three standard models at once (first-touch, last-touch, linear), and
+    * to a synthetic 'direct' channel when no touch precedes it.
+    *
+    * JOINLESS on the Spark side: each purchase row reads its own touch
+    * statistics (count, first/last touch, per-channel counts) from ONE
+    * value-based RANGE frame over the user's timeline
+    * (`rangeBetween(-7d, -1 µs)` on exact integer ts_us — strictly-earlier
+    * is the frame's upper bound, not a join predicate), so the whole entry
+    * is one per-user window sort plus one channel-sized aggregate. The
+    * oracle spells the same semantics as the purchase×touch interval join
+    * it would be naively — two algorithms, one exact answer. Per-user
+    * event volume is bounded by construction (the generator scales USER
+    * cardinality), so the window partitions stay flat at any corpus size.
+    *
+    * Money is exact integer cents (the [[MlQueries.mlAbTest]] cast
+    * discipline); the linear split is integer division with the remainder
+    * credited to the LAST touch's channel, so the three models all sum to
+    * exactly the purchase total and every figure hash-gates bit-for-bit.
+    * Channel-cardinality output (≤3 rows) at any scale. */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    val isTouch = col("event_type").isin("view", "click")
+    val frame = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-AttribWindowUs, -1L)
+    val touchStruct = when(isTouch,
+      struct(col("ts_us"), col("event_id"), col("event_type")))
+    val scored = ev(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"),
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
+      // count, not sum-of-indicators: an EMPTY frame must yield 0, and a
+      // window sum over no rows is NULL
+      .withColumn("n_view",
+        count(when(col("event_type") === "view", lit(1))).over(frame))
+      .withColumn("n_click",
+        count(when(col("event_type") === "click", lit(1))).over(frame))
+      .withColumn("first_t", min(touchStruct).over(frame))
+      .withColumn("last_t", max(touchStruct).over(frame))
+      .where(col("event_type") === "purchase")
+      .withColumn("n", col("n_view") + col("n_click"))
+    // per-purchase contribution triples (first, last, linear) per channel —
+    // mirrors the oracle's UNION ALL contribution rows exactly: a channel
+    // row exists iff the purchase has ≥1 touch on it (or is 'direct')
+    val contrib = scored.select(explode(
+      when(col("n") === 0,
+        array(struct(lit("direct").as("channel"), col("cents").as("f"),
+          col("cents").as("l"), col("cents").as("lin"))))
+      .otherwise(filter(array(
+        struct(col("first_t.event_type").as("channel"), col("cents").as("f"),
+          lit(0L).as("l"), lit(0L).as("lin")),
+        struct(col("last_t.event_type").as("channel"), lit(0L).as("f"),
+          col("cents").as("l"), lit(0L).as("lin")),
+        struct(lit("view").as("channel"), lit(0L).as("f"), lit(0L).as("l"),
+          (expr("cents div n") * col("n_view") +
+            when(col("last_t.event_type") === "view",
+              col("cents") - expr("cents div n") * col("n")).otherwise(0L)).as("lin")),
+        struct(lit("click").as("channel"), lit(0L).as("f"), lit(0L).as("l"),
+          (expr("cents div n") * col("n_click") +
+            when(col("last_t.event_type") === "click",
+              col("cents") - expr("cents div n") * col("n")).otherwise(0L)).as("lin"))),
+        c => // linear rows only for channels the purchase actually touched
+          c.getField("f") > 0 || c.getField("l") > 0 ||
+          when(c.getField("channel") === "view", col("n_view") > 0)
+            .otherwise(col("n_click") > 0)))).as("c"))
+    contrib.groupBy(col("c.channel").as("channel"))
+      .agg(sum(col("c.f")).as("first_cents"),
+        sum(col("c.l")).as("last_cents"),
+        sum(col("c.lin")).as("linear_cents"))
+  }
+
   /** Event funnel: per user, first 'view' followed by a later 'purchase'. */
   def funnel(s: SparkSession, dir: String): DataFrame = {
     val e = ev(s, dir).select(col("user_id"), col("event_type"), col("ts_us"))
@@ -637,6 +711,7 @@ object EventQueries {
     "events_join_stream" -> joinStreamed _,
     "events_retention" -> retention _,
     "events_range_join" -> rangeJoin _,
+    "events_attribution" -> attribution _,
   )
 
   // same exact-integer bucket math as Resample (floor division == `//`);
@@ -751,6 +826,37 @@ object EventQueries {
       """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 10 AS k_mod,
         | CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1""".stripMargin,
+    // the purchase×touch interval join the Spark side's RANGE frame
+    // replaces: per-touch linear shares (remainder to the last touch),
+    // first/last by the same (ts_us, event_id) total order, 'direct' for
+    // untouched purchases — all exact integer cents
+    "events_attribution" ->
+      """WITH p AS (SELECT event_id AS pid, user_id, epoch_us(ts) AS ts_us,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id AS tid,
+        |    event_type AS channel
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |pt AS (SELECT p.pid, p.cents, t.channel, t.ts_us, t.tid
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |   AND t.ts_us < p.ts_us AND t.ts_us >= p.ts_us - 604800000000),
+        |rk AS (SELECT pid, cents, channel,
+        |    row_number() OVER (PARTITION BY pid ORDER BY ts_us, tid) AS rn_a,
+        |    row_number() OVER (PARTITION BY pid ORDER BY ts_us DESC, tid DESC) AS rn_d,
+        |    count(*) OVER (PARTITION BY pid) AS n
+        |  FROM pt),
+        |contrib AS (
+        |  SELECT channel, cents AS f, 0 AS l, 0 AS lin FROM rk WHERE rn_a = 1
+        |  UNION ALL SELECT channel, 0, cents, 0 FROM rk WHERE rn_d = 1
+        |  UNION ALL SELECT channel, 0, 0,
+        |    cents // n + CASE WHEN rn_d = 1 THEN cents - (cents // n) * n ELSE 0 END
+        |  FROM rk
+        |  UNION ALL SELECT 'direct', cents, cents, cents
+        |  FROM p WHERE pid NOT IN (SELECT pid FROM pt))
+        |SELECT channel, CAST(sum(f) AS BIGINT) AS first_cents,
+        |  CAST(sum(l) AS BIGINT) AS last_cents,
+        |  CAST(sum(lin) AS BIGINT) AS linear_cents
+        |FROM contrib GROUP BY 1""".stripMargin,
     "events_retention" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day

@@ -76,10 +76,43 @@ object GraphQueries {
       .groupBy(col("in_degree")).agg(count(lit(1)).as("n_docs"))
   }
 
+  /** LPA rounds the communities entry runs (each is oracle-replayed). */
+  val LpaIters = 3
+
+  /** Global top-k the link-prediction entry keeps. */
+  val LinkPredK = 20
+
+  /** LINK PREDICTION over the derived graph — top-[[LinkPredK]]
+    * non-adjacent pairs by exact-ppm resource-allocation score
+    * ([[graft.operators.Graph.commonNeighbors]]: hub-capped wedge pivots,
+    * integer 1e6 div deg units). The oracle replays the identical cap and
+    * scoring from the plain adjacency spelling. */
+  def graphLinkPredict(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val n = docs.count()
+    graft.operators.Graph.commonNeighbors(linkGraph(docs, n), LinkPredK)
+  }
+
+  /** COMMUNITY DETECTION over the derived graph — label-propagation
+    * community sizes after [[LpaIters]] synchronous rounds
+    * ([[graft.operators.Graph.labelPropagate]]: plurality label, smallest-
+    * label ties — fully deterministic, so the oracle unrolls every round
+    * as staged CTEs, the [[graphPagerank]] discipline). */
+  def graphCommunities(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val n = docs.count()
+    graft.operators.Graph.labelPropagate(
+        linkGraph(docs, n), docs.select(col("doc_id").as("id")), LpaIters)
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> graphPagerank _,
     "graph_triangles" -> graphTriangles _,
     "graph_degree_hist" -> graphDegreeHist _,
+    "graph_link_predict" -> graphLinkPredict _,
+    "graph_communities" -> graphCommunities _,
   )
 
   /** The oracle replays the edge formula and all [[PrIters]] rounds as
@@ -129,6 +162,62 @@ object GraphQueries {
           |FROM documents d LEFT JOIN
           |  (SELECT doc_id, count(*) AS n FROM corners GROUP BY 1) t
           |  USING (doc_id)""".stripMargin,
+      // same edge formula; the hub cap (64) and exact-ppm RA units are
+      // replayed literally; NOT EXISTS drops already-linked pairs; the
+      // LIMIT cut rides the same unique total order as the Spark side
+      "graph_link_predict" ->
+        s"""WITH deg AS (SELECT doc_id AS src,
+           |    1 + (('0x' || substr(md5('deg:' || doc_id), 1, 15))::BIGINT % 8) AS k
+           |  FROM documents),
+           |e AS (SELECT src,
+           |    ('0x' || substr(md5('lnk:' || src || ':' || j.j), 1, 15))::BIGINT
+           |      % (SELECT count(*) FROM documents) AS dst
+           |  FROM deg, range(8) AS j(j) WHERE j.j < k),
+           |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
+           |    greatest(src, dst) AS v FROM e WHERE src <> dst),
+           |dg AS (SELECT id, count(*) AS d FROM
+           |  (SELECT u AS id FROM und UNION ALL SELECT v FROM und) GROUP BY 1),
+           |adj AS MATERIALIZED (SELECT p, x, dg.d FROM
+           |  (SELECT u AS p, v AS x FROM und UNION ALL SELECT v, u FROM und) a
+           |  JOIN dg ON dg.id = a.p
+           |  WHERE dg.d <= ${graft.operators.Graph.PivotCap}),
+           |w AS (SELECT a.x AS x, b.x AS y, a.d AS d
+           |  FROM adj a JOIN adj b ON a.p = b.p AND a.x < b.x),
+           |nl AS (SELECT x, y, d FROM w WHERE NOT EXISTS
+           |  (SELECT 1 FROM und WHERE und.u = w.x AND und.v = w.y))
+           |SELECT x AS u, y AS v, CAST(count(*) AS BIGINT) AS n_common,
+           |  CAST(sum(${graft.operators.Graph.RaUnit} // d) AS BIGINT) AS ra_ppm
+           |FROM nl GROUP BY 1, 2
+           |ORDER BY ra_ppm DESC, n_common DESC, u, v
+           |LIMIT ${LinkPredK}""".stripMargin,
+      // same edge formula; every LPA round unrolled (plurality label,
+      // smallest-label ties, isolated nodes keep their label)
+      "graph_communities" -> {
+        val rounds = (1 to LpaIters).map { t =>
+          s"""v$t AS (SELECT adj.p, l.lbl, count(*) AS c
+             |  FROM adj JOIN l${t - 1} l ON l.id = adj.x GROUP BY 1, 2),
+             |w$t AS (SELECT p, lbl FROM (SELECT p, lbl,
+             |    row_number() OVER (PARTITION BY p ORDER BY c DESC, lbl) AS rn
+             |  FROM v$t) WHERE rn = 1),
+             |l$t AS (SELECT l${t - 1}.id, COALESCE(w$t.lbl, l${t - 1}.lbl) AS lbl
+             |  FROM l${t - 1} LEFT JOIN w$t ON w$t.p = l${t - 1}.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH deg AS (SELECT doc_id AS src,
+           |    1 + (('0x' || substr(md5('deg:' || doc_id), 1, 15))::BIGINT % 8) AS k
+           |  FROM documents),
+           |e AS (SELECT src,
+           |    ('0x' || substr(md5('lnk:' || src || ':' || j.j), 1, 15))::BIGINT
+           |      % (SELECT count(*) FROM documents) AS dst
+           |  FROM deg, range(8) AS j(j) WHERE j.j < k),
+           |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
+           |    greatest(src, dst) AS v FROM e WHERE src <> dst),
+           |adj AS MATERIALIZED (SELECT u AS p, v AS x FROM und
+           |  UNION ALL SELECT v, u FROM und),
+           |l0 AS (SELECT doc_id AS id, doc_id AS lbl FROM documents),
+           |$rounds
+           |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
+           |FROM l$LpaIters GROUP BY 1""".stripMargin
+      },
       // same edge formula; zero-in-degree docs kept by the left join
       "graph_degree_hist" ->
         s"""WITH deg AS (SELECT doc_id AS src,

@@ -164,6 +164,74 @@ object RelationalQueries {
         max(col("n")).as("max_sens_n"))
       .withColumn("l_ok", (col("n_sensitive") >= LDiv).cast("int"))
 
+  /** t-CLOSENESS audit — the third rung of the anonymity ladder after
+    * [[qPrivKAnon]] and [[qPrivLDiversity]]: a cohort can be k-anonymous
+    * AND l-diverse yet still leak if its sensitive-value DISTRIBUTION
+    * skews far from the corpus-wide one (the classic salary-band example).
+    * Per (nation, segment) cohort this computes the total-variation
+    * distance between the cohort's balance-band distribution and the
+    * global one — kept EXACT by cross-multiplying instead of dividing:
+    *
+    *   TV(g) = ½ Σ_s |n_gs/n_g − n_s/N| = Σ_s |n_gs·N − n_s·n_g| / (2·n_g·N)
+    *
+    * so the audit carries the integer numerator `tv_num = Σ_s |n_gs·N −
+    * n_s·n_g|` and flags t-closeness at t = ½ by the pure-integer
+    * comparison `tv_num ≤ n_g·N` — no float division anywhere, bit-exact
+    * on both engines. Bands ABSENT from a cohort still contribute
+    * (|0 − n_s·n_g|) via the grid join, the classic missing-mass bug the
+    * left join guards against. All three frames are group-cardinality
+    * (≤ nations×segments×bands), so every join is broadcast-sized at any
+    * corpus scale. */
+  def qPrivTCloseness(s: SparkSession, dir: String): DataFrame = {
+    val banded = t(s, dir, "customer")
+      .select(col("c_nationkey").cast("int").as("nation"),
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / 2000).cast("long").as("band"))
+    val gs = banded.groupBy(col("nation"), col("segment"), col("band"))
+      .agg(count(lit(1)).as("n_gs"))
+    val g = gs.groupBy(col("nation"), col("segment")).agg(sum(col("n_gs")).as("n_g"))
+    val sGlob = gs.groupBy(col("band")).agg(sum(col("n_gs")).as("n_s"))
+    val total = sGlob.agg(sum(col("n_s")).as("n_tot"))
+    g.crossJoin(broadcast(sGlob)).crossJoin(broadcast(total))
+      .join(gs, Seq("nation", "segment", "band"), "left")
+      .groupBy(col("nation"), col("segment"))
+      .agg(max(col("n_g")).as("cohort_n"),
+        sum(abs(coalesce(col("n_gs"), lit(0L)) * col("n_tot")
+          - col("n_s") * col("n_g"))).as("tv_num"),
+        max(col("n_g") * col("n_tot")).as("tv_den_half"))
+      .withColumn("t_ok", (col("tv_num") <= col("tv_den_half")).cast("int"))
+  }
+
+  /** Reported-bit flip threshold for [[qPrivRandResponse]]: report the true
+    * bit when hash%4 < 3 (p = ¾), the flipped bit otherwise. */
+  val RrKeep = 3L
+
+  /** RANDOMIZED RESPONSE — the local-DP collection mechanism (Warner '65;
+    * the RAPPOR core): each customer reports whether they hold a BUILDING
+    * account truthfully only with probability p = [[RrKeep]]/4, privacy
+    * riding on the per-respondent coin, utility recovered in aggregate by
+    * the unbiased estimator n̂ = (obs − (1−p)·n)/(2p−1). The coin is the
+    * seeded per-key md5 hash (the [[qStratifiedSample]] fixture
+    * discipline) so the entry is deterministic and the oracle replays the
+    * flips literally. With p = ¾ the estimator is n̂ = 2·obs − n/2, carried
+    * as exact HALF-units (`est_half = 4·obs − n`, meaning n̂ = est_half/2)
+    * so no division ever leaves the integers. The true count rides along
+    * per nation — synthetic data, so the estimator's error is auditable in
+    * the result itself. One scan, nation-cardinality output. */
+  def qPrivRandResponse(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_nationkey").cast("int").as("nation"),
+        (col("c_mktsegment") === "BUILDING").cast("long").as("b"),
+        (graft.functions.VectorSql.md5Hash60(
+          concat(lit("rr:"), col("c_custkey").cast("string"))) % 4 < RrKeep)
+          .cast("long").as("keep"))
+      .groupBy(col("nation"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("b")).as("true_n"),
+        sum(col("keep") * col("b") + (lit(1L) - col("keep")) * (lit(1L) - col("b")))
+          .as("obs"))
+      .withColumn("est_half", lit(4L) * col("obs") - col("n"))
+
   /** Ship-months at or after this fall in the "delta" (today's increment);
     * earlier months live in the stored base rollup. */
   val IncrCutoff = "1997-01-01"
@@ -795,6 +863,8 @@ object RelationalQueries {
     "q_mv_rewrite_coarse" -> qMvRewriteCoarse _,
     "priv_k_anon" -> qPrivKAnon _,
     "priv_l_diversity" -> qPrivLDiversity _,
+    "priv_t_closeness" -> qPrivTCloseness _,
+    "priv_rand_response" -> qPrivRandResponse _,
     "q_rollup" -> qRollup _,
     "q_cube" -> qCube _,
     "q_grouping_sets" -> qGroupingSets _,
@@ -964,6 +1034,41 @@ object RelationalQueries {
          |  CAST(max(n) AS BIGINT) AS max_sens_n,
          |  CAST(count(*) >= ${RelationalQueries.LDiv} AS INT) AS l_ok
          |FROM s GROUP BY 1, 2""".stripMargin,
+    // the same cross-multiplied total-variation integers: tv_num =
+    // Σ_s |n_gs·N − n_s·n_g| over the FULL band grid (absent bands kept by
+    // the left join), t = ½ flagged by the pure-integer tv_num ≤ n_g·N
+    "priv_t_closeness" ->
+      """WITH b AS (SELECT CAST(c_nationkey AS INT) AS nation,
+        |    c_mktsegment AS segment,
+        |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS band FROM customer),
+        |gs AS (SELECT nation, segment, band, count(*) AS n_gs FROM b GROUP BY 1, 2, 3),
+        |g AS (SELECT nation, segment, sum(n_gs) AS n_g FROM gs GROUP BY 1, 2),
+        |sg AS (SELECT band, sum(n_gs) AS n_s FROM gs GROUP BY 1),
+        |tot AS (SELECT sum(n_s) AS n_tot FROM sg),
+        |j AS (SELECT g.nation, g.segment, g.n_g, sg.n_s, tot.n_tot,
+        |    COALESCE(gs.n_gs, 0) AS n_gs
+        |  FROM g CROSS JOIN sg CROSS JOIN tot
+        |  LEFT JOIN gs ON gs.nation = g.nation AND gs.segment = g.segment
+        |    AND gs.band = sg.band)
+        |SELECT nation, segment, CAST(max(n_g) AS BIGINT) AS cohort_n,
+        |  CAST(sum(abs(n_gs * n_tot - n_s * n_g)) AS BIGINT) AS tv_num,
+        |  CAST(max(n_g * n_tot) AS BIGINT) AS tv_den_half,
+        |  CAST(sum(abs(n_gs * n_tot - n_s * n_g)) <= max(n_g * n_tot) AS INT) AS t_ok
+        |FROM j GROUP BY 1, 2""".stripMargin,
+    // the flips replayed literally from the same per-key md5 coin; the
+    // estimator stays in exact half-units (est_half = 4·obs − n)
+    "priv_rand_response" ->
+      s"""WITH c AS (SELECT CAST(c_nationkey AS INT) AS nation,
+         |    CAST(c_mktsegment = 'BUILDING' AS BIGINT) AS b,
+         |    CAST(('0x' || substr(md5('rr:' || c_custkey), 1, 15))::BIGINT % 4
+         |      < ${RelationalQueries.RrKeep} AS BIGINT) AS keep
+         |  FROM customer)
+         |SELECT nation, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(b) AS BIGINT) AS true_n,
+         |  CAST(sum(keep * b + (1 - keep) * (1 - b)) AS BIGINT) AS obs,
+         |  4 * CAST(sum(keep * b + (1 - keep) * (1 - b)) AS BIGINT)
+         |    - CAST(count(*) AS BIGINT) AS est_half
+         |FROM c GROUP BY 1""".stripMargin,
     // the full recompute — the incremental merge must be result-invisible
     "q_incr_rollup" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS month, l_returnflag,

@@ -1104,6 +1104,19 @@ object TextDedupQueries {
     Dedup.jaccardPairs(Dedup.docShinglesRaw(docs(s, dir), "doc_id", "text"),
       minJaccard = 0.5, maxShingleDf = Some(5))
 
+  /** Directed containment threshold (ppm) for [[dedupContainmentPairs]]. */
+  val ContainPpm = 800000L
+
+  /** SUBSUMED-DOCUMENT pairs by asymmetric shingle containment
+    * ([[graft.operators.Dedup.containmentPairs]]): C(a→b) = |A∩B|/|A| ≥
+    * 80%, the excerpt/quote/boilerplate-wrap case [[dedupJaccardPairs]]'s
+    * symmetric score misses when the container dwarfs the contained. Same
+    * df-cap-5 skew guard and hashed-shingle inverted index; the score
+    * stays exact ppm integers end to end. */
+  def dedupContainmentPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Dedup.docShinglesRaw(docs(s, dir), "doc_id", "text"),
+      minContainPpm = ContainPpm, maxShingleDf = Some(5))
+
   /** Near-dup pairs by SimHash hamming ≤ 3 (pigeonhole band join).
     * maxChunkDf = 64: hot-bucket star fallback. Unlike the minhash band cap
     * this one BINDS on the corpus (templated docs share low chunks — the
@@ -1251,6 +1264,7 @@ object TextDedupQueries {
     "dedup_simhash_incremental" -> dedupSimhashIncremental _,
     "dedup_simhash_pairs" -> dedupSimhashPairs _,
     "dedup_jaccard_pairs" -> dedupJaccardPairs _,
+    "dedup_containment" -> dedupContainmentPairs _,
     "dedup_span_inventory" -> dedupSpanInventory _,
     "text_span_scrub" -> textSpanScrub _,
   )
@@ -2251,6 +2265,25 @@ object TextDedupQueries {
          |  FROM itr JOIN szs sa ON doc_a = sa.doc JOIN szs sb ON doc_b = sb.doc)
          |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
          |FROM jacs WHERE jaccard >= 0.5""".stripMargin,
+    // the same capped inverted index; one undirected intersection row
+    // scores BOTH orientations; exact-ppm integer containment
+    "dedup_containment" ->
+      s"""WITH $toksCte, $shinglesCte,
+         |freq AS (SELECT sh, count(*) AS df FROM dsh GROUP BY 1),
+         |ds AS (SELECT doc, d.sh FROM dsh d JOIN freq USING (sh) WHERE df <= 5),
+         |szs AS (SELECT doc, count(*) AS n FROM ds GROUP BY 1),
+         |itr AS (SELECT a.doc AS u, b.doc AS v, count(*) AS c
+         |  FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc < b.doc GROUP BY 1, 2),
+         |sized AS (SELECT u, v, c, su.n AS nu, sv.n AS nv FROM itr
+         |  JOIN szs su ON u = su.doc JOIN szs sv ON v = sv.doc),
+         |directed AS (
+         |  SELECT u AS doc_a, v AS doc_b, c AS inter, nu AS na FROM sized
+         |  UNION ALL SELECT v, u, c, nv FROM sized)
+         |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+         |  CAST(na AS BIGINT) AS na,
+         |  CAST((1000000 * inter) // na AS BIGINT) AS cont_ppm
+         |FROM directed
+         |WHERE (1000000 * inter) // na >= ${ContainPpm}""".stripMargin,
     "dedup_simhash_pairs" ->
       // models the maxChunkDf=64 hot-bucket star fallback (this corpus HAS
       // chunk buckets over the cap — templated docs share low chunks), so

@@ -60,6 +60,25 @@ class DedupSpec extends SparkSpec {
     assert(capped.isEmpty) // every shared shingle has df >= 2 and is dropped
   }
 
+  test("containment: a doc fully inside a larger one scores 1e6 that way only") {
+    import spark.implicits._
+    // a = "x y z w" → 2 shingles, both inside b = "x y z w q r" (4 shingles):
+    // C(a→b) = 2/2 = 1e6 ppm, C(b→a) = 2/4 = 5e5 ppm — only a→b passes 80%
+    val d = Seq((0L, "x y z w"), (1L, "x y z w q r"), (2L, "p q r s t u"))
+      .toDF("doc_id", "text")
+    val r = Dedup.containmentPairs(
+        Dedup.docShinglesRaw(d, "doc_id", "text"), minContainPpm = 800000L)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4))).toSet
+    assert(r == Set((0L, 1L, 2L, 2L, 1000000L)))
+    // at a lower bar the reverse orientation emits too, from the SAME
+    // intersection row
+    val both = Dedup.containmentPairs(
+        Dedup.docShinglesRaw(d, "doc_id", "text"), minContainPpm = 500000L)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(4))).toSet
+    assert(both == Set((0L, 1L, 1000000L), (1L, 0L, 500000L)))
+  }
+
   test("simhash: equal for identical docs, close for near-dups, 60-bit range") {
     val sh = Dedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

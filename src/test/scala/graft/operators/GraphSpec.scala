@@ -95,4 +95,57 @@ class GraphSpec extends SparkSpec {
       assert(run(edges, 40, 4) == a)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  private def cn(edges: Seq[(Long, Long)], k: Int): Set[(Long, Long, Long, Long)] = {
+    import spark.implicits._
+    Graph.commonNeighbors(edges.toDF("src", "dst"), k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+  }
+
+  test("common neighbors: path 0-1-2 predicts (0,2) with RA = 1e6 div deg(1)") {
+    assert(cn(Seq((0L, 1L), (1L, 2L)), 10) == Set((0L, 2L, 1L, 500000L)))
+  }
+
+  test("common neighbors: 4-cycle — two predicted chords, RA sums over both pivots") {
+    // square 0-1-2-3-0: chord (0,2) via pivots 1 and 3, chord (1,3) via 0
+    // and 2; every pivot degree 2 → ra = 2 · (1e6 div 2)
+    val r = cn(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)), 10)
+    assert(r == Set((0L, 2L, 2L, 1000000L), (1L, 3L, 2L, 1000000L)))
+  }
+
+  test("common neighbors: triangles emit nothing (all pairs adjacent)") {
+    assert(cn(Seq((0L, 1L), (1L, 2L), (0L, 2L)), 10).isEmpty)
+  }
+
+  private def lp(edges: Seq[(Long, Long)], n: Long, iters: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.labelPropagate(edges.toDF("src", "dst"), (0L until n).toDF("id"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("label propagation: a triangle collapses to label 0 by round 2") {
+    // round 1: 0→1 (nbr labels {1,2}, tie → min), 1→0, 2→0; round 2: all 0
+    assert(lp(Seq((0L, 1L), (1L, 2L), (0L, 2L)), 3, 1) ==
+      Map(0L -> 1L, 1L -> 0L, 2L -> 0L))
+    assert(lp(Seq((0L, 1L), (1L, 2L), (0L, 2L)), 3, 3) ==
+      Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+  }
+
+  test("label propagation: isolated and self-loop-only nodes keep their own label") {
+    // node 3 isolated; node 4 has only a self-loop (dropped by
+    // canonicalization) — both must survive with label = id
+    val r = lp(Seq((0L, 1L), (4L, 4L)), 5, 3)
+    assert(r(3L) == 3L && r(4L) == 4L)
+  }
+
+  test("label propagation: two cliques converge to two communities") {
+    val k3a = Seq((0L, 1L), (1L, 2L), (0L, 2L))
+    val k3b = Seq((10L, 11L), (11L, 12L), (10L, 12L))
+    import spark.implicits._
+    val r = Graph.labelPropagate((k3a ++ k3b).toDF("src", "dst"),
+        Seq(0L, 1L, 2L, 10L, 11L, 12L).toDF("id"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(0L, 1L, 2L).forall(r(_) == 0L))
+    assert(Set(10L, 11L, 12L).forall(r(_) == 10L))
+  }
 }

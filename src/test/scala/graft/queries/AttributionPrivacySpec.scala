@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantics of the round-13 analytics entries, proven against independent
+  * in-test recomputations (the two-algorithms-one-answer discipline the
+  * oracle gate applies at sf0.01 — here at sf0.001 with a THIRD spelling).
+  */
+class AttributionPrivacySpec extends SparkSpec {
+
+  test("attribution: RANGE-frame result equals the naive purchase×touch join") {
+    val dir = sf("sf0.001")
+    val got = EventQueries.attribution(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+
+    // naive recompute: interval join, then per-purchase driver-side fold
+    // (sf0.001 is small enough to collect)
+    // EventTs gives the same exact epoch-micros integers the entry uses
+    // (only RELATIVE times matter to attribution, so the zone is moot)
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val e = raw.select(col("event_id"), col("user_id"),
+        EventTs.tsUs(raw).as("us"), col("event_type"),
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
+      .collect()
+    case class Ev(id: Long, user: Long, us: Long, typ: String, cents: Long)
+    val evs = e.map(r => Ev(r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getString(3), r.getLong(4)))
+    val week = 7L * 86400L * 1000000L
+    val zero = Map("view" -> 0L, "click" -> 0L, "direct" -> 0L)
+    var first = zero; var last = zero; var linear = zero
+    for (p <- evs if p.typ == "purchase") {
+      val touches = evs.filter(t => (t.typ == "view" || t.typ == "click") &&
+        t.user == p.user && t.us < p.us && t.us >= p.us - week)
+        .sortBy(t => (t.us, t.id))
+      if (touches.isEmpty) {
+        first += "direct" -> (first("direct") + p.cents)
+        last += "direct" -> (last("direct") + p.cents)
+        linear += "direct" -> (linear("direct") + p.cents)
+      } else {
+        val n = touches.length
+        val per = p.cents / n
+        val rem = p.cents - per * n
+        first += touches.head.typ -> (first(touches.head.typ) + p.cents)
+        last += touches.last.typ -> (last(touches.last.typ) + p.cents)
+        touches.foreach(t => linear += t.typ -> (linear(t.typ) + per))
+        linear += touches.last.typ -> (linear(touches.last.typ) + rem)
+      }
+    }
+    val chans = got.keySet
+    assert(chans.subsetOf(Set("view", "click", "direct")))
+    for (c <- chans) {
+      assert(got(c)._1 == first(c), s"first[$c]")
+      assert(got(c)._2 == last(c), s"last[$c]")
+      assert(got(c)._3 == linear(c), s"linear[$c]")
+    }
+    // every model conserves total purchase cents across channels
+    val total = evs.filter(_.typ == "purchase").map(_.cents).sum
+    assert(got.values.map(_._1).sum == total)
+    assert(got.values.map(_._2).sum == total)
+    assert(got.values.map(_._3).sum == total)
+  }
+
+  test("t-closeness: integer TV identities hold and a uniform corpus passes t=1/2") {
+    val r = RelationalQueries.qPrivTCloseness(spark, sf("sf0.001")).collect()
+    assert(r.nonEmpty)
+    for (row <- r) {
+      val (n_g, tvNum, denHalf, tOk) =
+        (row.getLong(2), row.getLong(3), row.getLong(4), row.getInt(5))
+      // TV ∈ [0, 1]: 0 ≤ tv_num ≤ 2·n_g·N
+      assert(tvNum >= 0 && tvNum <= 2 * denHalf)
+      assert((tOk == 1) == (tvNum <= denHalf))
+      assert(n_g > 0)
+    }
+  }
+
+  test("randomized response: estimator identity and bounds per nation") {
+    val r = RelationalQueries.qPrivRandResponse(spark, sf("sf0.001")).collect()
+    assert(r.nonEmpty)
+    for (row <- r) {
+      val (n, trueN, obs, estHalf) =
+        (row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+      assert(obs >= 0 && obs <= n)
+      assert(trueN >= 0 && trueN <= n)
+      assert(estHalf == 4 * obs - n) // the exact half-unit identity
+    }
+    // the corpus-level estimate lands near the true count (p=3/4 coin on a
+    // deterministic hash: sf0.001 has ~1500 customers, so the half-unit
+    // estimate is within ~20% of truth with huge margin)
+    val n = r.map(_.getLong(1)).sum
+    val trueN = r.map(_.getLong(2)).sum
+    val est = r.map(_.getLong(4)).sum / 2.0
+    assert(math.abs(est - trueN) < 0.2 * n, s"est=$est true=$trueN n=$n")
+  }
+}
