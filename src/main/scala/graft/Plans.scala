@@ -169,7 +169,10 @@ object Plans {
     // link prediction, deterministic label-propagation communities,
     // asymmetric shingle containment
     "events_attribution", "graph_link_predict", "graph_communities",
-    "dedup_containment")
+    "dedup_containment",
+    // round-13 additions: Hilbert-curve clustering (codegen index, run-
+    // range pruning) and additive store schema evolution
+    "q_hilbert_prune", "store_schema_evo")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

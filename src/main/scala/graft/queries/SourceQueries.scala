@@ -162,6 +162,30 @@ object SourceQueries {
         col("o_totalprice"))
   }
 
+  /** The same box through the HILBERT-curve layout
+    * ([[graft.sources.Sources.writeHilbertLayout]] — the codegen'd
+    * [[graft.functions.HilbertIndex]] bucket instead of the Morton
+    * interleave): the box becomes a handful of CONTIGUOUS curve-index
+    * runs pruned as range predicates (the sorted-key-skipping shape;
+    * HilbertSpec pins run count ≤ Morton's for this box and adjacency of
+    * consecutive ids). Same oracle as `q_zorder_prune` VERBATIM — both
+    * layouts' whole contract is returning exactly the plain filter's
+    * rows. */
+  def qHilbertPrune(s: SparkSession, dir: String): DataFrame = {
+    val layout = graft.operators.Artifacts.sharedPath(s"hilbert_orders:$dir") { path =>
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("d_day",
+          datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")))
+      Sources.writeHilbertLayout(orders, "d_day", "o_custkey", path)
+    }
+    Sources.hilbertRead(s, layout, ZLoDay, ZHiDay, 50, 399)
+      .where(col("d_day").between(ZLoDay, ZHiDay) &&
+        col("o_custkey").between(50, 399))
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        col("o_totalprice"))
+  }
+
   /** Right-to-be-forgotten over a partitioned corpus: documents laid out by
     * source, then every doc whose id falls on the deterministic deletion
     * formula (`doc_id % 97 = 0` — a "deletion request" the oracle can
@@ -236,6 +260,35 @@ object SourceQueries {
         s.read.format("graftstore").option("path", layout)
           .option("versionAsOf", v.toString).load(), v)
     }.reduce(_ unionByName _)
+  }
+
+  /** ADDITIVE SCHEMA EVOLUTION under the hash gate — the lakehouse
+    * contract `commitUpsert` documents, exercised end to end: v2's delta
+    * carries a column (`o_channel`) the v1 base never had. Reading v2
+    * spans v1-era files (untouched buckets — never rewritten, the column
+    * null-fills via `unionByName(allowMissingColumns)`) and v2 files
+    * (where non-delta rows of touched buckets null-fill at rewrite), and
+    * a reader pinning v1 never sees the column at all (VersionedSpec pins
+    * that half). The entry groups the evolved table by
+    * `coalesce(o_channel, 'legacy')` so every null-fill provenance path
+    * lands in the output; the oracle recomputes the final state
+    * relationally from the delta formulas. */
+  def qStoreSchemaEvo(s: SparkSession, dir: String): DataFrame = {
+    val layout = graft.operators.Artifacts.sharedPath(s"schemaevo:$dir") { path =>
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("bucket", (col("o_orderkey") % 16).cast("int"))
+      graft.sources.Versioned.commitBase(orders, path, "bucket", 16)
+      val delta = orders.where(col("o_orderkey") % 64 < 4)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("o_channel",
+          concat(lit("ch"), (col("o_orderkey") % 3).cast("string")))
+      graft.sources.Versioned.commitUpsert(s, delta, path, 2, "o_orderkey", "bucket")
+    }
+    graft.sources.Versioned.readVersion(s, layout, 2)
+      .groupBy(coalesce(col("o_channel"), lit("legacy")).as("channel"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("cast(sum(cast(o_totalprice as decimal(18,4))) * 10000 as bigint)")
+          .as("sum_price_e4"))
   }
 
   /** STREAMING CDC APPLY into the versioned store — the lakehouse ingest
@@ -884,8 +937,10 @@ object SourceQueries {
     "src_orc_nation" -> srcOrcNation _,
     "src_csv_corrupt" -> srcCsvCorrupt _,
     "q_zorder_prune" -> qZorderPrune _,
+    "q_hilbert_prune" -> qHilbertPrune _,
     "q_gdpr_delete" -> qGdprDelete _,
     "q_time_travel" -> qTimeTravel _,
+    "store_schema_evo" -> qStoreSchemaEvo _,
     "q_cdc_stream" -> qCdcStream _,
     "q_cdc_merge_stream" -> qCdcMergeStream _,
     "q_zonemap_prune" -> qZonemapPrune _,
@@ -1155,6 +1210,18 @@ object SourceQueries {
         |WHERE o_orderdate >= TIMESTAMP '1995-06-01'
         |  AND o_orderdate < TIMESTAMP '1996-07-01'
         |  AND o_custkey BETWEEN 50 AND 399""".stripMargin,
+    // the evolved table's final state recomputed relationally: delta keys
+    // (key%64<4) carry the new channel + doubled price, everything else is
+    // 'legacy' at the base price — every null-fill provenance must agree
+    "store_schema_evo" ->
+      """SELECT CASE WHEN o_orderkey % 64 < 4
+        |    THEN 'ch' || CAST(o_orderkey % 3 AS VARCHAR) ELSE 'legacy' END
+        |  AS channel,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum(CAST(CASE WHEN o_orderkey % 64 < 4 THEN o_totalprice * 2
+        |     ELSE o_totalprice END AS DECIMAL(18,4))) * 10000 AS BIGINT)
+        |  AS sum_price_e4
+        |FROM orders GROUP BY 1""".stripMargin,
     "src_csv_nation" ->
       s"""SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_nations,
          | min(n.n_name) AS first_nation
@@ -1198,6 +1265,9 @@ object SourceQueries {
     * skipping) must be result-invisible, including the gated
     * `n_buckets_read` skip evidence. */
   val oracleSql: Map[String, String] = baseOracleSql ++ Map(
+    // both 2-D layouts' whole contract is the PLAIN filter's exact rows —
+    // one oracle, two clusterings (Morton isin vs Hilbert run ranges)
+    "q_hilbert_prune" -> baseOracleSql("q_zorder_prune"),
     "store_dsv2_travel" -> baseOracleSql("q_time_travel"),
     "store_dsv2_sql" -> baseOracleSql("q_time_travel"),
     "store_dsv2_asof" -> baseOracleSql("store_asof_ts"),

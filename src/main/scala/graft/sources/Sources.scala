@@ -193,6 +193,56 @@ object Sources {
       .where(col("zbucket").isin(buckets: _*))
   }
 
+  /** HILBERT-curve layout — [[writeZorderLayout]]'s successor: same one-pass
+    * stats + single partition column, but the bucket is the cell's Hilbert
+    * position ([[graft.functions.Hilbert]], codegen'd — no UDF barrier in
+    * the layout write). The payoff over Morton: consecutive Hilbert ids are
+    * always spatially ADJACENT, so a 2-D box decomposes into fewer
+    * contiguous id runs — when skipping rides sorted-key min/max (zone
+    * maps, clustered file ranges) instead of partition `isin`, fewer runs
+    * = fewer false-positive files. Identical write cost (one shuffle, the
+    * partitioned sink). */
+  def writeHilbertLayout(df: DataFrame, dimA: String, dimB: String,
+                         path: String, bitsPerDim: Int = 3): Unit = {
+    val stats = df.agg(
+      min(col(dimA)).cast("long"), max(col(dimA)).cast("long"),
+      min(col(dimB)).cast("long"), max(col(dimB)).cast("long")).head()
+    val (amn, amx, bmn, bmx) =
+      (stats.getLong(0), stats.getLong(1), stats.getLong(2), stats.getLong(3))
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((amn, amx, bmn, bmx, bitsPerDim)).toDF("amn", "amx", "bmn", "bmx", "bits")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+    val cells = 1 << bitsPerDim
+    def cellOf(c: String, mn: Long, mx: Long) =
+      ((col(c).cast("long") - mn) * cells / (mx - mn + 1)).cast("int")
+    val h = graft.functions.Hilbert.index(
+      cellOf(dimA, amn, amx), cellOf(dimB, bmn, bmx), bitsPerDim)
+    writePartitioned(df.withColumn("hbucket", h), s"$path/data", "hbucket")
+  }
+
+  /** Box query over a Hilbert layout: the box's overlapping cells become
+    * contiguous curve-index RUNS ([[graft.functions.Hilbert.boxRuns]],
+    * driver-side from the tiny meta file), pruned as range predicates on
+    * the partition column — the sorted-key-skipping shape, demonstrably
+    * fewer ranges than Morton's scattered ids. Caller applies the exact
+    * predicate (cells are coarse). */
+  def hilbertRead(spark: SparkSession, path: String,
+                  loA: Long, hiA: Long, loB: Long, hiB: Long): DataFrame = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    val (amn, amx, bmn, bmx, bits) =
+      (m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3), m.getInt(4))
+    val cells = 1 << bits
+    def cellOf(x: Long, mn: Long, mx: Long): Int =
+      (((x.max(mn).min(mx) - mn) * cells) / (mx - mn + 1)).toInt
+    val runs = graft.functions.Hilbert.boxRuns(bits,
+      cellOf(loA, amn, amx), cellOf(hiA, amn, amx),
+      cellOf(loB, bmn, bmx), cellOf(hiB, bmn, bmx))
+    val pred = runs.map { case (lo, hi) => col("hbucket").between(lo, hi) }
+      .reduce(_ || _)
+    spark.read.parquet(s"$path/data").where(pred)
+  }
+
   /** SMALL-FILES COMPACTION — the table-maintenance pass every streaming or
     * incremental sink eventually needs: a parquet directory fragmented by
     * many tiny appends is rewritten into ≈`targetBytes` files (count from

@@ -131,6 +131,36 @@ class SourcesSpec extends SparkSpec {
     assert(wide.select("payload").collect().map(_.getString(0)).toSet == expect)
   }
 
+  test("hilbert layout: box read prunes to overlapping buckets via run ranges, rows lossless") {
+    import spark.implicits._
+    val dir = tmp()
+    val df = (for (a <- 0 until 32; b <- 0 until 32) yield (a.toLong, b.toLong, s"$a:$b"))
+      .toDF("a", "b", "payload")
+    Sources.writeHilbertLayout(df, "a", "b", dir, bitsPerDim = 3)
+    def scannedPartitions(df: org.apache.spark.sql.DataFrame): Int = {
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, "expected a FileSourceScanExec")
+      assert(scans.head.partitionFilters.nonEmpty,
+        "hbucket range predicate must reach partition pruning")
+      scans.head.selectedPartitions.partitionCount
+    }
+    // one 4×4 grid cell → exactly 1 bucket dir, exactly 1 run
+    val read = Sources.hilbertRead(spark, dir, 0, 3, 0, 3)
+    assert(spark.read.parquet(s"$dir/data").inputFiles.length >= 64)
+    assert(scannedPartitions(read) == 1)
+    // a 2×2-cell box: 4 buckets, and by the curve's adjacency they form
+    // FEWER disjoint id ranges than Morton's scattered ids would
+    val wide = Sources.hilbertRead(spark, dir, 2, 5, 2, 5)
+      .where(col("a").between(2, 5) && col("b").between(2, 5))
+    assert(scannedPartitions(wide) == 4)
+    assert(wide.count() == 16)
+    val expect = df.where(col("a").between(2, 5) && col("b").between(2, 5))
+      .select("payload").collect().map(_.getString(0)).toSet
+    assert(wide.select("payload").collect().map(_.getString(0)).toSet == expect)
+  }
+
   test("compaction rewrites a fragmented directory into target-sized files, losslessly") {
     val dir = tmp() + "/frag"
     import spark.implicits._
