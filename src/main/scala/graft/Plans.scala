@@ -172,7 +172,10 @@ object Plans {
     "dedup_containment",
     // round-13 additions: Hilbert-curve clustering (codegen index, run-
     // range pruning) and additive store schema evolution
-    "q_hilbert_prune", "store_schema_evo")
+    "q_hilbert_prune", "store_schema_evo",
+    // round-13 additions: bitmap-word distinct aggregation and the
+    // histogram decision stump
+    "events_retention_bitmap", "ml_tree_stump")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -120,6 +120,35 @@ object EventQueries {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** [[retention]] recomputed through BITMAP-INDEX aggregation — the
+    * roaring-bitmap shape every interactive-analytics engine uses for
+    * distinct-user counting: users become bits in fixed 32-bit words
+    * (block = id div 32, bit = id mod 32), per-group distinctness is
+    * `bit_or` of the words, the count is Σ bit_count. Same output as
+    * [[retention]] — the oracle is SHARED VERBATIM (two algorithms, one
+    * answer) — but where count(DISTINCT user) carries the full id set as
+    * partial-aggregate state through the shuffle, the bitmap's partial is
+    * one word per touched block: map-side `bit_or` combines losslessly,
+    * shuffle volume is bounded by blocks (= users/32), and the merge is a
+    * single OR instruction. The production win is intersection reuse —
+    * the same words answer any cohort×day set operation without
+    * re-touching rows. Exact (a bit per user), never approximate. */
+  def retentionBitmap(s: SparkSession, dir: String): DataFrame = {
+    val days = ev(s, dir).select(col("user_id"),
+      date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd").as("day"))
+      .distinct()
+    val cohort = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    days.join(cohort, "user_id")
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"),
+        expr("user_id div 32").as("block"),
+        expr("shiftleft(1L, cast(user_id % 32 as int))").as("w"))
+      .groupBy(col("cohort_day"), col("day_offset"), col("block"))
+      .agg(expr("bit_or(w)").as("word"))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(sum(expr("bit_count(word)")).cast("long").as("n_users"))
+  }
+
   /** The 7-day attribution lookback, in epoch-micros. */
   private val AttribWindowUs = 7L * 86400L * 1000000L
 
@@ -710,6 +739,7 @@ object EventQueries {
     "events_interpolate" -> interpolate _,
     "events_join_stream" -> joinStreamed _,
     "events_retention" -> retention _,
+    "events_retention_bitmap" -> retentionBitmap _,
     "events_range_join" -> rangeJoin _,
     "events_attribution" -> attribution _,
   )
@@ -762,6 +792,19 @@ object EventQueries {
       |  AND next_purchase_us - ts_us <= 30 * 60 * 1000000
       |  AND (next_error_us IS NULL OR next_error_us >= next_purchase_us)
       |GROUP BY 1""".stripMargin
+
+  /** Shared by `events_retention` and its bitmap-aggregation twin. */
+  private val retentionOracle =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+      |  FROM events),
+      |cohort AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1)
+      |SELECT cohort_day,
+      |  CAST(date_diff('day', CAST(cohort_day AS DATE), CAST(day AS DATE)) AS INT)
+      |    AS day_offset,
+      |  CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+      |FROM days d JOIN cohort USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "events_json_extract" ->
@@ -857,17 +900,10 @@ object EventQueries {
         |  CAST(sum(l) AS BIGINT) AS last_cents,
         |  CAST(sum(lin) AS BIGINT) AS linear_cents
         |FROM contrib GROUP BY 1""".stripMargin,
-    "events_retention" ->
-      """WITH days AS (
-        |  SELECT DISTINCT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
-        |  FROM events),
-        |cohort AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1)
-        |SELECT cohort_day,
-        |  CAST(date_diff('day', CAST(cohort_day AS DATE), CAST(day AS DATE)) AS INT)
-        |    AS day_offset,
-        |  CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
-        |FROM days d JOIN cohort USING (user_id)
-        |GROUP BY 1, 2""".stripMargin,
+    "events_retention" -> retentionOracle,
+    // the bitmap-word spelling must be indistinguishable from
+    // count(DISTINCT) — shared verbatim (two algorithms, one answer)
+    "events_retention_bitmap" -> retentionOracle,
     "events_funnel" ->
       """WITH fv AS (
         |  SELECT user_id, min(epoch_us(ts)) AS first_view_us

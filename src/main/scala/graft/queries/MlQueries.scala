@@ -646,6 +646,51 @@ object MlQueries {
       .selectExpr(Seq("n") ++ LinRegBetas ++ Seq(LinRegR2): _*)
   }
 
+  /** DECISION-STUMP TRAINING as one aggregate — the depth-1 member of the
+    * tree family, and the template for distributed histogram-based tree
+    * training (every production GBM grows trees from exactly this shape:
+    * feature-value histograms of (n, n_pos), cumulative split scan, exact
+    * impurity argmin): predict `l_extendedprice > 30000` from the integer
+    * quantity. The ENTIRE search runs in exact integers — per-side Gini
+    * cost n·gini = (n² − pos² − neg²)/n is carried as the e4 fixed-point
+    * `(10000·num) div n` (the fixed-point IS the objective, deterministic
+    * on both engines, not an approximation of a float), the winning split
+    * is the (cost, qty) total-order min, and training accuracy rides along
+    * in exact ppm. One scan → value-cardinality histogram (≤50 rows); the
+    * cumulative window is UNPARTITIONED but bounded by construction —
+    * feature-value cardinality, the histogram-training property that makes
+    * this scale (LightGBM's whole premise). Integer envelope: 10⁴·n² fits
+    * bigint to ~10⁷ rows per side (the ×10 corpus); beyond that drop the
+    * scale a digit. */
+  def mlTreeStump(s: SparkSession, dir: String): DataFrame = {
+    val h = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_quantity").cast("int").as("qty"),
+        (col("l_extendedprice") > 30000).cast("long").as("y"))
+      .groupBy(col("qty"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("qty"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = h.agg(sum(col("n")).as("nn"), sum(col("pos")).as("pp"))
+    h.withColumn("nl", sum(col("n")).over(w))
+      .withColumn("posl", sum(col("pos")).over(w))
+      .crossJoin(broadcast(tot))
+      .where(col("nn") - col("nl") > 0) // the max value can't split
+      .select(col("qty"), col("nl"), col("posl"),
+        (col("nn") - col("nl")).as("nr"),
+        (col("pp") - col("posl")).as("posr"), col("nn"))
+      .withColumn("cost_e4", expr(
+        "(10000 * (nl*nl - posl*posl - (nl-posl)*(nl-posl))) div nl + " +
+          "(10000 * (nr*nr - posr*posr - (nr-posr)*(nr-posr))) div nr"))
+      .withColumn("acc_ppm", expr(
+        "(1000000 * (greatest(posl, nl - posl) + greatest(posr, nr - posr))) div nn"))
+      .orderBy(col("cost_e4"), col("qty")).limit(1)
+      .select(col("qty").as("split_qty"), col("cost_e4"),
+        col("nl").as("n_left"), col("posl").as("pos_left"),
+        col("nr").as("n_right"), col("posr").as("pos_right"), col("acc_ppm"))
+  }
+
   // ---- two-sample test (ml_ab_test): same shared-formula discipline ----
   private val AbDoubles =
     "cast(n1 as double) as dn1, cast(s1 as double) as ds1, " +
@@ -696,6 +741,7 @@ object MlQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_linreg" -> mlLinReg _,
     "ml_ab_test" -> mlAbTest _,
+    "ml_tree_stump" -> mlTreeStump _,
     "ml_feature_hash" -> mlFeatureHash _,
     "som_fit_predict" -> somFitPredict _,
     "som_fit5" -> somFit5 _,
@@ -715,6 +761,30 @@ object MlQueries {
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ", ", ")")
 
   val oracleSql: Map[String, String] = Map(
+    // the identical histogram → cumulative scan → exact-integer Gini
+    // argmin; fixed-point e4 cost and the (cost, qty) total-order cut
+    "ml_tree_stump" ->
+      """WITH h AS (SELECT CAST(l_quantity AS INT) AS qty,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l_extendedprice > 30000 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(pos) AS BIGINT) AS pp FROM h),
+        |cum AS (SELECT qty,
+        |    CAST(sum(n) OVER w AS BIGINT) AS nl,
+        |    CAST(sum(pos) OVER w AS BIGINT) AS posl, nn, pp
+        |  FROM h CROSS JOIN tot
+        |  WINDOW w AS (ORDER BY qty ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |cand AS (SELECT qty, nl, posl, nn - nl AS nr, pp - posl AS posr, nn
+        |  FROM cum WHERE nn - nl > 0),
+        |cost AS (SELECT qty, nl, posl, nr, posr, nn,
+        |    (10000 * (nl*nl - posl*posl - (nl-posl)*(nl-posl))) // nl
+        |    + (10000 * (nr*nr - posr*posr - (nr-posr)*(nr-posr))) // nr AS cost_e4
+        |  FROM cand)
+        |SELECT qty AS split_qty, CAST(cost_e4 AS BIGINT) AS cost_e4,
+        |  nl AS n_left, posl AS pos_left, nr AS n_right, posr AS pos_right,
+        |  CAST((1000000 * (greatest(posl, nl - posl) + greatest(posr, nr - posr))) // nn
+        |    AS BIGINT) AS acc_ppm
+        |FROM cost ORDER BY cost_e4, qty LIMIT 1""".stripMargin,
     // same conditional moment aggregate, same verbatim-shared z² formula
     "ml_ab_test" ->
       s"""WITH e AS (SELECT event_type,

@@ -62,6 +62,42 @@ class AttributionPrivacySpec extends SparkSpec {
     assert(got.values.map(_._3).sum == total)
   }
 
+  test("bitmap retention equals the count-distinct spelling row for row") {
+    val dir = sf("sf0.001")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(toMap(EventQueries.retentionBitmap(spark, dir)) ==
+      toMap(EventQueries.retention(spark, dir)))
+  }
+
+  test("tree stump: the reported split is the exact-integer Gini argmin (brute recompute)") {
+    val dir = sf("sf0.001")
+    val got = MlQueries.mlTreeStump(spark, dir).head()
+    // third spelling: collect the histogram, fold driver-side
+    val h = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_quantity").cast("int").as("qty"),
+        (col("l_extendedprice") > 30000).cast("long").as("y"))
+      .groupBy("qty").agg(count(lit(1)).as("n"), sum("y").as("pos"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val nn = h.map(_._2).sum; val pp = h.map(_._3).sum
+    var nl = 0L; var posl = 0L
+    val costs = h.init.map { case (qty, n, pos) =>
+      nl += n; posl += pos
+      val nr = nn - nl; val posr = pp - posl
+      def c(n: Long, p: Long) = (10000L * (n * n - p * p - (n - p) * (n - p))) / n
+      (c(nl, posl) + c(nr, posr), qty, nl, posl, nr, posr)
+    }
+    val best = costs.minBy(t => (t._1, t._2))
+    assert(got.getInt(0) == best._2 && got.getLong(1) == best._1)
+    assert(got.getLong(2) == best._3 && got.getLong(3) == best._4)
+    assert(got.getLong(4) == best._5 && got.getLong(5) == best._6)
+    // the stump must beat the majority-vote baseline on training accuracy
+    val acc = got.getLong(6)
+    val baseline = (1000000L * math.max(pp, nn - pp)) / nn
+    assert(acc >= baseline, s"acc_ppm=$acc baseline=$baseline")
+  }
+
   test("t-closeness: integer TV identities hold and a uniform corpus passes t=1/2") {
     val r = RelationalQueries.qPrivTCloseness(spark, sf("sf0.001")).collect()
     assert(r.nonEmpty)
