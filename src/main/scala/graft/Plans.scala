@@ -174,8 +174,8 @@ object Plans {
     // range pruning) and additive store schema evolution
     "q_hilbert_prune", "store_schema_evo",
     // round-13 additions: bitmap-word distinct aggregation and the
-    // histogram decision stump
-    "events_retention_bitmap", "ml_tree_stump")
+    // histogram decision stump + its isotonic-calibration sibling
+    "events_retention_bitmap", "ml_tree_stump", "ml_isotonic")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -691,6 +691,54 @@ object MlQueries {
         col("nr").as("n_right"), col("posr").as("pos_right"), col("acc_ppm"))
   }
 
+  /** ISOTONIC CALIBRATION — the monotone-probability fit
+    * ([[mlTreeStump]]'s sibling on the same histogram): calibrate
+    * P(price > 30000 | quantity) to a NONDECREASING function of quantity,
+    * the classifier-calibration standard (isotonic beats Platt when data
+    * is plentiful) and the same pool-adjacent-violators solution every ML
+    * library ships — computed here by the MINIMAX CLOSED FORM instead:
+    *
+    *   ŷ_k = max_{i ≤ k} min_{j ≥ k} mean(pos rate over bins i..j)
+    *
+    * which is PAV's exact solution. Everything stays integer: bin means
+    * are e6 fixed-point of prefix-sum rationals, and because floor is
+    * monotone it COMMUTES with min/max — so the e6 output is exactly
+    * floor(1e6 · true isotonic value), identical on both engines, no
+    * float division anywhere. The triple-index spelling is O(bins³) ROWS
+    * over the value-cardinality histogram (≤50 bins → ≤125k tiny rows,
+    * broadcast-joined) — bounded by construction at ANY corpus size; the
+    * corpus itself is touched exactly once (the histogram scan). Spec
+    * proves equality with a driver-side PAV run and monotonicity. */
+  def mlIsotonic(s: SparkSession, dir: String): DataFrame = {
+    val h = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_quantity").cast("int").as("qty"),
+        (col("l_extendedprice") > 30000).cast("long").as("y"))
+      .groupBy(col("qty"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("qty"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // prefix sums over the bounded histogram (the one legal unpartitioned
+    // window: value-cardinality rows)
+    val pre = h.withColumn("cn", sum(col("n")).over(w))
+      .withColumn("cp", sum(col("pos")).over(w))
+      .localCheckpoint(eager = true) // three self-join consumers
+    val lo = pre.select(col("qty").as("i"),
+      (col("cn") - col("n")).as("n0"), (col("cp") - col("pos")).as("p0"))
+    val hi = pre.select(col("qty").as("j"), col("cn").as("n1"), col("cp").as("p1"))
+    val m = broadcast(lo).join(broadcast(hi), col("i") <= col("j"))
+      .select(col("i"), col("j"),
+        expr("(1000000 * (p1 - p0)) div (n1 - n0)").as("mean_ppm"))
+    val ks = pre.select(col("qty").as("k"), col("n"), col("pos"))
+    val inner = broadcast(m)
+      .join(broadcast(ks), col("i") <= col("k") && col("j") >= col("k"))
+      .groupBy(col("k"), col("n"), col("pos"), col("i"))
+      .agg(min(col("mean_ppm")).as("mn"))
+    inner.groupBy(col("k").as("qty"), col("n"), col("pos"))
+      .agg(max(col("mn")).as("iso_ppm"))
+  }
+
   // ---- two-sample test (ml_ab_test): same shared-formula discipline ----
   private val AbDoubles =
     "cast(n1 as double) as dn1, cast(s1 as double) as ds1, " +
@@ -742,6 +790,7 @@ object MlQueries {
     "ml_linreg" -> mlLinReg _,
     "ml_ab_test" -> mlAbTest _,
     "ml_tree_stump" -> mlTreeStump _,
+    "ml_isotonic" -> mlIsotonic _,
     "ml_feature_hash" -> mlFeatureHash _,
     "som_fit_predict" -> somFitPredict _,
     "som_fit5" -> somFit5 _,
@@ -785,6 +834,27 @@ object MlQueries {
         |  CAST((1000000 * (greatest(posl, nl - posl) + greatest(posr, nr - posr))) // nn
         |    AS BIGINT) AS acc_ppm
         |FROM cost ORDER BY cost_e4, qty LIMIT 1""".stripMargin,
+    // the identical minimax closed form over the identical histogram; the
+    // e6 floor commutes with min/max so both engines emit the same integers
+    "ml_isotonic" ->
+      """WITH h AS (SELECT CAST(l_quantity AS INT) AS qty,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l_extendedprice > 30000 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM lineitem GROUP BY 1),
+        |pre AS (SELECT qty, n, pos,
+        |    CAST(sum(n) OVER w AS BIGINT) AS cn,
+        |    CAST(sum(pos) OVER w AS BIGINT) AS cp
+        |  FROM h
+        |  WINDOW w AS (ORDER BY qty ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT lo.qty AS i, hi.qty AS j,
+        |    (1000000 * (hi.cp - (lo.cp - lo.pos))) // (hi.cn - (lo.cn - lo.n)) AS mean_ppm
+        |  FROM pre lo JOIN pre hi ON lo.qty <= hi.qty),
+        |inner_min AS (SELECT k.qty AS k, k.n, k.pos, m.i,
+        |    CAST(min(m.mean_ppm) AS BIGINT) AS mn
+        |  FROM m JOIN pre k ON m.i <= k.qty AND m.j >= k.qty
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT k AS qty, n, pos, CAST(max(mn) AS BIGINT) AS iso_ppm
+        |FROM inner_min GROUP BY 1, 2, 3""".stripMargin,
     // same conditional moment aggregate, same verbatim-shared z² formula
     "ml_ab_test" ->
       s"""WITH e AS (SELECT event_type,

@@ -98,6 +98,36 @@ class AttributionPrivacySpec extends SparkSpec {
     assert(acc >= baseline, s"acc_ppm=$acc baseline=$baseline")
   }
 
+  test("isotonic calibration: minimax spelling equals driver-side PAV; output monotone") {
+    val dir = sf("sf0.001")
+    val got = MlQueries.mlIsotonic(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // monotone nondecreasing in the feature
+    assert(got.sliding(2).forall {
+      case Array(a, b) => a._4 <= b._4; case _ => true })
+    // pool-adjacent-violators on the same histogram, exact integer pools
+    case class Pool(n: Long, pos: Long)
+    val pools = scala.collection.mutable.ArrayBuffer[Pool]()
+    val sizes = scala.collection.mutable.ArrayBuffer[Int]()
+    for ((_, n, pos, _) <- got) {
+      pools += Pool(n, pos); sizes += 1
+      // merge while the mean would DECREASE: pos/n comparison by
+      // cross-multiplication, exact
+      while (pools.length > 1 &&
+        pools(pools.length - 2).pos * pools.last.n >=
+          pools.last.pos * pools(pools.length - 2).n) {
+        val b = pools.remove(pools.length - 1); val a = pools.remove(pools.length - 1)
+        pools += Pool(a.n + b.n, a.pos + b.pos)
+        val sb = sizes.remove(sizes.length - 1)
+        sizes += sizes.remove(sizes.length - 1) + sb
+      }
+    }
+    val pav = pools.toSeq.zip(sizes).flatMap { case (p, k) =>
+      Seq.fill(k)((1000000L * p.pos) / p.n) }
+    assert(got.map(_._4).toSeq == pav)
+  }
+
   test("t-closeness: integer TV identities hold and a uniform corpus passes t=1/2") {
     val r = RelationalQueries.qPrivTCloseness(spark, sf("sf0.001")).collect()
     assert(r.nonEmpty)
