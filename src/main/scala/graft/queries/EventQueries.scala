@@ -183,14 +183,14 @@ object EventQueries {
     val scored = ev(s, dir)
       .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"),
         expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
-      // count, not sum-of-indicators: an EMPTY frame must yield 0, and a
-      // window sum over no rows is NULL
-      .withColumn("n_view",
-        count(when(col("event_type") === "view", lit(1))).over(frame))
-      .withColumn("n_click",
-        count(when(col("event_type") === "click", lit(1))).over(frame))
-      .withColumn("first_t", min(touchStruct).over(frame))
-      .withColumn("last_t", max(touchStruct).over(frame))
+      // all four window aggregates in ONE projection so they share a single
+      // Window node (one pass per partition); count, not sum-of-indicators:
+      // an EMPTY frame must yield 0, and a window sum over no rows is NULL
+      .select(col("*"),
+        count(when(col("event_type") === "view", lit(1))).over(frame).as("n_view"),
+        count(when(col("event_type") === "click", lit(1))).over(frame).as("n_click"),
+        min(touchStruct).over(frame).as("first_t"),
+        max(touchStruct).over(frame).as("last_t"))
       .where(col("event_type") === "purchase")
       .withColumn("n", col("n_view") + col("n_click"))
     // per-purchase contribution triples (first, last, linear) per channel —
