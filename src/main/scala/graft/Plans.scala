@@ -175,7 +175,10 @@ object Plans {
     "q_hilbert_prune", "store_schema_evo",
     // round-13 additions: bitmap-word distinct aggregation and the
     // histogram decision stump + its isotonic-calibration sibling
-    "events_retention_bitmap", "ml_tree_stump", "ml_isotonic")
+    "events_retention_bitmap", "ml_tree_stump", "ml_isotonic",
+    // round-13 additions: exact streaming distinct via bitmap state and
+    // the KS drift test
+    "events_dau_stream", "ml_ks_test")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -149,6 +149,61 @@ object EventQueries {
       .agg(sum(expr("bit_count(word)")).cast("long").as("n_users"))
   }
 
+  /** EXACT streaming distinct-user counts — [[retentionBitmap]]'s bitmap
+    * words as STREAMING STATE, the third leg of the streaming-distinct
+    * story (kmv_distinct_stream_win is the approximate sketch,
+    * events_dedup_stream keeps per-id state): daily active users from a
+    * 1-day event-time window grouped by (window, user-block), per-group
+    * state ONE 32-bit word folded by `bit_or` (idempotent, so at-least-once
+    * redelivery cannot overcount — the same fold-contract class as the
+    * bloom sink), watermark-evicted in event time. Exactness costs
+    * users/32 words per live day instead of the sketch's k longs — the
+    * honest tradeoff the two entries pin from both sides. Input is 3-day
+    * ordered staged slices (~11 micro-batches; session-cached layout) plus
+    * a sentinel slice 2 days past the horizon so every REAL day finalizes
+    * under append mode while the sentinel's own window never emits.
+    * Oracle: the plain batch count(DISTINCT) per day. */
+  def dauStreamBitmap(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    val root = StreamScratch.fresh("daubitmap")
+    val (outDir, ckpt) = (s"$root/out", s"$root/ckpt")
+    fork.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    fork.conf.set("spark.sql.session.timeZone", "UTC")
+    // state is (live days × user-blocks) words — tiny; size stores to it
+    fork.conf.set("spark.sql.shuffle.partitions", "4")
+    val inDir = StreamScratch.stageOrderedShared(s"dau_3d_sent:$dir") {
+      val raw = fork.read.parquet(s"$dir/events.parquet")
+      val evDf = raw.withColumn("ts_us", EventTs.tsUs(raw))
+        .withColumn("slice", expr("ts_us DIV 259200000000"))
+        .select(col("user_id"), col("ts_us"), col("slice"))
+      val slices = evDf.select(col("slice")).distinct().orderBy(col("slice"))
+        .collect().map(_.getLong(0)) // span/3-days-sized
+      val maxUs = evDf.agg(max(col("ts_us"))).head.getLong(0)
+      val sentinel = fork.range(1).select(lit(-1L).as("user_id"),
+        lit(maxUs + 2L * 86400L * 1000000L).as("ts_us"), lit(-1L).as("slice"))
+      slices.toSeq.map(sl =>
+        evDf.where(col("slice") === sl).select(col("user_id"), col("ts_us"))) :+
+        sentinel.select(col("user_id"), col("ts_us"))
+    }
+    val stream = fork.readStream.schema("user_id LONG, ts_us LONG")
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"),
+        expr("user_id div 32").as("block"))
+      .agg(expr("bit_or(shiftleft(1L, cast(pmod(user_id, 32) as int)))").as("word"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"), col("word"))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    fork.read.schema("day STRING, word LONG").parquet(outDir)
+      .groupBy(col("day"))
+      .agg(sum(expr("bit_count(word)")).cast("long").as("dau"))
+  }
+
   /** The 7-day attribution lookback, in epoch-micros. */
   private val AttribWindowUs = 7L * 86400L * 1000000L
 
@@ -740,6 +795,7 @@ object EventQueries {
     "events_join_stream" -> joinStreamed _,
     "events_retention" -> retention _,
     "events_retention_bitmap" -> retentionBitmap _,
+    "events_dau_stream" -> dauStreamBitmap _,
     "events_range_join" -> rangeJoin _,
     "events_attribution" -> attribution _,
   )
@@ -904,6 +960,11 @@ object EventQueries {
     // the bitmap-word spelling must be indistinguishable from
     // count(DISTINCT) — shared verbatim (two algorithms, one answer)
     "events_retention_bitmap" -> retentionOracle,
+    // the streamed bitmap state must drain to exactly the batch distinct
+    "events_dau_stream" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |FROM events GROUP BY 1""".stripMargin,
     "events_funnel" ->
       """WITH fv AS (
         |  SELECT user_id, min(epoch_us(ts)) AS first_view_us

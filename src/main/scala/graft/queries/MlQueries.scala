@@ -739,6 +739,49 @@ object MlQueries {
       .agg(max(col("mn")).as("iso_ppm"))
   }
 
+  /** TWO-SAMPLE KOLMOGOROV–SMIRNOV — the distribution-shape companion to
+    * [[mlAbTest]]'s mean test (a drift in variance or shape that leaves
+    * means equal is invisible to z but not to KS; this is the standard
+    * training-data drift detector): D = sup|F₁−F₂| over the exact integer
+    * cents domain, carried UN-divided as d_num = max|c₁·n₂ − c₂·n₁| (the
+    * sup over pooled support of the cross-multiplied CDF gap — no float
+    * CDF anywhere), reported alongside its exact-ppm rendering and the
+    * α=0.05 verdict D > 1.36·√((n₁+n₂)/(n₁n₂)) squared into the pure
+    * integer comparison (100·d_num)² > 18496·(n₁+n₂)·n₁·n₂, computed in
+    * DECIMAL so the squares stay exact (d_num ≤ n₁·n₂; decimal(19) covers
+    * arms to ~3·10⁶ rows — the ×10 corpus; widen a digit beyond). The
+    * cumulative window is unpartitioned but bounded by the CENTS-DOMAIN
+    * cardinality (≤ ~37k distinct values at any corpus size — the value
+    * histogram discipline), and the corpus is scanned once. */
+  def mlKsTest(s: SparkSession, dir: String): DataFrame = {
+    val h = s.read.parquet(s"$dir/events.parquet")
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"),
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("x"))
+      .groupBy(col("x"))
+      .agg(count(when(col("event_type") === "purchase", lit(1))).as("h1"),
+        count(when(col("event_type") === "click", lit(1))).as("h2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("x"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    h.select(col("x"),
+        sum(col("h1")).over(w).as("c1"), sum(col("h2")).over(w).as("c2"))
+      .crossJoin(broadcast(h.agg(sum(col("h1")).as("n1"), sum(col("h2")).as("n2"))))
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("d_num"))
+      .withColumn("d_ppm", expr("(1000000 * d_num) div (n1 * n2)"))
+      // 10⁴·d² spelled (100·d)²: two decimal(15) factors keep the product
+      // inside 38 digits under BOTH engines' width rules (Spark p₁+p₂+1,
+      // DuckDB p₁+p₂)
+      .withColumn("significant", expr(
+        "cast(cast(100 * d_num as decimal(19,0))" +
+          " * cast(100 * d_num as decimal(19,0)) >" +
+          " cast(18496 as decimal(6,0)) * cast(n1 + n2 as decimal(8,0))" +
+          " * cast(n1 as decimal(8,0)) * cast(n2 as decimal(8,0)) as int)"))
+      .select(col("n1"), col("n2"), col("d_num"), col("d_ppm"), col("significant"))
+  }
+
   // ---- two-sample test (ml_ab_test): same shared-formula discipline ----
   private val AbDoubles =
     "cast(n1 as double) as dn1, cast(s1 as double) as ds1, " +
@@ -791,6 +834,7 @@ object MlQueries {
     "ml_ab_test" -> mlAbTest _,
     "ml_tree_stump" -> mlTreeStump _,
     "ml_isotonic" -> mlIsotonic _,
+    "ml_ks_test" -> mlKsTest _,
     "ml_feature_hash" -> mlFeatureHash _,
     "som_fit_predict" -> somFitPredict _,
     "som_fit5" -> somFit5 _,
@@ -855,6 +899,32 @@ object MlQueries {
         |  GROUP BY 1, 2, 3, 4)
         |SELECT k AS qty, n, pos, CAST(max(mn) AS BIGINT) AS iso_ppm
         |FROM inner_min GROUP BY 1, 2, 3""".stripMargin,
+    // the identical cents histogram → cumulative CDFs → cross-multiplied
+    // sup gap; the significance cut is the same exact-integer comparison —
+    // int128 (HUGEINT, intermediate-only) on DuckDB, decimal(38) products
+    // on Spark: both are exact, so the verdict bit cannot diverge
+    "ml_ks_test" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |h AS (SELECT x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS h2
+        |  FROM e GROUP BY 1),
+        |c AS (SELECT x, CAST(sum(h1) OVER w AS BIGINT) AS c1,
+        |    CAST(sum(h2) OVER w AS BIGINT) AS c2
+        |  FROM h
+        |  WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (SELECT CAST(sum(h1) AS BIGINT) AS n1, CAST(sum(h2) AS BIGINT) AS n2 FROM h),
+        |d AS (SELECT n1, n2, CAST(max(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS d_num
+        |  FROM c CROSS JOIN t GROUP BY 1, 2)
+        |SELECT n1, n2, d_num,
+        |  CAST((1000000 * d_num) // (n1 * n2) AS BIGINT) AS d_ppm,
+        |  CAST(CAST(100 * d_num AS HUGEINT) * CAST(100 * d_num AS HUGEINT) >
+        |    CAST(18496 AS HUGEINT) * CAST(n1 + n2 AS HUGEINT)
+        |      * CAST(n1 AS HUGEINT) * CAST(n2 AS HUGEINT) AS INT)
+        |    AS significant
+        |FROM d""".stripMargin,
     // same conditional moment aggregate, same verbatim-shared z² formula
     "ml_ab_test" ->
       s"""WITH e AS (SELECT event_type,

@@ -128,6 +128,39 @@ class AttributionPrivacySpec extends SparkSpec {
     assert(got.map(_._4).toSeq == pav)
   }
 
+  test("streaming bitmap DAU drains to exactly the batch distinct count") {
+    val dir = sf("sf0.001")
+    val got = EventQueries.dauStreamBitmap(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val expect = raw.select(
+        date_format(timestamp_micros(EventTs.tsUs(raw)), "yyyy-MM-dd").as("day"),
+        col("user_id"))
+      .distinct().groupBy("day").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
+  test("KS statistic: cross-multiplied sup equals a driver-side CDF recompute") {
+    val dir = sf("sf0.001")
+    val got = MlQueries.mlKsTest(spark, dir).head()
+    val xs = spark.read.parquet(s"$dir/events.parquet")
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"),
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val a = xs.filter(_._1 == "purchase").map(_._2).sorted
+    val b = xs.filter(_._1 == "click").map(_._2).sorted
+    val support = (a ++ b).distinct.sorted
+    val dNum = support.map { v =>
+      val c1 = a.count(_ <= v).toLong; val c2 = b.count(_ <= v).toLong
+      math.abs(c1 * b.length - c2 * a.length)
+    }.max
+    assert(got.getLong(0) == a.length && got.getLong(1) == b.length)
+    assert(got.getLong(2) == dNum)
+    assert(got.getLong(3) == (1000000L * dNum) / (a.length.toLong * b.length))
+  }
+
   test("t-closeness: integer TV identities hold and a uniform corpus passes t=1/2") {
     val r = RelationalQueries.qPrivTCloseness(spark, sf("sf0.001")).collect()
     assert(r.nonEmpty)
