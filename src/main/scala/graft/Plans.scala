@@ -178,7 +178,10 @@ object Plans {
     "events_retention_bitmap", "ml_tree_stump", "ml_isotonic",
     // round-13 additions: exact streaming distinct via bitmap state and
     // the KS drift test
-    "events_dau_stream", "ml_ks_test")
+    "events_dau_stream", "ml_ks_test",
+    // round-13 additions: exact rank-sum AUC and the incremental
+    // attribution state machine
+    "ml_auc", "events_attribution_stream")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -207,6 +207,58 @@ object EventQueries {
   /** The 7-day attribution lookback, in epoch-micros. */
   private val AttribWindowUs = 7L * 86400L * 1000000L
 
+  /** [[attribution]]'s STREAMING TWIN
+    * ([[graft.streaming.EventStream.attributionStream]]): the same exact
+    * integer-cents first/last/linear attribution computed incrementally —
+    * per-user state is only the horizon-live touch list, purchases
+    * attribute and emit immediately (no pending obligations, so no flush
+    * sentinel is needed for completeness), state prunes on every arrival
+    * and whole users evict by event-time timeout. Input is the 3-day
+    * ordered slice staging (~11 micro-batches, session-cached layout);
+    * the drained sink re-aggregated per channel shares the batch entry's
+    * oracle VERBATIM. */
+  def attributionStreamed(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    import fork.implicits._
+    val root = StreamScratch.fresh("attrib")
+    val (outDir, ckpt) = (s"$root/out", s"$root/ckpt")
+    fork.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    fork.conf.set("spark.sql.session.timeZone", "UTC")
+    // state is horizon-live touches per user — size stores to it
+    fork.conf.set("spark.sql.shuffle.partitions", "4")
+    val inDir = StreamScratch.stageOrderedShared(s"attrib_3d:$dir") {
+      val raw = fork.read.parquet(s"$dir/events.parquet")
+      val evDf = raw.withColumn("ts_us", EventTs.tsUs(raw))
+        .where(col("event_type").isin("view", "click", "purchase"))
+        .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"),
+          expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"),
+          expr("ts_us DIV 259200000000").as("slice"))
+      val slices = evDf.select(col("slice")).distinct().orderBy(col("slice"))
+        .collect().map(_.getLong(0)) // span/3-days-sized
+      slices.toSeq.map(sl => evDf.where(col("slice") === sl)
+        .select(col("event_id"), col("ts_us"), col("user_id"),
+          col("event_type"), col("cents")))
+    }
+    val stream = fork.readStream
+      .schema("event_id LONG, ts_us LONG, user_id LONG, event_type STRING, cents LONG")
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("cents"))
+      .as[graft.streaming.EventStream.AttEvent]
+    val q = graft.streaming.EventStream
+      .attributionStream(stream, AttribWindowUs).toDF()
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    fork.read.schema("channel STRING, f LONG, l LONG, lin LONG").parquet(outDir)
+      .groupBy(col("channel"))
+      .agg(sum(col("f")).as("first_cents"), sum(col("l")).as("last_cents"),
+        sum(col("lin")).as("linear_cents"))
+  }
+
   /** MULTI-TOUCH ATTRIBUTION — the marketing-analytics readout beside
     * [[funnel]]: every purchase's value is credited to the user's
     * preceding 'view'/'click' touches within a 7-day lookback under the
@@ -798,6 +850,7 @@ object EventQueries {
     "events_dau_stream" -> dauStreamBitmap _,
     "events_range_join" -> rangeJoin _,
     "events_attribution" -> attribution _,
+    "events_attribution_stream" -> attributionStreamed _,
   )
 
   // same exact-integer bucket math as Resample (floor division == `//`);
@@ -861,6 +914,38 @@ object EventQueries {
       |  CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
       |FROM days d JOIN cohort USING (user_id)
       |GROUP BY 1, 2""".stripMargin
+
+  /** Shared by `events_attribution` and its incremental streaming twin:
+    * the naive purchase×touch interval join with per-touch linear shares
+    * (remainder to the last touch), first/last on the (ts_us, event_id)
+    * total order, 'direct' for untouched purchases — exact integer cents. */
+  private val attributionOracle =
+    """WITH p AS (SELECT event_id AS pid, user_id, epoch_us(ts) AS ts_us,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |t AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id AS tid,
+      |    event_type AS channel
+      |  FROM events WHERE event_type IN ('view', 'click')),
+      |pt AS (SELECT p.pid, p.cents, t.channel, t.ts_us, t.tid
+      |  FROM p JOIN t ON p.user_id = t.user_id
+      |   AND t.ts_us < p.ts_us AND t.ts_us >= p.ts_us - 604800000000),
+      |rk AS (SELECT pid, cents, channel,
+      |    row_number() OVER (PARTITION BY pid ORDER BY ts_us, tid) AS rn_a,
+      |    row_number() OVER (PARTITION BY pid ORDER BY ts_us DESC, tid DESC) AS rn_d,
+      |    count(*) OVER (PARTITION BY pid) AS n
+      |  FROM pt),
+      |contrib AS (
+      |  SELECT channel, cents AS f, 0 AS l, 0 AS lin FROM rk WHERE rn_a = 1
+      |  UNION ALL SELECT channel, 0, cents, 0 FROM rk WHERE rn_d = 1
+      |  UNION ALL SELECT channel, 0, 0,
+      |    cents // n + CASE WHEN rn_d = 1 THEN cents - (cents // n) * n ELSE 0 END
+      |  FROM rk
+      |  UNION ALL SELECT 'direct', cents, cents, cents
+      |  FROM p WHERE pid NOT IN (SELECT pid FROM pt))
+      |SELECT channel, CAST(sum(f) AS BIGINT) AS first_cents,
+      |  CAST(sum(l) AS BIGINT) AS last_cents,
+      |  CAST(sum(lin) AS BIGINT) AS linear_cents
+      |FROM contrib GROUP BY 1""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "events_json_extract" ->
@@ -929,33 +1014,10 @@ object EventQueries {
     // replaces: per-touch linear shares (remainder to the last touch),
     // first/last by the same (ts_us, event_id) total order, 'direct' for
     // untouched purchases — all exact integer cents
-    "events_attribution" ->
-      """WITH p AS (SELECT event_id AS pid, user_id, epoch_us(ts) AS ts_us,
-        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-        |  FROM events WHERE event_type = 'purchase'),
-        |t AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id AS tid,
-        |    event_type AS channel
-        |  FROM events WHERE event_type IN ('view', 'click')),
-        |pt AS (SELECT p.pid, p.cents, t.channel, t.ts_us, t.tid
-        |  FROM p JOIN t ON p.user_id = t.user_id
-        |   AND t.ts_us < p.ts_us AND t.ts_us >= p.ts_us - 604800000000),
-        |rk AS (SELECT pid, cents, channel,
-        |    row_number() OVER (PARTITION BY pid ORDER BY ts_us, tid) AS rn_a,
-        |    row_number() OVER (PARTITION BY pid ORDER BY ts_us DESC, tid DESC) AS rn_d,
-        |    count(*) OVER (PARTITION BY pid) AS n
-        |  FROM pt),
-        |contrib AS (
-        |  SELECT channel, cents AS f, 0 AS l, 0 AS lin FROM rk WHERE rn_a = 1
-        |  UNION ALL SELECT channel, 0, cents, 0 FROM rk WHERE rn_d = 1
-        |  UNION ALL SELECT channel, 0, 0,
-        |    cents // n + CASE WHEN rn_d = 1 THEN cents - (cents // n) * n ELSE 0 END
-        |  FROM rk
-        |  UNION ALL SELECT 'direct', cents, cents, cents
-        |  FROM p WHERE pid NOT IN (SELECT pid FROM pt))
-        |SELECT channel, CAST(sum(f) AS BIGINT) AS first_cents,
-        |  CAST(sum(l) AS BIGINT) AS last_cents,
-        |  CAST(sum(lin) AS BIGINT) AS linear_cents
-        |FROM contrib GROUP BY 1""".stripMargin,
+    "events_attribution" -> attributionOracle,
+    // the incremental state machine drains to exactly the batch frame's
+    // attribution, so the oracle is shared verbatim
+    "events_attribution_stream" -> attributionOracle,
     "events_retention" -> retentionOracle,
     // the bitmap-word spelling must be indistinguishable from
     // count(DISTINCT) — shared verbatim (two algorithms, one answer)

@@ -782,6 +782,41 @@ object MlQueries {
       .select(col("n1"), col("n2"), col("d_num"), col("d_ppm"), col("significant"))
   }
 
+  /** EXACT ROC AUC — the threshold-free quality measure for
+    * [[mlTreeStump]]'s score (quantity ranking price>30000; these
+    * synthetic columns are INDEPENDENT, so the measured AUC sits at the
+    * 0.5 null — the honest negative control, [[mlAbTest]]'s discipline;
+    * the exact statistic is what's gated), completing
+    * the histogram-ML family (stump = one split, isotonic = calibrated
+    * probabilities, KS = distribution drift, AUC = ranking power): by the
+    * Mann–Whitney identity AUC = U/(n₁n₂) with midrank tie handling,
+    * computed over the SAME value-cardinality histogram in DOUBLED
+    * integer units so ties never leave the integers:
+    *
+    *   U₂ = Σ_v pos_v · (2·negs_below(v) + neg_v)      (ties count ½·2)
+    *   auc_ppm = (5·10⁵·U₂) div (n₁·n₂)   (the ½ folded into the scale)
+    *
+    * One corpus scan → ≤50-row histogram → prefix sums on the bounded
+    * unpartitioned window. U₂ ≤ 2·n₁·n₂ ~ 10¹³ at the ×10 corpus —
+    * bigint-safe (5·10⁵·U₂ ≤ 7·10¹⁸ at the ×10 corpus); drop the scale a digit beyond. */
+  def mlAuc(s: SparkSession, dir: String): DataFrame = {
+    val h = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_quantity").cast("int").as("qty"),
+        (col("l_extendedprice") > 30000).cast("long").as("y"))
+      .groupBy(col("qty"))
+      .agg(count(when(col("y") === 1, lit(1))).as("pos"),
+        count(when(col("y") === 0, lit(1))).as("neg"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("qty"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    h.select(col("pos"), col("neg"),
+        (sum(col("neg")).over(w) - col("neg")).as("neg_below"))
+      .agg(sum(col("pos")).as("n1"), sum(col("neg")).as("n2"),
+        sum(col("pos") * (lit(2L) * col("neg_below") + col("neg"))).as("u2"))
+      .withColumn("auc_ppm", expr("(500000 * u2) div (n1 * n2)"))
+  }
+
   // ---- two-sample test (ml_ab_test): same shared-formula discipline ----
   private val AbDoubles =
     "cast(n1 as double) as dn1, cast(s1 as double) as ds1, " +
@@ -835,6 +870,7 @@ object MlQueries {
     "ml_tree_stump" -> mlTreeStump _,
     "ml_isotonic" -> mlIsotonic _,
     "ml_ks_test" -> mlKsTest _,
+    "ml_auc" -> mlAuc _,
     "ml_feature_hash" -> mlFeatureHash _,
     "som_fit_predict" -> somFitPredict _,
     "som_fit5" -> somFit5 _,
@@ -899,6 +935,22 @@ object MlQueries {
         |  GROUP BY 1, 2, 3, 4)
         |SELECT k AS qty, n, pos, CAST(max(mn) AS BIGINT) AS iso_ppm
         |FROM inner_min GROUP BY 1, 2, 3""".stripMargin,
+    // the identical histogram → doubled-unit Mann-Whitney U with midrank
+    // ties → exact-ppm AUC
+    "ml_auc" ->
+      """WITH h AS (SELECT CAST(l_quantity AS INT) AS qty,
+        |    CAST(sum(CASE WHEN l_extendedprice > 30000 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |    CAST(sum(CASE WHEN l_extendedprice > 30000 THEN 0 ELSE 1 END) AS BIGINT) AS neg
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT pos, neg,
+        |    CAST(sum(neg) OVER w - neg AS BIGINT) AS neg_below
+        |  FROM h
+        |  WINDOW w AS (ORDER BY qty ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (SELECT CAST(sum(pos) AS BIGINT) AS n1, CAST(sum(neg) AS BIGINT) AS n2,
+        |    CAST(sum(pos * (2 * neg_below + neg)) AS BIGINT) AS u2 FROM c)
+        |SELECT n1, n2, u2,
+        |  CAST((500000 * u2) // (n1 * n2) AS BIGINT) AS auc_ppm
+        |FROM t""".stripMargin,
     // the identical cents histogram → cumulative CDFs → cross-multiplied
     // sup gap; the significance cut is the same exact-integer comparison —
     // int128 (HUGEINT, intermediate-only) on DuckDB, decimal(38) products

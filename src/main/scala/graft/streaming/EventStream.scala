@@ -371,4 +371,81 @@ object EventStream {
           }
       }
   }
+
+  /** Input row for [[attributionStream]]: money already exact cents. */
+  case class AttEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                      event_type: String, cents: Long)
+  /** One remembered touch inside the lookback horizon. */
+  case class Touch(us: Long, id: Long, channel: String)
+  /** Per-user state: horizon-bounded touch list + the user's event clock. */
+  case class AttState(touches: List[Touch], lastUs: Long)
+  /** One attribution contribution (the batch twin's explode rows). */
+  case class AttRow(channel: String, f: Long, l: Long, lin: Long)
+
+  /** MULTI-TOUCH ATTRIBUTION, incremental — the streaming twin of the
+    * batch RANGE-frame entry: per-user state is ONLY the touches inside
+    * the lookback horizon (view/click within 7 days — per-user rate ×
+    * horizon, never history-sized), and every purchase attributes
+    * IMMEDIATELY against that state (first/last/linear in the exact
+    * integer-cents arithmetic of the batch twin, remainder to the last
+    * touch), so the operator emits as it goes — no pending obligations,
+    * no flush sentinel needed. Horizon pruning runs on every arrival at
+    * `min(user clock, watermark) − lookback`: under time-ordered slice
+    * staging the user clock alone is safe (later batches carry strictly
+    * later timestamps), and the watermark bound keeps the prune correct
+    * for any within-watermark disorder a production source could emit.
+    * Users go quiet → event-time timeout drops the whole state. The
+    * drained sink re-aggregated per channel must equal the batch entry
+    * bit for bit — the oracle is shared verbatim. */
+  def attributionStream(events: Dataset[AttEvent], lookbackUs: Long,
+                        flushDelay: String = "1 day"): Dataset[AttRow] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", flushDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttState, AttRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, batch: Iterator[AttEvent], state: GroupState[AttState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var s = state.getOption.getOrElse(AttState(Nil, 0L))
+            val out = scala.collection.mutable.ArrayBuffer.empty[AttRow]
+            batch.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+              val t = micros(e.ts)
+              if (t > s.lastUs) s = s.copy(lastUs = t)
+              e.event_type match {
+                case "view" | "click" =>
+                  s = s.copy(touches = Touch(t, e.event_id, e.event_type) :: s.touches)
+                case "purchase" =>
+                  val win = s.touches
+                    .filter(x => x.us < t && x.us >= t - lookbackUs)
+                    .sortBy(x => (x.us, x.id))
+                  if (win.isEmpty)
+                    out += AttRow("direct", e.cents, e.cents, e.cents)
+                  else {
+                    val n = win.size
+                    val per = e.cents / n
+                    val rem = e.cents - per * n
+                    out += AttRow(win.head.channel, e.cents, 0L, 0L)
+                    out += AttRow(win.last.channel, 0L, e.cents, 0L)
+                    val nView = win.count(_.channel == "view")
+                    val nClick = n - nView
+                    if (nView > 0) out += AttRow("view", 0L, 0L, per * nView +
+                      (if (win.last.channel == "view") rem else 0L))
+                    if (nClick > 0) out += AttRow("click", 0L, 0L, per * nClick +
+                      (if (win.last.channel == "click") rem else 0L))
+                  }
+                case _ => ()
+              }
+            }
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val bound = math.min(s.lastUs, if (wmUs > 0) wmUs else s.lastUs)
+            s = s.copy(touches = s.touches.filter(_.us >= bound - lookbackUs))
+            state.update(s)
+            // evict the whole user one lookback past their last event
+            state.setTimeoutTimestamp((s.lastUs + lookbackUs + 999) / 1000)
+            out.iterator
+          }
+      }
+  }
 }

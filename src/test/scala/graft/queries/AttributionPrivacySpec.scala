@@ -161,6 +161,34 @@ class AttributionPrivacySpec extends SparkSpec {
     assert(got.getLong(3) == (1000000L * dNum) / (a.length.toLong * b.length))
   }
 
+  test("AUC: doubled-unit U equals the brute concordant/tied pair count") {
+    val dir = sf("sf0.001")
+    val got = MlQueries.mlAuc(spark, dir).head()
+    val h = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_quantity").cast("int").as("qty"),
+        (col("l_extendedprice") > 30000).cast("long").as("y"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val pos = h.filter(_._2 == 1L).map(_._1)
+    val neg = h.filter(_._2 == 0L).map(_._1)
+    // brute force over all pos×neg pairs: 2 per concordant, 1 per tie
+    val u2 = pos.map(p => 2L * neg.count(_ < p) + neg.count(_ == p)).sum
+    assert(got.getLong(0) == pos.length && got.getLong(1) == neg.length)
+    assert(got.getLong(2) == u2)
+    assert(got.getLong(3) ==
+      (500000L * u2) / (pos.length.toLong * neg.length))
+    // the synthetic columns are independent, so the AUC must sit at the
+    // 0.5 null — the honest negative control (ml_ab_test's discipline)
+    assert(got.getLong(3) > 450000L && got.getLong(3) < 550000L)
+  }
+
+  test("streaming attribution drains to exactly the batch RANGE-frame result") {
+    val dir = sf("sf0.001")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(toMap(EventQueries.attributionStreamed(spark, dir)) ==
+      toMap(EventQueries.attribution(spark, dir)))
+  }
+
   test("t-closeness: integer TV identities hold and a uniform corpus passes t=1/2") {
     val r = RelationalQueries.qPrivTCloseness(spark, sf("sf0.001")).collect()
     assert(r.nonEmpty)
