@@ -181,7 +181,9 @@ object Plans {
     "events_dau_stream", "ml_ks_test",
     // round-13 additions: exact rank-sum AUC and the incremental
     // attribution state machine
-    "ml_auc", "events_attribution_stream")
+    "ml_auc", "events_attribution_stream",
+    // round-13 additions: Poisson-bootstrap CI and gated vacuum retention
+    "ml_bootstrap_ci", "store_vacuum")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

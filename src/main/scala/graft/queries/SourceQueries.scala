@@ -291,6 +291,42 @@ object SourceQueries {
           .as("sum_price_e4"))
   }
 
+  /** VACUUM under the hash gate — the retention story's missing half
+    * (snapshot isolation keeps every version readable; vacuum is what
+    * finally destroys expired ones, and the GDPR recipe's second step):
+    * a three-commit store (base, stripe-doubling v2, disjoint
+    * stripe-tripling v3) vacuumed to keep=2. The entry then reads BOTH
+    * kept versions — the copy-on-write reference-counting proof: v2 and
+    * v3 manifests still point untouched buckets at v1-era FILES, so
+    * vacuum must delete only v1 bucket dirs no kept manifest references
+    * (the aggregate would corrupt loud if it over-deleted) — while the
+    * v1 MANIFEST and its sidecars are gone (`v1_manifest_gone`, computed
+    * from `hasVersion`, so a vacuum that under-deletes fails the gate
+    * too). Oracle recomputes both kept states from the stripe formulas. */
+  def qStoreVacuum(s: SparkSession, dir: String): DataFrame = {
+    val layout = graft.operators.Artifacts.sharedPath(s"vacuum:$dir") { path =>
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("bucket", (col("o_orderkey") % 16).cast("int"))
+      graft.sources.Versioned.commitBase(orders, path, "bucket", 16)
+      val d2 = orders.where(col("o_orderkey") % 64 < 4)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      graft.sources.Versioned.commitUpsert(s, d2, path, 2, "o_orderkey", "bucket")
+      val d3 = orders.where(col("o_orderkey") % 64 >= 60)
+        .withColumn("o_totalprice", col("o_totalprice") * 3)
+      graft.sources.Versioned.commitUpsert(s, d3, path, 3, "o_orderkey", "bucket")
+      graft.sources.Versioned.vacuum(path, keep = 2)
+    }
+    val v1Gone = if (graft.sources.Versioned.hasVersion(layout, 1)) 0 else 1
+    Seq(2, 3).map { v =>
+      graft.sources.Versioned.readVersion(s, layout, v)
+        .agg(count(lit(1)).as("n_rows"),
+          expr("cast(sum(cast(o_totalprice as decimal(18,4))) * 10000 as bigint)")
+            .as("sum_price_e4"))
+        .select(lit(v).as("version"), col("n_rows"), col("sum_price_e4"),
+          lit(v1Gone).as("v1_manifest_gone"))
+    }.reduce(_ unionByName _)
+  }
+
   /** STREAMING CDC APPLY into the versioned store — the lakehouse ingest
     * loop: a change-delta STREAM (file source, one delta file per
     * micro-batch) lands on the [[graft.sources.Versioned]] table through
@@ -941,6 +977,7 @@ object SourceQueries {
     "q_gdpr_delete" -> qGdprDelete _,
     "q_time_travel" -> qTimeTravel _,
     "store_schema_evo" -> qStoreSchemaEvo _,
+    "store_vacuum" -> qStoreVacuum _,
     "q_cdc_stream" -> qCdcStream _,
     "q_cdc_merge_stream" -> qCdcMergeStream _,
     "q_zonemap_prune" -> qZonemapPrune _,
@@ -1210,6 +1247,23 @@ object SourceQueries {
         |WHERE o_orderdate >= TIMESTAMP '1995-06-01'
         |  AND o_orderdate < TIMESTAMP '1996-07-01'
         |  AND o_custkey BETWEEN 50 AND 399""".stripMargin,
+    // both kept versions' states recomputed from the stripe formulas
+    // (v2: keys%64<4 doubled; v3: additionally keys%64>=60 tripled —
+    // disjoint stripes); v1_manifest_gone pins the retention side
+    "store_vacuum" ->
+      """WITH v2 AS (SELECT CASE WHEN o_orderkey % 64 < 4
+        |      THEN o_totalprice * 2 ELSE o_totalprice END AS p FROM orders),
+        |v3 AS (SELECT CASE WHEN o_orderkey % 64 < 4 THEN o_totalprice * 2
+        |      WHEN o_orderkey % 64 >= 60 THEN o_totalprice * 3
+        |      ELSE o_totalprice END AS p FROM orders)
+        |SELECT 2 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(p AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_price_e4,
+        |  1 AS v1_manifest_gone
+        |FROM v2
+        |UNION ALL
+        |SELECT 3, CAST(count(*) AS BIGINT),
+        |  CAST(sum(CAST(p AS DECIMAL(18,4))) * 10000 AS BIGINT), 1
+        |FROM v3""".stripMargin,
     // the evolved table's final state recomputed relationally: delta keys
     // (key%64<4) carry the new channel + doubled price, everything else is
     // 'legacy' at the base price — every null-fill provenance must agree

@@ -189,6 +189,20 @@ class AttributionPrivacySpec extends SparkSpec {
       toMap(EventQueries.attribution(spark, dir)))
   }
 
+  test("bootstrap CI: ordered, centered, and replicate-exact") {
+    val dir = sf("sf0.001")
+    val got = MlQueries.mlBootstrapCi(spark, dir).head()
+    val (n, mean, lo, hi) =
+      (got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3))
+    assert(n > 0 && lo <= hi)
+    // a 90% CI for a mean over hundreds of purchases sits tight around it
+    assert(lo <= mean && mean <= hi, s"mean $mean outside [$lo, $hi]")
+    assert(hi - lo < mean, "CI wider than the mean itself — weights broken")
+    // replicate means are deterministic: a second run is bit-identical
+    val again = MlQueries.mlBootstrapCi(spark, dir).head()
+    assert((again.getLong(2), again.getLong(3)) == (lo, hi))
+  }
+
   test("t-closeness: integer TV identities hold and a uniform corpus passes t=1/2") {
     val r = RelationalQueries.qPrivTCloseness(spark, sf("sf0.001")).collect()
     assert(r.nonEmpty)
