@@ -183,7 +183,9 @@ object Plans {
     // attribution state machine
     "ml_auc", "events_attribution_stream",
     // round-13 additions: Poisson-bootstrap CI and gated vacuum retention
-    "ml_bootstrap_ci", "store_vacuum")
+    "ml_bootstrap_ci", "store_vacuum",
+    // round-13 addition: seeded randomization test
+    "ml_perm_test")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

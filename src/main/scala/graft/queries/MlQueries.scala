@@ -859,6 +859,51 @@ object MlQueries {
       .crossJoin(broadcast(ci))
   }
 
+  /** Randomization-test replicate count for [[mlPermTest]]. */
+  val PermB = 32
+
+  /** RANDOMIZATION TEST — the assumption-free companion completing the
+    * exact-inference family ([[mlAbTest]] = parametric z, [[mlKsTest]] =
+    * shape, [[mlBootstrapCi]] = uncertainty, this = significance without
+    * ANY distributional assumption): does shuffling the click/purchase
+    * labels kill the observed mean gap? Each of B=[[PermB]] replicates
+    * reassigns every row's arm by an independent seeded md5 coin (the
+    * Bernoulli-randomization variant of the permutation test — arm sizes
+    * vary binomially rather than being held fixed, the standard
+    * large-sample relaxation, and the one that needs no global shuffle),
+    * the statistic is the |floor-ppm mean difference| (the floor IS the
+    * spec'd statistic, deterministic on both engines), and the p-value
+    * numerator counts replicates at or beyond the observed gap. One scan
+    * exploded ×B, conditional partials into B cells — the bootstrap's
+    * cost shape. All integers end to end. */
+  def mlPermTest(s: SparkSession, dir: String): DataFrame = {
+    val e = s.read.parquet(s"$dir/events.parquet")
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("event_type"),
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
+    val obs = e.agg(
+      expr("(1000000 * sum(if(event_type = 'purchase', cents, 0L))) div " +
+        "sum(cast(event_type = 'purchase' as bigint)) - " +
+        "(1000000 * sum(if(event_type = 'click', cents, 0L))) div " +
+        "sum(cast(event_type = 'click' as bigint))").as("diff_ppm"))
+      .select(abs(col("diff_ppm")).as("obs_abs_ppm"))
+    val reps = e.withColumn("b", explode(sequence(lit(0), lit(PermB - 1))))
+      .withColumn("arm", (graft.functions.VectorSql.md5Hash60(
+        concat(lit("perm:"), col("b").cast("string"), lit(":"),
+          col("event_id").cast("string"))) % 2).cast("int"))
+      .groupBy(col("b"))
+      .agg(expr("(1000000 * sum(if(arm = 1, cents, 0L))) div " +
+        "sum(cast(arm = 1 as bigint)) - " +
+        "(1000000 * sum(if(arm = 0, cents, 0L))) div " +
+        "sum(cast(arm = 0 as bigint))").as("d"))
+      .select(abs(col("d")).as("ad"))
+    reps.crossJoin(broadcast(obs))
+      .agg(max(col("obs_abs_ppm")).as("obs_abs_ppm"),
+        sum((col("ad") >= col("obs_abs_ppm")).cast("long")).as("n_ge"))
+      .withColumn("b_total", lit(PermB.toLong))
+      .withColumn("p_pct", expr("(100 * n_ge) div b_total"))
+  }
+
   // ---- two-sample test (ml_ab_test): same shared-formula discipline ----
   private val AbDoubles =
     "cast(n1 as double) as dn1, cast(s1 as double) as ds1, " +
@@ -914,6 +959,7 @@ object MlQueries {
     "ml_ks_test" -> mlKsTest _,
     "ml_auc" -> mlAuc _,
     "ml_bootstrap_ci" -> mlBootstrapCi _,
+    "ml_perm_test" -> mlPermTest _,
     "ml_feature_hash" -> mlFeatureHash _,
     "som_fit_predict" -> somFitPredict _,
     "som_fit5" -> somFit5 _,
@@ -978,6 +1024,34 @@ object MlQueries {
         |  GROUP BY 1, 2, 3, 4)
         |SELECT k AS qty, n, pos, CAST(max(mn) AS BIGINT) AS iso_ppm
         |FROM inner_min GROUP BY 1, 2, 3""".stripMargin,
+    // the identical seeded coin reassignments, floor-ppm statistic, and
+    // at-or-beyond count
+    "ml_perm_test" ->
+      s"""WITH e AS (SELECT event_id, event_type,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM events WHERE event_type IN ('click', 'purchase')),
+         |obs AS (SELECT abs(
+         |    (1000000 * CAST(sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END) AS BIGINT))
+         |      // CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+         |    - (1000000 * CAST(sum(CASE WHEN event_type = 'click' THEN cents ELSE 0 END) AS BIGINT))
+         |      // CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+         |  ) AS obs_abs_ppm FROM e),
+         |reps AS (SELECT b.b,
+         |    CAST(('0x' || substr(md5('perm:' || b.b || ':' || event_id), 1, 15))::BIGINT
+         |      % 2 AS INT) AS arm, cents
+         |  FROM e CROSS JOIN range(${PermB}) AS b(b)),
+         |ds AS (SELECT abs(
+         |    (1000000 * CAST(sum(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS BIGINT))
+         |      // CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    - (1000000 * CAST(sum(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS BIGINT))
+         |      // CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |  ) AS ad FROM reps GROUP BY b)
+         |SELECT CAST(max(obs.obs_abs_ppm) AS BIGINT) AS obs_abs_ppm,
+         |  CAST(sum(CASE WHEN ad >= obs.obs_abs_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+         |  CAST(${PermB} AS BIGINT) AS b_total,
+         |  CAST((100 * sum(CASE WHEN ad >= obs.obs_abs_ppm THEN 1 ELSE 0 END))
+         |    // ${PermB} AS BIGINT) AS p_pct
+         |FROM ds CROSS JOIN obs""".stripMargin,
     // the identical seeded Poisson weights, replicate means, and 2nd/31st
     // order-statistic cut — the whole resample replayed
     "ml_bootstrap_ci" ->

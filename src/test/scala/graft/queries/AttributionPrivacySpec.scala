@@ -203,6 +203,21 @@ class AttributionPrivacySpec extends SparkSpec {
     assert((again.getLong(2), again.getLong(3)) == (lo, hi))
   }
 
+  test("randomization test: identities, determinism, and the expected null at small n") {
+    val dir = sf("sf0.001")
+    val got = MlQueries.mlPermTest(spark, dir).head()
+    val (obs, nGe, b, pPct) =
+      (got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3))
+    assert(obs >= 0 && b == 32 && nGe >= 0 && nGe <= b)
+    assert(pPct == (100 * nGe) / b)
+    // ~200 rows/arm: the synthetic arms share a distribution, so the
+    // observed gap must NOT be extreme under relabeling (the honest null
+    // ml_ab_test's z-test also reports)
+    assert(nGe > 0, "a shared-distribution corpus must not yield p=0 at n~200")
+    val again = MlQueries.mlPermTest(spark, dir).head()
+    assert(again.getLong(1) == nGe)
+  }
+
   test("t-closeness: integer TV identities hold and a uniform corpus passes t=1/2") {
     val r = RelationalQueries.qPrivTCloseness(spark, sf("sf0.001")).collect()
     assert(r.nonEmpty)
