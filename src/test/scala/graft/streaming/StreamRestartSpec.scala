@@ -164,4 +164,26 @@ class StreamRestartSpec extends SparkSpec {
     assert(ra.nonEmpty, "the fixture must produce at least one match")
     assert(ra == rb, "the CEP match set must be restart-transparent")
   }
+
+  test("attribution restarted from checkpoint is contribution-identical to an uninterrupted run") {
+    // the horizon-live touch list crosses the kill inside checkpointed
+    // state and purchases attribute the moment they arrive, so there is
+    // no dormancy to allow for: a touch remembered at the kill must credit
+    // post-restart purchases exactly as if the run never stopped, and no
+    // contribution row may be duplicated or lost
+    val (a, b, _) = killRestartVsStraight("attrib") { fork => df =>
+      import fork.implicits._
+      EventStream.attributionStream(
+        df.select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+            expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
+          .as[EventStream.AttEvent],
+        lookbackUs = 7L * 86400L * 1000000L).toDF()
+    }
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    val (ra, rb) = (rows(a), rows(b))
+    assert(ra.nonEmpty, "the fixture must attribute at least one purchase")
+    assert(ra == rb, "the contribution multiset must be restart-transparent")
+  }
 }
