@@ -184,8 +184,9 @@ object Plans {
     "ml_auc", "events_attribution_stream",
     // round-13 additions: Poisson-bootstrap CI and gated vacuum retention
     "ml_bootstrap_ci", "store_vacuum",
-    // round-13 addition: seeded randomization test
-    "ml_perm_test")
+    // round-13 additions: seeded randomization test and the two privacy
+    // entries (t-closeness EMD audit, randomized-response local DP)
+    "ml_perm_test", "priv_t_closeness", "priv_rand_response")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

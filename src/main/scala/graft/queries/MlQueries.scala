@@ -771,9 +771,11 @@ object MlQueries {
       .groupBy(col("n1"), col("n2"))
       .agg(max(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("d_num"))
       .withColumn("d_ppm", expr("(1000000 * d_num) div (n1 * n2)"))
-      // 10⁴·d² spelled (100·d)²: two decimal(15) factors keep the product
-      // inside 38 digits under BOTH engines' width rules (Spark p₁+p₂+1,
-      // DuckDB p₁+p₂)
+      // 10⁴·d² spelled (100·d)² in decimal(19,0) operands: Spark caps the
+      // nominal 19+19+1 = 39-digit product at decimal(38), which only loses
+      // exactness past 10³⁸ — and 100·d_num ≤ 100·n₁·n₂ ~ 10¹⁵ at the ×10
+      // corpus, so the cap never bites; decimal(19) (vs the tighter 15)
+      // buys the same headroom the d_num envelope above documents
       .withColumn("significant", expr(
         "cast(cast(100 * d_num as decimal(19,0))" +
           " * cast(100 * d_num as decimal(19,0)) >" +

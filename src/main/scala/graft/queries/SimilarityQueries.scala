@@ -528,7 +528,7 @@ object SimilarityQueries {
   def annIvfPq(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
     fork.experimental.extraStrategies =
       fork.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
-    val cb = pqCodebook(fork, dir)
+    val cb = pqHeuristicCb(fork, dir)
     // write-side at scale: codes persist beside the cell-partitioned layout
     // (ann_ivfpq_pruned serves from exactly that layout)
     val coded = assigned(fork, dir).select(col("vec_id"), col("cell"),
@@ -551,7 +551,7 @@ object SimilarityQueries {
   def annIvfPqPruned(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
     fork.experimental.extraStrategies =
       fork.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
-    val cb = pqCodebook(fork, dir)
+    val cb = pqHeuristicCb(fork, dir)
     val layout = graft.operators.Artifacts.sharedPath(s"ivfpq_layout:$dir") { path =>
       graft.sources.Sources.writePartitioned(
         assigned(fork, dir).select(col("vec_id"),
@@ -603,7 +603,7 @@ object SimilarityQueries {
     require(cut >= PqNumCodes,
       s"day-zero corpus ($cut rows) must contain the $PqNumCodes codebook rows — " +
         "a smaller day-zero trains a different codebook: that is a rebuild, not a delta")
-    val cb = pqCodebook(fork, dir)
+    val cb = pqHeuristicCb(fork, dir)
     val layout = graft.operators.Artifacts.sharedPath(s"ivfpq_delta:$dir") { path =>
       // materialize once: base write + delta append each consume the
       // assignment+encode pipeline (the multiply-consumed-frame discipline)
@@ -636,7 +636,7 @@ object SimilarityQueries {
   def annIvfPqGdpr(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
     fork.experimental.extraStrategies =
       fork.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
-    val cb = pqCodebook(fork, dir)
+    val cb = pqHeuristicCb(fork, dir)
     val doomed = pts(fork, dir)
       .where(col("vec_id") % NswGdprMod === 0 && col("vec_id") >= PqNumCodes)
       .select(col("vec_id"))
@@ -649,12 +649,6 @@ object SimilarityQueries {
     }
     servePqLayout(fork, dir, layout, cb)
   }
-
-  /** The first-[[PqNumCodes]]-rows codebook both PQ tiers share — a
-    * driver-side collect bounded at 256 rows, never data-scale. */
-  private def pqCodebook(s: SparkSession, dir: String): Array[Array[Double]] =
-    pts(s, dir).where(col("vec_id") < PqNumCodes)
-      .orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
 
   /** Probe → [[NProbe]] nearest cells by centroid L2 — `ann_ivf`'s probing
     * rule verbatim (tiny cross join, all broadcast-side). */

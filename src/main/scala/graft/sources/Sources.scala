@@ -157,8 +157,11 @@ object Sources {
     Seq((amn, amx, bmn, bmx, bitsPerDim)).toDF("amn", "amx", "bmn", "bmx", "bits")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
     val cells = 1 << bitsPerDim
+    // integer `div`, matching the read-side long arithmetic exactly: the
+    // Column `/` is DOUBLE division, and past 2^53 the rounded quotient
+    // could disagree with the reader's cell decomposition (silent prune)
     def cellOf(c: String, mn: Long, mx: Long) =
-      ((col(c).cast("long") - mn) * cells / (mx - mn + 1)).cast("int")
+      expr(s"cast(((cast(`$c` as bigint) - ${mn}L) * $cells) div ${mx - mn + 1}L as int)")
     val (ca, cb) = (cellOf(dimA, amn, amx), cellOf(dimB, bmn, bmx))
     val z = (0 until bitsPerDim).foldLeft(lit(0)) { (acc, i) =>
       acc + shiftright(ca, i) % 2 * lit(1 << (2 * i + 1)) +
@@ -214,8 +217,10 @@ object Sources {
     Seq((amn, amx, bmn, bmx, bitsPerDim)).toDF("amn", "amx", "bmn", "bmx", "bits")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
     val cells = 1 << bitsPerDim
+    // integer `div` matching hilbertRead's long arithmetic (see the
+    // z-order writer's note — double division diverges past 2^53)
     def cellOf(c: String, mn: Long, mx: Long) =
-      ((col(c).cast("long") - mn) * cells / (mx - mn + 1)).cast("int")
+      expr(s"cast(((cast(`$c` as bigint) - ${mn}L) * $cells) div ${mx - mn + 1}L as int)")
     val h = graft.functions.Hilbert.index(
       cellOf(dimA, amn, amx), cellOf(dimB, bmn, bmx), bitsPerDim)
     writePartitioned(df.withColumn("hbucket", h), s"$path/data", "hbucket")
