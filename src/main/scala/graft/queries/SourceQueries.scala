@@ -646,6 +646,45 @@ object SourceQueries {
     fork.sql(one(1) + "\nUNION ALL\n" + one(2))
   }
 
+  /** The connector's WRITE path under the hash gate
+    * ([[graft.sources.GraftStoreWriteBuilder]], the [[qDsv2Sql]] claim's
+    * other half: a table you can only read is a demo): base v1 commits via
+    * the library API, then the SAME delta [[qTimeTravel]] lands through the
+    * Scala `commitUpsert` arrives here through PLAIN SQL — `CREATE
+    * TEMPORARY VIEW ... USING graftstore` + `INSERT INTO` — which maps to
+    * [[graft.sources.Versioned.commitUpsert]] at version 2 with the
+    * `keyCol` table option. Reading both versions back re-serves
+    * [[qTimeTravel]]'s oracle VERBATIM: the write seam must be
+    * result-invisible against the library write path it packages (three
+    * write surfaces now — library API, DataFrameWriter, SQL INSERT — one
+    * committed state). GraftStoreSpec pins the mechanics: untouched-bucket
+    * byte-identity under the SQL commit, `commitVersion` idempotent replay
+    * (the txn-app-id discipline), `INSERT OVERWRITE` = commitRewrite,
+    * pinned-view write rejection, and bootstrap-from-empty. */
+  def qDsv2Write(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    val layout = graft.operators.Artifacts.sharedPath(s"dsv2write:$dir") { path =>
+      val orders = fork.read.parquet(s"$dir/orders.parquet")
+        .withColumn("bucket", (col("o_orderkey") % 16).cast("int"))
+      graft.sources.Versioned.commitBase(orders, path, "bucket", 16)
+      fork.sql("CREATE OR REPLACE TEMPORARY VIEW graft_store_w " +
+        s"USING graftstore OPTIONS (path '$path', keyCol 'o_orderkey')")
+      // the delta in the TABLE's column order (partition col reads back
+      // last) — INSERT matches by position, exactly like any SQL table
+      val tableCols = fork.read.format("graftstore").option("path", path)
+        .load().columns
+      orders.where(col("o_orderkey") % 64 < 4)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .select(tableCols.map(col).toSeq: _*)
+        .createOrReplaceTempView("graft_dsv2_delta")
+      fork.sql("INSERT INTO graft_store_w SELECT * FROM graft_dsv2_delta")
+    }
+    Seq(1, 2).map { v =>
+      timeTravelAgg(
+        fork.read.format("graftstore").option("path", layout)
+          .option("versionAsOf", v.toString).load(), v)
+    }.reduce(_ unionByName _)
+  }
+
   /** METADATA-ONLY aggregation through the connector
     * (`SupportsPushDownAggregates`, complete pushdown): a global
     * COUNT(*) / MIN / MAX over the zone column is answered from the
@@ -825,6 +864,40 @@ object SourceQueries {
         col("o_orderstatus"), col("price_e4"))
   }
 
+  /** The change feed consumed through `readStream.format("graftstore")` —
+    * the store's commit log AS a first-class streaming source
+    * ([[graft.sources.GraftStoreChangeSource]]): offsets are COMMIT
+    * VERSIONS, each micro-batch is [[graft.sources.Versioned.changes]]
+    * (v−1, v) tagged `_commit_version`, `maxVersionsPerTrigger 1` +
+    * `Trigger.AvailableNow` drains the [[storeChangesLayout]] commits one
+    * per batch into a parquet sink (whose batch log makes at-least-once
+    * delivery exactly-once files). This is how Delta/Iceberg CDF is
+    * actually consumed downstream — no bespoke `foreachBatch` harness,
+    * the sink just tails the table — and the oracle is
+    * [[qStoreChangesStream]]'s VERBATIM: one feed contract, three read
+    * surfaces (library call, foreachBatch harness, streaming source).
+    * CdfSourceSpec pins the streaming mechanics the hash gate can't see:
+    * per-commit batch boundaries, restart-with-checkpoint resuming past
+    * consumed versions (no dupes, no losses), kill-mid-drain recovery,
+    * and admission-control pinning under AvailableNow. */
+  def qStoreCdfStream(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    val layout = storeChangesLayout(s, dir)
+    val root = StreamScratch.fresh("cdfsrc").toString
+    val outDir = s"$root/out"; val ckpt = s"$root/ckpt"
+    val q = fork.readStream.format("graftstore")
+      .option("path", layout).option("keyCol", "o_orderkey")
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    fork.read.parquet(outDir)
+      .select(col("_commit_version").as("version"), col("op"), col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("price_e4"))
+  }
+
   /** Small-file COMPACTION on the versioned store — the OPTIMIZE
     * maintenance op ([[graft.sources.Versioned.commitCompact]]): an
     * orders projection lands as THREE ingest stripes (each stripe its own
@@ -964,7 +1037,9 @@ object SourceQueries {
     "store_dsv2_lookup" -> qDsv2Lookup _,
     "store_dsv2_agg" -> qDsv2Agg _,
     "store_dsv2_sql" -> qDsv2Sql _,
+    "store_dsv2_write" -> qDsv2Write _,
     "store_changes_stream" -> qStoreChangesStream _,
+    "store_cdf_stream" -> qStoreCdfStream _,
     "store_compact" -> qStoreCompact _,
     "store_bloom_skip" -> qStoreBloomSkip _,
     "store_bloom_skip_delta" -> qStoreBloomSkipDelta _,
@@ -1324,9 +1399,11 @@ object SourceQueries {
     "q_hilbert_prune" -> baseOracleSql("q_zorder_prune"),
     "store_dsv2_travel" -> baseOracleSql("q_time_travel"),
     "store_dsv2_sql" -> baseOracleSql("q_time_travel"),
+    "store_dsv2_write" -> baseOracleSql("q_time_travel"),
     "store_dsv2_asof" -> baseOracleSql("store_asof_ts"),
     "store_dsv2_skip" -> baseOracleSql("q_zonemap_prune"),
     "store_dsv2_lookup" -> baseOracleSql("store_bloom_skip"),
+    "store_cdf_stream" -> baseOracleSql("store_changes_stream"),
     // the sidecar-served statistics must equal the raw-table aggregate —
     // the metadata path is result-invisible (mechanics in GraftStoreSpec)
     "store_dsv2_agg" ->

@@ -1,0 +1,147 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => V2Offset}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+/** The versioned store's commit log served AS A STREAM —
+  * `readStream.format("graftstore")`, the consumption shape production
+  * CDFs actually ship (Delta CDF / Iceberg changelog as a streaming
+  * source), closing the loop the library-API feed left open: downstream
+  * consumers tail the table itself, not a bespoke `foreachBatch` harness.
+  *
+  * {{{
+  *   spark.readStream.format("graftstore")
+  *     .option("path", dir)
+  *     .option("keyCol", "o_orderkey")
+  *     .option("maxVersionsPerTrigger", 1)    // optional admission control
+  *     .option("startingVersion", 2)          // optional; default 2 =
+  *     .load()                                //  every post-base commit
+  * }}}
+  *
+  * OFFSETS ARE COMMIT VERSIONS: offset v = "commits through v consumed".
+  * A micro-batch (from, to] unions [[Versioned.changes]](v−1, v) for each
+  * v in the range, every row tagged `_commit_version` — per-commit granularity
+  * survives even when admission control batches several commits together.
+  * Each per-version slice reads ONLY that commit's touched buckets
+  * (2×delta IO, the manifest diff's bound) and executes distributed —
+  * `getBatch` is driver-COORDINATED, never driver-side data (the V1
+  * `Source` bridge exists precisely so the batch is a DataFrame).
+  *
+  * Exactly-once falls out of determinism: manifests are immutable, so a
+  * replayed (from, to] reproduces the identical rows against the
+  * checkpointed offset log (restart transparency is CdfSourceSpec's
+  * kill-and-resume proof; idempotent sinks — the file sink's batch log,
+  * or the store's own `commitVersion` writer — finish the contract).
+  *
+  * Admission control follows FileStreamSource's shape
+  * ([[SupportsAdmissionControl]]): `latestOffset(start, _)` advances at
+  * most `maxVersionsPerTrigger` commits past the engine-supplied start —
+  * no internal progress state to desync on restart — and
+  * [[SupportsTriggerAvailableNow]] pins `Trigger.AvailableNow` runs to
+  * the latest version snapshotted at query start, so a rate-limited
+  * drain still terminates deterministically. */
+private[sources] class GraftStoreChangeSource(spark: SparkSession,
+                                              parameters: Map[String, String])
+    extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  private val caseMap = parameters.map { case (k, v) => k.toLowerCase -> v }
+  private val dir = caseMap.getOrElse("path",
+    sys.error("graftstore stream requires option 'path' (the store dir)"))
+  private val keyCol = caseMap.getOrElse("keycol",
+    sys.error("graftstore stream requires option 'keyCol' (the change-feed key)"))
+  /** First version whose changes are emitted (default 2: every commit
+    * after the base; the base snapshot itself is batch-read territory). */
+  private val startVer = caseMap.get("startingversion").map(_.trim.toInt).getOrElse(2)
+  private val maxPer = caseMap.get("maxversionspertrigger").map(_.trim.toInt)
+  require(startVer >= 2, s"startingVersion must be >= 2 (got $startVer): " +
+    "version 1 is the base snapshot, not a change")
+  require(maxPer.forall(_ >= 1), "maxVersionsPerTrigger must be >= 1")
+
+  override val schema: StructType = GraftStoreChangeSource.feedSchema(spark, parameters)
+
+  /** AvailableNow pin: the latest version at `prepareForTriggerAvailableNow`
+    * time (−1 = unpinned / continuous). */
+  @volatile private var availableNowCap: Long = -1L
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Versioned.latestVersion(dir).toLong
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Offsets parse from any carrier the engine hands back (typed
+    * LongOffset, checkpoint-log SerializedOffset, v2 Offset): LongOffset's
+    * json IS the number. */
+  private def verOf(o: Any): Long = o match {
+    case null => startVer - 1L
+    case l: LongOffset => l.offset
+    case o: V2Offset => o.json.trim.toLong
+    case other => other.toString.trim.toLong
+  }
+
+  override def latestOffset(start: V2Offset, limit: ReadLimit): V2Offset = {
+    val from = math.max(verOf(start), startVer - 1L)
+    val cap =
+      if (availableNowCap >= 0) availableNowCap
+      else Versioned.latestVersion(dir).toLong
+    val end = math.min(cap, maxPer.map(from + _.toLong).getOrElse(Long.MaxValue))
+    LongOffset(math.max(from, end))
+  }
+
+  /** Unused once [[SupportsAdmissionControl]] is implemented (the engine
+    * calls [[latestOffset]]); kept total for any legacy caller. */
+  override def getOffset: Option[V1Offset] = {
+    val latest = Versioned.latestVersion(dir).toLong
+    if (latest >= startVer) Some(LongOffset(latest)) else None
+  }
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val fromV = math.max(start.map(verOf).getOrElse(startVer - 1L), startVer - 1L)
+    val toV = verOf(end)
+    val slices = ((fromV + 1) to toV).map { v =>
+      val (cdf, _) = Versioned.changes(spark, dir, v.toInt - 1, v.toInt, keyCol)
+      cdf.withColumn("_commit_version", lit(v.toInt))
+    }
+    val feed =
+      if (slices.isEmpty)
+        // a recovery replay of an empty range: the schema'd empty frame
+        Versioned.readVersion(spark, dir, Versioned.latestVersion(dir))
+          .where(lit(false))
+          .withColumn("op", lit("")).withColumn("_commit_version", lit(0))
+      else slices.reduce(_.unionByName(_, allowMissingColumns = true))
+    // exactly the declared schema: names, order, and types (schema
+    // evolution inside the range null-fills through unionByName above);
+    // re-wrapped with isStreaming=true per the V1 Source contract
+    // (FileStreamSource's own spelling)
+    org.apache.spark.sql.graftbridge.ColumnBridge.asStreamingBatch(
+      feed.select(schema.fieldNames.map(col).toSeq: _*))
+  }
+
+  override def commit(end: V1Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"GraftStoreChangeSource[$dir, key=$keyCol]"
+}
+
+private[sources] object GraftStoreChangeSource {
+  /** The change-feed schema: `op` + the key + the table's payload columns
+    * (latest version's schema — additive evolution null-fills older
+    * slices) + `_commit_version`. */
+  def feedSchema(spark: SparkSession, parameters: Map[String, String]): StructType = {
+    val caseMap = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val dir = caseMap.getOrElse("path",
+      sys.error("graftstore stream requires option 'path' (the store dir)"))
+    val keyCol = caseMap.getOrElse("keycol",
+      sys.error("graftstore stream requires option 'keyCol' (the change-feed key)"))
+    val table = Versioned.readVersion(spark, dir, Versioned.latestVersion(dir)).schema
+    val key = table.fields.find(_.name == keyCol).getOrElse(
+      sys.error(s"keyCol '$keyCol' is not a column of the store at $dir"))
+    StructType(
+      StructField("op", org.apache.spark.sql.types.StringType) +:
+        key +:
+        table.fields.filterNot(_.name == keyCol).toSeq :+
+        StructField("_commit_version", IntegerType))
+  }
+}

@@ -3,12 +3,13 @@ package graft.sources
 import java.util
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Row, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
@@ -58,8 +59,65 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Reference scope note: the reference (sparkml-som) has no storage layer;
   * this is part of the demanded lakehouse extension surface
   * (SURVEY.md §7). */
-class GraftStoreSource extends TableProvider with DataSourceRegister {
+class GraftStoreSource extends TableProvider with DataSourceRegister
+    with StreamSourceProvider with CreatableRelationProvider {
   override def shortName(): String = "graftstore"
+
+  // ---- `df.write.format("graftstore").mode(...).save()` -----------------
+  // DataFrameWriter's V2 path requires plain BATCH_WRITE (a real v2
+  // BatchWrite); a V1_BATCH_WRITE table falls back to the V1 save command,
+  // which needs this interface — the same dual packaging Delta ships. Same
+  // commit rule as the SQL INSERT path ([[GraftStoreWrites]]).
+  override def createRelation(ctx: SQLContext,
+                              mode: org.apache.spark.sql.SaveMode,
+                              parameters: Map[String, String],
+                              data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    val caseMap = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val opts = new CaseInsensitiveStringMap(
+      scala.jdk.CollectionConverters.MapHasAsJava(parameters).asJava)
+    val (dir, pin) = GraftStoreSource.resolve(opts)
+    val exists = Versioned.latestVersion(dir) > 0
+    import org.apache.spark.sql.SaveMode._
+    mode match {
+      case ErrorIfExists if exists =>
+        sys.error(s"graftstore: $dir already holds commits (SaveMode.ErrorIfExists)")
+      case Ignore if exists => () // no-op by contract
+      case m =>
+        GraftStoreWrites.insert(dir, pin,
+          name => caseMap.get(name.toLowerCase).map(_.trim).filter(_.nonEmpty),
+          data, overwrite = m == Overwrite)
+    }
+    // a minimal relation for the command's return value: the store's
+    // current schema, scanned through the same read path if ever used
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = ctx
+      override def schema: StructType =
+        Versioned.readVersion(ctx.sparkSession, dir,
+          Versioned.latestVersion(dir)).schema
+      override def buildScan(): RDD[Row] =
+        Versioned.readVersion(ctx.sparkSession, dir,
+          Versioned.latestVersion(dir)).rdd
+    }
+  }
+
+  // ---- streaming: the commit log AS a micro-batch source ----------------
+  // `readStream.format("graftstore")` serves the change feed
+  // ([[Versioned.changes]]) with COMMIT VERSIONS as offsets — see
+  // [[GraftStoreChangeSource]]. The batch table above has no
+  // MICRO_BATCH_READ capability, so DataStreamReader falls back to this
+  // V1 StreamSourceProvider — the streaming twin of the V1Scan/V1Write
+  // driver-coordination bridges.
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    (shortName(), GraftStoreChangeSource.feedSchema(
+      sqlContext.sparkSession, parameters))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    new GraftStoreChangeSource(sqlContext.sparkSession, parameters)
 
   /** A caller may supply the schema (skipping [[inferSchema]]'s data-file
     * read) — with the sidecars present, a metadata-only aggregate then
@@ -68,26 +126,31 @@ class GraftStoreSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val (dir, v) = GraftStoreSource.resolve(options)
-    Versioned.readVersion(SparkSession.active, dir, v).schema
+    val (dir, pin) = GraftStoreSource.resolve(options)
+    Versioned.readVersion(SparkSession.active, dir,
+      pin.getOrElse(Versioned.latestVersion(dir))).schema
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
-    val (dir, v) = GraftStoreSource.resolve(
-      new CaseInsensitiveStringMap(properties))
-    new GraftStoreTable(schema, dir, v)
+    val opts = new CaseInsensitiveStringMap(properties)
+    val (dir, pin) = GraftStoreSource.resolve(opts)
+    new GraftStoreTable(schema, dir, pin, opts)
   }
 }
 
 object GraftStoreSource {
-  /** (store dir, pinned version) from reader options: `versionAsOf` wins,
-    * else `timestampAsOf` (epoch micros, or "yyyy-MM-dd HH:mm:ss" UTC)
-    * resolves through [[Versioned.versionAsOf]], else the latest commit. */
-  private[sources] def resolve(options: CaseInsensitiveStringMap): (String, Int) = {
+  /** (store dir, explicit version pin) from reader options: `versionAsOf`
+    * wins, else `timestampAsOf` (epoch micros, or "yyyy-MM-dd HH:mm:ss"
+    * UTC) resolves through [[Versioned.versionAsOf]]. `None` = not pinned:
+    * the table serves the LATEST commit, re-resolved at every scan — so a
+    * view created before an `INSERT INTO` sees the insert's commit on its
+    * next query (table semantics), while a pinned view is a frozen
+    * snapshot (and rejects writes). */
+  private[sources] def resolve(options: CaseInsensitiveStringMap): (String, Option[Int]) = {
     val dir = Option(options.get("path"))
       .getOrElse(sys.error("graftstore requires option 'path' (the store dir)"))
-    val v = Option(options.get("versionAsOf")).map(_.trim.toInt)
+    val pin = Option(options.get("versionAsOf")).map(_.trim.toInt)
       .orElse(Option(options.get("timestampAsOf")).map { raw =>
         val ts = raw.trim
         val us =
@@ -97,9 +160,9 @@ object GraftStoreSource {
             .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
         Versioned.versionAsOf(dir, us)
       })
-      .getOrElse(Versioned.latestVersion(dir))
-    require(Versioned.hasVersion(dir, v), s"graftstore: no version $v under $dir")
-    (dir, v)
+    pin.foreach(v =>
+      require(Versioned.hasVersion(dir, v), s"graftstore: no version $v under $dir"))
+    (dir, pin)
   }
 
   /** Buckets surviving the ZONE-MAP decision for `lo <= col <= hi` —
@@ -177,14 +240,108 @@ object GraftStoreSource {
   }
 }
 
-private[sources] class GraftStoreTable(schema: StructType, dir: String, v: Int)
-    extends Table with SupportsRead {
-  override def name(): String = s"graftstore:$dir@v$v"
+private[sources] class GraftStoreTable(schema: StructType, dir: String,
+                                       pin: Option[Int],
+                                       tableOpts: CaseInsensitiveStringMap)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String =
+    s"graftstore:$dir@${pin.map(v => s"v$v").getOrElse("latest")}"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftStoreScanBuilder(schema, dir, v)
+    new GraftStoreScanBuilder(schema, dir,
+      pin.getOrElse(Versioned.latestVersion(dir)))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftStoreWriteBuilder(dir, pin, tableOpts, info)
+}
+
+/** The WRITE half of the connector — the seam that turns the read-only
+  * demo surface into a TABLE: `INSERT INTO` a `USING graftstore` view (or
+  * `df.write.format("graftstore").mode("append")`) lands a real commit
+  * through the SAME functions the library API uses, so the SQL surface can
+  * never drift from the store semantics it packages.
+  *
+  *  - append      → [[Versioned.commitUpsert]] at `latest + 1` (upsert
+  *                  semantics on the store's key column — the MERGE-on-key
+  *                  behavior a keyed table's INSERT means here; a brand-new
+  *                  store bootstraps via [[Versioned.commitBase]] instead,
+  *                  `nBuckets` option, default 16)
+  *  - truncate / `INSERT OVERWRITE` → [[Versioned.commitRewrite]] (every
+  *                  bucket re-materialized under the new content; old
+  *                  versions still time travel — overwrite is a COMMIT,
+  *                  never an erase; reclaim stays [[Versioned.vacuum]]'s
+  *                  job)
+  *
+  * Options: `keyCol` (table- or write-level; required for append into an
+  * existing store), `commitVersion` (write-level; the txn-app-id
+  * idempotence discipline — a writer keyed to a deterministic id, e.g. a
+  * streaming `foreachBatch`'s batch id, re-runs after a restart, sees the
+  * manifest already present and commits NOTHING twice, so at-least-once
+  * delivery yields exactly-once table state). Writes into a
+  * `versionAsOf`-pinned view are rejected: a snapshot is not a table.
+  *
+  * The physical path is the [[V1Write]] bridge (the write twin of the
+  * scan's [[V1Scan]]): commits here are DRIVER-COORDINATED DataFrame
+  * writes — [[Versioned.commitUpsert]]'s copy-on-write anti-join is
+  * itself a distributed plan, so the bridge adds no data-scale driver
+  * work, exactly like the read side. */
+private[sources] class GraftStoreWriteBuilder(dir: String, pin: Option[Int],
+                                              tableOpts: CaseInsensitiveStringMap,
+                                              info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncated = false
+  override def truncate(): WriteBuilder = { truncated = true; this }
+
+  private def opt(name: String): Option[String] =
+    Option(info.options.get(name)).orElse(Option(tableOpts.get(name)))
+      .map(_.trim).filter(_.nonEmpty)
+
+  override def build(): V1Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit =
+          GraftStoreWrites.insert(dir, pin, opt, data, overwrite || truncated)
+      }
+    override def description(): String =
+      s"graftstore-write $dir mode=${if (truncated) "overwrite" else "append"}"
+  }
+}
+
+/** The one commit-mapping rule both write surfaces share (the SQL
+  * `INSERT INTO` V1Write bridge above and the `df.write.format` V1 save
+  * path's [[CreatableRelationProvider]]) — one decision, two packagings,
+  * like the read side's resolve(). */
+private[sources] object GraftStoreWrites {
+  def insert(dir: String, pin: Option[Int], opt: String => Option[String],
+             data: DataFrame, overwrite: Boolean): Unit = {
+    require(pin.isEmpty,
+      s"graftstore: cannot write through a version-pinned view (versionAsOf=" +
+        s"${pin.get}) — a snapshot is not a table; create the view without a pin")
+    val spark = data.sparkSession
+    val latest = Versioned.latestVersion(dir)
+    val v = opt("commitVersion").map(_.toInt).getOrElse(latest + 1)
+    if (Versioned.hasVersion(dir, v)) return // idempotent replay: already committed
+    if (latest == 0) {
+      // first commit bootstraps the store (schema supplied externally)
+      val bucketCol = opt("bucketCol").getOrElse(sys.error(
+        "graftstore bootstrap needs option 'bucketCol' (the INT bucket column)"))
+      val n = opt("nBuckets").map(_.toInt).getOrElse(16)
+      Versioned.commitBase(data, dir, bucketCol, n)
+    } else {
+      val bucketCol = Versioned.bucketColumn(spark, dir)
+      if (overwrite)
+        Versioned.commitRewrite(data, dir, v, bucketCol,
+          Versioned.readManifest(dir, latest).size)
+      else {
+        val keyCol = opt("keyCol").getOrElse(sys.error(
+          "graftstore append needs option 'keyCol' (the upsert key column) " +
+            "on the table or the writer"))
+        Versioned.commitUpsert(spark, data, dir, v, keyCol, bucketCol)
+      }
+    }
+  }
 }
 
 private[sources] class GraftStoreScanBuilder(full: StructType, dir: String, v: Int)

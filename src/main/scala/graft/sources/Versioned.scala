@@ -299,6 +299,12 @@ object Versioned {
     bucketColOf(spark, dir, anyVer)
   }
 
+  /** The store's bucket (partition) column name — discoverable from the
+    * layout itself, so a writer surface (the DSv2 `INSERT INTO` path)
+    * never needs it spelled twice. */
+  def bucketColumn(spark: SparkSession, dir: String): String =
+    bucketColOfManifest(spark, dir, latestVersion(dir))
+
   /** bucket → (min, max) of the stats column for version `v`. */
   def readStats(dir: String, v: Int): Map[Int, (Long, Long)] =
     new String(java.nio.file.Files.readAllBytes(statsPath(dir, v)), "UTF-8")

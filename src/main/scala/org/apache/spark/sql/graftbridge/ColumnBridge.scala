@@ -47,6 +47,18 @@ object ColumnBridge {
   def logicalPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].logicalPlan
 
+  /** Re-wrap a batch DataFrame's physical plan as a STREAMING DataFrame —
+    * the V1 streaming `Source.getBatch` contract (the engine asserts
+    * `isStreaming`); exactly FileStreamSource's own spelling
+    * (`internalCreateDataFrame(toRdd, schema, isStreaming = true)`,
+    * `private[sql]`). Lazy: `toRdd` compiles the plan, nothing executes
+    * until the micro-batch runs. */
+  def asStreamingBatch(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = true)
+  }
+
   /** The session's unique id (`private[sql]` on the classic backend) —
     * identity-hash keys can collide across a GC'd session's lifetime,
     * a real UUID cannot. */

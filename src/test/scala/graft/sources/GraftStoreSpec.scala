@@ -165,6 +165,113 @@ class GraftStoreSpec extends SparkSpec {
       "every data file is gone — only the sidecars could have answered")
   }
 
+  test("SQL INSERT INTO lands a commitUpsert: upsert-on-key, untouched buckets byte-identical, the view serves the new state") {
+    val dir = tmp()
+    val base = (0L until 40L).map(k => (k, k, (k % 4).toInt)).toDF("k", "v", "bucket")
+    Versioned.commitBase(base, dir, "bucket", 4)
+    val before = bucketFiles(dir, 1, 1).map(p => p -> Files.readAllBytes(p).toSeq).toMap
+
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW gsw_t1 " +
+      s"USING graftstore OPTIONS (path '$dir', keyCol 'k')")
+    // delta: update key 0 (bucket 0), insert key 100 (bucket 0) — buckets
+    // 1..3 untouched; column order = table order (partition col last)
+    Seq((0L, 1000L, 0), (100L, 7L, 0)).toDF("k", "v", "bucket")
+      .createOrReplaceTempView("gsw_delta1")
+    spark.sql("INSERT INTO gsw_t1 SELECT * FROM gsw_delta1")
+
+    assert(Versioned.latestVersion(dir) == 2, "the INSERT is a real commit")
+    val v2 = Versioned.readVersion(spark, dir, 2)
+    assert(v2.count() == 41 && v2.where(col("k") === 0L).head().getLong(1) == 1000L,
+      "upsert semantics: key 0 updated, key 100 inserted")
+    val after = bucketFiles(dir, 1, 1).map(p => p -> Files.readAllBytes(p).toSeq).toMap
+    assert(before == after, "an untouched bucket's v1 files are byte-identical")
+    // the unpinned view re-resolves at scan time: it SEES the insert
+    assert(spark.sql("SELECT sum(v) FROM gsw_t1").head().getLong(0) ==
+      v2.agg(sum(col("v"))).head().getLong(0),
+      "a view created before the INSERT serves the post-INSERT state")
+    // ...while a pinned read stays the frozen snapshot
+    assert(read(dir, "versionAsOf" -> "1").count() == 40)
+  }
+
+  test("commitVersion makes replayed writes idempotent (the txn-app-id discipline)") {
+    val dir = tmp()
+    val base = (0L until 20L).map(k => (k, k, (k % 2).toInt)).toDF("k", "v", "bucket")
+    Versioned.commitBase(base, dir, "bucket", 2)
+    def writeOnce(): Unit =
+      Seq((0L, 555L, 0)).toDF("k", "v", "bucket")
+        .write.format("graftstore").mode("append")
+        .option("path", dir).option("keyCol", "k")
+        .option("commitVersion", "2").save()
+    writeOnce()
+    assert(Versioned.latestVersion(dir) == 2)
+    val snap = Versioned.readVersion(spark, dir, 2)
+      .collect().map(_.toSeq).toSet
+    writeOnce() // the replay: manifest v2 exists -> commits NOTHING
+    assert(Versioned.latestVersion(dir) == 2, "no third version appeared")
+    assert(Versioned.readVersion(spark, dir, 2).collect().map(_.toSeq).toSet == snap)
+  }
+
+  test("INSERT OVERWRITE is a commitRewrite: new content serves, old versions still time travel") {
+    val dir = tmp()
+    val base = (0L until 20L).map(k => (k, k, (k % 2).toInt)).toDF("k", "v", "bucket")
+    Versioned.commitBase(base, dir, "bucket", 2)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW gsw_t3 " +
+      s"USING graftstore OPTIONS (path '$dir', keyCol 'k')")
+    (100L until 106L).map(k => (k, k * 2, (k % 2).toInt)).toDF("k", "v", "bucket")
+      .createOrReplaceTempView("gsw_over")
+    spark.sql("INSERT OVERWRITE gsw_t3 SELECT * FROM gsw_over")
+    assert(Versioned.latestVersion(dir) == 2)
+    assert(spark.sql("SELECT count(*), sum(v) FROM gsw_t3").head().toSeq ==
+      Seq(6L, (100L until 106L).map(_ * 2).sum),
+      "the view serves ONLY the overwrite content")
+    assert(read(dir, "versionAsOf" -> "1").count() == 20,
+      "overwrite is a commit, not an erase — v1 still travels")
+  }
+
+  test("a version-pinned view rejects writes; append without keyCol fails loudly") {
+    val dir = tmp()
+    val base = (0L until 8L).map(k => (k, k, (k % 2).toInt)).toDF("k", "v", "bucket")
+    Versioned.commitBase(base, dir, "bucket", 2)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW gsw_pinned " +
+      s"USING graftstore OPTIONS (path '$dir', keyCol 'k', versionAsOf '1')")
+    Seq((0L, 9L, 0)).toDF("k", "v", "bucket").createOrReplaceTempView("gsw_d4")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gsw_pinned SELECT * FROM gsw_d4")
+    }
+    assert(e.getMessage.contains("version-pinned") ||
+      Option(e.getCause).exists(_.getMessage.contains("version-pinned")))
+    assert(Versioned.latestVersion(dir) == 1, "nothing committed")
+    val e2 = intercept[Exception] {
+      Seq((0L, 9L, 0)).toDF("k", "v", "bucket")
+        .write.format("graftstore").mode("append").option("path", dir).save()
+    }
+    assert(e2.getMessage.contains("keyCol") ||
+      Option(e2.getCause).exists(_.getMessage.contains("keyCol")))
+  }
+
+  test("first append into an empty dir bootstraps the store (commitBase)") {
+    val dir = tmp() + "/fresh"
+    (0L until 12L).map(k => (k, k, (k % 3).toInt)).toDF("k", "v", "bucket")
+      .write.format("graftstore").mode("append")
+      .option("path", dir).option("bucketCol", "bucket").option("nBuckets", "3")
+      .save()
+    assert(Versioned.latestVersion(dir) == 1)
+    assert(read(dir).count() == 12)
+    // and the NEXT append is a normal upsert commit
+    Seq((0L, 500L, 0)).toDF("k", "v", "bucket")
+      .write.format("graftstore").mode("append")
+      .option("path", dir).option("keyCol", "k").save()
+    assert(Versioned.latestVersion(dir) == 2)
+    assert(read(dir).where(col("k") === 0L).head().getLong(1) == 500L)
+  }
+
+  /** The parquet files of one bucket dir of one version. */
+  private def bucketFiles(dir: String, ver: Int, bucket: Int): Seq[java.nio.file.Path] = {
+    val d = new java.io.File(s"$dir/data/v$ver/bucket=$bucket")
+    Option(d.listFiles).getOrElse(Array.empty).toSeq
+      .filter(_.getName.endsWith(".parquet")).map(_.toPath).sortBy(_.toString)
+  }
+
   test("schema evolution and empty-sentinel buckets read through the connector") {
     val dir = tmp()
     val base = (0L until 12L).map(k => (k, k, (k % 2).toInt)).toDF("k", "v", "bucket")
