@@ -691,6 +691,99 @@ object MlQueries {
         col("nr").as("n_right"), col("posr").as("pos_right"), col("acc_ppm"))
   }
 
+  /** DEPTH-2 HISTOGRAM TREE — the production shape [[mlTreeStump]] is the
+    * template for (every GBM grows trees level by level over feature-value
+    * histograms; depth 2 is where the per-node CONDITIONAL histogram
+    * machinery appears): root split on quantity (the stump's argmin,
+    * rule verbatim), then each side searches BOTH features — quantity
+    * again (a second threshold) and the e2-integer discount — for its
+    * best second split. The key scale property: the JOINT (qty × disc)
+    * value histogram has ≤ 50·11 cells, so ONE corpus scan trains the
+    * whole tree — root marginal, side assignment, and every conditional
+    * histogram are all derived from the same ≤550 broadcast-scale rows
+    * (LightGBM's histogram-subtraction insight in dataflow form; a deeper
+    * tree re-derives per-node histograms from the same joint table).
+    * Exact integers end to end: the e4 fixed-point Gini cost IS the
+    * objective ([[mlTreeStump]]'s discipline), winners are
+    * (cost, feature, value) total-order minima per side, and the whole
+    * tree's training accuracy rides along in exact ppm from the four
+    * leaves. The cumulative windows are value-cardinality-bounded
+    * (≤50 rows per side×feature partition). Integer envelope: 10⁴·n²
+    * fits bigint to ~10⁷ rows per side — the ×10 corpus; drop the scale
+    * a digit beyond. Spec brute-recomputes both argmins driver-side. */
+  def mlTreeDepth2(s: SparkSession, dir: String): DataFrame = {
+    val wq = org.apache.spark.sql.expressions.Window
+      .orderBy(col("qty"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // the one corpus scan: joint value histogram, ≤550 cells
+    val h = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_quantity").cast("int").as("qty"),
+        expr("cast(cast(l_discount as decimal(18,2)) * 100 as int)").as("disc"),
+        (col("l_extendedprice") > 30000).cast("long").as("y"))
+      .groupBy(col("qty"), col("disc"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      .localCheckpoint(eager = true) // root marginal + both side searches
+    // root = the stump argmin over the qty marginal
+    val hq = h.groupBy(col("qty"))
+      .agg(sum(col("n")).as("n"), sum(col("pos")).as("pos"))
+    val tot = hq.agg(sum(col("n")).as("nn"), sum(col("pos")).as("pp"))
+    val root = hq.withColumn("nl", sum(col("n")).over(wq))
+      .withColumn("posl", sum(col("pos")).over(wq))
+      .crossJoin(broadcast(tot))
+      .where(col("nn") - col("nl") > 0)
+      .withColumn("root_cost", expr(
+        "(10000 * (nl*nl - posl*posl - (nl-posl)*(nl-posl))) div nl + " +
+          "(10000 * ((nn-nl)*(nn-nl) - (pp-posl)*(pp-posl) " +
+          "- ((nn-nl)-(pp-posl))*((nn-nl)-(pp-posl)))) div (nn-nl)"))
+      .orderBy(col("root_cost"), col("qty")).limit(1)
+      .select(col("qty").as("root_qty"), col("nn"))
+    // per-side, per-feature conditional histograms (from the joint table,
+    // no second data pass) — the two features unpivot into one search
+    val sided = h.crossJoin(broadcast(root))
+      .withColumn("side", when(col("qty") <= col("root_qty"), "L").otherwise("R"))
+    val byFeat = sided.select(col("side"), lit("qty").as("feature"),
+        col("qty").as("v"), col("n"), col("pos"), col("root_qty"), col("nn"))
+      .unionByName(sided.select(col("side"), lit("disc").as("feature"),
+        col("disc").as("v"), col("n"), col("pos"), col("root_qty"), col("nn")))
+      .groupBy(col("side"), col("feature"), col("v"))
+      .agg(sum(col("n")).as("n"), sum(col("pos")).as("pos"),
+        max(col("root_qty")).as("root_qty"), max(col("nn")).as("nn"))
+    val st = byFeat.groupBy(col("side"), col("feature"))
+      .agg(sum(col("n")).as("ns"), sum(col("pos")).as("ps"))
+    val wsf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("side"), col("feature")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cand = byFeat
+      .withColumn("nl", sum(col("n")).over(wsf))
+      .withColumn("posl", sum(col("pos")).over(wsf))
+      .join(broadcast(st), Seq("side", "feature"))
+      .where(col("ns") - col("nl") > 0)
+      .withColumn("cost_e4", expr(
+        "(10000 * (nl*nl - posl*posl - (nl-posl)*(nl-posl))) div nl + " +
+          "(10000 * ((ns-nl)*(ns-nl) - (ps-posl)*(ps-posl) " +
+          "- ((ns-nl)-(ps-posl))*((ns-nl)-(ps-posl)))) div (ns-nl)"))
+    val win = cand.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("side"))
+          .orderBy(col("cost_e4"), col("feature"), col("v"))))
+      .where(col("rk") === 1)
+      .select(col("side"), col("feature"), col("v").as("split_val"),
+        col("cost_e4"), col("ns").as("n_side"), col("ps").as("pos_side"),
+        col("nl").as("n_left"), col("posl").as("pos_left"),
+        col("root_qty"), col("nn"))
+    // the four leaves' majority hits -> whole-tree training accuracy
+    val acc = win.agg(sum(expr(
+      "greatest(pos_left, n_left - pos_left) + " +
+        "greatest(pos_side - pos_left, (n_side - n_left) - (pos_side - pos_left))"))
+      .as("hits"))
+    win.crossJoin(broadcast(acc))
+      .select(col("side"), col("feature"), col("split_val"), col("cost_e4"),
+        col("n_side"), col("pos_side"), col("n_left"), col("pos_left"),
+        col("root_qty"),
+        expr("(1000000 * hits) div nn").as("tree_acc_ppm"))
+  }
+
   /** ISOTONIC CALIBRATION — the monotone-probability fit
     * ([[mlTreeStump]]'s sibling on the same histogram): calibrate
     * P(price > 30000 | quantity) to a NONDECREASING function of quantity,
@@ -957,6 +1050,7 @@ object MlQueries {
     "ml_linreg" -> mlLinReg _,
     "ml_ab_test" -> mlAbTest _,
     "ml_tree_stump" -> mlTreeStump _,
+    "ml_tree_depth2" -> mlTreeDepth2 _,
     "ml_isotonic" -> mlIsotonic _,
     "ml_ks_test" -> mlKsTest _,
     "ml_auc" -> mlAuc _,
@@ -1005,6 +1099,65 @@ object MlQueries {
         |  CAST((1000000 * (greatest(posl, nl - posl) + greatest(posr, nr - posr))) // nn
         |    AS BIGINT) AS acc_ppm
         |FROM cost ORDER BY cost_e4, qty LIMIT 1""".stripMargin,
+    // the identical joint histogram -> root argmin -> per-side, per-feature
+    // conditional search, winners by the same (cost, feature, value) total
+    // order, leaves folded to the same exact-ppm accuracy
+    "ml_tree_depth2" ->
+      """WITH h AS (SELECT CAST(l_quantity AS INT) AS qty,
+        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS INT) AS disc,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l_extendedprice > 30000 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM lineitem GROUP BY 1, 2),
+        |hq AS (SELECT qty, CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(sum(pos) AS BIGINT) AS pos FROM h GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(pos) AS BIGINT) AS pp FROM hq),
+        |cum AS (SELECT qty, CAST(sum(n) OVER w AS BIGINT) AS nl,
+        |    CAST(sum(pos) OVER w AS BIGINT) AS posl, nn, pp
+        |  FROM hq CROSS JOIN tot
+        |  WINDOW w AS (ORDER BY qty ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |root AS (SELECT qty AS root_qty, nn FROM (
+        |  SELECT qty, nn,
+        |    (10000 * (nl*nl - posl*posl - (nl-posl)*(nl-posl))) // nl
+        |    + (10000 * ((nn-nl)*(nn-nl) - (pp-posl)*(pp-posl)
+        |       - ((nn-nl)-(pp-posl))*((nn-nl)-(pp-posl)))) // (nn-nl) AS root_cost
+        |  FROM cum WHERE nn - nl > 0 ORDER BY root_cost, qty LIMIT 1)),
+        |sided AS (SELECT CASE WHEN h.qty <= r.root_qty THEN 'L' ELSE 'R' END AS side,
+        |    h.qty, h.disc, h.n, h.pos, r.root_qty, r.nn
+        |  FROM h CROSS JOIN root r),
+        |feat AS (SELECT side, 'qty' AS feature, qty AS v, n, pos, root_qty, nn FROM sided
+        |  UNION ALL
+        |  SELECT side, 'disc' AS feature, disc AS v, n, pos, root_qty, nn FROM sided),
+        |fh AS (SELECT side, feature, v, CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(sum(pos) AS BIGINT) AS pos,
+        |    max(root_qty) AS root_qty, max(nn) AS nn
+        |  FROM feat GROUP BY 1, 2, 3),
+        |st AS (SELECT side, feature, CAST(sum(n) AS BIGINT) AS ns,
+        |    CAST(sum(pos) AS BIGINT) AS ps FROM fh GROUP BY 1, 2),
+        |c2 AS (SELECT fh.side, fh.feature, fh.v,
+        |    CAST(sum(fh.n) OVER w AS BIGINT) AS nl,
+        |    CAST(sum(fh.pos) OVER w AS BIGINT) AS posl,
+        |    st.ns, st.ps, fh.root_qty, fh.nn
+        |  FROM fh JOIN st ON fh.side = st.side AND fh.feature = st.feature
+        |  WINDOW w AS (PARTITION BY fh.side, fh.feature ORDER BY fh.v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |cost AS (SELECT side, feature, v, nl, posl, ns, ps, root_qty, nn,
+        |    (10000 * (nl*nl - posl*posl - (nl-posl)*(nl-posl))) // nl
+        |    + (10000 * ((ns-nl)*(ns-nl) - (ps-posl)*(ps-posl)
+        |       - ((ns-nl)-(ps-posl))*((ns-nl)-(ps-posl)))) // (ns-nl) AS cost_e4
+        |  FROM c2 WHERE ns - nl > 0),
+        |best AS (SELECT *, row_number() OVER (PARTITION BY side
+        |    ORDER BY cost_e4, feature, v) AS rk FROM cost),
+        |win AS (SELECT side, feature, v AS split_val, cost_e4, ns AS n_side,
+        |    ps AS pos_side, nl AS n_left, posl AS pos_left, root_qty, nn
+        |  FROM best WHERE rk = 1),
+        |acc AS (SELECT CAST(sum(greatest(pos_left, n_left - pos_left)
+        |    + greatest(pos_side - pos_left,
+        |        (n_side - n_left) - (pos_side - pos_left))) AS BIGINT) AS hits
+        |  FROM win)
+        |SELECT side, feature, split_val, CAST(cost_e4 AS BIGINT) AS cost_e4,
+        |  n_side, pos_side, n_left, pos_left, root_qty,
+        |  CAST((1000000 * acc.hits) // nn AS BIGINT) AS tree_acc_ppm
+        |FROM win CROSS JOIN acc""".stripMargin,
     // the identical minimax closed form over the identical histogram; the
     // e6 floor commutes with min/max so both engines emit the same integers
     "ml_isotonic" ->

@@ -98,6 +98,59 @@ class AttributionPrivacySpec extends SparkSpec {
     assert(acc >= baseline, s"acc_ppm=$acc baseline=$baseline")
   }
 
+  test("depth-2 tree: root and both per-side argmins equal a brute driver-side search") {
+    val dir = sf("sf0.001")
+    val got = MlQueries.mlTreeDepth2(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("L", "R"))
+
+    val rows = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_quantity").cast("int").as("qty"),
+        expr("cast(cast(l_discount as decimal(18,2)) * 100 as int)").as("disc"),
+        (col("l_extendedprice") > 30000).cast("long").as("y"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+
+    def gini(n: Long, p: Long) = (10000L * (n * n - p * p - (n - p) * (n - p))) / n
+    // brute best split of (value, y) pairs: (cost, value, nl, posl, ns, ps)
+    def best(vy: Seq[(Int, Long)]): Option[(Long, Int, Long, Long, Long, Long)] = {
+      val ns = vy.size.toLong; val ps = vy.map(_._2).sum
+      val values = vy.map(_._1).distinct.sorted
+      val cands = values.init.map { v =>
+        val l = vy.filter(_._1 <= v)
+        val nl = l.size.toLong; val posl = l.map(_._2).sum
+        (gini(nl, posl) + gini(ns - nl, ps - posl), v, nl, posl, ns, ps)
+      }
+      if (cands.isEmpty) None else Some(cands.minBy(t => (t._1, t._2)))
+    }
+    // root = the stump argmin on qty over everything
+    val rootBest = best(rows.map(r => (r._1, r._3))).get
+    val rootQty = rootBest._2
+    assert(got("L").getAs[Int]("root_qty") == rootQty)
+
+    // per side: the better of the two features' brute argmins, feature
+    // name breaking cost ties ('disc' < 'qty' lexicographically)
+    for (side <- Seq("L", "R")) {
+      val sideRows = rows.filter(r => (r._1 <= rootQty) == (side == "L"))
+      val byFeat = Seq("disc" -> sideRows.map(r => (r._2, r._3)),
+        "qty" -> sideRows.map(r => (r._1, r._3)))
+        .flatMap { case (f, vy) => best(vy).map(b => (b._1, f, b)) }
+      val (cost, feat, b) = byFeat.minBy(t => (t._1, t._2, t._3._2))
+      val row = got(side)
+      assert(row.getAs[String]("feature") == feat, s"$side feature")
+      assert(row.getAs[Int]("split_val") == b._2, s"$side split")
+      assert(row.getAs[Long]("cost_e4") == cost, s"$side cost")
+      assert(row.getAs[Long]("n_side") == b._5 && row.getAs[Long]("pos_side") == b._6)
+      assert(row.getAs[Long]("n_left") == b._3 && row.getAs[Long]("pos_left") == b._4)
+    }
+
+    // the depth-2 tree's training accuracy dominates the stump's (a second
+    // level can only refine the leaves), and both rows agree on it
+    val stumpAcc = MlQueries.mlTreeStump(spark, dir).head().getLong(6)
+    val treeAcc = got("L").getAs[Long]("tree_acc_ppm")
+    assert(treeAcc == got("R").getAs[Long]("tree_acc_ppm"))
+    assert(treeAcc >= stumpAcc, s"tree $treeAcc vs stump $stumpAcc")
+  }
+
   test("isotonic calibration: minimax spelling equals driver-side PAV; output monotone") {
     val dir = sf("sf0.001")
     val got = MlQueries.mlIsotonic(spark, dir).collect()
