@@ -497,6 +497,49 @@ object TextDedupQueries {
         max(col("spt_milli")).as("max_spt_milli"))
   }
 
+  /** RELIABILITY CURVE with isotonic calibration — the composition that
+    * completes the ML-ops chain (calibration table → confusion → AUC →
+    * CALIBRATED PROBABILITIES): [[clfCalibration]]'s decile table (the
+    * classifier's score deciles vs the rule teacher's keep rate) fitted
+    * with the PAV minimax closed form `mlIsotonic` proved — ŷ_k =
+    * max_{i≤k} min_{j≥k} mean(keep rate over deciles i..j) — so each
+    * decile reports both its RAW observed keep rate (the reliability
+    * diagram's y-axis) and the monotone CALIBRATED probability a serving
+    * layer would actually threshold on. Exact integers throughout: rates
+    * are e6 floors of prefix-sum rationals, and floor commutes with
+    * min/max, so iso_ppm = floor(1e6·true isotonic value) on both
+    * engines. Cost: the calibration table's two scans + an O(10³)-row
+    * broadcast triple-join over the DECILE histogram — bounded by
+    * construction at any corpus size. Spec runs driver-side PAV over the
+    * gated decile table and pins equality + monotonicity. */
+  def clfReliability(s: SparkSession, dir: String): DataFrame = {
+    val dec = clfCalibration(s, dir)
+      .select(col("decile"), col("n_docs").as("n"), col("n_rule_keep").as("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("decile"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // prefix sums over the ≤10-row decile histogram (bounded window)
+    val pre = dec.withColumn("cn", sum(col("n")).over(w))
+      .withColumn("cp", sum(col("pos")).over(w))
+      .localCheckpoint(eager = true) // three self-join consumers
+    val lo = pre.select(col("decile").as("i"),
+      (col("cn") - col("n")).as("n0"), (col("cp") - col("pos")).as("p0"))
+    val hi = pre.select(col("decile").as("j"), col("cn").as("n1"), col("cp").as("p1"))
+    val m = broadcast(lo).join(broadcast(hi), col("i") <= col("j"))
+      .select(col("i"), col("j"),
+        expr("(1000000 * (p1 - p0)) div (n1 - n0)").as("mean_ppm"))
+    val ks = pre.select(col("decile").as("k"), col("n"), col("pos"))
+    val inner = broadcast(m)
+      .join(broadcast(ks), col("i") <= col("k") && col("j") >= col("k"))
+      .groupBy(col("k"), col("n"), col("pos"), col("i"))
+      .agg(min(col("mean_ppm")).as("mn"))
+    inner.groupBy(col("k").as("decile"), col("n"), col("pos"))
+      .agg(max(col("mn")).as("iso_ppm"))
+      .select(col("decile"), col("n").as("n_docs"), col("pos").as("n_rule_keep"),
+        expr("(1000000 * pos) div n").as("raw_ppm"), col("iso_ppm"))
+  }
+
   /** PER-SOURCE CORPUS CARD — the observability report a pipeline publishes
     * with every data drop (the "datasheet" row per source): document count,
     * REAL BPE token total, rule-filter keep count, language mix, and
@@ -1235,6 +1278,7 @@ object TextDedupQueries {
     "pipeline_crawl_clean" -> pipelineCrawlClean _,
     "doc_corpus_card" -> docCorpusCard _,
     "clf_calibration" -> clfCalibration _,
+    "clf_reliability" -> clfReliability _,
     "clf_confusion" -> clfConfusion _,
     "url_content_conflicts" -> urlContentConflicts _,
     "doc_length_histogram" -> docLengthHistogram _,
@@ -1834,6 +1878,47 @@ object TextDedupQueries {
          |  CAST(min(spt_milli) AS BIGINT) AS min_spt_milli,
          |  CAST(max(spt_milli) AS BIGINT) AS max_spt_milli
          |FROM dc GROUP BY 1""".stripMargin,
+    // clf_calibration's decile chain verbatim, then ml_isotonic's minimax
+    // chain over the decile histogram — the e6 floor commutes with min/max
+    // so both engines emit identical calibrated integers
+    "clf_reliability" ->
+      s"""WITH $toksCte,
+         |$clfScoreCtes,
+         |perdoc AS MATERIALIZED (SELECT l.doc_id, l.keep AS rule_keep,
+         |    coalesce(clf_q16, 0) * 1000 // greatest(coalesce(n_toks, 0), 1)
+         |      AS spt_milli
+         |  FROM labs l LEFT JOIN sc USING (doc_id)),
+         |hist AS (SELECT spt_milli, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM perdoc GROUP BY 1),
+         |cum AS (SELECT spt_milli,
+         |    CAST(sum(cnt) OVER (ORDER BY spt_milli) AS BIGINT) AS cum,
+         |    CAST((SELECT sum(cnt) FROM hist) AS BIGINT) AS total FROM hist),
+         |cuts AS (SELECT ii.i, min(cum.spt_milli) AS v
+         |  FROM (SELECT unnest(range(1, 10)) AS i) ii
+         |  JOIN cum ON cum.cum >= (cum.total * ii.i + 9) // 10
+         |  GROUP BY ii.i),
+         |dc AS (SELECT p.rule_keep, p.spt_milli,
+         |    CAST(1 + (SELECT count(*) FROM cuts c WHERE p.spt_milli > c.v)
+         |      AS INT) AS decile
+         |  FROM perdoc p),
+         |dec AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(rule_keep) AS BIGINT) AS pos FROM dc GROUP BY 1),
+         |pre AS (SELECT decile, n, pos,
+         |    CAST(sum(n) OVER w AS BIGINT) AS cn,
+         |    CAST(sum(pos) OVER w AS BIGINT) AS cp
+         |  FROM dec
+         |  WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |m AS (SELECT lo.decile AS i, hi.decile AS j,
+         |    (1000000 * (hi.cp - (lo.cp - lo.pos))) // (hi.cn - (lo.cn - lo.n)) AS mean_ppm
+         |  FROM pre lo JOIN pre hi ON lo.decile <= hi.decile),
+         |inner_min AS (SELECT k.decile AS k, k.n, k.pos, m.i,
+         |    CAST(min(m.mean_ppm) AS BIGINT) AS mn
+         |  FROM m JOIN pre k ON m.i <= k.decile AND m.j >= k.decile
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT k AS decile, n AS n_docs, pos AS n_rule_keep,
+         |  CAST((1000000 * pos) // n AS BIGINT) AS raw_ppm,
+         |  CAST(max(mn) AS BIGINT) AS iso_ppm
+         |FROM inner_min GROUP BY 1, 2, 3""".stripMargin,
     // every card number drawn from the proven kernels: the BPE count CTE,
     // the rule-filter CASE, the stopword language-ID case
     "doc_corpus_card" -> {

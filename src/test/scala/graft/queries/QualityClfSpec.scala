@@ -57,6 +57,43 @@ class QualityClfSpec extends SparkSpec {
     }
   }
 
+  test("reliability: iso_ppm equals driver-side PAV over the gated decile table; monotone") {
+    val dir = sf("sf0.001")
+    val got = TextDedupQueries.clfReliability(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(got.length == 10)
+    // raw_ppm is the exact floor rate of the calibration table's counts
+    val cal = TextDedupQueries.clfCalibration(spark, dir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    got.foreach { case (d, n, pos, raw, _) =>
+      assert(cal(d) == (n, pos), s"decile $d counts")
+      assert(raw == (1000000L * pos) / n, s"decile $d raw rate")
+    }
+    // calibrated probabilities are monotone nondecreasing in the decile
+    assert(got.sliding(2).forall {
+      case Array(a, b) => a._5 <= b._5; case _ => true })
+    // pool-adjacent-violators over the same counts (mlIsotonic's spec
+    // discipline: exact cross-multiplied merges, e6 floor at the end)
+    case class Pool(n: Long, pos: Long)
+    val pools = scala.collection.mutable.ArrayBuffer[Pool]()
+    val sizes = scala.collection.mutable.ArrayBuffer[Int]()
+    for ((_, n, pos, _, _) <- got) {
+      pools += Pool(n, pos); sizes += 1
+      while (pools.length > 1 &&
+        pools(pools.length - 2).pos * pools.last.n >=
+          pools.last.pos * pools(pools.length - 2).n) {
+        val b = pools.remove(pools.length - 1); val a = pools.remove(pools.length - 1)
+        pools += Pool(a.n + b.n, a.pos + b.pos)
+        val sb = sizes.remove(sizes.length - 1)
+        sizes += sizes.remove(sizes.length - 1) + sb
+      }
+    }
+    val pav = pools.toSeq.zip(sizes).flatMap { case (p, k) =>
+      Seq.fill(k)((1000000L * p.pos) / p.n) }
+    assert(got.map(_._5).toSeq == pav)
+  }
+
   test("classifier agrees with its rule teacher on >90% of docs and both classes") {
     val out = TextDedupQueries.textQualityClf(spark, sf("sf0.001")).cache()
     val n = out.count()
