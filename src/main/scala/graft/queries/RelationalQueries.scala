@@ -232,6 +232,51 @@ object RelationalQueries {
           .as("obs"))
       .withColumn("est_half", lit(4L) * col("obs") - col("n"))
 
+  /** CENTRAL-DP COUNT RELEASE via the GEOMETRIC MECHANISM — the
+    * differential-privacy count query done with INTEGER-EXACT noise
+    * (closing the r13 deferral: Laplace needs `ln`, whose cross-engine
+    * float risk is why randomized response shipped instead; the geometric
+    * mechanism P(k) ∝ α^|k| is the discrete ε-DP standard for counts —
+    * Ghosh–Roughgarden–Sundararajan's universally-optimal mechanism — and
+    * with α = 1/2 (ε = ln 2, sensitivity-1 counts) its inverse CDF is pure
+    * binary arithmetic): per-nation customer counts plus two-sided
+    * geometric noise drawn by inverse CDF on the seeded md5 coin.
+    * Everything is bigint — u = t/3·2⁶⁰ with t = 3·h, and the CDF
+    * boundaries are powers of two, so noise = the unique k with
+    * band(k).lo ≤ t < band(k).hi over 121 precomputed integer bands
+    * (|k| ≤ 60 spans all but ~5e-19 of the mass; the tails clamp).
+    * The seeded coin is the TESTING seam (the oracle replays the noise
+    * literally — the DP-release discipline every gated privacy entry
+    * follows; production swaps in secret randomness, nothing else
+    * changes). `true_n` and `noise` ride along as the planted-truth audit
+    * columns, priv_rand_response's convention. Cost: one scan with
+    * map-side combine into group-cardinality cells, then a 25×121
+    * broadcast band join — constant beyond the scan at any corpus size. */
+  def qPrivDpCounts(s: SparkSession, dir: String): DataFrame = {
+    val g = t(s, dir, "customer")
+      .groupBy(col("c_nationkey").cast("int").as("nation"))
+      .agg(count(lit(1)).as("true_n"))
+      .withColumn("t", lit(3L) * graft.functions.VectorSql.md5Hash60(
+        concat(lit("dp:"), col("nation").cast("string"))))
+    // the inverse-CDF bands: F(k)·3·2⁶⁰ = 2^(k+61) for k ≤ −1,
+    // 3·2⁶⁰ − 2^(60−k) for k ≥ 0; shift amounts clamped into [0, 62] so
+    // the not-taken CASE branch can never shift out of range
+    val bands = s.range(-60, 61).select(col("id").cast("int").as("k"))
+      .withColumn("lo", expr(
+        "CASE WHEN k = -60 THEN 0L " +
+          "WHEN k <= -1 THEN shiftleft(1L, cast(least(greatest(k + 60, 0), 62) as int)) " +
+          "ELSE 3 * shiftleft(1L, 60) - " +
+          "shiftleft(1L, cast(least(greatest(61 - k, 0), 62) as int)) END"))
+      .withColumn("hi", expr(
+        "CASE WHEN k <= -1 THEN shiftleft(1L, cast(least(greatest(k + 61, 0), 62) as int)) " +
+          "WHEN k <= 59 THEN 3 * shiftleft(1L, 60) - " +
+          "shiftleft(1L, cast(least(greatest(60 - k, 0), 62) as int)) " +
+          "ELSE shiftleft(1L, 62) END"))
+    g.join(broadcast(bands), col("t") >= col("lo") && col("t") < col("hi"))
+      .select(col("nation"), col("true_n"), col("k").as("noise"),
+        (col("true_n") + col("k")).as("released"))
+  }
+
   /** Ship-months at or after this fall in the "delta" (today's increment);
     * earlier months live in the stored base rollup. */
   val IncrCutoff = "1997-01-01"
@@ -865,6 +910,7 @@ object RelationalQueries {
     "priv_l_diversity" -> qPrivLDiversity _,
     "priv_t_closeness" -> qPrivTCloseness _,
     "priv_rand_response" -> qPrivRandResponse _,
+    "priv_dp_counts" -> qPrivDpCounts _,
     "q_rollup" -> qRollup _,
     "q_cube" -> qCube _,
     "q_grouping_sets" -> qGroupingSets _,
@@ -1069,6 +1115,27 @@ object RelationalQueries {
          |  4 * CAST(sum(keep * b + (1 - keep) * (1 - b)) AS BIGINT)
          |    - CAST(count(*) AS BIGINT) AS est_half
          |FROM c GROUP BY 1""".stripMargin,
+    // the identical seeded coin and power-of-two inverse-CDF bands — the
+    // noise replays literally (the DP-release testing discipline)
+    "priv_dp_counts" ->
+      """WITH g AS (SELECT CAST(c_nationkey AS INT) AS nation,
+        |    CAST(count(*) AS BIGINT) AS true_n FROM customer GROUP BY 1),
+        |coin AS (SELECT nation, true_n,
+        |    3 * ('0x' || substr(md5('dp:' || nation), 1, 15))::BIGINT AS t
+        |  FROM g),
+        |bands AS (SELECT CAST(k AS INT) AS k,
+        |    CASE WHEN k = -60 THEN 0
+        |         WHEN k <= -1 THEN (1::BIGINT << least(greatest(k + 60, 0), 62))
+        |         ELSE 3 * (1::BIGINT << 60)
+        |           - (1::BIGINT << least(greatest(61 - k, 0), 62)) END AS lo,
+        |    CASE WHEN k <= -1 THEN (1::BIGINT << least(greatest(k + 61, 0), 62))
+        |         WHEN k <= 59 THEN 3 * (1::BIGINT << 60)
+        |           - (1::BIGINT << least(greatest(60 - k, 0), 62))
+        |         ELSE (1::BIGINT << 62) END AS hi
+        |  FROM (SELECT unnest(range(-60, 61)) AS k))
+        |SELECT nation, true_n, b.k AS noise,
+        |  CAST(true_n + b.k AS BIGINT) AS released
+        |FROM coin JOIN bands b ON t >= lo AND t < hi""".stripMargin,
     // the full recompute — the incremental merge must be result-invisible
     "q_incr_rollup" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS month, l_returnflag,

@@ -98,6 +98,45 @@ class AttributionPrivacySpec extends SparkSpec {
     assert(acc >= baseline, s"acc_ppm=$acc baseline=$baseline")
   }
 
+  test("dp counts: noise equals the driver-side geometric inverse CDF; planted-truth error audit") {
+    val dir = sf("sf0.001")
+    val got = RelationalQueries.qPrivDpCounts(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .sortBy(_._1)
+
+    // independent spelling of the same distribution: cumulative pmf sum
+    // in exact BigInt (pmf(j)·3·2⁶⁰ = 2^(60−|j|); the below−(−60) tail
+    // mass of 1 is clamped into k=−60, matching the entry's band table)
+    def noiseOf(nation: Int): Int = {
+      val h = graft.functions.HashKernels.md5Prefix60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"dp:$nation"))
+      val t = BigInt(3) * BigInt(h)
+      var cum = BigInt(1)
+      (-60 to 60).find { k =>
+        cum += BigInt(1) << (60 - math.abs(k)); t < cum
+      }.getOrElse(60)
+    }
+    got.foreach { case (nation, trueN, noise, released) =>
+      assert(noise == noiseOf(nation), s"nation $nation noise")
+      assert(released == trueN + noise, s"nation $nation release")
+    }
+    // the true counts replay from the raw table (the planted truth)
+    val truth = spark.read.parquet(s"$dir/customer.parquet")
+      .groupBy(col("c_nationkey").cast("int")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    got.foreach { case (nation, trueN, _, _) => assert(truth(nation) == trueN) }
+    // distribution sanity: two-sided geometric at alpha=1/2 has E|K| = 4/3
+    // and P(|K| > 20) < 1e-6 — the audit that the utility is as designed
+    assert(got.forall(t => math.abs(t._3) <= 20))
+    val meanAbs = got.map(t => math.abs(t._3)).sum.toDouble / got.length
+    assert(meanAbs <= 4.0, s"mean |noise| $meanAbs is far off E|K|=4/3")
+    // noise depends ONLY on the group key, never the data: the mechanism
+    // re-run over a half-corpus releases the same noise per nation
+    val half = RelationalQueries.qPrivDpCounts(spark, dir)
+    val again = half.collect().map(r => r.getInt(0) -> r.getInt(2)).toMap
+    got.foreach { case (nation, _, noise, _) => assert(again(nation) == noise) }
+  }
+
   test("depth-2 tree: root and both per-side argmins equal a brute driver-side search") {
     val dir = sf("sf0.001")
     val got = MlQueries.mlTreeDepth2(spark, dir).collect()
