@@ -327,6 +327,56 @@ object SourceQueries {
     }.reduce(_ unionByName _)
   }
 
+  /** SHALLOW CLONE under the hash gate
+    * ([[graft.sources.Versioned.cloneShallow]] — the zero-copy
+    * dev/test-environment op every lakehouse user reaches for): the source
+    * store commits base + a stripe-doubling v2, the clone references v2's
+    * FILES with a manifest-sized write (zero data copy — CloneSpec counts
+    * zero parquet files under the clone before divergence), then DIVERGES
+    * by committing a disjoint stripe-tripling upsert of its own. The gate
+    * carries three snapshots: the clone's v1 (must equal the source's v2 —
+    * reads resolve through cross-directory references), the clone's
+    * post-divergence v2, and the source's v2 READ AFTER the divergence
+    * (must still equal its pre-clone state — the source is never written).
+    * `n_diverged_buckets` carries the copy-on-write evidence: exactly the
+    * tripled stripe's buckets point at clone-local files, every other
+    * entry still references the source (the oracle recomputes the count
+    * from the stripe formula). At 100 TB a clone costs one manifest write;
+    * divergence costs only the touched buckets — the same O(delta)
+    * argument the commit log makes, stretched across directories. */
+  def qStoreClone(s: SparkSession, dir: String): DataFrame = {
+    val layout = graft.operators.Artifacts.sharedPath(s"storeclone:$dir") { path =>
+      val src = s"$path/src"; val dst = s"$path/dst"
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          expr("cast(cast(o_totalprice as decimal(18,4)) * 10000 as bigint)")
+            .as("price_e4"))
+        .withColumn("bucket", pmod(col("o_orderkey"), lit(16)).cast("int"))
+      graft.sources.Versioned.commitBase(orders, src, "bucket", 16)
+      val d2 = orders.where(col("o_orderkey") % 64 < 4)
+        .withColumn("price_e4", col("price_e4") * 2)
+      graft.sources.Versioned.commitUpsert(s, d2, src, 2, "o_orderkey", "bucket")
+      graft.sources.Versioned.cloneShallow(src, dst, 2)
+      val d3 = graft.sources.Versioned.readVersion(s, dst, 1)
+        .where(col("o_orderkey") % 64 >= 60)
+        .withColumn("price_e4", col("price_e4") * 3)
+      graft.sources.Versioned.commitUpsert(s, d3, dst, 2, "o_orderkey", "bucket")
+    }
+    val (src, dst) = (s"$layout/src", s"$layout/dst")
+    val nDiverged = graft.sources.Versioned.readManifest(dst, 2)
+      .values.count(v => v > 0 && v < graft.sources.Versioned.ExtBase)
+    def snap(df: DataFrame, label: String, diverged: Int) =
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(col("price_e4")).cast("long").as("sum_price_e4"))
+        .select(lit(label).as("snapshot"), col("n_rows"), col("sum_price_e4"),
+          lit(diverged).as("n_diverged_buckets"))
+    snap(graft.sources.Versioned.readVersion(s, dst, 1), "clone_v1", 0)
+      .unionByName(snap(graft.sources.Versioned.readVersion(s, dst, 2),
+        "clone_v2", nDiverged))
+      .unionByName(snap(graft.sources.Versioned.readVersion(s, src, 2),
+        "src_v2", 0))
+  }
+
   /** STREAMING CDC APPLY into the versioned store — the lakehouse ingest
     * loop: a change-delta STREAM (file source, one delta file per
     * micro-batch) lands on the [[graft.sources.Versioned]] table through
@@ -1053,6 +1103,7 @@ object SourceQueries {
     "q_time_travel" -> qTimeTravel _,
     "store_schema_evo" -> qStoreSchemaEvo _,
     "store_vacuum" -> qStoreVacuum _,
+    "store_clone" -> qStoreClone _,
     "q_cdc_stream" -> qCdcStream _,
     "q_cdc_merge_stream" -> qCdcMergeStream _,
     "q_zonemap_prune" -> qZonemapPrune _,
@@ -1404,6 +1455,28 @@ object SourceQueries {
     "store_dsv2_skip" -> baseOracleSql("q_zonemap_prune"),
     "store_dsv2_lookup" -> baseOracleSql("store_bloom_skip"),
     "store_cdf_stream" -> baseOracleSql("store_changes_stream"),
+    // the two stripe formulas replayed relationally: clone v1 == source v2,
+    // divergence == doubling then tripling, the diverged-bucket count from
+    // the tripled stripe's bucket spread
+    "store_clone" ->
+      """WITH base AS (SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS p
+        |  FROM orders),
+        |v2src AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 64 < 4 THEN p * 2 ELSE p END AS p FROM base),
+        |v2dst AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 64 >= 60 THEN p * 3 ELSE p END AS p FROM v2src),
+        |nd AS (SELECT CAST(count(DISTINCT o_orderkey % 16) AS INT) AS n
+        |  FROM orders WHERE o_orderkey % 64 >= 60)
+        |SELECT 'clone_v1' AS snapshot, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(p) AS BIGINT) AS sum_price_e4, 0 AS n_diverged_buckets
+        |FROM v2src
+        |UNION ALL
+        |SELECT 'clone_v2', CAST(count(*) AS BIGINT), CAST(sum(p) AS BIGINT), nd.n
+        |FROM v2dst CROSS JOIN nd GROUP BY nd.n
+        |UNION ALL
+        |SELECT 'src_v2', CAST(count(*) AS BIGINT), CAST(sum(p) AS BIGINT), 0
+        |FROM v2src""".stripMargin,
     // the sidecar-served statistics must equal the raw-table aggregate —
     // the metadata path is result-invisible (mechanics in GraftStoreSpec)
     "store_dsv2_agg" ->

@@ -43,6 +43,65 @@ object Versioned {
     java.nio.file.Files.write(p, body.getBytes("UTF-8"))
   }
 
+  /** External-reference version offset: a manifest entry `ExtBase + v`
+    * points at version `v` under the CLONE SOURCE's data directory (the
+    * root recorded by [[cloneShallow]]) instead of this store's own. Codes
+    * stay positive ints, so every live/sentinel rule (`ver > 0`) and the
+    * copy-on-write manifest algebra apply unchanged — only path resolution
+    * ([[dataPath]]) knows the difference. Real commit numbers sit far
+    * below this offset. */
+  val ExtBase: Int = 1 << 20
+
+  private def extRootPath(dir: String) =
+    java.nio.file.Paths.get(dir, "manifests", "external")
+
+  /** The clone source's root, if this store is a shallow clone. */
+  def extRoot(dir: String): Option[String] = {
+    val p = extRootPath(dir)
+    if (java.nio.file.Files.exists(p))
+      Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim)
+    else None
+  }
+
+  /** Version `ver`'s data directory — local, or the clone source's when
+    * the entry carries the [[ExtBase]] external code. */
+  private def dataPath(dir: String, ver: Int): String =
+    if (ver >= ExtBase) {
+      val root = extRoot(dir).getOrElse(sys.error(
+        s"manifest references external version ${ver - ExtBase} " +
+          s"but no external root is recorded under $dir"))
+      s"$root/data/v${ver - ExtBase}"
+    } else s"$dir/data/v$ver"
+
+  /** SHALLOW CLONE — the zero-copy dev/test-environment op of production
+    * table formats (Delta/Iceberg `CLONE`): `dstDir` becomes a store whose
+    * v1 manifest references `srcDir`'s data FILES for version `srcV` —
+    * no data is copied, the clone is manifest-sized. From there the clone
+    * DIVERGES through ordinary commits: copy-on-write rewrites touched
+    * buckets into the clone's own data directory while untouched entries
+    * keep pointing at source files (exactly the cross-version reference
+    * discipline, stretched across directories), and the SOURCE is never
+    * written — CloneSpec asserts its bytes untouched after divergence.
+    * [[vacuum]] on the clone walks only local data dirs, so it can never
+    * delete source files; the production caveat transfers too: vacuum on
+    * the SOURCE can destroy files a clone still references (Delta
+    * documents the same), so clones pin source retention. Clones of
+    * clones are rejected — one external root per store (the same
+    * single-hop rule production shallow clones ship with). */
+  def cloneShallow(srcDir: String, dstDir: String, srcV: Int): Unit = {
+    require(hasVersion(srcDir, srcV), s"clone source has no version $srcV")
+    require(latestVersion(dstDir) == 0, s"clone target $dstDir already holds commits")
+    val src = readManifest(srcDir, srcV)
+    require(src.values.forall(_ < ExtBase),
+      s"$srcDir@v$srcV is itself a shallow clone — clone the original " +
+        "(one external root per store)")
+    java.nio.file.Files.createDirectories(extRootPath(dstDir).getParent)
+    java.nio.file.Files.write(extRootPath(dstDir),
+      java.nio.file.Paths.get(srcDir).toAbsolutePath.toString.getBytes("UTF-8"))
+    writeManifest(dstDir, 1, src.toSeq.map { case (b, ver) =>
+      b -> (if (ver > 0) ExtBase + ver else 0) })
+  }
+
   /** bucket → version-that-last-wrote-it, for manifest `v`. */
   def readManifest(dir: String, v: Int): Map[Int, Int] =
     new String(java.nio.file.Files.readAllBytes(manifestPath(dir, v)), "UTF-8")
@@ -195,7 +254,7 @@ object Versioned {
       "every bucket is the empty sentinel — no data files to read a schema from")
     byVer.map { case (ver, entries) =>
       val buckets = entries.keys.toSeq.map(lit(_))
-      spark.read.parquet(s"$dir/data/v$ver")
+      spark.read.parquet(dataPath(dir, ver))
         .where(col(bucketColOf(spark, dir, ver)).isin(buckets: _*))
     // allowMissingColumns: under schema evolution a version can span data
     // files of different widths — columns a version's older files predate
@@ -206,7 +265,7 @@ object Versioned {
   /** The partition column name of a version dir (its last path component
     * under `data/vN` is `name=value`); all versions share one. */
   private def bucketColOf(spark: SparkSession, dir: String, ver: Int): String = {
-    val f = new java.io.File(s"$dir/data/v$ver")
+    val f = new java.io.File(dataPath(dir, ver))
     f.listFiles().find(_.getName.contains("=")).map(_.getName.split("=")(0))
       .getOrElse(sys.error(s"no partition dirs under $f"))
   }
@@ -584,7 +643,7 @@ object Versioned {
   /** Parquet files in one bucket's directory of one version (the
     * fragmentation metric [[commitCompact]] keys on). */
   def parquetFileCount(dir: String, ver: Int, bucket: Int): Int = {
-    val root = new java.io.File(s"$dir/data/v$ver")
+    val root = new java.io.File(dataPath(dir, ver))
     val part = Option(root.listFiles()).getOrElse(Array.empty)
       .find(_.getName.endsWith(s"=$bucket"))
     part.map(d => Option(d.listFiles()).getOrElse(Array.empty)
