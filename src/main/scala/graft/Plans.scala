@@ -186,7 +186,13 @@ object Plans {
     "ml_bootstrap_ci", "store_vacuum",
     // round-13 additions: seeded randomization test and the two privacy
     // entries (t-closeness EMD audit, randomized-response local DP)
-    "ml_perm_test", "priv_t_closeness", "priv_rand_response")
+    "ml_perm_test", "priv_t_closeness", "priv_rand_response",
+    // round-14 additions: the DSv2 write path (SQL INSERT re-served), the
+    // change-feed streaming source, the depth-2 joint-histogram tree, the
+    // isotonic reliability curve, geometric-mechanism DP counts, and the
+    // zero-copy shallow clone
+    "store_dsv2_write", "store_cdf_stream", "ml_tree_depth2",
+    "clf_reliability", "priv_dp_counts", "store_clone")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -832,6 +832,51 @@ object MlQueries {
       .agg(max(col("mn")).as("iso_ppm"))
   }
 
+  /** CHI-SQUARED FEATURE SELECTION — the categorical-feature ranking every
+    * feature pipeline runs before training (sklearn's chi2/SelectKBest;
+    * deferred in r13 as decimal-width-fiddly, closed here with the
+    * ml_ab_test squaring discipline): score quantity and the e2-integer
+    * discount against the price>30000 label. For a 2×K table the statistic
+    * collapses to
+    *
+    *   χ² = Σ_v D_v² / (n_v · P · (N−P)),   D_v = pos_v·N − n_v·P
+    *
+    * (both label columns share the same D_v² numerator). Exact integer
+    * rendering: D_v fits bigint (≤ n_v·N ~ 10¹² at the ×10 corpus), D_v²
+    * squares through decimal(19,0) → decimal(38,0) (exact on both
+    * engines), the per-value term is the e0 floor `D² div n_v` (the floor
+    * IS the spec'd statistic — each term ≤ n_v·N² ~ 7·10¹⁸, inside
+    * bigint at the ×10 corpus; widen beyond), terms sum in decimal (the
+    * sum can pass 2⁶³), and the result surfaces as exact milli-χ²
+    * `(1000·S) div (P·(N−P))` ≤ 1000·N — bigint-safe. One scan → two
+    * value-cardinality histograms (≤61 cells total); everything after is
+    * broadcast-scale. df = K−1 rides along; the spec recomputes χ² in
+    * floating point and pins the milli rendering within 1. */
+  def mlChi2Select(s: SparkSession, dir: String): DataFrame = {
+    val base = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_quantity").cast("int").as("qty"),
+        expr("cast(cast(l_discount as decimal(18,2)) * 100 as int)").as("disc"),
+        (col("l_extendedprice") > 30000).cast("long").as("y"))
+    val feat = base.select(lit("qty").as("feature"), col("qty").as("v"), col("y"))
+      .unionByName(base.select(lit("disc").as("feature"), col("disc").as("v"), col("y")))
+    val h = feat.groupBy(col("feature"), col("v"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    // (N, P) are feature-independent; computed once from one histogram
+    val tot = broadcast(h.where(col("feature") === "qty")
+      .agg(sum(col("n")).as("nn"), sum(col("pos")).as("pp")))
+    h.crossJoin(tot)
+      .withColumn("d", expr("pos * nn - n * pp"))
+      .withColumn("term", expr(
+        "(cast(d as decimal(19,0)) * cast(d as decimal(19,0))) div n"))
+      .groupBy(col("feature"))
+      .agg(count(lit(1)).as("n_values"),
+        sum(expr("cast(term as decimal(20,0))")).as("s"),
+        max(col("nn")).as("nn"), max(col("pp")).as("pp"))
+      .select(col("feature"), col("n_values"),
+        (col("n_values") - 1).as("dof"),
+        expr("(1000 * s) div (pp * (nn - pp))").as("chi2_milli"))
+  }
+
   /** TWO-SAMPLE KOLMOGOROV–SMIRNOV — the distribution-shape companion to
     * [[mlAbTest]]'s mean test (a drift in variance or shape that leaves
     * means equal is invisible to z but not to KS; this is the standard
@@ -1051,6 +1096,7 @@ object MlQueries {
     "ml_ab_test" -> mlAbTest _,
     "ml_tree_stump" -> mlTreeStump _,
     "ml_tree_depth2" -> mlTreeDepth2 _,
+    "ml_chi2_select" -> mlChi2Select _,
     "ml_isotonic" -> mlIsotonic _,
     "ml_ks_test" -> mlKsTest _,
     "ml_auc" -> mlAuc _,
@@ -1099,6 +1145,30 @@ object MlQueries {
         |  CAST((1000000 * (greatest(posl, nl - posl) + greatest(posr, nr - posr))) // nn
         |    AS BIGINT) AS acc_ppm
         |FROM cost ORDER BY cost_e4, qty LIMIT 1""".stripMargin,
+    // the identical per-value D = pos*N - n*P numerators squared exactly
+    // (HUGEINT intermediates here, decimal(19)^2 on Spark), the same e0
+    // term floors, the same milli rendering
+    "ml_chi2_select" ->
+      """WITH base AS (SELECT CAST(l_quantity AS INT) AS qty,
+        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS INT) AS disc,
+        |    CAST(l_extendedprice > 30000 AS BIGINT) AS y
+        |  FROM lineitem),
+        |feat AS (SELECT 'qty' AS feature, qty AS v, y FROM base
+        |  UNION ALL SELECT 'disc' AS feature, disc AS v, y FROM base),
+        |h AS (SELECT feature, v, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS pos
+        |  FROM feat GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(pos) AS BIGINT) AS pp
+        |  FROM h WHERE feature = 'qty'),
+        |terms AS (SELECT feature,
+        |    (CAST(pos * nn - n * pp AS HUGEINT)
+        |      * CAST(pos * nn - n * pp AS HUGEINT)) // n AS term
+        |  FROM h CROSS JOIN tot),
+        |s AS (SELECT feature, CAST(count(*) AS BIGINT) AS n_values,
+        |    sum(term) AS s FROM terms GROUP BY 1)
+        |SELECT feature, n_values, CAST(n_values - 1 AS BIGINT) AS dof,
+        |  CAST((1000 * s) // (CAST(pp AS HUGEINT) * (nn - pp)) AS BIGINT) AS chi2_milli
+        |FROM s CROSS JOIN tot""".stripMargin,
     // the identical joint histogram -> root argmin -> per-side, per-feature
     // conditional search, winners by the same (cost, feature, value) total
     // order, leaves folded to the same exact-ppm accuracy

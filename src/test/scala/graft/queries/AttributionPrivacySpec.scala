@@ -98,6 +98,44 @@ class AttributionPrivacySpec extends SparkSpec {
     assert(acc >= baseline, s"acc_ppm=$acc baseline=$baseline")
   }
 
+  test("chi2 selection: milli rendering within 1 of the float statistic; term floors exact") {
+    val dir = sf("sf0.001")
+    val got = MlQueries.mlChi2Select(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == Set("qty", "disc"))
+
+    val rows = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_quantity").cast("int").as("qty"),
+        expr("cast(cast(l_discount as decimal(18,2)) * 100 as int)").as("disc"),
+        (col("l_extendedprice") > 30000).cast("long").as("y"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val nn = rows.length.toLong; val pp = rows.map(_._3).sum
+    for ((feat, pick) <- Seq("qty" -> ((t: (Int, Int, Long)) => t._1),
+                             "disc" -> ((t: (Int, Int, Long)) => t._2))) {
+      val byV = rows.groupBy(pick).map { case (v, g) =>
+        (v, g.length.toLong, g.map(_._3).sum) }.toSeq
+      // exact BigInt replay of the entry's spelling
+      val s = byV.map { case (_, n, pos) =>
+        val d = BigInt(pos * nn - n * pp); (d * d) / n }.sum
+      val milli = (BigInt(1000) * s / (BigInt(pp) * (nn - pp))).toLong
+      val (nVals, dof, gotMilli) = got(feat)
+      assert(nVals == byV.size.toLong && dof == nVals - 1)
+      assert(gotMilli == milli, s"$feat exact")
+      // and the e0 term floors track the true float chi2 within rounding:
+      // each of the <=50 floors loses <1, so milli-chi2 sits within
+      // 1000*K/(P(N-P)) + 1 of 1000*chi2 — negligible; assert the loose bond
+      val floatChi2 = byV.map { case (_, n, pos) =>
+        val d = pos.toDouble * nn - n.toDouble * pp
+        d * d / (n.toDouble * pp * (nn - pp))
+      }.sum
+      assert(math.abs(gotMilli - 1000.0 * floatChi2) <= 1.0 + 1e-6 * floatChi2 * 1000,
+        s"$feat float cross-check: $gotMilli vs ${1000 * floatChi2}")
+    }
+    // quantity must out-rank discount on this label (price ~ qty by
+    // construction; discount is independent)
+    assert(got("qty")._3 > got("disc")._3)
+  }
+
   test("dp counts: noise equals the driver-side geometric inverse CDF; planted-truth error audit") {
     val dir = sf("sf0.001")
     val got = RelationalQueries.qPrivDpCounts(spark, dir).collect()
