@@ -558,6 +558,61 @@ object RelationalQueries {
         expr("cast(rev * 10000 as bigint)").as("revenue_e4"))
   }
 
+  /** [[mvRefreshCdf]] with the maintainer consuming the store's change
+    * feed THROUGH the streaming source — `readStream.format("graftstore")`
+    * with `withPreimage true`, the composition the source exists for
+    * (Delta CDF's flagship downstream: a streaming MV/index maintainer).
+    * No commit-signal harness and no library call inside the loop: the
+    * batch IS the preimage feed ('I'/'U+' add signed partials, 'D'/'U−'
+    * subtract — exact retraction), version-keyed overwrite dirs keep
+    * at-least-once delivery exactly-once, and serving re-aggregates
+    * base ∪ deltas. Oracle = [[mvRefreshCdf]]'s VERBATIM (one maintenance
+    * contract, two consumption surfaces). Refresh cost per commit is the
+    * 2×delta feed read + a months×flags-sized fold — the fact table is
+    * never rescanned. */
+  def mvRefreshCdfStream(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    val table = s"${mvCdfLayout(fork, dir)}/table"
+    val vLast = graft.sources.Versioned.latestVersion(table)
+    val root = StreamScratch.fresh("mvcdfsrc")
+    val (outDir, ckpt) = (s"$root/out", s"$root/ckpt")
+    val q = fork.readStream.format("graftstore")
+      .option("path", table).option("keyCol", "lkey")
+      .option("withPreimage", "true").option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select(col("_commit_version")).distinct()
+          .collect().map(_.getInt(0)).foreach { v =>
+            val add = col("op").isin("I", "U+")
+            b.where(col("_commit_version") === v)
+              .groupBy(col("month"), col("l_returnflag"))
+              .agg(sum(when(add, 1L).otherwise(-1L)).as("n_items"),
+                sum(when(add, col("l_quantity")).otherwise(-col("l_quantity")))
+                  .as("sum_qty"),
+                sum(when(add, col("rev")).otherwise(-col("rev")))
+                  .cast("decimal(18,4)").as("rev"))
+              .write.mode("overwrite").parquet(s"$outDir/v$v")
+          }
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val base = graft.sources.Versioned.readVersion(fork, table, 1)
+      .groupBy(col("month"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"),
+        sum(col("rev")).cast("decimal(18,4)").as("rev"))
+    val deltaDirs = (2 to vLast).map(v => s"$outDir/v$v")
+    base.unionByName(fork.read.parquet(deltaDirs: _*))
+      .groupBy(col("month"), col("l_returnflag"))
+      .agg(sum(col("n_items")).as("n_items"), sum(col("sum_qty")).as("sum_qty"),
+        sum(col("rev")).cast("decimal(18,4)").as("rev"))
+      .where(col("n_items") > 0)
+      .select(col("month"), col("l_returnflag"), col("n_items"),
+        round(col("sum_qty"), 2).as("sum_qty"),
+        expr("cast(rev * 10000 as bigint)").as("revenue_e4"))
+  }
+
   /** The hinted join [[qJoinHints]] and PlanSpec share: revenue per order
     * priority, lineitem ⋈ orders, with a caller-chosen strategy hint on
     * the orders side ("" = no hint, Spark's own choice). */
@@ -903,6 +958,7 @@ object RelationalQueries {
     "q_mv_rewrite" -> qMvRewrite _,
     "mv_refresh_stream" -> mvRefreshStream _,
     "mv_refresh_cdf" -> mvRefreshCdf _,
+    "mv_refresh_cdf_stream" -> mvRefreshCdfStream _,
     "q_range_frame" -> qRangeFrame _,
     "q_join_hints" -> qJoinHints _,
     "q_mv_rewrite_coarse" -> qMvRewriteCoarse _,
@@ -932,6 +988,30 @@ object RelationalQueries {
       | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) * 10000
       |   AS BIGINT) AS revenue_e4
       |FROM lineitem GROUP BY 1, 2""".stripMargin
+
+  // the POST-CHANGE rollup recomputed relationally: the q_mv_rewrite
+  // oracle shape over the three commits' change formulas (stripe =
+  // l_orderkey mod 40: 1 = qty doubled, 2 = deleted, 3 = re-inserted
+  // under shifted keys, 4 = rev + 0.01) — the maintained MV must be
+  // indistinguishable from this recompute
+  private val mvCdfOracle: String =
+    """WITH li AS (SELECT (l_orderkey * 8 + l_linenumber) // 8 % 40 AS stripe,
+      |    min(strftime(l_shipdate, '%Y-%m')) AS month,
+      |    min(l_returnflag) AS l_returnflag,
+      |    min(l_quantity) AS l_quantity,
+      |    min(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev
+      |  FROM lineitem GROUP BY l_orderkey * 8 + l_linenumber),
+      |fin AS (
+      |  SELECT month, l_returnflag,
+      |    CASE WHEN stripe = 1 THEN l_quantity * 2 ELSE l_quantity END AS l_quantity,
+      |    CASE WHEN stripe = 4 THEN CAST(rev + 0.01 AS DECIMAL(18,4)) ELSE rev END AS rev
+      |  FROM li WHERE stripe <> 2
+      |  UNION ALL
+      |  SELECT month, l_returnflag, l_quantity, rev FROM li WHERE stripe = 3)
+      |SELECT month, l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  CAST(sum(rev) * 10000 AS BIGINT) AS revenue_e4
+      |FROM fin GROUP BY 1, 2""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q_window_nav" ->
@@ -1151,29 +1231,10 @@ object RelationalQueries {
     // the streamed partial-append MV re-aggregates to the same full
     // recompute, so the oracle is shared verbatim
     "mv_refresh_stream" -> monthlyMvOracle,
-    // the POST-CHANGE rollup recomputed relationally: the q_mv_rewrite
-    // oracle shape over the three commits' change formulas (stripe =
-    // l_orderkey mod 40: 1 = qty doubled, 2 = deleted, 3 = re-inserted
-    // under shifted keys, 4 = rev + 0.01) — the maintained MV must be
-    // indistinguishable from this recompute
-    "mv_refresh_cdf" ->
-      """WITH li AS (SELECT (l_orderkey * 8 + l_linenumber) // 8 % 40 AS stripe,
-        |    min(strftime(l_shipdate, '%Y-%m')) AS month,
-        |    min(l_returnflag) AS l_returnflag,
-        |    min(l_quantity) AS l_quantity,
-        |    min(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev
-        |  FROM lineitem GROUP BY l_orderkey * 8 + l_linenumber),
-        |fin AS (
-        |  SELECT month, l_returnflag,
-        |    CASE WHEN stripe = 1 THEN l_quantity * 2 ELSE l_quantity END AS l_quantity,
-        |    CASE WHEN stripe = 4 THEN CAST(rev + 0.01 AS DECIMAL(18,4)) ELSE rev END AS rev
-        |  FROM li WHERE stripe <> 2
-        |  UNION ALL
-        |  SELECT month, l_returnflag, l_quantity, rev FROM li WHERE stripe = 3)
-        |SELECT month, l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  CAST(sum(rev) * 10000 AS BIGINT) AS revenue_e4
-        |FROM fin GROUP BY 1, 2""".stripMargin,
+    "mv_refresh_cdf" -> mvCdfOracle,
+    // one maintenance contract, two consumption surfaces: the streaming-
+    // source maintainer must be indistinguishable from the same recompute
+    "mv_refresh_cdf_stream" -> mvCdfOracle,
     "q_mv_rewrite_coarse" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS month,
         | CAST(count(*) AS BIGINT) AS n_items,

@@ -57,6 +57,11 @@ private[sources] class GraftStoreChangeSource(spark: SparkSession,
     * after the base; the base snapshot itself is batch-read territory). */
   private val startVer = caseMap.get("startingversion").map(_.trim.toInt).getOrElse(2)
   private val maxPer = caseMap.get("maxversionspertrigger").map(_.trim.toInt)
+  /** `withPreimage true` switches to the FOUR-op feed ('U−' old payload /
+    * 'U+' new, [[Versioned.changes]]' preimage contract) — what a
+    * downstream MV maintainer needs to retract exactly. */
+  private val withPreimage =
+    caseMap.get("withpreimage").exists(_.trim.toBoolean)
   require(startVer >= 2, s"startingVersion must be >= 2 (got $startVer): " +
     "version 1 is the base snapshot, not a change")
   require(maxPer.forall(_ >= 1), "maxVersionsPerTrigger must be >= 1")
@@ -102,7 +107,8 @@ private[sources] class GraftStoreChangeSource(spark: SparkSession,
     val fromV = math.max(start.map(verOf).getOrElse(startVer - 1L), startVer - 1L)
     val toV = verOf(end)
     val slices = ((fromV + 1) to toV).map { v =>
-      val (cdf, _) = Versioned.changes(spark, dir, v.toInt - 1, v.toInt, keyCol)
+      val (cdf, _) = Versioned.changes(spark, dir, v.toInt - 1, v.toInt, keyCol,
+        withPreimage = withPreimage)
       cdf.withColumn("_commit_version", lit(v.toInt))
     }
     val feed =

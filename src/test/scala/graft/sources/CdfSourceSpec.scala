@@ -129,6 +129,27 @@ class CdfSourceSpec extends SparkSpec {
       "each commit's changes appear EXACTLY once (no replay duplication)")
   }
 
+  test("withPreimage: the stream serves the four-op feed — U- carries the OLD payload") {
+    val dir = threeCommitStore()
+    val root = tmp()
+    val q = spark.readStream.format("graftstore")
+      .option("path", dir).option("keyCol", "k")
+      .option("withPreimage", "true").load()
+      .writeStream.format("parquet").option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$root/out")
+      .select(col("_commit_version"), col("op"), col("k"), col("v"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    // v2 updated key 0 (0 -> 1000): both images present, old payload on U-
+    assert(got.contains((2, "U-", 0L, 0L)) && got.contains((2, "U+", 0L, 1000L)))
+    assert(got.contains((2, "I", 100L, 7L)))
+    assert(got.contains((3, "D", 1L, 1L)))
+    assert(!got.exists(_._2 == "U"), "the net single-op 'U' never appears in preimage mode")
+  }
+
   test("schema: op + key + payload + _commit_version; empty-range recovery serves an empty frame") {
     val dir = threeCommitStore()
     val df = spark.readStream.format("graftstore")
