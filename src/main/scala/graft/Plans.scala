@@ -193,9 +193,9 @@ object Plans {
     // zero-copy shallow clone
     "store_dsv2_write", "store_cdf_stream", "ml_tree_depth2",
     "clf_reliability", "priv_dp_counts", "store_clone",
-    // round-14 additions: integer-exact chi-squared ranking and the
-    // streaming-source-driven MV maintainer
-    "ml_chi2_select", "mv_refresh_cdf_stream")
+    // round-14 additions: integer-exact chi-squared ranking, the
+    // streaming-source-driven MV maintainer, and the native streaming sink
+    "ml_chi2_select", "mv_refresh_cdf_stream", "store_sink_stream")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -434,6 +434,56 @@ object SourceQueries {
     }.reduce(_ unionByName _)
   }
 
+  /** [[qCdcStream]] through the NATIVE STREAMING SINK —
+    * `writeStream.format("graftstore")`, no `foreachBatch` harness and no
+    * hand-written version guard: the sink itself maps micro-batch
+    * `batchId + 2` to an upsert commit and skips replayed ids (the
+    * txn-app-id discipline MOVED INTO the connector, where a production
+    * table format keeps it). Same four-stripe delta staging, same
+    * exactly-once table state, oracle = [[qCdcStream]]'s VERBATIM — one
+    * ingest contract, two consumption surfaces; with [[qStoreCdfStream]]
+    * on the read side the table now has full streaming symmetry
+    * (`readStream` tails the change feed, `writeStream` feeds commits).
+    * GraftSinkSpec pins the mechanics the gate can't see: per-batch
+    * version mapping, kill-and-resume without re-application, replay
+    * no-ops, and the mode/partitioning guards. */
+  def qStoreSinkStream(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    val layout = graft.operators.Artifacts.sharedPath(s"storesink:$dir") { path =>
+      val table = s"$path/table"
+      val inDir = s"$path/in"
+      val ckpt = s"$path/ckpt"
+      val orders = fork.read.parquet(s"$dir/orders.parquet")
+        .withColumn("bucket", (col("o_orderkey") % 16).cast("int"))
+      graft.sources.Versioned.commitBase(orders, table, "bucket", 16)
+      val delta = orders.where(col("o_orderkey") % 10 === 3)
+        .withColumn("o_totalprice", col("o_totalprice") * 3)
+      (0 until 4).foreach { c =>
+        delta.where(col("o_orderkey") % 4 === c).coalesce(1)
+          .write.mode("append").parquet(inDir)
+      }
+      val q = fork.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+        .writeStream.format("graftstore")
+        .option("path", table).option("keyCol", "o_orderkey")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val table = s"$layout/table"
+    val vLast = graft.sources.Versioned.latestVersion(table)
+    Seq("base" -> 1, "final" -> vLast).map { case (tag, v) =>
+      graft.sources.Versioned.readVersion(fork, table, v)
+        .agg(count(lit(1)).as("n_rows"),
+          expr("cast(sum(cast(o_totalprice as decimal(18,4))) * 10000 as bigint)")
+            .as("sum_price_e4"),
+          sum(when(col("o_orderkey") % 10 === 3, 1).otherwise(0)).cast("long")
+            .as("n_delta_keys"))
+        .select(lit(tag).as("version_tag"), col("n_rows"), col("sum_price_e4"),
+          col("n_delta_keys"))
+    }.reduce(_ unionByName _)
+  }
+
   /** STREAMING CDC with MIXED OPS — the real change feed shape (`op`
     * column: 'U' upsert / 'D' delete) applied through
     * [[graft.sources.Versioned.commitMerge]], the MERGE INTO commit:
@@ -1105,6 +1155,7 @@ object SourceQueries {
     "store_vacuum" -> qStoreVacuum _,
     "store_clone" -> qStoreClone _,
     "q_cdc_stream" -> qCdcStream _,
+    "store_sink_stream" -> qStoreSinkStream _,
     "q_cdc_merge_stream" -> qCdcMergeStream _,
     "q_zonemap_prune" -> qZonemapPrune _,
     "gdpr_delete_stream" -> qGdprStream _,
@@ -1455,6 +1506,7 @@ object SourceQueries {
     "store_dsv2_skip" -> baseOracleSql("q_zonemap_prune"),
     "store_dsv2_lookup" -> baseOracleSql("store_bloom_skip"),
     "store_cdf_stream" -> baseOracleSql("store_changes_stream"),
+    "store_sink_stream" -> baseOracleSql("q_cdc_stream"),
     // the two stripe formulas replayed relationally: clone v1 == source v2,
     // divergence == doubling then tripling, the diverged-bucket count from
     // the tripled stripe's bucket spread

@@ -60,7 +60,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * this is part of the demanded lakehouse extension surface
   * (SURVEY.md §7). */
 class GraftStoreSource extends TableProvider with DataSourceRegister
-    with StreamSourceProvider with CreatableRelationProvider {
+    with StreamSourceProvider with StreamSinkProvider
+    with CreatableRelationProvider {
   override def shortName(): String = "graftstore"
 
   // ---- `df.write.format("graftstore").mode(...).save()` -----------------
@@ -118,6 +119,47 @@ class GraftStoreSource extends TableProvider with DataSourceRegister
                             parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source =
     new GraftStoreChangeSource(sqlContext.sparkSession, parameters)
+
+  // ---- streaming: the store AS a sink ------------------------------------
+  // `writeStream.format("graftstore")` lands each micro-batch as a
+  // copy-on-write UPSERT COMMIT at version `batchId + firstVersion`
+  // (default 2, over a pre-committed base) — the deterministic-batch-id
+  // txn discipline built in: a replayed batch sees its manifest and
+  // commits nothing, so at-least-once delivery is exactly-once table
+  // state with NO foreachBatch harness. Completes the streaming symmetry:
+  // readStream tails the table's change feed, writeStream feeds it.
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "graftstore sink: the store's bucket column IS the partitioning — " +
+        "pass it as a data column, not partitionBy")
+    require(outputMode != org.apache.spark.sql.streaming.OutputMode.Complete(),
+      "graftstore sink: Complete mode would rewrite the table every batch — " +
+        "use append/update (micro-batches upsert on the key)")
+    val caseMap = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val dir = caseMap.getOrElse("path",
+      sys.error("graftstore sink requires option 'path' (the store dir)"))
+    val keyCol = caseMap.getOrElse("keycol",
+      sys.error("graftstore sink requires option 'keyCol' (the upsert key)"))
+    val firstV = caseMap.get("firstversion").map(_.trim.toInt).getOrElse(2)
+    require(firstV >= 2, s"firstVersion must be >= 2 (got $firstV): " +
+      "version 1 is the base snapshot (commitBase / a bootstrap append)")
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        val v = batchId.toInt + firstV
+        if (Versioned.hasVersion(dir, v)) return // replayed batch: no-op
+        // ForeachBatchSink's rewrap: a pure batch frame the multi-action
+        // commit plan (distinct-bucket collect + anti-join write) can reuse
+        val batch = org.apache.spark.sql.graftbridge.ColumnBridge.asPureBatch(data)
+        Versioned.commitUpsert(batch.sparkSession, batch, dir, v, keyCol,
+          Versioned.bucketColumn(batch.sparkSession, dir))
+      }
+      override def toString: String = s"GraftStoreSink[$dir, key=$keyCol]"
+    }
+  }
 
   /** A caller may supply the schema (skipping [[inferSchema]]'s data-file
     * read) — with the sidecars present, a metadata-only aggregate then

@@ -59,6 +59,18 @@ object ColumnBridge {
       ds.queryExecution.toRdd, ds.schema, isStreaming = true)
   }
 
+  /** Re-wrap a V1 `Sink.addBatch` DataFrame as a PURE BATCH frame —
+    * ForeachBatchSink's own spelling (`internalCreateDataFrame(toRdd,
+    * schema, isStreaming = false)`): the sink body can then run ordinary
+    * multi-action batch plans (joins, writes) over the micro-batch
+    * without tripping streaming-plan checks; re-executions replay the
+    * deterministic physical plan, exactly foreachBatch's semantics. */
+  def asPureBatch(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = false)
+  }
+
   /** The session's unique id (`private[sql]` on the classic backend) —
     * identity-hash keys can collide across a GC'd session's lifetime,
     * a real UUID cannot. */
