@@ -231,10 +231,7 @@ object AdvancedQueries {
     * design. At 100 TB this is how the runtime-filter artifact every scan
     * wants is BUILT: continuously, sharded, without rescanning history. */
   def bloomMembershipStream(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
-    // state stores sized to per-batch volume (the r14 streaming-dedup
-    // adjudication): 32 stores per trigger where 8 suffice is pure fixed
-    // cost, paid once per staged micro-batch
-    fork.conf.set("spark.sql.shuffle.partitions", 8)
+    StreamScratch.sizeStateStores(fork)
     import fork.implicits._
     val root = StreamScratch.fresh("bloom")
     val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
@@ -388,10 +385,7 @@ object AdvancedQueries {
     * continuous frequency observability: bounded state, no rescan of
     * history, and the report side still a broadcast join + TakeOrdered. */
   def cmsFreqStream(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
-    // state stores sized to per-batch volume (the r14 streaming-dedup
-    // adjudication): 32 stores per trigger where 8 suffice is pure fixed
-    // cost, paid once per staged micro-batch
-    fork.conf.set("spark.sql.shuffle.partitions", 8)
+    StreamScratch.sizeStateStores(fork)
     import fork.implicits._
     val root = StreamScratch.fresh("cms")
     val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
@@ -446,10 +440,7 @@ object AdvancedQueries {
   val CmsWinDays = 10
   val CmsWinTopK = 5
   def cmsFreqStreamWindowed(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
-    // state stores sized to per-batch volume (the r14 streaming-dedup
-    // adjudication): 32 stores per trigger where 8 suffice is pure fixed
-    // cost, paid once per staged micro-batch
-    fork.conf.set("spark.sql.shuffle.partitions", 8)
+    StreamScratch.sizeStateStores(fork)
     import fork.implicits._
     val root = StreamScratch.fresh("cmswin")
     val (outDir, ckpt) = (s"$root/out", s"$root/ckpt")
@@ -534,10 +525,7 @@ object AdvancedQueries {
     * sf0.1 ~1500 (the (k−1)·2⁶⁰/hₖ estimate). At 100 TB: per-period
     * distinct observability with finite state and no history. */
   def kmvDistinctStreamWindowed(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
-    // state stores sized to per-batch volume (the r14 streaming-dedup
-    // adjudication): 32 stores per trigger where 8 suffice is pure fixed
-    // cost, paid once per staged micro-batch
-    fork.conf.set("spark.sql.shuffle.partitions", 8)
+    StreamScratch.sizeStateStores(fork)
     import fork.implicits._
     val root = StreamScratch.fresh("kmvwin")
     val (outDir, ckpt) = (s"$root/out", s"$root/ckpt")
@@ -683,10 +671,7 @@ object AdvancedQueries {
     * KmvStreamSpec asserts split-invariance and duplicate-feed
     * idempotence. */
   def kmvDistinctStream(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
-    // state stores sized to per-batch volume (the r14 streaming-dedup
-    // adjudication): 32 stores per trigger where 8 suffice is pure fixed
-    // cost, paid once per staged micro-batch
-    fork.conf.set("spark.sql.shuffle.partitions", 8)
+    StreamScratch.sizeStateStores(fork)
     import fork.implicits._
     val root = StreamScratch.fresh("kmv")
     val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")

@@ -680,9 +680,7 @@ object EventQueries {
                           (transform: DataFrame => DataFrame): DataFrame = {
     fork.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     fork.conf.set("spark.sql.session.timeZone", "UTC")
-    // state stores sized to per-batch volume (the r14 streaming-dedup
-    // adjudication) for every sink this harness drives
-    fork.conf.set("spark.sql.shuffle.partitions", 8)
+    StreamScratch.sizeStateStores(fork)
     val raw = fork.read.parquet(s"$dir/events.parquet")
     val src = raw
       .select(col("event_id"), EventTs.tsTimestamp(raw).as("ts"),

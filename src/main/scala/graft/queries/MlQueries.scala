@@ -861,6 +861,7 @@ object MlQueries {
       .unionByName(base.select(lit("disc").as("feature"), col("disc").as("v"), col("y")))
     val h = feat.groupBy(col("feature"), col("v"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      .localCheckpoint(eager = true) // two consumers: totals + the term join
     // (N, P) are feature-independent; computed once from one histogram
     val tot = broadcast(h.where(col("feature") === "qty")
       .agg(sum(col("n")).as("nn"), sum(col("pos")).as("pp")))

@@ -1178,11 +1178,7 @@ object SimilarityQueries {
     * invariance. */
   def dedupEmbeddingLshStream(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
     import fork.implicits._
-    // state stores sized to per-batch volume (the events_join_stream r13
-    // adjudication): the stateful confirm keys ~8 band rows per vector —
-    // 8 partitions ≈ the batch's real parallelism; 32 means 4× the state
-    // stores (open + commit + snapshot each) for the same rows
-    fork.conf.set("spark.sql.shuffle.partitions", 8)
+    StreamScratch.sizeStateStores(fork)
     val root = StreamScratch.fresh("emb_lsh")
     val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
     val points = pts(fork, dir)
@@ -1219,9 +1215,7 @@ object SimilarityQueries {
     * deliberately avoids. */
   def dedupEmbeddingLshStreamEvict(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
     import fork.implicits._
-    // state stores sized to per-batch volume (see dedupEmbeddingLshStream)
-    // — with 3 triggers the per-store fixed cost here is paid 3×
-    fork.conf.set("spark.sql.shuffle.partitions", 8)
+    StreamScratch.sizeStateStores(fork)
     val root = StreamScratch.fresh("emb_evict")
     val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
     val points = pts(fork, dir)

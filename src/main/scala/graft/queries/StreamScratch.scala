@@ -71,6 +71,18 @@ private[graft] object StreamScratch {
       build.foreach { case (name, slices) => stageOrdered(s"$path/$name", slices) }
     }
 
+  /** Size a streaming fork's state stores to PER-BATCH volume — the r14
+    * adjudication's lesson, in one place: a stateful operator opens,
+    * commits and snapshots one HDFS-backed state store per shuffle
+    * partition per trigger, so the session default 32 is pure per-trigger
+    * fixed cost when a micro-batch's real parallelism is ~8 (measured
+    * 1.7-3.0x on the streaming dedup/sketch/event families). Call it in
+    * every stateful entry's Scoped fork; outputs are
+    * partitioning-invariant (FloatDeterminismSpec's house guarantee). */
+  def sizeStateStores(fork: org.apache.spark.sql.SparkSession,
+                      partitions: Int = 8): Unit =
+    fork.conf.set("spark.sql.shuffle.partitions", partitions)
+
   /** The fixed per-entry root, deleted recursively if present. */
   def fresh(name: String): Path = {
     val root = path(name)

@@ -1043,9 +1043,7 @@ object TextDedupQueries {
     * batch). */
   def dedupPairsStreamed(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
     import fork.implicits._
-    // state stores sized to per-batch volume (the r14 adjudication of the
-    // embedding twin: 32 stores per trigger where 8 suffice cost 1.4×)
-    fork.conf.set("spark.sql.shuffle.partitions", 8)
+    StreamScratch.sizeStateStores(fork)
     val root = StreamScratch.fresh("dedup_pairs")
     val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
     // stage the corpus into a directory: the file stream source reads
@@ -1086,9 +1084,7 @@ object TextDedupQueries {
     * state-row drop this entry's configuration deliberately avoids. */
   def dedupPairsStreamEvict(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
     import fork.implicits._
-    // state stores sized to per-batch volume (see dedupPairsStreamed); the
-    // 3-trigger drain pays the per-store fixed cost per batch
-    fork.conf.set("spark.sql.shuffle.partitions", 8)
+    StreamScratch.sizeStateStores(fork)
     val root = StreamScratch.fresh("dedup_evict")
     val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
     val docsIn = fork.read.parquet(s"$dir/documents.parquet")

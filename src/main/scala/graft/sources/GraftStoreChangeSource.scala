@@ -111,17 +111,27 @@ private[sources] class GraftStoreChangeSource(spark: SparkSession,
         withPreimage = withPreimage)
       cdf.withColumn("_commit_version", lit(v.toInt))
     }
+    // pad every slice to the DECLARED schema before the union: a batch
+    // whose whole range predates an additive schema-evolution commit has
+    // no frame carrying the new column at all, so unionByName alone could
+    // not null-fill it — missing fields null-cast per slice (the padding
+    // discipline changes() applies across its own endpoints)
+    val padded = slices.map { df =>
+      schema.fields.foldLeft(df) { (d, f) =>
+        if (d.columns.contains(f.name)) d
+        else d.withColumn(f.name, lit(null).cast(f.dataType))
+      }
+    }
     val feed =
-      if (slices.isEmpty)
+      if (padded.isEmpty)
         // a recovery replay of an empty range: the schema'd empty frame
         Versioned.readVersion(spark, dir, Versioned.latestVersion(dir))
           .where(lit(false))
           .withColumn("op", lit("")).withColumn("_commit_version", lit(0))
-      else slices.reduce(_.unionByName(_, allowMissingColumns = true))
-    // exactly the declared schema: names, order, and types (schema
-    // evolution inside the range null-fills through unionByName above);
-    // re-wrapped with isStreaming=true per the V1 Source contract
-    // (FileStreamSource's own spelling)
+      else padded.reduce(_.unionByName(_))
+    // exactly the declared schema: names, order, and types; re-wrapped
+    // with isStreaming=true per the V1 Source contract (FileStreamSource's
+    // own spelling)
     org.apache.spark.sql.graftbridge.ColumnBridge.asStreamingBatch(
       feed.select(schema.fieldNames.map(col).toSeq: _*))
   }

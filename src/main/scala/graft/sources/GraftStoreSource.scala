@@ -150,12 +150,27 @@ class GraftStoreSource extends TableProvider with DataSourceRegister
     new org.apache.spark.sql.execution.streaming.Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
         val v = batchId.toInt + firstV
-        if (Versioned.hasVersion(dir, v)) return // replayed batch: no-op
+        val marker = s"graftsink:$batchId"
+        if (Versioned.hasVersion(dir, v)) {
+          // an existing version is EITHER this sink's own replayed batch
+          // (its txn marker matches — skip, the exactly-once guarantee) or
+          // a FOREIGN commit that aliased our version number, in which
+          // case skipping would silently drop this batch's rows: fail loud
+          require(Versioned.txnMarker(dir, v).contains(marker),
+            s"graftstore sink: version $v already committed by another " +
+              s"writer (txn ${Versioned.txnMarker(dir, v).getOrElse("<none>")}" +
+              s", expected $marker) — the sink owns versions from " +
+              s"firstVersion=$firstV onward; point concurrent writers or " +
+              "maintenance commits below it, or restart the sink with a " +
+              "fresh firstVersion above the foreign commit")
+          return
+        }
         // ForeachBatchSink's rewrap: a pure batch frame the multi-action
         // commit plan (distinct-bucket collect + anti-join write) can reuse
         val batch = org.apache.spark.sql.graftbridge.ColumnBridge.asPureBatch(data)
         Versioned.commitUpsert(batch.sparkSession, batch, dir, v, keyCol,
           Versioned.bucketColumn(batch.sparkSession, dir))
+        Versioned.writeTxnMarker(dir, v, marker)
       }
       override def toString: String = s"GraftStoreSink[$dir, key=$keyCol]"
     }
@@ -169,8 +184,11 @@ class GraftStoreSource extends TableProvider with DataSourceRegister
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (dir, pin) = GraftStoreSource.resolve(options)
-    Versioned.readVersion(SparkSession.active, dir,
-      pin.getOrElse(Versioned.latestVersion(dir))).schema
+    val v = pin.getOrElse(Versioned.latestVersion(dir))
+    // the unpinned path must fail-fast on an empty store with a clear
+    // message, not a raw NoSuchFileException from readVersion(dir, 0)
+    require(Versioned.hasVersion(dir, v), s"graftstore: no version $v under $dir")
+    Versioned.readVersion(SparkSession.active, dir, v).schema
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -292,9 +310,11 @@ private[sources] class GraftStoreTable(schema: StructType, dir: String,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftStoreScanBuilder(schema, dir,
-      pin.getOrElse(Versioned.latestVersion(dir)))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val v = pin.getOrElse(Versioned.latestVersion(dir))
+    require(Versioned.hasVersion(dir, v), s"graftstore: no version $v under $dir")
+    new GraftStoreScanBuilder(schema, dir, v)
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftStoreWriteBuilder(dir, pin, tableOpts, info)
 }

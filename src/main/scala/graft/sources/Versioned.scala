@@ -752,6 +752,25 @@ object Versioned {
     eligible.maxBy(_._1)._1
   }
 
+  private def txnPath(dir: String, v: Int) =
+    java.nio.file.Paths.get(dir, "manifests", s"v$v.txn")
+
+  /** Record WHICH writer produced version `v` (the Delta txn-app-id
+    * sidecar): a deterministic-batch-id writer stamps its identity +
+    * batch id here, so on replay it can distinguish "my own commit —
+    * skip" from "a FOREIGN commit aliased my version number — fail loud"
+    * (skipping a foreign commit would silently drop the batch's rows). */
+  def writeTxnMarker(dir: String, v: Int, marker: String): Unit =
+    java.nio.file.Files.write(txnPath(dir, v), marker.getBytes("UTF-8"))
+
+  /** The txn marker of version `v`, if its writer stamped one. */
+  def txnMarker(dir: String, v: Int): Option[String] = {
+    val p = txnPath(dir, v)
+    if (java.nio.file.Files.exists(p))
+      Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+    else None
+  }
+
   /** True iff version `v` has been committed (its manifest exists) — the
     * idempotence guard a streaming CDC applier keys on its deterministic
     * batch id (the Delta txn-app-id discipline): a foreachBatch re-run
@@ -814,6 +833,7 @@ object Versioned {
       java.nio.file.Files.deleteIfExists(timePath(dir, v))
       java.nio.file.Files.deleteIfExists(bloomIdxPath(dir, v))
       java.nio.file.Files.deleteIfExists(countsPath(dir, v))
+      java.nio.file.Files.deleteIfExists(txnPath(dir, v))
     }
   }
 

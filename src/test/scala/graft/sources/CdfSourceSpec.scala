@@ -150,6 +150,29 @@ class CdfSourceSpec extends SparkSpec {
     assert(!got.exists(_._2 == "U"), "the net single-op 'U' never appears in preimage mode")
   }
 
+  test("schema evolution: a batch entirely BEFORE the evolving commit null-fills the new column") {
+    val dir = tmp()
+    val base = (0L until 8L).map(k => (k, k, (k % 2).toInt)).toDF("k", "v", "bucket")
+    Versioned.commitBase(base, dir, "bucket", 2)
+    // v2: a plain update (no new column yet)
+    Versioned.commitUpsert(spark, Seq((0L, 100L, 0)).toDF("k", "v", "bucket"),
+      dir, 2, "k", "bucket")
+    // v3: ADDITIVE evolution — the delta carries column w
+    Versioned.commitUpsert(spark,
+      Seq((1L, 200L, 1, "tag")).toDF("k", "v", "bucket", "w"), dir, 3,
+      "k", "bucket")
+    val root = tmp()
+    // maxVersionsPerTrigger=1: batch 1 covers ONLY v2 — a range with no
+    // frame carrying w at all; the declared (latest) schema includes it
+    drain(dir, s"$root/out", s"$root/ckpt", "maxVersionsPerTrigger" -> "1")
+    val rows = spark.read.parquet(s"$root/out")
+      .select(col("_commit_version"), col("k"),
+        col("w")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), Option(r.getString(2)))).toSet
+    assert(rows.contains((2, 0L, None)), "the pre-evolution batch null-fills w")
+    assert(rows.contains((3, 1L, Some("tag"))), "the evolving commit carries w")
+  }
+
   test("schema: op + key + payload + _commit_version; empty-range recovery serves an empty frame") {
     val dir = threeCommitStore()
     val df = spark.readStream.format("graftstore")

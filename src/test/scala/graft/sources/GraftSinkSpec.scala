@@ -66,6 +66,24 @@ class GraftSinkSpec extends SparkSpec {
       "replayed batches committed NOTHING")
   }
 
+  test("a foreign commit aliasing the sink's version fails LOUD instead of dropping the batch") {
+    val root = tmp()
+    val (table, inDir, ckpt) = (s"$root/table", s"$root/in", s"$root/ckpt")
+    val base = (0L until 8L).map(k => (k, k, (k % 2).toInt)).toDF("k", "v", "bucket")
+    Versioned.commitBase(base, table, "bucket", 2)
+    // a maintenance job commits version 2 FIRST (no sink txn marker)
+    Versioned.commitUpsert(spark, Seq((0L, 777L, 0)).toDF("k", "v", "bucket"),
+      table, 2, "k", "bucket")
+    Seq((1L, 111L, 1)).toDF("k", "v", "bucket").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val e = intercept[Exception] { runStream(inDir, table, ckpt, base.schema) }
+    assert(exceptionChain(e).exists(_.contains("another")),
+      s"expected the foreign-commit error, got: ${exceptionChain(e).mkString(" | ")}")
+    assert(Versioned.readVersion(spark, table, 2)
+      .where(col("k") === 0L).head().getLong(1) == 777L,
+      "the foreign commit is untouched — the sink never overwrote it")
+  }
+
   test("guards: Complete mode and partitionBy are rejected; firstVersion below 2 is rejected") {
     val root = tmp()
     val (table, inDir) = (s"$root/table", s"$root/in")
