@@ -49,7 +49,14 @@ object Bench {
     val samples = (1 to reps).flatMap { _ =>
       graft.operators.Artifacts.clear()
       sentinels += sentinel()
-      SparkEntry.queries.toSeq.filter(kv => only.forall(_(kv._1))).map { case (name, fn) =>
+      // SORTED execution order (r15): Map iteration order reshuffles whenever
+      // the catalog grows (HashMap rehash), which silently moves the payer of
+      // each Artifacts.shared family build between rounds — the repeated
+      // ">2×-raw mover that is really attribution" adjudications of r8-r14.
+      // Sorting by name pins the alphabetically-first consumer as the payer
+      // every round, so round-over-round per-entry medians compare
+      // apples-to-apples even as entries are added.
+      SparkEntry.queries.toSeq.sortBy(_._1).filter(kv => only.forall(_(kv._1))).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9

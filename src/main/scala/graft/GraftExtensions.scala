@@ -18,6 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // rewrite window-rank top-k into the heap operator (needs the strategy
     // above to plan the node it produces)
     ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
+    // SQL MERGE INTO / UPDATE on graftstore tables → commitMerge commands
+    // (runtime sibling: spark.experimental.extraOptimizations)
+    ext.injectPostHocResolutionRule(_ => graft.sources.GraftRowLevelRewrite)
     ext.injectFunction((
       FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),

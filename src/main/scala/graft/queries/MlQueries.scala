@@ -784,6 +784,91 @@ object MlQueries {
         expr("(1000000 * hits) div nn").as("tree_acc_ppm"))
   }
 
+  /** GRADIENT-BOOSTED STUMPS over the joint histogram — the boosting
+    * completion of the histogram-ML family ([[mlTreeDepth2]]'s r14
+    * verdict ask): L2Boost on the 0/1 label, three rounds, every number
+    * an exact integer. The key observation that keeps boosting
+    * histogram-shaped: the model f(x) depends only on the features, so
+    * within one (qty, disc) cell the residual takes exactly TWO values
+    * (label 1: 1e4 − f; label 0: −f) — per-cell state (n, pos, f_e4) is
+    * sufficient statistics for every round, and the corpus is scanned
+    * ONCE (the ≤550-cell joint histogram); all three boosting rounds run
+    * over that broadcast-scale table. Per round: per-feature residual
+    * sums Σr = 1e4·pos − n·f, cumulative split scan, SSE-gain argmax
+    *
+    *   gain = (Σr_L)² div n_L + (Σr_R)² div n_R
+    *
+    * (the shared base term is feature-independent and drops out of the
+    * argmax), winner by the (−gain, feature, v) total order, leaf values
+    * the e4 floors Σr div n, and the cell model updates f ← f + leaf.
+    * The e4 fixed-point IS the objective ([[mlTreeStump]]'s discipline);
+    * DuckDB replays the whole three-round fit as a CTE chain
+    * hash-identically (truncating `div` matches `//` including negative
+    * leaves). Accuracy after each round rides along in exact ppm
+    * (predict 1 iff f ≥ 5000); MlGbmSpec brute-recomputes every round's
+    * argmax driver-side and pins ensemble accuracy ≥ the single stump's.
+    * Integer envelope: |Σr_side| ≤ n·5·10⁴ keeps gain ≤ N·(5·10⁴)² —
+    * inside bigint through the ×100 corpus (1.5·10¹⁸ at N = 6·10⁸);
+    * squares pass through decimal(38) exactly (the chi2 spelling). The
+    * only driver state is 3 winner rows + 3 accuracy scalars
+    * (metadata-scale, the D9 ≤K-row-collect discipline). */
+  def mlGbm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("feature")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val h0 = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_quantity").cast("int").as("qty"),
+        expr("cast(cast(l_discount as decimal(18,2)) * 100 as int)").as("disc"),
+        (col("l_extendedprice") > 30000).cast("long").as("y"))
+      .groupBy(col("qty"), col("disc"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      .localCheckpoint(eager = true) // the ONE corpus pass; rounds reuse it
+    val totRow = h0.agg(sum(col("n")), sum(col("pos"))).head()
+    val (nn, pp) = (totRow.getLong(0), totRow.getLong(1))
+    val f0 = 10000L * pp / nn // e4 prior; Scala / == Spark div (both >= 0)
+    var cells = h0.withColumn("f", lit(f0))
+    val out = scala.collection.mutable.ListBuffer
+      .empty[(Int, String, Int, Long, Long, Long, Long)]
+    for (round <- 1 to 3) {
+      cells = cells.localCheckpoint(eager = true) // ≤550 rows, two consumers
+      val byFeat = cells.select(lit("qty").as("feature"), col("qty").as("v"),
+          col("n"), col("pos"), col("f"))
+        .unionByName(cells.select(lit("disc").as("feature"),
+          col("disc").as("v"), col("n"), col("pos"), col("f")))
+        .groupBy(col("feature"), col("v"))
+        .agg(sum(col("n")).as("n"), sum(expr("10000 * pos - n * f")).as("sr"))
+      val st = byFeat.groupBy(col("feature"))
+        .agg(sum(col("n")).as("ns"), sum(col("sr")).as("srs"))
+      val w = byFeat
+        .withColumn("nl", sum(col("n")).over(wf))
+        .withColumn("srl", sum(col("sr")).over(wf))
+        .join(broadcast(st), Seq("feature"))
+        .where(col("ns") - col("nl") > 0)
+        .withColumn("nr", col("ns") - col("nl"))
+        .withColumn("srr", col("srs") - col("srl"))
+        .withColumn("gain", expr(
+          "(cast(srl as decimal(19,0)) * cast(srl as decimal(19,0))) div nl + " +
+            "(cast(srr as decimal(19,0)) * cast(srr as decimal(19,0))) div nr"))
+        .orderBy(col("gain").desc, col("feature"), col("v")).limit(1)
+        .selectExpr("feature", "v", "gain",
+          "srl div nl as leaf_l", "srr div nr as leaf_r")
+        .head()
+      val (feat, v, gain, leafL, leafR) =
+        (w.getString(0), w.getInt(1), w.getLong(2), w.getLong(3), w.getLong(4))
+      cells = cells.withColumn("f", col("f") +
+        (if (feat == "qty") when(col("qty") <= v, leafL).otherwise(leafR)
+         else when(col("disc") <= v, leafL).otherwise(leafR)))
+      val hits = cells.agg(sum(
+        when(col("f") >= 5000, col("pos")).otherwise(col("n") - col("pos"))))
+        .head().getLong(0)
+      out += ((round, feat, v, gain, leafL, leafR, 1000000L * hits / nn))
+    }
+    out.toSeq.toDF("round", "feature", "split_v", "gain",
+      "leaf_l_e4", "leaf_r_e4", "acc_ppm")
+  }
+
   /** ISOTONIC CALIBRATION — the monotone-probability fit
     * ([[mlTreeStump]]'s sibling on the same histogram): calibrate
     * P(price > 30000 | quantity) to a NONDECREASING function of quantity,
@@ -867,11 +952,21 @@ object MlQueries {
       .agg(sum(col("n")).as("nn"), sum(col("pos")).as("pp")))
     h.crossJoin(tot)
       .withColumn("d", expr("pos * nn - n * pp"))
+      // exact floor(d²/n) carried in DECIMAL all the way (r15 ×100
+      // widening, closing the r14 envelope note): `div` would return LONG
+      // and overflow once a term passes 2⁶³ (possible at the ×100 corpus,
+      // term ≤ n_v·N² ~ 2·10²⁶); instead subtract the remainder and divide
+      // exactly — the numerator is divisible, so the decimal quotient is
+      // the integer itself, no rounding anywhere. Envelope now matches the
+      // oracle's int128: d² ≤ 1.3·10³⁵ < 10³⁸ through ×100.
+      .withColumn("d2", expr(
+        "cast(d as decimal(19,0)) * cast(d as decimal(19,0))"))
       .withColumn("term", expr(
-        "(cast(d as decimal(19,0)) * cast(d as decimal(19,0))) div n"))
+        "cast((d2 - (d2 % cast(n as decimal(38,0)))) / cast(n as decimal(38,0)) " +
+          "as decimal(38,0))"))
       .groupBy(col("feature"))
       .agg(count(lit(1)).as("n_values"),
-        sum(expr("cast(term as decimal(20,0))")).as("s"),
+        sum(col("term")).as("s"),
         max(col("nn")).as("nn"), max(col("pp")).as("pp"))
       .select(col("feature"), col("n_values"),
         (col("n_values") - 1).as("dof"),
@@ -1098,6 +1193,7 @@ object MlQueries {
     "ml_tree_stump" -> mlTreeStump _,
     "ml_tree_depth2" -> mlTreeDepth2 _,
     "ml_chi2_select" -> mlChi2Select _,
+    "ml_gbm" -> mlGbm _,
     "ml_isotonic" -> mlIsotonic _,
     "ml_ks_test" -> mlKsTest _,
     "ml_auc" -> mlAuc _,
@@ -1120,6 +1216,50 @@ object MlQueries {
   )
 
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ", ", ")")
+
+  /** One boosting round of the [[mlGbm]] oracle: residual sums per
+    * (feature, value) from h{r−1}, cumulative split scan, SSE-gain argmax
+    * by the (−gain, feature, v) total order, cell-model update, accuracy.
+    * HUGEINT intermediates (never output columns); `//` matches Spark's
+    * `div` including negative leaf values (both truncate toward zero).
+    * Multiply-referenced CTEs are MATERIALIZED (the beam-chain lesson:
+    * DuckDB inlines by default and re-evaluates the prefix per reference). */
+  private def gbmRoundSql(r: Int): String =
+    s"""c$r AS MATERIALIZED (
+       |  SELECT feature, v, CAST(sum(n) AS BIGINT) AS n,
+       |    CAST(sum(10000 * pos - n * f) AS BIGINT) AS sr
+       |  FROM (SELECT 'qty' AS feature, qty AS v, n, pos, f FROM h${r - 1}
+       |        UNION ALL SELECT 'disc', disc, n, pos, f FROM h${r - 1})
+       |  GROUP BY 1, 2),
+       |w$r AS MATERIALIZED (
+       |  SELECT feature, v,
+       |    CAST(sum(n) OVER win AS BIGINT) AS nl,
+       |    CAST(sum(sr) OVER win AS BIGINT) AS srl,
+       |    CAST(sum(n) OVER feat AS BIGINT) AS ns,
+       |    CAST(sum(sr) OVER feat AS BIGINT) AS srs
+       |  FROM c$r
+       |  WINDOW win AS (PARTITION BY feature ORDER BY v
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |         feat AS (PARTITION BY feature)),
+       |win$r AS MATERIALIZED (
+       |  SELECT feature, v,
+       |    CAST((CAST(srl AS HUGEINT) * srl) // nl
+       |       + (CAST(srs - srl AS HUGEINT) * (srs - srl)) // (ns - nl)
+       |      AS BIGINT) AS gain,
+       |    CAST(srl // nl AS BIGINT) AS leaf_l,
+       |    CAST((srs - srl) // (ns - nl) AS BIGINT) AS leaf_r
+       |  FROM w$r WHERE ns - nl > 0
+       |  ORDER BY gain DESC, feature, v LIMIT 1),
+       |h$r AS MATERIALIZED (
+       |  SELECT qty, disc, n, pos,
+       |    f + CASE WHEN w.feature = 'qty'
+       |             THEN CASE WHEN qty <= w.v THEN w.leaf_l ELSE w.leaf_r END
+       |             ELSE CASE WHEN disc <= w.v THEN w.leaf_l ELSE w.leaf_r END
+       |        END AS f
+       |  FROM h${r - 1} CROSS JOIN win$r w),
+       |a$r AS (SELECT CAST((1000000 *
+       |    sum(CASE WHEN f >= 5000 THEN pos ELSE n - pos END))
+       |    // (SELECT nn FROM tot) AS BIGINT) AS acc_ppm FROM h$r)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // the identical histogram → cumulative scan → exact-integer Gini
@@ -1170,6 +1310,32 @@ object MlQueries {
         |SELECT feature, n_values, CAST(n_values - 1 AS BIGINT) AS dof,
         |  CAST((1000 * s) // (CAST(pp AS HUGEINT) * (nn - pp)) AS BIGINT) AS chi2_milli
         |FROM s CROSS JOIN tot""".stripMargin,
+    // the identical three-round L2Boost fit as a CTE chain: same joint
+    // histogram, same residual encoding, same argmax total order, same
+    // truncating integer divisions — hash-identical winner rows
+    "ml_gbm" ->
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT CAST(l_quantity AS INT) AS qty,
+         |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS INT) AS disc,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN l_extendedprice > 30000 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS pos
+         |  FROM lineitem GROUP BY 1, 2),
+         |tot AS MATERIALIZED (SELECT CAST(sum(n) AS BIGINT) AS nn,
+         |  CAST(sum(pos) AS BIGINT) AS pp FROM base),
+         |h0 AS MATERIALIZED (SELECT qty, disc, n, pos,
+         |  CAST((10000 * (SELECT pp FROM tot)) // (SELECT nn FROM tot)
+         |    AS BIGINT) AS f FROM base),
+         |${gbmRoundSql(1)},
+         |${gbmRoundSql(2)},
+         |${gbmRoundSql(3)}
+         |SELECT 1 AS round, feature, v AS split_v, gain,
+         |  leaf_l AS leaf_l_e4, leaf_r AS leaf_r_e4,
+         |  (SELECT acc_ppm FROM a1) AS acc_ppm FROM win1
+         |UNION ALL SELECT 2, feature, v, gain, leaf_l, leaf_r,
+         |  (SELECT acc_ppm FROM a2) FROM win2
+         |UNION ALL SELECT 3, feature, v, gain, leaf_l, leaf_r,
+         |  (SELECT acc_ppm FROM a3) FROM win3""".stripMargin,
     // the identical joint histogram -> root argmin -> per-side, per-feature
     // conditional search, winners by the same (cost, feature, value) total
     // order, leaves folded to the same exact-ppm accuracy

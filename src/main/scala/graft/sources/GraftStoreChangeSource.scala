@@ -37,6 +37,13 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
   * kill-and-resume proof; idempotent sinks — the file sink's batch log,
   * or the store's own `commitVersion` writer — finish the contract).
   *
+  * CATCH-UP SIZING: a batch spanning k commits unions k per-version
+  * slices into one linear plan — bounded by commit count
+  * (metadata-scale), but a cold consumer over a long history should set
+  * `maxVersionsPerTrigger` (a few tens) so no single micro-batch plans
+  * hundreds of union legs; the offset log then drains the backlog across
+  * triggers at the same total IO.
+  *
   * Admission control follows FileStreamSource's shape
   * ([[SupportsAdmissionControl]]): `latestOffset(start, _)` advances at
   * most `maxVersionsPerTrigger` commits past the engine-supplied start —
@@ -97,10 +104,15 @@ private[sources] class GraftStoreChangeSource(spark: SparkSession,
   }
 
   /** Unused once [[SupportsAdmissionControl]] is implemented (the engine
-    * calls [[latestOffset]]); kept total for any legacy caller. */
+    * calls [[latestOffset]]); kept total for any legacy caller — but
+    * routed THROUGH the same clamped logic (r15): the raw-latest spelling
+    * this replaced would have bypassed admission control and the
+    * AvailableNow pin in one oversized batch if any engine path fell back
+    * here. `null` start = "nothing consumed yet", exactly latestOffset's
+    * startVer−1 floor. */
   override def getOffset: Option[V1Offset] = {
-    val latest = Versioned.latestVersion(dir).toLong
-    if (latest >= startVer) Some(LongOffset(latest)) else None
+    val end = verOf(latestOffset(null, getDefaultReadLimit))
+    if (end >= startVer) Some(LongOffset(end)) else None
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {

@@ -165,12 +165,26 @@ class GraftStoreSource extends TableProvider with DataSourceRegister
               "fresh firstVersion above the foreign commit")
           return
         }
+        // The marker is stamped BEFORE the commit (r15 crash-window fix): a
+        // crash between the two leaves marker-without-manifest, and the
+        // replay — finding its OWN marker below — safely re-runs the
+        // deterministic commit. The old order (commit, then marker) left
+        // manifest-without-marker, which the aliasing check above would
+        // misread as a foreign writer and wedge the stream permanently on
+        // a routine crash window.
+        Versioned.txnMarker(dir, v) match {
+          case Some(m) if m != marker => sys.error(
+            s"graftstore sink: version $v is claimed in-flight by another " +
+              s"writer (txn $m, expected $marker) — same ownership rule as " +
+              "a committed alias: fail loud rather than overwrite")
+          case Some(_) => () // our own crashed attempt: marker already stamped
+          case None => Versioned.writeTxnMarker(dir, v, marker)
+        }
         // ForeachBatchSink's rewrap: a pure batch frame the multi-action
         // commit plan (distinct-bucket collect + anti-join write) can reuse
         val batch = org.apache.spark.sql.graftbridge.ColumnBridge.asPureBatch(data)
         Versioned.commitUpsert(batch.sparkSession, batch, dir, v, keyCol,
           Versioned.bucketColumn(batch.sparkSession, dir))
-        Versioned.writeTxnMarker(dir, v, marker)
       }
       override def toString: String = s"GraftStoreSink[$dir, key=$keyCol]"
     }
@@ -303,13 +317,21 @@ object GraftStoreSource {
 private[sources] class GraftStoreTable(schema: StructType, dir: String,
                                        pin: Option[Int],
                                        tableOpts: CaseInsensitiveStringMap)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String =
     s"graftstore:$dir@${pin.map(v => s"v$v").getOrElse("latest")}"
   override def schema(): StructType = schema
+  // ACCEPT_ANY_SCHEMA (r15): the connector resolves INSERT input itself
+  // ([[GraftStoreWrites.resolveAgainstTable]] — by-name when the names
+  // match the table, positional otherwise, additive extras gated behind
+  // the `evolveSchema` option), because Spark's own output resolution
+  // would reject the one INSERT shape additive schema evolution needs:
+  // a new column. Same dual role as Delta's use of the capability.
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val v = pin.getOrElse(Versioned.latestVersion(dir))
     require(Versioned.hasVersion(dir, v), s"graftstore: no version $v under $dir")
@@ -317,6 +339,72 @@ private[sources] class GraftStoreTable(schema: StructType, dir: String,
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftStoreWriteBuilder(dir, pin, tableOpts, info)
+
+  // ---- SQL `DELETE FROM` (SupportsDelete) --------------------------------
+  // The documented subset: every conjunct must be a key-column equality or
+  // IN (the shapes [[Versioned.commitDelete]]'s id-frame contract serves,
+  // bloom-index-prunable at scale), or the empty predicate (DELETE FROM t
+  // with no WHERE → [[Versioned.commitDeleteAll]], a pure-metadata commit).
+  // Anything else returns canDeleteWhere=false and Spark reports the
+  // unsupported predicate — never a silent partial delete.
+  private def tableKeyCol: Option[String] =
+    Option(tableOpts.get("keyCol")).map(_.trim).filter(_.nonEmpty)
+
+  // identity the row-level commands ([[GraftRowLevelRewrite]]) need
+  private[sources] def storeDir: String = dir
+  private[sources] def storePin: Option[Int] = pin
+  private[sources] def storeKeyCol: Option[String] = tableKeyCol
+
+  /** Long probes of one conjunct, if it is a supported shape. */
+  private def probesOf(f: Filter): Option[Seq[Long]] = {
+    def num(a: Any): Option[Long] = a match {
+      case i: Int => Some(i.toLong); case l: Long => Some(l)
+      case s: Short => Some(s.toLong); case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    f match {
+      case EqualTo(c, x) if tableKeyCol.contains(c) => num(x).map(Seq(_))
+      case In(c, xs) if tableKeyCol.contains(c) =>
+        val ns = xs.toSeq.map(num)
+        if (ns.forall(_.isDefined)) Some(ns.flatten) else None
+      case _ => None
+    }
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean = {
+    val real = filters.filterNot(_.isInstanceOf[AlwaysTrue])
+    pin.isEmpty && (real.isEmpty ||
+      (tableKeyCol.isDefined && real.forall(probesOf(_).isDefined)))
+  }
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(pin.isEmpty, "graftstore: cannot DELETE through a version-pinned " +
+      "view — a snapshot is not a table")
+    val spark = SparkSession.active
+    val latest = Versioned.latestVersion(dir)
+    val v = latest + 1
+    // an unqualified `DELETE FROM t` arrives as the AlwaysTrue predicate
+    val real = filters.filterNot(_.isInstanceOf[AlwaysTrue])
+    if (real.isEmpty) { Versioned.commitDeleteAll(dir, v); return }
+    // conjuncts intersect: the doomed keys satisfy EVERY predicate
+    val keys = real.map(f => probesOf(f).getOrElse(sys.error(
+        s"graftstore DELETE supports key-column =/IN conjuncts, got $f")).toSet)
+      .reduce(_ intersect _)
+    if (keys.isEmpty) return // contradictory predicates: nothing to delete
+    val keyCol = tableKeyCol.get
+    val bucketCol = Versioned.bucketColumn(spark, dir)
+    // id frame (key, bucket) for the doomed keys: bloom-pruned when the
+    // store carries a key bloom index, full filter otherwise — either way
+    // commitDelete rewrites only the touched buckets
+    val rows =
+      if (Versioned.hasBloomIndex(dir, latest) &&
+          Versioned.bloomIdxKeyCol(dir, latest) == keyCol)
+        Versioned.lookupKeys(spark, dir, latest, keyCol, keys.toSeq)._1
+      else Versioned.readVersion(spark, dir, latest)
+        .where(col(keyCol).isin(keys.toSeq.map(Long.box): _*))
+    val ids = rows.select(col(keyCol), col(bucketCol)).distinct()
+    Versioned.commitDelete(spark, ids, dir, v, keyCol, bucketCol)
+  }
 }
 
 /** The WRITE half of the connector — the seam that turns the read-only
@@ -383,8 +471,46 @@ private[sources] object GraftStoreWrites {
         s"${pin.get}) — a snapshot is not a table; create the view without a pin")
     val spark = data.sparkSession
     val latest = Versioned.latestVersion(dir)
-    val v = opt("commitVersion").map(_.toInt).getOrElse(latest + 1)
-    if (Versioned.hasVersion(dir, v)) return // idempotent replay: already committed
+    val explicitV = opt("commitVersion").map(_.toInt)
+    // Bootstrap pins the first commit at version 1, so an explicit
+    // commitVersion != 1 on an empty store could never honor its
+    // idempotence contract (hasVersion(v) would stay false and a replay
+    // would re-apply as an upsert) — reject rather than silently remap.
+    if (latest == 0) explicitV.foreach(ev => require(ev == 1,
+      s"graftstore bootstrap commits at version 1 — commitVersion=$ev " +
+        "cannot be honored on an empty store (replay would not recognize " +
+        "its own commit); drop the option or pass 1"))
+    val v = explicitV.getOrElse(latest + 1)
+    // Deterministic-id writers (explicit commitVersion) get the streaming
+    // sink's txn-marker discipline (r15, closing the r14 guard-consistency
+    // gap): identity = txnAppId + version, stamped BEFORE the commit. A
+    // replay that finds its own marker skips (committed) or safely
+    // re-commits (crashed between marker and manifest); a FOREIGN commit
+    // aliasing the version fails loud instead of silently dropping the
+    // insert's rows — the exact scenario the sink's guard was added for.
+    val marker = explicitV.map(ev =>
+      s"${opt("txnAppId").getOrElse("graftinsert")}:v$ev")
+    if (Versioned.hasVersion(dir, v)) {
+      marker match {
+        case Some(m) =>
+          require(Versioned.txnMarker(dir, v).contains(m),
+            s"graftstore: commitVersion=$v already committed by another " +
+              s"writer (txn ${Versioned.txnMarker(dir, v).getOrElse("<none>")}" +
+              s", expected $m) — skipping would silently drop this insert's " +
+              "rows; pick an unclaimed version or a distinct txnAppId")
+          return // idempotent replay of our own commit
+        case None => return // auto-version collision: already committed
+      }
+    }
+    marker.foreach { m =>
+      Versioned.txnMarker(dir, v) match {
+        case Some(other) if other != m => sys.error(
+          s"graftstore: commitVersion=$v is claimed in-flight by another " +
+            s"writer (txn $other, expected $m)")
+        case Some(_) => () // our own crashed attempt: marker already stamped
+        case None => Versioned.writeTxnMarker(dir, v, m)
+      }
+    }
     if (latest == 0) {
       // first commit bootstraps the store (schema supplied externally)
       val bucketCol = opt("bucketCol").getOrElse(sys.error(
@@ -393,15 +519,66 @@ private[sources] object GraftStoreWrites {
       Versioned.commitBase(data, dir, bucketCol, n)
     } else {
       val bucketCol = Versioned.bucketColumn(spark, dir)
+      val tableSchema = Versioned.readVersion(spark, dir, latest).schema
+      val resolved = resolveAgainstTable(data, tableSchema,
+        opt("evolveSchema").exists(_.toBoolean))
       if (overwrite)
-        Versioned.commitRewrite(data, dir, v, bucketCol,
+        Versioned.commitRewrite(resolved, dir, v, bucketCol,
           Versioned.readManifest(dir, latest).size)
       else {
         val keyCol = opt("keyCol").getOrElse(sys.error(
           "graftstore append needs option 'keyCol' (the upsert key column) " +
             "on the table or the writer"))
-        Versioned.commitUpsert(spark, data, dir, v, keyCol, bucketCol)
+        Versioned.commitUpsert(spark, resolved, dir, v, keyCol, bucketCol)
       }
+    }
+  }
+
+  /** Resolve INSERT input against the table's current schema — the job
+    * [[TableCapability.ACCEPT_ANY_SCHEMA]] takes back from Spark (r15):
+    *
+    *  - BY NAME when the incoming columns cover every table column
+    *    (case-insensitive), reordered and cast to the table's types —
+    *    the `SELECT *`-from-a-matching-view shape and every
+    *    `df.write.format` shape.
+    *  - POSITIONAL otherwise (SQL INSERT semantics): arity must match
+    *    exactly, incoming columns rename/cast to the table's, in order.
+    *  - EXTRA columns beyond the table's are ADDITIVE SCHEMA EVOLUTION,
+    *    allowed only when the write sets `evolveSchema true` (evolution
+    *    must be asked for — a typo'd column name must fail, not fork the
+    *    schema); they append after the table's columns and
+    *    [[Versioned.commitUpsert]]'s add-only evolution takes over. A
+    *    drop (a table column absent by name AND arity short) stays
+    *    rejected — commitUpsert's documented add-only discipline. */
+  private[sources] def resolveAgainstTable(data: DataFrame, table: StructType,
+                                           evolve: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val dataCols = data.columns
+    val byName = table.fields.forall(f => dataCols.exists(_.equalsIgnoreCase(f.name)))
+    if (byName) {
+      val used = scala.collection.mutable.Set.empty[String]
+      val resolved = table.fields.map { f =>
+        val c = dataCols.find(_.equalsIgnoreCase(f.name)).get
+        used += c.toLowerCase
+        col(c).cast(f.dataType).as(f.name)
+      }
+      val extras = dataCols.filterNot(c => used(c.toLowerCase))
+      require(extras.isEmpty || evolve,
+        s"graftstore INSERT carries columns the table lacks: " +
+          s"${extras.mkString(", ")} — additive schema evolution must be " +
+          "asked for: set option evolveSchema=true on the write (or the view)")
+      data.select((resolved ++ extras.map(col)).toSeq: _*)
+    } else {
+      require(!evolve,
+        "graftstore schema evolution is BY NAME: the insert must carry every " +
+          s"current table column (${table.fieldNames.mkString(", ")}) plus the " +
+          "new ones; positional inserts cannot evolve")
+      require(dataCols.length == table.fields.length,
+        s"graftstore positional INSERT arity mismatch: table has " +
+          s"${table.fields.length} columns (${table.fieldNames.mkString(", ")}), " +
+          s"insert supplies ${dataCols.length} (${dataCols.mkString(", ")})")
+      data.select(dataCols.zip(table.fields).map { case (c, f) =>
+        col(c).cast(f.dataType).as(f.name) }.toSeq: _*)
     }
   }
 }

@@ -199,6 +199,16 @@ object Versioned {
     }.toSeq)
   }
 
+  /** Commit version `v` deleting EVERY row — `DELETE FROM t` with no
+    * predicate. Pure metadata: every bucket maps to the empty sentinel, no
+    * data file is read or written, and old versions still time travel (a
+    * full delete is a COMMIT, never an erase — the same
+    * overwrite-is-a-commit rule as [[commitRewrite]]). */
+  def commitDeleteAll(dir: String, v: Int): Unit = {
+    require(v > 1, s"commitDeleteAll is for versions after the base, got $v")
+    writeManifest(dir, v, readManifest(dir, v - 1).keySet.toSeq.map(_ -> 0))
+  }
+
   /** Commit version `v` applying a MIXED change batch in ONE commit — the
     * MERGE INTO shape of production table formats (WHEN MATCHED UPDATE /
     * WHEN NOT MATCHED INSERT / WHEN MATCHED DELETE): `changes` carries an
@@ -270,9 +280,21 @@ object Versioned {
       .getOrElse(sys.error(s"no partition dirs under $f"))
   }
 
-  /** Time travel: the table exactly as of version `v`. */
-  def readVersion(spark: SparkSession, dir: String, v: Int): DataFrame =
-    readBuckets(spark, dir, readManifest(dir, v))
+  /** Time travel: the table exactly as of version `v`. A fully-emptied
+    * version (every bucket the sentinel — e.g. an unqualified
+    * `DELETE FROM t` via [[commitDeleteAll]]) serves the EMPTY frame in
+    * the schema of the nearest earlier version that held data: an empty
+    * table is still a table with columns. */
+  def readVersion(spark: SparkSession, dir: String, v: Int): DataFrame = {
+    val m = readManifest(dir, v)
+    if (m.nonEmpty && m.values.forall(_ <= 0)) {
+      val donor = (v - 1 to 1 by -1)
+        .find(pv => readManifest(dir, pv).values.exists(_ > 0))
+        .getOrElse(sys.error(s"no version of $dir ever held data — " +
+          "cannot derive a schema for the emptied table"))
+      readBuckets(spark, dir, readManifest(dir, donor)).where(lit(false))
+    } else readBuckets(spark, dir, m)
+  }
 
   private def statsPath(dir: String, v: Int) =
     java.nio.file.Paths.get(dir, "manifests", s"v$v.stats.csv")
@@ -760,8 +782,12 @@ object Versioned {
     * batch id here, so on replay it can distinguish "my own commit —
     * skip" from "a FOREIGN commit aliased my version number — fail loud"
     * (skipping a foreign commit would silently drop the batch's rows). */
-  def writeTxnMarker(dir: String, v: Int, marker: String): Unit =
+  def writeTxnMarker(dir: String, v: Int, marker: String): Unit = {
+    // markers are stamped BEFORE their commit (crash-window ordering), so
+    // the manifests dir may not exist yet — e.g. a marker-first bootstrap
+    java.nio.file.Files.createDirectories(txnPath(dir, v).getParent)
     java.nio.file.Files.write(txnPath(dir, v), marker.getBytes("UTF-8"))
+  }
 
   /** The txn marker of version `v`, if its writer stamped one. */
   def txnMarker(dir: String, v: Int): Option[String] = {

@@ -107,6 +107,37 @@ class GraftSinkSpec extends SparkSpec {
     assert(exceptionChain(e3).exists(_.contains("firstVersion")))
   }
 
+  test("crash window: a stamped marker with NO manifest (crash between marker and commit) resumes cleanly") {
+    val root = tmp()
+    val (table, inDir, ckpt) = (s"$root/table", s"$root/in", s"$root/ckpt")
+    val base = (0L until 8L).map(k => (k, k, (k % 2).toInt)).toDF("k", "v", "bucket")
+    Versioned.commitBase(base, table, "bucket", 2)
+    // simulate the crash: batch 0's marker landed, the commit did not —
+    // exactly the window the marker-first ordering (r15) creates
+    Versioned.writeTxnMarker(table, 2, "graftsink:0")
+    Seq((0L, 900L, 0)).toDF("k", "v", "bucket").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    runStream(inDir, table, ckpt, base.schema) // must NOT wedge
+    assert(Versioned.latestVersion(table) == 2)
+    assert(Versioned.readVersion(spark, table, 2)
+      .where(col("k") === 0L).head().getLong(1) == 900L,
+      "the replay re-ran the deterministic commit under its own marker")
+  }
+
+  test("crash window: a FOREIGN in-flight marker (no manifest) fails loud, never overwrites") {
+    val root = tmp()
+    val (table, inDir, ckpt) = (s"$root/table", s"$root/in", s"$root/ckpt")
+    val base = (0L until 8L).map(k => (k, k, (k % 2).toInt)).toDF("k", "v", "bucket")
+    Versioned.commitBase(base, table, "bucket", 2)
+    Versioned.writeTxnMarker(table, 2, "someone-else:batch7")
+    Seq((0L, 900L, 0)).toDF("k", "v", "bucket").coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val e = intercept[Exception] { runStream(inDir, table, ckpt, base.schema) }
+    assert(exceptionChain(e).exists(_.contains("another")),
+      s"expected the in-flight ownership error, got: ${exceptionChain(e).mkString(" | ")}")
+    assert(Versioned.latestVersion(table) == 1, "nothing was committed over the claim")
+  }
+
   private def exceptionChain(e: Throwable): Seq[String] =
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
       .map(t => Option(t.getMessage).getOrElse("")).toSeq

@@ -283,4 +283,95 @@ class GraftStoreSpec extends SparkSpec {
     assert(read(dir).count() == 6, "the sentinel bucket contributes nothing")
     assert(read(dir, "versionAsOf" -> "1").count() == 12, "time travel still serves v1")
   }
+
+  test("a foreign commit aliasing an explicit commitVersion fails LOUD (the sink's guard, batch surface)") {
+    val dir = tmp()
+    val base = (0L until 20L).map(k => (k, k, (k % 2).toInt)).toDF("k", "v", "bucket")
+    Versioned.commitBase(base, dir, "bucket", 2)
+    // a maintenance job lands version 2 first, with no txn marker
+    Versioned.commitUpsert(spark, Seq((0L, 777L, 0)).toDF("k", "v", "bucket"),
+      dir, 2, "k", "bucket")
+    val e = intercept[Exception] {
+      Seq((1L, 111L, 1)).toDF("k", "v", "bucket")
+        .write.format("graftstore").mode("append")
+        .option("path", dir).option("keyCol", "k")
+        .option("commitVersion", "2").save()
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).take(8)
+      .exists(t => Option(t.getMessage).exists(_.contains("another"))),
+      s"expected the aliasing error, got: ${e.getMessage}")
+    assert(Versioned.readVersion(spark, dir, 2)
+      .where(col("k") === 0L).head().getLong(1) == 777L,
+      "the foreign commit is untouched")
+    // distinct writer identity (txnAppId) makes the same version number
+    // legible as a DIFFERENT claim — still rejected, not silently merged
+    intercept[Exception] {
+      Seq((1L, 111L, 1)).toDF("k", "v", "bucket")
+        .write.format("graftstore").mode("append")
+        .option("path", dir).option("keyCol", "k")
+        .option("commitVersion", "2").option("txnAppId", "jobB").save()
+    }
+  }
+
+  test("bootstrap rejects commitVersion != 1 and honors the marker at 1 (idempotent bootstrap)") {
+    val dir = tmp()
+    val base = (0L until 8L).map(k => (k, k, (k % 2).toInt)).toDF("k", "v", "bucket")
+    intercept[Exception] {
+      base.write.format("graftstore").mode("append")
+        .option("path", dir).option("bucketCol", "bucket")
+        .option("commitVersion", "5").save()
+    }
+    assert(Versioned.latestVersion(dir) == 0, "the rejected bootstrap wrote nothing")
+    def boot(): Unit = base.write.format("graftstore").mode("append")
+      .option("path", dir).option("bucketCol", "bucket").option("nBuckets", "2")
+      .option("commitVersion", "1").save()
+    boot()
+    assert(Versioned.latestVersion(dir) == 1)
+    assert(Versioned.txnMarker(dir, 1).contains("graftinsert:v1"),
+      "the bootstrapping writer's identity is recorded at version 1")
+    boot() // the replay recognizes its own commit
+    assert(Versioned.latestVersion(dir) == 1, "idempotent from the first commit")
+  }
+
+  test("INSERT schema evolution: extras rejected without evolveSchema, additive with it; positional insert resolves") {
+    val dir = tmp()
+    val base = (0L until 20L).map(k => (k, k, (k % 2).toInt)).toDF("k", "v", "bucket")
+    Versioned.commitBase(base, dir, "bucket", 2)
+    // extras without opting in: fail (a typo'd column must not fork the schema)
+    val e = intercept[Exception] {
+      Seq((0L, 5L, 0, "x")).toDF("k", "v", "bucket", "extra")
+        .write.format("graftstore").mode("append")
+        .option("path", dir).option("keyCol", "k").save()
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).take(8)
+      .exists(t => Option(t.getMessage).exists(_.contains("evolveSchema"))))
+    assert(Versioned.latestVersion(dir) == 1)
+    // opted in: additive evolution; a pinned old read never sees the column
+    Seq((0L, 5L, 0, "x")).toDF("k", "v", "bucket", "extra")
+      .write.format("graftstore").mode("append")
+      .option("path", dir).option("keyCol", "k")
+      .option("evolveSchema", "true").save()
+    val v2 = read(dir)
+    assert(v2.columns.contains("extra"))
+    assert(v2.where(col("k") === 0L).head().getAs[String]("extra") == "x")
+    assert(v2.where(col("extra").isNotNull).count() == 1,
+      "untouched-key provenance null-fills")
+    assert(!read(dir, "versionAsOf" -> "1").columns.contains("extra"))
+    // POSITIONAL insert (SQL semantics): arity-matched columns rename+cast
+    // to the table's served order — (k, v, bucket, extra) after evolution
+    assert(v2.columns.toSeq == Seq("k", "v", "bucket", "extra"))
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW gse_t USING graftstore " +
+      s"OPTIONS (path '$dir', keyCol 'k')")
+    Seq((3L, 333, 1, "y")).toDF("a", "b", "c", "d")
+      .createOrReplaceTempView("gse_pos")
+    spark.sql("INSERT INTO gse_t SELECT * FROM gse_pos")
+    val v3 = read(dir)
+    val got = v3.where(col("k") === 3L).head()
+    assert(got.getAs[Long]("v") == 333L && got.getAs[String]("extra") == "y",
+      "positional resolution mapped and cast the columns in table order")
+    intercept[Exception] {
+      Seq((4L, 4L)).toDF("k", "v").write.format("graftstore").mode("append")
+        .option("path", dir).option("keyCol", "k").save()
+    }
+  }
 }
