@@ -195,7 +195,12 @@ object Plans {
     "clf_reliability", "priv_dp_counts", "store_clone",
     // round-14 additions: integer-exact chi-squared ranking, the
     // streaming-source-driven MV maintainer, and the native streaming sink
-    "ml_chi2_select", "mv_refresh_cdf_stream", "store_sink_stream")
+    "ml_chi2_select", "mv_refresh_cdf_stream", "store_sink_stream",
+    // round-15 additions: SQL row-level DML (MERGE/UPDATE/DELETE) on the
+    // store, additive INSERT schema evolution, the table-to-table
+    // streaming hop, and the three-round boosted-stump fit
+    "store_sql_merge", "store_sql_update", "store_sql_delete",
+    "store_sql_evolve", "store_stream_hop", "ml_gbm")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
