@@ -200,7 +200,7 @@ object Plans {
     // store, additive INSERT schema evolution, the table-to-table
     // streaming hop, and the three-round boosted-stump fit
     "store_sql_merge", "store_sql_update", "store_sql_delete",
-    "store_sql_evolve", "store_stream_hop", "ml_gbm")
+    "store_sql_evolve", "store_stream_hop", "store_hop_cdc", "ml_gbm")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1005,6 +1005,54 @@ object SourceQueries {
     agg("A", s"$layoutB-src").unionByName(agg("B", layoutB))
   }
 
+  /** The FULL-CDC streaming hop — [[qStoreStreamHop]] with DELETES (r15):
+    * the sink's `opCol` mode commits each op-tagged micro-batch through
+    * [[graft.sources.Versioned.commitMerge]] ('D' rows delete their key,
+    * everything else upserts — one mixed copy-on-write commit per batch),
+    * so a change-feed hop replicates a table's WHOLE mutation history, not
+    * just its inserts/updates. Store A is the shared three-version
+    * change-feed layout (base, upsert commit, DELETE commit); the hop
+    * replays its feed into B commit-for-commit, and the gate proves B's
+    * final state equals A's — including the delete stripe's absence
+    * (`n_del_present` = 0 on both sides). This closes the last asymmetry
+    * in the streaming table surface: source, sink, and now the op
+    * vocabulary between them. */
+  def qStoreHopCdc(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    val layoutA = storeChangesLayout(fork, dir)
+    val layoutB = graft.operators.Artifacts.sharedPath(s"storehopcdc:$dir") { pathB =>
+      val orders = fork.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          expr("cast(cast(o_totalprice as decimal(18,4)) * 10000 as bigint)")
+            .as("price_e4"))
+        .withColumn("bucket", pmod(col("o_orderkey"), lit(16)).cast("int"))
+      graft.sources.Versioned.commitBase(orders, pathB, "bucket", 16)
+      val ckpt = StreamScratch.fresh("storehopcdc").toString
+      val q = fork.readStream.format("graftstore")
+        .option("path", layoutA).option("keyCol", "o_orderkey")
+        .option("maxVersionsPerTrigger", 1).load()
+        .select(col("op"), col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("price_e4"), col("bucket"))
+        .writeStream.format("graftstore")
+        .option("path", pathB).option("keyCol", "o_orderkey")
+        .option("opCol", "op")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def agg(store: String, path: String) = {
+      val t = graft.sources.Versioned.readVersion(fork, path,
+        graft.sources.Versioned.latestVersion(path))
+      t.agg(count(lit(1)).as("n_rows"), sum(col("price_e4")).as("sum_price_e4"),
+        sum(when(expr("o_orderkey % 16 = 9 AND (o_orderkey div 16) % 3 = 0"),
+          1L).otherwise(0L)).as("n_del_present"))
+        .select(lit(store).as("store"),
+          lit(graft.sources.Versioned.latestVersion(path)).as("n_versions"),
+          col("n_rows"), col("sum_price_e4"), col("n_del_present"))
+    }
+    agg("A", layoutA).unionByName(agg("B", layoutB))
+  }
+
   /** METADATA-ONLY aggregation through the connector
     * (`SupportsPushDownAggregates`, complete pushdown): a global
     * COUNT(*) / MIN / MAX over the zone column is answered from the
@@ -1363,6 +1411,7 @@ object SourceQueries {
     "store_sql_delete" -> qStoreSqlDelete _,
     "store_sql_evolve" -> qStoreSqlEvolve _,
     "store_stream_hop" -> qStoreStreamHop _,
+    "store_hop_cdc" -> qStoreHopCdc _,
     "store_changes_stream" -> qStoreChangesStream _,
     "store_cdf_stream" -> qStoreCdfStream _,
     "store_compact" -> qStoreCompact _,
@@ -1776,6 +1825,26 @@ object SourceQueries {
         |  CAST((SELECT sum(price_e4) FROM b0)
         |    + (SELECT coalesce(sum(price_e4), 0) FROM stripe) AS BIGINT),
         |  (SELECT CAST(count(*) AS BIGINT) FROM stripe)""".stripMargin,
+    // the CDC hop replicates the WHOLE mutation history (upserts AND the
+    // delete stripe): both stores land on the identical post-all-changes
+    // state, the deleted stripe absent on both sides
+    "store_hop_cdc" ->
+      """WITH b0 AS (SELECT o_orderkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS price_e4
+        |  FROM orders),
+        |k0 AS (SELECT ((max(k) // 16) + 1) * 16 AS v FROM b0),
+        |state AS (
+        |  SELECT k, CASE WHEN k % 16 = 3 AND (k // 16) % 2 = 0
+        |    THEN price_e4 * 2 ELSE price_e4 END AS price_e4
+        |  FROM b0 WHERE NOT (k % 16 = 9 AND (k // 16) % 3 = 0)
+        |  UNION ALL
+        |  SELECT k + (SELECT v FROM k0), price_e4 + 7 FROM b0 WHERE k % 16 = 5)
+        |SELECT 'A' AS store, 3 AS n_versions, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_e4) AS BIGINT) AS sum_price_e4,
+        |  CAST(0 AS BIGINT) AS n_del_present FROM state
+        |UNION ALL
+        |SELECT 'B', 3, CAST(count(*) AS BIGINT), CAST(sum(price_e4) AS BIGINT),
+        |  CAST(0 AS BIGINT) FROM state""".stripMargin,
     // the hop is content-invisible: A (library commits) and B (streamed
     // replica) aggregate identically — one derivation, two labeled rows
     "store_stream_hop" ->

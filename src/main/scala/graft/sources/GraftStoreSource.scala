@@ -144,6 +144,12 @@ class GraftStoreSource extends TableProvider with DataSourceRegister
       sys.error("graftstore sink requires option 'path' (the store dir)"))
     val keyCol = caseMap.getOrElse("keycol",
       sys.error("graftstore sink requires option 'keyCol' (the upsert key)"))
+    // CDC mode (r15): `opCol 'op'` declares an op column riding the batch —
+    // rows whose op is 'D' DELETE their key, every other op upserts — and
+    // the commit becomes [[Versioned.commitMerge]] (one mixed commit per
+    // batch). Without it the sink stays a pure upserter. This is what lets
+    // a change-feed hop replicate DELETES, not just inserts/updates.
+    val opCol = caseMap.get("opcol").map(_.trim).filter(_.nonEmpty)
     val firstV = caseMap.get("firstversion").map(_.trim.toInt).getOrElse(2)
     require(firstV >= 2, s"firstVersion must be >= 2 (got $firstV): " +
       "version 1 is the base snapshot (commitBase / a bootstrap append)")
@@ -183,8 +189,25 @@ class GraftStoreSource extends TableProvider with DataSourceRegister
         // ForeachBatchSink's rewrap: a pure batch frame the multi-action
         // commit plan (distinct-bucket collect + anti-join write) can reuse
         val batch = org.apache.spark.sql.graftbridge.ColumnBridge.asPureBatch(data)
-        Versioned.commitUpsert(batch.sparkSession, batch, dir, v, keyCol,
-          Versioned.bucketColumn(batch.sparkSession, dir))
+        val bucketCol = Versioned.bucketColumn(batch.sparkSession, dir)
+        opCol match {
+          case Some(oc) =>
+            require(batch.columns.exists(_.equalsIgnoreCase(oc)),
+              s"graftstore sink: opCol '$oc' is not a column of the batch")
+            val c = batch.columns.find(_.equalsIgnoreCase(oc)).get
+            val changes = batch
+              .withColumn("graft_op_norm",
+                org.apache.spark.sql.functions.when(
+                  org.apache.spark.sql.functions.col(c) === "D",
+                  org.apache.spark.sql.functions.lit("D"))
+                  .otherwise(org.apache.spark.sql.functions.lit("U")))
+              .drop(c).withColumnRenamed("graft_op_norm", "op")
+            Versioned.commitMerge(changes.sparkSession, changes, dir, v,
+              keyCol, bucketCol)
+          case None =>
+            Versioned.commitUpsert(batch.sparkSession, batch, dir, v, keyCol,
+              bucketCol)
+        }
       }
       override def toString: String = s"GraftStoreSink[$dir, key=$keyCol]"
     }

@@ -66,6 +66,27 @@ class GraftHopSpec extends SparkSpec {
       == Versioned.readVersion(spark, a, 2).collect().map(_.getLong(1)).sorted.toSeq)
   }
 
+  test("CDC mode (opCol): the hop replicates DELETES too; non-D ops upsert") {
+    val root = tmp()
+    val (a, b) = stage(root)
+    // a third A commit: DELETE keys 3 and 7 (both bucket 3)
+    Versioned.commitDelete(spark, Seq((3L, 3), (7L, 3)).toDF("k", "bucket"),
+      a, 4, "k", "bucket")
+    val q = spark.readStream.format("graftstore")
+      .option("path", a).option("keyCol", "k")
+      .option("maxVersionsPerTrigger", "1").load()
+      .select(col("op"), col("k"), col("v"), col("bucket"))
+      .writeStream.format("graftstore")
+      .option("path", b).option("keyCol", "k").option("opCol", "op")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(Versioned.latestVersion(b) == 4)
+    val sb = state(b)
+    assert(!sb.contains(3L) && !sb.contains(7L), "the delete commit replicated")
+    assert(sb == state(a), "full mutation history replayed: states equal")
+  }
+
   test("kill mid-hop, resume: every A commit lands in B exactly once") {
     val root = tmp()
     val (a, b) = stage(root)
