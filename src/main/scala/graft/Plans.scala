@@ -200,7 +200,12 @@ object Plans {
     // store, additive INSERT schema evolution, the table-to-table
     // streaming hop, and the three-round boosted-stump fit
     "store_sql_merge", "store_sql_update", "store_sql_delete",
-    "store_sql_evolve", "store_stream_hop", "store_hop_cdc", "ml_gbm")
+    "store_sql_evolve", "store_stream_hop", "store_hop_cdc", "ml_gbm",
+    // round-15 late additions: the statistics-driven hint-free broadcast,
+    // the TableCatalog SQL time-travel read, and the _commit_version
+    // metadata-column provenance scan
+    "store_stats_join", "store_catalog_sql", "store_meta_cols",
+    "store_sql_maintenance")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1073,6 +1073,178 @@ object SourceQueries {
         max(col("order_day")).as("max_day"))
   }
 
+  /** Statistics-driven AUTO-BROADCAST through the connector
+    * (`SupportsReportStatistics`, r15): the scan reports its real
+    * footprint — pruned buckets' on-disk bytes × pruned/full column-width
+    * ratio, row counts from the commit-log sidecar — so Catalyst sizes the
+    * join itself: the customer fact joined to a graftstore-backed nation
+    * dimension plans a BroadcastHashJoin with NO hint anywhere. Without
+    * the stats, a DSv2 scan is `defaultSizeInBytes` ("assume huge") and
+    * every such join shuffles both sides — at 100 TB the difference
+    * between a map-side join and a full fact-table shuffle. GraftStatsSpec
+    * pins the mechanics (reported bytes == filesystem bytes, sidecar rows,
+    * bloom-pruned shrinkage, the hint-free BroadcastHashJoin); the oracle
+    * pins the join's VALUES. */
+  def qStoreStatsJoin(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    val layout = graft.operators.Artifacts.sharedPath(s"statsjoin:$dir") { path =>
+      val nation = fork.read.parquet(s"$dir/nation.parquet")
+        .withColumn("bucket", pmod(col("n_nationkey"), lit(4)).cast("int"))
+      graft.sources.Versioned.commitBase(nation, path, "bucket", 4)
+      graft.sources.Versioned.writeRowCounts(fork, path, 1)
+    }
+    val nat = fork.read.format("graftstore").option("path", layout).load()
+    fork.read.parquet(s"$dir/customer.parquet")
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        expr("cast(sum(cast(c_acctbal as decimal(18,4))) * 10000 as bigint)")
+          .as("sum_bal_e4"))
+  }
+
+  /** The NAME-typed table lifecycle — [[graft.sources.GraftCatalog]], a
+    * real `TableCatalog` over a warehouse of versioned stores (r15): every
+    * statement here is PLAIN SQL against a catalog-qualified name, no path
+    * and no DataFrame API anywhere after staging — `CREATE NAMESPACE`,
+    * `CREATE TABLE ... USING graftstore OPTIONS (...)`, a bootstrap
+    * `INSERT INTO` (commit v1), an upsert `INSERT INTO` (commit v2), then
+    * the SQL time-travel syntax itself: `VERSION AS OF 1 / 2` resolving
+    * through `TableCatalog.loadTable(ident, version)`. Same staged content
+    * as [[qTimeTravel]], so the oracle is q_time_travel's VERBATIM — the
+    * FOURTH surface serving one snapshot-resolution rule (library API,
+    * reader options, DDL-view SQL, and now catalog time-travel syntax).
+    * GraftCatalogSpec pins the lifecycle mechanics (SHOW TABLES, DROP,
+    * RENAME preserving history, declared-schema empty reads, timestamp
+    * travel). At 100 TB the catalog is pure metadata: list/load are
+    * directory listings, no operation opens a data file. */
+  def qStoreCatalogSql(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    fork.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val wh = graft.operators.Artifacts.sharedPath(s"catalogsql:$dir") { path =>
+      fork.conf.set("spark.sql.catalog.graft_cat.warehouse", path)
+      fork.sql("CREATE NAMESPACE graft_cat.lake")
+      fork.sql(
+        """CREATE TABLE graft_cat.lake.orders (
+          |  o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+          |  o_orderdate DATE, o_totalprice DOUBLE, bucket INT
+          |) USING graftstore
+          |OPTIONS (keyCol 'o_orderkey', bucketCol 'bucket', nBuckets '16')"""
+          .stripMargin)
+      fork.read.parquet(s"$dir/orders.parquet")
+        .createOrReplaceTempView("graft_cat_src")
+      fork.sql(
+        """INSERT INTO graft_cat.lake.orders
+          |SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate,
+          |  o_totalprice, CAST(o_orderkey % 16 AS INT)
+          |FROM graft_cat_src""".stripMargin)
+      fork.sql(
+        """INSERT INTO graft_cat.lake.orders
+          |SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate,
+          |  o_totalprice * 2, CAST(o_orderkey % 16 AS INT)
+          |FROM graft_cat_src WHERE o_orderkey % 64 < 4""".stripMargin)
+    }
+    fork.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    def one(v: Int) =
+      s"""SELECT $v AS version, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000 AS BIGINT)
+         |    AS sum_price_e4,
+         |  CAST(sum(CASE WHEN o_orderkey % 64 < 4 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_delta_keys
+         |FROM graft_cat.lake.orders VERSION AS OF $v""".stripMargin
+    fork.sql(one(1) + "\nUNION ALL\n" + one(2))
+  }
+
+  /** The SQL MAINTENANCE surface — [[graft.sources.GraftCatalog]]'s
+    * `ProcedureCatalog` half (r15): `CALL <cat>.system.compact / vacuum /
+    * write_stats`, the stored-procedure packaging every production table
+    * format ships for operations that are COMMITS, not queries (Iceberg's
+    * `CALL catalog.system.rewrite_data_files` shape). Staging builds a
+    * deliberately FRAGMENTED table (a bootstrap commit, then an
+    * every-bucket upsert written from multiple tasks — several parquet
+    * files per bucket directory), then pure SQL text runs the whole
+    * maintenance cycle: compact (v3: every multi-file bucket → one file),
+    * write_stats (zone + row-count sidecars on v3), vacuum (keep 1 —
+    * unreferenced data directories deleted, time travel to v1 gone by
+    * design). The gate: content is INVARIANT under all three (the
+    * compaction-invisibility contract), every live bucket directory holds
+    * exactly one file, and the store stands at version 3 — evidence
+    * computed by a filesystem walk (metadata), values replayed
+    * relationally. At 100 TB: compaction cost is O(fragmented data) —
+    * untouched buckets' pointers copy forward; vacuum decisioning is
+    * manifest-sized, deletes are its only IO. */
+  def qStoreSqlMaintenance(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
+    fork.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    val wh = graft.operators.Artifacts.sharedPath(s"catalogmaint:$dir") { path =>
+      fork.conf.set("spark.sql.catalog.graft_cat.warehouse", path)
+      fork.sql("CREATE NAMESPACE graft_cat.lake")
+      fork.sql(
+        """CREATE TABLE graft_cat.lake.orders_m (
+          |  o_orderkey BIGINT, price_e4 BIGINT, bucket INT
+          |) USING graftstore
+          |OPTIONS (keyCol 'o_orderkey', bucketCol 'bucket', nBuckets '16')"""
+          .stripMargin)
+      fork.read.parquet(s"$dir/orders.parquet")
+        .createOrReplaceTempView("graft_maint_src")
+      fork.sql(
+        """INSERT INTO graft_cat.lake.orders_m
+          |SELECT o_orderkey,
+          |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT),
+          |  CAST(o_orderkey % 16 AS INT)
+          |FROM graft_maint_src""".stripMargin)
+      // v2: EVERY key re-upserted (+7) from several tasks — the
+      // fragmenting commit (multiple files per bucket directory)
+      fork.sql(
+        """INSERT INTO graft_cat.lake.orders_m
+          |SELECT /*+ REPARTITION(4) */ o_orderkey,
+          |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) + 7,
+          |  CAST(o_orderkey % 16 AS INT)
+          |FROM graft_maint_src""".stripMargin)
+      fork.sql("CALL graft_cat.system.compact('lake.orders_m')").collect()
+      fork.sql("CALL graft_cat.system.write_stats('lake.orders_m', 'o_orderkey')")
+        .collect()
+      fork.sql("CALL graft_cat.system.vacuum('lake.orders_m', 1)").collect()
+    }
+    fork.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    val store = s"$wh/lake/orders_m"
+    // evidence by filesystem walk (metadata): the compacted layout holds
+    // exactly one parquet file per live bucket directory
+    val m = graft.sources.Versioned.readManifest(store,
+      graft.sources.Versioned.latestVersion(store))
+    val maxFiles = m.filter(_._2 > 0).map { case (b, ver) =>
+      new java.io.File(s"$store/data/v$ver/bucket=$b")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+    }.max
+    fork.sql(
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(price_e4) AS BIGINT) AS sum_price_e4
+        |FROM graft_cat.lake.orders_m""".stripMargin)
+      .withColumn("n_versions",
+        lit(graft.sources.Versioned.latestVersion(store)))
+      .withColumn("max_files_per_bucket", lit(maxFiles))
+  }
+
+  /** Row provenance through the `_commit_version` METADATA column
+    * (`SupportsMetadataColumns`, r15 — the store's analogue of Iceberg's
+    * `_file` / Delta's `_metadata`): which commit last materialized each
+    * row's bucket file, served from the manifest the scan already holds
+    * with ZERO extra IO. On the shared two-version layout the answer is
+    * fully determined — v2's delta touched exactly buckets 0–3 (keys
+    * %64<4 land there), so those buckets' rows report 2 and every other
+    * bucket's report 1 — which the oracle replays relationally. The
+    * column is HIDDEN (absent from `SELECT *`) and appears only when
+    * asked for by name — the metadata-column contract, spec-pinned. At
+    * 100 TB: an audit like "how many rows does commit v still serve"
+    * is one manifest-stamped scan, no join against the commit log. */
+  def qStoreMetaCols(s: SparkSession, dir: String): DataFrame = {
+    val layout = timeTravelLayout(s, dir)
+    s.read.format("graftstore").option("path", layout).load()
+      .select(col("o_orderkey"), col("o_totalprice"), col("_commit_version"))
+      .groupBy(col("_commit_version"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("cast(sum(cast(o_totalprice as decimal(18,4))) * 10000 as bigint)")
+          .as("sum_price_e4"))
+  }
+
   /** [[qStoreBloomSkip]] THROUGH the DSv2 connector: the probe batch is a
     * plain `.isin` predicate — Catalyst pushes the `In` filter into the
     * scan, which tests every bucket's bloom filter (metadata work, no IO)
@@ -1412,6 +1584,10 @@ object SourceQueries {
     "store_sql_evolve" -> qStoreSqlEvolve _,
     "store_stream_hop" -> qStoreStreamHop _,
     "store_hop_cdc" -> qStoreHopCdc _,
+    "store_stats_join" -> qStoreStatsJoin _,
+    "store_catalog_sql" -> qStoreCatalogSql _,
+    "store_meta_cols" -> qStoreMetaCols _,
+    "store_sql_maintenance" -> qStoreSqlMaintenance _,
     "store_changes_stream" -> qStoreChangesStream _,
     "store_cdf_stream" -> qStoreCdfStream _,
     "store_compact" -> qStoreCompact _,
@@ -1774,8 +1950,39 @@ object SourceQueries {
     // one oracle, two clusterings (Morton isin vs Hilbert run ranges)
     "q_hilbert_prune" -> baseOracleSql("q_zorder_prune"),
     "store_dsv2_travel" -> baseOracleSql("q_time_travel"),
+    // the auto-broadcast join's values: plan shape is GraftStatsSpec's
+    "store_stats_join" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_bal_e4
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
     "store_dsv2_sql" -> baseOracleSql("q_time_travel"),
     "store_dsv2_write" -> baseOracleSql("q_time_travel"),
+    // the catalog's SQL lifecycle stages the same two-version content, so
+    // the time-travel read-back re-serves q_time_travel's oracle VERBATIM
+    "store_catalog_sql" -> baseOracleSql("q_time_travel"),
+    // provenance is fully determined on the shared layout: v2 touched
+    // exactly buckets 0-3 (delta keys %64<4 land there), so bucket rows
+    // report commit 2 there and commit 1 everywhere else
+    // content invariance under compact+stats+vacuum: every key upserted
+    // once with +7, so the final table is the base with +7 everywhere;
+    // the layout evidence (one file per bucket, version 3) is constant
+    "store_sql_maintenance" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+        |    + 7) AS BIGINT) AS sum_price_e4,
+        |  3 AS n_versions, 1 AS max_files_per_bucket
+        |FROM orders""".stripMargin,
+    "store_meta_cols" ->
+      """WITH rows_v AS (SELECT
+        |    CASE WHEN o_orderkey % 64 < 4 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    CASE WHEN o_orderkey % 16 < 4 THEN 2 ELSE 1 END AS _commit_version
+        |  FROM orders)
+        |SELECT _commit_version, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 10000 AS BIGINT)
+        |    AS sum_price_e4
+        |FROM rows_v GROUP BY 1""".stripMargin,
     "store_dsv2_asof" -> baseOracleSql("store_asof_ts"),
     "store_dsv2_skip" -> baseOracleSql("q_zonemap_prune"),
     "store_dsv2_lookup" -> baseOracleSql("store_bloom_skip"),

@@ -1,0 +1,404 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import java.util
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import scala.jdk.CollectionConverters._
+
+/** A real `TableCatalog` over a warehouse of [[Versioned]] stores — the
+  * packaging that upgrades the connector from path-typed views to
+  * NAME-typed tables with the full SQL lifecycle (r15):
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.graft.warehouse", "/data/lake")
+  *
+  *   CREATE NAMESPACE graft.lake
+  *   CREATE TABLE graft.lake.orders (o_orderkey BIGINT, ..., bucket INT)
+  *     USING graftstore OPTIONS (keyCol 'o_orderkey', bucketCol 'bucket',
+  *                               nBuckets '16')
+  *   INSERT INTO graft.lake.orders SELECT ...      -- bootstrap = v1
+  *   INSERT INTO graft.lake.orders SELECT ...      -- upsert     = v2
+  *   SELECT * FROM graft.lake.orders VERSION AS OF 1    -- time travel
+  *   SELECT * FROM graft.lake.orders TIMESTAMP AS OF '2026-08-16 00:00:00'
+  *   SHOW TABLES IN graft.lake / DROP TABLE / ALTER TABLE ... RENAME TO
+  * }}}
+  *
+  * Layout is the warehouse directory itself: `warehouse/<ns...>/<table>`,
+  * a table being any directory holding a store (`manifests/`) or a
+  * declared-but-unwritten schema (`table.schema.json`, written by
+  * `CREATE TABLE`; the first INSERT bootstraps commit v1 through
+  * [[GraftStoreWrites.insert]]'s existing path and the declared schema
+  * then retires in favor of the live one). Table OPTIONS persist in
+  * `table.props.csv` beside the schema, so `keyCol`/`bucketCol` are
+  * stated once at CREATE time and every later INSERT/MERGE finds them.
+  *
+  * `VERSION AS OF v` resolves through `loadTable(ident, version)` to the
+  * same pinned [[GraftStoreTable]] a `versionAsOf` reader option builds;
+  * `TIMESTAMP AS OF` arrives as epoch MICROS and resolves through
+  * [[Versioned.versionAsOf]] — one snapshot-resolution rule, now three
+  * surfaces (library API, reader options, SQL time-travel syntax).
+  *
+  * Everything here is METADATA-SCALE: list/exists/load are directory
+  * listings, create writes two small files, drop/rename move one
+  * directory — no operation touches data files, so the catalog adds zero
+  * data IO at any table size. ALTER TABLE column changes are rejected
+  * (additive evolution is the write path's job — `evolveSchema` on
+  * INSERT); RENAME is supported (a directory move: manifests reference
+  * buckets relative to the store dir, so the whole commit history,
+  * sidecars and time travel survive the rename untouched, which
+  * GraftCatalogSpec proves). */
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+
+  private var catName: String = _
+  private var warehouse: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    val w = Option(options.get("warehouse")).map(_.trim).filter(_.nonEmpty)
+      .getOrElse(sys.error(
+        s"GraftCatalog '$name' requires option 'warehouse' " +
+          s"(spark.sql.catalog.$name.warehouse = <dir>)"))
+    warehouse = Paths.get(w).toAbsolutePath
+    Files.createDirectories(warehouse)
+  }
+
+  override def name(): String = catName
+
+  // ---- layout ------------------------------------------------------------
+
+  /** One path component of an identifier — refuses separators and
+    * traversal so no name can escape the warehouse root. */
+  private def part(s: String): String = {
+    require(s.nonEmpty && !s.contains('/') && !s.contains('\\') && s != ".."
+        && s != ".",
+      s"GraftCatalog: illegal name component '$s'")
+    s
+  }
+
+  private def nsPath(ns: Array[String]): Path =
+    ns.foldLeft(warehouse)((p, n) => p.resolve(part(n)))
+
+  private def tablePath(ident: Identifier): Path =
+    nsPath(ident.namespace).resolve(part(ident.name))
+
+  private def schemaFile(dir: Path): Path = dir.resolve("table.schema.json")
+  private def propsFile(dir: Path): Path = dir.resolve("table.props.csv")
+
+  /** A directory is a TABLE iff it holds a store or a declared schema. */
+  private def isTable(dir: Path): Boolean =
+    Files.isDirectory(dir) &&
+      (Files.isDirectory(dir.resolve("manifests")) ||
+        Files.exists(schemaFile(dir)))
+
+  private def listDirs(dir: Path): Seq[Path] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala.filter(Files.isDirectory(_)).toSeq.sortBy(_.getFileName.toString)
+      finally s.close()
+    }
+
+  private def readProps(dir: Path): Map[String, String] =
+    if (!Files.exists(propsFile(dir))) Map.empty
+    else new String(Files.readAllBytes(propsFile(dir)), "UTF-8")
+      .split("\n").filter(_.nonEmpty)
+      .map { l => val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1) }
+      .toMap
+
+  private def writeProps(dir: Path, props: Map[String, String]): Unit =
+    Files.write(propsFile(dir),
+      props.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+        .mkString("\n").getBytes("UTF-8"))
+
+  // ---- TableCatalog ------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val p = nsPath(namespace)
+    if (namespace.nonEmpty && !Files.isDirectory(p))
+      throw new NoSuchNamespaceException(namespace)
+    listDirs(p).filter(isTable)
+      .map(d => Identifier.of(namespace, d.getFileName.toString)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTable(tablePath(ident))
+
+  private def load(ident: Identifier, pin: Option[Int]): Table = {
+    val dir = tablePath(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val path = dir.toString
+    val opts = new CaseInsensitiveStringMap(
+      (readProps(dir) + ("path" -> path)).asJava)
+    val latest = Versioned.latestVersion(path)
+    pin.foreach(v => require(Versioned.hasVersion(path, v),
+      s"graftstore: $catName.${ident.toString} has no version $v"))
+    val schema: StructType =
+      if (latest > 0 || pin.isDefined)
+        Versioned.readVersion(org.apache.spark.sql.SparkSession.active,
+          path, pin.getOrElse(latest)).schema
+      else DataType.fromJson(new String(
+        Files.readAllBytes(schemaFile(dir)), "UTF-8")).asInstanceOf[StructType]
+    new GraftStoreTable(schema, path, pin, opts)
+  }
+
+  override def loadTable(ident: Identifier): Table = load(ident, None)
+
+  /** SQL `VERSION AS OF v`. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, Some(version.trim.toInt))
+
+  /** SQL `TIMESTAMP AS OF ts` — Spark hands epoch MICROS. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = tablePath(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    load(ident, Some(Versioned.versionAsOf(dir.toString, timestamp)))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val dir = tablePath(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    val props = properties.asScala.toMap
+    props.get(TableCatalog.PROP_PROVIDER).foreach(p =>
+      require(p.equalsIgnoreCase("graftstore"),
+        s"GraftCatalog only serves graftstore tables, got USING $p"))
+    // OPTIONS (...) arrive prefixed; TBLPROPERTIES arrive bare — accept
+    // both spellings of the store options, options winning
+    val bare = props.filterKeys(k =>
+      Set("keycol", "bucketcol", "nbuckets").contains(k.toLowerCase))
+    val opts = props.collect {
+      case (k, v) if k.startsWith(TableCatalog.OPTION_PREFIX) =>
+        k.stripPrefix(TableCatalog.OPTION_PREFIX) -> v
+    }
+    // PARTITIONED BY (c) is the bucket column's DDL spelling
+    val partCol = partitions.toSeq match {
+      case Seq() => None
+      // the IdentityTransform case class is private[sql]; match structurally
+      case Seq(t) if t.name == "identity" && t.references().length == 1 &&
+          t.references()(0).fieldNames().length == 1 =>
+        Some(t.references()(0).fieldNames()(0))
+      case other => sys.error("graftstore tables partition by exactly one " +
+        s"identity column (the INT bucket column), got ${other.mkString(", ")}")
+    }
+    val stored = bare.toMap ++ opts ++
+      partCol.map("bucketCol" -> _).toMap
+    stored.get("bucketCol").orElse(stored.find(_._1.equalsIgnoreCase("bucketCol")).map(_._2))
+      .foreach { bc =>
+        require(schema.fieldNames.exists(_.equalsIgnoreCase(bc)),
+          s"bucketCol '$bc' is not a column of the table schema") }
+    Files.createDirectories(dir)
+    Files.write(schemaFile(dir), schema.json.getBytes("UTF-8"))
+    writeProps(dir, stored)
+    load(ident, None)
+  }
+
+  /** Column changes are the WRITE path's job (`evolveSchema` on INSERT —
+    * additive, versioned, time-travel-correct); only RENAME and
+    * property-set pass through here. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tablePath(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val unsupported = changes.filterNot(
+      _.isInstanceOf[TableChange.SetProperty])
+    require(unsupported.isEmpty,
+      "GraftCatalog: ALTER TABLE column changes are not supported — " +
+        "additive schema evolution flows through INSERT with " +
+        s"evolveSchema=true (got ${unsupported.mkString(", ")})")
+    val set = changes.collect { case s: TableChange.SetProperty =>
+      s.property() -> s.value() }
+    writeProps(dir, readProps(dir) ++ set)
+    load(ident, None)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tablePath(ident)
+    if (!isTable(dir)) return false
+    deleteRecursively(dir)
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = tablePath(oldIdent)
+    if (!isTable(from)) throw new NoSuchTableException(oldIdent)
+    val to = tablePath(newIdent)
+    if (isTable(to)) throw new TableAlreadyExistsException(newIdent)
+    Files.createDirectories(to.getParent)
+    Files.move(from, to)
+  }
+
+  // ---- SupportsNamespaces ------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    listDirs(warehouse).filterNot(isTable)
+      .map(d => Array(d.getFileName.toString)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val p = nsPath(namespace)
+    if (namespace.nonEmpty && !Files.isDirectory(p))
+      throw new NoSuchNamespaceException(namespace)
+    listDirs(p).filterNot(isTable)
+      .map(d => namespace :+ d.getFileName.toString).toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty ||
+      (Files.isDirectory(nsPath(namespace)) && !isTable(nsPath(namespace)))
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    val p = nsPath(namespace)
+    require(!Files.exists(p),
+      s"namespace ${namespace.mkString(".")} already exists")
+    Files.createDirectories(p)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    sys.error("GraftCatalog namespaces carry no alterable metadata")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    val p = nsPath(namespace)
+    if (!namespaceExists(namespace) || namespace.isEmpty) return false
+    if (!cascade)
+      require(listDirs(p).isEmpty,
+        s"namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
+    deleteRecursively(p)
+    true
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    val s = Files.walk(p)
+    try s.sorted(java.util.Comparator.reverseOrder[Path]())
+      .iterator().asScala.foreach(Files.delete)
+    finally s.close()
+  }
+
+  // ---- ProcedureCatalog: `CALL <cat>.system.<proc>(...)` ------------------
+  // The MAINTENANCE surface every production table format ships as stored
+  // procedures (Iceberg's `CALL catalog.system.rewrite_data_files` shape):
+  // compaction, retention, statistics — operations that are commits or
+  // sidecar writes, not queries, so they belong behind CALL, not SELECT.
+
+  /** `'ns.table'` (a procedure's string argument) → the store dir. */
+  private[sources] def dirOfRelative(rel: String): Path = {
+    val parts = rel.split('.')
+    val dir = tablePath(Identifier.of(parts.init, parts.last))
+    require(isTable(dir), s"GraftCatalog: no table '$rel' under $warehouse")
+    dir
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftProcedures.Names.map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"GraftCatalog procedures live under 'system', got $ident")
+    GraftProcedures.load(this, ident.name)
+  }
+}
+
+/** The catalog's maintenance procedures — each one wraps a [[Versioned]]
+  * maintenance op as `CALL <cat>.system.<name>(...)` and returns a one-row
+  * evidence result (a [[org.apache.spark.sql.connector.read.LocalScan]]):
+  *
+  *  - `compact('ns.t')` — [[Versioned.commitCompact]] at latest+1: every
+  *    multi-file bucket rewritten to one file, already-compact buckets'
+  *    pointers copy forward untouched; O(fragmented data), never O(table).
+  *  - `vacuum('ns.t', keep)` — [[Versioned.vacuum]]: drop data directories
+  *    no surviving manifest references; metadata-decided, deletes are the
+  *    only IO.
+  *  - `write_stats('ns.t', 'zone_col')` — [[Versioned.writeStats]] +
+  *    [[Versioned.writeRowCounts]] on the latest version: the sidecars
+  *    that feed bucket skipping, metadata-only aggregates and the scan's
+  *    reported statistics. */
+private[sources] object GraftProcedures {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  val Names: Seq[String] = Seq("compact", "vacuum", "write_stats")
+
+  private def result(schema: StructType, values: Seq[Any]): java.util.Iterator[Scan] = {
+    val scan: Scan = new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] =
+        Array(InternalRow.fromSeq(values))
+    }
+    java.util.Collections.singletonList(scan).iterator()
+  }
+
+  private def proc(procName: String, params: Seq[ProcedureParameter])
+                  (body: InternalRow => java.util.Iterator[Scan]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = s"graftstore maintenance: $procName"
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = procName
+        override def description(): String = s"graftstore maintenance: $procName"
+        override def parameters(): Array[ProcedureParameter] = params.toArray
+        override def isDeterministic: Boolean = false // commits mutate state
+        override def call(input: InternalRow): java.util.Iterator[Scan] = body(input)
+      }
+    }
+
+  private def in(n: String, t: DataType) = ProcedureParameter.in(n, t).build()
+
+  def load(cat: GraftCatalog, name: String): UnboundProcedure = name match {
+    case "compact" =>
+      proc("compact", Seq(in("table", StringType))) { input =>
+        val dir = cat.dirOfRelative(input.getUTF8String(0).toString).toString
+        val spark = org.apache.spark.sql.SparkSession.active
+        val v = Versioned.latestVersion(dir) + 1
+        val rewritten =
+          Versioned.commitCompact(spark, dir, v, Versioned.bucketColumn(spark, dir))
+        result(StructType(Seq(StructField("version", IntegerType),
+          StructField("n_compacted", IntegerType))), Seq(v, rewritten.size))
+      }
+    case "vacuum" =>
+      proc("vacuum", Seq(in("table", StringType), in("keep", IntegerType))) { input =>
+        val dir = cat.dirOfRelative(input.getUTF8String(0).toString).toString
+        val keep = input.getInt(1)
+        Versioned.vacuum(dir, keep)
+        val latest = Versioned.latestVersion(dir)
+        result(StructType(Seq(StructField("latest", IntegerType),
+          StructField("kept_from", IntegerType))),
+          Seq(latest, math.max(1, latest - keep + 1)))
+      }
+    case "write_stats" =>
+      proc("write_stats", Seq(in("table", StringType), in("zone_col", StringType))) { input =>
+        val dir = cat.dirOfRelative(input.getUTF8String(0).toString).toString
+        val zcol = input.getUTF8String(1).toString
+        val spark = org.apache.spark.sql.SparkSession.active
+        val latest = Versioned.latestVersion(dir)
+        Versioned.writeStats(spark, dir, latest, zcol)
+        Versioned.writeRowCounts(spark, dir, latest)
+        result(StructType(Seq(StructField("version", IntegerType),
+          StructField("zone_col", StringType))),
+          Seq(latest, UTF8String.fromString(zcol)))
+      }
+    case other => sys.error(
+      s"GraftCatalog: unknown procedure 'system.$other' " +
+        s"(available: ${Names.mkString(", ")})")
+  }
+}

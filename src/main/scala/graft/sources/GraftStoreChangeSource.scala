@@ -38,11 +38,12 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
   * or the store's own `commitVersion` writer — finish the contract).
   *
   * CATCH-UP SIZING: a batch spanning k commits unions k per-version
-  * slices into one linear plan — bounded by commit count
-  * (metadata-scale), but a cold consumer over a long history should set
-  * `maxVersionsPerTrigger` (a few tens) so no single micro-batch plans
-  * hundreds of union legs; the offset log then drains the backlog across
-  * triggers at the same total IO.
+  * slices — folded as a BALANCED tree (plan depth log₂k, not k), so even
+  * an uncapped cold catch-up over hundreds of commits analyzes in
+  * log-depth rather than a linear chain. Still, a cold consumer over a
+  * long history should set `maxVersionsPerTrigger` (a few tens) so one
+  * micro-batch doesn't carry the whole backlog's IO; the offset log then
+  * drains it across triggers at the same total cost.
   *
   * Admission control follows FileStreamSource's shape
   * ([[SupportsAdmissionControl]]): `latestOffset(start, _)` advances at
@@ -140,7 +141,20 @@ private[sources] class GraftStoreChangeSource(spark: SparkSession,
         Versioned.readVersion(spark, dir, Versioned.latestVersion(dir))
           .where(lit(false))
           .withColumn("op", lit("")).withColumn("_commit_version", lit(0))
-      else padded.reduce(_.unionByName(_))
+      else {
+        // balanced tree reduce: a left-deep reduce would build a plan
+        // whose depth equals the version count — an uncapped catch-up over
+        // a long commit history then pays O(k) analyzer/optimizer depth
+        // (and risks stack overflow); pairing halves the depth to log₂k
+        @annotation.tailrec
+        def fold(dfs: Seq[DataFrame]): DataFrame =
+          if (dfs.lengthCompare(1) == 0) dfs.head
+          else fold(dfs.grouped(2).map {
+            case Seq(a, b) => a.unionByName(b)
+            case Seq(a)    => a
+          }.toSeq)
+        fold(padded)
+      }
     // exactly the declared schema: names, order, and types; re-wrapped
     // with isStreaming=true per the V1 Source contract (FileStreamSource's
     // own spelling)

@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
@@ -341,10 +341,29 @@ private[sources] class GraftStoreTable(schema: StructType, dir: String,
                                        pin: Option[Int],
                                        tableOpts: CaseInsensitiveStringMap)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String =
     s"graftstore:$dir@${pin.map(v => s"v$v").getOrElse("latest")}"
   override def schema(): StructType = schema
+
+  /** `_commit_version` — which commit last MATERIALIZED this row's bucket
+    * file (bucket-granular provenance, the exact analogue of Iceberg's
+    * `_file` / Delta's `_metadata.file_path` at this store's layout
+    * granularity): the manifest entry of the bucket the row was read
+    * from, external clone references decoded to the SOURCE's commit
+    * number. Served from the manifest the scan already holds — zero
+    * extra IO. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_commit_version"
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.IntegerType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "commit that last materialized this row's bucket file"
+    })
   // ACCEPT_ANY_SCHEMA (r15): the connector resolves INSERT input itself
   // ([[GraftStoreWrites.resolveAgainstTable]] — by-name when the names
   // match the table, positional otherwise, additive extras gated behind
@@ -357,11 +376,15 @@ private[sources] class GraftStoreTable(schema: StructType, dir: String,
       TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val v = pin.getOrElse(Versioned.latestVersion(dir))
-    require(Versioned.hasVersion(dir, v), s"graftstore: no version $v under $dir")
+    // v == 0: a catalog table CREATEd but never written (declared schema,
+    // no commits yet) — serves the empty scan; every other zero-version
+    // path fails earlier (inferSchema / resolve's pin check)
+    require(v == 0 || Versioned.hasVersion(dir, v),
+      s"graftstore: no version $v under $dir")
     new GraftStoreScanBuilder(schema, dir, v)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftStoreWriteBuilder(dir, pin, tableOpts, info)
+    new GraftStoreWriteBuilder(dir, pin, tableOpts, info, Some(schema))
 
   // ---- SQL `DELETE FROM` (SupportsDelete) --------------------------------
   // The documented subset: every conjunct must be a key-column equality or
@@ -462,7 +485,8 @@ private[sources] class GraftStoreTable(schema: StructType, dir: String,
   * work, exactly like the read side. */
 private[sources] class GraftStoreWriteBuilder(dir: String, pin: Option[Int],
                                               tableOpts: CaseInsensitiveStringMap,
-                                              info: LogicalWriteInfo)
+                                              info: LogicalWriteInfo,
+                                              tableSchema: Option[StructType])
     extends WriteBuilder with SupportsTruncate {
   private var truncated = false
   override def truncate(): WriteBuilder = { truncated = true; this }
@@ -475,7 +499,8 @@ private[sources] class GraftStoreWriteBuilder(dir: String, pin: Option[Int],
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, overwrite: Boolean): Unit =
-          GraftStoreWrites.insert(dir, pin, opt, data, overwrite || truncated)
+          GraftStoreWrites.insert(dir, pin, opt, data, overwrite || truncated,
+            tableSchema)
       }
     override def description(): String =
       s"graftstore-write $dir mode=${if (truncated) "overwrite" else "append"}"
@@ -488,7 +513,8 @@ private[sources] class GraftStoreWriteBuilder(dir: String, pin: Option[Int],
   * like the read side's resolve(). */
 private[sources] object GraftStoreWrites {
   def insert(dir: String, pin: Option[Int], opt: String => Option[String],
-             data: DataFrame, overwrite: Boolean): Unit = {
+             data: DataFrame, overwrite: Boolean,
+             tableSchema: Option[StructType] = None): Unit = {
     require(pin.isEmpty,
       s"graftstore: cannot write through a version-pinned view (versionAsOf=" +
         s"${pin.get}) — a snapshot is not a table; create the view without a pin")
@@ -535,11 +561,21 @@ private[sources] object GraftStoreWrites {
       }
     }
     if (latest == 0) {
-      // first commit bootstraps the store (schema supplied externally)
+      // first commit bootstraps the store (schema supplied externally).
+      // A catalog table CREATEd with a declared schema resolves the
+      // bootstrap INSERT against it — by name or positionally, cast to
+      // the declared types — exactly like every later commit resolves
+      // against the live schema (a positional INSERT's unnamed CAST
+      // column must land as the declared bucket column, not its
+      // expression string).
       val bucketCol = opt("bucketCol").getOrElse(sys.error(
         "graftstore bootstrap needs option 'bucketCol' (the INT bucket column)"))
       val n = opt("nBuckets").map(_.toInt).getOrElse(16)
-      Versioned.commitBase(data, dir, bucketCol, n)
+      val resolved = tableSchema
+        .filter(_.fieldNames.nonEmpty)
+        .map(ts => resolveAgainstTable(data, ts, evolve = false))
+        .getOrElse(data)
+      Versioned.commitBase(resolved, dir, bucketCol, n)
     } else {
       val bucketCol = Versioned.bucketColumn(spark, dir)
       val tableSchema = Versioned.readVersion(spark, dir, latest).schema
@@ -620,6 +656,7 @@ private[sources] class GraftStoreScanBuilder(full: StructType, dir: String, v: I
     * the ones the sidecars could act on are retained as `pushedFilters`
     * — the skip already happened when this returns. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    if (v == 0) { assign = Map.empty; return filters } // empty catalog table
     val (kept, used) = GraftStoreSource.prune(dir, v, filters.toSeq)
     assign = kept
     pushed = used.toArray
@@ -656,7 +693,7 @@ private[sources] class GraftStoreScanBuilder(full: StructType, dir: String, v: I
   }
 
   private def translateAgg(agg: Aggregation): Option[(StructType, Seq[Any])] = {
-    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+    if (v == 0 || pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return None
     val zcol = Versioned.statsCol(dir, v)
     def zoneIsLong = zcol.exists(c =>
       full.fields.find(_.name == c).exists(_.dataType ==
@@ -696,7 +733,9 @@ private[sources] class GraftStoreScanBuilder(full: StructType, dir: String, v: I
 
   override def build(): Scan = {
     if (assign == null) // no filter pushdown happened (e.g. bare scan)
-      assign = Versioned.readManifest(dir, v).filter(_._2 > 0)
+      assign =
+        if (v == 0) Map.empty // empty catalog table: nothing to assign
+        else Versioned.readManifest(dir, v).filter(_._2 > 0)
     new GraftStoreScan(full, required, dir, v, assign, aggResult)
   }
 }
@@ -705,8 +744,45 @@ private[sources] class GraftStoreScan(full: StructType, required: StructType,
                                       dir: String, v: Int,
                                       assign: Map[Int, Int],
                                       aggResult: Option[(StructType, Seq[Any])] = None)
-    extends V1Scan {
+    extends V1Scan with SupportsReportStatistics {
   override def readSchema(): StructType = aggResult.map(_._1).getOrElse(required)
+
+  /** POST-PUSHDOWN statistics from the commit log + filesystem metadata —
+    * what turns the connector's tables into broadcast candidates: without
+    * this, `DataSourceV2ScanRelation.computeStats` falls back to
+    * `defaultSizeInBytes` ("assume huge"), so a 50 KB dimension store
+    * joined against a 100 TB fact NEVER auto-broadcasts and Catalyst plans
+    * a full shuffle join. Size = the assigned (already bucket-PRUNED)
+    * buckets' on-disk bytes, scaled by the pruned/full column-width ratio
+    * (`FileScan.estimateStatistics`' own discipline); rows = the commit
+    * log's row-count sidecar summed over the same buckets when it covers
+    * them. A completely-pushed aggregate is the one-row plan it returns. */
+  override def estimateStatistics(): Statistics = {
+    import java.util.OptionalLong
+    if (aggResult.isDefined)
+      return new Statistics {
+        override def sizeInBytes(): OptionalLong = OptionalLong.of(64L)
+        override def numRows(): OptionalLong = OptionalLong.of(1L)
+      }
+    val raw = Versioned.sizeOfBuckets(dir, assign)
+    val ratio =
+      if (full.fields.isEmpty) 1.0
+      else required.defaultSize.toDouble / full.defaultSize.toDouble
+    val bytes = math.max(1L, (raw * math.min(1.0, ratio)).toLong)
+    val live = assign.filter(_._2 > 0).keySet
+    val rows: Option[Long] =
+      if (live.isEmpty) Some(0L) // fully pruned, or an empty catalog table
+      else if (Versioned.hasRowCounts(dir, v)) {
+        val counts = Versioned.readRowCounts(dir, v)
+        if (live.subsetOf(counts.keySet)) Some(live.toSeq.map(counts).sum)
+        else None
+      } else None
+    new Statistics {
+      override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
+      override def numRows(): OptionalLong =
+        rows.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+    }
+  }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {
@@ -720,12 +796,33 @@ private[sources] class GraftStoreScan(full: StructType, required: StructType,
           context.sparkContext.parallelize(Seq(Row(values: _*)), 1)
         case None =>
           val spark = context.sparkSession
+          // `_commit_version` is requested METADATA (SupportsMetadataColumns):
+          // served from the manifest entries the scan already holds — the
+          // per-version read each slice gets its version literal stamped on.
+          // A DATA column of the same name hides the metadata column (the
+          // DSv2 contract) — never stamp over committed data.
+          val wantVer = required.fieldNames.contains("_commit_version") &&
+            !full.fieldNames.contains("_commit_version")
           val base =
-            if (assign.isEmpty)
-              // everything pruned: an empty frame in the version's schema
-              // (schema-only read, no bucket IO — the skip contract's floor)
-              Versioned.readVersion(spark, dir, v).where(lit(false))
-            else Versioned.readBuckets(spark, dir, assign)
+            if (assign.isEmpty) {
+              // everything pruned — or an empty (never-written) catalog
+              // table: an empty frame in the declared schema (schema-only,
+              // no bucket IO — the skip contract's floor)
+              val empty =
+                if (v == 0)
+                  spark.createDataFrame(
+                    spark.sparkContext.emptyRDD[Row], full)
+                else Versioned.readVersion(spark, dir, v).where(lit(false))
+              if (wantVer) empty.withColumn("_commit_version", lit(0)) else empty
+            } else if (wantVer) {
+              assign.filter(_._2 > 0).groupBy(_._2).toSeq.sortBy(_._1)
+                .map { case (ver, entries) =>
+                  val decoded = // clone refs report the SOURCE commit
+                    if (ver >= Versioned.ExtBase) ver - Versioned.ExtBase else ver
+                  Versioned.readBuckets(spark, dir, entries)
+                    .withColumn("_commit_version", lit(decoded))
+                }.reduce(_.unionByName(_, allowMissingColumns = true))
+            } else Versioned.readBuckets(spark, dir, assign)
           base.select(required.fieldNames.map(col).toSeq: _*).rdd
       }
     }.asInstanceOf[T]

@@ -374,6 +374,27 @@ object Versioned {
   def hasRowCounts(dir: String, v: Int): Boolean =
     java.nio.file.Files.exists(countsPath(dir, v))
 
+  /** On-disk bytes of exactly the (bucket → version) assignment given —
+    * pure filesystem METADATA (a directory listing per distinct version),
+    * zero data IO. This is the `sizeInBytes` a statistics-reporting scan
+    * serves so Catalyst sizes joins from the store's real footprint
+    * instead of `defaultSizeInBytes` (which is "assume huge" and forfeits
+    * every automatic broadcast). Follows [[dataPath]], so shallow-clone
+    * external references resolve to the source's files — a clone reports
+    * the bytes it actually reads. */
+  def sizeOfBuckets(dir: String, assign: Map[Int, Int]): Long =
+    assign.filter(_._2 > 0).groupBy(_._2).iterator.map { case (ver, entries) =>
+      val root = new java.io.File(dataPath(dir, ver))
+      val wanted = entries.keysIterator.map(_.toString).toSet
+      Option(root.listFiles()).iterator.flatten
+        .filter { f =>
+          val n = f.getName; val i = n.indexOf('=')
+          f.isDirectory && i >= 0 && wanted(n.substring(i + 1))
+        }
+        .flatMap(d => Option(d.listFiles()).iterator.flatten)
+        .filter(_.isFile).map(_.length()).sum
+    }.sum
+
   private def bucketColOfManifest(spark: SparkSession, dir: String, v: Int): String = {
     val anyVer = readManifest(dir, v).values.find(_ > 0)
       .getOrElse(sys.error("empty table"))

@@ -1,0 +1,181 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** [[GraftCatalog]] — the name-typed SQL lifecycle over a warehouse of
+  * versioned stores: DDL (namespace/table/show/drop/rename), the declared-
+  * schema empty read, INSERT bootstrap + upsert, SQL `VERSION AS OF` /
+  * `TIMESTAMP AS OF` resolution, `DELETE FROM` through SupportsDelete on a
+  * catalog-qualified name, and the rename-preserves-history proof. */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cat = "graft_spec_cat"
+  private lazy val wh: String = {
+    val w = Files.createTempDirectory("graft_cat_wh").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    w
+  }
+
+  private def mkTable(name: String): String = {
+    spark.sql(
+      s"""CREATE TABLE $cat.lake.$name (k BIGINT, v BIGINT, bucket INT)
+         |USING graftstore
+         |OPTIONS (keyCol 'k', bucketCol 'bucket', nBuckets '4')""".stripMargin)
+    s"$wh/lake/$name"
+  }
+
+  private def insert(name: String, where: String = "TRUE"): Unit =
+    spark.sql(
+      s"""INSERT INTO $cat.lake.$name
+         |SELECT id AS k, id * 10 AS v, CAST(id % 4 AS INT) AS bucket
+         |FROM range(0, 32) WHERE $where""".stripMargin)
+
+  test("CREATE TABLE declares schema; the empty table reads as zero rows") {
+    wh
+    mkTable("t_empty")
+    val df = spark.sql(s"SELECT * FROM $cat.lake.t_empty")
+    assert(df.columns.toSeq == Seq("k", "v", "bucket"))
+    assert(df.count() == 0L)
+    assert(spark.sql(s"SHOW TABLES IN $cat.lake").collect()
+      .map(_.getString(1)).contains("t_empty"))
+  }
+
+  test("INSERT bootstraps v1, a second INSERT upserts v2; VERSION AS OF serves both") {
+    wh
+    val dir = mkTable("t_tt")
+    insert("t_tt")                       // v1: keys 0..31, v = 10k
+    spark.sql(s"INSERT INTO $cat.lake.t_tt SELECT id, id * 70, " +
+      "CAST(id % 4 AS INT) FROM range(0, 4)") // v2: keys 0..3 re-upserted ×7
+    assert(Versioned.latestVersion(dir) == 2)
+    val v1 = spark.sql(
+      s"SELECT sum(v) FROM $cat.lake.t_tt VERSION AS OF 1").head().getLong(0)
+    val v2 = spark.sql(
+      s"SELECT sum(v) FROM $cat.lake.t_tt VERSION AS OF 2").head().getLong(0)
+    val base = (0L until 32L).map(_ * 10).sum
+    assert(v1 == base)
+    assert(v2 == base + (0L until 4L).map(_ * 10 * 6).sum)
+    // unqualified read serves latest
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.lake.t_tt").head().getLong(0) == v2)
+  }
+
+  test("TIMESTAMP AS OF resolves through the commit-time sidecars") {
+    wh
+    val dir = mkTable("t_ts")
+    insert("t_ts")
+    spark.sql(s"INSERT INTO $cat.lake.t_ts SELECT id, id * 70, " +
+      "CAST(id % 4 AS INT) FROM range(0, 4)")
+    Versioned.writeCommitTime(dir, 1, 1000000L)
+    Versioned.writeCommitTime(dir, 2, 2000000L)
+    val base = (0L until 32L).map(_ * 10).sum
+    // the SQL surface end to end: Spark parses the literal in the session
+    // timezone (UTC) and hands the catalog epoch MICROS
+    val atV1 = spark.sql(s"SELECT sum(v) FROM $cat.lake.t_ts " +
+      "TIMESTAMP AS OF '1970-01-01 00:00:01.5'").head().getLong(0)
+    val atV2 = spark.sql(s"SELECT sum(v) FROM $cat.lake.t_ts " +
+      "TIMESTAMP AS OF '1970-01-01 00:00:02.5'").head().getLong(0)
+    assert(atV1 == base)
+    assert(atV2 == base + (0L until 4L).map(_ * 10 * 6).sum)
+  }
+
+  test("DELETE FROM works on a catalog-qualified name") {
+    wh
+    mkTable("t_del")
+    insert("t_del")
+    spark.sql(s"DELETE FROM $cat.lake.t_del WHERE k IN (1, 2, 3)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.t_del").head().getLong(0) == 29L)
+    // snapshot isolation: v1 still serves the doomed keys
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.t_del VERSION AS OF 1")
+      .head().getLong(0) == 32L)
+  }
+
+  test("RENAME preserves the whole commit history") {
+    wh
+    mkTable("t_ren")
+    insert("t_ren")
+    spark.sql(s"INSERT INTO $cat.lake.t_ren SELECT id, id * 70, " +
+      "CAST(id % 4 AS INT) FROM range(0, 4)")
+    spark.sql(s"ALTER TABLE $cat.lake.t_ren RENAME TO lake.t_ren2")
+    assert(!Files.exists(Paths.get(s"$wh/lake/t_ren")))
+    val v1 = spark.sql(
+      s"SELECT sum(v) FROM $cat.lake.t_ren2 VERSION AS OF 1").head().getLong(0)
+    assert(v1 == (0L until 32L).map(_ * 10).sum)
+  }
+
+  test("ALTER TABLE column changes are rejected toward the write path") {
+    wh
+    mkTable("t_alter")
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.lake.t_alter ADD COLUMN extra BIGINT")
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ chain(x.getCause))
+    assert(chain(e).exists(_.contains("evolveSchema")))
+  }
+
+  test("CTAS creates the table and bootstraps commit v1 in one statement") {
+    wh
+    spark.sql(
+      s"""CREATE TABLE $cat.lake.t_ctas
+         |USING graftstore
+         |OPTIONS (keyCol 'k', bucketCol 'bucket', nBuckets '4')
+         |AS SELECT id AS k, id * 10 AS v, CAST(id % 4 AS INT) AS bucket
+         |FROM range(0, 32)""".stripMargin)
+    assert(Versioned.latestVersion(s"$wh/lake/t_ctas") == 1)
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.lake.t_ctas").head().getLong(0)
+      == (0L until 32L).map(_ * 10).sum)
+  }
+
+  test("CALL system.compact + vacuum: content invariant, fragments gone, history trimmed") {
+    wh
+    val dir = mkTable("t_proc")
+    insert("t_proc")
+    // v2: every key re-upserted — the anti-join's shuffle (4 partitions)
+    // writes several files per bucket directory: the fragmenting commit
+    spark.sql(s"INSERT INTO $cat.lake.t_proc SELECT id, id * 11, " +
+      "CAST(id % 4 AS INT) FROM range(0, 32)")
+    val before = spark.sql(s"SELECT sum(v) FROM $cat.lake.t_proc").head().getLong(0)
+    val res = spark.sql(s"CALL $cat.system.compact('lake.t_proc')").collect()(0)
+    assert(res.getInt(0) == 3) // the compaction commit's version
+    assert(Versioned.latestVersion(dir) == 3)
+    // invisibility: content identical, every live bucket now one file
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.lake.t_proc").head().getLong(0) == before)
+    val m = Versioned.readManifest(dir, 3)
+    assert(m.filter(_._2 > 0).forall { case (b, ver) =>
+      new java.io.File(s"$dir/data/v$ver/bucket=$b")
+        .listFiles().count(_.getName.endsWith(".parquet")) == 1
+    })
+    spark.sql(s"CALL $cat.system.vacuum('lake.t_proc', 1)").collect()
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.lake.t_proc").head().getLong(0) == before)
+    // time travel to the vacuumed range is gone by design
+    intercept[Exception] {
+      spark.sql(s"SELECT sum(v) FROM $cat.lake.t_proc VERSION AS OF 1").collect()
+    }
+  }
+
+  test("CALL system.write_stats records the skipping sidecars") {
+    wh
+    val dir = mkTable("t_stats")
+    insert("t_stats")
+    assert(!Versioned.hasStats(dir, 1) && !Versioned.hasRowCounts(dir, 1))
+    val res = spark.sql(s"CALL $cat.system.write_stats('lake.t_stats', 'v')")
+      .collect()(0)
+    assert(res.getInt(0) == 1 && res.getString(1) == "v")
+    assert(Versioned.hasStats(dir, 1) && Versioned.hasRowCounts(dir, 1))
+    assert(Versioned.readRowCounts(dir, 1).values.sum == 32L)
+  }
+
+  test("DROP TABLE removes the store; SHOW TABLES no longer lists it") {
+    wh
+    mkTable("t_drop")
+    insert("t_drop")
+    spark.sql(s"DROP TABLE $cat.lake.t_drop")
+    assert(!spark.sql(s"SHOW TABLES IN $cat.lake").collect()
+      .map(_.getString(1)).contains("t_drop"))
+    assert(!Files.exists(Paths.get(s"$wh/lake/t_drop")))
+  }
+}
