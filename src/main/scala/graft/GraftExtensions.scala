@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL MERGE INTO / UPDATE on graftstore tables → commitMerge commands
     // (runtime sibling: spark.experimental.extraOptimizations)
     ext.injectPostHocResolutionRule(_ => graft.sources.GraftRowLevelRewrite)
+    // MERGE INTO a CATALOG-resolved graftstore table: mask ACCEPT_ANY_SCHEMA
+    // on the merge target so the analyzer resolves the statement (the
+    // capability reads as skipSchemaResolution there) — see the rule's doc
+    ext.injectResolutionRule(_ => graft.sources.GraftMergeAnalysis)
     ext.injectFunction((
       FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),

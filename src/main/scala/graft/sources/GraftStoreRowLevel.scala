@@ -271,3 +271,31 @@ private[sources] case class GraftMergeCommand(target: LogicalPlan,
     Seq.empty
   }
 }
+
+/** ANALYSIS-side unblock for SQL `MERGE INTO` a graftstore table resolved
+  * through a TableCatalog ([[GraftCatalog]]): the table's
+  * `ACCEPT_ANY_SCHEMA` capability (required for INSERT schema evolution)
+  * makes `DataSourceV2Relation.skipSchemaResolution` true, and the
+  * analyzer's MergeIntoTable resolution case returns UNRESOLVED for such
+  * targets — checkAnalysis then fails on the merge condition. This rule
+  * (inject via `SparkSessionExtensions.injectResolutionRule`, registered
+  * by [[graft.GraftExtensions]]) swaps a capability-masked twin of the
+  * table into the MERGE TARGET ONLY, so the built-in resolution resolves
+  * the statement on the fixed-point batch's next pass and
+  * [[GraftRowLevelRewrite]] then rewrites the resolved plan as usual.
+  * INSERT paths never see the twin — evolution semantics are untouched.
+  * (The path-DDL view surface never needed this: its V1-resolved relation
+  * doesn't carry the capability gate.) */
+object GraftMergeAnalysis extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case m: MergeIntoTable if !m.resolved =>
+      val newTarget = m.targetTable.transformUp {
+        case r: DataSourceV2Relation if r.table.isInstanceOf[GraftStoreTable] &&
+            r.table.capabilities().contains(TableCapability.ACCEPT_ANY_SCHEMA) =>
+          r.copy(table = r.table.asInstanceOf[GraftStoreTable].withoutAcceptAnySchema)
+      }
+      if (newTarget eq m.targetTable) m else m.copy(targetTable = newTarget)
+  }
+}

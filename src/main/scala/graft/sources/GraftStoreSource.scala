@@ -374,6 +374,21 @@ private[sources] class GraftStoreTable(schema: StructType, dir: String,
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.ACCEPT_ANY_SCHEMA)
+
+  /** A twin WITHOUT `ACCEPT_ANY_SCHEMA` — the capability makes
+    * `DataSourceV2Relation.skipSchemaResolution` true, which the analyzer's
+    * MergeIntoTable case reads as "return unresolved" (Spark's own INSERT
+    * evolution discipline), leaving a SQL MERGE against a catalog table
+    * permanently unresolved. [[GraftMergeAnalysis]] swaps this twin into
+    * the MERGE target so the built-in resolution runs; every other surface
+    * keeps the original table (INSERT evolution untouched). Delta solves
+    * the same conflict by resolving MERGE in its own extension. */
+  private[sources] def withoutAcceptAnySchema: GraftStoreTable =
+    new GraftStoreTable(schema, dir, pin, tableOpts) {
+      override def capabilities(): util.Set[TableCapability] =
+        util.EnumSet.of(TableCapability.BATCH_READ,
+          TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val v = pin.getOrElse(Versioned.latestVersion(dir))
     // v == 0: a catalog table CREATEd but never written (declared schema,

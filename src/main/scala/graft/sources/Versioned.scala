@@ -396,8 +396,15 @@ object Versioned {
     }.sum
 
   private def bucketColOfManifest(spark: SparkSession, dir: String, v: Int): String = {
+    // a fully-emptied version (every bucket the sentinel — an unqualified
+    // DELETE / TRUNCATE) still has a bucket column: the nearest earlier
+    // version that held data is the donor, exactly readVersion's rule —
+    // so a TRUNCATE'd table accepts new commits instead of erroring
     val anyVer = readManifest(dir, v).values.find(_ > 0)
-      .getOrElse(sys.error("empty table"))
+      .orElse((v - 1 to 1 by -1).iterator
+        .flatMap(pv => readManifest(dir, pv).values.find(_ > 0)).nextOption())
+      .getOrElse(sys.error(s"no version of $dir ever held data — " +
+        "cannot derive the bucket column"))
     bucketColOf(spark, dir, anyVer)
   }
 

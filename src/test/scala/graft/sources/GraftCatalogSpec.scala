@@ -157,6 +157,57 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("TRUNCATE TABLE on a catalog name is the pure-metadata empty commit") {
+    wh
+    val dir = mkTable("t_trunc")
+    insert("t_trunc")
+    spark.sql(s"TRUNCATE TABLE $cat.lake.t_trunc")
+    assert(Versioned.latestVersion(dir) == 2) // truncate is a COMMIT
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.t_trunc").head().getLong(0) == 0L)
+    // snapshot isolation: v1 still serves every row
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.t_trunc VERSION AS OF 1")
+      .head().getLong(0) == 32L)
+    // the emptied table keeps its schema and accepts new commits
+    spark.sql(s"INSERT INTO $cat.lake.t_trunc SELECT id, id, " +
+      "CAST(id % 4 AS INT) FROM range(0, 5)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.t_trunc").head().getLong(0) == 5L)
+  }
+
+  test("MERGE INTO composes with catalog-qualified names (GraftExtensions session)") {
+    wh
+    mkTable("t_merge")
+    insert("t_merge")
+    // MERGE resolution on a catalog table needs GraftMergeAnalysis, an
+    // analyzer-injection — only reachable at session BUILD time, so build
+    // a sibling session over the same context (SOMSpec's pattern)
+    import org.apache.spark.sql.SparkSession
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      s2.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+      s2.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s2.sql(s"""MERGE INTO $cat.lake.t_merge
+        |USING (SELECT id AS sk, id * 100 AS sv, CAST(id % 4 AS INT) AS sbucket
+        |       FROM range(28, 34)) src
+        |ON k = sk
+        |WHEN MATCHED THEN UPDATE SET v = sv
+        |WHEN NOT MATCHED THEN INSERT (k, v, bucket) VALUES (sk, sv, sbucket)
+        |""".stripMargin)
+      val rows = s2.sql(s"SELECT k, v FROM $cat.lake.t_merge WHERE k >= 28")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows == Map(28L -> 2800L, 29L -> 2900L, 30L -> 3000L,
+        31L -> 3100L, 32L -> 3200L, 33L -> 3300L))
+      assert(s2.sql(s"SELECT count(*) FROM $cat.lake.t_merge").head().getLong(0) == 34L)
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
+
   test("CALL system.write_stats records the skipping sidecars") {
     wh
     val dir = mkTable("t_stats")
