@@ -105,14 +105,17 @@ private[sources] class GraftStoreChangeSource(spark: SparkSession,
   }
 
   /** Unused once [[SupportsAdmissionControl]] is implemented (the engine
-    * calls [[latestOffset]]); kept total for any legacy caller — but
-    * routed THROUGH the same clamped logic (r15): the raw-latest spelling
-    * this replaced would have bypassed admission control and the
-    * AvailableNow pin in one oversized batch if any engine path fell back
-    * here. `null` start = "nothing consumed yet", exactly latestOffset's
-    * startVer−1 floor. */
+    * calls [[latestOffset]]); kept total for any legacy caller. The plain
+    * V1 `getOffset` has no access to consumed progress, so the
+    * progress-RELATIVE clamp (`maxVersionsPerTrigger`) is inexpressible
+    * here — applying it from the startVer floor (the r15-early spelling)
+    * would freeze the answer at startVer−1+maxPer forever and wedge any
+    * legacy loop past its first window. What IS absolute — the
+    * AvailableNow pin — still applies; rate limiting stays the
+    * latestOffset path's job. */
   override def getOffset: Option[V1Offset] = {
-    val end = verOf(latestOffset(null, getDefaultReadLimit))
+    val latest = Versioned.latestVersion(dir).toLong
+    val end = if (availableNowCap >= 0) math.min(availableNowCap, latest) else latest
     if (end >= startVer) Some(LongOffset(end)) else None
   }
 
@@ -141,20 +144,12 @@ private[sources] class GraftStoreChangeSource(spark: SparkSession,
         Versioned.readVersion(spark, dir, Versioned.latestVersion(dir))
           .where(lit(false))
           .withColumn("op", lit("")).withColumn("_commit_version", lit(0))
-      else {
+      else
         // balanced tree reduce: a left-deep reduce would build a plan
         // whose depth equals the version count — an uncapped catch-up over
         // a long commit history then pays O(k) analyzer/optimizer depth
         // (and risks stack overflow); pairing halves the depth to log₂k
-        @annotation.tailrec
-        def fold(dfs: Seq[DataFrame]): DataFrame =
-          if (dfs.lengthCompare(1) == 0) dfs.head
-          else fold(dfs.grouped(2).map {
-            case Seq(a, b) => a.unionByName(b)
-            case Seq(a)    => a
-          }.toSeq)
-        fold(padded)
-      }
+        Versioned.balancedUnion(padded, allowMissing = false)
     // exactly the declared schema: names, order, and types; re-wrapped
     // with isStreaming=true per the V1 Source contract (FileStreamSource's
     // own spelling)

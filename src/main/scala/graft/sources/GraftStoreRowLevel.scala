@@ -166,6 +166,19 @@ private[sources] object GraftRowLevel {
 
   def commit(spark: SparkSession, changes: DataFrame, dir: String,
              keyCol: String): Unit = {
+    // Duplicate-key guard (the UPDATE-side sibling of the SQL MERGE
+    // cardinality rule): a key-rewriting statement that maps two rows onto
+    // the SAME new key would commit duplicate rows of that key — silently
+    // breaking the store's one-row-per-key invariant (commitMerge unions
+    // upserts without dedup, by design: its callers own key uniqueness).
+    // Fail loud instead. One delta-scale aggregate, limit(1) collect.
+    val dup = changes.where(col("op") === "U")
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .where(col("n") > 1).limit(1).collect()
+    if (dup.nonEmpty) sys.error(
+      s"graftstore row-level DML maps ${dup(0).getLong(1)} rows onto the " +
+        s"same $keyCol = ${dup(0).get(0)} — the store keys ONE row per " +
+        s"$keyCol; rewrite the statement so new keys are unique")
     val bucketCol = Versioned.bucketColumn(spark, dir)
     Versioned.commitMerge(spark, changes, dir,
       Versioned.latestVersion(dir) + 1, keyCol, bucketCol)

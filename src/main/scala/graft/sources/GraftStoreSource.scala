@@ -153,10 +153,24 @@ class GraftStoreSource extends TableProvider with DataSourceRegister
     val firstV = caseMap.get("firstversion").map(_.trim.toInt).getOrElse(2)
     require(firstV >= 2, s"firstVersion must be >= 2 (got $firstV): " +
       "version 1 is the base snapshot (commitBase / a bootstrap append)")
+    // QUERY-scoped txn identity: the checkpoint location is the streaming
+    // query's durable identity (it survives restarts of the SAME query and
+    // differs across queries), so markers carry its digest — without it,
+    // two DIFFERENT queries' batch 0 would stamp identical markers and a
+    // crashed query X's in-flight claim on version v would read as query
+    // Y's own, Y would commit v, and X's resumed batch would then silently
+    // skip: the cross-query alias the fail-loud guard exists to catch.
+    // Consequence (the pinned contract): a FRESH-checkpoint rerun is a NEW
+    // query — re-delivering into already-committed versions fails loud
+    // (point it at firstVersion above the existing commits), it never
+    // silently absorbs another query's history. Delta scopes its sink txns
+    // by queryId the same way.
+    val queryTag =
+      GraftStoreSource.sinkQueryTag(caseMap.get("checkpointlocation"))
     new org.apache.spark.sql.execution.streaming.Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
         val v = batchId.toInt + firstV
-        val marker = s"graftsink:$batchId"
+        val marker = s"graftsink:$queryTag:$batchId"
         if (Versioned.hasVersion(dir, v)) {
           // an existing version is EITHER this sink's own replayed batch
           // (its txn marker matches — skip, the exactly-once guarantee) or
@@ -237,6 +251,27 @@ class GraftStoreSource extends TableProvider with DataSourceRegister
 }
 
 object GraftStoreSource {
+  /** Integral filter literal → Long, the ONE decoder both skipping
+    * consumers share (the scan's prune and SupportsDelete's probes) — a
+    * widening (boxed java types, BigDecimal keys) lands in both at once. */
+  private[sources] def longLit(a: Any): Option[Long] = a match {
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+
+  /** The streaming sink's query identity — a digest of the checkpoint
+    * location (stable across restarts of the same query, distinct across
+    * queries). `private[sources]` so GraftSinkSpec stamps the same markers
+    * the sink computes. */
+  private[sources] def sinkQueryTag(checkpoint: Option[String]): String =
+    checkpoint.map { p =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(p.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    }.getOrElse("nockpt")
+
   /** (store dir, explicit version pin) from reader options: `versionAsOf`
     * wins, else `timestampAsOf` (epoch micros, or "yyyy-MM-dd HH:mm:ss"
     * UTC) resolves through [[Versioned.versionAsOf]]. `None` = not pinned:
@@ -296,13 +331,7 @@ object GraftStoreSource {
       if (Versioned.hasBloomIndex(dir, v)) Some(Versioned.bloomIdxKeyCol(dir, v))
       else None
 
-    def num(a: Any): Option[Long] = a match {
-      case i: Int => Some(i.toLong)
-      case l: Long => Some(l)
-      case s: Short => Some(s.toLong)
-      case b: Byte => Some(b.toLong)
-      case _ => None
-    }
+    import GraftStoreSource.{longLit => num}
     // tightest [lo, hi] the range filters on the zone column imply
     var lo = Long.MinValue
     var hi = Long.MaxValue
@@ -418,11 +447,7 @@ private[sources] class GraftStoreTable(schema: StructType, dir: String,
 
   /** Long probes of one conjunct, if it is a supported shape. */
   private def probesOf(f: Filter): Option[Seq[Long]] = {
-    def num(a: Any): Option[Long] = a match {
-      case i: Int => Some(i.toLong); case l: Long => Some(l)
-      case s: Short => Some(s.toLong); case b: Byte => Some(b.toLong)
-      case _ => None
-    }
+    import GraftStoreSource.{longLit => num}
     f match {
       case EqualTo(c, x) if tableKeyCol.contains(c) => num(x).map(Seq(_))
       case In(c, xs) if tableKeyCol.contains(c) =>
@@ -552,6 +577,13 @@ private[sources] object GraftStoreWrites {
     // re-commits (crashed between marker and manifest); a FOREIGN commit
     // aliasing the version fails loud instead of silently dropping the
     // insert's rows — the exact scenario the sink's guard was added for.
+    // CONTRACT: the idempotence identity is (txnAppId, version) — writers
+    // that omit txnAppId share the default id and are ONE logical writer
+    // (a second distinct pipeline reusing the same version + default id is
+    // read as a replay and skipped). Distinct concurrent writers MUST set
+    // distinct txnAppId — the same contract Delta's txn option makes
+    // mandatory; the default exists for the single-writer deterministic
+    // pipeline the option documents.
     val marker = explicitV.map(ev =>
       s"${opt("txnAppId").getOrElse("graftinsert")}:v$ev")
     if (Versioned.hasVersion(dir, v)) {
@@ -643,10 +675,15 @@ private[sources] object GraftStoreWrites {
           "asked for: set option evolveSchema=true on the write (or the view)")
       data.select((resolved ++ extras.map(col)).toSeq: _*)
     } else {
-      require(!evolve,
+      // an ARITY-MATCHED positional insert is an ordinary insert whether or
+      // not the table opted into evolution (a table-level `evolveSchema
+      // 'true'` must not break plain `INSERT ... VALUES`, whose columns are
+      // named col1/col2/... and so never resolve by name); only an insert
+      // that actually NEEDS evolution — extra columns — is by-name-only
+      require(dataCols.length <= table.fields.length || !evolve,
         "graftstore schema evolution is BY NAME: the insert must carry every " +
           s"current table column (${table.fieldNames.mkString(", ")}) plus the " +
-          "new ones; positional inserts cannot evolve")
+          "new ones, with names; positional inserts cannot evolve")
       require(dataCols.length == table.fields.length,
         s"graftstore positional INSERT arity mismatch: table has " +
           s"${table.fields.length} columns (${table.fieldNames.mkString(", ")}), " +
@@ -830,13 +867,14 @@ private[sources] class GraftStoreScan(full: StructType, required: StructType,
                 else Versioned.readVersion(spark, dir, v).where(lit(false))
               if (wantVer) empty.withColumn("_commit_version", lit(0)) else empty
             } else if (wantVer) {
-              assign.filter(_._2 > 0).groupBy(_._2).toSeq.sortBy(_._1)
-                .map { case (ver, entries) =>
-                  val decoded = // clone refs report the SOURCE commit
-                    if (ver >= Versioned.ExtBase) ver - Versioned.ExtBase else ver
-                  Versioned.readBuckets(spark, dir, entries)
-                    .withColumn("_commit_version", lit(decoded))
-                }.reduce(_.unionByName(_, allowMissingColumns = true))
+              Versioned.balancedUnion(
+                assign.filter(_._2 > 0).groupBy(_._2).toSeq.sortBy(_._1)
+                  .map { case (ver, entries) =>
+                    val decoded = // clone refs report the SOURCE commit
+                      if (ver >= Versioned.ExtBase) ver - Versioned.ExtBase else ver
+                    Versioned.readBuckets(spark, dir, entries)
+                      .withColumn("_commit_version", lit(decoded))
+                  }, allowMissing = true)
             } else Versioned.readBuckets(spark, dir, assign)
           base.select(required.fieldNames.map(col).toSeq: _*).rdd
       }

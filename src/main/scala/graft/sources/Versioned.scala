@@ -262,14 +262,31 @@ object Versioned {
     val byVer = assign.filter(_._2 > 0).groupBy(_._2).toSeq.sortBy(_._1)
     require(byVer.nonEmpty,
       "every bucket is the empty sentinel — no data files to read a schema from")
-    byVer.map { case (ver, entries) =>
+    balancedUnion(byVer.map { case (ver, entries) =>
       val buckets = entries.keys.toSeq.map(lit(_))
       spark.read.parquet(dataPath(dir, ver))
         .where(col(bucketColOf(spark, dir, ver)).isin(buckets: _*))
     // allowMissingColumns: under schema evolution a version can span data
     // files of different widths — columns a version's older files predate
     // null-fill, exactly the lakehouse read contract
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    }, allowMissing = true)
+  }
+
+  /** Balanced pairwise `unionByName` — plan depth log₂k instead of the
+    * left-deep reduce's k. The distinct-version slice count is bounded by
+    * bucket count, which at production scale is thousands: a linear chain
+    * there pays O(k) analyzer depth and risks stack overflow (the CDF
+    * catch-up hazard, generalized to every multi-version read). */
+  private[sources] def balancedUnion(dfs: Seq[DataFrame],
+                                     allowMissing: Boolean): DataFrame = {
+    @annotation.tailrec
+    def fold(xs: Seq[DataFrame]): DataFrame =
+      if (xs.lengthCompare(1) == 0) xs.head
+      else fold(xs.grouped(2).map {
+        case Seq(a, b) => a.unionByName(b, allowMissingColumns = allowMissing)
+        case Seq(a)    => a
+      }.toSeq)
+    fold(dfs)
   }
 
   /** The partition column name of a version dir (its last path component
@@ -288,10 +305,15 @@ object Versioned {
   def readVersion(spark: SparkSession, dir: String, v: Int): DataFrame = {
     val m = readManifest(dir, v)
     if (m.nonEmpty && m.values.forall(_ <= 0)) {
+      // donor walk skips VACUUMED versions (manifest gone) — a TRUNCATE
+      // followed by vacuum must degrade to a clear error, never a raw
+      // NoSuchFileException from a missing manifest file
       val donor = (v - 1 to 1 by -1)
-        .find(pv => readManifest(dir, pv).values.exists(_ > 0))
-        .getOrElse(sys.error(s"no version of $dir ever held data — " +
-          "cannot derive a schema for the emptied table"))
+        .find(pv => hasVersion(dir, pv) &&
+          readManifest(dir, pv).values.exists(_ > 0))
+        .getOrElse(sys.error(s"no retained version of $dir holds data — " +
+          "cannot derive a schema for the emptied table (earlier versions " +
+          "may have been vacuumed)"))
       readBuckets(spark, dir, readManifest(dir, donor)).where(lit(false))
     } else readBuckets(spark, dir, m)
   }
@@ -402,9 +424,11 @@ object Versioned {
     // so a TRUNCATE'd table accepts new commits instead of erroring
     val anyVer = readManifest(dir, v).values.find(_ > 0)
       .orElse((v - 1 to 1 by -1).iterator
+        .filter(hasVersion(dir, _)) // vacuumed manifests are gone — skip
         .flatMap(pv => readManifest(dir, pv).values.find(_ > 0)).nextOption())
-      .getOrElse(sys.error(s"no version of $dir ever held data — " +
-        "cannot derive the bucket column"))
+      .getOrElse(sys.error(s"no retained version of $dir holds data — " +
+        "cannot derive the bucket column (earlier versions may have been " +
+        "vacuumed)"))
     bucketColOf(spark, dir, anyVer)
   }
 

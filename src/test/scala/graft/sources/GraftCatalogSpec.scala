@@ -208,6 +208,46 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("TRUNCATE then vacuum degrades to a clear retention error, not a raw crash") {
+    wh
+    mkTable("t_tv")
+    insert("t_tv")
+    spark.sql(s"TRUNCATE TABLE $cat.lake.t_tv")                 // v2: all-sentinel
+    spark.sql(s"CALL $cat.system.vacuum('lake.t_tv', 1)").collect() // drops v1
+    // every data-holding donor is vacuumed: reads and inserts must fail
+    // with the retention message, never a NoSuchFileException
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ chain(x.getCause))
+    val eRead = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.lake.t_tv").collect()
+    }
+    assert(chain(eRead).exists(_.contains("vacuum")), chain(eRead).mkString(" | "))
+    val eIns = intercept[Exception] { insert("t_tv") }
+    assert(chain(eIns).exists(_.contains("vacuum")), chain(eIns).mkString(" | "))
+  }
+
+  test("an arity-matched positional INSERT works on an evolveSchema table") {
+    wh
+    spark.sql(
+      s"""CREATE TABLE $cat.lake.t_evpos (k BIGINT, v BIGINT, bucket INT)
+         |USING graftstore
+         |OPTIONS (keyCol 'k', bucketCol 'bucket', nBuckets '4',
+         |         evolveSchema 'true')""".stripMargin)
+    insert("t_evpos")
+    // VALUES columns are named col1/col2/col3 — the positional path; the
+    // table-level evolution opt-in must not reject an ordinary insert
+    spark.sql(s"INSERT INTO $cat.lake.t_evpos VALUES (200, 2000, 0)")
+    assert(spark.sql(s"SELECT v FROM $cat.lake.t_evpos WHERE k = 200")
+      .head().getLong(0) == 2000L)
+    // positional EVOLUTION (extra unnamed column) still refuses by-name-only
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.lake.t_evpos VALUES (201, 2010, 0, 9)")
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ chain(x.getCause))
+    assert(chain(e).exists(_.contains("BY NAME")), chain(e).mkString(" | "))
+  }
+
   test("CALL system.write_stats records the skipping sidecars") {
     wh
     val dir = mkTable("t_stats")

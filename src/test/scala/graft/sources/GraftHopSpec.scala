@@ -97,8 +97,9 @@ class GraftHopSpec extends SparkSpec {
     q2.awaitTermination()
     assert(Versioned.latestVersion(b) == 3, "resume drained the rest, no extra version")
     assert(state(b) == state(a))
-    assert(Versioned.txnMarker(b, 2).contains("graftsink:0") &&
-      Versioned.txnMarker(b, 3).contains("graftsink:1"),
-      "each B commit carries exactly its batch's marker — replays no-op'd")
+    val tag = GraftStoreSource.sinkQueryTag(Some(s"$root/ckpt"))
+    assert(Versioned.txnMarker(b, 2).contains(s"graftsink:$tag:0") &&
+      Versioned.txnMarker(b, 3).contains(s"graftsink:$tag:1"),
+      "each B commit carries exactly its query+batch marker — replays no-op'd")
   }
 }

@@ -132,6 +132,23 @@ class GraftRowLevelSpec extends SparkSpec {
     assert(Versioned.latestVersion(dir) == 1)
   }
 
+  test("key-rewriting UPDATE mapping two rows onto one key fails loud; nothing commits") {
+    val (dir, view) = stage()
+    // k ∈ {1, 5} both become k = 1000: committing would write TWO rows of
+    // one key — the silent invariant break the duplicate-key guard bans
+    // (the UPDATE-side sibling of the MERGE cardinality rule)
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $view SET k = 1000 WHERE k IN (1, 5)")
+    }
+    assert(e.getMessage.contains("ONE row per"))
+    assert(Versioned.latestVersion(dir) == 1, "the rejected UPDATE committed nothing")
+    // a key-rewrite with UNIQUE new keys still works
+    spark.sql(s"UPDATE $view SET k = k + 1000 WHERE k IN (1, 5)")
+    val v2 = state(dir, 2)
+    assert(v2.contains(1001L) && v2.contains(1005L) &&
+      !v2.contains(1L) && !v2.contains(5L) && v2.size == 100)
+  }
+
   test("row-level DML through a version-pinned view is rejected") {
     val (dir, _) = stage()
     spark.sql(s"DELETE FROM grl_t$n WHERE k IN (1)") // advance to v2 first

@@ -55,15 +55,22 @@ class GraftSinkSpec extends SparkSpec {
     assert(fin(0L) == 100L && fin(1L) == 201L && fin(2L) == 302L && fin(6L) == 306L)
     assert(fin.size == 12, "upserts, not appends — key count unchanged")
 
-    // hard replay: a FRESH checkpoint re-delivers every batch with the
-    // same deterministic ids — the sink's hasVersion guard no-ops them all
+    // hard replay under a FRESH checkpoint is a NEW QUERY (r15, txn
+    // markers are query-scoped by checkpoint digest): re-delivering into
+    // versions another query committed FAILS LOUD — the ownership rule —
+    // and never silently absorbs or overwrites the existing history
     val before = (2 to 4).map(v =>
       new java.io.File(s"$table/data/v$v").list().sorted.toSeq)
-    runStream(inDir, table, s"$root/ckpt2", base.schema)
+    val eReplay = intercept[Exception] {
+      runStream(inDir, table, s"$root/ckpt2", base.schema)
+    }
+    assert(exceptionChain(eReplay).exists(_.contains("another")),
+      s"expected the cross-query ownership error, got: " +
+        exceptionChain(eReplay).mkString(" | "))
     assert(Versioned.latestVersion(table) == 4, "no fifth version appeared")
     assert((2 to 4).map(v =>
       new java.io.File(s"$table/data/v$v").list().sorted.toSeq) == before,
-      "replayed batches committed NOTHING")
+      "the rejected replay committed NOTHING")
   }
 
   test("a foreign commit aliasing the sink's version fails LOUD instead of dropping the batch") {
@@ -114,7 +121,8 @@ class GraftSinkSpec extends SparkSpec {
     Versioned.commitBase(base, table, "bucket", 2)
     // simulate the crash: batch 0's marker landed, the commit did not —
     // exactly the window the marker-first ordering (r15) creates
-    Versioned.writeTxnMarker(table, 2, "graftsink:0")
+    Versioned.writeTxnMarker(table, 2,
+      s"graftsink:${GraftStoreSource.sinkQueryTag(Some(ckpt))}:0")
     Seq((0L, 900L, 0)).toDF("k", "v", "bucket").coalesce(1)
       .write.mode("append").parquet(inDir)
     runStream(inDir, table, ckpt, base.schema) // must NOT wedge
