@@ -260,6 +260,19 @@ class GraftCatalogSpec extends SparkSpec {
     assert(Versioned.readRowCounts(dir, 1).values.sum == 32L)
   }
 
+  test("INSERT OVERWRITE on a catalog name is a rewrite COMMIT; old versions time travel") {
+    wh
+    val dir = mkTable("t_ovr")
+    insert("t_ovr")
+    spark.sql(s"INSERT OVERWRITE $cat.lake.t_ovr SELECT id, id * 5, " +
+      "CAST(id % 4 AS INT) FROM range(0, 10)")
+    assert(Versioned.latestVersion(dir) == 2) // overwrite is a commit, not an erase
+    assert(spark.sql(s"SELECT count(*), sum(v) FROM $cat.lake.t_ovr").head()
+      match { case r => r.getLong(0) == 10L && r.getLong(1) == (0L until 10L).map(_ * 5).sum })
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.t_ovr VERSION AS OF 1")
+      .head().getLong(0) == 32L, "the pre-overwrite snapshot still serves")
+  }
+
   test("DROP TABLE removes the store; SHOW TABLES no longer lists it") {
     wh
     mkTable("t_drop")
