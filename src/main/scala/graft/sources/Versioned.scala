@@ -36,12 +36,49 @@ object Versioned {
   private def manifestPath(dir: String, v: Int) =
     java.nio.file.Paths.get(dir, "manifests", s"v$v.csv")
 
-  private def writeManifest(dir: String, v: Int, entries: Seq[(Int, Int)]): Unit = {
+  /** The COMMIT POINT — and therefore the optimistic-concurrency gate: the
+    * manifest is created atomically (`CREATE_NEW`), so of two writers that
+    * both computed `latest + 1`, exactly one commits and the loser fails
+    * LOUD with a clear conflict error instead of silently overwriting the
+    * winner's manifest (a lost update whose data directory would linger
+    * orphaned). This is the put-if-absent every production table format
+    * builds its commit protocol on. `replaceOk` exists for [[commitBase]]
+    * alone: re-staging a bootstrap over the same directory rewrites the
+    * same v1 data dir wholesale, so replacing its manifest is idempotent
+    * re-initialization, not a lost update. */
+  private def writeManifest(dir: String, v: Int, entries: Seq[(Int, Int)],
+                            replaceOk: Boolean = false): Unit = {
     val p = manifestPath(dir, v)
     java.nio.file.Files.createDirectories(p.getParent)
     val body = entries.sorted.map { case (b, ver) => s"$b,$ver" }.mkString("\n")
-    java.nio.file.Files.write(p, body.getBytes("UTF-8"))
+    if (replaceOk) java.nio.file.Files.write(p, body.getBytes("UTF-8"))
+    else
+      try java.nio.file.Files.write(p, body.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => sys.error(
+          s"graftstore concurrent commit: version $v of $dir was committed " +
+            "by another writer between this commit's read of the latest " +
+            "version and its manifest write — re-read the table and retry " +
+            "the commit at the new latest+1")
+      }
   }
+
+
+  /** Fail-fast half of the optimistic-concurrency gate: a writer whose
+    * `latest + 1` went stale (another commit landed first) errors HERE,
+    * before any data write could disturb the winner's version directory;
+    * the atomic manifest CREATE_NEW in [[writeManifest]] backstops the
+    * remaining in-flight window. Truly concurrent in-flight writers to one
+    * version need external exclusion (or the write surfaces' txn
+    * markers) — this converts the common stale-read race into a loud
+    * error instead of a silent lost update. */
+  private def requireUncommitted(dir: String, v: Int): Unit =
+    require(!hasVersion(dir, v),
+      s"graftstore concurrent commit: version $v of $dir was committed by " +
+        "another writer between this commit's read of the latest version " +
+        "and its write — re-read the table and retry at the new latest+1")
 
   /** External-reference version offset: a manifest entry `ExtBase + v`
     * points at version `v` under the CLONE SOURCE's data directory (the
@@ -114,7 +151,10 @@ object Versioned {
   def commitBase(df: DataFrame, dir: String, bucketCol: String, nBuckets: Int): Unit = {
     df.write.mode(SaveMode.Overwrite).partitionBy(bucketCol)
       .parquet(s"$dir/data/v1")
-    writeManifest(dir, 1, (0 until nBuckets).map(_ -> 1))
+    // replaceOk: re-staging a bootstrap rewrites the whole v1 data dir
+    // above, so replacing its manifest is re-initialization, never a lost
+    // concurrent update (every later version is atomically create-new)
+    writeManifest(dir, 1, (0 until nBuckets).map(_ -> 1), replaceOk = true)
   }
 
   /** Commit version `v` (> 1) by upserting `delta` over version v-1. Only
@@ -130,6 +170,7 @@ object Versioned {
   def commitUpsert(spark: SparkSession, delta: DataFrame, dir: String, v: Int,
                    keyCol: String, bucketCol: String): Unit = {
     require(v > 1, s"commitUpsert is for versions after the base, got $v")
+    requireUncommitted(dir, v)
     val prev = readManifest(dir, v - 1)
     val touched = delta.select(col(bucketCol)).distinct()
       .collect().map(_.getInt(0)).toSet
@@ -180,6 +221,7 @@ object Versioned {
   def commitDelete(spark: SparkSession, ids: DataFrame, dir: String, v: Int,
                    keyCol: String, bucketCol: String): Unit = {
     require(v > 1, s"commitDelete is for versions after the base, got $v")
+    requireUncommitted(dir, v)
     val prev = readManifest(dir, v - 1)
     val touched = ids.select(col(bucketCol)).distinct()
       .collect().map(_.getInt(0)).toSet
@@ -206,6 +248,7 @@ object Versioned {
     * overwrite-is-a-commit rule as [[commitRewrite]]). */
   def commitDeleteAll(dir: String, v: Int): Unit = {
     require(v > 1, s"commitDeleteAll is for versions after the base, got $v")
+    requireUncommitted(dir, v)
     writeManifest(dir, v, readManifest(dir, v - 1).keySet.toSeq.map(_ -> 0))
   }
 
@@ -224,6 +267,7 @@ object Versioned {
   def commitMerge(spark: SparkSession, changes: DataFrame, dir: String, v: Int,
                   keyCol: String, bucketCol: String): Unit = {
     require(v > 1, s"commitMerge is for versions after the base, got $v")
+    requireUncommitted(dir, v)
     val prev = readManifest(dir, v - 1)
     val touched = changes.select(col(bucketCol)).distinct()
       .collect().map(_.getInt(0)).toSet
@@ -679,6 +723,7 @@ object Versioned {
   def commitCompact(spark: SparkSession, dir: String, v: Int,
                     bucketCol: String): Set[Int] = {
     require(v > 1, s"commitCompact is for versions after the base, got $v")
+    requireUncommitted(dir, v)
     val prev = readManifest(dir, v - 1)
     val multi = prev.filter { case (b, ver) =>
       ver > 0 && parquetFileCount(dir, ver, b) > 1 }.keySet
@@ -708,6 +753,7 @@ object Versioned {
   def commitRewrite(df: DataFrame, dir: String, v: Int,
                     bucketCol: String, nBuckets: Int): Unit = {
     require(v > 1, s"commitRewrite is for versions after the base, got $v")
+    requireUncommitted(dir, v)
     df.repartition(col(bucketCol))
       .write.mode(SaveMode.Overwrite).partitionBy(bucketCol)
       .parquet(s"$dir/data/v$v")

@@ -559,4 +559,29 @@ class VersionedSpec extends SparkSpec {
     assert(df2.select("k").collect().map(_.getLong(0)).toSet ==
       Set(2L, 3L, 4L, 5L))
   }
+
+  test("optimistic concurrency: the second writer of one version fails loud, winner intact") {
+    val dir = tmp()
+    val base = (0L until 16L).map(k => (k, k, (k % 2).toInt)).toDF("k", "v", "bucket")
+    Versioned.commitBase(base, dir, "bucket", 2)
+    // writer A commits v2
+    Versioned.commitUpsert(spark, Seq((0L, 100L, 0)).toDF("k", "v", "bucket"),
+      dir, 2, "k", "bucket")
+    // writer B, having read latest=1 earlier, races to the same version:
+    // the manifest CREATE_NEW is the commit point — B must fail LOUD, not
+    // silently overwrite A's manifest (the lost update)
+    val e = intercept[Exception] {
+      Versioned.commitUpsert(spark, Seq((1L, 999L, 1)).toDF("k", "v", "bucket"),
+        dir, 2, "k", "bucket")
+    }
+    assert(e.getMessage.contains("concurrent commit"))
+    // A's commit is untouched: key 0 carries A's value, key 1 the base's
+    val v2 = Versioned.readVersion(spark, dir, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(v2(0L) == 100L && v2(1L) == 1L)
+    // re-staging a BOOTSTRAP over the same dir stays allowed (re-init,
+    // not a lost update: the v1 data dir is rewritten wholesale with it)
+    Versioned.commitBase(base, dir, "bucket", 2)
+    assert(Versioned.readVersion(spark, dir, 1).count() == 16L)
+  }
 }
