@@ -155,6 +155,42 @@ private[sources] object GraftRowLevel {
     }
   }
 
+  /** KEY-MOVE COLLISION GUARD (r16, ADVICE): a statement that REWRITES
+    * keys (UPDATE SET key=..., or a MERGE inserting/moving onto keys) may
+    * land a new key on a row the statement never targeted — and
+    * [[Versioned.commitMerge]]'s upsert would then silently REPLACE that
+    * untouched row, a lost update dressed as success. SQL semantics say
+    * duplicate keys are an error the statement must surface. The check:
+    * any moved/inserted new key that exists in the current snapshot and is
+    * NOT removed by this same statement (its own old key rides the D rows)
+    * fails loud. One delta-scale broadcast semi-join against the target's
+    * key column (column-pruned scan — same cost class as the statement's
+    * own join), `limit(1)` collect. Only key-MOVING frames participate:
+    * an in-place UPDATE's U keys are legitimately their own rows. */
+  def guardKeyMove(movedNew: Seq[DataFrame], removed: Seq[DataFrame],
+                   target: DataFrame, keyCol: String): Unit = {
+    if (movedNew.isEmpty) return
+    val newKeys = movedNew.map(_.select(col(keyCol)))
+      .reduce(_ unionByName _).distinct()
+    val live = target.select(col(keyCol))
+    // keys the statement itself removes don't count as collisions; with no
+    // D frames there is nothing to subtract (and no anti-join to plan)
+    val untargeted =
+      if (removed.isEmpty) live
+      else live.join(removed.map(_.select(col(keyCol)))
+        .reduce(_ unionByName _).distinct(), Seq(keyCol), "left_anti")
+    val clash = untargeted
+      .join(org.apache.spark.sql.functions.broadcast(newKeys),
+        Seq(keyCol), "left_semi")
+      .limit(1).collect()
+    if (clash.nonEmpty) sys.error(
+      s"graftstore row-level DML moves or inserts a row onto existing " +
+        s"$keyCol = ${clash(0).get(0)} that the statement does not itself " +
+        "remove — committing would silently replace an untargeted row " +
+        "(the store keys ONE row per key); DELETE that key first or " +
+        "rewrite the statement")
+  }
+
   def precheck(pin: Option[Int], keyColOpt: Option[String],
                statement: String): String = {
     require(pin.isEmpty, s"graftstore: cannot $statement through a " +
@@ -202,10 +238,15 @@ private[sources] case class GraftUpdateCommand(target: LogicalPlan,
     val assigned = assignMap(assignments).keySet
     val changes =
       if (assigned.contains(keyCol.toLowerCase) ||
-          assigned.contains(bucketCol.toLowerCase))
-        uRows(hit, attrs, assignments)
-          .unionByName(dRows(hit, attrs, keyCol, bucketCol))
-      else uRows(hit, attrs, assignments)
+          assigned.contains(bucketCol.toLowerCase)) {
+        val u = uRows(hit, attrs, assignments)
+        val d = dRows(hit, attrs, keyCol, bucketCol)
+        // a key-rewriting UPDATE's new keys must not land on untargeted
+        // live rows (their own old keys ride the D frame) — fail loud
+        // instead of commitMerge's silent upsert-replace
+        guardKeyMove(Seq(u), Seq(d), targetDf, keyCol)
+        u.unionByName(d)
+      } else uRows(hit, attrs, assignments)
     commit(spark, changes, dir, keyCol)
     Seq.empty
   }
@@ -224,9 +265,13 @@ private[sources] case class GraftMergeCommand(target: LogicalPlan,
     extends LeafRunnableCommand {
   import GraftRowLevel._
   override def run(spark: SparkSession): Seq[Row] = {
-    require(!withSchemaEvolution, "graftstore MERGE: WITH SCHEMA EVOLUTION " +
-      "is not supported — evolve additively through INSERT with " +
-      "evolveSchema=true, then MERGE")
+    // `WITH SCHEMA EVOLUTION` (r16): by the time this command runs, the
+    // analyzer's ResolveMergeIntoSchemaEvolution has already routed the
+    // source's extra columns through the catalog's ALTER TABLE ADD COLUMN
+    // (the schema-only commit) and re-resolved the target against the
+    // widened schema — so the merge algebra below needs nothing special:
+    // targetAttrs already carry the new columns (null-filled on read) and
+    // the assignments the analyzer aligned fill them from the source.
     val keyCol = precheck(pin, keyColOpt, "MERGE")
     val bucketCol = Versioned.bucketColumn(spark, dir)
     val targetDf = ColumnBridge.ofRows(spark, target)
@@ -237,6 +282,10 @@ private[sources] case class GraftMergeCommand(target: LogicalPlan,
     val joinCond = cx(mergeCondition)
 
     val frames = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    // the key-move guard's inputs: U frames whose keys are NEW (key-moving
+    // updates, inserts) and every D frame (keys the statement removes)
+    val movedNew = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val dFrames = scala.collection.mutable.ListBuffer.empty[DataFrame]
     if (matchedActions.nonEmpty) {
       val matched = targetDf.join(sourceDf, joinCond, "inner")
       // SQL MERGE cardinality rule: >1 source row per target row is an
@@ -248,13 +297,17 @@ private[sources] case class GraftMergeCommand(target: LogicalPlan,
         "source on the merge key first")
       firstMatchSplit(matched, matchedActions).foreach {
         case (UpdateAction(_, assigns, _), rows) =>
-          frames += uRows(rows, attrs, assigns)
+          val u = uRows(rows, attrs, assigns)
+          frames += u
           val assigned = assignMap(assigns).keySet
           if (assigned.contains(keyCol.toLowerCase) ||
-              assigned.contains(bucketCol.toLowerCase))
-            frames += dRows(rows, attrs, keyCol, bucketCol)
+              assigned.contains(bucketCol.toLowerCase)) {
+            val d = dRows(rows, attrs, keyCol, bucketCol)
+            frames += d; movedNew += u; dFrames += d
+          }
         case (DeleteAction(_), rows) =>
-          frames += dRows(rows, attrs, keyCol, bucketCol)
+          val d = dRows(rows, attrs, keyCol, bucketCol)
+          frames += d; dFrames += d
         case (other, _) => sys.error(
           s"graftstore MERGE: unsupported matched action $other")
       }
@@ -263,7 +316,11 @@ private[sources] case class GraftMergeCommand(target: LogicalPlan,
       val fresh = sourceDf.join(targetDf, joinCond, "left_anti")
       firstMatchSplit(fresh, notMatchedActions).foreach {
         case (InsertAction(_, assigns), rows) =>
-          frames += uRows(rows, attrs, assigns)
+          val u = uRows(rows, attrs, assigns)
+          // an insert's keys are new BY THE ON CONDITION — but when the
+          // condition is not on the key column, an inserted key can alias
+          // a live row the join never matched: guard it like a key move
+          frames += u; movedNew += u
         case (other, _) => sys.error(
           s"graftstore MERGE: unsupported not-matched action $other")
       }
@@ -272,13 +329,22 @@ private[sources] case class GraftMergeCommand(target: LogicalPlan,
       val lone = targetDf.join(sourceDf, joinCond, "left_anti")
       firstMatchSplit(lone, notMatchedBySourceActions).foreach {
         case (UpdateAction(_, assigns, _), rows) =>
-          frames += uRows(rows, attrs, assigns)
+          val u = uRows(rows, attrs, assigns)
+          frames += u
+          val assigned = assignMap(assigns).keySet
+          if (assigned.contains(keyCol.toLowerCase) ||
+              assigned.contains(bucketCol.toLowerCase)) {
+            val d = dRows(rows, attrs, keyCol, bucketCol)
+            frames += d; movedNew += u; dFrames += d
+          }
         case (DeleteAction(_), rows) =>
-          frames += dRows(rows, attrs, keyCol, bucketCol)
+          val d = dRows(rows, attrs, keyCol, bucketCol)
+          frames += d; dFrames += d
         case (other, _) => sys.error(
           s"graftstore MERGE: unsupported not-matched-by-source action $other")
       }
     }
+    guardKeyMove(movedNew.toSeq, dFrames.toSeq, targetDf, keyCol)
     val changes = frames.reduceLeft(_ unionByName _)
     commit(spark, changes, dir, keyCol)
     Seq.empty

@@ -165,8 +165,21 @@ class GraftStoreSource extends TableProvider with DataSourceRegister
     // (point it at firstVersion above the existing commits), it never
     // silently absorbs another query's history. Delta scopes its sink txns
     // by queryId the same way.
-    val queryTag =
-      GraftStoreSource.sinkQueryTag(caseMap.get("checkpointlocation"))
+    // The checkpoint may come from the SESSION conf instead of a writer
+    // option (spark.sql.streaming.checkpointLocation names a base dir the
+    // engine appends a per-query subdir to) — that base is shared across
+    // the session's queries, so it cannot serve as a per-query identity;
+    // without the writer option the tag degrades to the shared "nockpt"
+    // and cross-query marker aliasing protection with it. Say so (r16,
+    // ADVICE) instead of degrading silently.
+    val ckptOpt = caseMap.get("checkpointlocation")
+    if (ckptOpt.isEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "graftstore sink: no checkpointLocation WRITER OPTION — the sink's " +
+          "txn markers fall back to a shared query tag, so cross-query " +
+          "version-aliasing protection is degraded; pass checkpointLocation " +
+          "on the writer to scope markers per query")
+    val queryTag = GraftStoreSource.sinkQueryTag(ckptOpt)
     new org.apache.spark.sql.execution.streaming.Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
         val v = batchId.toInt + firstV
@@ -262,12 +275,18 @@ object GraftStoreSource {
     case _ => None
   }
 
-  /** The streaming sink's query identity — a digest of the checkpoint
-    * location (stable across restarts of the same query, distinct across
-    * queries). `private[sources]` so GraftSinkSpec stamps the same markers
-    * the sink computes. */
+  /** The streaming sink's query identity — a digest of the CANONICALIZED
+    * checkpoint location (stable across restarts of the same query,
+    * distinct across queries). Canonicalization (absolute + normalized +
+    * trailing-slash-stripped, r16 ADVICE) means the SAME query restarted
+    * with a differently-spelled path (relative vs absolute, `a//b`, a
+    * trailing slash) reads its own commits as its own instead of failing
+    * loud as a foreign writer. `private[sources]` so GraftSinkSpec stamps
+    * the same markers the sink computes. */
   private[sources] def sinkQueryTag(checkpoint: Option[String]): String =
-    checkpoint.map { p =>
+    checkpoint.map { raw =>
+      val p = java.nio.file.Paths.get(raw.trim)
+        .toAbsolutePath.normalize().toString
       java.security.MessageDigest.getInstance("MD5")
         .digest(p.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     }.getOrElse("nockpt")
@@ -399,10 +418,16 @@ private[sources] class GraftStoreTable(schema: StructType, dir: String,
   // the `evolveSchema` option), because Spark's own output resolution
   // would reject the one INSERT shape additive schema evolution needs:
   // a new column. Same dual role as Delta's use of the capability.
+  // AUTOMATIC_SCHEMA_EVOLUTION (r16): opts the table into the analyzer's
+  // `MERGE ... WITH SCHEMA EVOLUTION` resolution
+  // (ResolveMergeIntoSchemaEvolution), which routes the source's extra
+  // columns through the catalog's ALTER TABLE ADD COLUMN — the
+  // schema-only commit — before resolving the merge itself.
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.ACCEPT_ANY_SCHEMA,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** A twin WITHOUT `ACCEPT_ANY_SCHEMA` — the capability makes
     * `DataSourceV2Relation.skipSchemaResolution` true, which the analyzer's
@@ -411,12 +436,15 @@ private[sources] class GraftStoreTable(schema: StructType, dir: String,
     * permanently unresolved. [[GraftMergeAnalysis]] swaps this twin into
     * the MERGE target so the built-in resolution runs; every other surface
     * keeps the original table (INSERT evolution untouched). Delta solves
-    * the same conflict by resolving MERGE in its own extension. */
+    * the same conflict by resolving MERGE in its own extension.
+    * AUTOMATIC_SCHEMA_EVOLUTION survives on the twin — `WITH SCHEMA
+    * EVOLUTION` eligibility must not die with the mask. */
   private[sources] def withoutAcceptAnySchema: GraftStoreTable =
     new GraftStoreTable(schema, dir, pin, tableOpts) {
       override def capabilities(): util.Set[TableCapability] =
         util.EnumSet.of(TableCapability.BATCH_READ,
-          TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+          TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+          TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
     }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val v = pin.getOrElse(Versioned.latestVersion(dir))
@@ -876,7 +904,14 @@ private[sources] class GraftStoreScan(full: StructType, required: StructType,
                       .withColumn("_commit_version", lit(decoded))
                   }, allowMissing = true)
             } else Versioned.readBuckets(spark, dir, assign)
-          base.select(required.fieldNames.map(col).toSeq: _*).rdd
+          // ALTER'd columns ([[Versioned.commitAddColumns]] sidecars) that
+          // no read data file carries yet null-fill from the table schema —
+          // the same overlay readVersion applies, at the scan's granularity
+          val padded = required.fields.foldLeft(base) { (d, f) =>
+            if (d.columns.exists(_.equalsIgnoreCase(f.name))) d
+            else d.withColumn(f.name, lit(null).cast(f.dataType))
+          }
+          padded.select(required.fieldNames.map(col).toSeq: _*).rdd
       }
     }.asInstanceOf[T]
   }

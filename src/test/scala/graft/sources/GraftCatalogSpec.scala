@@ -106,15 +106,51 @@ class GraftCatalogSpec extends SparkSpec {
     assert(v1 == (0L until 32L).map(_ * 10).sum)
   }
 
-  test("ALTER TABLE column changes are rejected toward the write path") {
+  test("ALTER TABLE ADD COLUMN is a schema-only commit: null-filled now, invisible pinned") {
     wh
-    mkTable("t_alter")
-    val e = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.lake.t_alter ADD COLUMN extra BIGINT")
-    }
-    def chain(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ chain(x.getCause))
-    assert(chain(e).exists(_.contains("evolveSchema")))
+    val dir = mkTable("t_alter")
+    insert("t_alter")                                       // v1
+    val dataDirsBefore = Option(new java.io.File(s"$dir/data").listFiles())
+      .getOrElse(Array.empty).map(_.getName).toSet
+    spark.sql(s"ALTER TABLE $cat.lake.t_alter ADD COLUMN extra BIGINT") // v2
+    assert(Versioned.latestVersion(dir) == 2, "the ALTER is a COMMIT")
+    // zero data IO: no new data directory exists for the schema commit
+    val dataDirsAfter = Option(new java.io.File(s"$dir/data").listFiles())
+      .getOrElse(Array.empty).map(_.getName).toSet
+    assert(dataDirsAfter == dataDirsBefore, "schema-only: no data was written")
+    // current reads serve the column, null-filled
+    val now = spark.sql(s"SELECT k, extra FROM $cat.lake.t_alter")
+    assert(now.columns.toSeq == Seq("k", "extra"))
+    assert(now.collect().forall(_.isNullAt(1)), "existing rows null-fill")
+    // a pinned pre-ALTER read NEVER sees it (time-travel correctness)
+    assert(!spark.sql(s"SELECT * FROM $cat.lake.t_alter VERSION AS OF 1")
+      .columns.contains("extra"))
+    // a later INSERT materializes values; untouched rows stay null
+    spark.sql(s"INSERT INTO $cat.lake.t_alter SELECT id, id * 10, " +
+      "CAST(id % 4 AS INT), id * 7 FROM range(0, 4)")       // v3
+    val vals = spark.sql(s"SELECT k, extra FROM $cat.lake.t_alter")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(vals(0L) == 0L && vals(2L) == 14L && vals(5L) == -1L)
+    // add-only discipline holds: duplicates, drops, renames stay refused
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.lake.t_alter ADD COLUMN extra BIGINT") }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.lake.t_alter DROP COLUMN extra") }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.lake.t_alter RENAME COLUMN extra TO e2") }
+  }
+
+  test("ALTER TABLE ADD COLUMN on a declared-only table widens the declared schema") {
+    wh
+    mkTable("t_alter_decl")
+    spark.sql(s"ALTER TABLE $cat.lake.t_alter_decl ADD COLUMN note STRING")
+    assert(spark.sql(s"SELECT * FROM $cat.lake.t_alter_decl").columns.toSeq ==
+      Seq("k", "v", "bucket", "note"))
+    // the bootstrap INSERT resolves against the widened declaration
+    spark.sql(s"INSERT INTO $cat.lake.t_alter_decl SELECT id, id * 10, " +
+      "CAST(id % 4 AS INT), concat('n', id) FROM range(0, 8)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake.t_alter_decl " +
+      "WHERE note = 'n3'").head().getLong(0) == 1L)
   }
 
   test("CTAS creates the table and bootstraps commit v1 in one statement") {
@@ -208,6 +244,67 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION adds the source's extra column through the schema commit") {
+    wh
+    val dir = mkTable("t_mevo")
+    insert("t_mevo")                                          // v1
+    import org.apache.spark.sql.SparkSession
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      s2.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+      s2.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s2.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.lake.t_mevo t
+        |USING (SELECT id AS k, id * 100 AS v, CAST(id % 4 AS INT) AS bucket,
+        |       concat('n', id) AS note FROM range(30, 34)) src
+        |ON t.k = src.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      // v2 = the analyzer-routed ALTER (schema-only), v3 = the merge commit
+      assert(Versioned.latestVersion(dir) == 3)
+      val rows = s2.sql(s"SELECT k, v, note FROM $cat.lake.t_mevo WHERE k >= 29")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), if (r.isNullAt(2)) null else r.getString(2))).toMap
+      assert(rows(29L) == ((290L, null)), "untouched rows null-fill the evolved column")
+      assert(rows(30L) == ((3000L, "n30")) && rows(33L) == ((3300L, "n33")))
+      // pinned pre-merge read never sees the evolved column
+      assert(!s2.sql(s"SELECT * FROM $cat.lake.t_mevo VERSION AS OF 1")
+        .columns.contains("note"))
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
+
+  test("UPDATE on a catalog-qualified name resolves and commits (r15 verdict pin)") {
+    wh
+    val dir = mkTable("t_upd")
+    insert("t_upd")
+    import org.apache.spark.sql.SparkSession
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      s2.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+      s2.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s2.sql(s"UPDATE $cat.lake.t_upd SET v = v + 1 WHERE k % 4 = 2")
+      assert(Versioned.latestVersion(dir) == 2)
+      val rows = s2.sql(s"SELECT k, v FROM $cat.lake.t_upd")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows(2L) == 21L && rows(6L) == 61L && rows(3L) == 30L)
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
+
   test("TRUNCATE then vacuum degrades to a clear retention error, not a raw crash") {
     wh
     mkTable("t_tv")
@@ -271,6 +368,45 @@ class GraftCatalogSpec extends SparkSpec {
       match { case r => r.getLong(0) == 10L && r.getLong(1) == (0L until 10L).map(_ * 5).sum })
     assert(spark.sql(s"SELECT count(*) FROM $cat.lake.t_ovr VERSION AS OF 1")
       .head().getLong(0) == 32L, "the pre-overwrite snapshot still serves")
+  }
+
+  test("CALL system.history: the commit log as rows; vacuum and clone edges pinned") {
+    wh
+    val dir = mkTable("t_hist")
+    insert("t_hist")                                              // v1 BASE
+    spark.sql(s"INSERT INTO $cat.lake.t_hist SELECT id, id * 70, " +
+      "CAST(id % 4 AS INT) FROM range(0, 2)")                     // v2 DELTA (buckets 0,1)
+    spark.sql(s"ALTER TABLE $cat.lake.t_hist ADD COLUMN extra BIGINT") // v3 ALTER
+    Versioned.writeCommitTime(dir, 1, 1000000L)
+    spark.sql(s"TRUNCATE TABLE $cat.lake.t_hist")                 // v4 TRUNCATE
+    def hist(): Map[Int, (String, Option[Int], Int)] =
+      spark.sql(s"CALL $cat.system.history('lake.t_hist')").collect()
+        .map(r => r.getInt(0) -> ((r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getInt(2)), r.getInt(3)))).toMap
+    val h = hist()
+    assert(h(1) == (("BASE", Some(4), 4)))
+    assert(h(2) == (("DELTA", Some(2), 4)), "the two-bucket upsert diff")
+    assert(h(3) == (("ALTER", Some(0), 4)), "schema-only: zero buckets moved")
+    assert(h(4) == (("TRUNCATE", Some(4), 0)), "all buckets to the sentinel")
+    // time and txn surface when stamped
+    val v1row = spark.sql(s"CALL $cat.system.history('lake.t_hist')")
+      .collect().find(_.getInt(0) == 1).get
+    assert(v1row.getLong(5) == 1000000L)
+    // vacuum edge: v3's diff basis survives classification via its sidecar;
+    // a DELTA whose predecessor is vacuumed degrades to UNKNOWN, not a guess
+    spark.sql(s"CALL $cat.system.vacuum('lake.t_hist', 3)").collect() // drops v1
+    val hv = hist()
+    assert(!hv.contains(1) && hv(3)._1 == "ALTER")
+    assert(hv(2) == (("UNKNOWN", None, 4)), "vacuumed diff basis: no guess")
+    // clone edge: a shallow clone's history starts at its own v1 BASE,
+    // live buckets counted through the external references
+    val cloneDir = s"$wh/lake/t_hist_clone"
+    val srcDir = mkTable("t_hist_src")
+    insert("t_hist_src")
+    Versioned.cloneShallow(srcDir, cloneDir, 1)
+    val hc = spark.sql(s"CALL $cat.system.history('lake.t_hist_clone')").collect()
+      .map(r => r.getInt(0) -> ((r.getString(1), r.getInt(3)))).toMap
+    assert(hc == Map(1 -> (("BASE", 4))))
   }
 
   test("DROP TABLE removes the store; SHOW TABLES no longer lists it") {

@@ -149,6 +149,40 @@ class GraftRowLevelSpec extends SparkSpec {
       !v2.contains(1L) && !v2.contains(5L) && v2.size == 100)
   }
 
+  test("key-moving UPDATE onto an existing untargeted key fails loud (r16 guard)") {
+    val (dir, view) = stage()
+    // UPDATE ... SET k = 2 WHERE k = 1 while k=2 exists untouched: the
+    // commit would silently REPLACE row 2 — a row the statement never
+    // targeted (the ADVICE lost-update scenario). The guard fails loud.
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $view SET k = 2 WHERE k = 1")
+    }
+    assert(e.getMessage.contains("untargeted"))
+    assert(Versioned.latestVersion(dir) == 1, "the rejected UPDATE committed nothing")
+    // SWAP-SHAPED moves stay legal: every landed-on key is itself moved
+    // away by the same statement (its old key rides the D rows)
+    spark.sql(s"UPDATE $view SET k = CASE WHEN k = 1 THEN 5 ELSE 1 END " +
+      "WHERE k IN (1, 5)")
+    val v2 = state(dir, 2)
+    assert(v2(5L) == 1.0 && v2(1L) == 5.0 && v2.size == 100)
+  }
+
+  test("MERGE whose ON is not the key: insert aliasing a live key fails loud") {
+    val (dir, view) = stage()
+    // source row has payload no target row carries (so NOT MATCHED fires)
+    // but its key k=7 IS a live row — the insert would silently replace it
+    Seq((7L, 3, -777.0)).toDF("k", "bucket", "payload")
+      .createOrReplaceTempView("grl_alias_src")
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $view t USING grl_alias_src s ON t.payload = s.payload
+           |WHEN NOT MATCHED THEN INSERT (k, bucket, payload)
+           |  VALUES (s.k, s.bucket, s.payload)""".stripMargin)
+    }
+    assert(e.getMessage.contains("untargeted"))
+    assert(Versioned.latestVersion(dir) == 1)
+  }
+
   test("row-level DML through a version-pinned view is rejected") {
     val (dir, _) = stage()
     spark.sql(s"DELETE FROM grl_t$n WHERE k IN (1)") // advance to v2 first

@@ -146,6 +146,20 @@ class GraftSinkSpec extends SparkSpec {
     assert(Versioned.latestVersion(table) == 1, "nothing was committed over the claim")
   }
 
+  test("query tag canonicalizes the checkpoint path: spelling variants share one identity") {
+    val abs = tmp() // an absolute path
+    val tag = GraftStoreSource.sinkQueryTag(Some(abs))
+    // trailing slash, doubled separators, dot segments — SAME query, and
+    // (r16, ADVICE) the same tag: a restart with a differently-spelled
+    // checkpoint must read its own commits as its own, never fail loud
+    // as a foreign writer
+    assert(GraftStoreSource.sinkQueryTag(Some(s"$abs/")) == tag)
+    assert(GraftStoreSource.sinkQueryTag(Some(abs.replace("/", "//"))) == tag)
+    assert(GraftStoreSource.sinkQueryTag(Some(s"$abs/./")) == tag)
+    // distinct checkpoints stay distinct
+    assert(GraftStoreSource.sinkQueryTag(Some(s"$abs-other")) != tag)
+  }
+
   private def exceptionChain(e: Throwable): Seq[String] =
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
       .map(t => Option(t.getMessage).getOrElse("")).toSeq

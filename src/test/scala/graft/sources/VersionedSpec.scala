@@ -579,9 +579,90 @@ class VersionedSpec extends SparkSpec {
     val v2 = Versioned.readVersion(spark, dir, 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(v2(0L) == 100L && v2(1L) == 1L)
-    // re-staging a BOOTSTRAP over the same dir stays allowed (re-init,
-    // not a lost update: the v1 data dir is rewritten wholesale with it)
+    // re-staging a BOOTSTRAP over an ADVANCED store fails loud (r16,
+    // ADVICE): v2's manifest still points at v1's data dir for untouched
+    // buckets, so a bootstrap re-run would silently mutate v2's content —
+    // the lost-update class the CREATE_NEW gate exists to close
+    val eBase = intercept[Exception] {
+      Versioned.commitBase(base, dir, "bucket", 2)
+    }
+    assert(eBase.getMessage.contains("advanced past the base"))
+    // ...while re-staging over a BASE-ONLY store stays allowed (re-init,
+    // not a lost update: no later manifest references the rewritten dir)
+    val dir2 = tmp()
+    Versioned.commitBase(base, dir2, "bucket", 2)
+    Versioned.commitBase(base, dir2, "bucket", 2)
+    assert(Versioned.readVersion(spark, dir2, 1).count() == 16L)
+  }
+
+  test("commitWithRetry: a disjoint interleaved writer retries and lands; overlap fails loud") {
+    val dir = tmp()
+    val base = (0L until 16L).map(k => (k, k, (k % 2).toInt)).toDF("k", "v", "bucket")
     Versioned.commitBase(base, dir, "bucket", 2)
-    assert(Versioned.readVersion(spark, dir, 1).count() == 16L)
+    // writer A computed its delta against v1 (readV = 1)...
+    val deltaA = Seq((0L, 100L, 0)).toDF("k", "v", "bucket")
+    // ...but writer B lands v2 first, touching a DISJOINT key
+    Versioned.commitUpsert(spark, Seq((3L, 300L, 1)).toDF("k", "v", "bucket"),
+      dir, 2, "k", "bucket")
+    // A's retry validates key-disjointness via the CDF of (v1, v2] and
+    // re-commits at v3 — both writers' updates survive (no lost update,
+    // no spurious conflict error)
+    val vA = Versioned.commitUpsertWithRetry(spark, deltaA, dir, 1, "k", "bucket")
+    assert(vA == 3)
+    val st = Versioned.readVersion(spark, dir, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(st(0L) == 100L && st(3L) == 300L, "both writers' updates present")
+    // writer C also read v1 but touches B's key: a GENUINE write-write
+    // conflict — fail loud naming the key, never last-writer-wins
+    val e = intercept[Exception] {
+      Versioned.commitUpsertWithRetry(spark,
+        Seq((3L, 999L, 1)).toDF("k", "v", "bucket"), dir, 1, "k", "bucket")
+    }
+    assert(e.getMessage.contains("write-write conflict"))
+    assert(Versioned.latestVersion(dir) == 3, "the conflicted writer committed nothing")
+    // retry exhaustion: a writer that keeps losing the in-flight race
+    // rethrows after maxAttempts — bounded, never an infinite loop
+    var calls = 0
+    val e2 = intercept[Exception] {
+      Versioned.commitWithRetry(spark, dir, deltaA.select(col("k")), 3, "k",
+        maxAttempts = 2) { _ =>
+        calls += 1; sys.error("graftstore concurrent commit: simulated race loss")
+      }
+    }
+    assert(calls == 2 && e2.getMessage.contains("concurrent commit"))
+  }
+
+  test("commitAddColumns: schema-only commit, pinned reads unaffected, overlay survives vacuum") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val dir = tmp()
+    val base = (0L until 16L).map(k => (k, k, (k % 2).toInt)).toDF("k", "v", "bucket")
+    Versioned.commitBase(base, dir, "bucket", 2)
+    Versioned.commitAddColumns(spark, dir, 2,
+      StructType(Seq(StructField("extra", LongType))))
+    // zero data IO: v2 has no data directory of its own
+    assert(!new java.io.File(s"$dir/data/v2").exists())
+    val v2 = Versioned.readVersion(spark, dir, 2)
+    assert(v2.columns.toSeq == Seq("k", "v", "bucket", "extra"))
+    assert(v2.select("extra").collect().forall(_.isNullAt(0)), "null-filled")
+    assert(!Versioned.readVersion(spark, dir, 1).columns.contains("extra"),
+      "a pinned pre-ALTER read never sees the column")
+    // duplicate and non-nullable adds are refused (add-only discipline)
+    intercept[Exception] { Versioned.commitAddColumns(spark, dir, 3,
+      StructType(Seq(StructField("EXTRA", LongType)))) }
+    intercept[Exception] { Versioned.commitAddColumns(spark, dir, 3,
+      StructType(Seq(StructField("e2", LongType, nullable = false)))) }
+    // v3 materializes values for two keys; the rest stay null
+    Versioned.commitUpsert(spark,
+      Seq((0L, 50L, 0, 7L), (1L, 51L, 1, 8L)).toDF("k", "v", "bucket", "extra"),
+      dir, 3, "k", "bucket")
+    val v3 = Versioned.readVersion(spark, dir, 3)
+      .select(col("k"), col("extra")) // partition col reads back last
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(v3(0L) == 7L && v3(1L) == 8L && v3(5L) == -1L)
+    // the overlay SURVIVES vacuum: dropping v1/v2's manifests must not
+    // lose the ALTER that later versions' effective schema depends on
+    Versioned.vacuum(dir, 1)
+    assert(Versioned.readVersion(spark, dir, 3).columns.contains("extra"))
   }
 }
