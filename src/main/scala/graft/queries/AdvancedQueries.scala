@@ -231,7 +231,6 @@ object AdvancedQueries {
     * design. At 100 TB this is how the runtime-filter artifact every scan
     * wants is BUILT: continuously, sharded, without rescanning history. */
   def bloomMembershipStream(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
-    StreamScratch.sizeStateStores(fork)
     import fork.implicits._
     val root = StreamScratch.fresh("bloom")
     val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
@@ -239,6 +238,7 @@ object AdvancedQueries {
     val mBits = bloomWidth(urgent.count())
     val shardBits = (mBits + BloomShards - 1) / BloomShards
     urgent.repartition(3).write.parquet(inDir)
+    StreamScratch.sizeStateStoresAdaptive(fork, inDir)
     val stream = fork.readStream.schema("key LONG")
       .option("maxFilesPerTrigger", 1).parquet(inDir)
     val posShards = stream
@@ -385,12 +385,12 @@ object AdvancedQueries {
     * continuous frequency observability: bounded state, no rescan of
     * history, and the report side still a broadcast join + TakeOrdered. */
   def cmsFreqStream(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
-    StreamScratch.sizeStateStores(fork)
     import fork.implicits._
     val root = StreamScratch.fresh("cms")
     val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
     fork.read.parquet(s"$dir/lineitem.parquet").select(col("l_partkey"))
       .repartition(3).write.parquet(inDir)
+    StreamScratch.sizeStateStoresAdaptive(fork, inDir)
     val stream = fork.readStream.schema("l_partkey LONG")
       .option("maxFilesPerTrigger", 1).parquet(inDir)
     val buckets = stream
@@ -440,7 +440,6 @@ object AdvancedQueries {
   val CmsWinDays = 10
   val CmsWinTopK = 5
   def cmsFreqStreamWindowed(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
-    StreamScratch.sizeStateStores(fork)
     import fork.implicits._
     val root = StreamScratch.fresh("cmswin")
     val (outDir, ckpt) = (s"$root/out", s"$root/ckpt")
@@ -462,6 +461,7 @@ object AdvancedQueries {
         .collect().map(_.getLong(0)) // window-count-sized (span/width)
       wins.toSeq.map(w => keyed.where(col("win") === w))
     }
+    StreamScratch.sizeStateStoresAdaptive(fork, inDir)
     val stream = fork.readStream.schema("user_id LONG, ts_us LONG, win LONG")
       .option("maxFilesPerTrigger", 1).parquet(inDir)
     val buckets = stream
@@ -525,7 +525,6 @@ object AdvancedQueries {
     * sf0.1 ~1500 (the (k−1)·2⁶⁰/hₖ estimate). At 100 TB: per-period
     * distinct observability with finite state and no history. */
   def kmvDistinctStreamWindowed(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
-    StreamScratch.sizeStateStores(fork)
     import fork.implicits._
     val root = StreamScratch.fresh("kmvwin")
     val (outDir, ckpt) = (s"$root/out", s"$root/ckpt")
@@ -542,6 +541,7 @@ object AdvancedQueries {
         .collect().map(_.getLong(0)) // window-count-sized (span/width)
       wins.toSeq.map(w => keyed.where(col("win") === w))
     }
+    StreamScratch.sizeStateStoresAdaptive(fork, inDir)
     val stream = fork.readStream.schema("user_id LONG, ts_us LONG, win LONG")
       .option("maxFilesPerTrigger", 1).parquet(inDir)
     val hashes = stream
@@ -671,13 +671,13 @@ object AdvancedQueries {
     * KmvStreamSpec asserts split-invariance and duplicate-feed
     * idempotence. */
   def kmvDistinctStream(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
-    StreamScratch.sizeStateStores(fork)
     import fork.implicits._
     val root = StreamScratch.fresh("kmv")
     val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
     fork.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_returnflag"), col("l_partkey"))
       .repartition(3).write.parquet(inDir)
+    StreamScratch.sizeStateStoresAdaptive(fork, inDir)
     val sch = fork.read.parquet(inDir).schema
     val stream = fork.readStream.schema(sch)
       .option("maxFilesPerTrigger", 1).parquet(inDir)

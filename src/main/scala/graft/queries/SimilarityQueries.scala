@@ -1178,11 +1178,11 @@ object SimilarityQueries {
     * invariance. */
   def dedupEmbeddingLshStream(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
     import fork.implicits._
-    StreamScratch.sizeStateStores(fork)
     val root = StreamScratch.fresh("emb_lsh")
     val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
     val points = pts(fork, dir)
     points.write.parquet(inDir)
+    StreamScratch.sizeStateStoresAdaptive(fork, inDir)
     val bpb = Similarity.bitsPerBand(points.count())
     val stream = fork.readStream.schema("vec_id LONG, v ARRAY<DOUBLE>").parquet(inDir)
     val q = graft.streaming.EmbStream.pairsStream(
@@ -1215,7 +1215,6 @@ object SimilarityQueries {
     * deliberately avoids. */
   def dedupEmbeddingLshStreamEvict(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
     import fork.implicits._
-    StreamScratch.sizeStateStores(fork)
     val root = StreamScratch.fresh("emb_evict")
     val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
     val points = pts(fork, dir)
@@ -1225,6 +1224,7 @@ object SimilarityQueries {
     // horizon covers the whole span, so nothing is ever evicted or late
     // and the batch oracle is unchanged
     points.repartition(3).write.parquet(inDir)
+    StreamScratch.sizeStateStoresAdaptive(fork, inDir)
     val n = points.count()
     val bpb = Similarity.bitsPerBand(n)
     // span of the vec_id ingest clock, in seconds; horizon covers it all

@@ -1227,15 +1227,26 @@ object SourceQueries {
     * injections (GraftMergeAnalysis) are session-BUILD-time only, so a
     * statement that needs them runs in a sibling built over the same
     * SparkContext, active/default session restored afterward
-    * (GraftCatalogSpec's pattern, packaged for entries). */
-  private def withExtensionsSession[A](restore: SparkSession)(f: SparkSession => A): A = {
+    * (GraftCatalogSpec's pattern, packaged for entries).
+    *
+    * Restores the PREVIOUS active/default sessions — never the caller's
+    * fork: [[graft.operators.Artifacts]] keys its shared layouts on
+    * `SparkSession.active`'s UUID, and leaving a per-entry fork behind as
+    * the global active session re-keyed the registry on every invocation,
+    * so every later entry (and every later bench rep) silently rebuilt
+    * every shared disk layout and staged stream input it should have
+    * reused — measured at +190 s over the 288-entry bench (r16
+    * OPTIMIZATION_r16.md, "store family"). */
+  private def withExtensionsSession[A](f: SparkSession => A): A = {
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     try f(SparkSession.builder()
       .withExtensions(new graft.GraftExtensions).getOrCreate())
     finally {
-      SparkSession.setActiveSession(restore)
-      SparkSession.setDefaultSession(restore)
+      prevActive.fold(SparkSession.clearActiveSession())(SparkSession.setActiveSession)
+      prevDefault.fold(SparkSession.clearDefaultSession())(SparkSession.setDefaultSession)
     }
   }
 
@@ -1322,7 +1333,7 @@ object SourceQueries {
           |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT),
           |  CAST(o_orderkey % 16 AS INT)
           |FROM graft_me_base""".stripMargin)                  // v1
-      withExtensionsSession(fork) { s2 =>
+      withExtensionsSession { s2 =>
         s2.conf.set("spark.sql.catalog.graft_cat",
           classOf[graft.sources.GraftCatalog].getName)
         s2.conf.set("spark.sql.catalog.graft_cat.warehouse", path)

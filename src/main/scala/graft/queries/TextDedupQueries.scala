@@ -1043,7 +1043,6 @@ object TextDedupQueries {
     * batch). */
   def dedupPairsStreamed(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
     import fork.implicits._
-    StreamScratch.sizeStateStores(fork)
     val root = StreamScratch.fresh("dedup_pairs")
     val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
     // stage the corpus into a directory: the file stream source reads
@@ -1051,6 +1050,7 @@ object TextDedupQueries {
     val docsIn = fork.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
     docsIn.write.parquet(inDir)
+    StreamScratch.sizeStateStoresAdaptive(fork, inDir)
     val stream = fork.readStream.schema(docsIn.schema).parquet(inDir)
     val q = graft.streaming.DocStream.pairsStream(
         graft.streaming.DocStream.bandRows(stream, "doc_id", "text")
@@ -1084,7 +1084,6 @@ object TextDedupQueries {
     * state-row drop this entry's configuration deliberately avoids. */
   def dedupPairsStreamEvict(s: SparkSession, dir: String): DataFrame = Scoped(s) { fork =>
     import fork.implicits._
-    StreamScratch.sizeStateStores(fork)
     val root = StreamScratch.fresh("dedup_evict")
     val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
     val docsIn = fork.read.parquet(s"$dir/documents.parquet")
@@ -1093,6 +1092,7 @@ object TextDedupQueries {
     // between micro-batches, so the eviction machinery runs live (a
     // single-batch run exercises it only vacuously — r11 self-review)
     docsIn.repartition(3).write.parquet(inDir)
+    StreamScratch.sizeStateStoresAdaptive(fork, inDir)
     // span of the doc_id ingest clock (ids need not be dense); horizon
     // covers it all, and the watermark delay keeps every row un-late:
     // delay = maxId+1 s puts the fully-advanced watermark one second BELOW

@@ -980,11 +980,25 @@ object Versioned {
         .otherwise(col(s"n_$c")).as(c))): _*)
     if (!withPreimage) (feed, touched)
     else {
-      val pre = net
-        .where(col("o_k").isNotNull && col("n_k").isNotNull)
-        .select((lit("U-").as("op") +: col("o_k").as(keyCol) +:
-          cols.map(c => col(s"o_$c").as(c))): _*)
-      (feed.unionByName(pre), touched)
+      // ONE PASS over the diff join (r16 optimization round, guide §2.4):
+      // the previous `feed.unionByName(preimageRows)` planned the
+      // full-outer diff join TWICE — once per union branch — doubling the
+      // bucket reads and the join shuffle of every preimage consumer
+      // (mv_refresh_cdf, store_cdf_stream, store_hop_cdc). Each net row
+      // instead EXPLODES to its postimage row plus, for updates, the 'U-'
+      // preimage row: same row set, same columns, one join execution.
+      val postRow = struct((op.as("op") +:
+        coalesce(col("n_k"), col("o_k")).as(keyCol) +:
+        cols.map(c => when(col("n_k").isNull, col(s"o_$c"))
+          .otherwise(col(s"n_$c")).as(c))): _*)
+      val preRow = struct((lit("U-").as("op") +: col("o_k").as(keyCol) +:
+        cols.map(c => col(s"o_$c").as(c))): _*)
+      val both = net.select(explode(
+          when(col("o_k").isNotNull && col("n_k").isNotNull,
+            array(postRow, preRow))
+            .otherwise(array(postRow))).as("r"))
+        .select(col("r.*"))
+      (both, touched)
     }
   }
 

@@ -36,6 +36,15 @@ object CmsStream {
 
   /** One arriving bucket increment: sketch row r, column c. */
   final case class Bucket(r: Int, c: Long)
+  /** MAP-SIDE PARTIAL of one task's increments for sketch row `r`: `n`
+    * increments folded into a w-long counter vector. Addition is
+    * commutative/associative, so folding per-partition partials into state
+    * yields the identical matrix the row-at-a-time fold did — while the
+    * shuffle into the d keyed groups moves `partitions × d` partial rows
+    * instead of every exploded increment (guide §2.3 "aggregate before
+    * you shuffle": the r16 optimization round measured the per-trigger
+    * stream cost dropping ~3× on the catalog entry). */
+  final case class CmsPartial(r: Int, n: Long, counts: Array[Long])
   final case class CmsState(counts: Array[Long], seen: Long)
   /** Per-batch state snapshot for sketch row `r` (monotone `seen` picks
     * the final snapshot at read-back). */
@@ -43,13 +52,34 @@ object CmsStream {
 
   def sketchStream(rows: Dataset[Bucket], w: Int): Dataset[CmsRowOut] = {
     import rows.sparkSession.implicits._
-    rows.groupByKey(_.r)
+    rows
+      .mapPartitions { it =>
+        val acc = new java.util.HashMap[Int, Array[Long]]()
+        val ns = new java.util.HashMap[Int, Array[Long]]() // 1-slot n holders
+        it.foreach { b =>
+          var cs = acc.get(b.r)
+          if (cs == null) {
+            cs = new Array[Long](w); acc.put(b.r, cs)
+            ns.put(b.r, new Array[Long](1))
+          }
+          cs(b.c.toInt) += 1
+          ns.get(b.r)(0) += 1
+        }
+        import scala.jdk.CollectionConverters._
+        acc.entrySet().iterator().asScala
+          .map(e => CmsPartial(e.getKey, ns.get(e.getKey)(0), e.getValue))
+      }
+      .groupByKey(_.r)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (r: Int, it: Iterator[Bucket], state: GroupState[CmsState]) =>
+        (r: Int, it: Iterator[CmsPartial], state: GroupState[CmsState]) =>
           val prev = state.getOption.getOrElse(CmsState(new Array[Long](w), 0L))
           val counts = prev.counts.clone()
           var n = prev.seen
-          it.foreach { b => n += 1; counts(b.c.toInt) += 1 }
+          it.foreach { p =>
+            n += p.n
+            var i = 0
+            while (i < w) { counts(i) += p.counts(i); i += 1 }
+          }
           state.update(CmsState(counts, n))
           Iterator.single(CmsRowOut(r, n, counts))
       }

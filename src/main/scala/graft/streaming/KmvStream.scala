@@ -34,22 +34,49 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object KmvStream {
 
   final case class KeyedHash(flag: String, h: Long)
+  /** MAP-SIDE PARTIAL of one task's rows for `flag`: `n` rows folded into
+    * that partition's k smallest DISTINCT hashes. take-k-of-unions ==
+    * union-then-take-k (the monotone idempotent fold the scaladoc sells),
+    * so merging partials into state is value-identical to the
+    * row-at-a-time fold while the keyed shuffle moves `partitions × flags`
+    * partial rows instead of every input row (guide §2.3). */
+  final case class KmvPartial(flag: String, n: Long, mins: Array[Long])
   final case class KmvState(mins: Array[Long], seen: Long)
   final case class KmvOut(l_returnflag: String, seen: Long, nh: Int, hk: Long)
 
   def sketchStream(rows: Dataset[KeyedHash], k: Int): Dataset[KmvOut] = {
     import rows.sparkSession.implicits._
-    rows.groupByKey(_.flag)
+    rows
+      .mapPartitions { it =>
+        val acc = new java.util.HashMap[String, scala.collection.mutable.SortedSet[Long]]()
+        val ns = new java.util.HashMap[String, Array[Long]]()
+        it.foreach { r =>
+          var set = acc.get(r.flag)
+          if (set == null) {
+            set = scala.collection.mutable.SortedSet.empty[Long]
+            acc.put(r.flag, set); ns.put(r.flag, new Array[Long](1))
+          }
+          ns.get(r.flag)(0) += 1
+          set += r.h
+          if (set.size > k) set -= set.last
+        }
+        import scala.jdk.CollectionConverters._
+        acc.entrySet().iterator().asScala
+          .map(e => KmvPartial(e.getKey, ns.get(e.getKey)(0), e.getValue.toArray))
+      }
+      .groupByKey(_.flag)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (flag: String, it: Iterator[KeyedHash], state: GroupState[KmvState]) =>
+        (flag: String, it: Iterator[KmvPartial], state: GroupState[KmvState]) =>
           val prev = state.getOption.getOrElse(KmvState(Array.empty, 0L))
           var n = prev.seen
           // k smallest DISTINCT hashes: dedupe against carried + within batch
           val set = scala.collection.mutable.SortedSet.empty[Long] ++ prev.mins
-          it.foreach { r =>
-            n += 1
-            set += r.h
-            if (set.size > k) set -= set.last
+          it.foreach { p =>
+            n += p.n
+            p.mins.foreach { h =>
+              set += h
+              if (set.size > k) set -= set.last
+            }
           }
           val mins = set.toArray // ascending
           state.update(KmvState(mins, n))
