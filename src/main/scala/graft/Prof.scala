@@ -36,7 +36,39 @@ object Prof {
       Seq(4, 1, 4, 1).foreach(p => ssjoinBreakdown(spark, dir, p))
     if (what == "cms_freq_stream") cmsBreakdown(spark, dir)
     if (what == "internal_plans") internalPlans(spark, dir, args(1))
+    if (what == "graph_communities") graphBreakdown(spark, dir)
     spark.stop()
+  }
+
+  /** Sub-step timers for graph_communities: edges vs LPA rounds. */
+  def graphBreakdown(s: SparkSession, dir: String): Unit = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val n = docs.count()
+    val edges = t("linkGraph count") {
+      val e = graft.queries.GraphQueries.linkGraph(docs, n)
+      e.write.format("noop").mode("overwrite").save(); e
+    }
+    Seq(0, 1, 2, 3).foreach { it =>
+      t(s"labelPropagate iters=$it") {
+        graft.operators.Graph.labelPropagate(
+            edges, docs.select(col("doc_id").as("id")), it)
+          .groupBy(col("label")).agg(count(lit(1)))
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    Seq("4" -> "true", "4" -> "false", "32" -> "false").foreach { case (p, aqe) =>
+      val fork = s.newSession()
+      fork.conf.set("spark.sql.shuffle.partitions", p)
+      fork.conf.set("spark.sql.adaptive.enabled", aqe)
+      val docsF = fork.read.parquet(s"$dir/documents.parquet")
+      val e2 = graft.queries.GraphQueries.linkGraph(docsF, n)
+      t(s"LPA iters=3 parts=$p aqe=$aqe") {
+        graft.operators.Graph.labelPropagate(
+            e2, docsF.select(col("doc_id").as("id")), 3)
+          .groupBy(col("label")).agg(count(lit(1)))
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
   }
 
   /** Dumps the INTERNAL frames' plans that entry-level explain cannot see

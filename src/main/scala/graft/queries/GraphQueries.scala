@@ -24,7 +24,7 @@ object GraphQueries {
     * doc_id space [0, n): a multigraph with self-loops possible, every node
     * ≥ 1 out-link (no dangling mass — [[graft.operators.Graph.pagerank]]'s
     * no-out-edge leak never triggers here). */
-  private def linkGraph(docs: DataFrame, n: Long): DataFrame =
+  private[graft] def linkGraph(docs: DataFrame, n: Long): DataFrame =
     docs.select(col("doc_id").as("src"))
       .withColumn("k", (md5Hash60(concat(lit("deg:"), col("src"))) % 8 + 1).cast("int"))
       .withColumn("j", explode(sequence(lit(0), col("k") - 1)))
