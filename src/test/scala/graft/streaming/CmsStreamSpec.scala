@@ -29,14 +29,20 @@ class CmsStreamSpec extends SparkSpec {
     for (i <- 0L until 200L) yield i % 37 // heavy duplication
 
   /** Run the fold over the given batches; return the final matrix
-    * (max-seen snapshot per row) as (r, c) -> count. */
-  private def run(batches: Seq[Seq[CmsStream.Bucket]]): Map[(Int, Int), Long] = {
+    * (max-seen snapshot per row) as (r, c) -> count. `parts` > 0 spreads
+    * every micro-batch over that many partitions BEFORE the fold, so the
+    * r16 map-side partial aggregation genuinely produces several partials
+    * per sketch row per batch and the keyed state fold must merge them. */
+  private def run(batches: Seq[Seq[CmsStream.Bucket]],
+                  parts: Int = 0): Map[(Int, Int), Long] = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Int, Long)]
     val name = s"cms_mem_${System.nanoTime()}"
+    val src = mem.toDS()
+    val spread = if (parts > 0) src.repartition(parts) else src
     val q = CmsStream.sketchStream(
-        mem.toDS().map { case (r, c) => CmsStream.Bucket(r, c) }, W)
+        spread.map { case (r, c) => CmsStream.Bucket(r, c) }, W)
       .toDF().writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     try {
@@ -60,6 +66,16 @@ class CmsStreamSpec extends SparkSpec {
     val shuffled = run(Seq(b.reverse))
     assert(oneShot == threeWay, "batch split moved the matrix")
     assert(oneShot == shuffled, "row order moved the matrix")
+  }
+
+  test("map-side partials merge across partitions exactly (r16 internals)") {
+    val b = buckets(corpus)
+    val expected = b.groupBy(x => (x.r, x.c.toInt))
+      .view.mapValues(_.size.toLong).toMap
+    // 7 partitions × 3 sketch rows → up to 21 partials per batch; the
+    // merged matrix must equal the single-partition row-at-a-time count
+    assert(run(b.grouped(70).toSeq, parts = 7) == expected,
+      "partial merge drifted from the exact count")
   }
 
   test("final matrix equals the batch count exactly; re-feed doubles (NOT idempotent)") {

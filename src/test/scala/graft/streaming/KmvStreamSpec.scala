@@ -19,13 +19,18 @@ class KmvStreamSpec extends SparkSpec {
 
   /** Run the sketch over the given batches; return final (nh, hk) per
     * group (max-seen emission) plus the max nh ever emitted. */
-  private def run(batches: Seq[Seq[(String, Long)]]): (Map[String, (Int, Long)], Int) = {
+  private def run(batches: Seq[Seq[(String, Long)]],
+                  parts: Int = 0): (Map[String, (Int, Long)], Int) = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Long)]
     val name = s"kmv_mem_${System.nanoTime()}"
+    val src = mem.toDS()
+    // parts > 0 spreads each micro-batch so the r16 map-side partials
+    // (per-partition k-min sets) genuinely merge in the keyed state fold
+    val spread = if (parts > 0) src.repartition(parts) else src
     val q = KmvStream.sketchStream(
-        mem.toDS().map { case (f, h) => KmvStream.KeyedHash(f, h) }, K)
+        spread.map { case (f, h) => KmvStream.KeyedHash(f, h) }, K)
       .toDF().writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     try {
@@ -47,6 +52,15 @@ class KmvStreamSpec extends SparkSpec {
     val (shuffled, _) = run(Seq(c.reverse.take(90), c.take(90)))
     assert(oneShot == threeWay, "batch split moved the sketch")
     assert(oneShot == shuffled, "row order / duplicate overlap moved the sketch")
+  }
+
+  test("map-side partials merge across partitions exactly (r16 internals)") {
+    val c = corpus
+    val (oneShot, _) = run(Seq(c))
+    val (spread, mx) = run(c.grouped(60).toSeq, parts = 7)
+    assert(oneShot == spread,
+      "per-partition k-min partials drifted from the row-at-a-time fold")
+    assert(mx <= K, s"emitted nh exceeded k under partials: $mx")
   }
 
   test("duplicate re-feed is idempotent; state stays bounded at k") {
