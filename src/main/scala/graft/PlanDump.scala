@@ -12,6 +12,8 @@ import java.nio.file.{Files, Paths}
   * name list, so a round only regenerates the plans it touched. */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    require(args.length >= 4,
+      "usage: runMain graft.PlanDump <sfDir> <outDir> <suffix> <name>[,<name>...]")
     val Array(sfDir, outDir, suffix, namesCsv) = args.take(4)
     val names = namesCsv.split(",").map(_.trim).filter(_.nonEmpty)
     val spark = SparkSession.builder()

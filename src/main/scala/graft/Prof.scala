@@ -13,6 +13,52 @@ object Prof {
     r
   }
 
+  /** Whole-JVM counters for the 8-vs-32-core adjudication (r16 verdict ask
+    * #2): jobs/tasks submitted, summed task run/GC/deserialize time from
+    * TaskMetrics, plus driver GC-bean deltas. Scoped-fork queries share the
+    * SparkContext, so one listener sees every entry's work. */
+  private final class Counters extends org.apache.spark.scheduler.SparkListener {
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val stages = new java.util.concurrent.atomic.AtomicLong
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
+    val runMs = new java.util.concurrent.atomic.AtomicLong
+    val deserMs = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      tasks.incrementAndGet()
+      Option(e.taskMetrics).foreach { m =>
+        gcMs.addAndGet(m.jvmGCTime)
+        runMs.addAndGet(m.executorRunTime)
+        deserMs.addAndGet(m.executorDeserializeTime)
+      }
+    }
+    override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+      jobs.incrementAndGet()
+    override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      stages.incrementAndGet()
+  }
+
+  private def driverGcMs(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum
+  }
+
+  /** Run `f` with the counters attached and print the deltas. */
+  def counted[A](s: SparkSession, name: String)(f: => A): A = {
+    val c = new Counters
+    s.sparkContext.addSparkListener(c)
+    val gc0 = driverGcMs()
+    val t0 = System.nanoTime()
+    val r = f
+    val wall = (System.nanoTime() - t0) / 1e9
+    // listener bus is async — let the queue drain before reading counters
+    Thread.sleep(300)
+    s.sparkContext.removeSparkListener(c)
+    println(f"[prof.counted] $name%-28s wall=$wall%7.2f s jobs=${c.jobs.get}%4d stages=${c.stages.get}%4d tasks=${c.tasks.get}%5d taskRun=${c.runMs.get / 1000.0}%7.2f s taskGC=${c.gcMs.get / 1000.0}%6.2f s taskDeser=${c.deserMs.get / 1000.0}%6.2f s jvmGC=${(driverGcMs() - gc0) / 1000.0}%6.2f s")
+    r
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -26,18 +72,78 @@ object Prof {
     val what = args.headOption.getOrElse("mv_refresh_cdf")
     if (SparkEntry.queries.contains(what)) {
       // warm layout build outside the timed region (the bench's first-rep payer)
-      t("warm: " + what)(SparkEntry.queries(what)(spark, dir).count())
+      counted(spark, "warm: " + what)(SparkEntry.queries(what)(spark, dir).count())
       (1 to 2).foreach { i =>
-        t(s"run $i: " + what)(SparkEntry.queries(what)(spark, dir).count())
+        counted(spark, s"run $i: " + what)(SparkEntry.queries(what)(spark, dir).count())
       }
     }
     if (what == "mv_refresh_cdf") mvBreakdown(spark, dir)
     if (what == "events_join_stream")
       Seq(4, 1, 4, 1).foreach(p => ssjoinBreakdown(spark, dir, p))
+    if (what == "events_dau_stream") dauBreakdown(spark, dir)
     if (what == "cms_freq_stream") cmsBreakdown(spark, dir)
-    if (what == "internal_plans") internalPlans(spark, dir, args(1))
+    if (what == "internal_plans")
+      internalPlans(spark, dir, args(1), args.drop(2).toSet)
     if (what == "graph_communities") graphBreakdown(spark, dir)
     spark.stop()
+  }
+
+  /** Per-trigger breakdown of the dau bitmap stream shape (the costliest
+    * streaming entry on the 32-core driver bench) — replicates
+    * [[graft.queries.EventQueries.dauStreamBitmap]]'s harness so the
+    * StreamingQueryProgress durations are reachable. */
+  def dauBreakdown(s: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val fork = s.newSession()
+    fork.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    fork.conf.set("spark.sql.session.timeZone", "UTC")
+    if (sys.env.get("PROF_CKPT").contains("fs"))
+      fork.conf.set("spark.sql.streaming.checkpointFileManagerClass",
+        "org.apache.spark.sql.execution.streaming.checkpointing.FileSystemBasedCheckpointFileManager")
+    val staged = graft.operators.Artifacts.sharedPath(s"stage:dau_3d_sent:$dir")(_ => ())
+    sys.env.get("PROF_PARTS").foreach(p =>
+      fork.conf.set("spark.sql.shuffle.partitions", p))
+    if (!sys.env.contains("PROF_PARTS"))
+      graft.queries.StreamScratch.sizeStateStoresAdaptive(fork, staged)
+    println(s"[prof] ---- dau with shuffle.partitions=${fork.conf.get("spark.sql.shuffle.partitions")} ----")
+    val root = graft.queries.StreamScratch.fresh("dau_prof")
+    val (outDir, ckpt) = (s"$root/out", s"$root/ckpt")
+    val stream = fork.readStream.schema("user_id LONG, ts_us LONG")
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+    val q = counted(s, "dau stream") {
+      val q0 = stream
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .withWatermark("ts", "1 day")
+        .groupBy(window(col("ts"), "1 day").as("w"),
+          expr("user_id div 32").as("block"))
+        .agg(expr("bit_or(shiftleft(1L, cast(pmod(user_id, 32) as int)))").as("word"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"), col("word"))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q0.awaitTermination()
+      q0
+    }
+    dumpProgress(q)
+  }
+
+  private def dumpProgress(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val progs = q.recentProgress
+    println(s"[prof] triggers: ${progs.length}")
+    val keys = Seq("addBatch", "getBatch", "latestOffset", "queryPlanning",
+      "walCommit", "commitOffsets", "triggerExecution")
+    keys.foreach { k =>
+      val vals = progs.flatMap(p => Option(p.durationMs.get(k)).map(_.toLong))
+      if (vals.nonEmpty)
+        println(f"[prof] $k%-18s n=${vals.length}%3d total=${vals.sum / 1000.0}%7.2f s avg=${vals.sum.toDouble / vals.length}%7.1f ms")
+    }
+    val st = progs.flatMap(p => Option(p.stateOperators).toSeq.flatten)
+    if (st.nonEmpty) {
+      println(f"[prof] stateCommit total=${st.map(_.commitTimeMs).sum / 1000.0}%7.2f s")
+      println(f"[prof] stateRows last=${st.lastOption.map(_.numRowsTotal).getOrElse(-1L)}")
+    }
   }
 
   /** Sub-step timers for graph_communities: edges vs LPA rounds. */
@@ -74,13 +180,18 @@ object Prof {
   /** Dumps the INTERNAL frames' plans that entry-level explain cannot see
     * (driver-side fits, foreachBatch bodies): the per-iteration PQ
     * assignment frame and the preimage change feed. */
-  def internalPlans(s: SparkSession, dir: String, suffix: String): Unit = {
+  def internalPlans(s: SparkSession, dir: String, suffix: String,
+                    only: Set[String] = Set.empty): Unit = {
+    def wanted(k: String) = only.isEmpty || only(k)
     val mode = org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    val out = java.nio.file.Paths.get("/root/repo/plans/r16")
+    // repo-root-anchored (r16 ADVICE: a hardcoded absolute path silently
+    // writes outside the checkout on any other machine)
+    val out = RepoRoot.dir.resolve("plans")
+      .resolve(sys.env.getOrElse("PROF_PLANS_DIR", "r17"))
     java.nio.file.Files.createDirectories(out)
     // (a) one Lloyd-PQ assignment iteration's frame (the hot subplan of
     // pq_train): reproduce iteration 0's assign+sums plan
-    locally {
+    if (wanted("pq")) locally {
       val pts = s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val numCodes = 16 // plan shape is size-independent
@@ -129,8 +240,37 @@ object Prof {
         sums.queryExecution.explainString(mode))
       println(s"wrote pq_train_assign_iter_$suffix.txt")
     }
+    // (c) one LPA round's votes/winner frame (the hot subplan of
+    // graph_communities): "before" is the r16 shape — adj repartitioned at
+    // the session shuffle default — "after" the |E|-derived width the
+    // operator now computes (r17). Same values either way (exact integer
+    // plurality); the diff is the Exchange partitioning.
+    if (wanted("lpa")) locally {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val n = docs.count()
+      val edges = graft.queries.GraphQueries.linkGraph(docs, n)
+      val und = edges.where(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v")).distinct()
+      val adjBase = und.select(col("u").as("p"), col("v").as("x"))
+        .unionAll(und.select(col("v").as("p"), col("u").as("x")))
+      val adj = if (suffix == "before") adjBase.repartition(col("x"))
+        else adjBase.repartition(
+          graft.operators.Graph.edgePartitions(edges), col("x"))
+      val lab = docs.select(col("doc_id").as("id"))
+        .withColumn("label", col("id"))
+      val votes = adj.join(lab.withColumnRenamed("id", "x"), "x")
+        .groupBy(col("p"), col("label")).agg(count(lit(1)).as("c"))
+      val winner = votes.groupBy(col("p"))
+        .agg(max(struct(col("c"), (-col("label")).as("neg"))).as("w"))
+        .select(col("p").as("id"), (-col("w.neg")).as("new_label"))
+      java.nio.file.Files.writeString(
+        out.resolve(s"graph_lpa_round_$suffix.txt"),
+        winner.queryExecution.explainString(mode))
+      println(s"wrote graph_lpa_round_$suffix.txt")
+    }
     // (b) the preimage change feed (the hot subplan of the CDF consumers)
-    locally {
+    if (wanted("preimage")) locally {
       val fork = s.newSession()
       // force the mvcdf layout build via the entry, then resolve its path
       SparkEntry.queries("mv_refresh_cdf")(s, dir).count()
@@ -222,23 +362,8 @@ object Prof {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    val t0 = System.nanoTime()
-    q.awaitTermination()
-    println(f"[prof] stream wall ${(System.nanoTime() - t0) / 1e9}%7.2f s")
-    val progs = q.recentProgress
-    println(s"[prof] triggers: ${progs.length}")
-    val keys = Seq("addBatch", "getBatch", "latestOffset", "queryPlanning",
-      "walCommit", "commitOffsets", "triggerExecution")
-    keys.foreach { k =>
-      val vals = progs.flatMap(p => Option(p.durationMs.get(k)).map(_.toLong))
-      if (vals.nonEmpty)
-        println(f"[prof] $k%-18s n=${vals.length}%3d total=${vals.sum / 1000.0}%7.2f s avg=${vals.sum.toDouble / vals.length}%7.1f ms")
-    }
-    val st = progs.flatMap(p => Option(p.stateOperators).toSeq.flatten)
-    if (st.nonEmpty) {
-      println(f"[prof] stateCommit total=${st.map(_.commitTimeMs).sum / 1000.0}%7.2f s")
-      println(f"[prof] stateRows last=${st.lastOption.map(_.numRowsTotal).getOrElse(-1L)}")
-    }
+    counted(s, s"ssjoin parts=$parts")(q.awaitTermination())
+    dumpProgress(q)
   }
 
   /** Replicates mvRefreshCdf's body with per-step timers. */

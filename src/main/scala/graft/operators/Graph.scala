@@ -22,6 +22,35 @@ object Graph {
     * of rank resolution. */
   val InitMass = 1000000L
 
+  /** Data-derived shuffle width for the iterative operators' edge layout
+    * (r16 verdict ask #6 — scale-derived, not the session constant): one
+    * partition per `spark.graft.graph.bytesPerEdgePartition` (default
+    * 64 MB) of the edge frame's OPTIMIZER size estimate — metadata only,
+    * no extra pass over the data. At bench scale (KB edge lists) this is
+    * 1 partition instead of `spark.sql.shuffle.partitions` near-empty
+    * tasks per round; at a 100 TB edge list the same rule splits by data
+    * volume. Integer ranks/labels are partitioning-invariant, so outputs
+    * are unchanged (oracle-gated per entry). */
+  private[graft] def edgePartitions(edges: DataFrame): Int = {
+    val key = "spark.graft.graph.bytesPerEdgePartition"
+    val per = edges.sparkSession.conf.getOption(key).map { v =>
+      try v.toLong catch {
+        case e: NumberFormatException => throw new IllegalArgumentException(
+          s"$key must be a plain byte count (e.g. 67108864), got '$v'", e)
+      }
+    }.getOrElse(64L << 20)
+    val bytes = edges.queryExecution.optimizedPlan.stats.sizeInBytes
+    ((bytes + per - 1) / per).min(BigInt(1 << 20)).max(BigInt(1)).toInt
+  }
+
+  /** Lineage-checkpoint cadence for the iterative loops: every K rounds the
+    * running frame is localCheckpointed so plan depth (and failure-replay
+    * cost) stays bounded on long chains instead of growing linearly —
+    * guide §3/§5 "materialising an intermediate truncates the plan". */
+  private def checkpointEvery(df: DataFrame): Int =
+    df.sparkSession.conf.getOption("spark.graft.graph.checkpointEvery")
+      .map(_.toInt).getOrElse(4)
+
   /** Damped integer PageRank over an edge multigraph, Pregel-shaped:
     *
     *   r0(v)      = InitMass
@@ -55,20 +84,25 @@ object Graph {
     val base = (15L * InitMass) / 100L
 
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("k"))
-    // one-time layout both per-iteration joins reuse
+    // one-time layout both per-iteration joins reuse, split by data volume
+    val p = edgePartitions(edges)
+    val every = checkpointEvery(edges)
     val e = edges.join(deg, "src")
-      .repartition(col("src")).persist()
-    val idsP = ids.select(col("id")).repartition(col("id")).persist()
+      .repartition(p, col("src")).persist()
+    val idsP = ids.select(col("id")).repartition(p, col("id")).persist()
     try {
       e.count() // materialize before the loop so reps pay the layout once
       var r = idsP.withColumn("rank", lit(InitMass))
-      for (_ <- 1 to iters) {
+      for (i <- 1 to iters) {
         val inflow = e.join(r.withColumnRenamed("id", "src"), "src")
           .select(col("dst"), expr("rank div k").as("share"))
           .groupBy(col("dst")).agg(sum(col("share")).as("inflow"))
         r = idsP.join(inflow.withColumnRenamed("dst", "id"), Seq("id"), "left")
           .select(col("id"),
             (lit(base) + expr("(85 * coalesce(inflow, 0L)) div 100")).as("rank"))
+        // bound lineage on long chains; values are exact integers, so the
+        // materialization cannot change the result
+        if (i % every == 0 && i < iters) r = r.localCheckpoint(eager = true)
       }
       // force the result out of the loop's lineage before unpersisting
       r.localCheckpoint(eager = true)
@@ -219,14 +253,16 @@ object Graph {
   def labelPropagate(edges: DataFrame, ids: DataFrame, iters: Int): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val und = canonical(edges)
+    val p = edgePartitions(edges)
+    val every = checkpointEvery(edges)
     val adj = und.select(col("u").as("p"), col("v").as("x"))
       .unionAll(und.select(col("v").as("p"), col("u").as("x")))
-      .repartition(col("x")).persist()
-    val idsP = ids.select(col("id")).repartition(col("id")).persist()
+      .repartition(p, col("x")).persist()
+    val idsP = ids.select(col("id")).repartition(p, col("id")).persist()
     try {
       adj.count()
       var lab = idsP.withColumn("label", col("id"))
-      for (_ <- 1 to iters) {
+      for (i <- 1 to iters) {
         val votes = adj.join(lab.withColumnRenamed("id", "x"), "x")
           .groupBy(col("p"), col("label")).agg(count(lit(1)).as("c"))
         // plurality label, ties to the smallest: max over (count, -label)
@@ -236,6 +272,9 @@ object Graph {
         lab = lab.join(winner, Seq("id"), "left")
           .select(col("id"),
             coalesce(col("new_label"), col("label")).as("label"))
+        // bound lineage on long chains (exact integer labels — the
+        // materialization cannot change the result)
+        if (i % every == 0 && i < iters) lab = lab.localCheckpoint(eager = true)
       }
       lab.localCheckpoint(eager = true)
     } finally { adj.unpersist(); idsP.unpersist() }

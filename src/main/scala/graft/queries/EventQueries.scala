@@ -682,7 +682,6 @@ object EventQueries {
                           (transform: DataFrame => DataFrame): DataFrame = {
     fork.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     fork.conf.set("spark.sql.session.timeZone", "UTC")
-    StreamScratch.sizeStateStores(fork)
     val raw = fork.read.parquet(s"$dir/events.parquet")
     val src = raw
       .select(col("event_id"), EventTs.tsTimestamp(raw).as("ts"),
@@ -717,6 +716,10 @@ object EventQueries {
     // per-run fresh above, so each run still consumes every staged file.
     val inDir = graft.operators.Artifacts.sharedPath(
       s"stage:events_sink_$name:$dir") { p => input.write.parquet(p) }
+    // single-batch source (no maxFilesPerTrigger): one micro-batch reads the
+    // whole staged input, so state stores size to the SUM of staged bytes —
+    // scale-adaptive like the slice-staged siblings (r16 verdict ask #4)
+    StreamScratch.sizeStateStoresAdaptiveTotal(fork, inDir)
     val stream = fork.readStream.schema(src.schema).parquet(inDir)
     val q = transform(stream)
       .writeStream.format("parquet")

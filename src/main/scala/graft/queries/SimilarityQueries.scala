@@ -1182,7 +1182,9 @@ object SimilarityQueries {
     val (inDir, outDir, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
     val points = pts(fork, dir)
     points.write.parquet(inDir)
-    StreamScratch.sizeStateStoresAdaptive(fork, inDir)
+    // no maxFilesPerTrigger: ONE micro-batch loads every staged file, so the
+    // per-batch volume bound is the staged TOTAL, not the largest file
+    StreamScratch.sizeStateStoresAdaptiveTotal(fork, inDir)
     val bpb = Similarity.bitsPerBand(points.count())
     val stream = fork.readStream.schema("vec_id LONG, v ARRAY<DOUBLE>").parquet(inDir)
     val q = graft.streaming.EmbStream.pairsStream(

@@ -71,19 +71,7 @@ private[graft] object StreamScratch {
       build.foreach { case (name, slices) => stageOrdered(s"$path/$name", slices) }
     }
 
-  /** Size a streaming fork's state stores to PER-BATCH volume — the r14
-    * adjudication's lesson, in one place: a stateful operator opens,
-    * commits and snapshots one HDFS-backed state store per shuffle
-    * partition per trigger, so the session default 32 is pure per-trigger
-    * fixed cost when a micro-batch's real parallelism is ~8 (measured
-    * 1.7-3.0x on the streaming dedup/sketch/event families). Call it in
-    * every stateful entry's Scoped fork; outputs are
-    * partitioning-invariant (FloatDeterminismSpec's house guarantee). */
-  def sizeStateStores(fork: org.apache.spark.sql.SparkSession,
-                      partitions: Int = 8): Unit =
-    fork.conf.set("spark.sql.shuffle.partitions", partitions)
-
-  /** SCALE-ADAPTIVE [[sizeStateStores]] (r16 optimization round, guide §2
+  /** SCALE-ADAPTIVE state-store sizing (r16 optimization round, guide §2
     * "make partitioning scale-adaptive rather than a constant"): one state
     * store per `spark.graft.stream.bytesPerStatePartition` (default 16 MB)
     * of the LARGEST staged input slice — a micro-batch's volume upper
@@ -99,18 +87,45 @@ private[graft] object StreamScratch {
     * the oracle gate re-proves it per entry). Call AFTER staging (it
     * inspects the staged files) and BEFORE `readStream`. */
   def sizeStateStoresAdaptive(fork: org.apache.spark.sql.SparkSession,
-                              inDirs: String*): Int = {
-    val bytesPer = fork.conf.getOption("spark.graft.stream.bytesPerStatePartition")
-      .map(_.toLong).getOrElse(16L << 20)
+                              inDirs: String*): Int =
+    sizeFromBytes(fork, perBatchBytes(fork, inDirs, sum = false))
+
+  /** [[sizeStateStoresAdaptive]] for SINGLE-BATCH sources (no
+    * `maxFilesPerTrigger`): one micro-batch reads ALL staged files, so the
+    * per-batch volume bound is the SUM of file sizes, not the largest slice
+    * (r16 ADVICE — the max-based rule undersized the load-everything
+    * entries). Same conf, same clamp. */
+  def sizeStateStoresAdaptiveTotal(fork: org.apache.spark.sql.SparkSession,
+                                   inDirs: String*): Int =
+    sizeFromBytes(fork, perBatchBytes(fork, inDirs, sum = true))
+
+  private def perBatchBytes(fork: org.apache.spark.sql.SparkSession,
+                            inDirs: Seq[String], sum: Boolean): Long = {
     def sliceBytes(d: java.io.File): Seq[Long] = {
       val fs = Option(d.listFiles()).getOrElse(Array.empty)
       fs.filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length).toSeq ++
         fs.filter(_.isDirectory).flatMap(sliceBytes) // multi-sided stages nest
     }
-    val maxSlice = inDirs.flatMap(d => sliceBytes(new java.io.File(d)))
-      .maxOption.getOrElse(0L)
+    val sizes = inDirs.flatMap(d => sliceBytes(new java.io.File(d)))
+    // empty/missing dirs are a STAGING bug, not a sizing decision — surface
+    // it instead of silently falling back to 1 partition (r16 ADVICE)
+    if (sizes.isEmpty)
+      System.err.println(s"WARN sizeStateStores: no staged parquet under " +
+        s"${inDirs.mkString(",")} — sizing state stores as if empty")
+    if (sum) sizes.sum else sizes.maxOption.getOrElse(0L)
+  }
+
+  private def sizeFromBytes(fork: org.apache.spark.sql.SparkSession,
+                            batchBytes: Long): Int = {
+    val key = "spark.graft.stream.bytesPerStatePartition"
+    val bytesPer = fork.conf.getOption(key).map { v =>
+      try v.toLong catch {
+        case e: NumberFormatException => throw new IllegalArgumentException(
+          s"$key must be a plain byte count (e.g. 16777216), got '$v'", e)
+      }
+    }.getOrElse(16L << 20)
     val p = math.max(1L, math.min(fork.sparkContext.defaultParallelism.toLong,
-      (maxSlice + bytesPer - 1) / bytesPer)).toInt
+      (batchBytes + bytesPer - 1) / bytesPer)).toInt
     fork.conf.set("spark.sql.shuffle.partitions", p)
     p
   }

@@ -867,32 +867,60 @@ object TextDedupQueries {
   // confirmed pairs (near-dup suspects only) are the two REDUCED artifacts
   // worth materializing; the shingle stream itself never is.
 
-  /** MinHash signature table, materialized once per corpus. Raw occurrences
-    * feed the signature directly — min() is duplicate-insensitive, so the
-    * distinct shuffle is skipped. */
+  /** MinHash signature table, written once per corpus as a DISK LAYOUT
+    * (r17, the r16 verdict's pre-approved convention move #9): signatures
+    * are a deterministic, immutable, REDUCED function of the corpus (16
+    * rows/doc) — the same artifact class as the IVF serving layouts, which
+    * a real deployment materializes once and serves many queries from.
+    * The honest cold cost of the full chain stays visible per bench rep in
+    * the new `dedup_pairs_cold` entry (the dual-reporting condition the
+    * r16 verdict set for this move). Raw occurrences feed the signature
+    * directly — min() is duplicate-insensitive, so the distinct shuffle is
+    * skipped. */
   private def sharedSignatures(s: SparkSession, dir: String): DataFrame =
-    Artifacts.shared(s"minhash_sig:$dir") {
+    s.read.parquet(Artifacts.sharedPath(s"minhash_sig:$dir") { path =>
       Dedup.minhashSignatures(Dedup.docShinglesRaw(docs(s, dir), "doc_id", "text"))
-    }
+        .write.parquet(path)
+    })
 
   /** Confirmed near-dup pairs (LSH candidates → exact Jaccard ≥ 0.8),
-    * materialized once per corpus. The exact-Jaccard confirm re-shingles ONLY
-    * candidate docs — the full corpus is touched exactly once, by the
-    * signature scan. */
+    * written once per corpus as a disk layout (see [[sharedSignatures]];
+    * `dedup_pairs_cold` re-pays the whole chain per rep). The exact-Jaccard
+    * confirm re-shingles ONLY candidate docs — the full corpus is touched
+    * exactly once, by the signature scan. */
   private[graft] def sharedPairs(s: SparkSession, dir: String): DataFrame =
-    Artifacts.shared(s"minhash_pairs:$dir") {
-      // maxBandDf: hot-bucket skew guard (star fallback above 64 docs per
-      // band key — giant exact-dup clusters stay linear, see Dedup scaladoc).
-      // The DuckDB oracle models the same hot/cold fallback, so the guard
-      // stays oracle-checked even on a corpus where it binds.
-      val cand = Dedup.lshCandidates(sharedSignatures(s, dir), maxBandDf = Some(64))
-        .localCheckpoint(eager = true) // reused: candDocs filter + pair-confirm join
-      val candDocs = cand.select(col("doc_a").as("doc_id"))
-        .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-      val rawCand = Dedup.docShinglesRaw(
-        docs(s, dir).join(broadcast(candDocs), "doc_id"), "doc_id", "text")
-      Dedup.jaccardPairs(rawCand, 0.8, candidates = Some(cand))
-    }
+    s.read.parquet(Artifacts.sharedPath(s"minhash_pairs:$dir") { path =>
+      confirmedPairsFrom(s, dir, sharedSignatures(s, dir), maxBandDf = Some(64))
+        .write.parquet(path)
+    })
+
+  /** The LSH-candidates → exact-Jaccard confirm chain tail, from a given
+    * signature table — one definition for the shared layouts and the cold
+    * re-pay entry. `maxBandDf`: hot-bucket skew guard (star fallback above
+    * 64 docs per band key — giant exact-dup clusters stay linear, see Dedup
+    * scaladoc). The DuckDB oracle models the same hot/cold fallback, so the
+    * guard stays oracle-checked even on a corpus where it binds. */
+  private def confirmedPairsFrom(s: SparkSession, dir: String, sigs: DataFrame,
+                                 maxBandDf: Option[Int]): DataFrame = {
+    val cand = Dedup.lshCandidates(sigs, maxBandDf = maxBandDf)
+      .localCheckpoint(eager = true) // reused: candDocs filter + pair-confirm join
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val rawCand = Dedup.docShinglesRaw(
+      docs(s, dir).join(broadcast(candDocs), "doc_id"), "doc_id", "text")
+    Dedup.jaccardPairs(rawCand, 0.8, candidates = Some(cand))
+  }
+
+  /** The FULL dedup chain — shingles → signatures → capped banding → exact
+    * Jaccard — rebuilt from the raw corpus with NO shared artifact, every
+    * invocation (r17): the honest cold pipeline cost the bench must keep
+    * paying per rep now that the chain's artifacts live as session disk
+    * layouts (the r16 verdict's dual-reporting condition). Same output —
+    * and the same DuckDB oracle — as `dedup_minhash_pairs`. */
+  def dedupPairsCold(s: SparkSession, dir: String): DataFrame =
+    confirmedPairsFrom(s, dir,
+      Dedup.minhashSignatures(Dedup.docShinglesRaw(docs(s, dir), "doc_id", "text")),
+      maxBandDf = Some(64))
 
   /** Dump the confirmed-pairs artifact for the cluster-logic oracles
     * (called by [[graft.Verify]]; see the ORACLE ARTIFACTS note there).
@@ -974,15 +1002,10 @@ object TextDedupQueries {
     * populations before and after a delta/delete, breaking their
     * equals-recompute contracts; see [[graft.operators.Dedup.scrubArtifacts]]). */
   private def sharedPairsUncapped(s: SparkSession, dir: String): DataFrame =
-    Artifacts.shared(s"minhash_pairs_uncapped:$dir") {
-      val cand = Dedup.lshCandidates(sharedSignatures(s, dir))
-        .localCheckpoint(eager = true)
-      val candDocs = cand.select(col("doc_a").as("doc_id"))
-        .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-      val rawCand = Dedup.docShinglesRaw(
-        docs(s, dir).join(broadcast(candDocs), "doc_id"), "doc_id", "text")
-      Dedup.jaccardPairs(rawCand, 0.8, candidates = Some(cand))
-    }
+    s.read.parquet(Artifacts.sharedPath(s"minhash_pairs_uncapped:$dir") { path =>
+      confirmedPairsFrom(s, dir, sharedSignatures(s, dir), maxBandDf = None)
+        .write.parquet(path)
+    })
 
   /** GDPR delete CASCADED through the dedup artifacts (VERDICT r7 ask #5):
     * the deletion set (`doc_id % 97 = 0`, the `q_gdpr_delete` request) is
@@ -1050,7 +1073,9 @@ object TextDedupQueries {
     val docsIn = fork.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
     docsIn.write.parquet(inDir)
-    StreamScratch.sizeStateStoresAdaptive(fork, inDir)
+    // no maxFilesPerTrigger: ONE micro-batch loads every staged file, so the
+    // per-batch volume bound is the staged TOTAL, not the largest file
+    StreamScratch.sizeStateStoresAdaptiveTotal(fork, inDir)
     val stream = fork.readStream.schema(docsIn.schema).parquet(inDir)
     val q = graft.streaming.DocStream.pairsStream(
         graft.streaming.DocStream.bandRows(stream, "doc_id", "text")
@@ -1300,6 +1325,7 @@ object TextDedupQueries {
     "dedup_paragraph" -> dedupParagraph _,
     "dedup_minhash_sig" -> dedupMinhashSig _,
     "dedup_minhash_pairs" -> dedupMinhashPairs _,
+    "dedup_pairs_cold" -> dedupPairsCold _,
     "dedup_incremental_pairs" -> dedupIncrementalPairs _,
     "dedup_keep_list" -> dedupKeepList _,
     "dedup_quality_rep" -> dedupQualityRep _,
@@ -2199,6 +2225,8 @@ object TextDedupQueries {
       s"""WITH $toksCte, $shinglesCte, $sigCte
          |SELECT doc, h, minhash FROM sig""".stripMargin,
     "dedup_minhash_pairs" -> confirmedPairsSql,
+    // the cold re-pay twin computes the identical pair set from scratch
+    "dedup_pairs_cold" -> confirmedPairsSql,
     // incremental must equal the full recompute, but its candidate step is
     // UNCAPPED banding on both legs — model exactly that (see pairsCtesUncapped)
     "dedup_incremental_pairs" -> incrementalPairsSql,
