@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Versioned snapshot store with time travel — the metadata discipline of a
@@ -191,6 +191,7 @@ object Versioned {
       // still commits: the manifest copies forward so version numbers keyed
       // to deterministic batch ids never gap — a later commit's v-1 lookup
       // must always resolve
+      writeChangedKeysMarker(dir, v, "none")
       writeManifest(dir, v, prev.toSeq)
       return
     }
@@ -215,6 +216,12 @@ object Versioned {
       Seq(keyCol))
     upserted.write.mode(SaveMode.Overwrite).partitionBy(bucketCol)
       .parquet(s"$dir/data/v$v")
+    // sidecar BEFORE the manifest (the schema-sidecar crash ordering): a
+    // crash between the two leaves an unreferenced sidecar the re-run
+    // overwrites; the opposite order would commit a manifest whose feed
+    // pre-filter silently vanished (falls back to full reads — safe, but
+    // the write order keeps it deterministic)
+    writeChangedKeys(spark, dir, v, delta.select(col(keyCol)), keyCol)
     writeManifest(dir, v,
       prev.map { case (b, ver) => b -> (if (touched(b)) v else ver) }.toSeq)
   }
@@ -237,7 +244,10 @@ object Versioned {
     val prev = readManifest(dir, v - 1)
     val touched = ids.select(col(bucketCol)).distinct()
       .collect().map(_.getInt(0)).toSet
-    if (touched.isEmpty) { writeManifest(dir, v, prev.toSeq); return }
+    if (touched.isEmpty) {
+      writeChangedKeysMarker(dir, v, "none")
+      writeManifest(dir, v, prev.toSeq); return
+    }
     val current = readBuckets(spark, dir, prev.filter { case (b, _) => touched(b) })
     val kept = current.join(
       broadcast(ids.select(col(keyCol)).distinct()), Seq(keyCol), "left_anti")
@@ -246,6 +256,7 @@ object Versioned {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     kept.write.mode(SaveMode.Overwrite).partitionBy(bucketCol)
       .parquet(s"$dir/data/v$v")
+    writeChangedKeys(spark, dir, v, ids.select(col(keyCol)), keyCol)
     writeManifest(dir, v, prev.map { case (b, ver) =>
       b -> (if (!touched(b)) ver
             else if (survivors.getOrElse(b, 0L) > 0L) v
@@ -261,6 +272,7 @@ object Versioned {
   def commitDeleteAll(dir: String, v: Int): Unit = {
     require(v > 1, s"commitDeleteAll is for versions after the base, got $v")
     requireUncommitted(dir, v)
+    writeChangedKeysMarker(dir, v, "all") // every key's mapping changed
     writeManifest(dir, v, readManifest(dir, v - 1).keySet.toSeq.map(_ -> 0))
   }
 
@@ -283,7 +295,10 @@ object Versioned {
     val prev = readManifest(dir, v - 1)
     val touched = changes.select(col(bucketCol)).distinct()
       .collect().map(_.getInt(0)).toSet
-    if (touched.isEmpty) { writeManifest(dir, v, prev.toSeq); return }
+    if (touched.isEmpty) {
+      writeChangedKeysMarker(dir, v, "none")
+      writeManifest(dir, v, prev.toSeq); return
+    }
     val cols = changes.columns.filterNot(_ == "op")
     val liveTouched = prev.filter { case (b, ver) => touched(b) && ver > 0 }
     // all-sentinel touched set (delete-then-reinsert CDC): pure insert,
@@ -314,6 +329,7 @@ object Versioned {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     survivors.write.mode(SaveMode.Overwrite).partitionBy(bucketCol)
       .parquet(s"$dir/data/v$v")
+    writeChangedKeys(spark, dir, v, changes.select(col(keyCol)), keyCol)
     writeManifest(dir, v, prev.map { case (b, ver) =>
       b -> (if (!touched(b)) ver
             else if (counts.getOrElse(b, 0L) > 0L) v
@@ -461,6 +477,7 @@ object Versioned {
     val widened = org.apache.spark.sql.types.StructType(cur.fields ++ newCols.fields)
     java.nio.file.Files.write(schemaPatchPath(dir, v),
       widened.json.getBytes("UTF-8"))
+    writeChangedKeysMarker(dir, v, "none") // schema-only: no key changed
     writeManifest(dir, v, readManifest(dir, v - 1).toSeq)
   }
 
@@ -885,11 +902,15 @@ object Versioned {
     val prev = readManifest(dir, v - 1)
     val multi = prev.filter { case (b, ver) =>
       ver > 0 && parquetFileCount(dir, ver, b) > 1 }.keySet
-    if (multi.isEmpty) { writeManifest(dir, v, prev.toSeq); return Set.empty }
+    if (multi.isEmpty) {
+      writeChangedKeysMarker(dir, v, "none")
+      writeManifest(dir, v, prev.toSeq); return Set.empty
+    }
     readBuckets(spark, dir, prev.filter { case (b, _) => multi(b) })
       .repartition(col(bucketCol))
       .write.mode(SaveMode.Overwrite).partitionBy(bucketCol)
       .parquet(s"$dir/data/v$v")
+    writeChangedKeysMarker(dir, v, "none") // physical rewrite, no logical change
     writeManifest(dir, v,
       prev.map { case (b, ver) => b -> (if (multi(b)) v else ver) }.toSeq)
     multi
@@ -915,6 +936,9 @@ object Versioned {
     df.repartition(col(bucketCol))
       .write.mode(SaveMode.Overwrite).partitionBy(bucketCol)
       .parquet(s"$dir/data/v$v")
+    // a rewrite may commit arbitrary new content (INSERT OVERWRITE), so
+    // every key may have changed — feed windows spanning it read unfiltered
+    writeChangedKeysMarker(dir, v, "all")
     writeManifest(dir, v, (0 until nBuckets).map(_ -> v))
   }
 
@@ -926,6 +950,122 @@ object Versioned {
       .find(_.getName.endsWith(s"=$bucket"))
     part.map(d => Option(d.listFiles()).getOrElse(Array.empty)
       .count(_.getName.endsWith(".parquet"))).getOrElse(0)
+  }
+
+  // ---- changed-keys sidecars (r17 optimization round, verdict ask #5) ----
+  // Each data commit records WHICH KEYS it logically changed, so the change
+  // feed can pre-filter both diff sides to (possibly-)changed keys instead
+  // of full-outer-joining every row of every touched bucket (guide §3.2 —
+  // Bloom-prefilter the join input). Three sidecar kinds beside the
+  // manifest, dispatched by file name:
+  //   vN.ckeys.none   — the commit changed no key (compact, ALTER, empty
+  //                     delta): contributes nothing to the filter;
+  //   vN.ckeys.all    — the commit may have changed anything (rewrite /
+  //                     recluster, DELETE FROM): disables filtering for
+  //                     windows spanning it;
+  //   vN.ckeys.bloom  — a Bloom filter over xxhash64(key) of the commit's
+  //                     delta keys (plus vN.ckeys.range, "lo,hi", when the
+  //                     key is integral and the delta was collected small —
+  //                     a PushedFilters-translatable range conjunct).
+  // A window version with NO sidecar (pre-r17 store) falls back to the
+  // unfiltered read. False positives only keep extra unchanged keys, which
+  // the `differs` predicate drops as before; there are no false negatives,
+  // so the feed is row-identical (spec- and oracle-gated).
+
+  private def ckeysPath(dir: String, v: Int, kind: String) =
+    java.nio.file.Paths.get(dir, "manifests", s"v$v.ckeys.$kind")
+
+  private def writeChangedKeysMarker(dir: String, v: Int, kind: String): Unit = {
+    java.nio.file.Files.createDirectories(ckeysPath(dir, v, kind).getParent)
+    java.nio.file.Files.write(ckeysPath(dir, v, kind), Array.empty[Byte])
+  }
+
+  /** Record commit `v`'s changed-key set. Small deltas (≤
+    * `spark.graft.store.changedKeysCollectMax`, default 100k distinct
+    * hashes) collect to the driver and build the Bloom there — one small
+    * job; larger deltas pay one count + one aggregate pass (delta-scale,
+    * amortized against the commit's own touched-bucket rewrite). NULL keys
+    * are excluded — the feed's null-key behavior is preserved by the read
+    * side's isNull escape. */
+  private def writeChangedKeys(spark: SparkSession, dir: String, v: Int,
+                               keys: DataFrame, keyCol: String): Unit = {
+    val fpp = 0.01
+    val maxCollect = spark.conf.getOption("spark.graft.store.changedKeysCollectMax")
+      .map(_.toInt).getOrElse(100000)
+    val hashed = keys.where(col(keyCol).isNotNull)
+      .select(xxhash64(col(keyCol)).as("h"), col(keyCol).as("k"))
+      .dropDuplicates("h")
+    val some = hashed.limit(maxCollect + 1).collect()
+    val bloom =
+      if (some.length <= maxCollect) {
+        val bf = org.apache.spark.util.sketch.BloomFilter
+          .create(math.max(some.length.toLong, 1L), fpp)
+        some.foreach(r => bf.putLong(r.getLong(0)))
+        // integral keys also record the changed-key range — a scan-pushable
+        // conjunct (zone-map/row-group skip when the layout correlates)
+        val integral = keys.schema(keyCol).dataType match {
+          case org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.ShortType => true
+          case _ => false
+        }
+        if (integral && some.nonEmpty) {
+          val ks = some.map(r => r.getAs[Any](1) match {
+            case l: Long => l
+            case i: Int => i.toLong
+            case s: Short => s.toLong
+          })
+          java.nio.file.Files.write(ckeysPath(dir, v, "range"),
+            s"${ks.min},${ks.max}".getBytes("UTF-8"))
+        }
+        bf
+      } else {
+        val n = hashed.count()
+        hashed.stat.bloomFilter("h", math.max(n, 1L), fpp)
+      }
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    java.nio.file.Files.write(ckeysPath(dir, v, "bloom"), bos.toByteArray)
+  }
+
+  /** The changed-keys pre-filters for a feed window, if every version in
+    * (fromV, toV] recorded a sidecar and none is the `all` marker: a
+    * Bloom-probe disjunction (codegen `might_contain` over xxhash64(key))
+    * and, when every Bloom version also recorded a range, a
+    * scan-pushable range disjunction. Both carry an isNull escape so
+    * null-key rows flow exactly as before. */
+  private def changedKeysFilter(dir: String, fromV: Int, toV: Int,
+                                keyCol: String): Option[(Column, Option[Column])] = {
+    import java.nio.file.Files
+    val sides = ((fromV + 1) to toV).map { w =>
+      if (Files.exists(ckeysPath(dir, w, "none"))) Some(None)
+      else if (Files.exists(ckeysPath(dir, w, "bloom"))) {
+        val range = if (Files.exists(ckeysPath(dir, w, "range"))) {
+          val Array(lo, hi) = new String(
+            Files.readAllBytes(ckeysPath(dir, w, "range")), "UTF-8").split(",")
+          Some((lo.toLong, hi.toLong))
+        } else None
+        Some(Some((Files.readAllBytes(ckeysPath(dir, w, "bloom")), range)))
+      } else None // absent or the `all` marker: cannot filter
+    }
+    if (sides.exists(_.isEmpty)) return None
+    val blooms = sides.flatten.flatten
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val bloomOr = blooms.map { case (bytes, _) =>
+      // BloomFilterMightContain is codegen but not registered in the public
+      // FunctionRegistry — build the expression directly
+      ColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          ColumnBridge.expression(lit(bytes)),
+          ColumnBridge.expression(xxhash64(col(keyCol)))))
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    val rangeOr =
+      if (blooms.nonEmpty && blooms.forall(_._2.isDefined))
+        Some(blooms.flatMap(_._2).map { case (lo, hi) =>
+          col(keyCol).between(lo, hi)
+        }.reduce(_ || _) || col(keyCol).isNull)
+      else None
+    Some((col(keyCol).isNull || bloomOr, rangeOr))
   }
 
   /** `withPreimage = true` switches the feed to the FOUR-op contract
@@ -955,8 +1095,22 @@ object Versioned {
       val schema = readVersion(spark, dir, toV).where(lit(false))
       return (schema.withColumn("op", lit("")).where(lit(false)), Set.empty)
     }
-    val oldDf = sideOrEmpty(oldAssign, newAssign)
-    val newDf = sideOrEmpty(newAssign, oldAssign)
+    // pre-filter BOTH diff sides to (possibly-)changed keys when every
+    // commit in the window recorded its changed-key sidecar (r17): the
+    // predicate is a function of the key alone, so it drops a key's rows
+    // from both sides or neither — dropped keys were changed by no window
+    // commit, hence identical on both sides and never in the feed; Bloom
+    // false positives survive to the `differs` filter exactly as before.
+    // The range conjunct (integral keys) is scan-pushable; the Bloom probe
+    // is the codegen `might_contain`, no Scala closure in the path.
+    val keyFilter = changedKeysFilter(dir, fromV, toV, keyCol)
+    def prefilter(df: DataFrame): DataFrame = keyFilter match {
+      case Some((bloomPred, rangePred)) =>
+        rangePred.map(df.where).getOrElse(df).where(bloomPred)
+      case None => df
+    }
+    val oldDf = prefilter(sideOrEmpty(oldAssign, newAssign))
+    val newDf = prefilter(sideOrEmpty(newAssign, oldAssign))
     val cols = (oldDf.columns ++ newDf.columns).distinct.filterNot(_ == keyCol)
     def pad(df: DataFrame, donor: DataFrame, pre: String): DataFrame = {
       val padded = cols.foldLeft(df) { (d, c) =>
@@ -1144,6 +1298,8 @@ object Versioned {
       java.nio.file.Files.deleteIfExists(bloomIdxPath(dir, v))
       java.nio.file.Files.deleteIfExists(countsPath(dir, v))
       java.nio.file.Files.deleteIfExists(txnPath(dir, v))
+      Seq("none", "all", "bloom", "range").foreach(k =>
+        java.nio.file.Files.deleteIfExists(ckeysPath(dir, v, k)))
     }
   }
 

@@ -665,4 +665,62 @@ class VersionedSpec extends SparkSpec {
     Versioned.vacuum(dir, 1)
     assert(Versioned.readVersion(spark, dir, 3).columns.contains("extra"))
   }
+
+  test("changed-keys sidecars prefilter the feed without changing one row (r17)") {
+    val dir = tmp()
+    val base = (0L until 40L).map(k => (k, k, (k % 4).toInt)).toDF("k", "v", "bucket")
+    Versioned.commitBase(base, dir, "bucket", 4)
+    // v2 upsert: update 2 keys + insert 1
+    Versioned.commitUpsert(spark,
+      Seq((0L, 1000L, 0), (5L, 1005L, 1), (101L, 101L, 1)).toDF("k", "v", "bucket"),
+      dir, 2, "k", "bucket")
+    // v3 delete: 2 keys
+    Versioned.commitDelete(spark, Seq((2L, 2), (7L, 3)).toDF("k", "bucket"),
+      dir, 3, "k", "bucket")
+    // v4 merge: one update, one delete, one insert
+    Versioned.commitMerge(spark,
+      Seq(("U", 1L, 9001L, 1), ("D", 4L, 0L, 0), ("U", 202L, 202L, 2))
+        .toDF("op", "k", "v", "bucket"),
+      dir, 4, "k", "bucket")
+    // every data commit recorded a bloom (+range: long keys, small delta)
+    def side(v: Int, kind: String) =
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "manifests", s"v$v.ckeys.$kind"))
+    (2 to 4).foreach { v =>
+      assert(side(v, "bloom") && side(v, "range"), s"v$v sidecar missing")
+    }
+    // the feed over every window equals the UNFILTERED feed (sidecars
+    // renamed away -> the fallback full-read path), net and preimage modes
+    def dump(fromV: Int, toV: Int, pre: Boolean) =
+      Versioned.changes(spark, dir, fromV, toV, "k", withPreimage = pre)._1
+        .collect().map(_.toString).sorted.toSeq
+    val manifests = new java.io.File(s"$dir/manifests")
+    def stash(): Unit = manifests.listFiles()
+      .filter(f => f.getName.contains(".ckeys.") && !f.getName.endsWith(".off"))
+      .foreach(f => f.renameTo(new java.io.File(manifests, f.getName + ".off")))
+    def unstash(): Unit = manifests.listFiles()
+      .filter(_.getName.endsWith(".off"))
+      .foreach(f => f.renameTo(
+        new java.io.File(manifests, f.getName.stripSuffix(".off"))))
+    val windows = Seq((1, 2), (2, 3), (3, 4), (1, 4), (2, 4))
+    val filtered = windows.map { case (a, b) =>
+      (dump(a, b, pre = false), dump(a, b, pre = true)) }
+    stash()
+    val unfiltered = windows.map { case (a, b) =>
+      (dump(a, b, pre = false), dump(a, b, pre = true)) }
+    unstash()
+    assert(filtered == unfiltered,
+      "changed-keys prefilter altered the feed")
+    // marker kinds: compact -> none (no logical change, window spanning it
+    // still filters); rewrite -> all (windows spanning it read unfiltered)
+    Versioned.commitCompact(spark, dir, 5, "bucket")
+    assert(side(5, "none"))
+    val (afterCompact, _) = Versioned.changes(spark, dir, 4, 5, "k")
+    assert(afterCompact.count() == 0, "compact must not feed changes")
+    Versioned.commitRewrite(Versioned.readVersion(spark, dir, 5), dir, 6,
+      "bucket", 4)
+    assert(side(6, "all"))
+    val (afterRewrite, _) = Versioned.changes(spark, dir, 5, 6, "k")
+    assert(afterRewrite.count() == 0, "content-identical rewrite feeds nothing")
+  }
 }
