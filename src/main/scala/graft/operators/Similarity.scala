@@ -336,9 +336,22 @@ object Similarity {
   }
 
   /** Distinct directed same-cell pair keys of a spilled assignment. */
-  private def cellPairKeys(spilled: DataFrame): DataFrame = {
+  private def cellPairKeys(spilled: DataFrame): DataFrame =
+    cellPairKeysFrom(spilled, spilled)
+
+  /** [[cellPairKeys]] with the SRC side restricted to `srcSide`'s rows —
+    * the manual semi-join pushdown [[knnGraphDeleteIncremental]] needs:
+    * filtering the a-side BEFORE the pair join is set-identical to
+    * semi-joining the enumerated pairs on src afterwards (the filter is on
+    * the join's own src key; distinct commutes with it), but enumerates
+    * |srcSide|·cellsize pairs instead of the full Σcell² (r17 — the
+    * optimizer does not push a semi join below the self-join + distinct,
+    * so "delete-sized work" was only true of the scoring, not the pair
+    * enumeration). */
+  private def cellPairKeysFrom(srcSide: DataFrame, spilled: DataFrame): DataFrame = {
     val slim = spilled.select(col("vec_id"), col("cell"))
-    slim.as("a").join(slim.as("b"),
+    val a = srcSide.select(col("vec_id"), col("cell"))
+    a.as("a").join(slim.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
       .distinct() // a pair reachable through two shared cells counts once
@@ -440,6 +453,13 @@ object Similarity {
   private def symEdges(e: DataFrame): DataFrame =
     e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
 
+  /** Symmetrized serve view of a DIRECTED top-M artifact (r17): callers
+    * that share one directed build across entries (serve + GDPR carry the
+    * same artifact) symmetrize it here instead of re-running the build —
+    * `knnGraphEdges(spilled, m) == knnGraphEdgesOf(knnGraphDirected(spilled, m))`
+    * by definition. */
+  def knnGraphEdgesOf(directed: DataFrame): DataFrame = symEdges(directed)
+
   /** CONVERGENCE-DRIVEN [[knnGraphEdgesNnd]] (r10 verdict #8) — the
     * parameter-free form: instead of a fixed round count, rounds run
     * until the previous round's NEW directed edge count (the `nw` frame
@@ -535,7 +555,11 @@ object Similarity {
       // ORACLE computes the UNFLAGGED form, so the hash gate itself
       // proves the equivalence at every SF. Late rounds then pay
       // new-edge-sized NoN work instead of the full (2m)² per node.
-      val nw = (if (prev == null) e else e.except(prev))
+      // left_anti, not except: e's rows are distinct by construction (each
+      // (src,dst) is scored once and ranked once), so the anti join is the
+      // same set — and it skips except's extra dedup exchange (guide §2.4)
+      val nw = (if (prev == null) e
+                else e.join(prev, Seq("src", "dst"), "left_anti"))
         .localCheckpoint(eager = true)
       // eps mode: round t-1 changed < epsPpm ppm of the N·m capacity →
       // converged; skip this round (checked on the nw the flagged NoN
@@ -710,7 +734,8 @@ object Similarity {
       .join(did, directed("dst") === did("id"), "left_anti")
       .join(affected, Seq("src"), "left_anti")
       .select(col("src"), col("dst"))
-    val freshKeys = cellPairKeys(splS).join(affected, Seq("src"), "left_semi")
+    val freshKeys = cellPairKeysFrom(
+      splS.join(affected, splS("vec_id") === affected("src"), "left_semi"), splS)
     val pts = splS.select(col("vec_id"), col("v")).dropDuplicates("vec_id")
     val top = carried.unionByName(directedTopM(freshKeys, pts, m))
     top.union(top.select(col("dst").as("src"), col("src").as("dst"))).distinct()
