@@ -31,13 +31,31 @@ object MultimodalQueries {
   private val VidFpW = 2
   private val VidFpH = 2
 
+  /** Spread the (media_id) id rows across the session's task slots BEFORE
+    * the payload synth/decode UDF attaches (r17, guide §2.5/§8): the ids
+    * come out of one tiny parquet row-group (1–2 scan partitions), so the
+    * expensive per-row media work otherwise ran near-SERIALLY regardless
+    * of core count (measured: mm_image_dedup_crop 4.5–5.5 s task run ≈
+    * wall — zero parallelism). Only the 8-byte ids cross the exchange
+    * (guide §8: move keys, synthesize payloads after); every downstream
+    * consumer (channel sums, fingerprints, min-hash, banding) is
+    * partition-invariant (the r4 whole-catalog discipline), so outputs
+    * are unchanged. Slot-count partitioning is the right scale for a
+    * per-row decode: at production volumes the media table is
+    * payload-bearing and naturally multi-partition, and this repartition
+    * of bare ids is noise there. */
+  private def spreadIds(ids: DataFrame): DataFrame =
+    ids.repartition(ids.sparkSession.sparkContext.defaultParallelism)
+
   /** REAL image decode under the oracle: synthesize a PNG per document id,
     * decode it with ImageIO, emit dimensions + exact per-channel sums.
-    * Partition-local (no shuffle); the scan reads only doc_id. */
+    * Decode is partition-local after the id spread ([[spreadIds]] — the
+    * only exchange carries bare ids); the scan reads only doc_id. */
   def mmImageDecode(s: SparkSession, dir: String): DataFrame = {
     val makePng = udf { (id: Long) => Multimodal.syntheticPng(id, PngW, PngH) }
     val media = s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").as("media_id"))
+      .transform(spreadIds)
       .withColumn("payload", makePng(col("media_id")))
     Multimodal.imageFeatures(media)
       .select(col("media_id"),
@@ -52,6 +70,7 @@ object MultimodalQueries {
     val makeWav = udf { (id: Long) => Multimodal.syntheticWav(id, WavSamples, WavRate) }
     val media = s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").as("media_id"))
+      .transform(spreadIds)
       .withColumn("payload", makeWav(col("media_id")))
     Multimodal.audioFeatures(media)
       .select(col("media_id"),
@@ -71,6 +90,7 @@ object MultimodalQueries {
     val makePng = udf { (id: Long) => Multimodal.syntheticPng(id, PngW, PngH) }
     val media = s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").as("media_id"))
+      .transform(spreadIds)
       .withColumn("payload", makePng(col("media_id")))
     Multimodal.imageResize(media, PngW / 2, PngH / 2)
       .select(col("media_id"),
@@ -109,7 +129,8 @@ object MultimodalQueries {
     * `LIST('movi')` chunk walk, ImageIO-decode every frame, emit per-frame
     * channel sums. DuckDB evaluates the same (id, frame, pixel) integer
     * formula — one mis-walked chunk boundary or mangled pixel
-    * hash-mismatches. Partition-local; the scan reads only doc_id. */
+    * hash-mismatches. Decode is partition-local after the id spread
+    * ([[spreadIds]]); the scan reads only doc_id. */
   def mmVideoFrames(s: SparkSession, dir: String): DataFrame = {
     // bmp frames: the uncompressed-DIB AVI shape — real container demux +
     // real ImageIO frame decode without paying PNG deflate on every frame
@@ -118,6 +139,7 @@ object MultimodalQueries {
       Multimodal.syntheticAvi(id, VidW, VidH, VidFrames, codec = "bmp") }
     val media = s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").as("media_id"))
+      .transform(spreadIds)
       .withColumn("payload", makeAvi(col("media_id")))
     Multimodal.videoFrames(media)
       .select(col("media_id"), explode(col("frames")).as("f"))
@@ -137,6 +159,7 @@ object MultimodalQueries {
       Multimodal.syntheticAvi(id, VidW, VidH, VidFrames, codec = "bmp") }
     val media = s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").as("media_id"))
+      .transform(spreadIds)
       .withColumn("payload", makeAvi(col("media_id")))
     Multimodal.sampleFrames(media, everyK = SampleK)
       .select(col("media_id"), col("n_frames_sampled"),
@@ -175,6 +198,7 @@ object MultimodalQueries {
     }
     val media = s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").as("media_id"))
+      .transform(spreadIds)
       .withColumn("payload", makeMedia(col("media_id")))
     Multimodal.perceptualHashes(media)
       .where(col("dhash").isNotNull)
@@ -215,6 +239,7 @@ object MultimodalQueries {
     }
     val media = s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").as("media_id"))
+      .transform(spreadIds)
       .withColumn("payload", makeMedia(col("media_id")))
     Multimodal.audioFingerprints(media)
       .where(col("afp").isNotNull)
@@ -261,6 +286,7 @@ object MultimodalQueries {
     }
     val media = s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").as("media_id"))
+      .transform(spreadIds)
       .withColumn("payload", makeMedia(col("media_id")))
     Multimodal.videoFingerprints(media)
       .where(col("vfp").isNotNull)
@@ -299,6 +325,7 @@ object MultimodalQueries {
     val media = s.read.parquet(s"$dir/documents.parquet")
       .where(col("doc_id") % 4 === 0)
       .select(col("doc_id").as("media_id"))
+      .transform(spreadIds)
       .withColumn("payload", makeMedia(col("media_id")))
     Multimodal.imageTokenColumn(media, tile = VidFpW)
       .where(col("text").isNotNull)
@@ -360,6 +387,7 @@ object MultimodalQueries {
     }
     val media = s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").as("media_id"))
+      .transform(spreadIds)
       .withColumn("payload", makeMedia(col("media_id")))
     Multimodal.pHashes(media)
       .where(col("phash").isNotNull)
@@ -401,6 +429,7 @@ object MultimodalQueries {
     }
     val media = s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").as("media_id"))
+      .transform(spreadIds)
       .withColumn("payload", makeMedia(col("media_id")))
     Multimodal.spectralFingerprints(media)
       .where(col("sfp").isNotNull)
@@ -441,6 +470,7 @@ object MultimodalQueries {
     }
     val media = s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").as("media_id"))
+      .transform(spreadIds)
       .withColumn("payload", makeMedia(col("media_id")))
     Multimodal.audioTokenColumn(media)
       .where(col("text").isNotNull)
@@ -486,6 +516,7 @@ object MultimodalQueries {
     }
     val media = s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").as("media_id"))
+      .transform(spreadIds)
       .withColumn("payload", makeMedia(col("media_id")))
     Multimodal.videoTokenColumn(media)
       .where(col("text").isNotNull)
@@ -535,6 +566,7 @@ object MultimodalQueries {
     }
     val media = s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").as("media_id"))
+      .transform(spreadIds)
       .withColumn("payload", makeMedia(col("media_id")))
     Multimodal.imageTokenColumn(media, tile = VidFpW)
       .where(col("text").isNotNull)
@@ -587,6 +619,7 @@ object MultimodalQueries {
     val media = s.read.parquet(s"$dir/documents.parquet")
       .where(col("doc_id") % 2 === 0)
       .select(col("doc_id").as("media_id"))
+      .transform(spreadIds)
       .withColumn("payload", makeMedia(col("media_id")))
     Multimodal.imageTokenColumn(media, tile = VidFpW)
       .where(col("text").isNotNull)

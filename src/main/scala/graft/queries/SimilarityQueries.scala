@@ -815,14 +815,24 @@ object SimilarityQueries {
     val d = fork.read.parquet(s"$dir/documents.parquet")
     val toks = d.select(col("doc_id"),
       graft.operators.TextOps.tokensFast(col("text")).as("t"))
+    // tf is the ONE tokenize pass (r17): it is a REDUCED artifact (one row
+    // per (doc, term)), checkpointed because FOUR consumers read it — df,
+    // the hits join, dl, qt. Before, dl and qt each re-ran tokensFast over
+    // the whole corpus (3 full tokenize passes per invocation, and
+    // retrieval_eval composes this entry so it paid them too). dl and qt
+    // are exact derivations: dl = Σ_term tf (token count incl. duplicates
+    // — a doc with zero tokens has no tf rows, contributes 0 to tot_dl
+    // either way and can never be a hit); qt = tf's (doc, term) key set on
+    // the probe docs (already distinct by construction).
     val tf = toks.select(col("doc_id"), explode(col("t")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = true)
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val dl = toks.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).cast("long").as("dl"))
     val nn = d.agg(count(lit(1)).as("n_docs"))
     val tot = dl.agg(sum(col("dl")).as("tot_dl"))
-    val qt = toks.where(col("doc_id") < NumProbes)
-      .select(col("doc_id").as("q_id"), explode(col("t")).as("term")).distinct()
+    val qt = tf.where(col("doc_id") < NumProbes)
+      .select(col("doc_id").as("q_id"), col("term"))
     val (k1, b) = (1.25, 0.75)
     val idf = round(log((col("n_docs").cast("double") - col("df") + 0.5) /
       (col("df") + 0.5) + 1.0), 9)
